@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet fixtures (FIXTURES.md).
+  *
+  * All graft operators take `(SparkSession, sfDir)` and read from here so
+  * that the scan layer is in one place: `spark.read.parquet` gives Catalyst
+  * a vectorized, pushdown-capable scan (PushedFilters / ReadSchema prune at
+  * the row-group level), which is the 100 TB-scale entry point — no
+  * schema-inference or per-record parse code sits between the file and the
+  * plan.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read nanos as long (sanctioned legacy conf)
+    * and truncate to microseconds — exactly what DuckDB does when it casts
+    * ns→µs, so oracle comparisons stay aligned. Integer `DIV` keeps the
+    * arithmetic exact (a double division would lose precision above 2^53).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+}
+
+/** One family of operators: a set of named queries plus, where
+  * SQL-expressible, a DuckDB-dialect oracle twin per query (driver contract,
+  * SURVEY.md §3.3). Families register in [[SparkEntry]].
+  */
+trait OpFamily {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import graft.functions.Num.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The summarization pattern family (SURVEY.md §2.5): keyed aggregation with
+  * automatic map-side partial aggregation (the MR "combiner" — Catalyst
+  * plans partial+final HashAggregate, so shuffle volume is one row per
+  * (key, partition), not per input row), numerical summaries, exact and
+  * approximate count-distinct, cube/rollup/grouping-sets, histograms,
+  * inverted index, wordcount.
+  *
+  * Scale notes: every group-by here keys on low-cardinality columns, so the
+  * post-combine shuffle is tiny regardless of input size; count-distinct
+  * expands to a two-phase plan (Expand + two aggregates) that also scales
+  * linearly; `approx_count_distinct` (HLL++) is the 100 TB path when
+  * exactness isn't required — constant memory per group.
+  */
+object AggOps extends OpFamily {
+
+  /** Flagship: TPC-H Q1-style pricing summary — scan→filter→agg→sort, the
+    * canonical map/combine/reduce showcase. Money sums use exact decimal
+    * accumulation (see [[graft.functions.Num]]) so the DuckDB hash-compare
+    * cannot drift on summation order.
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Numerical summaries: stddev/variance/exact percentile (MRDP ch.2). */
+  def numericSummary(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        (dsum(col("value")) / count(col("value"))).as("avg_v"),
+        round(stddev_samp(col("value")), 4).as("sd_v"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50_v"))
+      .orderBy(col("event_type"))
+
+  /** Exact count-distinct (the classic two-MR-job idiom, one plan here). */
+  def countDistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id"), col("event_type")).as("n_user_type"))
+
+  /** Approximate distinct via HLL++ — sketch differs from DuckDB's, so this
+    * is registered without an oracle twin (rows-only check); its accuracy is
+    * property-tested in scalatest against the exact count instead.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** min-max-count composite in one pass (MRDP ch.2). */
+  def minMaxCount(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n"),
+        min(col("o_custkey")).as("min_cust"),
+        max(col("o_custkey")).as("max_cust"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Histogram / binning aggregation (MRDP ch.4): fixed-width bins. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select((floor(col("l_quantity") / 10.0) * 10).cast("long").as("qty_bin"))
+      .groupBy(col("qty_bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("qty_bin"))
+
+  /** cube: all key-subset aggregates in one pass (the MR "emit every subset
+    * of keys from the mapper" idiom, planned as Expand + one aggregate).
+    */
+  def cubeStatusYear(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_year"))
+
+  /** rollup: hierarchical subtotals. */
+  def rollupYearMonth(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_month"))
+
+  /** Classic wordcount, documents.text (THE MapReduce hello-world). */
+  def wordcount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(20)
+
+  /** Inverted index (MRDP ch.2): term → sorted posting list, plus document
+    * frequency. Postings are truncated to the first 10 doc ids and surfaced
+    * as a comma-joined string so the oracle hash-compare is exact and
+    * order-stable regardless of aggregation order.
+    */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        concat_ws(",", slice(array_sort(collect_set(col("doc_id"))), 1, 10))
+          .as("postings10"))
+      .orderBy(col("term"))
+
+  val queries = Map(
+    "agg_q1_pricing_summary" -> (q1PricingSummary _),
+    "agg_numeric_summary" -> (numericSummary _),
+    "agg_count_distinct" -> (countDistinctUsers _),
+    "agg_approx_distinct" -> (approxDistinct _),
+    "agg_min_max_count" -> (minMaxCount _),
+    "agg_histogram" -> (histogram _),
+    "agg_cube" -> (cubeStatusYear _),
+    "agg_rollup" -> (rollupYearMonth _),
+    "agg_wordcount" -> (wordcount _),
+    "agg_inverted_index" -> (invertedIndex _))
+
+  val oracle = Map(
+    "agg_q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "agg_numeric_summary" ->
+      """SELECT event_type, count(*) AS n,
+         min(value) AS min_v, max(value) AS max_v,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_v,
+         round(stddev_samp(value), 4) AS sd_v,
+         round(quantile_cont(value, 0.5), 4) AS p50_v
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_count_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users,
+         count(DISTINCT (user_id, event_type)) AS n_user_type
+         FROM events""",
+    "agg_min_max_count" ->
+      """SELECT o_orderstatus,
+         min(o_totalprice) AS min_price,
+         max(o_totalprice) AS max_price,
+         count(*) AS n,
+         min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_histogram" ->
+      """SELECT CAST(floor(l_quantity / 10.0) * 10 AS BIGINT) AS qty_bin,
+         count(*) AS n FROM lineitem GROUP BY qty_bin ORDER BY qty_bin""",
+    "agg_cube" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS o_year,
+         count(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_year)
+         ORDER BY o_orderstatus NULLS FIRST, o_year NULLS FIRST""",
+    "agg_rollup" ->
+      """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+         count(*) AS n FROM orders GROUP BY ROLLUP (o_year, o_month)
+         ORDER BY o_year NULLS FIRST, o_month NULLS FIRST""",
+    "agg_wordcount" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "agg_inverted_index" ->
+      """SELECT term, count(DISTINCT doc_id) AS df,
+         array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS postings10
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         WHERE term <> '' GROUP BY term
+         ORDER BY term""")
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MapReduce core primitives as Spark declarative plans (SURVEY.md §2.1,
+  * §2.3): map = projection with computed columns, filter = predicate (pushed
+  * into the parquet scan by Catalyst), distinct, systematic sampling, limit.
+  *
+  * Scale notes: projection/filter are narrow (no shuffle); `distinct` is a
+  * hash aggregate with map-side partial dedup (the MR "map k→(k,null)" idiom,
+  * but with the combiner planned automatically); the systematic sample uses
+  * `pmod(key, n)` instead of `rand()` so the oracle can replay it — and at
+  * 100 TB a deterministic hash-mod sample is also what you want for
+  * repeatable pipelines.
+  */
+object CoreOps extends OpFamily {
+
+  /** map pattern: per-row computed columns, no shuffle at all. */
+  def mapProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("charge"),
+        (col("l_quantity") * 2).as("double_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** filter/grep pattern: predicate pushdown reaches the parquet scan. */
+  def filterGrep(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "error" && col("value") > 150.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** distinct pattern (MR: map k→(k,null); reduce emits k). */
+  def distinctPairs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** deterministic systematic sample: hash-mod on a stable key. */
+  def sampleSystematic(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** top-n head after a total order (limit pushdown → TakeOrderedAndProject). */
+  def limitHead(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+      .limit(25)
+
+  val queries = Map(
+    "core_map_project" -> (mapProject _),
+    "core_filter" -> (filterGrep _),
+    "core_distinct" -> (distinctPairs _),
+    "core_sample_systematic" -> (sampleSystematic _),
+    "core_limit" -> (limitHead _))
+
+  val oracle = Map(
+    "core_map_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+         l_quantity * 2 AS double_qty
+         FROM lineitem WHERE l_quantity >= 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "core_filter" ->
+      """SELECT event_id, user_id, value
+         FROM events WHERE event_type = 'error' AND value > 150.0
+         ORDER BY event_id""",
+    "core_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "core_sample_systematic" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+    "core_limit" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         ORDER BY p_partkey LIMIT 25""")
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import graft.functions.Num.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The join pattern family (SURVEY.md §2.4 / MRDP ch.5). In the reference
+  * every join is a hand-written reduce-side or replicated-map-side idiom;
+  * here each is one declarative join and Catalyst+AQE pick the physical
+  * strategy (SortMergeJoin for big×big, BroadcastHashJoin for small dims —
+  * `broadcast()` is pinned where a side is a bounded dimension like
+  * nation/region, which is exactly the replicated-join decision made once,
+  * correctly, at the planner level instead of per-job by the user).
+  *
+  * The as-of join is implemented with the scalable union+window idiom: one
+  * shuffle on the key, one sort within partitions — the same cost shape a
+  * purpose-built merge join would have, with no cross product anywhere.
+  */
+object JoinOps extends OpFamily {
+
+  /** Reduce-side 3-way equi-join + agg + top-k (TPC-H Q3 shape). */
+  def join3TopK(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** 5-way star join with broadcast dims (TPC-H Q5 shape, replicated join). */
+  def join5Star(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left outer join: customers with their order count, zeros kept. */
+  def leftOuterOrders(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .filter(col("c_custkey") <= 500)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Full outer join of two derived key sets (tagged-union MR idiom). */
+  def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id").as("k")).distinct()
+    val cu = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k")).distinct()
+    ev.join(cu, ev("k") === cu("k"), "full_outer")
+      .select(
+        coalesce(ev("k"), cu("k")).as("k"),
+        ev("k").isNotNull.as("in_events"),
+        cu("k").isNotNull.as("in_customer"))
+      .orderBy(col("k"))
+  }
+
+  /** Left-semi join: customers that have at least one 'P' order (EXISTS). */
+  def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join: customers with no large order (NOT EXISTS). */
+  def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Cartesian product (bounded dims only — it's O(n·m) by construction). */
+  def crossJoinRegions(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).select(col("r_name"))
+    val n = Tables.nation(s, d).select(col("n_name"))
+    r.crossJoin(n).orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Theta join: same-brand part pairs with strictly larger size — equi on
+    * the brand key (shuffled) plus a residual range predicate, so no global
+    * cross product even at scale; the blowup is bounded per brand group.
+    */
+  def thetaJoinParts(s: SparkSession, d: String): DataFrame = {
+    val p1 = Tables.part(s, d).select(col("p_partkey").as("k1"),
+      col("p_brand").as("brand"), col("p_size").as("size1"))
+    val p2 = Tables.part(s, d).select(col("p_partkey").as("k2"),
+      col("p_brand").as("brand2"), col("p_size").as("size2"))
+    p1.join(p2, col("brand") === col("brand2") && col("size1") < col("size2"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("size2") - col("size1")).as("max_gap"))
+      .orderBy(col("brand"))
+  }
+
+  /** Range join against a small banded dimension: broadcast nested-loop on
+    * an interval predicate (the MR "binning" idiom, planner-chosen BNLJ).
+    */
+  def rangeJoinBands(s: SparkSession, d: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)
+    )).toDF("band", "lo", "hi")
+    Tables.events(s, d)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy(col("band"))
+  }
+
+  /** As-of join (nearest purchase at ts ≤ click ts, per user), via the
+    * union + "last non-null over ordered window" idiom: one shuffle on
+    * user_id, one in-partition sort — the scalable MR "secondary sort +
+    * stateful reducer" pattern expressed declaratively. Purchase rows sort
+    * before click rows at equal ts so ties count as matches.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase", col("event_id")).as("pid"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(col("pid").isNull, 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_purchase_id", last(col("pid"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("last_purchase_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries = Map(
+    "join_3way_topk" -> (join3TopK _),
+    "join_5way_star" -> (join5Star _),
+    "join_left_outer" -> (leftOuterOrders _),
+    "join_full_outer" -> (fullOuter _),
+    "join_semi" -> (semiJoin _),
+    "join_anti" -> (antiJoin _),
+    "join_cross" -> (crossJoinRegions _),
+    "join_theta" -> (thetaJoinParts _),
+    "join_range_bands" -> (rangeJoinBands _),
+    "join_asof" -> (asofJoin _))
+
+  val oracle = Map(
+    "join_3way_topk" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY o_orderkey, orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "join_5way_star" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey HAVING c_custkey <= 500 ORDER BY c_custkey""",
+    "join_full_outer" ->
+      """SELECT coalesce(e.k, c.k) AS k, e.k IS NOT NULL AS in_events,
+         c.k IS NOT NULL AS in_customer
+         FROM (SELECT DISTINCT user_id AS k FROM events) e
+         FULL JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+                    WHERE c_acctbal > 5000) c ON e.k = c.k
+         ORDER BY k""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+    "join_theta" ->
+      """SELECT p1.p_brand AS brand, count(*) AS n_pairs,
+         max(p2.p_size - p1.p_size) AS max_gap
+         FROM part p1 JOIN part p2
+           ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+         GROUP BY brand ORDER BY brand""",
+    "join_range_bands" ->
+      """SELECT band, count(*) AS n, min(value) AS min_v,
+         max(value) AS max_v
+         FROM events JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0),
+           ('high', 120.0, 1000000000.0)) AS bands(band, lo, hi)
+           ON value >= lo AND value < hi
+         GROUP BY band ORDER BY band""",
+    "join_asof" ->
+      """WITH u AS (
+           SELECT event_id, user_id, ts,
+             event_type,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS pid
+           FROM events WHERE event_type IN ('click', 'purchase'))
+         SELECT event_id, user_id, last_purchase_id FROM (
+           SELECT event_id, user_id, event_type,
+             last_value(pid IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, CASE WHEN pid IS NULL THEN 1 ELSE 0 END, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_id
+           FROM u)
+         WHERE event_type = 'click' ORDER BY event_id""")
+}
