@@ -11,7 +11,7 @@ import graft.operators._
   */
 object SparkEntry {
   private val families: Seq[OpFamily] = Seq(
-    CoreOps, AggOps, JoinOps)
+    CoreOps, AggOps, JoinOps, WindowOps, SetOps, ScalarOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sort / top-k / windowed analytics (SURVEY.md §2.6 / MRDP ch.3–4).
+  *
+  * In the reference, total-order sort needs a sampling partitioner job,
+  * top-k needs per-mapper heaps + a single reducer, and secondary sort needs
+  * composite keys — all hand-built. Here each is one declarative plan:
+  * `orderBy` range-partitions by sampling (the same algorithm, built in),
+  * `orderBy.limit(k)` plans TakeOrderedAndProject (per-partition heap +
+  * driver merge), and window functions give ordered-per-key computation
+  * after a single shuffle on the partition key.
+  *
+  * Scale notes: every window here partitions by a key (no global
+  * unpartitioned window, which would serialize on one task at 100 TB);
+  * top-k-per-group runs through Spark's WindowGroupLimit pushdown, so the
+  * rank filter prunes inside the sort instead of materializing full ranks.
+  * Running sums accumulate in DECIMAL(18,4) so the hash-compare against the
+  * oracle cannot drift on floating-point summation.
+  */
+object WindowOps extends OpFamily {
+  private val dec = DecimalType(18, 4)
+
+  /** Top-3 orders by price per order status (WindowGroupLimit path). */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
+  /** rank vs dense_rank on ties: parts by size within brand. */
+  def rankDense(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(desc("p_size"))
+    Tables.part(s, d)
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("p_brand"), col("p_partkey"), col("p_size"), col("rk"), col("drk"))
+      .orderBy(col("p_brand"), desc("p_size"), col("p_partkey"))
+  }
+
+  /** Per-user value delta between consecutive events (lag). */
+  def lagDelta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("value") - col("prev_value")).as("delta"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Running (cumulative) order total per customer, decimal-exact. */
+  def runningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 300)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** 7-row moving average of event value per type, decimal-exact. */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+    Tables.events(s, d)
+      .withColumn("mov_avg",
+        (sum(col("value").cast(dec)).over(w).cast("double") /
+          count(lit(1)).over(w)))
+      .select(col("event_id"), col("event_type"), col("value"), col("mov_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Quartile assignment (ntile) of customers by balance, summarized. */
+  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy(col("quartile"))
+  }
+
+  /** first/last order per status over a deterministic full-frame window. */
+  def firstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .withColumn("last_key", last(col("o_orderkey")).over(w))
+      .select(col("o_orderstatus"), col("first_key"), col("last_key"))
+      .distinct()
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val queries = Map(
+    "win_topk_per_group" -> (topkPerGroup _),
+    "win_rank_dense" -> (rankDense _),
+    "win_lag_delta" -> (lagDelta _),
+    "win_running_sum" -> (runningSum _),
+    "win_moving_avg" -> (movingAvg _),
+    "win_ntile" -> (ntileQuartiles _),
+    "win_first_last" -> (firstLast _))
+
+  val oracle = Map(
+    "win_topk_per_group" ->
+      """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
+    "win_rank_dense" ->
+      """SELECT p_brand, p_partkey, p_size, rk, drk FROM (
+           SELECT p_brand, p_partkey, p_size,
+             rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rk,
+             dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drk
+           FROM part)
+         WHERE rk <= 5 ORDER BY p_brand, p_size DESC, p_partkey""",
+    "win_lag_delta" ->
+      """SELECT event_id, user_id, value, value - prev_value AS delta FROM (
+           SELECT event_id, user_id, value,
+             lag(value, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_value
+           FROM events WHERE event_type = 'purchase')
+         ORDER BY event_id""",
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+         FROM orders WHERE o_custkey <= 300
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "win_moving_avg" ->
+      """SELECT event_id, event_type, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS mov_avg
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "win_ntile" ->
+      """SELECT quartile, count(*) AS n, min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+         FROM (SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+           FROM customer)
+         GROUP BY quartile ORDER BY quartile""",
+    "win_first_last" ->
+      """SELECT DISTINCT o_orderstatus,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderstatus""")
+}
