@@ -11,7 +11,8 @@ import graft.operators._
   */
 object SparkEntry {
   private val families: Seq[OpFamily] = Seq(
-    CoreOps, AggOps, JoinOps, WindowOps, SetOps, ScalarOps)
+    CoreOps, AggOps, JoinOps, WindowOps, SetOps, ScalarOps,
+    TextOps, DedupOps, SimOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import graft.functions.VecOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.11
+  * #63/#64): exact (content-hash), near-dup by shingle Jaccard, hand-rolled
+  * MinHash+LSH banding, SimHash, and embedding-cosine near-dup.
+  *
+  * The corpus has no exact duplicates, so the exact/near queries first plant
+  * deterministic duplicates (a shifted-id copy, resp. a truncated copy) via
+  * UNION — the planted ids are offset so the (original, duplicate) pairs are
+  * recognizable, and the same construction is replayed in the DuckDB oracle.
+  *
+  * Scale notes: exact dedup is one hash-groupBy (map-side partial, shuffle =
+  * one row per distinct hash). Jaccard/minhash/simhash never do an unblocked
+  * O(n²) pass: Jaccard pairs only within (lang, source) blocks; MinHash
+  * candidates only within LSH band buckets (the standard sub-quadratic
+  * shape: shingle → signature → band → bucket-join); SimHash pairs only
+  * within lang blocks. At 100 TB the band-bucket join is the only shuffle
+  * whose fan-in needs watching — skewed buckets mean a too-lax band width,
+  * tuned here to 8 bands × 4 rows.
+  */
+object DedupOps extends OpFamily {
+
+  private val P = 2147483647L // 2^31 − 1, Mersenne prime for the perm family
+  private val NumPerm = 32
+  private val Bands = 8
+  private val RowsPerBand = NumPerm / Bands
+  /** Deterministic MinHash permutation params (fixed-seed LCG). */
+  private[operators] val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPerm)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  private def normalized: Column =
+    regexp_replace(trim(lower(col("text"))), " +", " ")
+
+  /** Documents plus a planted exact copy of every 5th doc (id + 100000). */
+  private def withExactDupes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** Documents plus a planted near-dup of every 7th doc: the same text with
+    * the last 5 tokens dropped (id + 200000).
+    */
+  private[operators] def withNearDupes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val truncated = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("lang"), col("source"),
+        concat_ws(" ", slice(TextOps.toks, lit(1),
+          greatest(size(TextOps.toks) - 5, lit(1)))).as("text"))
+    docs.unionByName(truncated)
+  }
+
+  /** Exact dedup: group by content hash, surface the duplicate groups. */
+  def exactDupGroups(s: SparkSession, d: String): DataFrame =
+    withExactDupes(s, d)
+      .groupBy(md5(normalized).as("fp"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("keep_id"),
+        max(col("doc_id")).as("dup_id"))
+      .filter(col("n") > 1)
+      .orderBy(col("keep_id"))
+
+  /** Canonicalization: keep the lowest doc_id per (lang, source) group. */
+  def keepFirst(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("kept_id"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Near-dup pairs by word-3-shingle Jaccard ≥ 0.3 within (lang, source)
+    * blocks, over the planted-near-dup corpus. Output is (a, b, jaccard).
+    */
+  def nearJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = withNearDupes(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(TextOps.shingles3(TextOps.toks)).as("sh"))
+    val a = sh.select(col("doc_id").as("a"), col("lang"), col("source"),
+      col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("b"), col("lang"), col("source"),
+      col("sh").as("shb"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("a") < col("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** MinHash signatures: doc_id → 32 min-of-permuted-shingle-hash values.
+    * Shingle → 31-bit base hash (xxhash64 mod P), then h_i = (a_i·h + b_i)
+    * mod P, min-aggregated per doc — all map-side-combinable min() aggs.
+    */
+  private[operators] def minhashSigs(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles3(TextOps.toks))).as("shingle"))
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
+    }
+    base.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
+    * Probabilistic candidate generation → no SQL oracle (rows-only check);
+    * the planted-dupe recall property is asserted in scalatest.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNearDupes(s, d)
+    val sigs = minhashSigs(corpus)
+    val bandCols = (0 until Bands).map { bIdx =>
+      val rows = (0 until RowsPerBand)
+        .map(r => col(s"m${bIdx * RowsPerBand + r}"))
+      struct(lit(bIdx).as("band"), concat_ws(",", rows: _*).as("key"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sh = corpus.select(col("doc_id"),
+      array_distinct(TextOps.shingles3(TextOps.toks)).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** 63-bit SimHash per document: token-hash bit votes, sign-aggregated.
+    * Engine-specific hashing → no SQL oracle (rows-only); hamming-distance
+    * properties asserted in scalatest.
+    */
+  private[operators] def simhashSigs(docs: DataFrame): DataFrame = {
+    val votes = docs
+      .select(col("doc_id"), explode(TextOps.toks).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 63).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val assembled = (0 until 63).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    votes.groupBy(col("doc_id"))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 12) within lang blocks. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNearDupes(s, d)
+    val sigs = simhashSigs(corpus)
+      .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val a = sigs.select(col("doc_id").as("a"), col("simhash").as("ha"), col("lang"))
+    val b = sigs.select(col("doc_id").as("b"), col("simhash").as("hb"), col("lang"))
+    a.join(b, Seq("lang"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 12)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Embedding near-dup: intra-label pairs with cosine ≥ 0.35 (blocked
+    * brute force — label is the blocking key, the IVF-style scale path).
+    */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b"), col("label"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", VecOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.35)
+      .select(col("label"), col("a"), col("b"), col("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val queries = Map(
+    "dedup_exact_groups" -> (exactDupGroups _),
+    "dedup_keep_first" -> (keepFirst _),
+    "dedup_near_jaccard" -> (nearJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhashPairs _),
+    "dedup_embedding" -> (embeddingNearDup _))
+
+  private val planted =
+    """SELECT doc_id, lang, source, text FROM documents
+       UNION ALL
+       SELECT doc_id + 200000, lang, source,
+         array_to_string(w[1:greatest(len(w) - 5, 1)], ' ')
+       FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+             FROM documents)
+       WHERE doc_id % 7 = 0"""
+
+  val oracle = Map(
+    "dedup_exact_groups" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+           count(*) AS n, min(doc_id) AS keep_id, max(doc_id) AS dup_id
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+         GROUP BY fp HAVING count(*) > 1 ORDER BY keep_id""",
+    "dedup_keep_first" ->
+      """SELECT lang, source, min(doc_id) AS kept_id,
+           count(*) - 1 AS n_dropped
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "dedup_near_jaccard" ->
+      s"""WITH corpus AS ($planted),
+         sh AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM corpus))
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+         ORDER BY a, b""",
+    "dedup_embedding" ->
+      """SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) AS cos
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.35
+         ORDER BY a, b""")
+}

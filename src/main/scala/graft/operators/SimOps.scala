@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import graft.functions.VecOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY.md §2.11 #62).
+  *
+  * Three tiers, mirroring how ANN is actually deployed over big corpora:
+  *  - exact brute-force top-k for a bounded query set (broadcast the
+  *    queries, stream the corpus — one narrow pass, no corpus shuffle);
+  *  - IVF-style two-stage search: k-means-like coarse centroids (here the
+  *    per-label mean, computed with a posexplode/re-collect aggregation),
+  *    route each query to its nprobe nearest centroids, then search only
+  *    those partitions — the 100 TB path, since the corpus side is
+  *    partitioned by centroid id and only nprobe/nlist of it is read;
+  *  - all-pairs top-k within blocks (the similarity-join shape).
+  *
+  * All vector math is VecOps Column expressions (codegen'd higher-order
+  * functions, double accumulation) — bit-identical to the DuckDB oracle's
+  * CAST(… AS DOUBLE[]) list functions, so exact and blocked variants are
+  * hash-checked; the IVF recall property is asserted in scalatest instead
+  * (centroid means are summation-order-sensitive, so no hash oracle).
+  */
+object SimOps extends OpFamily {
+
+  /** Exact top-5 cosine neighbors for queries vec_id < 10 (self excluded).
+    * The query side is tiny → broadcast; TakeOrderedAndProject-style rank
+    * pruning via WindowGroupLimit keeps only k rows per query past the sort.
+    */
+  def knnExact(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos"), col("nid"))
+    e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", VecOps.cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF-style ANN: coarse quantize by per-label centroid, probe the 2
+    * nearest centroids per query, exact-search only those cells. Recall vs
+    * [[knnExact]] is property-tested (no hash oracle — centroid means are
+    * reduction-order-sensitive floats).
+    */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // centroids: element-wise mean per label via posexplode + re-collect
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("c_label"),
+        transform(col("pm"), _.getField("m")).as("centroid"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(desc("c_cos"), col("c_label"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", VecOps.cosine(col("qe"), col("centroid")))
+      .withColumn("c_rank", row_number().over(wProbe))
+      .filter(col("c_rank") <= 2)
+      .select(col("qid"), col("qe"), col("c_label"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos"), col("nid"))
+    e.select(col("vec_id").as("nid"), col("label").as("c_label"),
+        col("embedding").as("ne"))
+      .join(broadcast(probes), Seq("c_label"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", VecOps.cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Top-20 most-similar intra-label pairs (blocked all-pairs top-k). */
+  def topPairsIntraLabel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b"), col("label"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", VecOps.cosine(col("ea"), col("eb")))
+      .select(col("label"), col("a"), col("b"), col("cos"))
+      .orderBy(desc("cos"), col("a"), col("b"))
+      .limit(20)
+  }
+
+  val queries = Map(
+    "sim_knn_exact" -> (knnExact _),
+    "sim_knn_ivf" -> (knnIvf _),
+    "sim_top_pairs" -> (topPairsIntraLabel _))
+
+  val oracle = Map(
+    "sim_knn_exact" ->
+      """SELECT qid, rank, nid, cos FROM (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+               CAST(n.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id) AS rank
+           FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+           WHERE q.vec_id < 10)
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    "sim_top_pairs" ->
+      """SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) AS cos
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         ORDER BY cos DESC, a, b LIMIT 20""")
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.11):
+  * tokenization, language-ID heuristic, quality scoring, fingerprinting,
+  * n-gram stats, tf-idf. All pure Column expressions / joins — no UDFs, so
+  * the hot path stays codegen'd and the only shuffles are the final
+  * aggregations, which partial-aggregate map-side.
+  *
+  * Scale notes: everything here is per-document narrow work plus keyed
+  * aggregation on bounded-cardinality keys (term vocabulary, language
+  * codes), so it scales linearly with corpus size. The language-ID lexicon
+  * is a broadcast join (the MR replicated-join idiom) — never a shuffle of
+  * the corpus against the lexicon.
+  */
+object TextOps extends OpFamily {
+
+  /** Whitespace tokens of `text` (the corpus is space-separated). */
+  private[operators] def toks: Column = split(col("text"), " ")
+
+  /** Word 3-shingles (context windows) of a token array column. */
+  private[operators] def shingles3(w: Column): Column =
+    transform(sequence(lit(1), size(w) - 2), i =>
+      concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+        element_at(w, i + 2)))
+
+  /** Token statistics: whitespace vs regex tokenization, avg token length. */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
+        ((col("n_chars") - size(toks) + 1).cast("double") / size(toks))
+          .as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID by stopword-marker density: explode tokens, broadcast-join
+    * a tiny (word → lang) lexicon, argmax hits per doc with deterministic
+    * tiebreaks, 'und' when no marker appears.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val lex = s.createDataFrame(Seq(
+      ("the", "en"), ("a", "en"), ("of", "en"),
+      ("el", "es"), ("la", "es"), ("los", "es"),
+      ("der", "de"), ("die", "de"), ("das", "de"),
+      ("le", "fr"), ("les", "fr"), ("et", "fr"),
+      ("de", "zh"))).toDF("word", "marker_lang")
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("word"))
+    val scores = tokens.join(broadcast(lex), "word")
+      .groupBy(col("doc_id"), col("marker_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("hits"), col("marker_lang"))
+    val best = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("marker_lang").as("pred_lang"), col("hits"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: lexical-diversity + stopword-density + length-derived
+    * features combined into one deterministic double score.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val isStop = (w: Column) => w.isin(stop.map(x => x: Any): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), toks.as("w"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        size(filter(col("w"), isStop)).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens"))
+          .as("type_token_ratio"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
+      .withColumn("quality",
+        col("type_token_ratio") * 2.0 + col("stopword_ratio") * 1.0 +
+          col("chars_per_token") * 0.1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprints of whitespace-normalized text: md5 plus a 64-bit
+    * hex fingerprint (sha256 prefix) — the join key for exact dedup at scale.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val normalized = regexp_replace(trim(lower(col("text"))), " +", " ")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(normalized).as("fp_md5"),
+        substring(sha2(normalized, 256), 1, 16).as("fp64"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide top-20 word trigrams (n-gram statistics). */
+  def ngramTop(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(shingles3(toks)).as("trigram"))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("trigram"))
+      .limit(20)
+
+  /** tf-idf: top-3 terms per document (docs 0–49) with idf = ln(N/df).
+    * Two bounded aggregations (term df over a 31-word vocabulary; per-doc tf)
+    * joined, then a WindowGroupLimit rank filter.
+    */
+  def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = terms.filter(col("doc_id") < 50)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), col("term"))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val queries = Map(
+    "text_token_stats" -> (tokenStats _),
+    "text_langid" -> (langId _),
+    "text_quality" -> (qualityScore _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_ngram_top" -> (ngramTop _),
+    "text_tfidf_top" -> (tfidfTop _))
+
+  val oracle = Map(
+    "text_token_stats" ->
+      """SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+           CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH lex(word, marker_lang) AS (VALUES
+           ('the','en'),('a','en'),('of','en'),
+           ('el','es'),('la','es'),('los','es'),
+           ('der','de'),('die','de'),('das','de'),
+           ('le','fr'),('les','fr'),('et','fr'),
+           ('de','zh')),
+         tokens AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+                    FROM documents),
+         scores AS (SELECT doc_id, marker_lang, count(*) AS hits
+                    FROM tokens JOIN lex USING (word)
+                    GROUP BY doc_id, marker_lang),
+         best AS (SELECT doc_id, marker_lang, hits FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY hits DESC, marker_lang) AS rn FROM scores)
+           WHERE rn = 1)
+         SELECT d.doc_id, d.lang,
+           coalesce(b.marker_lang, 'und') AS pred_lang,
+           coalesce(b.hits, 0) AS marker_hits
+         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         ORDER BY d.doc_id""",
+    "text_quality" ->
+      """SELECT doc_id, n_tokens, type_token_ratio, stopword_ratio,
+           chars_per_token,
+           type_token_ratio * 2.0 + stopword_ratio * 1.0 +
+             chars_per_token * 0.1 AS quality
+         FROM (SELECT doc_id, len(w) AS n_tokens,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+             CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in')))
+               AS DOUBLE) / len(w) AS stopword_ratio,
+             CAST(n_chars AS DOUBLE) / len(w) AS chars_per_token
+           FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+                 FROM documents))
+         ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp_md5,
+           substring(sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')),
+             1, 16) AS fp64
+         FROM documents ORDER BY doc_id""",
+    "text_ngram_top" ->
+      """SELECT trigram, count(*) AS n FROM (
+           SELECT unnest(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS trigram
+           FROM (SELECT string_split(text, ' ') AS w FROM documents))
+         GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""",
+    "text_tfidf_top" ->
+      """WITH tokens AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                         FROM documents),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         df AS (SELECT term, count(*) AS df FROM
+             (SELECT DISTINCT doc_id, term FROM tokens) GROUP BY term),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens
+                WHERE doc_id < 50 GROUP BY doc_id, term)
+         SELECT doc_id, rn, term, tfidf FROM (
+           SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                 tf.term) AS rn
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         WHERE rn <= 3 ORDER BY doc_id, rn""")
+}

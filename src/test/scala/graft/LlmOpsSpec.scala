@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{DedupOps, SimOps, AggOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the probabilistic LLM-pipeline operators that cannot be
+  * hash-checked against the DuckDB oracle (engine-specific hashing or
+  * reduction-order-sensitive floats): MinHash-LSH recall, SimHash locality,
+  * IVF-ANN recall vs exact, HLL accuracy vs exact distinct.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plantedFound(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val planted = df.filter(col("b") === col("a") + 200000).count()
+    val expected = TestSpark.spark.read
+      .parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 7 === 0).count()
+    (planted, expected)
+  }
+
+  test("minhash LSH recovers nearly all planted truncation near-dups") {
+    val (found, expected) = plantedFound(DedupOps.minhashLsh(spark, sf))
+    assert(expected > 0)
+    // truncation keeps shingle-jaccard ≈ 0.85 ⇒ ≥ 0.99 per-band-family
+    // hit probability with 8 bands × 4 rows; allow a small deterministic miss
+    assert(found >= (expected * 0.9).toLong,
+      s"minhash found $found of $expected planted near-dup pairs")
+  }
+
+  test("minhash subsumes the blocked jaccard pairs within blocks") {
+    // every (lang,source)-blocked jaccard≥0.3 pair LSH finds is genuine:
+    // verify jaccard column is ≥ 0.3 and pairs are distinct
+    val out = DedupOps.minhashLsh(spark, sf)
+    assert(out.filter(col("jaccard") < 0.3).count() === 0)
+    assert(out.count() === out.select(col("a"), col("b")).distinct().count())
+  }
+
+  test("simhash gives small hamming distance to planted near-dups") {
+    val (found, expected) = plantedFound(DedupOps.simhashPairs(spark, sf))
+    assert(found >= (expected * 0.9).toLong,
+      s"simhash found $found of $expected planted pairs at hamming<=12")
+  }
+
+  test("IVF ANN recall beats random guessing by a wide margin") {
+    val exact = SimOps.knnExact(spark, sf)
+      .select(col("qid"), col("nid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = SimOps.knnIvf(spark, sf)
+      .select(col("qid"), col("nid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ns) =>
+      ivf.getOrElse(q, Set.empty).intersect(ns).size.toDouble / ns.size
+    }
+    val mean = recalls.sum / recalls.size
+    // labels are random classes over near-orthogonal vectors, so absolute
+    // recall is bounded by the data; random guessing would be ~5/500 ≈ 0.01
+    assert(mean >= 0.15, s"IVF mean recall $mean below floor")
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"), 0.01))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"HLL said $approx, exact is $exact")
+  }
+
+  test("partial aggregation law: union of per-partition sums equals global") {
+    val l = Tables.lineitem(spark, sf)
+    val global = l.agg(sum(col("l_quantity"))).head().getDouble(0)
+    val partial = l.repartition(8, col("l_orderkey"))
+      .groupBy(spark_partition_id().as("p"))
+      .agg(sum(col("l_quantity")).as("s"))
+      .agg(sum(col("s"))).head().getDouble(0)
+    assert(math.abs(global - partial) / math.abs(global) < 1e-9)
+  }
+
+  test("top-k is a prefix of the total order") {
+    val sorted = AggOps.wordcount(spark, sf).collect().map(_.getString(0))
+    val full = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .collect().map(_.getString(0))
+    assert(sorted.toSeq === full.take(sorted.length).toSeq)
+  }
+}
