@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.11 #66): media as opaque
+  * `binary` payloads with typed metadata, flowing through decode /
+  * feature-extract / frame-sample stages.
+  *
+  * No image/audio codecs exist in this environment, so the DECODE STEP IS A
+  * STUB — a deterministic fake that derives "features" from the bytes (and
+  * says so in its column names). Everything around the stub is real and
+  * tested: the binary encoding, the metadata struct schema, batch chunking,
+  * the per-partition typed pipeline (`mapPartitions`, the Scala analogue of
+  * `mapInPandas` — one iterator per batch, arbitrary library calls inside),
+  * and the aggregation topology downstream.
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end (no row-level
+  * re-encode), the decode stage is a narrow per-partition pass, and
+  * frame sampling explodes bounded chunk counts — all linear, no shuffle
+  * before the final keyed aggregation.
+  */
+object MultimodalOps extends OpFamily {
+
+  /** documents.text re-cast as a binary payload column with a metadata
+    * struct — the canonical multimodal table shape.
+    */
+  private def assets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload"),
+        struct(col("lang").as("lang"), col("source").as("source"),
+          col("n_chars").as("n_bytes_declared")).as("meta"))
+
+  /** Binary metadata extraction: sizes, content hash, base64 head. */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    assets(s, d)
+      .select(
+        col("asset_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        col("meta.n_bytes_declared").as("n_bytes_declared"),
+        md5(col("payload")).as("content_md5"),
+        substring(base64(col("payload")), 1, 24).as("b64_head"),
+        col("meta.lang").as("lang"))
+      .orderBy(col("asset_id"))
+
+  /** STUB decode via typed mapPartitions: a real per-partition pipeline
+    * whose "decoder" fabricates deterministic pseudo-features from the
+    * payload bytes (a real decoder would link an image/audio lib here).
+    */
+  def decodeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    assets(s, d)
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // --- STUB: stands in for e.g. ImageIO.read(bytes) ---
+          val fakeWidth = 64 + (bytes.length % 640)
+          val fakeHeight = 64 + ((bytes.length * 7) % 480)
+          val checksum = bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+          (id, fakeWidth, fakeHeight, checksum)
+        }
+      }
+      .toDF("asset_id", "stub_width", "stub_height", "byte_checksum")
+      .orderBy(col("asset_id"))
+  }
+
+  /** Frame sampling: chunk each payload into fixed 32-byte frames, keep
+    * every 4th frame, summarize per asset — the video-keyframe topology
+    * with text bytes standing in for frames.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val frames = assets(s, d)
+      .select(col("asset_id"), binaryFrames32("payload").as("frames"))
+      .select(col("asset_id"), posexplode(col("frames")).as(Seq("i", "frame")))
+      .filter(pmod(col("i"), lit(4)) === 0)
+    frames
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(octet_length(col("frame"))).as("sampled_bytes"),
+        min(substring(base64(col("frame")), 1, 8)).as("min_frame_b64"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** named payload column → array of 32-byte frames (pure SQL expression). */
+  private def binaryFrames32(p: String) =
+    expr(s"""transform(
+        sequence(0, CAST(floor((octet_length($p) - 1) / 32) AS INT)),
+        i -> substring($p, i * 32 + 1, 32))""")
+
+  val queries = Map(
+    "mm_binary_meta" -> (binaryMeta _),
+    "mm_decode_stub" -> (decodeStub _),
+    "mm_frame_sample" -> (frameSample _))
+
+  val oracle = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+           n_chars AS n_bytes_declared, md5(text) AS content_md5,
+           substring(base64(encode(text)), 1, 24) AS b64_head, lang
+         FROM documents ORDER BY asset_id""",
+    "mm_frame_sample" ->
+      """SELECT doc_id AS asset_id, count(*) AS n_sampled,
+           sum(octet_length(encode(frame))) AS sampled_bytes,
+           min(substring(base64(encode(frame)), 1, 8)) AS min_frame_b64
+         FROM (
+           SELECT doc_id, unnest(list_transform(
+               range(0, CAST(floor((octet_length(encode(text)) - 1) / 32)
+                 AS INTEGER) + 1),
+               i -> substring(text, i * 32 + 1, 32))) AS frame,
+             unnest(range(0, CAST(floor((octet_length(encode(text)) - 1) / 32)
+               AS INTEGER) + 1)) AS i
+           FROM documents)
+         WHERE i % 4 = 0 GROUP BY doc_id ORDER BY asset_id""")
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** The arbitrary-code reduce surface (SURVEY.md §2.10): what the reference
+  * exposes as "write any Python reducer" maps to (a) a typed `Aggregator`
+  * registered as a UDAF — mergeable partial state, so Catalyst still plans
+  * map-side partial aggregation — and (b) `groupByKey.flatMapGroups` for
+  * reducers that need the whole ordered value stream.
+  *
+  * Scale notes: the Aggregator ships one small buffer per (key, partition)
+  * through the shuffle, exactly like a built-in agg. flatMapGroups shuffles
+  * the group's rows — the honest cost of an arbitrary stateful reducer —
+  * and is the fallback when no algebraic decomposition exists; the streak
+  * example sorts in memory per group (bounded here by events-per-user).
+  */
+object ReduceOps extends OpFamily {
+
+  /** Exact weighted mean: BigDecimal partial sums (order-insensitive),
+    * merged associatively — deterministic across any partitioning.
+    */
+  private class WeightedMean
+    extends Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
+    def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
+    def reduce(b: (BigDecimal, BigDecimal), in: (Double, Double)) = {
+      val (x, w) = in
+      (b._1 + BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        b._2 + BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    }
+    def merge(a: (BigDecimal, BigDecimal), b: (BigDecimal, BigDecimal)) =
+      (a._1 + b._1, a._2 + b._2)
+    // final division in IEEE double (exact decimal sums → double → divide)
+    // so the value is bit-identical to the oracle's CAST(...)/CAST(...)
+    def finish(r: (BigDecimal, BigDecimal)): Double =
+      r._1.toDouble / r._2.toDouble
+    def bufferEncoder = Encoders.product[(BigDecimal, BigDecimal)]
+    def outputEncoder = Encoders.scalaDouble
+  }
+
+  /** Price per returnflag weighted by quantity, via the custom UDAF. */
+  def weightedAvg(s: SparkSession, d: String): DataFrame = {
+    val wmean = udaf(new WeightedMean)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(wmean(col("l_extendedprice"), col("l_quantity"))
+        .as("weighted_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Longest run of consecutive same-type events per user — an arbitrary
+    * ordered-stream reducer via groupByKey.flatMapGroups (the MR "secondary
+    * sort + stateful reducer" idiom, typed).
+    */
+  def longestStreak(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        // order by event_id (event ids are assigned in ts order)
+        val evs = it.toArray.sortBy(_._2)
+        var bestType = ""; var bestLen = 0
+        var curType = ""; var curLen = 0
+        evs.foreach { case (_, _, t) =>
+          if (t == curType) curLen += 1 else { curType = t; curLen = 1 }
+          if (curLen > bestLen || (curLen == bestLen && t < bestType)) {
+            bestLen = curLen; bestType = curType
+          }
+        }
+        Iterator((uid, bestType, bestLen))
+      }
+      .toDF("user_id", "streak_type", "streak_len")
+      .orderBy(col("user_id"))
+  }
+
+  /** The same reducer expressed declaratively (gaps-and-islands) — proof
+    * that the typed path and the SQL path agree, and the plan Catalyst can
+    * actually optimize. Kept as the oracle twin for [[longestStreak]].
+    */
+
+  val queries = Map(
+    "reduce_weighted_avg" -> (weightedAvg _),
+    "reduce_longest_streak" -> (longestStreak _))
+
+  val oracle = Map(
+    "reduce_weighted_avg" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    CAST(l_quantity AS DECIMAL(18,4)))
+                / SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS weighted_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "reduce_longest_streak" ->
+      """WITH runs AS (
+           SELECT user_id, event_type,
+             count(*) AS run_len
+           FROM (
+             SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                 - row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY event_id) AS grp
+             FROM events)
+           GROUP BY user_id, event_type, grp)
+         SELECT user_id, event_type AS streak_type, run_len AS streak_len
+         FROM (SELECT user_id, event_type, run_len,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY run_len DESC, event_type) AS rn
+           FROM runs)
+         WHERE rn = 1 ORDER BY user_id""")
+}

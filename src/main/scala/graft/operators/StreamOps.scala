@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time windowing (SURVEY.md §2.9). These run here in BATCH mode over
+  * the `events` table — `window`/`session_window` have identical semantics
+  * under Structured Streaming (`readStream` + `withWatermark`), which is
+  * covered by StreamingSpec with MemoryStream sources; keeping the batch
+  * twins in the oracle set pins the time-bucketing arithmetic against
+  * DuckDB.
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregations on
+  * (window, key) — map-side combined, linear. Session windows shuffle by
+  * user and sort within partition (same cost shape as the MR secondary-sort
+  * idiom); under streaming the same plan runs incrementally with state
+  * eviction at the watermark.
+  */
+object StreamOps extends OpFamily {
+  private val dec = DecimalType(18, 4)
+
+  /** Tumbling 1-hour windows per event type: count + exact sum. */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_v"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_v"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_v"))
+      .select(col("w.start").as("w_start"), col("n"), col("sum_v"))
+      .orderBy(col("w_start"))
+
+  /** Session windows per user with a 17-minute inactivity gap: session
+    * count, size, and bounds. (Odd gap length so no event-time diff can sit
+    * exactly on the boundary, where half-open-interval semantics differ
+    * between engines.)
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "17 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("sum_v"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("n_events"), col("sum_v"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  /** Session summary per user: number of sessions and mean session length
+    * in events (the canonical sessionize-then-describe pipeline).
+    */
+  def sessionStats(s: SparkSession, d: String): DataFrame =
+    sessionize(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        (sum(col("n_events")).cast("double") / count(lit(1)))
+          .as("events_per_session"))
+      .orderBy(col("user_id"))
+
+  val queries = Map(
+    "stream_tumbling" -> (tumbling _),
+    "stream_sliding" -> (sliding _),
+    "stream_session" -> (sessionize _),
+    "stream_session_stats" -> (sessionStats _))
+
+  private val sessionCte =
+    """sess AS (
+         SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                 - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1970-01-01')
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 > INTERVAL '17 minutes' THEN 1 ELSE 0 END AS new_sess
+           FROM events))"""
+
+  val oracle = Map(
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+           event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY w_start, event_type
+         ORDER BY w_start, event_type""",
+    "stream_sliding" ->
+      """SELECT w_start, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+         FROM (SELECT unnest([
+             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               - INTERVAL '30 minutes']) AS w_start, value
+           FROM events)
+         GROUP BY w_start ORDER BY w_start""",
+    "stream_session" ->
+      s"""WITH $sessionCte
+         SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, sess_start""",
+    "stream_session_stats" ->
+      s"""WITH $sessionCte,
+         per AS (SELECT user_id, sid, count(*) AS n_events
+                 FROM sess GROUP BY user_id, sid)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS DOUBLE) / count(*) AS events_per_session
+         FROM per GROUP BY user_id ORDER BY user_id""")
+}

@@ -1,0 +1,147 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-only semantics (SURVEY.md §2.9 #57–59) that the DuckDB batch
+  * oracle cannot express: watermark-based late-data drop, dedup within a
+  * watermark, and arbitrary per-key state via flatMapGroupsWithState. Each
+  * runs a MemoryStream through the same operators the batch queries use.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(3600L * 1000 + m * 60000L)
+
+  test("tumbling window agg over a stream matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+    val q = agg.writeStream.format("memory").queryName("t_tumble")
+      .outputMode(OutputMode.Complete).start()
+    mem.addData((ts(1), 1.0), (ts(5), 2.0), (ts(11), 4.0), (ts(19), 8.0))
+    q.processAllAvailable()
+    val rows = spark.table("t_tumble")
+      .select(col("window.start"), col("n"), col("s"))
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1),
+        r.getDouble(2))).toSet
+    q.stop()
+    assert(rows === Set((60L, 2L, 3.0), (70L, 2L, 12.0)))
+  }
+
+  test("watermark drops data later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("t_late")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((ts(5), 1.0))
+    q.processAllAvailable()
+    mem.addData((ts(45), 1.0)) // advances watermark to :35, closes [:00,:10)
+    q.processAllAvailable()
+    mem.addData((ts(7), 9.0)) // later than watermark → dropped
+    q.processAllAvailable()
+    mem.addData((ts(75), 1.0)) // closes [:40,:50)
+    q.processAllAvailable()
+    val emitted = spark.table("t_late")
+      .select(col("window.start"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)))
+      .toMap
+    q.stop()
+    assert(emitted(60L) === 1L, "late row must not re-open the closed window")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a replayed event id") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dedup = mem.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((ts(1), 100L), (ts(2), 100L), (ts(3), 101L))
+    q.processAllAvailable()
+    mem.addData((ts(4), 100L)) // replay within watermark → dropped
+    q.processAllAvailable()
+    val n = spark.table("t_dedup").count()
+    q.stop()
+    assert(n === 2, s"expected 2 distinct events, got $n")
+  }
+
+  test("flatMapGroupsWithState maintains running per-key counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val counted = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          Iterator((uid, n, s))
+      }
+    val q = counted.toDF("uid", "n", "s")
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+    q.processAllAvailable()
+    mem.addData((1L, 4.0))
+    q.processAllAvailable()
+    val last = spark.table("t_state").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    q.stop()
+    assert(last(1L) === ((3L, 7.0)), "state must accumulate across batches")
+    assert(last(2L) === ((1L, 10.0)))
+  }
+
+  test("observe() + listener exposes MR-style job counters") {
+    @volatile var seen: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          duration: Long): Unit =
+        qe.observedMetrics.get("li_metrics")
+          .foreach(r => seen = Some(r.getAs[Long]("rows_seen")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = Tables.lineitem(spark, sf)
+        .observe("li_metrics", count(lit(1)).as("rows_seen"))
+        .filter(col("l_quantity") > 25)
+      val out = df.count()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(seen.exists(_ > out),
+        s"observed rows_seen=$seen should exceed filtered count=$out")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("accumulators count task-side events like MR counters") {
+    val acc = spark.sparkContext.longAccumulator("high_qty")
+    import spark.implicits._
+    val n = Tables.lineitem(spark, sf)
+      .select(col("l_quantity")).as[Double]
+      .map { q => if (q > 40) acc.add(1); q }
+      .filter(_ > 0).count()
+    assert(n > 0)
+    assert(acc.value > 0 && acc.value < n)
+  }
+}
