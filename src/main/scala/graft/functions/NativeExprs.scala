@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType, IntegerType}
+
+/** Native Catalyst expressions for the two measured hot paths (SURVEY.md
+  * §4.2 reserved exactly this escalation for "a failing bench number in
+  * hand"):
+  *
+  *  - pairwise set-similarity: the built-in `array_intersect`/`array_union`
+  *    evaluate interpreted with boxed hash sets per row — ~8 s for 200k
+  *    pairs at sf0.1. [[SortedLongIntersectCount]] is a primitive merge
+  *    scan over pre-sorted long arrays with full codegen: |A∪B| falls out
+  *    as |A|+|B|−|A∩B|, so one expression replaces both built-ins.
+  *  - vector dot products: `aggregate(zip_with(...))` is likewise
+  *    interpreted per element. [[FloatDotProduct]] is a tight primitive
+  *    loop, codegen'd, accumulating float→double products left-to-right —
+  *    bit-identical to the higher-order-function formulation (and to the
+  *    DuckDB oracle's CAST(… AS DOUBLE[]) list functions).
+  *
+  * Both eval paths avoid boxing even in interpreted mode (ArrayData
+  * primitive getters).
+  */
+object NativeExprs {
+
+  /** debug: interpreted-eval call counter (see Scratch) */
+  val evalCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Count of common elements of two SORTED, de-duplicated long arrays. */
+  case class SortedLongIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      evalCount.incrementAndGet()
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var c = 0
+      val n = a.numElements(); val m = b.numElements()
+      while (i < n && j < m) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $i = 0; int $j = 0; ${ev.value} = 0;
+           |while ($i < $a.numElements() && $j < $b.numElements()) {
+           |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+           |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+           |}
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Left-to-right double-precision dot product of two float/double arrays
+    * (same accumulation order as `aggregate(zip_with(a, b, _*_), 0d, _+_)`).
+    */
+  case class FloatDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0; var i = 0
+      val lf = isFloat(left); val rf = isFloat(right)
+      while (i < n) {
+        val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+        s += x * y; i += 1
+      }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val ga = if (isFloat(left)) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+        val gb = if (isFloat(right)) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
+        s"""
+           |${ev.value} = 0.0;
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value} += $ga * $gb;
+           |}
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** 63-bit SimHash of an array of 64-bit token hashes (multiplicities
+    * count): each hash votes ±1 per bit position, positive totals set the
+    * bit. Replaces an interpreted aggregate(zip_with(...)) chain that boxed
+    * 63 longs per token.
+    */
+  case class SimHash63(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](63)
+      var i = 0
+      while (i < a.numElements()) {
+        val h = a.getLong(i); var j = 0
+        while (j < 63) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L; var j = 0
+      while (j < 63) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
+        val j = ctx.freshName("j"); val h = ctx.freshName("h")
+        s"""
+           |int[] $votes = new int[63];
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  long $h = $a.getLong($i);
+           |  for (int $j = 0; $j < 63; $j++) {
+           |    if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+           |  }
+           |}
+           |${ev.value} = 0L;
+           |for (int $j = 0; $j < 63; $j++) {
+           |  if ($votes[$j] > 0) ${ev.value} |= (1L << $j);
+           |}
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  @volatile private var registered = false
+
+  /** Register both expressions as SQL functions (idempotent, per-JVM). */
+  def ensureRegistered(spark: SparkSession): Unit = if (!registered) synchronized {
+    if (!registered) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+        (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1)),
+        "built-in")
+      reg.createOrReplaceTempFunction("graft_dot",
+        (args: Seq[Expression]) => FloatDotProduct(args(0), args(1)),
+        "built-in")
+      reg.createOrReplaceTempFunction("graft_simhash63",
+        (args: Seq[Expression]) => SimHash63(args(0)), "built-in")
+      registered = true
+    }
+  }
+
+  def sortedIntersectCount(s: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(s); call_function("graft_sorted_intersect_count", a, b)
+  }
+
+  def dot(s: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(s); call_function("graft_dot", a, b)
+  }
+
+  def simhash63(s: SparkSession, tokenHashes: Column): Column = {
+    ensureRegistered(s); call_function("graft_simhash63", tokenHashes)
+  }
+}

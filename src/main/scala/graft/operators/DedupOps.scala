@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{OpFamily, Tables}
-import graft.functions.VecOps
+import graft.functions.{NativeExprs, VecOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -89,29 +89,40 @@ object DedupOps extends OpFamily {
     * while [[minhashLsh]] is the sub-quadratic path for unblocked scale.
     */
   def nearJaccard(s: SparkSession, d: String): DataFrame = {
+    // repartition = a hard materialization boundary: without it the
+    // pair-join's fused codegen stage re-evaluates the interpreted
+    // shingle-build chain per PAIR (jstack-verified, ~20× slower); with it
+    // each doc's array is built once and co-located by block key — also the
+    // right cluster-scale shape
     val sh = withNearDupes(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(transform(TextOps.shingles3(TextOps.toks),
-          xxhash64(_))).as("sh"))
+        array_sort(array_distinct(transform(TextOps.shingles3(TextOps.toks),
+          xxhash64(_)))).as("sh"))
+      .repartition(col("lang"), col("source"))
     val a = sh.select(col("doc_id").as("a"), col("lang"), col("source"),
       col("sh").as("sha"))
     val b = sh.select(col("doc_id").as("b"), col("lang"), col("source"),
       col("sh").as("shb"))
     a.join(b, Seq("lang", "source"))
       .filter(col("a") < col("b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))))
+      // one codegen'd merge scan replaces array_intersect + array_union
+      .withColumn("inter",
+        NativeExprs.sortedIntersectCount(s, col("sha"), col("shb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jaccard") >= 0.3)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
   }
 
-  /** doc_id + distinct 31-bit shingle hashes (`hs`), one narrow scan. */
+  /** doc_id + sorted distinct 31-bit shingle hashes (`hs`), one narrow
+    * scan (sorted so verification can merge-scan instead of hash-set).
+    */
   private def shingleHashes(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"),
-      array_distinct(transform(TextOps.shingles3(TextOps.toks),
-        sh => pmod(xxhash64(sh), lit(P)))).as("hs"))
+      array_sort(array_distinct(transform(TextOps.shingles3(TextOps.toks),
+        sh => pmod(xxhash64(sh), lit(P))))).as("hs"))
+      .repartition(col("doc_id")) // materialize arrays once per doc (see nearJaccard)
 
   /** doc_id → sig: array of 32 min-of-permuted-shingle-hash values.
     *
@@ -158,9 +169,10 @@ object DedupOps extends OpFamily {
     cand
       .join(hashed.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
       .join(hashed.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("ha"), col("hb"))).cast("double") /
-          size(array_union(col("ha"), col("hb"))))
+      .withColumn("inter",
+        NativeExprs.sortedIntersectCount(s, col("ha"), col("hb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= 0.3)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
@@ -172,20 +184,11 @@ object DedupOps extends OpFamily {
     */
   private[graft] def simhashSigs(docs: DataFrame): DataFrame =
     // per-row: token hashes vote ±1 on each of 63 bit positions (votes
-    // weighted by token frequency), positive votes set the bit. Pure
-    // higher-order functions — a narrow, shuffle-free map.
+    // weighted by token frequency), positive votes set the bit — one
+    // codegen'd pass over the token-hash array, narrow and shuffle-free
     docs.select(col("doc_id"),
-      expr("""aggregate(
-          zip_with(
-            aggregate(
-              transform(split(text, ' '), t -> xxhash64(t)),
-              array_repeat(0L, 63),
-              (acc, h) -> zip_with(acc, sequence(0, 62),
-                (a, j) -> a + CASE WHEN (shiftright(h, j) & 1) = 1
-                              THEN 1L ELSE -1L END)),
-            sequence(0, 62),
-            (v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END),
-          0L, (s, x) -> s + x)""").as("simhash"))
+      NativeExprs.simhash63(docs.sparkSession,
+        transform(split(col("text"), " "), t => xxhash64(t))).as("simhash"))
 
   /** SimHash near-dup pairs (hamming ≤ 6, high-precision band) within lang
     * blocks. On this corpus's tiny shared vocabulary simhash separates
@@ -196,6 +199,7 @@ object DedupOps extends OpFamily {
     val corpus = withNearDupes(s, d)
     val sigs = simhashSigs(corpus)
       .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .repartition(col("lang")) // materialize signatures before pairing
     val a = sigs.select(col("doc_id").as("a"), col("simhash").as("ha"), col("lang"))
     val b = sigs.select(col("doc_id").as("b"), col("simhash").as("hb"), col("lang"))
     a.join(b, Seq("lang"))
@@ -208,14 +212,21 @@ object DedupOps extends OpFamily {
 
   /** Embedding near-dup: intra-label pairs with cosine ≥ 0.35 (blocked
     * brute force — label is the blocking key, the IVF-style scale path).
+    * Norms are precomputed per vector BEFORE the pair join (O(n) instead of
+    * O(pairs)); the per-pair work is one codegen'd dot product.
     */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b"), col("label"), col("embedding").as("eb"))
+      .withColumn("nrm",
+        sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("a"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", VecOps.cosine(col("ea"), col("eb")))
+      .withColumn("cos",
+        NativeExprs.dot(s, col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.35)
       .select(col("label"), col("a"), col("b"), col("cos"))
       .orderBy(col("a"), col("b"))

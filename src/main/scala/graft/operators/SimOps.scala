@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{OpFamily, Tables}
-import graft.functions.VecOps
+import graft.functions.{NativeExprs, VecOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,14 +32,18 @@ object SimOps extends OpFamily {
     */
   def knnExact(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+      .withColumn("nrm",
+        sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(desc("cos"), col("nid"))
-    e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("nrm"))
       .crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cos", VecOps.cosine(col("qe"), col("ne")))
+      .withColumn("cos",
+        NativeExprs.dot(s, col("qe"), col("ne")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
@@ -77,7 +81,10 @@ object SimOps extends OpFamily {
         col("embedding").as("ne"))
       .join(broadcast(probes), Seq("c_label"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cos", VecOps.cosine(col("qe"), col("ne")))
+      .withColumn("cos",
+        NativeExprs.dot(s, col("qe"), col("ne")) /
+          (sqrt(NativeExprs.dot(s, col("qe"), col("qe"))) *
+            sqrt(NativeExprs.dot(s, col("ne"), col("ne")))))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
@@ -87,11 +94,16 @@ object SimOps extends OpFamily {
   /** Top-20 most-similar intra-label pairs (blocked all-pairs top-k). */
   def topPairsIntraLabel(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b"), col("label"), col("embedding").as("eb"))
+      .withColumn("nrm",
+        sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("a"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", VecOps.cosine(col("ea"), col("eb")))
+      .withColumn("cos",
+        NativeExprs.dot(s, col("ea"), col("eb")) / (col("na") * col("nb")))
       .select(col("label"), col("a"), col("b"), col("cos"))
       .orderBy(desc("cos"), col("a"), col("b"))
       .limit(20)

@@ -22,11 +22,20 @@ object TextOps extends OpFamily {
   /** Whitespace tokens of `text` (the corpus is space-separated). */
   private[graft] def toks: Column = split(col("text"), " ")
 
-  /** Word 3-shingles (context windows) of a token array column. */
+  /** Word 3-shingles (context windows) of a token array column.
+    *
+    * The token expression is bound ONCE via a single-element-array lambda
+    * (`transform(array(w), wv -> …)`): lambda variables hold evaluated
+    * values, so `wv` is materialized before the inner loop. Referencing `w`
+    * directly inside the inner lambda would re-evaluate the whole
+    * split(text) expression at every element_at — 3 splits per shingle,
+    * O(tokens²) per document (jstack-verified hot path).
+    */
   private[graft] def shingles3(w: Column): Column =
-    transform(sequence(lit(1), size(w) - 2), i =>
-      concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-        element_at(w, i + 2)))
+    element_at(transform(array(w), wv =>
+      transform(sequence(lit(1), size(wv) - 2), i =>
+        concat_ws(" ", element_at(wv, i), element_at(wv, i + 1),
+          element_at(wv, i + 2)))), 1)
 
   /** Token statistics: whitespace vs regex tokenization, avg token length. */
   def tokenStats(s: SparkSession, d: String): DataFrame =
