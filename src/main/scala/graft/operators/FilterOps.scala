@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Advanced filtering patterns (SURVEY.md §2.3 #18–19): the MRDP ch.3
+  * "filtering with a Bloom filter" idiom and seeded random sampling.
+  *
+  * Scale notes: the Bloom pre-filter is the canonical way to shrink the big
+  * side of a selective join before the shuffle — the sketch is built from
+  * the small side (one pass, driver-merged), broadcast to every task, and
+  * applied inside the scan pipeline; the exact join afterwards removes the
+  * false positives, so results are exact while shuffle volume drops by the
+  * filter's selectivity. (Spark can also do this automatically via
+  * spark.sql.optimizer.runtime.bloomFilter.enabled — this operator is the
+  * explicit, composable form.)
+  */
+object FilterOps extends OpFamily {
+
+  /** Bloom-prefiltered semi join: lineitems of high-value orders. The Bloom
+    * filter (built on the dimension side, broadcast) prunes the fact table
+    * before the exact semi join; false positives are removed by the join,
+    * so the output is exactly the semi join — which is what the oracle
+    * checks.
+    */
+  def bloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+    val bloom = bigOrders.stat.bloomFilter("o_orderkey", 100000, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    Tables.lineitem(s, d)
+      .filter(mightContain(col("l_orderkey"))) // sketch prefilter (cheap)
+      .join(bigOrders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi") // exact
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Seeded Bernoulli sample — deterministic within Spark (fixed seed) but
+    * not replayable in another engine, so registered rows-only; statistical
+    * properties are asserted in scalatest.
+    */
+  def sampleSeeded(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val queries = Map(
+    "filter_bloom_semi_join" -> (bloomSemiJoin _),
+    "filter_sample_seeded" -> (sampleSeeded _))
+
+  val oracle = Map(
+    "filter_bloom_semi_join" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l_orderkey
+                         AND o_totalprice > 300000)
+         GROUP BY l_orderkey ORDER BY l_orderkey""")
+}

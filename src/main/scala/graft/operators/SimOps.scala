@@ -109,9 +109,58 @@ object SimOps extends OpFamily {
       .limit(20)
   }
 
+  /** Deterministic random hyperplanes for sign-LSH (fixed seed). 6 bits →
+    * 64 cells: on near-orthogonal random vectors (this corpus) finer
+    * bucketing loses recall faster than it gains pruning; at real corpus
+    * scale the bit count grows with log(n/target-cell-size).
+    */
+  private[graft] val hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection LSH ANN: bucket every vector by the 8-bit sign
+    * pattern of its projections onto fixed hyperplanes, then exact-search
+    * only the query's bucket (plus all 1-bit-flip neighbor buckets —
+    * multi-probe, which recovers most of the recall loss at bucket
+    * boundaries). Rows-only (hyperplanes aren't replayable in SQL); recall
+    * vs [[knnExact]] is property-tested.
+    */
+  def knnRpLsh(s: SparkSession, d: String): DataFrame = {
+    val planeCols = hyperplanes.map(p => typedLit(p))
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      planeCols.zipWithIndex.map { case (p, j) =>
+        when(NativeExprs.dot(s, p, v) > 0.0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm",
+        sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
+      .withColumn("bucket", bucketOf(col("embedding")))
+      .repartition(col("bucket")) // materialize signatures + co-locate
+    val probes = (0 to 6).map(j => if (j == 0) lit(0) else lit(1 << (j - 1)))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+      .withColumn("probe", explode(array(probes: _*)))
+      .select(col("qid"), col("qe"), col("qn"),
+        col("qb").bitwiseXOR(col("probe")).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
+    e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm"), col("bucket"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos",
+        NativeExprs.dot(s, col("qe"), col("ne")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries = Map(
     "sim_knn_exact" -> (knnExact _),
     "sim_knn_ivf" -> (knnIvf _),
+    "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_top_pairs" -> (topPairsIntraLabel _))
 
   val oracle = Map(

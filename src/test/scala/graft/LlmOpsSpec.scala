@@ -80,6 +80,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mean >= 0.15, s"IVF mean recall $mean below floor")
   }
 
+  test("RP-LSH ANN recall beats random guessing by a wide margin") {
+    val exact = SimOps.knnExact(spark, sf)
+      .select(col("qid"), col("nid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lsh = SimOps.knnRpLsh(spark, sf)
+      .select(col("qid"), col("nid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ns) =>
+      lsh.getOrElse(q, Set.empty).intersect(ns).size.toDouble / ns.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.15, s"RP-LSH mean recall $mean below floor")
+  }
+
+  test("seeded sample is a subset with a plausible size") {
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    val sampled = li.sample(withReplacement = false, 0.1, 42)
+    val n = sampled.count()
+    assert(n > total * 0.05 && n < total * 0.15,
+      s"sample size $n implausible for fraction 0.1 of $total")
+    // subset property: sampled keys all exist in the base table
+    assert(sampled.join(li,
+      Seq("l_orderkey", "l_linenumber"), "left_anti").count() === 0)
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
