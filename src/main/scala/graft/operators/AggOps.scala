@@ -133,7 +133,20 @@ object AggOps extends OpFamily {
           .as("postings10"))
       .orderBy(col("term"))
 
+  /** Pivot: event counts per user fanned out to one column per type (the
+    * MR "emit (user, type) then reshape in the consumer" idiom, one pass).
+    * Pivot values are pinned so the output schema is static and plannable.
+    */
+  def pivotEventTypes(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   val queries = Map(
+    "agg_pivot" -> (pivotEventTypes _),
     "agg_q1_pricing_summary" -> (q1PricingSummary _),
     "agg_numeric_summary" -> (numericSummary _),
     "agg_count_distinct" -> (countDistinctUsers _),
@@ -146,6 +159,14 @@ object AggOps extends OpFamily {
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
+    "agg_pivot" ->
+      """SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS "view"
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "agg_q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

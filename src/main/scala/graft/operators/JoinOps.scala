@@ -151,7 +151,33 @@ object JoinOps extends OpFamily {
       .orderBy(col("event_id"))
   }
 
+  /** Skew-mitigated (salted) join: the fact side gets a random-ish but
+    * DETERMINISTIC salt (hash-mod of a fine-grained column), the dimension
+    * side is replicated once per salt value, and the join runs on
+    * (key, salt) — so one hot key spreads over `Salts` reducers instead of
+    * one. The result is provably identical to the unsalted join, which is
+    * exactly what the oracle checks. (AQE's skewedJoin does this
+    * adaptively; this is the explicit form for engines/pipelines that need
+    * it pinned.)
+    */
+  def saltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val Salts = 8
+    val fact = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"),
+        col("l_linenumber")), lit(Salts)))
+    val dim = Tables.supplier(s, d)
+      .withColumn("salt", explode(array((0 until Salts).map(lit): _*)))
+    fact.join(dim,
+        fact("l_suppkey") === dim("s_suppkey") &&
+          fact("salt") === dim("salt"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries = Map(
+    "join_salted_skew" -> (saltedSkewJoin _),
     "join_3way_topk" -> (join3TopK _),
     "join_5way_star" -> (join5Star _),
     "join_left_outer" -> (leftOuterOrders _),
@@ -164,6 +190,12 @@ object JoinOps extends OpFamily {
     "join_asof" -> (asofJoin _))
 
   val oracle = Map(
+    "join_salted_skew" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_suppkey, s_name ORDER BY s_suppkey""",
     "join_3way_topk" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
