@@ -80,11 +80,60 @@ object IoOps extends OpFamily {
       .filter(col("bucket") < 20)
       .orderBy(col("bucket"))
 
+  /** Hive-style partitioned parquet: write events partitioned by day, read
+    * back with a day predicate — the scan then touches only the matching
+    * directories (PartitionFilters, the cornerstone of selective reads over
+    * a 100 TB lake). Oracle re-derives the same day filter from raw data.
+    */
+  def partitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = s"$ioRoot/events_bydate"
+    Tables.events(s, d)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(col("event_id"), col("event_type"), col("value"), col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    s.read.parquet(path)
+      .filter(col("day") === "2024-01-05") // partition-pruned scan
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_v"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Bucketed co-located join: both sides written bucketed by the join key
+    * (saveAsTable), so the join needs NO shuffle of either side — at lake
+    * scale this turns every recurring fact⋈fact join on the bucket key
+    * into a local merge. Oracle is the plain join.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    // external bucketed tables (explicit path keeps the warehouse in /tmp)
+    o.write.mode("overwrite").option("path", s"$ioRoot/warehouse/orders_b")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_b")
+    l.write.mode("overwrite").option("path", s"$ioRoot/warehouse/lineitem_b")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_b")
+    // "merge" hint pins SortMergeJoin: both sides are bucketed+sorted on
+    // the key, so the join plans with ZERO Exchange — the point of the demo
+    // (at gate scale AQE would otherwise broadcast the small side)
+    s.table("graft_lineitem_b").hint("merge")
+      .join(s.table("graft_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries = Map(
     "io_csv_roundtrip" -> (csvRoundtrip _),
     "io_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "io_text_roundtrip" -> (textRoundtrip _),
-    "io_generate" -> (generate _))
+    "io_generate" -> (generate _),
+    "io_partitioned_roundtrip" -> (partitionedRoundtrip _),
+    "io_bucketed_join" -> (bucketedJoin _))
 
   val oracle = Map(
     "io_csv_roundtrip" ->
@@ -103,5 +152,16 @@ object IoOps extends OpFamily {
       """SELECT bucket, count(*) AS n, min(id) AS min_id, max(id) AS max_id
          FROM (SELECT range AS id, (range * 2654435761) % 1000 AS bucket
                FROM range(0, 100000))
-         WHERE bucket < 20 GROUP BY bucket ORDER BY bucket""")
+         WHERE bucket < 20 GROUP BY bucket ORDER BY bucket""",
+    "io_partitioned_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+         FROM events
+         WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '2024-01-05'
+         GROUP BY event_type ORDER BY event_type""",
+    "io_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
 }
