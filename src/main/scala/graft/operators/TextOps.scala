@@ -44,6 +44,9 @@ object TextOps extends OpFamily {
         col("doc_id"), col("n_chars"),
         size(toks).as("n_tokens"),
         size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
+        // BPE-ish pre-tokenization: alpha runs | digit runs | single marks
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("n_bpe_tokens"),
         ((col("n_chars") - size(toks) + 1).cast("double") / size(toks))
           .as("avg_token_len"))
       .orderBy(col("doc_id"))
@@ -159,6 +162,8 @@ object TextOps extends OpFamily {
     "text_token_stats" ->
       """SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_bpe_tokens,
            CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
              / len(string_split(text, ' ')) AS avg_token_len
          FROM documents ORDER BY doc_id""",

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.NativeExprs
+
+/** Algebraic laws on generated data (SURVEY.md §5.2): the property-based
+  * layer the reference never had. The native Catalyst expressions are
+  * differentially tested against straightforward Scala reference
+  * implementations on arbitrary inputs — the same role the DuckDB oracle
+  * plays for the query layer. (scalacheck generators driven by a local
+  * deterministic sampler — the scalatest bridge artifact isn't in the
+  * offline cache.)
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], reps: Int = 15)(f: A => Unit): Unit =
+    (1 to reps).foreach(i => f(gen.pureApply(Gen.Parameters.default,
+      Seed(i.toLong), 100)))
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 15).foreach { i =>
+      f(ga.pureApply(Gen.Parameters.default, Seed(i.toLong), 100),
+        gb.pureApply(Gen.Parameters.default, Seed(i.toLong + 1000), 100))
+    }
+
+  private val sortedDistinctLongs: Gen[Seq[Long]] =
+    Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted)
+
+  test("SortedLongIntersectCount equals reference set intersection size") {
+    forAll(sortedDistinctLongs, sortedDistinctLongs) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(
+        NativeExprs.sortedIntersectCount(spark, col("a"), col("b")))
+        .head().getInt(0)
+      assert(got === a.toSet.intersect(b.toSet).size)
+    }
+  }
+
+  private val doubles: Gen[Seq[Double]] =
+    Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
+
+  test("FloatDotProduct equals left-to-right reference accumulation") {
+    forAll(doubles, doubles) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(NativeExprs.dot(spark, col("a"), col("b")))
+        .head().getDouble(0)
+      var ref = 0.0
+      a.zip(b).foreach { case (x, y) => ref += x * y }
+      assert(got === ref) // bit-identical, not approximate
+    }
+  }
+
+  test("SimHash63 equals reference bit-vote implementation") {
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) {
+      hs =>
+        val got = Seq(Tuple1(hs)).toDF("h")
+          .select(NativeExprs.simhash63(spark, col("h")))
+          .head().getLong(0)
+        val votes = new Array[Int](63)
+        hs.foreach { h =>
+          (0 until 63).foreach { j =>
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          }
+        }
+        val ref = (0 until 63).foldLeft(0L) { (acc, j) =>
+          if (votes(j) > 0) acc | (1L << j) else acc
+        }
+        assert(got === ref)
+    }
+  }
+
+  test("cosine is symmetric and bounded on real embeddings") {
+    val e = Tables.embeddings(spark, sf).limit(30)
+      .withColumn("nrm",
+        sqrt(NativeExprs.dot(spark, col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val pairs = a.crossJoin(b).filter(col("a") < col("b"))
+      .select(
+        (NativeExprs.dot(spark, col("ea"), col("eb")) /
+          (col("na") * col("nb"))).as("ab"),
+        (NativeExprs.dot(spark, col("eb"), col("ea")) /
+          (col("nb") * col("na"))).as("ba"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), "cosine must be symmetric")
+      assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9, "cosine must be bounded")
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    val once = Tables.documents(spark, sf)
+      .dropDuplicates("lang", "source")
+    assert(once.count() === once.dropDuplicates("lang", "source").count())
+  }
+
+  test("grouped sum is partitioning-invariant (combiner law)") {
+    forAll(Gen.chooseNum(1, 12)) { parts =>
+      val base = Tables.events(spark, sf).select(col("user_id"), col("value"))
+      val direct = base.groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("s"))
+      val reparted = base.repartition(parts)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("s"))
+      assert(direct.exceptAll(reparted).count() === 0)
+      assert(reparted.exceptAll(direct).count() === 0)
+    }
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard on random sets") {
+    // signature agreement fraction estimates jaccard; with 32 perms the
+    // absolute error is within ~0.35 at 99%+ for any pair — use a planted
+    // high-overlap pair where the distinction matters
+    val base = (1 to 200).map(i => s"tok$i")
+    val aTokens = base
+    val bTokens = base.take(180) ++ (1 to 20).map(i => s"other$i")
+    val exactJ = aTokens.toSet.intersect(bTokens.toSet).size.toDouble /
+      aTokens.toSet.union(bTokens.toSet).size
+    val df = Seq(("a", aTokens.mkString(" ")), ("b", bTokens.mkString(" ")))
+      .toDF("id", "text")
+    val perms = graft.operators.DedupOps.perms
+    val p = 2147483647L
+    val sigs = df.select(col("id"),
+      explode(expr(s"transform(split(text, ' '), t -> pmod(xxhash64(t), ${p}L))"))
+        .as("h"))
+      .groupBy(col("id"))
+      .agg(perms.zipWithIndex.map { case ((pa, pb), i) =>
+        min(pmod(col("h") * pa + pb, lit(p))).as(s"m$i")
+      }.head, perms.zipWithIndex.tail.map { case ((pa, pb), i) =>
+        min(pmod(col("h") * pa + pb, lit(p))).as(s"m$i")
+      }: _*)
+      .collect().map(r => r.getString(0) ->
+        (0 until perms.size).map(i => r.getLong(i + 1))).toMap
+    val agree = sigs("a").zip(sigs("b")).count { case (x, y) => x == y }
+    val estimate = agree.toDouble / perms.size
+    assert(math.abs(estimate - exactJ) < 0.3,
+      s"minhash estimate $estimate vs exact $exactJ")
+  }
+}
