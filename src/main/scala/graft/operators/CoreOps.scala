@@ -56,7 +56,31 @@ object CoreOps extends OpFamily {
       .orderBy(col("p_partkey"))
       .limit(25)
 
+  /** Job merging (MRDP ch.6): one filtered pass over the input feeds two
+    * different aggregations, materialized once via persist() and re-read
+    * from cache by the second branch — the "share one scan across jobs"
+    * pattern that in the reference needs manual intermediate files.
+    */
+  def sharedScanMultiOutput(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      .persist()
+    val byUser = base.groupBy(col("user_id").cast("string").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
+      .withColumn("dim", lit("by_user"))
+    val byDay = base.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
+      .withColumn("dim", lit("by_day"))
+    byUser.unionByName(byDay)
+      .select(col("dim"), col("key"), col("n"), col("sum_v"))
+      .orderBy(col("dim"), col("key"))
+  }
+
   val queries = Map(
+    "core_shared_scan" -> (sharedScanMultiOutput _),
     "core_map_project" -> (mapProject _),
     "core_filter" -> (filterGrep _),
     "core_distinct" -> (distinctPairs _),
@@ -64,6 +88,19 @@ object CoreOps extends OpFamily {
     "core_limit" -> (limitHead _))
 
   val oracle = Map(
+    "core_shared_scan" ->
+      """SELECT dim, key, n, sum_v FROM (
+           SELECT 'by_user' AS dim, CAST(user_id AS VARCHAR) AS key,
+             count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id
+           UNION ALL
+           SELECT 'by_day', strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'),
+             count(*),
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'))
+         ORDER BY dim, key""",
     "core_map_project" ->
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
