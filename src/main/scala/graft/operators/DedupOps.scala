@@ -89,16 +89,16 @@ object DedupOps extends OpFamily {
     * while [[minhashLsh]] is the sub-quadratic path for unblocked scale.
     */
   def nearJaccard(s: SparkSession, d: String): DataFrame = {
-    // repartition = a hard materialization boundary: without it the
+    // localCheckpoint = a hard materialization boundary: without it the
     // pair-join's fused codegen stage re-evaluates the interpreted
-    // shingle-build chain per PAIR (jstack-verified, ~20× slower); with it
-    // each doc's array is built once and co-located by block key — also the
-    // right cluster-scale shape
+    // shingle-build chain per PAIR (jstack-verified, ~20× slower), and the
+    // a/b branches would each rebuild it; with it each doc's array is
+    // built exactly once
     val sh = withNearDupes(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_sort(array_distinct(transform(TextOps.shingles3(TextOps.toks),
           xxhash64(_)))).as("sh"))
-      .repartition(col("lang"), col("source"))
+      .localCheckpoint()
     val a = sh.select(col("doc_id").as("a"), col("lang"), col("source"),
       col("sh").as("sha"))
     val b = sh.select(col("doc_id").as("b"), col("lang"), col("source"),
@@ -122,7 +122,6 @@ object DedupOps extends OpFamily {
     corpus.select(col("doc_id"),
       array_sort(array_distinct(transform(TextOps.shingles3(TextOps.toks),
         sh => pmod(xxhash64(sh), lit(P))))).as("hs"))
-      .repartition(col("doc_id")) // materialize arrays once per doc (see nearJaccard)
 
   /** doc_id → sig: array of 32 min-of-permuted-shingle-hash values.
     *
@@ -150,7 +149,12 @@ object DedupOps extends OpFamily {
     * the planted-dupe recall property is asserted in scalatest.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingleHashes(withNearDupes(s, d))
+    // localCheckpoint: the signature source is consumed three times (sig
+    // build + both sides of candidate verification) — materialize it once,
+    // eagerly, with lineage truncated; the blocks are released when the
+    // plan is garbage-collected (ContextCleaner), so no persist lifecycle
+    // leaks into the long-lived session
+    val hashed = shingleHashes(withNearDupes(s, d)).localCheckpoint()
     val sigs = minhashSigs(hashed)
     // sig elements are aggregate attributes, so element_at here folds to a
     // cheap reference (no recompute of the signature chain)
@@ -199,7 +203,7 @@ object DedupOps extends OpFamily {
     val corpus = withNearDupes(s, d)
     val sigs = simhashSigs(corpus)
       .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .repartition(col("lang")) // materialize signatures before pairing
+      .localCheckpoint() // materialize signatures once before pairing
     val a = sigs.select(col("doc_id").as("a"), col("simhash").as("ha"), col("lang"))
     val b = sigs.select(col("doc_id").as("b"), col("simhash").as("hb"), col("lang"))
     a.join(b, Seq("lang"))
