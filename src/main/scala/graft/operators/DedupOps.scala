@@ -214,6 +214,48 @@ object DedupOps extends OpFamily {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Near-dup CLUSTERING: connected components over the blocked-jaccard
+    * pair graph (label propagation to fixpoint — each node takes the min
+    * label among itself and its neighbors; iterate until no change, with
+    * localCheckpoint truncating lineage per round). Output is (doc_id,
+    * cluster_id = min doc id reachable). The duplicate-cluster consumer
+    * keeps cluster_id as canonical and drops the rest.
+    *
+    * Scale notes: this is the standard iterative min-label CC — per round
+    * one join + one min-aggregate, rounds bounded by component diameter
+    * (near-dup clusters are shallow; capped at 20). The DuckDB oracle
+    * computes the same components via a recursive-CTE transitive closure.
+    */
+  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = nearJaccard(s, d).select(col("a"), col("b")).localCheckpoint()
+    val sym = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .unionByName(pairs.select(col("a"), col("a").as("b")))
+      .unionByName(pairs.select(col("b").as("a"), col("b")))
+      .distinct()
+      .toDF("x", "y")
+      .localCheckpoint()
+    var labels = sym.select(col("x")).distinct()
+      .select(col("x"), col("x").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val next = sym
+        .join(labels.select(col("x").as("y"), col("lbl")), Seq("y"))
+        .groupBy(col("x")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("x"), col("lbl").as("old")), Seq("x"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("x").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding near-dup: intra-label pairs with cosine ≥ 0.35 (blocked
     * brute force — label is the blocking key, the IVF-style scale path).
     * Norms are precomputed per vector BEFORE the pair join (O(n) instead of
@@ -240,6 +282,7 @@ object DedupOps extends OpFamily {
     "dedup_exact_groups" -> (exactDupGroups _),
     "dedup_keep_first" -> (keepFirst _),
     "dedup_near_jaccard" -> (nearJaccard _),
+    "dedup_clusters" -> (nearDupClusters _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_embedding" -> (embeddingNearDup _))
@@ -280,6 +323,26 @@ object DedupOps extends OpFamily {
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
          ORDER BY a, b""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($planted),
+         sh AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM corpus)),
+         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+         sym(x, y) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+           UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+         reach(x, y) AS (
+           SELECT x, y FROM sym
+           UNION
+           SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x)
+         SELECT x AS doc_id, min(y) AS cluster_id FROM reach
+         GROUP BY x ORDER BY doc_id""",
     "dedup_embedding" ->
       """SELECT a.label, a.vec_id AS a, b.vec_id AS b,
            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
