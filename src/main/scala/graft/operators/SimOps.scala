@@ -50,41 +50,70 @@ object SimOps extends OpFamily {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** IVF-style ANN: coarse quantize by per-label centroid, probe the 2
-    * nearest centroids per query, exact-search only those cells. Recall vs
-    * [[knnExact]] is property-tested (no hash oracle — centroid means are
-    * reduction-order-sensitive floats).
+  /** IVF ANN with k-means coarse quantization: Lloyd iterations build
+    * nlist=10 centroids (deterministic init: the 10 lowest vec_ids), every
+    * vector is assigned to its nearest cell, and each query probes its
+    * nprobe=2 nearest cells — so a search reads ~nprobe/nlist of the
+    * corpus. Recall vs [[knnExact]] is property-tested (no hash oracle —
+    * centroid means are reduction-order-sensitive floats).
     */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    // centroids: element-wise mean per label via posexplode + re-collect
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("c_label"),
-        transform(col("pm"), _.getField("m")).as("centroid"))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // consumed every Lloyd round + twice at search
+    var centroids = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid"))
+      .localCheckpoint()
+    (1 to 3).foreach { _ =>
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("sim"), col("cid"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("sim", NativeExprs.dot(s, col("v"), col("centroid")) /
+          (sqrt(NativeExprs.dot(s, col("v"), col("v"))) *
+            sqrt(NativeExprs.dot(s, col("centroid"), col("centroid")))))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("vec_id"), col("v"))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), _.getField("m")).as("centroid"))
+        .localCheckpoint()
+    }
+    // final cell assignment of the corpus
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("sim"), col("cid"))
+    val cells = e.crossJoin(broadcast(centroids))
+      .withColumn("sim", NativeExprs.dot(s, col("v"), col("centroid")) /
+        (sqrt(NativeExprs.dot(s, col("v"), col("v"))) *
+          sqrt(NativeExprs.dot(s, col("centroid"), col("centroid")))))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("v"))
+      .localCheckpoint()
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(desc("c_cos"), col("c_label"))
+      .orderBy(desc("c_sim"), col("cid"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", VecOps.cosine(col("qe"), col("centroid")))
+      .withColumn("c_sim", NativeExprs.dot(s, col("qv"), col("centroid")) /
+        (sqrt(NativeExprs.dot(s, col("qv"), col("qv"))) *
+          sqrt(NativeExprs.dot(s, col("centroid"), col("centroid")))))
       .withColumn("c_rank", row_number().over(wProbe))
       .filter(col("c_rank") <= 2)
-      .select(col("qid"), col("qe"), col("c_label"))
+      .select(col("qid"), col("qv"), col("cid"))
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(desc("cos"), col("nid"))
-    e.select(col("vec_id").as("nid"), col("label").as("c_label"),
-        col("embedding").as("ne"))
-      .join(broadcast(probes), Seq("c_label"))
+    cells.select(col("vec_id").as("nid"), col("cid"), col("v").as("nv"))
+      .join(broadcast(probes), Seq("cid"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cos",
-        NativeExprs.dot(s, col("qe"), col("ne")) /
-          (sqrt(NativeExprs.dot(s, col("qe"), col("qe"))) *
-            sqrt(NativeExprs.dot(s, col("ne"), col("ne")))))
+      .withColumn("cos", NativeExprs.dot(s, col("qv"), col("nv")) /
+        (sqrt(NativeExprs.dot(s, col("qv"), col("qv"))) *
+          sqrt(NativeExprs.dot(s, col("nv"), col("nv")))))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
