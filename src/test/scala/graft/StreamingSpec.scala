@@ -107,6 +107,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(2L) === ((1L, 10.0)))
   }
 
+  test("transformWithState (Spark 4 API) keeps running per-key totals") {
+    import org.apache.spark.sql.streaming.{GroupState => _, _}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    class RunningTotal
+        extends StatefulProcessor[Long, (Long, Double), (Long, Double)] {
+      @transient private var total: ValueState[Double] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        total = getHandle.getValueState[Double]("total",
+          org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+          timerValues: TimerValues): Iterator[(Long, Double)] = {
+        var t = if (total.exists()) total.get() else 0.0
+        rows.foreach(t += _._2)
+        total.update(t)
+        Iterator((key, t))
+      }
+    }
+    val out = mem.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotal, TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    // transformWithState needs a multi-column-family store (RocksDB)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF("uid", "total")
+        .writeStream.format("memory").queryName("t_tws")
+        .outputMode("append").start()
+      mem.addData((1L, 1.5), (1L, 2.5), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 6.0))
+      q.processAllAvailable()
+      val last = spark.table("t_tws").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      q.stop()
+      assert(last(1L) === 10.0, "state must carry across micro-batches")
+      assert(last(2L) === 10.0)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("observe() + listener exposes MR-style job counters") {
     @volatile var seen: Option[Long] = None
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
