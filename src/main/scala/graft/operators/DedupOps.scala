@@ -214,6 +214,31 @@ object DedupOps extends OpFamily {
       .orderBy(col("a"), col("b"))
   }
 
+  /** MinHash near-dup via spark-mllib's MinHashLSH (the packaged
+    * alternative to the hand-rolled [[minhashLsh]]): term-presence vectors
+    * from a fitted CountVectorizer, LSH model with a fixed seed,
+    * approxSimilarityJoin at Jaccard distance ≤ 0.7. Rows-only (model
+    * hashing isn't SQL-replayable); agreement with the hand-rolled
+    * pipeline is asserted in scalatest.
+    */
+  def minhashMllib(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+    val docs = withNearDupes(s, d)
+      .select(col("doc_id"),
+        TextOps.shingles3(TextOps.toks).as("tokens")) // shingle-set jaccard
+    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
+      .setBinary(true).fit(docs)
+    val vectorized = cv.transform(docs).select(col("doc_id"), col("tf"))
+    val lsh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
+      .setNumHashTables(8).setSeed(42)
+    val model = lsh.fit(vectorized)
+    model.approxSimilarityJoin(vectorized, vectorized, 0.7, "jdist")
+      .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"),
+        col("jdist"))
+      .filter(col("a") < col("b"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Near-dup CLUSTERING: connected components over the blocked-jaccard
     * pair graph (label propagation to fixpoint — each node takes the min
     * label among itself and its neighbors; iterate until no change, with
@@ -284,6 +309,7 @@ object DedupOps extends OpFamily {
     "dedup_near_jaccard" -> (nearJaccard _),
     "dedup_clusters" -> (nearDupClusters _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_minhash_mllib" -> (minhashMllib _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_embedding" -> (embeddingNearDup _))
 

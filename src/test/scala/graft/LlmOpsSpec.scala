@@ -37,6 +37,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.count() === out.select(col("a"), col("b")).distinct().count())
   }
 
+  test("mllib MinHashLSH agrees with the hand-rolled pipeline") {
+    val hand = DedupOps.minhashLsh(spark, sf)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val packaged = DedupOps.minhashMllib(spark, sf)
+      .filter(col("jdist") <= 0.7) // jaccard >= 0.3, same bar as hand-rolled
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both are probabilistic candidate generators over the same exact
+    // similarity — require strong (not perfect) overlap
+    val inter = hand.intersect(packaged).size.toDouble
+    assert(inter / hand.size >= 0.7,
+      s"mllib found ${inter.toInt} of ${hand.size} hand-rolled pairs")
+  }
+
   test("simhash of identical text is identical (hamming 0)") {
     val docs = TestSpark.spark.read.parquet(s"$sf/documents.parquet")
     val copies = docs.select(col("doc_id"), col("text"))
