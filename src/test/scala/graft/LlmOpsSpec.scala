@@ -121,6 +121,19 @@ class LlmOpsSpec extends AnyFunSuite {
       Seq("l_orderkey", "l_linenumber"), "left_anti").count() === 0)
   }
 
+  test("approx_percentile is within tolerance of exact percentile") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.select(percentile(col("value"), lit(0.9)))
+      .head().getDouble(0)
+    val approx = ev.select(
+      percentile_approx(col("value"), lit(0.9), lit(1000)))
+      .head().getDouble(0)
+    // with accuracy=1000 the rank error is <= n/1000; translate to a loose
+    // value tolerance on this distribution
+    assert(math.abs(approx - exact) / math.max(exact, 1e-9) < 0.05,
+      s"approx p90 $approx vs exact $exact")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
