@@ -1,30 +1,41 @@
 package graft.operators
 
 import graft.{OpFamily, Tables}
-import graft.functions.{NativeExprs, VecOps}
+import graft.functions.NativeExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (SURVEY.md §2.11 #62).
   *
-  * Three tiers, mirroring how ANN is actually deployed over big corpora:
+  * Four tiers, mirroring how ANN is actually deployed over big corpora:
   *  - exact brute-force top-k for a bounded query set (broadcast the
   *    queries, stream the corpus — one narrow pass, no corpus shuffle);
-  *  - IVF-style two-stage search: k-means-like coarse centroids (here the
-  *    per-label mean, computed with a posexplode/re-collect aggregation),
-  *    route each query to its nprobe nearest centroids, then search only
-  *    those partitions — the 100 TB path, since the corpus side is
-  *    partitioned by centroid id and only nprobe/nlist of it is read;
+  *  - IVF: k-means coarse centroids (Lloyd iterations), route each query
+  *    to its nprobe nearest cells, search only those — the 100 TB path,
+  *    since the corpus is partitioned by cell id and only nprobe/nlist of
+  *    it is read per query;
+  *  - sign-random-projection LSH with multi-probe;
   *  - all-pairs top-k within blocks (the similarity-join shape).
   *
-  * All vector math is VecOps Column expressions (codegen'd higher-order
-  * functions, double accumulation) — bit-identical to the DuckDB oracle's
-  * CAST(… AS DOUBLE[]) list functions, so exact and blocked variants are
-  * hash-checked; the IVF recall property is asserted in scalatest instead
-  * (centroid means are summation-order-sensitive, so no hash oracle).
+  * All pairwise math is the codegen'd [[NativeExprs.FloatDotProduct]]
+  * (double accumulation, left-to-right) — bit-identical to the DuckDB
+  * oracle's CAST(… AS DOUBLE[]) list functions, so the exact and blocked
+  * variants are hash-checked; IVF/LSH recall properties are asserted in
+  * scalatest instead (centroid means are summation-order-sensitive, LSH
+  * hyperplanes aren't SQL-replayable).
   */
 object SimOps extends OpFamily {
+
+  /** cosine from a precomputed-norm pair: one dot per pair, norms O(n). */
+  private def cosPair(s: SparkSession, a: String, na: String,
+      b: String, nb: String) =
+    NativeExprs.dot(s, col(a), col(b)) / (col(na) * col(nb))
+
+  /** attach an L2-norm column next to a vector column. */
+  private def withNorm(s: SparkSession, df: DataFrame, vec: String,
+      out: String): DataFrame =
+    df.withColumn(out, sqrt(NativeExprs.dot(s, col(vec), col(vec))))
 
   /** Exact top-5 cosine neighbors for queries vec_id < 10 (self excluded).
     * The query side is tiny → broadcast; TakeOrderedAndProject-style rank
@@ -58,62 +69,51 @@ object SimOps extends OpFamily {
     * centroid means are reduction-order-sensitive floats).
     */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+    val e = withNorm(s, Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v")),
+      "v", "vn")
       .localCheckpoint() // consumed every Lloyd round + twice at search
-    var centroids = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid"))
-      .localCheckpoint()
-    (1 to 3).foreach { _ =>
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(desc("sim"), col("cid"))
-      val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("sim", NativeExprs.dot(s, col("v"), col("centroid")) /
-          (sqrt(NativeExprs.dot(s, col("v"), col("v"))) *
-            sqrt(NativeExprs.dot(s, col("centroid"), col("centroid")))))
-        .withColumn("rn", row_number().over(wAssign))
+    def normedCentroids(c: DataFrame): DataFrame =
+      withNorm(s, c, "centroid", "cn").localCheckpoint()
+    // assignment of every vector to its nearest centroid (ties → lowest id)
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cid"))
+      e.crossJoin(broadcast(centroids))
+        .withColumn("sim", cosPair(s, "v", "vn", "centroid", "cn"))
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("cid"), col("vec_id"), col("v"))
-      centroids = assigned
+        .select(col("cid"), col("vec_id"), col("v"), col("vn"))
+    }
+    var centroids = normedCentroids(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid")))
+    (1 to 3).foreach { _ =>
+      centroids = normedCentroids(assign(centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), _.getField("m")).as("centroid"))
-        .localCheckpoint()
+        .select(col("cid"),
+          transform(col("pm"), _.getField("m")).as("centroid")))
     }
-    // final cell assignment of the corpus
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("sim"), col("cid"))
-    val cells = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", NativeExprs.dot(s, col("v"), col("centroid")) /
-        (sqrt(NativeExprs.dot(s, col("v"), col("v"))) *
-          sqrt(NativeExprs.dot(s, col("centroid"), col("centroid")))))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("v"))
-      .localCheckpoint()
-    val q = cells.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cells = assign(centroids).localCheckpoint()
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(desc("c_sim"), col("cid"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", NativeExprs.dot(s, col("qv"), col("centroid")) /
-        (sqrt(NativeExprs.dot(s, col("qv"), col("qv"))) *
-          sqrt(NativeExprs.dot(s, col("centroid"), col("centroid")))))
+    val probes = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosPair(s, "qv", "qn", "centroid", "cn"))
       .withColumn("c_rank", row_number().over(wProbe))
       .filter(col("c_rank") <= 2)
-      .select(col("qid"), col("qv"), col("cid"))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(desc("cos"), col("nid"))
-    cells.select(col("vec_id").as("nid"), col("cid"), col("v").as("nv"))
+    cells.select(col("vec_id").as("nid"), col("cid"), col("v").as("nv"),
+        col("vn").as("nn"))
       .join(broadcast(probes), Seq("cid"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cos", NativeExprs.dot(s, col("qv"), col("nv")) /
-        (sqrt(NativeExprs.dot(s, col("qv"), col("qv"))) *
-          sqrt(NativeExprs.dot(s, col("nv"), col("nv")))))
+      .withColumn("cos", cosPair(s, "qv", "qn", "nv", "nn"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
