@@ -1,0 +1,109 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.NativeExprs
+
+/** User-facing library surface: the LLM-pipeline operators parameterized
+  * over arbitrary DataFrames (the `SparkEntry.queries` registry binds the
+  * same logic to the gate fixtures; this is what an application imports).
+  *
+  * Conventions: every function takes the input DataFrame plus column NAMES
+  * (not Columns) so results compose with plain `spark.read` sources; id
+  * columns must be unique per row; outputs carry the caller's id values.
+  */
+object Graft {
+
+  private def toks(textCol: String): Column = split(col(textCol), " ")
+
+  /** Word 3-shingles of a whitespace-tokenized text column, hashed to
+    * int64 and de-duplicated + sorted (ready for set similarity).
+    */
+  private def shingleSets(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+      array_sort(array_distinct(transform(
+        graft.operators.TextOps.shingles3(toks(text)), xxhash64(_))))
+        .as("sh"))
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact duplicate groups by normalized content hash: one row per
+    * duplicated content value with the kept (min) id and group size.
+    */
+  def exactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
+    val normalized = regexp_replace(trim(lower(col(text))), " +", " ")
+    df.groupBy(md5(normalized).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col(id)).as("keep_id"))
+      .filter(col("n") > 1)
+  }
+
+  /** MinHash+LSH near-duplicate pairs over the whole corpus, verified by
+    * exact shingle jaccard ≥ `threshold`. Sub-quadratic: candidates come
+    * only from LSH band buckets.
+    */
+  def nearDuplicatePairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.3): DataFrame =
+    graft.operators.DedupOps.minhashLshOn(
+      df.select(col(id).as("doc_id"), col(text).as("text")), threshold)
+      .withColumnRenamed("a", s"${id}_a")
+      .withColumnRenamed("b", s"${id}_b")
+
+  /** Connected components over a pair DataFrame (columns `a`, `b`):
+    * returns (id, cluster_id = min reachable id). */
+  def clusterPairs(pairs: DataFrame): DataFrame =
+    graft.operators.DedupOps.clusterPairsOn(pairs)
+
+  // ----------------------------------------------------------- similarity
+
+  /** Exact top-k cosine neighbors of `queries` (id + float/double array
+    * vector column) within `corpus` (same shape). Queries are broadcast;
+    * the corpus is streamed once.
+    */
+  def knnExact(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int = 5): DataFrame = {
+    val s = corpus.sparkSession
+    def normed(df: DataFrame, pid: String, pv: String, pn: String) =
+      df.select(col(id).as(pid), col(vec).as(pv),
+        sqrt(NativeExprs.dot(s, col(vec), col(vec))).as(pn))
+    val q = normed(queries, "qid", "qv", "qn")
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
+    normed(corpus, "nid", "nv", "nn")
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos",
+        NativeExprs.dot(s, col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  // ----------------------------------------------------------------- text
+
+  /** Per-document quality features + composite score. */
+  def qualityScore(df: DataFrame, id: String, text: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in"))
+      : DataFrame = {
+    val w = toks(text)
+    df.select(col(id),
+        length(col(text)).as("n_chars"), w.as("w"))
+      .select(col(id),
+        size(col("w")).as("n_tokens"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("type_token_ratio"),
+        (size(filter(col("w"), t => t.isin(stopwords.map(x => x: Any): _*)))
+          .cast("double") / size(col("w"))).as("stopword_ratio"),
+        (col("n_chars").cast("double") / size(col("w")))
+          .as("chars_per_token"))
+      .withColumn("quality",
+        col("type_token_ratio") * 2.0 + col("stopword_ratio") * 1.0 +
+          col("chars_per_token") * 0.1)
+  }
+
+  /** Content fingerprints of whitespace-normalized text. */
+  def fingerprints(df: DataFrame, id: String, text: String): DataFrame = {
+    val normalized = regexp_replace(trim(lower(col(text))), " +", " ")
+    df.select(col(id), md5(normalized).as("fp_md5"),
+      substring(sha2(normalized, 256), 1, 16).as("fp64"))
+  }
+}

@@ -148,13 +148,20 @@ object DedupOps extends OpFamily {
     * Probabilistic candidate generation → no SQL oracle (rows-only check);
     * the planted-dupe recall property is asserted in scalatest.
     */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshOn(withNearDupes(s, d), 0.3)
+
+  /** Generalized MinHash+LSH near-dup pairs over any (doc_id, text)
+    * DataFrame — the [[graft.api.Graft.nearDuplicatePairs]] core.
+    */
+  private[graft] def minhashLshOn(corpus: DataFrame,
+      threshold: Double): DataFrame = {
     // localCheckpoint: the signature source is consumed three times (sig
     // build + both sides of candidate verification) — materialize it once,
     // eagerly, with lineage truncated; the blocks are released when the
     // plan is garbage-collected (ContextCleaner), so no persist lifecycle
     // leaks into the long-lived session
-    val hashed = shingleHashes(withNearDupes(s, d)).localCheckpoint()
+    val hashed = shingleHashes(corpus).localCheckpoint()
     val sigs = minhashSigs(hashed)
     // sig elements are aggregate attributes, so element_at here folds to a
     // cheap reference (no recompute of the signature chain)
@@ -174,10 +181,11 @@ object DedupOps extends OpFamily {
       .join(hashed.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
       .join(hashed.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
       .withColumn("inter",
-        NativeExprs.sortedIntersectCount(s, col("ha"), col("hb")))
+        NativeExprs.sortedIntersectCount(corpus.sparkSession,
+          col("ha"), col("hb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ha")) + size(col("hb")) - col("inter")))
-      .filter(col("jaccard") >= 0.3)
+      .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
   }
@@ -251,8 +259,14 @@ object DedupOps extends OpFamily {
     * (near-dup clusters are shallow; capped at 20). The DuckDB oracle
     * computes the same components via a recursive-CTE transitive closure.
     */
-  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = nearJaccard(s, d).select(col("a"), col("b")).localCheckpoint()
+  def nearDupClusters(s: SparkSession, d: String): DataFrame =
+    clusterPairsOn(nearJaccard(s, d).select(col("a"), col("b")))
+
+  /** Generalized connected components over any (a, b) pair DataFrame —
+    * the [[graft.api.Graft.clusterPairs]] core.
+    */
+  private[graft] def clusterPairsOn(pairDf: DataFrame): DataFrame = {
+    val pairs = pairDf.select(col("a"), col("b")).localCheckpoint()
     val sym = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .unionByName(pairs.select(col("a"), col("a").as("b")))

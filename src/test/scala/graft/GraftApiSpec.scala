@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Graft
+
+/** The user-facing DataFrame API (graft.api.Graft) on ad-hoc inputs — the
+  * "switch your own tables to this library" path, independent of the gate
+  * fixtures.
+  */
+class GraftApiSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and"), // near-dup of 1
+    (3L, "completely different content about sorting merge join plans"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (5L, "another unrelated short text")
+  ).toDF("my_id", "body")
+
+  test("exactDuplicates finds the exact copy group") {
+    val groups = Graft.exactDuplicates(docs, "my_id", "body").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("keep_id") === 1L)
+    assert(groups.head.getAs[Long]("n") === 2L)
+  }
+
+  test("nearDuplicatePairs finds exact and truncation near-dups") {
+    val pairs = Graft.nearDuplicatePairs(docs, "my_id", "body", 0.3)
+      .select(col("my_id_a"), col("my_id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact copy must be a pair")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "truncated copy must pair with an original")
+  }
+
+  test("clusterPairs merges transitive near-dups into one cluster") {
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 8L)).toDF("a", "b")
+    val clusters = Graft.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(4L) === 1L)
+    assert(clusters(7L) === 7L && clusters(8L) === 7L)
+  }
+
+  test("knnExact on an ad-hoc vector table ranks by cosine") {
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.9, 0.1)),
+      (12L, Seq(0.0, 1.0)), (13L, Seq(-1.0, 0.0))
+    ).toDF("vid", "v")
+    val out = Graft.knnExact(vecs, vecs.filter(col("vid") === 10L),
+      "vid", "v", k = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 11L), (2, 12L)),
+      s"expected nearest=11 then 12, got ${out.toSeq}")
+  }
+
+  test("qualityScore and fingerprints run on ad-hoc columns") {
+    val q = Graft.qualityScore(docs, "my_id", "body")
+    assert(q.count() === 5)
+    assert(q.columns.contains("quality"))
+    val fp = Graft.fingerprints(docs, "my_id", "body").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(4L), "identical text, identical fingerprint")
+    assert(fp(1L) !== fp(3L))
+  }
+}
