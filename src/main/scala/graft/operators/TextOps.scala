@@ -31,11 +31,13 @@ object TextOps extends OpFamily {
     * split(text) expression at every element_at — 3 splits per shingle,
     * O(tokens²) per document (jstack-verified hot path).
     */
-  private[graft] def shingles3(w: Column): Column =
+  private[graft] def shingles3(w: Column): Column = shinglesN(w, 3)
+
+  /** Word n-shingles with the same single-evaluation binding. */
+  private[graft] def shinglesN(w: Column, n: Int): Column =
     element_at(transform(array(w), wv =>
-      transform(sequence(lit(1), size(wv) - 2), i =>
-        concat_ws(" ", element_at(wv, i), element_at(wv, i + 1),
-          element_at(wv, i + 2)))), 1)
+      transform(sequence(lit(1), size(wv) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(wv, i + o)): _*))), 1)
 
   /** Token statistics: whitespace vs regex tokenization, avg token length. */
   def tokenStats(s: SparkSession, d: String): DataFrame =
@@ -150,7 +152,28 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Train/eval contamination check: eval docs (doc_id % 10 == 0) that
+    * share at least one 5-gram with any train doc, with the count of
+    * distinct leaked 5-grams — the standard benchmark-leakage sweep. The
+    * join is an inverted-index equi-join on the shingle (never doc×doc),
+    * and the train side dedups shingles first, so cost is proportional to
+    * actual n-gram collisions.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shinglesN(toks, 5).as("sh"))
+    val trainShingles = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val evalShingles = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    evalShingles.join(trainShingles, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_leaked_5grams"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries = Map(
+    "text_contamination" -> (contamination _),
     "text_token_stats" -> (tokenStats _),
     "text_langid" -> (langId _),
     "text_quality" -> (qualityScore _),
@@ -159,6 +182,17 @@ object TextOps extends OpFamily {
     "text_tfidf_top" -> (tfidfTop _))
 
   val oracle = Map(
+    "text_contamination" ->
+      """WITH sh AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 3),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                 || w[i+3] || ' ' || w[i+4])) AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+         ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0)
+         SELECT ev.doc_id, count(DISTINCT ev.shingle) AS n_leaked_5grams
+         FROM ev JOIN train USING (shingle)
+         GROUP BY ev.doc_id ORDER BY ev.doc_id""",
     "text_token_stats" ->
       """SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
