@@ -121,6 +121,17 @@ class LlmOpsSpec extends AnyFunSuite {
       Seq("l_orderkey", "l_linenumber"), "left_anti").count() === 0)
   }
 
+  test("multimodal decode stub is deterministic and schema-stable") {
+    val a = graft.operators.MultimodalOps.decodeStub(spark, sf).collect()
+    val b = graft.operators.MultimodalOps.decodeStub(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "stub decode must be reproducible")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getInt(1) >= 64 && r.getInt(1) < 64 + 640, "width bounds")
+      assert(r.getInt(2) >= 64 && r.getInt(2) < 64 + 480, "height bounds")
+    }
+  }
+
   test("approx_percentile is within tolerance of exact percentile") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(percentile(col("value"), lit(0.9)))
