@@ -32,7 +32,14 @@ object ScalarOps extends OpFamily {
         regexp_extract(col("p_type"), "[A-Z]+$", 0).as("last_word"),
         regexp_replace(col("p_name"), " ", "_").as("snake_name"),
         instr(col("p_name"), "a").as("first_a"),
-        levenshtein(col("p_brand"), lit("Brand#11")).as("brand_dist"))
+        levenshtein(col("p_brand"), lit("Brand#11")).as("brand_dist"),
+        reverse(col("p_brand")).as("rbrand"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+        translate(col("p_brand"), "Bd", "bD").as("translated"),
+        split_part(col("p_type"), lit(" "), lit(2)).as("type_word2"),
+        col("p_name").like("%a%").as("has_a"),
+        col("p_name").startsWith("a").as("starts_a"),
+        col("p_name").endsWith("e").as("ends_e"))
       .orderBy(col("p_partkey"))
 
   /** Date/time family: extraction, truncation, epoch, day arithmetic. */
@@ -145,7 +152,14 @@ object ScalarOps extends OpFamily {
            regexp_extract(p_type, '[A-Z]+$') AS last_word,
            regexp_replace(p_name, ' ', '_', 'g') AS snake_name,
            strpos(p_name, 'a') AS first_a,
-           levenshtein(p_brand, 'Brand#11') AS brand_dist
+           levenshtein(p_brand, 'Brand#11') AS brand_dist,
+           reverse(p_brand) AS rbrand,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           translate(p_brand, 'Bd', 'bD') AS translated,
+           split_part(p_type, ' ', 2) AS type_word2,
+           p_name LIKE '%a%' AS has_a,
+           starts_with(p_name, 'a') AS starts_a,
+           ends_with(p_name, 'e') AS ends_e
          FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
     "fn_datetime" ->
       """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
