@@ -57,7 +57,9 @@ object ScalarOps extends OpFamily {
         datediff(col("o_orderdate"),
           lit("1995-01-01").cast("date")).as("days_since_95"),
         last_day(col("o_orderdate")).as("eom"),
-        dayofweek(col("o_orderdate")).as("dow"))
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        add_months(col("o_orderdate"), 1).cast("date").as("next_month"))
       .orderBy(col("o_orderkey"))
 
   /** Math family (only IEEE-deterministic fns — no per-row round). */
@@ -103,7 +105,10 @@ object ScalarOps extends OpFamily {
         array_max(dbl).as("amax"),
         array_min(dbl).as("amin"),
         aggregate(dbl, lit(0.0), _ + _).as("asum"),
-        size(filter(dbl, _ > 0.0)).as("n_pos"))
+        size(filter(dbl, _ > 0.0)).as("n_pos"),
+        array_position(dbl, array_max(dbl)).as("argmax_pos"),
+        array_contains(dbl, array_max(dbl)).as("has_max"),
+        slice(sort_array(dbl, asc = false), 1, 3).as("top3"))
       .orderBy(col("vec_id"))
   }
 
@@ -168,7 +173,9 @@ object ScalarOps extends OpFamily {
            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
            date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95,
            last_day(o_orderdate) AS eom,
-           dayofweek(o_orderdate) + 1 AS dow
+           dayofweek(o_orderdate) + 1 AS dow,
+           weekofyear(o_orderdate) AS iso_week,
+           CAST(o_orderdate + INTERVAL '1 month' AS DATE) AS next_month
          FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
@@ -194,7 +201,10 @@ object ScalarOps extends OpFamily {
            e[1] AS first_elem, e[1:4] AS head4,
            list_max(e) AS amax, list_min(e) AS amin,
            list_sum(e) AS asum,
-           len(list_filter(e, x -> x > 0.0)) AS n_pos
+           len(list_filter(e, x -> x > 0.0)) AS n_pos,
+           list_position(e, list_max(e)) AS argmax_pos,
+           list_contains(e, list_max(e)) AS has_max,
+           list_reverse_sort(e)[1:3] AS top3
          FROM (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings)
          WHERE vec_id < 500 ORDER BY vec_id""",
