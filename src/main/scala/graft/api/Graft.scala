@@ -40,19 +40,20 @@ object Graft {
 
   /** MinHash+LSH near-duplicate pairs over the whole corpus, verified by
     * exact shingle jaccard ≥ `threshold`. Sub-quadratic: candidates come
-    * only from LSH band buckets.
+    * only from LSH band buckets. Output columns are `a`, `b` (the caller's
+    * id values), `jaccard` — directly composable with [[clusterPairs]].
     */
   def nearDuplicatePairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.3): DataFrame =
     graft.operators.DedupOps.minhashLshOn(
       df.select(col(id).as("doc_id"), col(text).as("text")), threshold)
-      .withColumnRenamed("a", s"${id}_a")
-      .withColumnRenamed("b", s"${id}_b")
 
-  /** Connected components over a pair DataFrame (columns `a`, `b`):
+  /** Connected components over a pair DataFrame (edge endpoint columns
+    * `aCol`/`bCol`, defaults matching [[nearDuplicatePairs]] output):
     * returns (id, cluster_id = min reachable id). */
-  def clusterPairs(pairs: DataFrame): DataFrame =
-    graft.operators.DedupOps.clusterPairsOn(pairs)
+  def clusterPairs(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame =
+    graft.operators.DedupOps.clusterPairsOn(pairs, aCol, bCol)
 
   // ----------------------------------------------------------- similarity
 

@@ -153,22 +153,22 @@ object NativeExprs {
       copy(child = newChild)
   }
 
-  @volatile private var registered = false
-
-  /** Register both expressions as SQL functions (idempotent, per-JVM). */
-  def ensureRegistered(spark: SparkSession): Unit = if (!registered) synchronized {
-    if (!registered) {
-      val reg = spark.sessionState.functionRegistry
-      reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
-        (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1)),
-        "built-in")
-      reg.createOrReplaceTempFunction("graft_dot",
-        (args: Seq[Expression]) => FloatDotProduct(args(0), args(1)),
-        "built-in")
-      reg.createOrReplaceTempFunction("graft_simhash63",
-        (args: Seq[Expression]) => SimHash63(args(0)), "built-in")
-      registered = true
-    }
+  /** Register the expressions as SQL functions in THIS session's registry.
+    * Called unconditionally (createOrReplaceTempFunction is idempotent and
+    * cheap): the function registry is per-SparkSession, so a per-JVM guard
+    * flag would skip registration for every session after the first (e.g.
+    * `spark.newSession()`), leaving graft_* unresolvable there.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      (args: Seq[Expression]) => FloatDotProduct(args(0), args(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash63",
+      (args: Seq[Expression]) => SimHash63(args(0)), "built-in")
   }
 
   def sortedIntersectCount(s: SparkSession, a: Column, b: Column): Column = {

@@ -25,21 +25,29 @@ object AggOps extends OpFamily {
     * accumulation (see [[graft.functions.Num]]) so the DuckDB hash-compare
     * cannot drift on summation order.
     */
-  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    // All-decimal arithmetic for the sums: quantize the RAW columns (2-dp
+    // rationals, never near a quantum midpoint) and multiply exactly in
+    // decimal. Quantizing the double PRODUCT instead (the round-1 version)
+    // hit .00005 midpoints where Spark rounds HALF_UP and DuckDB HALF_EVEN
+    // — ~40 flipped cents per group at sf0.01.
+    val price = col("l_extendedprice").cast("decimal(14,2)")
+    val disc1 = lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")
+    val tax1 = lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(4,2)")
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-          (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        sum(price * disc1).cast("double").as("sum_disc_price"),
+        sum(price * disc1 * tax1).cast("double").as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   /** Numerical summaries: stddev/variance/exact percentile (MRDP ch.2). */
   def numericSummary(s: SparkSession, d: String): DataFrame =
@@ -171,8 +179,8 @@ object AggOps extends OpFamily {
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
          round(avg(l_quantity), 4) AS avg_qty,
          round(avg(l_extendedprice), 4) AS avg_price,
          round(avg(l_discount), 4) AS avg_disc,

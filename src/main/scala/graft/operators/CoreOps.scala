@@ -57,15 +57,18 @@ object CoreOps extends OpFamily {
       .limit(25)
 
   /** Job merging (MRDP ch.6): one filtered pass over the input feeds two
-    * different aggregations, materialized once via persist() and re-read
-    * from cache by the second branch — the "share one scan across jobs"
+    * different aggregations, materialized once via localCheckpoint() and
+    * re-read by the second branch — the "share one scan across jobs"
     * pattern that in the reference needs manual intermediate files.
+    * localCheckpoint (not persist): its blocks are released by the
+    * ContextCleaner when the plan is GC'd, so repeated Verify/Bench calls
+    * in one long-lived session don't accumulate cached copies.
     */
   def sharedScanMultiOutput(s: SparkSession, d: String): DataFrame = {
     val base = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value"))
-      .persist()
+      .localCheckpoint()
     val byUser = base.groupBy(col("user_id").cast("string").as("key"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))

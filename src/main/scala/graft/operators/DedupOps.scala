@@ -262,11 +262,15 @@ object DedupOps extends OpFamily {
   def nearDupClusters(s: SparkSession, d: String): DataFrame =
     clusterPairsOn(nearJaccard(s, d).select(col("a"), col("b")))
 
-  /** Generalized connected components over any (a, b) pair DataFrame —
-    * the [[graft.api.Graft.clusterPairs]] core.
+  /** Generalized connected components over any pair DataFrame with edge
+    * columns `aCol`/`bCol` — the [[graft.api.Graft.clusterPairs]] core.
+    * Rounds are bounded by component diameter; exceeding `maxRounds` without
+    * a fixpoint throws rather than silently returning wrong cluster ids.
     */
-  private[graft] def clusterPairsOn(pairDf: DataFrame): DataFrame = {
-    val pairs = pairDf.select(col("a"), col("b")).localCheckpoint()
+  private[graft] def clusterPairsOn(pairDf: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxRounds: Int = 20): DataFrame = {
+    val pairs = pairDf.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
     val sym = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .unionByName(pairs.select(col("a"), col("a").as("b")))
@@ -279,7 +283,7 @@ object DedupOps extends OpFamily {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val next = sym
         .join(labels.select(col("x").as("y"), col("lbl")), Seq("y"))
         .groupBy(col("x")).agg(min(col("lbl")).as("lbl"))
@@ -291,6 +295,10 @@ object DedupOps extends OpFamily {
       converged = changed == 0
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs: label propagation did not converge in $maxRounds " +
+          "rounds — a component's diameter exceeds the cap; raise maxRounds")
     labels.select(col("x").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

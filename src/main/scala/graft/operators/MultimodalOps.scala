@@ -103,7 +103,7 @@ object MultimodalOps extends OpFamily {
          FROM documents ORDER BY asset_id""",
     "mm_frame_sample" ->
       """SELECT doc_id AS asset_id, count(*) AS n_sampled,
-           sum(octet_length(encode(frame))) AS sampled_bytes,
+           CAST(sum(octet_length(encode(frame))) AS BIGINT) AS sampled_bytes,
            min(substring(base64(encode(frame)), 1, 8)) AS min_frame_b64
          FROM (
            SELECT doc_id, unnest(list_transform(

@@ -101,14 +101,19 @@ object ScalarOps extends OpFamily {
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(dbl, 1).as("first_elem"),
-        slice(dbl, 1, 4).as("head4"),
+        // scalar projections of slice() results: the gate's pandas compare
+        // cannot sort rows containing array cells, so surface elements
+        element_at(slice(dbl, 1, 4), 2).as("head4_2"),
+        element_at(slice(dbl, 1, 4), 4).as("head4_4"),
         array_max(dbl).as("amax"),
         array_min(dbl).as("amin"),
         aggregate(dbl, lit(0.0), _ + _).as("asum"),
         size(filter(dbl, _ > 0.0)).as("n_pos"),
         array_position(dbl, array_max(dbl)).as("argmax_pos"),
         array_contains(dbl, array_max(dbl)).as("has_max"),
-        slice(sort_array(dbl, asc = false), 1, 3).as("top3"))
+        element_at(slice(sort_array(dbl, asc = false), 1, 3), 3).as("top3_3"),
+        aggregate(zip_with(dbl, reverse(dbl), _ * _), lit(0.0), _ + _)
+          .as("dot_rev"))
       .orderBy(col("vec_id"))
   }
 
@@ -198,13 +203,15 @@ object ScalarOps extends OpFamily {
          FROM events WHERE event_id < 5000 ORDER BY event_id""",
     "fn_array" ->
       """SELECT vec_id, len(embedding) AS dim,
-           e[1] AS first_elem, e[1:4] AS head4,
+           e[1] AS first_elem, e[1:4][2] AS head4_2, e[1:4][4] AS head4_4,
            list_max(e) AS amax, list_min(e) AS amin,
            list_sum(e) AS asum,
            len(list_filter(e, x -> x > 0.0)) AS n_pos,
            list_position(e, list_max(e)) AS argmax_pos,
            list_contains(e, list_max(e)) AS has_max,
-           list_reverse_sort(e)[1:3] AS top3
+           list_reverse_sort(e)[1:3][3] AS top3_3,
+           list_sum(list_transform(range(1, len(e) + 1),
+             i -> e[i] * e[len(e) + 1 - i])) AS dot_rev
          FROM (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings)
          WHERE vec_id < 500 ORDER BY vec_id""",

@@ -33,11 +33,18 @@ object TextOps extends OpFamily {
     */
   private[graft] def shingles3(w: Column): Column = shinglesN(w, 3)
 
-  /** Word n-shingles with the same single-evaluation binding. */
+  /** Word n-shingles with the same single-evaluation binding.
+    *
+    * Docs with fewer than n tokens yield an EMPTY array: without the guard,
+    * `sequence(1, size-(n-1))` has end ≤ 0 and Spark generates a DESCENDING
+    * sequence (default step −1), so `element_at(wv, 0)` is reached and
+    * throws "SQL array indices start at 1".
+    */
   private[graft] def shinglesN(w: Column, n: Int): Column =
     element_at(transform(array(w), wv =>
-      transform(sequence(lit(1), size(wv) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(wv, i + o)): _*))), 1)
+      when(size(wv) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(wv) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(wv, i + o)): _*)))), 1)
 
   /** Token statistics: whitespace vs regex tokenization, avg token length. */
   def tokenStats(s: SparkSession, d: String): DataFrame =

@@ -29,11 +29,19 @@ class GraftApiSpec extends AnyFunSuite {
 
   test("nearDuplicatePairs finds exact and truncation near-dups") {
     val pairs = Graft.nearDuplicatePairs(docs, "my_id", "body", 0.3)
-      .select(col("my_id_a"), col("my_id_b")).collect()
+      .select(col("a"), col("b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)), "exact copy must be a pair")
     assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
       "truncated copy must pair with an original")
+  }
+
+  test("README pipeline: clusterPairs composes directly on nearDuplicatePairs") {
+    val clusters = Graft.clusterPairs(
+        Graft.nearDuplicatePairs(docs, "my_id", "body", 0.3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1, 2, 4 are one near-dup component; min id labels the cluster
+    assert(clusters(1L) === 1L && clusters(4L) === 1L && clusters(2L) === 1L)
   }
 
   test("clusterPairs merges transitive near-dups into one cluster") {

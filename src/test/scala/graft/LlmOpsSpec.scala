@@ -52,6 +52,19 @@ class LlmOpsSpec extends AnyFunSuite {
       s"mllib found ${inter.toInt} of ${hand.size} hand-rolled pairs")
   }
 
+  test("shinglesN on docs shorter than n yields empty arrays, not a crash") {
+    import TestSpark.spark.implicits._
+    val docs = Seq((1L, "just four tiny words"), (2L, "ab"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val sh5 = docs.select(col("doc_id"),
+      graft.operators.TextOps.shinglesN(split(col("text"), " "), 5).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh5(1L).isEmpty, "4-token doc has no 5-gram")
+    assert(sh5(2L).isEmpty, "1-token doc has no 5-gram")
+    assert(sh5(3L) === Seq("one two three four five", "two three four five six",
+      "three four five six seven"))
+  }
+
   test("simhash of identical text is identical (hamming 0)") {
     val docs = TestSpark.spark.read.parquet(s"$sf/documents.parquet")
     val copies = docs.select(col("doc_id"), col("text"))
