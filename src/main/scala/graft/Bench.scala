@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench main: times every registered query (fn(spark, sfDir).count()) and
+  * prints ONE compact JSON line. `value` is the wall total over ALL queries;
+  * the `queries` map is limited to the BASELINE.md headline anchors plus the
+  * five slowest others so the line stays well under the driver's stdout tail
+  * capture (round 1 emitted all 73 timings ≈ 2.4 KB and the line was
+  * truncated before its start, recording `parsed: null`).
+  */
 object Bench {
+  /** Registry names matching the 8 measured anchor queries in BASELINE.md. */
+  private val headline = Seq(
+    "agg_q1_pricing_summary", // q1 pricing summary
+    "join_3way_topk",         // q3 join3 topk
+    "join_5way_star",         // q5 star join
+    "win_rank_dense",         // window rank
+    "stream_tumbling",        // hourly event agg
+    "agg_count_distinct",     // distinct users
+    "agg_wordcount",          // doc wordcount
+    "sim_top_pairs")          // cosine pairs
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,7 +28,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // one throwaway job so JVM/codegen warm-up isn't billed to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -17,10 +36,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val slowest = results.filterNot(r => headline.contains(r._1))
+      .sortBy(-_._2).take(5).map(_._1)
+    val shown = results.filter { case (n, _) =>
+      headline.contains(n) || slowest.contains(n) }
+    val qs = shown.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -281,6 +281,13 @@ object DedupOps extends OpFamily {
     var labels = sym.select(col("x")).distinct()
       .select(col("x"), col("x").as("lbl"))
       .localCheckpoint()
+    // Convergence check exploits monotonicity: min-propagation can only
+    // DECREASE labels, so the fixpoint is reached exactly when sum(lbl)
+    // stops falling — one cheap aggregate per round instead of a
+    // next⋈previous join + count.
+    def lblSum(df: DataFrame): java.math.BigDecimal = // decimal: no overflow
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var labelSum = lblSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -288,11 +295,10 @@ object DedupOps extends OpFamily {
         .join(labels.select(col("x").as("y"), col("lbl")), Seq("y"))
         .groupBy(col("x")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("x"), col("lbl").as("old")), Seq("x"))
-        .filter(col("lbl") =!= col("old")).count()
+      val nextSum = lblSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(labelSum) == 0
+      labelSum = nextSum
       rounds += 1
     }
     if (!converged)

@@ -51,9 +51,26 @@ object FilterOps extends OpFamily {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Deterministic 10% Bernoulli sample by multiplicative hash of the row
+    * key — unlike [[sampleSeeded]] this replays identically in ANY engine
+    * (oracle-checked), which is the property a repeatable 100 TB pipeline
+    * actually wants from its sampling stage: re-runs, backfills, and
+    * downstream joins all see the same sample.
+    */
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(pmod(col("l_orderkey") * 2654435761L +
+        col("l_linenumber") * 40503L, lit(1000)) < 100)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
   val queries = Map(
     "filter_bloom_semi_join" -> (bloomSemiJoin _),
-    "filter_sample_seeded" -> (sampleSeeded _))
+    "filter_sample_seeded" -> (sampleSeeded _),
+    "filter_sample_hash" -> (sampleHash _))
 
   val oracle = Map(
     "filter_bloom_semi_join" ->
@@ -63,5 +80,11 @@ object FilterOps extends OpFamily {
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_orderkey = l_orderkey
                          AND o_totalprice > 300000)
-         GROUP BY l_orderkey ORDER BY l_orderkey""")
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "filter_sample_hash" ->
+      """SELECT l_returnflag, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 1000 < 100
+         GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

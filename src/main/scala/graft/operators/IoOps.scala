@@ -90,6 +90,10 @@ object IoOps extends OpFamily {
     Tables.events(s, d)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .select(col("event_id"), col("event_type"), col("value"), col("day"))
+      // co-locate each day before the write: otherwise every task writes a
+      // file into every day directory (tasks × days tiny files — the classic
+      // partitioned-write smell that kills list/commit time at lake scale)
+      .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(path)
     s.read.parquet(path)
       .filter(col("day") === "2024-01-05") // partition-pruned scan
@@ -107,11 +111,16 @@ object IoOps extends OpFamily {
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
     val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-    // external bucketed tables (explicit path keeps the warehouse in /tmp)
-    o.write.mode("overwrite").option("path", s"$ioRoot/warehouse/orders_b")
+    // external bucketed tables (explicit path keeps the warehouse in /tmp).
+    // repartition on the bucket key first: Spark's bucket assignment uses
+    // the same hash family, so each task then owns whole buckets and writes
+    // one file per bucket instead of tasks × buckets files
+    o.repartition(8, col("o_orderkey"))
+      .write.mode("overwrite").option("path", s"$ioRoot/warehouse/orders_b")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_orders_b")
-    l.write.mode("overwrite").option("path", s"$ioRoot/warehouse/lineitem_b")
+    l.repartition(8, col("l_orderkey"))
+      .write.mode("overwrite").option("path", s"$ioRoot/warehouse/lineitem_b")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_lineitem_b")
     // "merge" hint pins SortMergeJoin: both sides are bucketed+sorted on

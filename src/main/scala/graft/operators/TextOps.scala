@@ -179,8 +179,68 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** PII-style redaction sweep: mask digit runs and user/email-ish tokens,
+    * report per-doc redaction counts plus a masked preview — the standard
+    * pre-training scrub stage (regex-only here; a production pipeline would
+    * chain NER on top). Narrow per-row work, no shuffle.
+    */
+  def redact(s: SparkSession, d: String): DataFrame = {
+    val masked = regexp_replace(
+      regexp_replace(col("text"), "[a-z]+[0-9]+[a-z0-9]*", "<ID>"),
+      "[0-9]+", "<NUM>")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+[0-9]+[a-z0-9]*', 0)"))
+          .as("n_idlike"),
+        size(expr("regexp_extract_all(regexp_replace(text, " +
+          "'[a-z]+[0-9]+[a-z0-9]*', '<ID>'), '[0-9]+', 0)")).as("n_nums"),
+        substring(masked, 1, 60).as("masked_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition ratio: share of repeated word trigrams per document —
+    * the boilerplate/spam signal used by quality filters (high ratio =
+    * templated or looping text).
+    */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles3(toks).as("tg"))
+      .select(col("doc_id"),
+        size(col("tg")).as("n_trigrams"),
+        size(array_distinct(col("tg"))).as("n_distinct"))
+      .withColumn("repetition_ratio",
+        when(col("n_trigrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+
+  /** Per-language stopword-density profile: corpus-level aggregate of each
+    * language's marker-word density — the table a language-filter threshold
+    * is tuned from. Bounded output (one row per lang), map-side partials.
+    */
+  def stopwordDensity(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "el", "la", "der",
+      "die", "le", "les", "de")
+    val isStop = (w: Column) => w.isin(stop.map(x => x: Any): _*)
+    Tables.documents(s, d)
+      .select(col("lang"), toks.as("w"))
+      .select(col("lang"), size(col("w")).as("n"),
+        size(filter(col("w"), isStop)).as("n_stop"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("bigint").as("n_tokens"),
+        sum(col("n_stop")).cast("bigint").as("n_stopwords"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n")), 6)
+          .as("stopword_density"))
+      .orderBy(col("lang"))
+  }
+
   val queries = Map(
     "text_contamination" -> (contamination _),
+    "text_redact" -> (redact _),
+    "text_repetition" -> (repetition _),
+    "text_stopword_density" -> (stopwordDensity _),
     "text_token_stats" -> (tokenStats _),
     "text_langid" -> (langId _),
     "text_quality" -> (qualityScore _),
@@ -189,6 +249,36 @@ object TextOps extends OpFamily {
     "text_tfidf_top" -> (tfidfTop _))
 
   val oracle = Map(
+    "text_redact" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+[0-9]+[a-z0-9]*')) AS n_idlike,
+           len(regexp_extract_all(regexp_replace(text,
+             '[a-z]+[0-9]+[a-z0-9]*', '<ID>', 'g'), '[0-9]+')) AS n_nums,
+           substring(regexp_replace(regexp_replace(text,
+             '[a-z]+[0-9]+[a-z0-9]*', '<ID>', 'g'),
+             '[0-9]+', '<NUM>', 'g'), 1, 60) AS masked_head
+         FROM documents ORDER BY doc_id""",
+    "text_repetition" ->
+      """SELECT doc_id, len(tg) AS n_trigrams,
+           len(list_distinct(tg)) AS n_distinct,
+           CASE WHEN len(tg) > 0
+             THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+             ELSE 0.0 END AS repetition_ratio
+         FROM (SELECT doc_id, list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+               FROM (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents))
+         ORDER BY doc_id""",
+    "text_stopword_density" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(n_stop) AS BIGINT) AS n_stopwords,
+           round(CAST(sum(n_stop) AS DOUBLE) / sum(n), 6) AS stopword_density
+         FROM (SELECT lang, len(w) AS n,
+             len(list_filter(w, x -> x IN ('the','a','of','and','to','in',
+               'el','la','der','die','le','les','de'))) AS n_stop
+           FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+         GROUP BY lang ORDER BY lang""",
     "text_contamination" ->
       """WITH sh AS (SELECT doc_id,
              unnest(list_transform(range(1, len(w) - 3),
