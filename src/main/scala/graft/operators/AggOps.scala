@@ -125,6 +125,30 @@ object AggOps extends OpFamily {
       .orderBy(desc("n"), asc("word"))
       .limit(20)
 
+  /** Heavy hitters via Count-min sketch PRE-FILTER + exact verification —
+    * the same sketch-then-verify shape as [[FilterOps.bloomSemiJoin]]: the
+    * CMS (one distributed pass, driver-merged, broadcast back) prunes the
+    * token stream to candidate frequent words before the exact count. CMS
+    * never underestimates, so candidates ⊇ truth and the exact filter
+    * removes false positives — output is EXACT (oracle-checked), while at
+    * 100 TB the shuffle carries only words the sketch thinks are frequent
+    * instead of the whole vocabulary.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val thr = words.count() / 30 // heavy = above ~1/30 of the token stream
+    val cms = words.stat.countMinSketch("word", 0.0001, 0.99, 42)
+    val cmsB = s.sparkContext.broadcast(cms)
+    val estimate = udf((w: String) => cmsB.value.estimateCount(w))
+    words
+      .filter(estimate(col("word")) >= thr) // sketch prefilter (no misses)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= thr)              // exact verification
+      .orderBy(desc("n"), col("word"))
+  }
+
   /** Inverted index (MRDP ch.2): term → sorted posting list, plus document
     * frequency. Postings are truncated to the first 10 doc ids and surfaced
     * as a comma-joined string so the oracle hash-compare is exact and
@@ -164,6 +188,7 @@ object AggOps extends OpFamily {
     "agg_cube" -> (cubeStatusYear _),
     "agg_rollup" -> (rollupYearMonth _),
     "agg_wordcount" -> (wordcount _),
+    "agg_heavy_hitters" -> (heavyHitters _),
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
@@ -224,6 +249,15 @@ object AggOps extends OpFamily {
       """SELECT word, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "agg_heavy_hitters" ->
+      """WITH w AS (
+           SELECT word FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word <> ''),
+         thr AS (SELECT count(*) // 30 AS t FROM w)
+         SELECT word, count(*) AS n FROM w
+         GROUP BY word HAVING count(*) >= (SELECT t FROM thr)
+         ORDER BY n DESC, word""",
     "agg_inverted_index" ->
       """SELECT term, count(DISTINCT doc_id) AS df,
          array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS postings10

@@ -236,7 +236,11 @@ object DedupOps extends OpFamily {
         TextOps.shingles3(TextOps.toks).as("tokens")) // shingle-set jaccard
     val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
       .setBinary(true).fit(docs)
+    // localCheckpoint: the vectorized frame is consumed three times (LSH
+    // fit + both sides of approxSimilarityJoin) — without it each consumer
+    // re-runs the shingle + CountVectorizer-transform chain
     val vectorized = cv.transform(docs).select(col("doc_id"), col("tf"))
+      .localCheckpoint()
     val lsh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
       .setNumHashTables(8).setSeed(42)
     val model = lsh.fit(vectorized)

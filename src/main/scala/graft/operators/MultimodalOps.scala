@@ -84,6 +84,31 @@ object MultimodalOps extends OpFamily {
       .orderBy(col("asset_id"))
   }
 
+  /** Decode → aggregate composition: the stub-decoded per-asset features
+    * rolled up per language — the "extract features, then profile the
+    * corpus" pipeline. The stub's width/height derivations are pure
+    * functions of payload size, so unlike the checksum this stage IS
+    * SQL-replayable and oracle-checked end-to-end through mapPartitions.
+    */
+  def decodeAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    assets(s, d)
+      .select(col("asset_id"), col("payload"), col("meta.lang").as("lang"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, lang) =>
+          // --- STUB: same fake decoder as decodeStub ---
+          (id, lang, 64 + (bytes.length % 640), 64 + ((bytes.length * 7) % 480))
+        }
+      }
+      .toDF("asset_id", "lang", "stub_width", "stub_height")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("stub_width")).cast("bigint").as("sum_w"),
+        (sum(col("stub_height")).cast("double") / count(lit(1))).as("avg_h"))
+      .orderBy(col("lang"))
+  }
+
   /** named payload column → array of 32-byte frames (pure SQL expression). */
   private def binaryFrames32(p: String) =
     expr(s"""transform(
@@ -93,6 +118,7 @@ object MultimodalOps extends OpFamily {
   val queries = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_decode_stub" -> (decodeStub _),
+    "mm_decode_agg" -> (decodeAgg _),
     "mm_frame_sample" -> (frameSample _))
 
   val oracle = Map(
@@ -101,6 +127,13 @@ object MultimodalOps extends OpFamily {
            n_chars AS n_bytes_declared, md5(text) AS content_md5,
            substring(base64(encode(text)), 1, 24) AS b64_head, lang
          FROM documents ORDER BY asset_id""",
+    "mm_decode_agg" ->
+      """SELECT lang, count(*) AS n_assets,
+           CAST(sum(64 + (octet_length(encode(text)) % 640)) AS BIGINT)
+             AS sum_w,
+           CAST(sum(64 + ((octet_length(encode(text)) * 7) % 480)) AS DOUBLE)
+             / count(*) AS avg_h
+         FROM documents GROUP BY lang ORDER BY lang""",
     "mm_frame_sample" ->
       """SELECT doc_id AS asset_id, count(*) AS n_sampled,
            CAST(sum(octet_length(encode(frame))) AS BIGINT) AS sampled_bytes,

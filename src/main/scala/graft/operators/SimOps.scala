@@ -120,6 +120,26 @@ object SimOps extends OpFamily {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Per-label centroid of the first 4 embedding dimensions — the vector
+    * AGGREGATE the IVF/clustering scale path is built from, made
+    * engine-exact by summing on a floor-quantized 1e-6 grid (integer
+    * micro-units): float sums are order-dependent, integer sums are not,
+    * so this is oracle-checked where a raw double mean could not be.
+    * Bounded output (labels × 4 dims); map-side partial aggregation.
+    */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("pos", "x")))
+      .filter(col("pos") < 4)
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * 1e6).cast("long")).as("sum_micro"))
+      .select(col("label"), col("pos"), col("n"),
+        (col("sum_micro").cast("double") / col("n") / 1e6).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
   /** Top-20 most-similar intra-label pairs (blocked all-pairs top-k). */
   def topPairsIntraLabel(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -190,6 +210,7 @@ object SimOps extends OpFamily {
     "sim_knn_exact" -> (knnExact _),
     "sim_knn_ivf" -> (knnIvf _),
     "sim_knn_rplsh" -> (knnRpLsh _),
+    "sim_label_centroids" -> (labelCentroids _),
     "sim_top_pairs" -> (topPairsIntraLabel _))
 
   val oracle = Map(
@@ -204,6 +225,13 @@ object SimOps extends OpFamily {
            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
            WHERE q.vec_id < 10)
          WHERE rank <= 5 ORDER BY qid, rank""",
+    "sim_label_centroids" ->
+      """SELECT label, pos, count(*) AS n,
+           CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e6 AS centroid
+         FROM (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+               FROM embeddings, unnest(range(1, 5)) AS t(i))
+         GROUP BY label, pos ORDER BY label, pos""",
     "sim_top_pairs" ->
       """SELECT a.label, a.vec_id AS a, b.vec_id AS b,
            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
