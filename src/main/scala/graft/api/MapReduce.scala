@@ -1,0 +1,70 @@
+package graft.api
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.util.LongAccumulator
+
+/** Source-compatible MapReduce surface: the reference engine's entry point
+  * (`mapreduce(input, mapper, reducer[, combiner])` over user-supplied
+  * functions) re-expressed on Datasets, so mapper/reducer code ports 1:1
+  * while Spark plans the shuffle.
+  *
+  * This is the ONLY place in graft that deliberately uses the typed
+  * lambda path instead of Column expressions: its entire point is to run
+  * arbitrary user functions, exactly like the reference. Everything that
+  * has a declarative formulation belongs in the operator families, which
+  * Catalyst can optimize; this shim is the escape hatch with MR semantics.
+  *
+  * Scale notes: the shuffle is `groupByKey` (hash partition by key, the MR
+  * contract); the optional combiner runs per input partition BEFORE the
+  * shuffle (map-side combine, MRDP ch.2) over an in-memory hash of that
+  * partition's keys — same memory model as Hadoop's in-mapper combining,
+  * bounded by distinct keys per partition, spill-free because map
+  * partitions are bounded by `maxPartitionBytes`.
+  */
+object MapReduce {
+
+  /** `map(k1,v1) → list(k2,v2)`; shuffle by k2; `reduce(k2, values) →
+    * list(out)` — Dean & Ghemawat's contract, verbatim.
+    */
+  def mapReduce[I, K, V, O](
+      input: Dataset[I],
+      mapper: I => IterableOnce[(K, V)],
+      reducer: (K, Iterator[V]) => IterableOnce[O],
+      combiner: Option[(K, Iterator[V]) => IterableOnce[V]] = None)(
+      implicit kev: Encoder[(K, V)], ke: Encoder[K],
+      oe: Encoder[O]): Dataset[O] = {
+    val mapped = input.flatMap(mapper)
+    val preShuffle = combiner match {
+      case None => mapped
+      case Some(c) =>
+        mapped.mapPartitions { it =>
+          val groups = mutable.LinkedHashMap.empty[K, mutable.ArrayBuffer[V]]
+          it.foreach { case (k, v) =>
+            groups.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V]) += v
+          }
+          groups.iterator.flatMap { case (k, vs) =>
+            c(k, vs.iterator).iterator.map(k -> _)
+          }
+        }
+    }
+    preShuffle
+      .groupByKey(_._1)(ke)
+      .flatMapGroups((k: K, rows: Iterator[(K, V)]) =>
+        reducer(k, rows.map(_._2)).iterator)(oe)
+  }
+
+  /** MR job counters (the reference's side-stats surface): named
+    * LongAccumulators incremented from task-side code, read on the driver.
+    */
+  final class Counters(ds: Dataset[_]) {
+    private val sc = ds.sparkSession.sparkContext
+    private val acc = mutable.Map.empty[String, LongAccumulator]
+    def counter(name: String): LongAccumulator =
+      acc.getOrElseUpdate(name, sc.longAccumulator(name))
+    def value(name: String): Long = acc(name).value
+  }
+
+  def counters(ds: Dataset[_]): Counters = new Counters(ds)
+}

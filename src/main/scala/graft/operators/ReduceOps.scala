@@ -83,11 +83,37 @@ object ReduceOps extends OpFamily {
     * actually optimize. Kept as the oracle twin for [[longestStreak]].
     */
 
+  /** The reference's literal entry point, gate-checked: wordcount written
+    * as `mapreduce(docs, mapper, reducer, combiner)` through the
+    * [[graft.api.MapReduce]] shim (arbitrary user lambdas, map-side
+    * combine, groupByKey shuffle), then top-20 — the exact program a
+    * reference user would port first, verified against the same oracle
+    * as the declarative [[AggOps.wordcount]].
+    */
+  def mrWordcount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("text")).as[String]
+    graft.api.MapReduce.mapReduce[String, String, Long, (String, Long)](
+      docs,
+      mapper = line => line.split(" ").iterator
+        .filter(_.nonEmpty).map(_ -> 1L),
+      reducer = (word, counts) => Iterator(word -> counts.sum),
+      combiner = Some((_, counts) => Iterator(counts.sum)))
+      .toDF("word", "n")
+      .orderBy(desc("n"), col("word"))
+      .limit(20)
+  }
+
   val queries = Map(
     "reduce_weighted_avg" -> (weightedAvg _),
+    "reduce_mr_wordcount" -> (mrWordcount _),
     "reduce_longest_streak" -> (longestStreak _))
 
   val oracle = Map(
+    "reduce_mr_wordcount" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
     "reduce_weighted_avg" ->
       """SELECT l_returnflag,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *

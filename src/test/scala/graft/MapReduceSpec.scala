@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.MapReduce
+
+/** The source-compatible mapreduce() shim: the reference's entry point over
+  * arbitrary user lambdas, checked against the declarative formulations of
+  * the same programs.
+  */
+class MapReduceSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val lines = Seq(
+    "a b b c", "c c c", "a b", "", "d d a"
+  ).toDS()
+
+  test("mapreduce wordcount equals the declarative groupBy count") {
+    val mr = MapReduce.mapReduce[String, String, Long, (String, Long)](
+      lines,
+      mapper = l => l.split(" ").iterator.filter(_.nonEmpty).map(_ -> 1L),
+      reducer = (w, vs) => Iterator(w -> vs.sum))
+      .collect().toMap
+    val sql = lines.select(explode(split(col("value"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mr === sql)
+  }
+
+  test("map-side combiner does not change the result (combiner law)") {
+    def run(c: Option[(String, Iterator[Long]) => IterableOnce[Long]]) =
+      MapReduce.mapReduce[String, String, Long, (String, Long)](
+        lines.repartition(3),
+        mapper = l => l.split(" ").iterator.filter(_.nonEmpty).map(_ -> 1L),
+        reducer = (w, vs) => Iterator(w -> vs.sum),
+        combiner = c)
+        .collect().toMap
+    assert(run(None) === run(Some((_, vs) => Iterator(vs.sum))))
+  }
+
+  test("reducer can emit zero or many records per key (full MR contract)") {
+    val out = MapReduce.mapReduce[String, String, Long, String](
+      lines,
+      mapper = l => l.split(" ").iterator.filter(_.nonEmpty).map(_ -> 1L),
+      reducer = (w, vs) => {
+        val n = vs.sum
+        if (n < 2) Iterator.empty else Iterator.fill(2)(s"$w:$n")
+      })
+      .collect().sorted
+    // a=3, b=3, c=4 appear twice each; d=2 twice; singletons dropped
+    assert(out === Seq("a:3", "a:3", "b:3", "b:3", "c:4", "c:4", "d:2", "d:2"))
+  }
+
+  test("counters accumulate task-side increments like MR job counters") {
+    val cs = MapReduce.counters(lines)
+    val bad = cs.counter("malformed")
+    val n = lines.mapPartitions { it =>
+      it.map { l => if (l.isEmpty) bad.add(1); l }
+    }.count()
+    assert(n === 5)
+    assert(cs.value("malformed") === 1)
+  }
+
+  test("chained jobs: output of one mapreduce feeds the next") {
+    // job 1: wordcount; job 2: histogram of counts
+    val counts = MapReduce.mapReduce[String, String, Long, (String, Long)](
+      lines,
+      mapper = l => l.split(" ").iterator.filter(_.nonEmpty).map(_ -> 1L),
+      reducer = (w, vs) => Iterator(w -> vs.sum))
+    val hist = MapReduce.mapReduce[(String, Long), Long, Long, (Long, Long)](
+      counts,
+      mapper = kv => Iterator(kv._2 -> 1L),
+      reducer = (n, vs) => Iterator(n -> vs.sum))
+      .collect().toMap
+    assert(hist === Map(2L -> 1L, 3L -> 2L, 4L -> 1L)) // d=2; a,b=3; c=4
+  }
+}
