@@ -107,4 +107,37 @@ object Graft {
     df.select(col(id), md5(normalized).as("fp_md5"),
       substring(sha2(normalized, 256), 1, 16).as("fp64"))
   }
+
+  /** PII-style masking: digit runs and id-like tokens replaced by
+    * placeholder tags, with per-row match counts.
+    */
+  def redact(df: DataFrame, id: String, text: String): DataFrame = {
+    val idLike = "[a-z]+[0-9]+[a-z0-9]*"
+    df.select(col(id),
+      size(expr(s"regexp_extract_all($text, '$idLike', 0)")).as("n_idlike"),
+      size(expr(s"regexp_extract_all(regexp_replace($text, '$idLike', " +
+        "'<ID>'), '[0-9]+', 0)")).as("n_nums"),
+      regexp_replace(regexp_replace(col(text), idLike, "<ID>"),
+        "[0-9]+", "<NUM>").as("masked"))
+  }
+
+  /** Repeated-trigram boilerplate ratio per document (0 = all distinct). */
+  def repetitionRatio(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+        graft.operators.TextOps.shingles3(toks(text)).as("tg"))
+      .select(col(id), size(col("tg")).as("n_trigrams"),
+        size(array_distinct(col("tg"))).as("n_distinct"))
+      .withColumn("repetition_ratio",
+        when(col("n_trigrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams"))
+          .otherwise(lit(0.0)))
+
+  /** Whitespace / alpha / BPE-ish token counts per document. */
+  def tokenCounts(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+      size(toks(text)).as("n_tokens"),
+      size(expr(s"regexp_extract_all($text, '[a-z]+', 0)"))
+        .as("n_alpha_tokens"),
+      size(expr(s"regexp_extract_all($text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .as("n_bpe_tokens"))
 }

@@ -55,6 +55,50 @@ object MapReduce {
         reducer(k, rows.map(_._2)).iterator)(oe)
   }
 
+  /** Secondary sort (MRDP ch.4 composite-key pattern): the reducer sees
+    * each key's values in ascending value order (Spark's natural column
+    * ordering of V). Implemented the way Hadoop does it —
+    * partition by key, sort WITHIN partitions by (key, value), then a
+    * single streaming pass groups consecutive equal keys — so no group is
+    * ever collected into memory: the reducer consumes a lazy iterator in
+    * sort order, which is what makes giant keys (the reason secondary sort
+    * exists) safe at scale.
+    */
+  def mapReduceSorted[I, K, V, O](
+      input: Dataset[I],
+      mapper: I => IterableOnce[(K, V)],
+      reducer: (K, Iterator[V]) => IterableOnce[O],
+      numPartitions: Int = 0)(
+      implicit kev: Encoder[(K, V)], oe: Encoder[O]): Dataset[O] = {
+    import org.apache.spark.sql.functions.col
+    val mapped = input.flatMap(mapper)
+    val parts = if (numPartitions > 0) numPartitions
+      else mapped.sparkSession.sessionState.conf.numShufflePartitions
+    mapped
+      .repartition(parts, col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .mapPartitions { (it: Iterator[(K, V)]) =>
+        val rows = it.buffered
+        new Iterator[O] {
+          private var out: Iterator[O] = Iterator.empty
+          @annotation.tailrec
+          private def advance(): Unit =
+            if (!out.hasNext && rows.hasNext) {
+              val k = rows.head._1
+              val vs = new Iterator[V] {
+                def hasNext = rows.hasNext && rows.head._1 == k
+                def next() = rows.next()._2
+              }
+              out = reducer(k, vs).iterator
+              while (vs.hasNext) vs.next() // drain if reducer stopped early
+              advance()
+            }
+          def hasNext = { advance(); out.hasNext }
+          def next() = { advance(); out.next() }
+        }
+      }
+  }
+
   /** MR job counters (the reference's side-stats surface): named
     * LongAccumulators incremented from task-side code, read on the driver.
     */

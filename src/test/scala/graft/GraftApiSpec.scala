@@ -64,6 +64,34 @@ class GraftApiSpec extends AnyFunSuite {
       s"expected nearest=11 then 12, got ${out.toSeq}")
   }
 
+  test("redact masks digits and id-like tokens with counts") {
+    val rows = Seq((1L, "user42 paid 100 dollars"), (2L, "clean text"))
+      .toDF("my_id", "body")
+    val out = Graft.redact(rows, "my_id", "body").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("masked") === "<ID> paid <NUM> dollars")
+    assert(out(1L).getAs[Int]("n_idlike") === 1)
+    assert(out(1L).getAs[Int]("n_nums") === 1)
+    assert(out(2L).getAs[String]("masked") === "clean text")
+  }
+
+  test("repetitionRatio is 0 for distinct trigrams, high for loops") {
+    val rows = Seq((1L, "a b c d e f"), (2L, "x y x y x y x y x y"))
+      .toDF("my_id", "body")
+    val out = Graft.repetitionRatio(rows, "my_id", "body").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("repetition_ratio")).toMap
+    assert(out(1L) === 0.0)
+    assert(out(2L) > 0.7, s"looping text should score high, got ${out(2L)}")
+  }
+
+  test("tokenCounts counts whitespace, alpha and BPE-ish tokens") {
+    val rows = Seq((1L, "ab 12 cd!")).toDF("my_id", "body")
+    val r = Graft.tokenCounts(rows, "my_id", "body").collect().head
+    assert(r.getAs[Int]("n_tokens") === 3)
+    assert(r.getAs[Int]("n_alpha_tokens") === 2) // ab, cd
+    assert(r.getAs[Int]("n_bpe_tokens") === 4)   // ab, 12, cd, !
+  }
+
   test("qualityScore and fingerprints run on ad-hoc columns") {
     val q = Graft.qualityScore(docs, "my_id", "body")
     assert(q.count() === 5)

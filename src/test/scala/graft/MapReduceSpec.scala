@@ -63,6 +63,34 @@ class MapReduceSpec extends AnyFunSuite {
     assert(cs.value("malformed") === 1)
   }
 
+  test("mapReduceSorted streams each key's values in order (secondary sort)") {
+    val events = Seq(
+      (1L, 5, "e"), (1L, 1, "a"), (1L, 3, "c"),
+      (2L, 2, "x"), (2L, 1, "w")
+    ).toDS()
+    val out = MapReduce.mapReduceSorted[(Long, Int, String),
+        Long, (Int, String), (Long, String)](
+      events,
+      mapper = e => Iterator(e._1 -> (e._2, e._3)),
+      reducer = (uid, vs) => Iterator(uid -> vs.map(_._2).mkString("")))
+      .collect().toMap
+    assert(out === Map(1L -> "ace", 2L -> "wx"))
+  }
+
+  test("mapReduceSorted reducer may stop early without corrupting groups") {
+    val events = Seq(
+      (1L, 2, "b"), (1L, 1, "a"), (2L, 1, "y")
+    ).toDS()
+    val out = MapReduce.mapReduceSorted[(Long, Int, String),
+        Long, (Int, String), (Long, String)](
+      events,
+      mapper = e => Iterator(e._1 -> (e._2, e._3)),
+      // take only the FIRST value per key (min by sort order)
+      reducer = (uid, vs) => Iterator(uid -> vs.next()._2))
+      .collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "y"))
+  }
+
   test("chained jobs: output of one mapreduce feeds the next") {
     // job 1: wordcount; job 2: histogram of counts
     val counts = MapReduce.mapReduce[String, String, Long, (String, Long)](
