@@ -63,6 +63,21 @@ object JoinOps extends OpFamily {
       .orderBy(col("c_custkey"))
   }
 
+  /** Right outer join: orders kept even when the (filtered) customer side
+    * has no match — the mirror of [[leftOuterOrders]], completing the
+    * inner/left/right/full equi-join family. Planner-wise identical to a
+    * left join with sides swapped; registered so the surface is explicit.
+    */
+  def rightOuterOrders(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+    val o = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "right_outer")
+      .select(o("o_orderkey"),
+        c("c_custkey").isNotNull.as("has_rich_customer"),
+        coalesce(c("c_acctbal"), lit(0.0)).as("acctbal"))
+      .orderBy(o("o_orderkey"))
+  }
+
   /** Full outer join of two derived key sets (tagged-union MR idiom). */
   def fullOuter(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("user_id").as("k")).distinct()
@@ -181,6 +196,7 @@ object JoinOps extends OpFamily {
     "join_3way_topk" -> (join3TopK _),
     "join_5way_star" -> (join5Star _),
     "join_left_outer" -> (leftOuterOrders _),
+    "join_right_outer" -> (rightOuterOrders _),
     "join_full_outer" -> (fullOuter _),
     "join_semi" -> (semiJoin _),
     "join_anti" -> (antiJoin _),
@@ -218,6 +234,13 @@ object JoinOps extends OpFamily {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey HAVING c_custkey <= 500 ORDER BY c_custkey""",
+    "join_right_outer" ->
+      """SELECT o_orderkey, c_custkey IS NOT NULL AS has_rich_customer,
+         coalesce(c_acctbal, 0.0) AS acctbal
+         FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+         RIGHT JOIN (SELECT * FROM orders WHERE o_orderkey <= 2000) o
+           ON c_custkey = o_custkey
+         ORDER BY o_orderkey""",
     "join_full_outer" ->
       """SELECT coalesce(e.k, c.k) AS k, e.k IS NOT NULL AS in_events,
          c.k IS NOT NULL AS in_customer
