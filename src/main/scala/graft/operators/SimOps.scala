@@ -206,8 +206,27 @@ object SimOps extends OpFamily {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The same top-pairs program through the plain-SQL entry point: temp
+    * view + `spark.sql` text calling the injected `graft_dot` native
+    * function — proof that a SQL-only user (or a BI tool) reaches the
+    * identical plan and results as the DataFrame API.
+    */
+  def topPairsSql(s: SparkSession, d: String): DataFrame = {
+    NativeExprs.ensureRegistered(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("graft_embeddings")
+    s.sql(
+      """WITH e AS (SELECT vec_id, label, embedding,
+             sqrt(graft_dot(embedding, embedding)) AS nrm
+           FROM graft_embeddings)
+         SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+           graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cos
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         ORDER BY cos DESC, a, b LIMIT 20""")
+  }
+
   val queries = Map(
     "sim_knn_exact" -> (knnExact _),
+    "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
@@ -232,6 +251,13 @@ object SimOps extends OpFamily {
          FROM (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
                FROM embeddings, unnest(range(1, 5)) AS t(i))
          GROUP BY label, pos ORDER BY label, pos""",
+    "sim_top_pairs_sql" ->
+      """SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) AS cos
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         ORDER BY cos DESC, a, b LIMIT 20""",
     "sim_top_pairs" ->
       """SELECT a.label, a.vec_id AS a, b.vec_id AS b,
            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
