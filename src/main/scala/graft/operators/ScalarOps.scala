@@ -39,7 +39,10 @@ object ScalarOps extends OpFamily {
         split_part(col("p_type"), lit(" "), lit(2)).as("type_word2"),
         col("p_name").like("%a%").as("has_a"),
         col("p_name").startsWith("a").as("starts_a"),
-        col("p_name").endsWith("e").as("ends_e"))
+        col("p_name").endsWith("e").as("ends_e"),
+        repeat(col("p_brand"), 2).as("brand_x2"),
+        ascii(col("p_name")).as("first_code"),
+        chr(lit(65) + (col("p_partkey") % 26)).as("letter"))
       .orderBy(col("p_partkey"))
 
   /** Date/time family: extraction, truncation, epoch, day arithmetic. */
@@ -59,7 +62,10 @@ object ScalarOps extends OpFamily {
         last_day(col("o_orderdate")).as("eom"),
         dayofweek(col("o_orderdate")).as("dow"),
         weekofyear(col("o_orderdate")).as("iso_week"),
-        add_months(col("o_orderdate"), 1).cast("date").as("next_month"))
+        add_months(col("o_orderdate"), 1).cast("date").as("next_month"),
+        date_add(col("o_orderdate"), 3).as("plus3d"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+          lit(1)).as("month_first"))
       .orderBy(col("o_orderkey"))
 
   /** Math family (only IEEE-deterministic fns — no per-row round). */
@@ -169,7 +175,10 @@ object ScalarOps extends OpFamily {
            split_part(p_type, ' ', 2) AS type_word2,
            p_name LIKE '%a%' AS has_a,
            starts_with(p_name, 'a') AS starts_a,
-           ends_with(p_name, 'e') AS ends_e
+           ends_with(p_name, 'e') AS ends_e,
+           repeat(p_brand, 2) AS brand_x2,
+           ascii(p_name) AS first_code,
+           chr(CAST(65 + (p_partkey % 26) AS INTEGER)) AS letter
          FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
     "fn_datetime" ->
       """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
@@ -180,7 +189,9 @@ object ScalarOps extends OpFamily {
            last_day(o_orderdate) AS eom,
            dayofweek(o_orderdate) + 1 AS dow,
            weekofyear(o_orderdate) AS iso_week,
-           CAST(o_orderdate + INTERVAL '1 month' AS DATE) AS next_month
+           CAST(o_orderdate + INTERVAL '1 month' AS DATE) AS next_month,
+           CAST(o_orderdate AS DATE) + 3 AS plus3d,
+           make_date(year(o_orderdate), month(o_orderdate), 1) AS month_first
          FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,

@@ -43,8 +43,13 @@ object WindowOps extends OpFamily {
     Tables.part(s, d)
       .withColumn("rk", rank().over(w))
       .withColumn("drk", dense_rank().over(w))
+      // (rank-1)/(n-1) and rows≤current/n are exact small-int divisions —
+      // bit-identical across engines, so safe in a hash-compared query
+      .withColumn("prk", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
       .filter(col("rk") <= 5)
-      .select(col("p_brand"), col("p_partkey"), col("p_size"), col("rk"), col("drk"))
+      .select(col("p_brand"), col("p_partkey"), col("p_size"), col("rk"),
+        col("drk"), col("prk"), col("cd"))
       .orderBy(col("p_brand"), desc("p_size"), col("p_partkey"))
   }
 
@@ -54,8 +59,10 @@ object WindowOps extends OpFamily {
     Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
       .select(col("event_id"), col("user_id"), col("value"),
-        (col("value") - col("prev_value")).as("delta"))
+        (col("value") - col("prev_value")).as("delta"),
+        col("next_value"))
       .orderBy(col("event_id"))
   }
 
@@ -104,7 +111,9 @@ object WindowOps extends OpFamily {
     Tables.orders(s, d)
       .withColumn("first_key", first(col("o_orderkey")).over(w))
       .withColumn("last_key", last(col("o_orderkey")).over(w))
-      .select(col("o_orderstatus"), col("first_key"), col("last_key"))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+      .select(col("o_orderstatus"), col("first_key"), col("last_key"),
+        col("second_key"))
       .distinct()
       .orderBy(col("o_orderstatus"))
   }
@@ -127,18 +136,23 @@ object WindowOps extends OpFamily {
            FROM orders)
          WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
     "win_rank_dense" ->
-      """SELECT p_brand, p_partkey, p_size, rk, drk FROM (
+      """SELECT p_brand, p_partkey, p_size, rk, drk, prk, cd FROM (
            SELECT p_brand, p_partkey, p_size,
-             rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rk,
-             dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drk
-           FROM part)
+             rank() OVER w AS rk,
+             dense_rank() OVER w AS drk,
+             percent_rank() OVER w AS prk,
+             cume_dist() OVER w AS cd
+           FROM part
+           WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC))
          WHERE rk <= 5 ORDER BY p_brand, p_size DESC, p_partkey""",
     "win_lag_delta" ->
-      """SELECT event_id, user_id, value, value - prev_value AS delta FROM (
+      """SELECT event_id, user_id, value, value - prev_value AS delta,
+           next_value FROM (
            SELECT event_id, user_id, value,
-             lag(value, 1) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS prev_value
-           FROM events WHERE event_type = 'purchase')
+             lag(value, 1) OVER w AS prev_value,
+             lead(value, 1) OVER w AS next_value
+           FROM events WHERE event_type = 'purchase'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          ORDER BY event_id""",
     "win_running_sum" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
@@ -166,7 +180,8 @@ object WindowOps extends OpFamily {
     "win_first_last" ->
       """SELECT DISTINCT o_orderstatus,
            first_value(o_orderkey) OVER w AS first_key,
-           last_value(o_orderkey) OVER w AS last_key
+           last_value(o_orderkey) OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
          FROM orders
          WINDOW w AS (PARTITION BY o_orderstatus
            ORDER BY o_orderdate, o_orderkey
