@@ -282,8 +282,10 @@ object DedupOps extends OpFamily {
       .distinct()
       .toDF("x", "y")
       .localCheckpoint()
-    var labels = sym.select(col("x")).distinct()
-      .select(col("x"), col("x").as("lbl"))
+    // sym carries self-loops, so min-over-neighbors from identity labels IS
+    // the first propagation round — initialize with one aggregate instead
+    // of a distinct + a full join round
+    var labels = sym.groupBy(col("x")).agg(min(col("y")).as("lbl"))
       .localCheckpoint()
     // Convergence check exploits monotonicity: min-propagation can only
     // DECREASE labels, so the fixpoint is reached exactly when sum(lbl)

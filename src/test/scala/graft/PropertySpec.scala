@@ -114,6 +114,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mapreduce shim law: shim wordcount equals groupBy on random corpora") {
+    val corpus: Gen[List[String]] = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    forAll(corpus, 5) { lines =>
+      val ds = lines.toDS().repartition(3)
+      val mr = graft.api.MapReduce
+        .mapReduce[String, String, Long, (String, Long)](
+          ds,
+          mapper = l => l.split(" ").iterator.filter(_.nonEmpty).map(_ -> 1L),
+          reducer = (w, vs) => Iterator(w -> vs.sum),
+          combiner = Some((_, vs) => Iterator(vs.sum)))
+        .collect().toMap
+      val expected = lines.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(mr === expected)
+    }
+  }
+
+  test("clusterPairs labels every node with its component minimum") {
+    val edges: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))
+    forAll(edges, 5) { es =>
+      val got = graft.operators.DedupOps
+        .clusterPairsOn(es.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val comps = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }
+      assert(got === comps)
+    }
+  }
+
   test("minhash jaccard estimate tracks exact jaccard on random sets") {
     // signature agreement fraction estimates jaccard; with 32 perms the
     // absolute error is within ~0.35 at 99%+ for any pair — use a planted
