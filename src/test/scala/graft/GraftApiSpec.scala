@@ -52,6 +52,15 @@ class GraftApiSpec extends AnyFunSuite {
     assert(clusters(7L) === 7L && clusters(8L) === 7L)
   }
 
+  test("clusterPairs throws (not silently wrong) when the round cap is hit") {
+    // a 5-node chain has diameter 4 > maxRounds 1
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      graft.operators.DedupOps.clusterPairsOn(chain, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("knnExact on an ad-hoc vector table ranks by cosine") {
     val vecs = Seq(
       (10L, Seq(1.0, 0.0)), (11L, Seq(0.9, 0.1)),

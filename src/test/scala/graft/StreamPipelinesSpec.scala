@@ -21,6 +21,29 @@ class StreamPipelinesSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("file SINK round trip: streamed dedup written as parquet equals batch") {
+    val dir = stageEventsDir()
+    val outDir = Files.createTempDirectory("graft_stream_sink").toFile
+    outDir.deleteOnExit()
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toFile
+    ckpt.deleteOnExit()
+    val q = StreamPipelines.dedupedEvents(StreamPipelines.readEvents(spark, dir))
+      .select(col("event_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sunk = spark.read.parquet(outDir.toString)
+    val batch = spark.read.parquet(dir).dropDuplicates("event_id")
+    assert(sunk.count() === batch.count(),
+      "file sink must carry exactly the deduped event set")
+    assert(sunk.select("event_id").distinct().count() === sunk.count(),
+      "no event_id may appear twice in the sink output")
+  }
+
   test("file-stream hourly counts equal the batch aggregation") {
     val dir = stageEventsDir()
     val q = StreamPipelines.hourlyCounts(StreamPipelines.readEvents(spark, dir))
