@@ -4,6 +4,7 @@ import graft.{OpFamily, Tables}
 import graft.functions.Num.dsum
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The summarization pattern family (SURVEY.md §2.5): keyed aggregation with
   * automatic map-side partial aggregation (the MR "combiner" — Catalyst
@@ -125,6 +126,38 @@ object AggOps extends OpFamily {
       .orderBy(desc("n"), asc("word"))
       .limit(20)
 
+  /** Explicit GROUPING SETS with grouping() markers — the general form of
+    * cube/rollup (#34): the caller picks exactly which aggregation levels
+    * exist; Expand fans each row to its sets, partial aggregation applies
+    * per set.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_orderstatus, year(o_orderdate) AS y, count(*) AS n,
+           grouping(o_orderstatus) AS g_status,
+           grouping(year(o_orderdate)) AS g_year
+         FROM graft_orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+         ORDER BY g_status, g_year, o_orderstatus NULLS FIRST, y NULLS FIRST""")
+  }
+
+  /** Salted two-phase aggregation: the hot-key mitigation for SKEWED
+    * group-bys at scale — phase 1 aggregates (key, salt) so a hot key's
+    * rows spread over 16 reducers, phase 2 merges the partials. Provably
+    * equal to the direct aggregate (the oracle IS the direct aggregate);
+    * decimal sums keep the merge order-insensitive.
+    */
+  def saltedTwoPhase(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 4))).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).cast("bigint").as("n"),
+        sum(col("pv")).cast("double").as("sum_v"))
+      .orderBy(col("event_type"))
+
   /** Heavy hitters via Count-min sketch PRE-FILTER + exact verification —
     * the same sketch-then-verify shape as [[FilterOps.bloomSemiJoin]]: the
     * CMS (one distributed pass, driver-merged, broadcast back) prunes the
@@ -189,6 +222,8 @@ object AggOps extends OpFamily {
     "agg_rollup" -> (rollupYearMonth _),
     "agg_wordcount" -> (wordcount _),
     "agg_heavy_hitters" -> (heavyHitters _),
+    "agg_grouping_sets" -> (groupingSets _),
+    "agg_salted_twophase" -> (saltedTwoPhase _),
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
@@ -249,6 +284,17 @@ object AggOps extends OpFamily {
       """SELECT word, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS y, count(*) AS n,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(year(o_orderdate)) AS g_year
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+         ORDER BY g_status, g_year, o_orderstatus NULLS FIRST, y NULLS FIRST""",
+    "agg_salted_twophase" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_heavy_hitters" ->
       """WITH w AS (
            SELECT word FROM (
