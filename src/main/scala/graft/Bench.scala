@@ -31,10 +31,16 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // one throwaway job so JVM/codegen warm-up isn't billed to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
+    // SPARK_GRAFT_REPS>1 = steady-state mode (min of N reps, amortizing
+    // per-query codegen compile); default 1 = cold, the driver's contract
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val slowest = results.filterNot(r => headline.contains(r._1))
       .sortBy(-_._2).take(5).map(_._1)
