@@ -236,8 +236,31 @@ object TextOps extends OpFamily {
       .orderBy(col("lang"))
   }
 
+  /** Sequence packing: assign documents (in stable doc_id order, per
+    * source) to consecutive 2048-token training bins by cumulative token
+    * offset, then profile each bin — the "pack short docs into fixed
+    * context windows" stage of a pretraining pipeline. The scalable
+    * deterministic variant: one window cumsum per source partition (greedy
+    * first-fit packing would serialize on the driver); bin id is a pure
+    * function of the running offset so re-runs and backfills agree.
+    */
+  def packBins(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / 2048.0)
+        .cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   val queries = Map(
     "text_contamination" -> (contamination _),
+    "text_pack_bins" -> (packBins _),
     "text_redact" -> (redact _),
     "text_repetition" -> (repetition _),
     "text_stopword_density" -> (stopwordDensity _),
@@ -249,6 +272,18 @@ object TextOps extends OpFamily {
     "text_tfidf_top" -> (tfidfTop _))
 
   val oracle = Map(
+    "text_pack_bins" ->
+      """SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc
+         FROM (SELECT doc_id, source, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) - n_tokens) / 2048.0) AS BIGINT) AS bin
+           FROM (SELECT doc_id, source, len(string_split(text, ' '))
+                   AS n_tokens
+                 FROM documents))
+         GROUP BY source, bin ORDER BY source, bin""",
     "text_redact" ->
       """SELECT doc_id,
            len(regexp_extract_all(text, '[a-z]+[0-9]+[a-z0-9]*')) AS n_idlike,
