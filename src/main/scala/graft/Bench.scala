@@ -27,6 +27,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config(Tables.NanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // one throwaway job so JVM/codegen warm-up isn't billed to the first query
@@ -46,10 +47,19 @@ object Bench {
       .sortBy(-_._2).take(5).map(_._1)
     val shown = results.filter { case (n, _) =>
       headline.contains(n) || slowest.contains(n) }
-    val qs = shown.map { case (k, v) => f""""$k":$v%.3f""" }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = shown.map { case (k, v) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces for the driver's tail-scrape: also persist the line to a
+    // file that survives any stdout wrapping/truncation.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

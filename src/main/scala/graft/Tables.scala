@@ -23,14 +23,22 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
+  /** Session conf the events table requires; see [[events]]. Set it at
+    * session build (all graft mains and TestSpark do).
+    */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long (sanctioned legacy conf)
-    * and truncate to microseconds — exactly what DuckDB does when it casts
+    * reader rejects outright. Read nanos as long (sanctioned legacy conf,
+    * set ONCE at session construction — never mutated mid-query) and
+    * truncate to microseconds — exactly what DuckDB does when it casts
     * ns→µs, so oracle comparisons stay aligned. Integer `DIV` keeps the
     * arithmetic exact (a double division would lose precision above 2^53).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption(NanosConf).contains("true"),
+      s"reading events requires $NanosConf=true at session build " +
+        "(parquet TIMESTAMP(NANOS) is unsupported by the vectorized reader)")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))

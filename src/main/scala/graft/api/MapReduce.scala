@@ -18,10 +18,9 @@ import org.apache.spark.util.LongAccumulator
   *
   * Scale notes: the shuffle is `groupByKey` (hash partition by key, the MR
   * contract); the optional combiner runs per input partition BEFORE the
-  * shuffle (map-side combine, MRDP ch.2) over an in-memory hash of that
-  * partition's keys — same memory model as Hadoop's in-mapper combining,
-  * bounded by distinct keys per partition, spill-free because map
-  * partitions are bounded by `maxPartitionBytes`.
+  * shuffle (map-side combine, MRDP ch.2) folding incrementally per key —
+  * same memory model as Hadoop's in-mapper combining, O(distinct keys ×
+  * small constant) regardless of how much output the mapper expands to.
   */
 object MapReduce {
 
@@ -40,9 +39,20 @@ object MapReduce {
       case None => mapped
       case Some(c) =>
         mapped.mapPartitions { it =>
+          // Incremental in-mapper combining: each key buffers at most
+          // `flushAt` pending values before the combiner collapses them, so
+          // memory is O(distinct keys × flushAt), not O(partition output) —
+          // a flatMap-expanding mapper can't OOM the buffer. Relies on the
+          // standard combiner contract (associative, may run 0..n times).
+          val flushAt = 32
           val groups = mutable.LinkedHashMap.empty[K, mutable.ArrayBuffer[V]]
           it.foreach { case (k, v) =>
-            groups.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V]) += v
+            val buf = groups.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V])
+            buf += v
+            if (buf.length >= flushAt) {
+              val folded = mutable.ArrayBuffer.from(c(k, buf.iterator))
+              groups(k) = folded
+            }
           }
           groups.iterator.flatMap { case (k, vs) =>
             c(k, vs.iterator).iterator.map(k -> _)
@@ -81,17 +91,25 @@ object MapReduce {
         val rows = it.buffered
         new Iterator[O] {
           private var out: Iterator[O] = Iterator.empty
+          // The current key's value iterator. It is drained only AFTER `out`
+          // is exhausted, so a reducer may return a lazy view over its values
+          // (e.g. `(k, vs) => vs.map(f)`) — the streaming case this API
+          // exists for — without the drain stealing them first.
+          private var pendingVs: Iterator[V] = Iterator.empty
           @annotation.tailrec
           private def advance(): Unit =
-            if (!out.hasNext && rows.hasNext) {
-              val k = rows.head._1
-              val vs = new Iterator[V] {
-                def hasNext = rows.hasNext && rows.head._1 == k
-                def next() = rows.next()._2
+            if (!out.hasNext) {
+              while (pendingVs.hasNext) pendingVs.next() // skip unconsumed values
+              if (rows.hasNext) {
+                val k = rows.head._1
+                val vs = new Iterator[V] {
+                  def hasNext = rows.hasNext && rows.head._1 == k
+                  def next() = rows.next()._2
+                }
+                pendingVs = vs
+                out = reducer(k, vs).iterator
+                advance()
               }
-              out = reducer(k, vs).iterator
-              while (vs.hasNext) vs.next() // drain if reducer stopped early
-              advance()
             }
           def hasNext = { advance(); out.hasNext }
           def next() = { advance(); out.next() }

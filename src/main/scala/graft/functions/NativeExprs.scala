@@ -169,6 +169,21 @@ object NativeExprs {
       "built-in")
     reg.createOrReplaceTempFunction("graft_simhash63",
       (args: Seq[Expression]) => SimHash63(args(0)), "built-in")
+    // Spark ships codegen'd bloom expressions (used by its own runtime
+    // row-level filtering) but does not expose them in the public function
+    // registry; surfacing them here keeps the bloom pre-join filter fully
+    // inside whole-stage codegen where a Scala UDF would break the pipeline.
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2))
+          .toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args(0), args(1)),
+      "built-in")
   }
 
   def sortedIntersectCount(s: SparkSession, a: Column, b: Column): Column = {
@@ -181,5 +196,24 @@ object NativeExprs {
 
   def simhash63(s: SparkSession, tokenHashes: Column): Column = {
     ensureRegistered(s); call_function("graft_simhash63", tokenHashes)
+  }
+
+  /** Distributed bloom-filter build (partial sketches merged by Spark's
+    * TypedImperativeAggregate, not a driver-side RDD fold).
+    */
+  def bloomAgg(s: SparkSession, key: Column, expectedItems: Long,
+      numBits: Long): Column = {
+    ensureRegistered(s)
+    call_function("graft_bloom_agg", key,
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(numBits))
+  }
+
+  /** Codegen'd membership probe against a serialized bloom filter. The
+    * bloom side must be foldable (a literal), per Catalyst's contract for
+    * BloomFilterMightContain.
+    */
+  def bloomMightContain(s: SparkSession, bloom: Column, key: Column): Column = {
+    ensureRegistered(s); call_function("graft_might_contain", bloom, key)
   }
 }

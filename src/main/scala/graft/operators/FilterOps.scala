@@ -26,11 +26,18 @@ object FilterOps extends OpFamily {
     */
   def bloomSemiJoin(s: SparkSession, d: String): DataFrame = {
     val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
-    val bloom = bigOrders.stat.bloomFilter("o_orderkey", 100000, 0.01)
-    val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    // Distributed build: per-partition sketches merged by Spark's native
+    // BloomFilterAggregate; ~958 kbit ≈ 0.01 fpp at 100k keys. The probe is
+    // the codegen'd BloomFilterMightContain over the serialized filter as a
+    // literal, so the lineitem scan pipeline stays one WholeStageCodegen
+    // span (a Scala UDF here used to break codegen fusion).
+    val bloomBytes = bigOrders
+      .agg(graft.functions.NativeExprs
+        .bloomAgg(s, col("o_orderkey"), 100000L, 958506L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
     Tables.lineitem(s, d)
-      .filter(mightContain(col("l_orderkey"))) // sketch prefilter (cheap)
+      .filter(graft.functions.NativeExprs.bloomMightContain(s,
+        lit(bloomBytes), col("l_orderkey"))) // sketch prefilter (cheap)
       .join(bigOrders.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_semi") // exact
       .groupBy(col("l_orderkey"))
@@ -59,8 +66,13 @@ object FilterOps extends OpFamily {
     */
   def sampleHash(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .filter(pmod(col("l_orderkey") * 2654435761L +
-        col("l_linenumber") * 40503L, lit(1000)) < 100)
+      // operands are reduced mod 1000 BEFORE multiplying so the product can
+      // never overflow int64 — (a*b) mod m == ((a mod m)*(b mod m)) mod m,
+      // so the selected sample is identical, but the arithmetic stays exact
+      // at any orderkey magnitude (Spark would silently wrap, DuckDB would
+      // raise; both now agree at any scale factor).
+      .filter(pmod(pmod(col("l_orderkey"), lit(1000)) * lit(761L) +
+        pmod(col("l_linenumber"), lit(1000)) * lit(503L), lit(1000)) < 100)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
@@ -85,6 +97,7 @@ object FilterOps extends OpFamily {
       """SELECT l_returnflag, count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem
-         WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 1000 < 100
+         WHERE ((l_orderkey % 1000) * 761 + (l_linenumber % 1000) * 503)
+               % 1000 < 100
          GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

@@ -249,7 +249,8 @@ object SimOps extends OpFamily {
            CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
              / count(*) / 1e6 AS centroid
          FROM (SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
-               FROM embeddings, unnest(range(1, 5)) AS t(i))
+               FROM embeddings, unnest(range(1, 5)) AS t(i)
+               WHERE i <= len(embedding))
          GROUP BY label, pos ORDER BY label, pos""",
     "sim_top_pairs_sql" ->
       """SELECT a.label, a.vec_id AS a, b.vec_id AS b,

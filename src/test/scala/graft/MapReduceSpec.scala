@@ -91,6 +91,63 @@ class MapReduceSpec extends AnyFunSuite {
     assert(out === Map(1L -> "a", 2L -> "y"))
   }
 
+  test("mapReduceSorted supports reducers returning a LAZY view over values") {
+    // Regression: the per-key drain used to run right after reducer()
+    // returned, emptying any lazy result built over vs. A streaming
+    // reducer `vs.map(f)` — the giant-key use case — must work.
+    val events = Seq(
+      (1L, 2, "b"), (1L, 1, "a"), (1L, 3, "c"),
+      (2L, 1, "y"), (2L, 2, "z")
+    ).toDS()
+    val out = MapReduce.mapReduceSorted[(Long, Int, String),
+        Long, (Int, String), (Long, String)](
+      events,
+      mapper = e => Iterator(e._1 -> (e._2, e._3)),
+      // lazy: no materialization — output iterator pulls vs on demand
+      reducer = (uid, vs) => vs.map { case (_, s) => uid -> s.toUpperCase })
+      .collect().sorted
+    assert(out === Seq(1L -> "A", 1L -> "B", 1L -> "C", 2L -> "Y", 2L -> "Z"))
+  }
+
+  test("mapReduceSorted lazy reducer that stops early leaves later keys intact") {
+    val events = Seq(
+      (1L, 3, "c"), (1L, 1, "a"), (1L, 2, "b"),
+      (2L, 1, "x"), (2L, 2, "y")
+    ).toDS()
+    val out = MapReduce.mapReduceSorted[(Long, Int, String),
+        Long, (Int, String), (Long, String)](
+      events,
+      mapper = e => Iterator(e._1 -> (e._2, e._3)),
+      // lazy AND truncated: take the first 2 values per key as a view
+      reducer = (uid, vs) => vs.take(2).map { case (_, s) => uid -> s })
+      .collect().sorted
+    assert(out === Seq(1L -> "a", 1L -> "b", 2L -> "x", 2L -> "y"))
+  }
+
+  test("combiner folds incrementally: per-key buffer stays bounded") {
+    // 1 key × 10k mapped values through a partition; with flushAt=32 the
+    // combiner must see many small batches, never the whole stream.
+    val batches = new org.apache.spark.util.LongAccumulator
+    spark.sparkContext.register(batches, "combinerBatches")
+    val oversize = new org.apache.spark.util.LongAccumulator
+    spark.sparkContext.register(oversize, "oversizeBatches")
+    val big = Seq.fill(100)("k " * 100).toDS().repartition(1)
+    val out = MapReduce.mapReduce[String, String, Long, (String, Long)](
+      big,
+      mapper = l => l.split(" ").iterator.filter(_.nonEmpty).map(_ -> 1L),
+      reducer = (w, vs) => Iterator(w -> vs.sum),
+      combiner = Some((_, vs) => {
+        val seq = vs.toSeq
+        batches.add(1)
+        if (seq.length > 64) oversize.add(1)
+        Iterator(seq.sum)
+      }))
+      .collect().toMap
+    assert(out === Map("k" -> 10000L))
+    assert(batches.value > 10, s"expected many small combiner batches, got ${batches.value}")
+    assert(oversize.value === 0, s"combiner saw ${oversize.value} unbounded batches")
+  }
+
   test("chained jobs: output of one mapreduce feeds the next") {
     // job 1: wordcount; job 2: histogram of counts
     val counts = MapReduce.mapReduce[String, String, Long, (String, Long)](
