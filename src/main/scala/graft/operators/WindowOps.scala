@@ -91,11 +91,45 @@ object WindowOps extends OpFamily {
       .orderBy(col("event_id"))
   }
 
-  /** Quartile assignment (ntile) of customers by balance, summarized. */
+  /** Quartile assignment (ntile) of customers by balance, summarized.
+    *
+    * Scale-safe total-order ranking — the repo's former unpartitioned
+    * `Window.orderBy` serialized the whole table through ONE task. Instead:
+    * range-partition on the sort key, count rows per partition (a bounded
+    * driver collect — one row per partition, the same cost as the range
+    * sampler itself), and add each partition's cumulative offset to a
+    * per-partition row_number. Every window below partitions by `pid`, so
+    * the sort parallelizes, and the global rank is still EXACT — the ntile
+    * bucket is then pure arithmetic on that rank, bit-identical to
+    * `ntile(4) OVER (ORDER BY …)` (first n%4 buckets get the extra row).
+    */
   def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(s, d)
-      .withColumn("quartile", ntile(4).over(w))
+    val k = 4L
+    // localCheckpoint: `base` feeds two jobs (offset counts + final rank);
+    // without materialization the range partitioner could resample between
+    // them and the offsets would describe a different partitioning.
+    val base = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val perPart = base.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = perPart.map(_._1)
+      .zip(perPart.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val n = perPart.map(_._2).sum
+    val fl = n / k; val rem = n % k; val cut = rem * (fl + 1)
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    base
+      .withColumn("r", row_number().over(w).cast("long") + offCol)
+      .withColumn("quartile",
+        if (fl == 0) col("r").cast("int")
+        else when(col("r") <= cut,
+            expr(s"CAST((r - 1) DIV ${fl + 1} + 1 AS INT)"))
+          .otherwise(expr(s"CAST($rem + (r - 1 - $cut) DIV $fl + 1 AS INT)")))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"),
         min(col("c_acctbal")).as("min_bal"),
