@@ -268,11 +268,87 @@ object DedupOps extends OpFamily {
 
   /** Generalized connected components over any pair DataFrame with edge
     * columns `aCol`/`bCol` — the [[graft.api.Graft.clusterPairs]] core.
-    * Rounds are bounded by component diameter; exceeding `maxRounds` without
-    * a fixpoint throws rather than silently returning wrong cluster ids.
+    *
+    * Engine: alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    * is two join+aggregate passes and HALVES long paths, so rounds grow as
+    * O(log d) in component diameter d — a 50-node chain converges in ~7
+    * rounds where plain min-label propagation needs 49. Exceeding
+    * `maxRounds` without a fixpoint throws rather than silently returning
+    * wrong cluster ids. [[clusterPairsMinLabelOn]] keeps the simple
+    * propagation engine as an independently-implemented reference; a
+    * property test asserts both reach the same fixpoint on random graphs.
     */
   private[graft] def clusterPairsOn(pairDf: DataFrame, aCol: String = "a",
       bCol: String = "b", maxRounds: Int = 20): DataFrame = {
+    val pairs = pairDf.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .localCheckpoint()
+    // every node that appears anywhere — the output must label all of them
+    val nodes = pairs.select(col("u").as("n"))
+      .unionByName(pairs.select(col("v").as("n")))
+      .distinct().localCheckpoint()
+    // large-star: connect every neighbor v > u to m(u) = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: orient each edge large→small, connect every smaller
+    // neighbor AND u itself to m(u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val t = e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+      val m = t.groupBy(col("u")).agg(min(col("v")).as("m"))
+      t.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // Convergence: endpoints only ever DECREASE, so the decimal sum over
+    // the (deduped) edge list is monotone non-increasing and strictly
+    // falls whenever a pass changed anything — one cheap scalar per round.
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum((col("u") + col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var edges = pairs.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var (cnt, s) = sig(edges)
+    var converged = cnt == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val (nCnt, nS) = sig(edges)
+      converged = nCnt == cnt && (nS == null || nS.compareTo(s) == 0)
+      cnt = nCnt; s = nS
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs: star contraction did not converge in $maxRounds " +
+          "rounds; raise maxRounds")
+    // fixpoint edges are (node → component min); roots and isolated nodes
+    // label themselves
+    nodes.join(edges.select(col("u").as("n"), col("v").as("lbl")), Seq("n"),
+        "left")
+      .select(col("n").as("doc_id"),
+        coalesce(col("lbl"), col("n")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The straightforward min-label-propagation CC (rounds = component
+    * diameter) — kept as an independent reference implementation for the
+    * engine-agreement property test of [[clusterPairsOn]].
+    */
+  private[graft] def clusterPairsMinLabelOn(pairDf: DataFrame,
+      aCol: String = "a", bCol: String = "b", maxRounds: Int = 20): DataFrame = {
     val pairs = pairDf.select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint()
     val sym = pairs

@@ -157,6 +157,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("star-contraction and min-label CC engines agree on random graphs") {
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val es = List.fill(40)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val star = graft.operators.DedupOps
+        .clusterPairsOn(es.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = graft.operators.DedupOps
+        .clusterPairsMinLabelOn(es.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === prop)
+    }
+  }
+
+  test("star contraction handles a 50-node chain the 20-round cap would kill") {
+    // diameter 49: min-label propagation needs 49 rounds (> its 20 cap);
+    // star contraction halves path lengths, so it converges well inside it
+    val chain = (1L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = graft.operators.DedupOps.clusterPairsOn(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 50 && labels.values.forall(_ == 1L))
+    // and the reference engine does throw on the same input at its cap,
+    // documenting why the star engine is the default
+    val e = intercept[IllegalStateException] {
+      graft.operators.DedupOps.clusterPairsMinLabelOn(chain).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("minhash jaccard estimate tracks exact jaccard on random sets") {
     // signature agreement fraction estimates jaccard; with 32 perms the
     // absolute error is within ~0.35 at 99%+ for any pair — use a planted
