@@ -65,8 +65,11 @@ object SimOps extends OpFamily {
     * nlist=10 centroids (deterministic init: the 10 lowest vec_ids), every
     * vector is assigned to its nearest cell, and each query probes its
     * nprobe=2 nearest cells — so a search reads ~nprobe/nlist of the
-    * corpus. Recall vs [[knnExact]] is property-tested (no hash oracle —
-    * centroid means are reduction-order-sensitive floats).
+    * corpus. Recall vs [[knnExact]] is property-tested AND the whole
+    * pipeline is oracle-checked: each Lloyd mean is computed as an integer
+    * micro-unit sum (the [[labelCentroids]] trick — floor(x·1e6) summed as
+    * BIGINT, divided back), which is summation-order-independent, so DuckDB
+    * replays the exact same centroids, assignments, probes and ranks.
     */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d)
@@ -91,7 +94,10 @@ object SimOps extends OpFamily {
       centroids = normedCentroids(assign(centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        // order-independent mean: (Σ floor(x·1e6) as int64 / n) / 1e6 —
+        // bit-replayable by the DuckDB oracle, unlike a raw double avg
+        .agg((sum(floor(col("x") * 1e6).cast("long")).cast("double") /
+          count(lit(1)) / 1e6).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
@@ -232,7 +238,55 @@ object SimOps extends OpFamily {
     "sim_label_centroids" -> (labelCentroids _),
     "sim_top_pairs" -> (topPairsIntraLabel _))
 
+  /** DuckDB replay of the full IVF pipeline: 3 Lloyd rounds with the same
+    * deterministic micro-unit means, same nearest-cell assignment and
+    * tie-breaks, same nprobe=2 probing, same final ranking — possible only
+    * because every float reduction in [[knnIvf]] is order-independent.
+    */
+  private val ivfOracleSql: String = {
+    def assignCte(name: String, cFrom: String) =
+      s"""$name AS (SELECT cid, vec_id, v FROM (
+            SELECT c.cid, x.vec_id, x.v,
+              row_number() OVER (PARTITION BY x.vec_id
+                ORDER BY list_cosine_similarity(x.v, c.centroid) DESC, c.cid)
+                AS rn
+            FROM v x CROSS JOIN $cFrom c) WHERE rn = 1)"""
+    def centroidCte(name: String, aFrom: String) =
+      s"""$name AS (SELECT cid, list(m ORDER BY pos) AS centroid FROM (
+            SELECT cid, i - 1 AS pos,
+              CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
+                / count(*) / 1e6 AS m
+            FROM (SELECT cid, i, v[i] AS x
+                  FROM $aFrom, unnest(range(1, 65)) AS t(i))
+            GROUP BY cid, i) GROUP BY cid)"""
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+          c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid
+            FROM v WHERE vec_id < 10),
+          ${assignCte("a1", "c0")}, ${centroidCte("c1", "a1")},
+          ${assignCte("a2", "c1")}, ${centroidCte("c2", "a2")},
+          ${assignCte("a3", "c2")}, ${centroidCte("c3", "a3")},
+          ${assignCte("cells", "c3")},
+          probes AS (SELECT qid, qv, cid FROM (
+            SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cid)
+                AS rn
+            FROM (SELECT vec_id, v FROM cells WHERE vec_id < 10) q
+            CROSS JOIN c3 c) WHERE rn <= 2)
+        SELECT qid, rank, nid, cos FROM (
+          SELECT p.qid, n.vec_id AS nid,
+            list_cosine_similarity(p.qv, n.v) AS cos,
+            row_number() OVER (PARTITION BY p.qid
+              ORDER BY list_cosine_similarity(p.qv, n.v) DESC, n.vec_id)
+              AS rank
+          FROM probes p JOIN cells n ON n.cid = p.cid
+          WHERE n.vec_id <> p.qid)
+        WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
   val oracle = Map(
+    "sim_knn_ivf" -> ivfOracleSql,
     "sim_knn_exact" ->
       """SELECT qid, rank, nid, cos FROM (
            SELECT q.vec_id AS qid, n.vec_id AS nid,
