@@ -236,6 +236,53 @@ object TextOps extends OpFamily {
       .orderBy(col("lang"))
   }
 
+  /** Per-SOURCE stopword-density profile — the corpus-quality table a
+    * source-level keep/drop decision is made from (a crawl source whose
+    * density is far off its language's norm is boilerplate or spam).
+    * Bounded output (one row per source), map-side partials.
+    */
+  def stopwordBySource(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "el", "la", "der",
+      "die", "le", "les", "de")
+    val isStop = (w: Column) => w.isin(stop.map(x => x: Any): _*)
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), toks.as("w"))
+      .select(col("source"), col("lang"), size(col("w")).as("n"),
+        size(filter(col("w"), isStop)).as("n_stop"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n")).cast("bigint").as("n_tokens"),
+        sum(col("n_stop")).cast("bigint").as("n_stopwords"),
+        // raw double of an integer-sum division — deterministic, no round()
+        (sum(col("n_stop")).cast("double") / sum(col("n")))
+          .as("stopword_density"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-SOURCE repetition profile: corpus-level repeated-trigram share and
+    * the worst single document per source — the templated/looping-text
+    * screen applied source-by-source. All ratios derive from integer sums
+    * (or a max of per-doc doubles), so the profile is engine-exact.
+    */
+  def repetitionBySource(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), shingles3(toks).as("tg"))
+      .select(col("source"), size(col("tg")).as("n_tg"),
+        size(array_distinct(col("tg"))).as("n_d"))
+      .withColumn("ratio",
+        when(col("n_tg") > 0,
+          lit(1.0) - col("n_d").cast("double") / col("n_tg"))
+          .otherwise(lit(0.0)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tg")).cast("bigint").as("n_trigrams"),
+        sum(col("n_d")).cast("bigint").as("n_distinct"),
+        (lit(1.0) - sum(col("n_d")).cast("double") / sum(col("n_tg")))
+          .as("repetition_ratio"),
+        max(col("ratio")).as("max_doc_ratio"))
+      .orderBy(col("source"))
+
   /** Sequence packing: assign documents (in stable doc_id order, per
     * source) to consecutive 2048-token training bins by cumulative token
     * offset, then profile each bin — the "pack short docs into fixed
@@ -263,7 +310,9 @@ object TextOps extends OpFamily {
     "text_pack_bins" -> (packBins _),
     "text_redact" -> (redact _),
     "text_repetition" -> (repetition _),
+    "text_repetition_by_source" -> (repetitionBySource _),
     "text_stopword_density" -> (stopwordDensity _),
+    "text_stopword_by_source" -> (stopwordBySource _),
     "text_token_stats" -> (tokenStats _),
     "text_langid" -> (langId _),
     "text_quality" -> (qualityScore _),
@@ -304,6 +353,34 @@ object TextOps extends OpFamily {
                FROM (SELECT doc_id, string_split(text, ' ') AS w
                      FROM documents))
          ORDER BY doc_id""",
+    "text_stopword_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(n_stop) AS BIGINT) AS n_stopwords,
+           CAST(sum(n_stop) AS DOUBLE) / sum(n) AS stopword_density
+         FROM (SELECT source, lang, len(w) AS n,
+             len(list_filter(w, x -> x IN ('the','a','of','and','to','in',
+               'el','la','der','die','le','les','de'))) AS n_stop
+           FROM (SELECT source, lang, string_split(text, ' ') AS w
+                 FROM documents))
+         GROUP BY source ORDER BY source""",
+    "text_repetition_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tg) AS BIGINT) AS n_trigrams,
+           CAST(sum(n_d) AS BIGINT) AS n_distinct,
+           1.0 - CAST(sum(n_d) AS DOUBLE) / sum(n_tg) AS repetition_ratio,
+           max(ratio) AS max_doc_ratio
+         FROM (SELECT source, len(tg) AS n_tg,
+             len(list_distinct(tg)) AS n_d,
+             CASE WHEN len(tg) > 0
+               THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+               ELSE 0.0 END AS ratio
+           FROM (SELECT source, list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+                 FROM (SELECT source, string_split(text, ' ') AS w
+                       FROM documents)))
+         GROUP BY source ORDER BY source""",
     "text_stopword_density" ->
       """SELECT lang, count(*) AS n_docs,
            CAST(sum(n) AS BIGINT) AS n_tokens,
