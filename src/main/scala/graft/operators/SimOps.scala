@@ -178,8 +178,10 @@ object SimOps extends OpFamily {
     * pattern of its projections onto fixed hyperplanes, then exact-search
     * only the query's bucket (plus all 1-bit-flip neighbor buckets —
     * multi-probe, which recovers most of the recall loss at bucket
-    * boundaries). Rows-only (hyperplanes aren't replayable in SQL); recall
-    * vs [[knnExact]] is property-tested.
+    * boundaries). Oracle-checked: the fixed hyperplanes are embedded in the
+    * DuckDB oracle as double literals (shortest round-trip repr parses back
+    * to the identical bits), so bucketing, probing and ranking replay
+    * exactly; recall vs [[knnExact]] is additionally property-tested.
     */
   def knnRpLsh(s: SparkSession, d: String): DataFrame = {
     val planeCols = hyperplanes.map(p => typedLit(p))
@@ -285,8 +287,35 @@ object SimOps extends OpFamily {
         WHERE rank <= 5 ORDER BY qid, rank"""
   }
 
+  /** DuckDB replay of the RP-LSH search: the 6×64 hyperplanes inline as
+    * literals; sign-pattern bucketing, 1-bit-flip multi-probe, exact search
+    * within probed buckets — mirror of [[knnRpLsh]] term for term.
+    */
+  private val rplshOracleSql: String = {
+    val bucketExpr = hyperplanes.zipWithIndex.map { case (p, j) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, $lst) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", "\n + ", ")")
+    s"""WITH b AS (SELECT vec_id, v, $bucketExpr AS bucket
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings)),
+        q AS (SELECT b.vec_id AS qid, b.v AS qv,
+            xor(b.bucket, t.p) AS bucket
+          FROM b, unnest([0, 1, 2, 4, 8, 16, 32]) AS t(p)
+          WHERE b.vec_id < 10)
+        SELECT qid, rank, nid, cos FROM (
+          SELECT q.qid, n.vec_id AS nid,
+            list_cosine_similarity(q.qv, n.v) AS cos,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_cosine_similarity(q.qv, n.v) DESC, n.vec_id)
+              AS rank
+          FROM q JOIN b n USING (bucket) WHERE n.vec_id <> q.qid)
+        WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
   val oracle = Map(
     "sim_knn_ivf" -> ivfOracleSql,
+    "sim_knn_rplsh" -> rplshOracleSql,
     "sim_knn_exact" ->
       """SELECT qid, rank, nid, cos FROM (
            SELECT q.vec_id AS qid, n.vec_id AS nid,
