@@ -230,16 +230,22 @@ object DedupOps extends OpFamily {
     * pipeline is asserted in scalatest.
     */
   def minhashMllib(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     val docs = withNearDupes(s, d)
       .select(col("doc_id"),
         TextOps.shingles3(TextOps.toks).as("tokens")) // shingle-set jaccard
-    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
-      .setBinary(true).fit(docs)
+    // HashingTF instead of CountVectorizer: no vocabulary-build pass (the
+    // CountVectorizer fit was a full extra scan + a driver-held vocab that
+    // would not fit at corpus scale); 2^18 binary features keep shingle
+    // collisions rare enough for candidate generation, and the exact
+    // hand-rolled pipeline remains the precision reference (agreement
+    // property test).
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
+      .setBinary(true).setNumFeatures(1 << 18)
     // localCheckpoint: the vectorized frame is consumed three times (LSH
     // fit + both sides of approxSimilarityJoin) — without it each consumer
-    // re-runs the shingle + CountVectorizer-transform chain
-    val vectorized = cv.transform(docs).select(col("doc_id"), col("tf"))
+    // re-runs the shingle + hashing chain
+    val vectorized = tf.transform(docs).select(col("doc_id"), col("tf"))
       .localCheckpoint()
     val lsh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
       .setNumHashTables(8).setSeed(42)
@@ -284,10 +290,12 @@ object DedupOps extends OpFamily {
     val pairs = pairDf.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .localCheckpoint()
-    // every node that appears anywhere — the output must label all of them
+    // every node that appears anywhere — the output must label all of them.
+    // Derived lazily from the checkpointed pairs (a cheap re-scan), used
+    // once in the final join; checkpointing it would be a wasted job.
     val nodes = pairs.select(col("u").as("n"))
       .unionByName(pairs.select(col("v").as("n")))
-      .distinct().localCheckpoint()
+      .distinct()
     // large-star: connect every neighbor v > u to m(u) = min(N(u) ∪ {u})
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))

@@ -79,9 +79,34 @@ object FilterOps extends OpFamily {
           .as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Stratified deterministic sampling — the data-MIXING step of a training
+    * pipeline: each stratum (language) gets its own keep-rate (down-sample
+    * the over-represented head, keep the tail), decided by the same
+    * wrap-safe multiplicative hash as [[sampleHash]], so the mix is
+    * replayable in any engine and stable across re-runs/backfills. The
+    * per-stratum rate lookup is a broadcast map literal — no join, no
+    * shuffle before the final bounded aggregate.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    // keep-rate per 1000 by language: halve English, keep minority langs
+    val rates: Map[String, Long] = Map("en" -> 500L, "es" -> 800L)
+    val rate = coalesce(element_at(typedLit(rates), col("lang")), lit(1000L))
+    Tables.documents(s, d)
+      .filter(pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000))
+        < rate)
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+        sum(col("n_chars")).cast("bigint").as("n_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries = Map(
     "filter_bloom_semi_join" -> (bloomSemiJoin _),
     "filter_sample_seeded" -> (sampleSeeded _),
+    "filter_sample_stratified" -> (sampleStratified _),
     "filter_sample_hash" -> (sampleHash _))
 
   val oracle = Map(
@@ -93,6 +118,14 @@ object FilterOps extends OpFamily {
                        WHERE o_orderkey = l_orderkey
                          AND o_totalprice > 300000)
          GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "filter_sample_stratified" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         FROM documents
+         WHERE ((doc_id % 1000) * 761) % 1000 <
+           (CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 800 ELSE 1000 END)
+         GROUP BY lang ORDER BY lang""",
     "filter_sample_hash" ->
       """SELECT l_returnflag, count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
