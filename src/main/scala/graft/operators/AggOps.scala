@@ -63,6 +63,28 @@ object AggOps extends OpFamily {
         round(percentile(col("value"), lit(0.5)), 4).as("p50_v"))
       .orderBy(col("event_type"))
 
+  /** EXACT global quantiles at scale: value at rank ceil(p·n) in the total
+    * order, found via [[WindowOps.withExactGlobalRank]] (range partition +
+    * per-partition offsets — no single-task sort, no approx sketch) and a
+    * broadcast join against the four target ranks. This is the scale-safe
+    * exact alternative to approx_percentile when the answer must be
+    * reproducible to the bit (audits, cut-point contracts).
+    */
+  def exactQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (ranked, n) = WindowOps.withExactGlobalRank(
+      Tables.lineitem(s, d).select(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber")),
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+    val targets = Seq(25, 50, 75, 95)
+      .map(p => (p, math.ceil(p * n / 100.0).toLong))
+      .toDF("pct", "r")
+    ranked.join(broadcast(targets), Seq("r"))
+      .select(col("pct"), col("r").as("pos"),
+        col("l_extendedprice").as("value"))
+      .orderBy(col("pct"))
+  }
+
   /** Exact count-distinct (the classic two-MR-job idiom, one plan here). */
   def countDistinctUsers(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -215,6 +237,7 @@ object AggOps extends OpFamily {
     "agg_q1_pricing_summary" -> (q1PricingSummary _),
     "agg_numeric_summary" -> (numericSummary _),
     "agg_count_distinct" -> (countDistinctUsers _),
+    "agg_exact_quantiles" -> (exactQuantiles _),
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_min_max_count" -> (minMaxCount _),
     "agg_histogram" -> (histogram _),
@@ -227,6 +250,16 @@ object AggOps extends OpFamily {
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
+    "agg_exact_quantiles" ->
+      """SELECT pct, r AS pos, v AS value FROM (
+           SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+               l_linenumber) AS r,
+             count(*) OVER () AS n
+           FROM lineitem) s
+         JOIN (VALUES (25), (50), (75), (95)) t(pct)
+           ON s.r = CAST(ceil(t.pct * s.n / 100.0) AS BIGINT)
+         ORDER BY pct""",
     "agg_pivot" ->
       """SELECT user_id,
            count(*) FILTER (event_type = 'click') AS click,

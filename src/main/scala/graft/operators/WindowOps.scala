@@ -91,25 +91,22 @@ object WindowOps extends OpFamily {
       .orderBy(col("event_id"))
   }
 
-  /** Quartile assignment (ntile) of customers by balance, summarized.
+  /** Exact global rank without a global sort: range-partition on the sort
+    * key, count rows per partition (bounded driver collect — one row per
+    * partition, same order of cost as the range sampler itself), and add
+    * each partition's cumulative offset to a per-partition row_number.
+    * Every window partitions by `pid`, so the sort parallelizes; the rank
+    * is still EXACT. The input is localCheckpoint'd because it feeds two
+    * jobs (offset counts + ranking) — without materialization the range
+    * partitioner could resample between them and the offsets would
+    * describe a different partitioning.
     *
-    * Scale-safe total-order ranking — the repo's former unpartitioned
-    * `Window.orderBy` serialized the whole table through ONE task. Instead:
-    * range-partition on the sort key, count rows per partition (a bounded
-    * driver collect — one row per partition, the same cost as the range
-    * sampler itself), and add each partition's cumulative offset to a
-    * per-partition row_number. Every window below partitions by `pid`, so
-    * the sort parallelizes, and the global rank is still EXACT — the ntile
-    * bucket is then pure arithmetic on that rank, bit-identical to
-    * `ntile(4) OVER (ORDER BY …)` (first n%4 buckets get the extra row).
+    * Returns (input + long column "r", total row count). The sort must be
+    * a total order (include a unique tiebreaker column).
     */
-  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
-    val k = 4L
-    // localCheckpoint: `base` feeds two jobs (offset counts + final rank);
-    // without materialization the range partitioner could resample between
-    // them and the offsets would describe a different partitioning.
-    val base = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
-      .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+  private[graft] def withExactGlobalRank(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column]): (DataFrame, Long) = {
+    val base = df.repartitionByRange(sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     val perPart = base.groupBy(col("pid")).agg(count(lit(1)).as("c"))
@@ -117,14 +114,27 @@ object WindowOps extends OpFamily {
     val offsets = perPart.map(_._1)
       .zip(perPart.map(_._2).scanLeft(0L)(_ + _)).toMap
     val n = perPart.map(_._2).sum
-    val fl = n / k; val rem = n % k; val cut = rem * (fl + 1)
     val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
       when(col("pid") === pid, lit(off)).otherwise(acc)
     }
-    val w = Window.partitionBy(col("pid"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    base
-      .withColumn("r", row_number().over(w).cast("long") + offCol)
+    val w = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
+    (base.withColumn("r", row_number().over(w).cast("long") + offCol)
+      .drop("pid"), n)
+  }
+
+  /** Quartile assignment (ntile) of customers by balance, summarized —
+    * on [[withExactGlobalRank]] instead of an unpartitioned Window (which
+    * would serialize the whole table through one task at scale). The ntile
+    * bucket is pure arithmetic on the exact global rank, bit-identical to
+    * `ntile(4) OVER (ORDER BY …)` (first n%4 buckets get the extra row).
+    */
+  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
+    val k = 4L
+    val (ranked, n) = withExactGlobalRank(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal"), col("c_custkey")))
+    val fl = n / k; val rem = n % k; val cut = rem * (fl + 1)
+    ranked
       .withColumn("quartile",
         if (fl == 0) col("r").cast("int")
         else when(col("r") <= cut,
