@@ -79,6 +79,51 @@ object Graft {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  // ------------------------------------------------------ rank / sampling
+
+  /** Exact 1-based global rank over a total order — distributed (range
+    * partition + per-partition offsets; no single-task sort, no approx
+    * sketch). `sortCols` must define a total order (include a unique
+    * tiebreaker). Output: input columns + `rank`.
+    */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[String]): DataFrame =
+    graft.operators.WindowOps
+      .withExactGlobalRank(df, sortCols.map(col))._1
+      .withColumnRenamed("r", "rank")
+
+  /** EXACT percentile values of `valueCol`: the value at rank ceil(p·n/100)
+    * for each p. `tiebreakers` complete the total order among equal values.
+    * The reproducible-to-the-bit alternative to approx_percentile —
+    * same distributed shape as [[withGlobalRank]].
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      tiebreakers: Seq[String], percents: Seq[Int] = Seq(25, 50, 75, 95))
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val (ranked, n) = graft.operators.WindowOps.withExactGlobalRank(
+      df.select((valueCol +: tiebreakers).map(col): _*),
+      (valueCol +: tiebreakers).map(col))
+    val targets = percents.map(p => (p, math.ceil(p * n / 100.0).toLong))
+      .toDF("pct", "r")
+    ranked.join(broadcast(targets), Seq("r"))
+      .select(col("pct"), col("r").as("pos"), col(valueCol).as("value"))
+      .orderBy(col("pct"))
+  }
+
+  /** Deterministic per-stratum sampling (the training data-MIXING step):
+    * keep a row iff hash(id) mod 1000 < the stratum's per-mille keep rate.
+    * The hash is wrap-safe multiplicative (replayable in any engine), so
+    * the mix is stable across re-runs, backfills and engines. `idCol`
+    * must be numeric and unique.
+    */
+  def sampleByStratum(df: DataFrame, idCol: String, stratumCol: String,
+      keepPerMille: Map[String, Long],
+      defaultPerMille: Long = 1000L): DataFrame =
+    df.filter(pmod(pmod(col(idCol), lit(1000)) * lit(761L), lit(1000)) <
+      coalesce(element_at(typedLit(keepPerMille), col(stratumCol)),
+        lit(defaultPerMille)))
+
   // ----------------------------------------------------------------- text
 
   /** Per-document quality features + composite score. */

@@ -61,6 +61,41 @@ class GraftApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("withGlobalRank equals a single-partition sort's row_number") {
+    val rows = (1 to 500).map(i => ((i * 7919) % 500, i.toLong))
+    val df = rows.toDF("v", "id").repartition(7)
+    val got = Graft.withGlobalRank(df, Seq("v", "id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = rows.sortBy(t => (t._1, t._2)).zipWithIndex
+      .map { case (t, i) => t -> (i + 1).toLong }.toMap
+    assert(got === want)
+  }
+
+  test("exactQuantiles returns the value at rank ceil(p*n/100)") {
+    val df = (1 to 200).map(i => (i.toDouble, i.toLong)).toDF("x", "id")
+      .repartition(5)
+    val got = Graft.exactQuantiles(df, "x", Seq("id"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got === Map(25 -> (50L, 50.0), 50 -> (100L, 100.0),
+      75 -> (150L, 150.0), 95 -> (190L, 190.0)))
+  }
+
+  test("sampleByStratum keeps rates per stratum and is idempotent") {
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = Graft.sampleByStratum(df, "id", "lang", Map("en" -> 500L))
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("de") === 1000L, "default rate keeps everything")
+    assert(counts("en") > 300L && counts("en") < 700L,
+      s"~half of en kept, got ${counts("en")}")
+    // deterministic: same rows on a re-run
+    val again = Graft.sampleByStratum(df, "id", "lang", Map("en" -> 500L))
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet ===
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("knnExact on an ad-hoc vector table ranks by cosine") {
     val vecs = Seq(
       (10L, Seq(1.0, 0.0)), (11L, Seq(0.9, 0.1)),
