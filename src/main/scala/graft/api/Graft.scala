@@ -93,20 +93,41 @@ object Graft {
 
   /** EXACT percentile values of `valueCol`: the value at rank ceil(p·n/100)
     * for each p. `tiebreakers` complete the total order among equal values.
-    * The reproducible-to-the-bit alternative to approx_percentile —
-    * same distributed shape as [[withGlobalRank]].
+    * The reproducible-to-the-bit alternative to approx_percentile.
+    *
+    * Distributed order-statistic selection: range-partition, count rows
+    * per partition (bounded driver collect), then sort ONLY the partitions
+    * that contain a target rank — at k requested quantiles that is ≤ k
+    * partitions touched past the shuffle, regardless of data size.
     */
   def exactQuantiles(df: DataFrame, valueCol: String,
       tiebreakers: Seq[String], percents: Seq[Int] = Seq(25, 50, 75, 95))
       : DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val (ranked, n) = graft.operators.WindowOps.withExactGlobalRank(
-      df.select((valueCol +: tiebreakers).map(col): _*),
-      (valueCol +: tiebreakers).map(col))
+    val sortCols = (valueCol +: tiebreakers).map(col)
+    // localCheckpoint: the range partitioning feeds two jobs (counts +
+    // selection); resampling between them would invalidate the offsets
+    val base = df.select(sortCols: _*).repartitionByRange(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val perPart = base.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = perPart.map(_._1)
+      .zip(perPart.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val n = perPart.map(_._2).sum
     val targets = percents.map(p => (p, math.ceil(p * n / 100.0).toLong))
-      .toDF("pct", "r")
-    ranked.join(broadcast(targets), Seq("r"))
+    val wanted = perPart.filter { case (pid, c) =>
+      val off = offsets(pid)
+      targets.exists { case (_, r) => r > off && r <= off + c }
+    }.map(_._1)
+    val offCol = wanted.foldLeft(lit(0L)) { case (acc, pid) =>
+      when(col("pid") === pid, lit(offsets(pid))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
+    val ranked = base.filter(col("pid").isin(wanted.map(x => x: Any): _*))
+      .withColumn("r", row_number().over(w).cast("long") + offCol)
+    ranked.join(broadcast(targets.toDF("pct", "r")), Seq("r"))
       .select(col("pct"), col("r").as("pos"), col(valueCol).as("value"))
       .orderBy(col("pct"))
   }

@@ -64,26 +64,16 @@ object AggOps extends OpFamily {
       .orderBy(col("event_type"))
 
   /** EXACT global quantiles at scale: value at rank ceil(p·n) in the total
-    * order, found via [[WindowOps.withExactGlobalRank]] (range partition +
-    * per-partition offsets — no single-task sort, no approx sketch) and a
-    * broadcast join against the four target ranks. This is the scale-safe
-    * exact alternative to approx_percentile when the answer must be
-    * reproducible to the bit (audits, cut-point contracts).
+    * order, via [[graft.api.Graft.exactQuantiles]] — distributed
+    * order-statistic selection (range partition + per-partition offsets;
+    * only the ≤ 4 partitions containing a target rank are sorted). The
+    * scale-safe exact alternative to approx_percentile when the answer
+    * must be reproducible to the bit (audits, cut-point contracts).
     */
-  def exactQuantiles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val (ranked, n) = WindowOps.withExactGlobalRank(
-      Tables.lineitem(s, d).select(col("l_extendedprice"), col("l_orderkey"),
-        col("l_linenumber")),
-      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
-    val targets = Seq(25, 50, 75, 95)
-      .map(p => (p, math.ceil(p * n / 100.0).toLong))
-      .toDF("pct", "r")
-    ranked.join(broadcast(targets), Seq("r"))
-      .select(col("pct"), col("r").as("pos"),
-        col("l_extendedprice").as("value"))
-      .orderBy(col("pct"))
-  }
+  def exactQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.exactQuantiles(
+      Tables.lineitem(s, d),
+      "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
 
   /** Exact count-distinct (the classic two-MR-job idiom, one plan here). */
   def countDistinctUsers(s: SparkSession, d: String): DataFrame =
