@@ -52,4 +52,35 @@ object StreamPipelines {
     events
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming corpus ingest — the LLM-pipeline front door as ONE
+    * incremental plan: quality gate (token count + type-token ratio) →
+    * content-fingerprint exact dedup with watermark-bounded state →
+    * deterministic stratified keep (same wrap-safe hash as the batch
+    * data-mixing step, so batch backfills and the stream agree on which
+    * rows are kept). Input schema: doc_id BIGINT, text STRING,
+    * lang STRING, ts TIMESTAMP.
+    *
+    * State stays bounded: the only stateful operator is the dedup, whose
+    * fingerprints expire at the watermark; everything else is stateless
+    * row-local projection/filtering.
+    */
+  def corpusIngest(docs: DataFrame,
+      keepPerMille: Map[String, Long] = Map("en" -> 500L)): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .withWatermark("ts", "30 minutes")
+      .withColumn("n_tokens", size(w))
+      .withColumn("ttr",
+        size(array_distinct(w)).cast("double") / size(w))
+      .filter(col("n_tokens") >= 5 && col("ttr") > 0.3)
+      .withColumn("fp",
+        md5(regexp_replace(trim(lower(col("text"))), " +", " ")))
+      .dropDuplicatesWithinWatermark("fp")
+      .filter(pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000)) <
+        coalesce(element_at(typedLit(keepPerMille), col("lang")),
+          lit(1000L)))
+      .select(col("doc_id"), col("lang"), col("fp"), col("n_tokens"),
+        col("ttr"))
+  }
 }

@@ -77,6 +77,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 2, s"expected 2 distinct events, got $n")
   }
 
+  test("corpusIngest stream: quality gate, fingerprint dedup, stratified keep") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Timestamp)]
+    // ids chosen so the en keep-rate hash decides deterministically:
+    // (id%1000*761)%1000 < 500 → keep. 2:1522%1000=522<500? no→drop;
+    // 4: (4*761)%1000=44 keep; de rows default-keep.
+    val out = graft.streaming.StreamPipelines.corpusIngest(
+      mem.toDF().toDF("doc_id", "text", "lang", "ts"))
+    val q = out.writeStream.format("memory").queryName("t_ingest")
+      .outputMode(OutputMode.Append).start()
+    val good = "the quick brown fox jumps over the lazy dog again"
+    mem.addData(
+      (4L, good, "en", ts(1)),                  // kept (hash 44 < 500)
+      (2L, good + " twice", "en", ts(2)),       // dropped by hash (522)
+      (7L, good + " thrice", "de", ts(3)),      // kept (default rate)
+      (9L, good, "en", ts(4)),                  // exact dup of 4 → dedup
+      (11L, "spam spam spam spam spam spam", "de", ts(5)), // low ttr
+      (13L, "too short", "de", ts(6)))          // < 5 tokens
+    q.processAllAvailable()
+    val kept = spark.table("t_ingest").collect()
+      .map(r => r.getLong(0)).toSet
+    q.stop()
+    assert(kept === Set(4L, 7L), s"expected {4, 7}, got $kept")
+  }
+
   test("flatMapGroupsWithState maintains running per-key counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
