@@ -236,6 +236,28 @@ object TextOps extends OpFamily {
       .orderBy(col("lang"))
   }
 
+  /** Sliding-window document chunking (50-token windows, stride 25) — the
+    * RAG / pretraining chunker: each doc explodes into overlapping chunks
+    * addressed by (doc_id, chunk_idx), with deterministic bounds so
+    * re-chunking after a backfill yields identical chunk ids. One narrow
+    * explode — no shuffle until the caller aggregates.
+    */
+  def chunkWindows(s: SparkSession, d: String): DataFrame = {
+    val win = 50; val stride = 25
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("st"))
+      .select(col("doc_id"),
+        (col("st") / stride).cast("int").as("chunk_idx"),
+        least(lit(win), col("n") - col("st")).as("n_chunk_tokens"),
+        element_at(col("w"), col("st") + 1).as("first_tok"),
+        element_at(col("w"), least(col("st") + win, col("n"))).as("last_tok"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Per-SOURCE stopword-density profile — the corpus-quality table a
     * source-level keep/drop decision is made from (a crawl source whose
     * density is far off its language's norm is boilerplate or spam).
@@ -306,6 +328,7 @@ object TextOps extends OpFamily {
   }
 
   val queries = Map(
+    "text_chunks" -> (chunkWindows _),
     "text_contamination" -> (contamination _),
     "text_pack_bins" -> (packBins _),
     "text_redact" -> (redact _),
@@ -353,6 +376,15 @@ object TextOps extends OpFamily {
                FROM (SELECT doc_id, string_split(text, ' ') AS w
                      FROM documents))
          ORDER BY doc_id""",
+    "text_chunks" ->
+      """SELECT doc_id, CAST(st / 25 AS INT) AS chunk_idx,
+           least(50, len(w) - st) AS n_chunk_tokens,
+           w[st + 1] AS first_tok,
+           w[least(st + 50, len(w))] AS last_tok
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(range(0, len(w), 25)) AS t(st)
+         WHERE len(w) > 0
+         ORDER BY doc_id, chunk_idx""",
     "text_stopword_by_source" ->
       """SELECT source, count(*) AS n_docs,
            count(DISTINCT lang) AS n_langs,
