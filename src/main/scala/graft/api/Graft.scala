@@ -198,6 +198,24 @@ object Graft {
           lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams"))
           .otherwise(lit(0.0)))
 
+  /** Sliding-window chunking (the RAG / pretraining chunker): explode each
+    * doc into overlapping `window`-token chunks at `stride`, addressed by
+    * (id, chunk_idx) deterministically — re-chunking after a backfill
+    * yields identical ids. Output keeps the chunk's token array.
+    */
+  def chunkDocuments(df: DataFrame, id: String, text: String,
+      window: Int = 50, stride: Int = 25): DataFrame = {
+    val w = toks(text)
+    df.select(col(id), w.as("w"), size(w).as("n"))
+      .filter(col("n") > 0)
+      .select(col(id), col("w"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("st"))
+      .select(col(id),
+        (col("st") / stride).cast("int").as("chunk_idx"),
+        slice(col("w"), col("st") + 1, lit(window)).as("chunk_tokens"),
+        least(lit(window), col("n") - col("st")).as("n_chunk_tokens"))
+  }
+
   /** Whitespace / alpha / BPE-ish token counts per document. */
   def tokenCounts(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id),

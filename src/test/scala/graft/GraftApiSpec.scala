@@ -96,6 +96,21 @@ class GraftApiSpec extends AnyFunSuite {
       again.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("chunkDocuments emits deterministic overlapping windows") {
+    val df = Seq((1L, (1 to 120).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("id", "body")
+    val chunks = Graft.chunkDocuments(df, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[String](2).length, r.getInt(3)))
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // 120 tokens, stride 25 → starts 0,25,50,75,100 → 5 chunks
+    assert(doc1.map(_._2).toSeq === Seq(0, 1, 2, 3, 4))
+    assert(doc1.map(_._4).toSeq === Seq(50, 50, 50, 45, 20))
+    assert(doc1.map(_._3).toSeq === doc1.map(_._4).toSeq,
+      "slice length equals declared chunk token count")
+    assert(chunks.filter(_._1 == 2L).toSeq === Seq((2L, 0, 3, 3)))
+  }
+
   test("knnExact on an ad-hoc vector table ranks by cosine") {
     val vecs = Seq(
       (10L, Seq(1.0, 0.0)), (11L, Seq(0.9, 0.1)),
