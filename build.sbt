@@ -15,7 +15,6 @@ run / fork := true
 // every line as "[info] ...", which broke the driver's bench-JSON parse
 // in rounds 1–2 (BENCH_r0{1,2}.json: parsed=null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
