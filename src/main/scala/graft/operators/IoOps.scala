@@ -88,6 +88,26 @@ object IoOps extends OpFamily {
       .limit(10)
   }
 
+  /** lineitem subset → ORC → read → aggregate: the second columnar format
+    * (predicate pushdown + column pruning apply the same as parquet), so a
+    * lake standardized on ORC is a config change, not a code change.
+    */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = layoutPath(d, "lineitem_orc")
+    writeOnce(path) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"))
+        .write.mode("overwrite").orc(path)
+    }
+    s.read.orc(path)
+      .filter(col("l_orderkey") <= 1000)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("l_linestatus"))
+  }
+
   /** Data generation (MRDP ch.7): spark.range + deterministic columns,
     * aggregated — no input files at all.
     */
@@ -180,6 +200,7 @@ object IoOps extends OpFamily {
     "io_csv_roundtrip" -> (csvRoundtrip _),
     "io_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "io_text_roundtrip" -> (textRoundtrip _),
+    "io_orc_roundtrip" -> (orcRoundtrip _),
     "io_generate" -> (generate _),
     "io_partitioned_roundtrip" -> (partitionedRoundtrip _),
     "io_bucketed_join" -> (bucketedJoin _))
@@ -197,6 +218,11 @@ object IoOps extends OpFamily {
       """SELECT word, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 10""",
+    "io_orc_roundtrip" ->
+      """SELECT l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_orderkey <= 1000
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
     "io_generate" ->
       """SELECT bucket, count(*) AS n, min(id) AS min_id, max(id) AS max_id
          FROM (SELECT range AS id, (range * 2654435761) % 1000 AS bucket
