@@ -81,6 +81,23 @@ class GraftApiSpec extends AnyFunSuite {
       75 -> (150L, 150.0), 95 -> (190L, 190.0)))
   }
 
+  test("exactQuantiles matches a sorted-array reference at awkward sizes") {
+    // sizes that stress rank boundaries: singleton, n < partitions,
+    // prime n, and n landing targets exactly on partition edges
+    val rnd = new scala.util.Random(3)
+    for (n <- Seq(1, 3, 7, 199, 256)) {
+      val vals = Seq.fill(n)(rnd.nextInt(50).toDouble) // heavy ties
+      val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("x", "id").repartition(5)
+      val got = Graft.exactQuantiles(df, "x", Seq("id"), Seq(1, 50, 100))
+        .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      val sorted = vals.zipWithIndex.sortBy { case (v, i) => (v, i) }.map(_._1)
+      val want = Seq(1, 50, 100).map(p =>
+        p -> sorted(math.ceil(p * n / 100.0).toInt - 1)).toMap
+      assert(got === want, s"n=$n")
+    }
+  }
+
   test("sampleByStratum keeps rates per stratum and is idempotent") {
     val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
