@@ -321,21 +321,27 @@ object DedupOps extends OpFamily {
     }
     // Convergence: endpoints only ever DECREASE, so the decimal sum over
     // the (deduped) edge list is monotone non-increasing and strictly
-    // falls whenever a pass changed anything — one cheap scalar per round.
-    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum((col("u") + col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), r.getDecimal(1))
+    // falls whenever a pass changed anything. The signature rides the
+    // round's own materializing action via observe() — zero extra jobs
+    // per round (verified: observe metrics fire on localCheckpoint).
+    def checkpointWithSig(e: DataFrame)
+        : (DataFrame, Long, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = e.observe(obs, count(lit(1)).as("cnt"),
+        sum((col("u") + col("v")).cast("decimal(38,0)")).as("s"))
+        .localCheckpoint()
+      val m = obs.get
+      (ck, m("cnt").asInstanceOf[Long],
+        m("s").asInstanceOf[java.math.BigDecimal])
     }
-    var edges = pairs.filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var (cnt, s) = sig(edges)
+    var (edges, cnt, s) =
+      checkpointWithSig(pairs.filter(col("u") =!= col("v")).distinct())
     var converged = cnt == 0L
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      val (nCnt, nS) = sig(edges)
-      converged = nCnt == cnt && (nS == null || nS.compareTo(s) == 0)
-      cnt = nCnt; s = nS
+      val (e2, c2, s2) = checkpointWithSig(smallStar(largeStar(edges)))
+      converged = c2 == cnt && (s2 == null || s2.compareTo(s) == 0)
+      edges = e2; cnt = c2; s = s2
       rounds += 1
     }
     if (!converged)
