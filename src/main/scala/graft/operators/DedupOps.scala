@@ -222,6 +222,52 @@ object DedupOps extends OpFamily {
       .orderBy(col("a"), col("b"))
   }
 
+  /** SimHash pairing by SORT NEIGHBORHOOD (Manku et al., WWW'07): for four
+    * 16-bit rotations of the 63-bit signature, bucket rows by the rotated
+    * top 16 bits and compare each row only to its 4 successors in
+    * signature sort order within the bucket. Hamming-close signatures
+    * share a long prefix under at least one rotation, so they land
+    * adjacent — candidate generation is O(n · perms · window) instead of
+    * all-pairs within blocks, which is the shape that survives when a
+    * blocking key (lang, source) no longer bounds block size at corpus
+    * scale. Final hamming is exact-verified on the ORIGINAL signature.
+    * Rows-only (xxhash64-based signatures are not SQL-replayable); the
+    * candidate-subset and planted-dupe properties are scalatest-verified.
+    */
+  def simhashSorted(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNearDupes(s, d)
+    val sigs = simhashSigs(corpus).localCheckpoint()
+    val mask63 = (1L << 63) - 1
+    val rotated = (0 to 3).map { p =>
+      val r = p * 16
+      sigs.select(col("doc_id"), col("simhash"),
+        (shiftleft(col("simhash"), r).bitwiseAND(lit(mask63))
+          .bitwiseOR(shiftrightunsigned(col("simhash"), 63 - r))).as("key"),
+        lit(p).as("perm"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("perm"), col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+    // window exprs must be materialized as columns BEFORE the explode —
+    // Spark rejects window functions inside a generator
+    val withLeads = (1 to 4).foldLeft(
+        rotated.withColumn("bucket", shiftrightunsigned(col("key"), 47))) {
+      case (df, k) => df.withColumn(s"n$k", struct(
+        lead(col("doc_id"), k).over(w).as("nid"),
+        lead(col("simhash"), k).over(w).as("nsig")))
+    }
+    withLeads
+      .withColumn("nb",
+        explode(array((1 to 4).map(k => col(s"n$k")): _*)))
+      .filter(col("nb.nid").isNotNull)
+      .select(least(col("doc_id"), col("nb.nid")).as("a"),
+        greatest(col("doc_id"), col("nb.nid")).as("b"),
+        expr("bit_count(simhash ^ nb.nsig)").as("hamming"))
+      .filter(col("a") < col("b") && col("hamming") <= 6)
+      .distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
   /** MinHash near-dup via spark-mllib's MinHashLSH (the packaged
     * alternative to the hand-rolled [[minhashLsh]]): term-presence vectors
     * from a fitted CountVectorizer, LSH model with a fixed seed,
@@ -435,6 +481,7 @@ object DedupOps extends OpFamily {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_minhash_mllib" -> (minhashMllib _),
     "dedup_simhash" -> (simhashPairs _),
+    "dedup_simhash_sorted" -> (simhashSorted _),
     "dedup_embedding" -> (embeddingNearDup _))
 
   private val planted =

@@ -77,6 +77,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(joined.filter(col("x.simhash") =!= col("y.simhash")).count() === 0)
   }
 
+  test("simhash sort-neighborhood pairs are genuine and find exact dupes") {
+    val sorted = DedupOps.simhashSorted(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every emitted pair's hamming must be correct vs the raw signatures
+    val sigs = DedupOps.simhashSigs(
+        graft.operators.DedupOps.withNearDupes(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sorted.foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) === h, s"pair ($a,$b)")
+      assert(h <= 6)
+    }
+    // withNearDupes plants truncated copies at id+200000 whose signatures
+    // are hamming-close to the original — sort-adjacency must recover a
+    // healthy share of them
+    val planted = sorted.count { case (a, b, _) => b == a + 200000 }
+    assert(planted >= 10, s"only $planted planted near-dup pairs recovered")
+  }
+
   test("simhash: planted near-dups are closer than background pairs") {
     val corpus = DedupOps.withNearDupes(spark, sf)
     val sigs = DedupOps.simhashSigs(corpus)
