@@ -31,5 +31,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash63"),
       info("graft_simhash63", "63-bit simhash of an array of token hashes"),
       (args: Seq[Expression]) => NativeExprs.SimHash63(args(0))))
+    // Spark's codegen'd bloom expressions, not exposed by its public
+    // function registry — surfaced for SQL users (build + probe pair)
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(key, expectedItems, numBits) - serialized bloom filter"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2))
+          .toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        "graft_might_contain(bloom, key) - codegen'd membership probe"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args(0), args(1))))
   }
 }

@@ -76,6 +76,14 @@ class StreamPipelinesSpec extends AnyFunSuite {
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .head().getDouble(0)
     assert(r === 11.0)
+    // bloom build + probe pair works end-to-end in plain SQL
+    spark.range(100).createOrReplaceTempView("ext_bloom_keys")
+    val hits = spark.sql(
+      """SELECT count(*) FROM (SELECT id FROM range(200)) t
+         WHERE graft_might_contain(
+           (SELECT graft_bloom_agg(id, 100L, 959L) FROM ext_bloom_keys),
+           t.id)""").head().getLong(0)
+    assert(hits >= 100 && hits < 150, s"bloom probe hits=$hits")
   }
 
   test("streaming dedup emits each event_id once") {
