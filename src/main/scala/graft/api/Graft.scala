@@ -48,6 +48,17 @@ object Graft {
     graft.operators.DedupOps.minhashLshOn(
       df.select(col(id).as("doc_id"), col(text).as("text")), threshold)
 
+  /** SimHash near-duplicate pairs by rotate+sort neighborhood (Manku-style;
+    * candidate generation O(n·perms·window), no all-pairs block) with the
+    * final hamming distance exact-verified on the full 63-bit signature.
+    * Output columns `a`, `b`, `hamming` — composable with [[clusterPairs]]
+    * via the aCol/bCol defaults.
+    */
+  def simhashNearDupPairs(df: DataFrame, id: String, text: String,
+      maxHamming: Int = 6): DataFrame =
+    graft.operators.DedupOps.simhashSortedOn(
+      df.select(col(id).as("doc_id"), col(text).as("text")), maxHamming)
+
   /** Connected components over a pair DataFrame (edge endpoint columns
     * `aCol`/`bCol`, defaults matching [[nearDuplicatePairs]] output):
     * returns (id, cluster_id = min reachable id). */

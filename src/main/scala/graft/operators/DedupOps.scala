@@ -234,8 +234,14 @@ object DedupOps extends OpFamily {
     * Rows-only (xxhash64-based signatures are not SQL-replayable); the
     * candidate-subset and planted-dupe properties are scalatest-verified.
     */
-  def simhashSorted(s: SparkSession, d: String): DataFrame = {
-    val corpus = withNearDupes(s, d)
+  def simhashSorted(s: SparkSession, d: String): DataFrame =
+    simhashSortedOn(withNearDupes(s, d))
+
+  /** [[simhashSorted]] core over any (doc_id, text) DataFrame — the
+    * [[graft.api.Graft.simhashNearDupPairs]] entry point.
+    */
+  private[graft] def simhashSortedOn(corpus: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
     val sigs = simhashSigs(corpus).localCheckpoint()
     val mask63 = (1L << 63) - 1
     val rotated = (0 to 3).map { p =>
@@ -263,7 +269,7 @@ object DedupOps extends OpFamily {
       .select(least(col("doc_id"), col("nb.nid")).as("a"),
         greatest(col("doc_id"), col("nb.nid")).as("b"),
         expr("bit_count(simhash ^ nb.nsig)").as("hamming"))
-      .filter(col("a") < col("b") && col("hamming") <= 6)
+      .filter(col("a") < col("b") && col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("a"), col("b"))
   }

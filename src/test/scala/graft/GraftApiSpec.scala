@@ -113,6 +113,15 @@ class GraftApiSpec extends AnyFunSuite {
       again.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("simhashNearDupPairs finds the exact copy at hamming 0") {
+    val sh = Graft.simhashNearDupPairs(docs, "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // docs fixture: 4 is an exact copy of 1 → identical signatures,
+    // adjacent in every rotation's sort order
+    assert(sh.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0),
+      s"expected (1,4,hamming=0) in ${sh.toSeq}")
+  }
+
   test("chunkDocuments emits deterministic overlapping windows") {
     val df = Seq((1L, (1 to 120).map(i => s"t$i").mkString(" ")),
       (2L, "a b c")).toDF("id", "body")
