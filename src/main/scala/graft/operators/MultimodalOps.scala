@@ -67,6 +67,32 @@ object MultimodalOps extends OpFamily {
       .orderBy(col("asset_id"))
   }
 
+  /** STUB resize via typed mapPartitions: every-4th-byte subsample stands
+    * in for pixel decimation (a real implementation would decode, scale
+    * and re-encode here). The resized bytes are materialized inside the
+    * task — proving the batch shape carries binary through — and the
+    * registered output projects the size/dimension metadata, which is
+    * integer arithmetic both engines replay exactly.
+    */
+  def resizeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    assets(s, d)
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val inW = 64 + (bytes.length % 640)
+          val inH = 64 + ((bytes.length * 7) % 480)
+          // --- STUB: stands in for decode→scale(0.5)→encode ---
+          val resized = Array.tabulate(bytes.length / 4)(i => bytes(i * 4))
+          (id, bytes.length, inW, inH, inW / 2, inH / 2, resized.length)
+        }
+      }
+      .toDF("asset_id", "in_bytes", "in_w", "in_h", "out_w", "out_h",
+        "resized_bytes")
+      .orderBy(col("asset_id"))
+  }
+
   /** Frame sampling: chunk each payload into fixed 32-byte frames, keep
     * every 4th frame, summarize per asset — the video-keyframe topology
     * with text bytes standing in for frames.
@@ -118,6 +144,7 @@ object MultimodalOps extends OpFamily {
   val queries = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_decode_stub" -> (decodeStub _),
+    "mm_resize_stub" -> (resizeStub _),
     "mm_decode_agg" -> (decodeAgg _),
     "mm_frame_sample" -> (frameSample _))
 
@@ -126,6 +153,15 @@ object MultimodalOps extends OpFamily {
       """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
            n_chars AS n_bytes_declared, md5(text) AS content_md5,
            substring(base64(encode(text)), 1, 24) AS b64_head, lang
+         FROM documents ORDER BY asset_id""",
+    "mm_resize_stub" ->
+      """SELECT doc_id AS asset_id,
+           octet_length(encode(text)) AS in_bytes,
+           64 + (octet_length(encode(text)) % 640) AS in_w,
+           64 + ((octet_length(encode(text)) * 7) % 480) AS in_h,
+           (64 + (octet_length(encode(text)) % 640)) // 2 AS out_w,
+           (64 + ((octet_length(encode(text)) * 7) % 480)) // 2 AS out_h,
+           octet_length(encode(text)) // 4 AS resized_bytes
          FROM documents ORDER BY asset_id""",
     "mm_decode_agg" ->
       """SELECT lang, count(*) AS n_assets,
