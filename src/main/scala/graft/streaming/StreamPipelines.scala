@@ -53,6 +53,24 @@ object StreamPipelines {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream event-time join: each purchase matched to the same
+    * user's clicks from the preceding `horizon`. Both sides carry
+    * watermarks and the join condition bounds event time on both sides, so
+    * Spark can expire join state — the required shape for an unbounded
+    * stream-stream join (state is O(events within horizon), not O(stream)).
+    * Input schemas: clicks(cts TIMESTAMP, cuid BIGINT),
+    * purchases(bts TIMESTAMP, buid BIGINT, amount DOUBLE).
+    */
+  def purchasesWithPriorClick(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("cts", horizon)
+    val b = purchases.withWatermark("bts", horizon)
+    c.join(b, expr(
+      s"cuid = buid AND bts BETWEEN cts AND cts + interval $horizon"))
+      .select(col("buid").as("user_id"), col("bts").as("purchase_ts"),
+        col("cts").as("click_ts"), col("amount"))
+  }
+
   /** Streaming corpus ingest — the LLM-pipeline front door as ONE
     * incremental plan: quality gate (token count + type-token ratio) →
     * content-fingerprint exact dedup with watermark-bounded state →

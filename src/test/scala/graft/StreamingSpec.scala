@@ -77,6 +77,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 2, s"expected 2 distinct events, got $n")
   }
 
+  test("stream-stream join matches purchases to prior clicks in-horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val out = graft.streaming.StreamPipelines.purchasesWithPriorClick(
+      clicks.toDF().toDF("cts", "cuid"),
+      buys.toDF().toDF("bts", "buid", "amount"))
+    val q = out.writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData((ts(1), 1L), (ts(2), 2L))
+    buys.addData((ts(5), 1L, 9.5), (ts(30), 2L, 1.0)) // user 2: past horizon
+    q.processAllAvailable()
+    val rows = spark.table("t_ssjoin").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 9.5)),
+      s"only user 1's purchase is within 10 min of a click, got ${rows.toSeq}")
+  }
+
   test("corpusIngest stream: quality gate, fingerprint dedup, stratified keep") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Timestamp)]
