@@ -60,32 +60,44 @@ object TextOps extends OpFamily {
           .as("avg_token_len"))
       .orderBy(col("doc_id"))
 
-  /** Language-ID by stopword-marker density: explode tokens, broadcast-join
-    * a tiny (word → lang) lexicon, argmax hits per doc with deterministic
-    * tiebreaks, 'und' when no marker appears.
+  /** Language-ID by stopword-marker density: per-language marker counts as
+    * pure array expressions, argmax with deterministic tiebreaks (hits
+    * desc, language code asc), 'und' when no marker appears.
+    *
+    * The lexicon is STATIC (13 words, 5 languages), so it compiles into
+    * the row expression instead of being a table at all: one narrow scan,
+    * ZERO shuffles (the round-1..3 form exploded every corpus token and
+    * shuffled twice; at 100 TB that was a corpus-sized explode for a
+    * 13-word lookup). The token array is bound once via the same
+    * single-element `transform(array(·))` trick as [[shinglesN]] so
+    * split(text) evaluates once, not once per language.
     */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val lex = s.createDataFrame(Seq(
-      ("the", "en"), ("a", "en"), ("of", "en"),
-      ("el", "es"), ("la", "es"), ("los", "es"),
-      ("der", "de"), ("die", "de"), ("das", "de"),
-      ("le", "fr"), ("les", "fr"), ("et", "fr"),
-      ("de", "zh"))).toDF("word", "marker_lang")
-    val tokens = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks).as("word"))
-    val scores = tokens.join(broadcast(lex), "word")
-      .groupBy(col("doc_id"), col("marker_lang"))
-      .agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(desc("hits"), col("marker_lang"))
-    val best = scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("marker_lang").as("pred_lang"), col("hits"))
-    Tables.documents(s, d).select(col("doc_id"), col("lang"))
-      .join(best, Seq("doc_id"), "left_outer")
+    val lex: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das"),
+      "en" -> Seq("the", "a", "of"),
+      "es" -> Seq("el", "la", "los"),
+      "fr" -> Seq("le", "les", "et"),
+      "zh" -> Seq("de"))
+    val hits = element_at(transform(array(toks), wv =>
+      struct(lex.map { case (lang, words) =>
+        size(filter(wv, t => t.isin(words.map(x => x: Any): _*))).as(lang)
+      }: _*)), 1)
+    // fold in ascending language order, replacing only on STRICTLY more
+    // hits — ties keep the earlier language, matching the previous
+    // (hits DESC, marker_lang ASC) window order
+    val (bestLang, bestHits) = lex.tail.foldLeft(
+      (lit(lex.head._1), col("h").getField(lex.head._1))) {
+      case ((bl, bh), (lang, _)) =>
+        val hl = col("h").getField(lang)
+        (when(hl > bh, lit(lang)).otherwise(bl),
+          when(hl > bh, hl).otherwise(bh))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hits.as("h"))
       .select(col("doc_id"), col("lang"),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("hits"), lit(0L)).as("marker_hits"))
+        when(bestHits > 0, bestLang).otherwise(lit("und")).as("pred_lang"),
+        bestHits.cast("long").as("marker_hits"))
       .orderBy(col("doc_id"))
   }
 
@@ -167,12 +179,20 @@ object TextOps extends OpFamily {
     * actual n-gram collisions.
     */
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shinglesN(toks, 5).as("sh"))
-    val trainShingles = docs.filter(col("doc_id") % 10 =!= 0)
-      .select(explode(col("sh")).as("shingle")).distinct()
-    val evalShingles = docs.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // The shingling expression (concat_ws over 5 element_ats per position)
+    // is the expensive narrow work, and both the train and eval branches
+    // need it. Materialize the exploded (doc_id, shingle) pairs ONCE and
+    // let both sides read the materialized form — the classic
+    // compute-once/reuse trade: one corpus scan + shingle pass instead of
+    // two, at the cost of spilling the pair list (MEMORY_AND_DISK) — the
+    // pairs are ~tokens-per-corpus rows, strictly smaller than the
+    // re-scan they replace.
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shinglesN(toks, 5)).as("shingle"))
+      .localCheckpoint()
+    val trainShingles = pairs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("shingle")).distinct()
+    val evalShingles = pairs.filter(col("doc_id") % 10 === 0)
     evalShingles.join(trainShingles, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("n_leaked_5grams"))
