@@ -88,13 +88,21 @@ object DedupOps extends OpFamily {
     * by (lang, source); this exact variant is the oracle-checkable baseline,
     * while [[minhashLsh]] is the sub-quadratic path for unblocked scale.
     */
-  def nearJaccard(s: SparkSession, d: String): DataFrame = {
+  def nearJaccard(s: SparkSession, d: String): DataFrame =
+    blockedJaccardPairs(withNearDupes(s, d))
+
+  /** Blocked exact-jaccard pair core over any (doc_id, lang, source, text)
+    * corpus — shared by [[nearJaccard]] and the dup-graph consumers
+    * ([[GraphOps.triangleCensus]]).
+    */
+  private[operators] def blockedJaccardPairs(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
     // localCheckpoint = a hard materialization boundary: without it the
     // pair-join's fused codegen stage re-evaluates the interpreted
     // shingle-build chain per PAIR (jstack-verified, ~20× slower), and the
     // a/b branches would each rebuild it; with it each doc's array is
     // built exactly once
-    val sh = withNearDupes(s, d)
+    val sh = corpus
       .select(col("doc_id"), col("lang"), col("source"),
         array_sort(array_distinct(transform(TextOps.shingles3(TextOps.toks),
           xxhash64(_)))).as("sh"))
@@ -348,9 +356,15 @@ object DedupOps extends OpFamily {
     val nodes = pairs.select(col("u").as("n"))
       .unionByName(pairs.select(col("v").as("n")))
       .distinct()
-    // large-star: connect every neighbor v > u to m(u) = min(N(u) ∪ {u})
+    // large-star: connect every neighbor v > u to m(u) = min(N(u) ∪ {u}).
+    // The explicit repartition(u) is the star's ONLY edge shuffle: both the
+    // min-aggregate and the self-join require hashpartitioning(u), and
+    // with the shared exchange underneath Catalyst satisfies both from one
+    // pass instead of exchanging the (doubled) edge set separately for
+    // each subtree.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val m = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
       sym.join(m, Seq("u"))
@@ -364,6 +378,7 @@ object DedupOps extends OpFamily {
       val t = e.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
+        .repartition(col("u")) // shared exchange for the agg + join (as above)
       val m = t.groupBy(col("u")).agg(min(col("v")).as("m"))
       t.join(m, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))

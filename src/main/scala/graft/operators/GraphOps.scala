@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational-derived edge lists — the canonical
+  * iterative-MapReduce workloads (PageRank, triangle counting, degree
+  * profiles) alongside the connected components already in
+  * [[DedupOps.clusterPairsOn]].
+  *
+  * Exactness stance: PageRank runs in integer MICRO-UNITS (fixed-point
+  * longs, integral division) so five damped iterations are replayable
+  * bit-for-bit in any engine — the same order-independence trick as
+  * sim_label_centroids — instead of a float fixpoint that depends on
+  * summation order. Triangle counting uses degree orientation, whose
+  * work is bounded by edge arboricity rather than max degree — the
+  * standard MR/Spark shape for skewed graphs at scale.
+  */
+object GraphOps extends OpFamily {
+
+  /** Symmetric customer↔supplier interaction edges from orders⋈lineitem.
+    * Node ids disambiguate the two key spaces by parity: customer c ↦ 2c,
+    * supplier s ↦ 2s+1. Every undirected edge appears in both directions,
+    * so the graph has no dangling nodes and PageRank needs no sink-mass
+    * redistribution.
+    */
+  private def custSuppEdges(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    e0.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(e0.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** PageRank (damping 0.85, 5 iterations) over the customer–supplier
+    * graph; top-20 nodes by rank with deterministic tiebreaks.
+    *
+    * Fixed-point arithmetic: ranks are longs in micro-units (1.0 ≡
+    * 1,000,000), a node of out-degree k contributes `units DIV k` to each
+    * neighbor, and the damped update is `150000 + (85·Σcontrib) DIV 100` —
+    * all integral ops on positive values, so the DuckDB oracle replays all
+    * five iterations exactly (a float fixpoint would diverge on summation
+    * order). Mass lost to the floors is deliberate and identical in both
+    * engines.
+    *
+    * Scale shape: the degree-annotated edge list is cached PRE-PARTITIONED
+    * on src (persist, not localCheckpoint — a cached plan keeps its
+    * outputPartitioning; a checkpointed RDD scan forgets it and every
+    * iteration would re-shuffle the full edge set). Each iteration then
+    * moves only the node-sized rank table to the edges — one small-side
+    * shuffle (or an AQE auto-broadcast) plus one partial-aggregating
+    * groupBy — the bucketed-edges iterative-join PageRank shape.
+    */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    // edge pipeline (scan⋈scan→distinct→symmetrize) runs ONCE; the degree
+    // table is node-sized, so it rides a broadcast back onto the edges
+    val edges = custSuppEdges(s, d).localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val withDeg = edges.join(broadcast(deg), Seq("src"))
+      .repartition(col("src")).persist()
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("units"))
+    (1 to 5).foreach { _ =>
+      // per-round localCheckpoint: ranks are node-sized (cheap) and the
+      // truncation keeps every round a flat broadcast-join + aggregate
+      // instead of one 5-deep nested plan (cold-compile cost scales with
+      // plan size; iteration results are reused by the next round anyway)
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("units DIV deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("150000L + (85L * sum(contrib)) DIV 100L").as("units"))
+        .select(col("dst").as("node"), col("units"))
+        .localCheckpoint()
+    }
+    ranks
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node DIV 2").as("entity_key"),
+        col("units").as("rank_units"))
+      .orderBy(desc("rank_units"), col("kind"), col("entity_key"))
+      .limit(20)
+  }
+
+  /** Combined duplication corpus: originals ∪ planted exact copies (every
+    * 5th doc, id+100000) ∪ planted truncated near-dups (every 7th doc,
+    * id+200000) — the union of the fixtures DedupOps plants separately.
+    * Docs divisible by 35 yield genuine {original, copy, truncated}
+    * TRIANGLES in the similarity graph (the near-dup-only graph is a
+    * perfect matching — every node degree 1 — so a census over it would
+    * be vacuous).
+    */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val exact = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
+        col("source"), col("text"))
+    val trunc = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("lang"),
+        col("source"),
+        concat_ws(" ", slice(TextOps.toks, lit(1),
+          greatest(size(TextOps.toks) - 5, lit(1)))).as("text"))
+    docs.unionByName(exact).unionByName(trunc)
+  }
+
+  /** Triangle census of the duplication similarity graph (blocked jaccard
+    * ≥ 0.3 pairs over [[dupCorpus]] as undirected edges): node/edge/wedge
+    * counts, exact triangle count, global clustering coefficient.
+    *
+    * Degree-orientation algorithm: orient every edge toward the higher
+    * (degree, id) endpoint, enumerate wedges only from each edge's LOWER
+    * endpoint, and close them against the oriented edge set. Per-node
+    * wedge work is then O(out-degree²) with out-degrees bounded by
+    * O(√edges) — a hub of degree d costs d·√m, not d², which is what makes
+    * triangle counting survive skewed graphs at 100 TB. The clustering
+    * coefficient is one double division of two exact longs, so the value
+    * is engine-exact.
+    */
+  def triangleCensus(s: SparkSession, d: String): DataFrame = {
+    // undirected (a < b) similarity edges, materialized once: the edge set
+    // feeds the degree count, the orientation join and the closing join
+    val und = DedupOps.blockedJaccardPairs(dupCorpus(s, d))
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    val deg = und.select(col("a").as("x"))
+      .unionByName(und.select(col("b").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val e = und
+      .join(deg.select(col("x").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("x").as("b"), col("deg").as("db")), Seq("b"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e.select(
+        when(aLower, col("a")).otherwise(col("b")).as("lo"),
+        when(aLower, col("b")).otherwise(col("a")).as("hi"),
+        when(aLower, col("db")).otherwise(col("da")).as("dhi"))
+      .localCheckpoint()
+    val o1 = oriented.select(col("lo"), col("hi").as("v"), col("dhi").as("dv"))
+    val o2 = oriented.select(col("lo"), col("hi").as("w"), col("dhi").as("dw"))
+    val wedges = o1.join(o2, Seq("lo"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v"), col("w"))
+    val tri = wedges
+      .join(oriented.select(col("lo").as("v"), col("hi").as("w")),
+        Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("CAST(sum(deg * (deg - 1) DIV 2) AS BIGINT)").as("n_wedges"))
+    val edgeStats = und.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Per-kind degree profile of the customer–supplier graph: node count,
+    * min/max degree, and mean degree as one double division of exact
+    * longs. The two-row output is the graph-shape summary a partitioning
+    * or salting decision reads first (max/mean degree ratio = skew).
+    */
+  def degreeProfile(s: SparkSession, d: String): DataFrame =
+    custSuppEdges(s, d)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy(when(col("src") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("kind"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"),
+        (sum(col("deg")).cast("double") / count(lit(1))).as("avg_deg"))
+      .orderBy(col("kind"))
+
+  val queries = Map(
+    "graph_pagerank" -> (pageRank _),
+    "graph_triangles" -> (triangleCensus _),
+    "graph_degree_profile" -> (degreeProfile _))
+
+  // combined dup corpus (originals ∪ exact copies ∪ truncated near-dups),
+  // mirroring [[dupCorpus]]; the shingle/edge CTEs mirror DedupOps' oracles
+  private val planted =
+    """SELECT doc_id, lang, source, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000, lang, source, text FROM documents
+       WHERE doc_id % 5 = 0
+       UNION ALL
+       SELECT doc_id + 200000, lang, source,
+         array_to_string(w[1:greatest(len(w) - 5, 1)], ' ')
+       FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+             FROM documents)
+       WHERE doc_id % 7 = 0"""
+
+  private val nearDupEdges =
+    s"""corpus AS ($planted),
+       shg AS (SELECT doc_id, lang, source,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+               FROM corpus)),
+       e AS (SELECT a.doc_id AS a, b.doc_id AS b
+         FROM shg a JOIN shg b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3)"""
+
+  private def prIter(k: Int): String =
+    s"""r$k AS (SELECT wd.dst AS node,
+         150000 + (85 * CAST(sum(r.units // wd.deg) AS BIGINT)) // 100
+           AS units
+       FROM wd JOIN r${k - 1} r ON wd.src = r.node GROUP BY wd.dst)"""
+
+  val oracle = Map(
+    "graph_pagerank" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM e0
+                   UNION ALL SELECT s, c FROM e0),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         wd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS units FROM deg),
+         ${(1 to 5).map(prIter).mkString(",\n         ")}
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS kind,
+           node // 2 AS entity_key, units AS rank_units
+         FROM r5
+         ORDER BY rank_units DESC, kind, entity_key LIMIT 20""",
+    "graph_triangles" ->
+      s"""WITH $nearDupEdges,
+         deg AS (SELECT x, count(*) AS deg
+           FROM (SELECT a AS x FROM e UNION ALL SELECT b FROM e) GROUP BY x),
+         tri AS (SELECT count(*) AS n_triangles
+           FROM e e1 JOIN e e2 ON e2.a = e1.b
+                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+             THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END AS clustering
+         FROM (SELECT count(*) AS n_nodes,
+                 CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+               FROM deg) ns,
+              (SELECT count(*) AS n_edges FROM e) es, tri""",
+    "graph_degree_profile" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM e0
+                   UNION ALL SELECT s, c FROM e0),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+         SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS kind,
+           count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg,
+           CAST(sum(deg) AS DOUBLE) / count(*) AS avg_deg
+         FROM deg GROUP BY kind ORDER BY kind""")
+}
