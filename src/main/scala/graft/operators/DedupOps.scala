@@ -39,10 +39,23 @@ object DedupOps extends OpFamily {
   private def normalized: Column =
     regexp_replace(trim(lower(col("text"))), " +", " ")
 
+  /** The planted-dup fixtures offset copies by +PlantBase / +2·PlantBase,
+    * so original ids must stay below PlantBase for the three id spaces to
+    * be disjoint. [[guardedDocId]] asserts that per row ON the normal scan
+    * (zero extra jobs): once the corpus outgrows the offset the fixture
+    * fails loudly instead of silently aliasing planted ids onto originals.
+    */
+  private[operators] val PlantBase = 100000L
+  private[operators] def guardedDocId: Column =
+    when(col("doc_id") < PlantBase, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit(s"planted-dup fixture requires doc_id < $PlantBase, got "),
+        col("doc_id").cast("string"))))
+
   /** Documents plus a planted exact copy of every 5th doc (id + 100000). */
   private def withExactDupes(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    docs.select(col("doc_id"), col("text"))
+    docs.select(guardedDocId.as("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
@@ -53,11 +66,15 @@ object DedupOps extends OpFamily {
   private[graft] def withNearDupes(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // the % 7 filter stays on the raw column (pushes to the scan); the
+    // guard rides only the all-rows base branch, which covers every id
     val truncated = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 200000).as("doc_id"), col("lang"), col("source"),
         concat_ws(" ", slice(TextOps.toks, lit(1),
           greatest(size(TextOps.toks) - 5, lit(1)))).as("text"))
-    docs.unionByName(truncated)
+    docs.select(guardedDocId.as("doc_id"), col("lang"), col("source"),
+        col("text"))
+      .unionByName(truncated)
   }
 
   /** Exact dedup: group by content hash, surface the duplicate groups. */

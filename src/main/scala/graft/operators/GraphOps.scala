@@ -54,14 +54,22 @@ object GraphOps extends OpFamily {
     * moves only the node-sized rank table to the edges — one small-side
     * shuffle (or an AQE auto-broadcast) plus one partial-aggregating
     * groupBy — the bucketed-edges iterative-join PageRank shape.
+    *
+    * Headroom: with ANSI off, `85·Σcontrib` silently wraps past
+    * Long.MAX once a single node can receive ~10¹⁷ micro-units — i.e.
+    * a hub absorbing the mass of ~10¹¹ nodes. Graphs beyond that need
+    * the damped sum in decimal(38,0); at the 100 TB design point
+    * (≲10¹⁰ nodes) the fixed-point long has ≥ 10× headroom.
     */
   def pageRank(s: SparkSession, d: String): DataFrame = {
     // edge pipeline (scan⋈scan→distinct→symmetrize) runs ONCE; the degree
-    // table is node-sized, so it rides a broadcast back onto the edges
+    // table is node-sized and shares the repartition(src) exchange, so no
+    // broadcast hint: at billions of nodes an unconditional broadcast of a
+    // node-sized table would OOM the driver — let AQE pick the strategy
     val edges = custSuppEdges(s, d).localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val withDeg = edges.join(broadcast(deg), Seq("src"))
+    val withDeg = edges.join(deg, Seq("src"))
       .repartition(col("src")).persist()
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("units"))
     (1 to 5).foreach { _ =>
@@ -76,6 +84,10 @@ object GraphOps extends OpFamily {
         .select(col("dst").as("node"), col("units"))
         .localCheckpoint()
     }
+    // every round's ranks are already materialized (eager localCheckpoint),
+    // so the cached edge set is no longer reachable from the result plan —
+    // release it instead of leaking a CacheManager entry into the session
+    withDeg.unpersist()
     ranks
       .select(
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
@@ -105,7 +117,11 @@ object GraphOps extends OpFamily {
         col("source"),
         concat_ws(" ", slice(TextOps.toks, lit(1),
           greatest(size(TextOps.toks) - 5, lit(1)))).as("text"))
-    docs.unionByName(exact).unionByName(trunc)
+    // the guard rides the all-rows base branch: planted id spaces stay
+    // disjoint from originals, asserted per row (DedupOps.guardedDocId)
+    docs.select(DedupOps.guardedDocId.as("doc_id"), col("lang"),
+        col("source"), col("text"))
+      .unionByName(exact).unionByName(trunc)
   }
 
   /** Triangle census of the duplication similarity graph (blocked jaccard

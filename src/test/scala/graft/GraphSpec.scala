@@ -12,7 +12,7 @@ class GraphSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("triangle census finds exactly the planted {orig,copy,trunc} triangles") {
+  test("triangle census finds at least the planted {orig,copy,trunc} triangles") {
     // docs divisible by 35 get BOTH an exact copy (+100000) and a truncated
     // near-dup (+200000); those three pairwise-similar docs are the only
     // densely-planted structure, so triangles ≥ count(doc_id % 35 == 0)
