@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * recognizable, and the same construction is replayed in the DuckDB oracle.
   *
   * Scale notes: exact dedup is one hash-groupBy (map-side partial, shuffle =
-  * one row per distinct hash). Jaccard/minhash/simhash never do an unblocked
-  * O(n²) pass: Jaccard pairs only within (lang, source) blocks; MinHash
-  * candidates only within LSH band buckets (the standard sub-quadratic
-  * shape: shingle → signature → band → bucket-join); SimHash pairs only
-  * within lang blocks. At 100 TB the band-bucket join is the only shuffle
-  * whose fan-in needs watching — skewed buckets mean a too-lax band width,
-  * tuned here to 8 bands × 4 rows.
+  * one row per distinct hash). Jaccard/minhash/simhash never do an O(n²)
+  * pass: exact-Jaccard candidates come from an AllPairs/PPJoin prefix
+  * filter (equi-join on each doc's rarest shingle hashes — see
+  * [[prefixCandidates]]), so even a single popular (lang, source) block
+  * stays token-stream-linear; MinHash candidates only within LSH band
+  * buckets (the standard sub-quadratic shape: shingle → signature → band →
+  * bucket-join); SimHash pairs only within lang blocks. At 100 TB the
+  * band-bucket join is the only shuffle whose fan-in needs watching —
+  * skewed buckets mean a too-lax band width, tuned here to 8 bands × 4
+  * rows.
   */
 object DedupOps extends OpFamily {
 
@@ -98,39 +101,43 @@ object DedupOps extends OpFamily {
   /** Near-dup pairs by word-3-shingle Jaccard ≥ 0.3 within (lang, source)
     * blocks, over the planted-near-dup corpus. Output is (a, b, jaccard).
     *
-    * Shingles are hashed to 64-bit longs before the blocked pair join, so
-    * the arrays shipped through the shuffle are 8-byte elements (not
-    * strings) and the intersect/union run on long equality — the jaccard
-    * VALUE is unchanged (collision probability ~2⁻⁶⁴). Pairing is blocked
-    * by (lang, source); this exact variant is the oracle-checkable baseline,
-    * while [[minhashLsh]] is the sub-quadratic path for unblocked scale.
+    * Shingles are hashed to 64-bit longs before any pairing, so the arrays
+    * shipped through shuffles are 8-byte elements (not strings) and the
+    * intersect/union run on long equality — the jaccard VALUE is unchanged
+    * (collision probability ~2⁻⁶⁴). This exact variant is the
+    * oracle-checkable baseline; candidate generation is prefix-filtered
+    * (AllPairs/PPJoin), never all-pairs — see [[blockedJaccardPairs]].
     */
   def nearJaccard(s: SparkSession, d: String): DataFrame =
     blockedJaccardPairs(withNearDupes(s, d))
 
-  /** Blocked exact-jaccard pair core over any (doc_id, lang, source, text)
-    * corpus — shared by [[nearJaccard]] and the dup-graph consumers
+  /** Exact-jaccard pair core over any (doc_id, lang, source, text) corpus —
+    * shared by [[nearJaccard]] and the dup-graph consumers
     * ([[GraphOps.triangleCensus]]).
+    *
+    * Candidate generation is PREFIX FILTERING (the AllPairs/PPJoin family:
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08), not a within-block
+    * all-pairs self-join: under any global total order of the shingle
+    * universe, two sets with |x∩y| ≥ α must share an element among the
+    * first |x|−α+1 resp. |y|−α+1 elements of their orderings, and J ≥ τ
+    * implies |x∩y| ≥ ⌈τ·max(|x|,|y|)⌉ ≥ ⌈τ·|x|⌉. So an equi-join on the
+    * per-doc prefix keys generates a candidate SUPERSET of the qualifying
+    * pairs, and the exact merge-scan verify makes the output identical to
+    * all-pairs. At 100 TB this is the difference between O(n²) pairs in a
+    * popular (lang, source) block and a token-stream-linear equi-join on
+    * rare hashes: ordering the universe by ascending per-block document
+    * frequency puts each doc's RAREST shingles in its prefix, so prefix-key
+    * collisions — the candidates — are mostly genuine near-dups.
     */
-  private[operators] def blockedJaccardPairs(corpus: DataFrame): DataFrame = {
+  private[graft] def blockedJaccardPairs(corpus: DataFrame): DataFrame = {
     val s = corpus.sparkSession
-    // localCheckpoint = a hard materialization boundary: without it the
-    // pair-join's fused codegen stage re-evaluates the interpreted
-    // shingle-build chain per PAIR (jstack-verified, ~20× slower), and the
-    // a/b branches would each rebuild it; with it each doc's array is
-    // built exactly once
-    val sh = corpus
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_sort(array_distinct(transform(TextOps.shingles3(TextOps.toks),
-          xxhash64(_)))).as("sh"))
-      .localCheckpoint()
-    val a = sh.select(col("doc_id").as("a"), col("lang"), col("source"),
-      col("sh").as("sha"))
-    val b = sh.select(col("doc_id").as("b"), col("lang"), col("source"),
-      col("sh").as("shb"))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("a") < col("b"))
-      // one codegen'd merge scan replaces array_intersect + array_union
+    val sh = blockShingles(corpus)
+    val cand = prefixCandidates(sh, 0.3)
+    // verify candidates with the exact codegen'd merge scan (one expression
+    // replaces array_intersect + array_union: |A∪B| = |A|+|B|−|A∩B|)
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .withColumn("inter",
         NativeExprs.sortedIntersectCount(s, col("sha"), col("shb")))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -138,6 +145,69 @@ object DedupOps extends OpFamily {
       .filter(col("jaccard") >= 0.3)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** (doc_id, lang, source, sh): sorted distinct 64-bit shingle hashes per
+    * doc. localCheckpoint = a hard materialization boundary: without it
+    * every downstream consumer (frequency count, prefix build, both verify
+    * sides) re-evaluates the interpreted shingle-build chain — jstack-
+    * verified ~20× slower when it re-ran per PAIR in the pre-r6 all-pairs
+    * shape; with it each doc's array is built exactly once.
+    */
+  private[graft] def blockShingles(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(array_distinct(transform(TextOps.shingles3(TextOps.toks),
+          xxhash64(_)))).as("sh"))
+      .localCheckpoint()
+
+  /** Prefix-filtered candidate pairs (a, b) within (lang, source) blocks
+    * over a [[blockShingles]] frame, for Jaccard threshold `tau`: a
+    * candidate SUPERSET of all pairs with J ≥ tau (prefix-filter theorem),
+    * sub-quadratically via an equi-join on each doc's rarest
+    * |sh|−⌈τ·|sh|⌉+1 shingle hashes.
+    *
+    * Numeric care: the prefix length uses ceil(τ·n − 1e-6). The epsilon
+    * guards the UNSAFE float direction — if ceil(0.3·n) rounded UP past the
+    * exact rational (e.g. 0.3·10 = 3.0000000000000004 → 4) the prefix would
+    * be one too short and could drop a true pair; the epsilon can only make
+    * the prefix one element longer, which costs candidates, never recall.
+    * The (least ≥ τ·greatest − ε) size filter prunes pairs whose set sizes
+    * alone already cap Jaccard below τ (|x∩y| ≤ min, |x∪y| ≥ max), with the
+    * slack on the same safe side.
+    */
+  private[graft] def prefixCandidates(sh: DataFrame, tau: Double): DataFrame = {
+    // per-block document frequency of each shingle hash — the global order
+    // (freq asc, hash asc) that makes prefixes rare; per-block counts keep
+    // the groupBy key space wide (no single hot reducer) and are consistent
+    // for any candidate pair, which by construction shares the block
+    val exploded = sh.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("sh")).as("h"))
+    val freq = exploded.groupBy(col("lang"), col("source"), col("h"))
+      .agg(count(lit(1)).as("f"))
+    // re-assemble each doc's hashes rarest-first; array_sort on (f, h)
+    // structs orders lexicographically = by frequency, ties by hash
+    val pref = exploded
+      .join(freq, Seq("lang", "source", "h"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("fh")).as("n"),
+        slice(transform(col("fh"), x => x.getField("h")), lit(1),
+          (size(col("fh"))
+            - ceil(size(col("fh")) * lit(tau) - lit(1e-6)).cast("int")
+            + 1)).as("pref"))
+    val pk = pref.select(col("doc_id"), col("lang"), col("source"), col("n"),
+      explode(col("pref")).as("pk"))
+    pk.select(col("doc_id").as("a"), col("lang"), col("source"), col("pk"),
+        col("n").as("na"))
+      .join(pk.select(col("doc_id").as("b"), col("lang"), col("source"),
+        col("pk"), col("n").as("nb")), Seq("lang", "source", "pk"))
+      .filter(col("a") < col("b"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")) * lit(tau) - lit(1e-6))
+      .select(col("a"), col("b"))
+      .distinct()
   }
 
   /** doc_id + sorted distinct 31-bit shingle hashes (`hs`), one narrow

@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.NativeExprs
+import graft.operators.DedupOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactness and sub-quadratic-candidate properties of the prefix-filtered
+  * (AllPairs/PPJoin) exact-Jaccard join (DedupOps.prefixCandidates /
+  * blockedJaccardPairs). Both corpora here are ADVERSARIAL single-block
+  * inputs — the shape where the pre-r6 within-block all-pairs join was
+  * O(n²) — so the reference answer is computed by an independent in-test
+  * all-pairs join and compared pair-for-pair.
+  */
+class PrefixJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Independent reference: brute-force all-pairs jaccard over the same
+    * blockShingles frame (the pre-r6 shape, correct by construction at
+    * test scale).
+    */
+  private def bruteForcePairs(corpus: DataFrame): Set[(Long, Long)] = {
+    val sh = DedupOps.blockShingles(corpus)
+    val a = sh.select(col("doc_id").as("a"), col("lang"), col("source"),
+      col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("b"), col("lang"), col("source"),
+      col("sh").as("shb"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("a") < col("b"))
+      .withColumn("inter",
+        NativeExprs.sortedIntersectCount(spark, col("sha"), col("shb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** One (lang, source) block: 200 docs sharing a 10-token header (common
+    * shingles the frequency ordering must exile from prefixes) + 20 unique
+    * tokens each; every 10th doc gets a planted truncated copy (id+1000).
+    */
+  private def headerCorpus: DataFrame = {
+    import TestSpark.spark.implicits._
+    val header = (0 until 10).map(i => s"c$i").mkString(" ")
+    val docs = (0 until 200).map { i =>
+      val unique = (0 until 20).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, "en", "web", s"$header $unique")
+    }
+    val copies = docs.filter(_._1 % 10 == 0).map { case (id, l, s, t) =>
+      (id + 1000L, l, s, t.split(" ").dropRight(5).mkString(" "))
+    }
+    (docs ++ copies).toDF("doc_id", "lang", "source", "text")
+  }
+
+  /** Borderline corpus: 150 docs, each a k-token mutation (k ∈ [0, 30]) of
+    * one of 10 base docs — jaccards spread across the 0.3 threshold from
+    * both sides, the boundary the epsilon arithmetic must not move.
+    */
+  private def mutationCorpus: DataFrame = {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val bases = Vector.fill(10)(Vector.fill(40)(s"w${rnd.nextInt(400)}"))
+    val docs = (0 until 150).map { i =>
+      val base = bases(rnd.nextInt(10))
+      val k = rnd.nextInt(31)
+      val hit = rnd.shuffle(base.indices.toList).take(k).toSet
+      val text = base.zipWithIndex
+        .map { case (w, p) => if (hit(p)) s"m${i}_$p" else w }
+        .mkString(" ")
+      (i.toLong, "en", "web", text)
+    }
+    docs.toDF("doc_id", "lang", "source", "text")
+  }
+
+  test("prefix-filtered jaccard equals brute-force all-pairs (header corpus)") {
+    val corpus = headerCorpus
+    val got = pairsOf(DedupOps.blockedJaccardPairs(corpus))
+    val want = bruteForcePairs(corpus)
+    assert(want.nonEmpty, "fixture must plant at least one true pair")
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("prefix-filtered jaccard equals brute-force all-pairs (0.3-boundary corpus)") {
+    val corpus = mutationCorpus
+    val got = pairsOf(DedupOps.blockedJaccardPairs(corpus))
+    val want = bruteForcePairs(corpus)
+    assert(want.nonEmpty, "mutation fixture should cross the threshold")
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("candidate count is far below n(n-1)/2 on a single hot block") {
+    val corpus = headerCorpus
+    val n = corpus.count()
+    val cand = DedupOps.prefixCandidates(
+      DedupOps.blockShingles(corpus), 0.3).count()
+    val allPairs = n * (n - 1) / 2
+    // frequency-ordered prefixes exile the shared header: candidates are
+    // the planted pairs plus rare-hash coincidences, orders of magnitude
+    // below the quadratic count the pre-r6 join enumerated
+    assert(cand <= allPairs / 20,
+      s"prefix filter degenerated: $cand candidates of $allPairs pairs")
+    assert(cand >= 20, s"planted pairs must be candidates, got $cand")
+  }
+}
