@@ -178,17 +178,20 @@ object DedupOps extends OpFamily {
     */
   private[graft] def prefixCandidates(sh: DataFrame, tau: Double): DataFrame = {
     // per-block document frequency of each shingle hash — the global order
-    // (freq asc, hash asc) that makes prefixes rare; per-block counts keep
-    // the groupBy key space wide (no single hot reducer) and are consistent
-    // for any candidate pair, which by construction shares the block
+    // (freq asc, hash asc) that makes prefixes rare; a count-over-window
+    // partitioned by (block, hash) annotates the exploded stream in ONE
+    // exchange where a groupBy-freq + equi-join back would move it twice.
+    // Per-block counts keep the partition key space wide (no single hot
+    // reducer) and are consistent for any candidate pair, which by
+    // construction shares the block
     val exploded = sh.select(col("doc_id"), col("lang"), col("source"),
       explode(col("sh")).as("h"))
-    val freq = exploded.groupBy(col("lang"), col("source"), col("h"))
-      .agg(count(lit(1)).as("f"))
+    val wFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"), col("h"))
     // re-assemble each doc's hashes rarest-first; array_sort on (f, h)
     // structs orders lexicographically = by frequency, ties by hash
     val pref = exploded
-      .join(freq, Seq("lang", "source", "h"))
+      .withColumn("f", count(lit(1)).over(wFreq))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
       .select(col("doc_id"), col("lang"), col("source"),
