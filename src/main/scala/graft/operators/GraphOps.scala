@@ -98,6 +98,126 @@ object GraphOps extends OpFamily {
       .limit(20)
   }
 
+  /** PageRank iterated to an ε-FIXPOINT instead of a fixed round count —
+    * the iterate-until-converged termination real graph users expect. The
+    * integer iteration contracts the L1 delta by exactly the damping
+    * factor per round (measured: 0.85× each round, no exact fixpoint —
+    * the floors leave persistent rounding noise), so the stop rule is
+    * relative: halt once Σ|units − prev| ≤ relTol · Σprev. The delta
+    * rides each round's own materializing localCheckpoint via observe()
+    * (the [[DedupOps.clusterPairsOn]] pattern — zero extra jobs per
+    * round); the old⋈new join is node-sized, the cheap side of the round.
+    * Exceeding maxRounds throws rather than silently returning an
+    * unconverged vector. Rounds-to-converge is log(1/relTol)/log(1/0.85)
+    * ≈ 9.6 per decade — independent of graph size, so the round count
+    * holds at 100 TB.
+    *
+    * Registered rows-only: the terminating round count is a data property
+    * (not expressible in a static oracle), so correctness is pinned by a
+    * driver-side integer reference simulation in GraphSpec that replays
+    * the same contraction and stop rule bit-for-bit.
+    */
+  def pageRankConverged(s: SparkSession, d: String): DataFrame =
+    pageRankUntil(s, d, relTol = 0.01, maxRounds = 60)
+
+  private[graft] def pageRankUntil(s: SparkSession, d: String,
+      relTol: Double, maxRounds: Int): DataFrame = {
+    val edges = custSuppEdges(s, d).localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val withDeg = edges.join(deg, Seq("src"))
+      .repartition(col("src")).persist()
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("units"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val obs = org.apache.spark.sql.Observation()
+      // decimal accumulators: Σ|Δ| and Σprev stay exact far past the long
+      // headroom bound documented on [[pageRank]]
+      val next = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("units DIV deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("150000L + (85L * sum(contrib)) DIV 100L").as("units"))
+        .select(col("dst").as("node"), col("units"))
+        .join(ranks.select(col("node"), col("units").as("prev")), Seq("node"))
+        .observe(obs,
+          sum(abs(col("units") - col("prev")).cast("decimal(38,0)")).as("l1"),
+          sum(col("prev").cast("decimal(38,0)")).as("mass"))
+        .select(col("node"), col("units"))
+        .localCheckpoint()
+      val m = obs.get
+      val l1 = m("l1").asInstanceOf[java.math.BigDecimal]
+      val mass = m("mass").asInstanceOf[java.math.BigDecimal]
+      converged = l1.compareTo(
+        mass.multiply(java.math.BigDecimal.valueOf(relTol))) <= 0
+      ranks = next
+      rounds += 1
+    }
+    withDeg.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"pageRankConverged: L1 delta still above relTol=$relTol after " +
+          s"$maxRounds rounds; raise maxRounds")
+    ranks
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node DIV 2").as("entity_key"),
+        col("units").as("rank_units"),
+        lit(rounds).as("rounds"))
+      .orderBy(desc("rank_units"), col("kind"), col("entity_key"))
+      .limit(20)
+  }
+
+  /** BFS hop-distance histogram from the minimum node id of the
+    * customer–supplier graph, depth-capped at [[BfsMaxHops]] hops:
+    * (hops, n_nodes) for every node whose shortest path from the source
+    * is ≤ the cap. Completes the iterative-graph family (PageRank, CC,
+    * triangles) with a reachability member.
+    *
+    * Engine: frontier expansion — per level one equi-join frontier⋈edges,
+    * one distinct, one anti-join against the labeled set (all key-partitioned
+    * shuffles, nothing node²). The newly-discovered count rides the level's
+    * own checkpoint via observe(), so early exit on an empty frontier costs
+    * no extra job. Hop distances are exact ints; the depth cap is part of
+    * the query's SEMANTICS (both engines stop at [[BfsMaxHops]]), which is
+    * what makes a static recursive-CTE oracle replay it exactly even though
+    * the loop exits early once the frontier empties.
+    */
+  private[graft] val BfsMaxHops = 11
+
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val edges = custSuppEdges(s, d).localCheckpoint()
+    // the source is declared, not collected: a 1-row aggregate frame that
+    // AQE broadcast-joins into the first expansion
+    var frontier = edges.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0).as("hops"))
+      .localCheckpoint()
+    var labels = frontier
+    var hops = 0
+    var emptied = false
+    while (!emptied && hops < BfsMaxHops) {
+      hops += 1
+      val obs = org.apache.spark.sql.Observation()
+      val next = frontier
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(labels.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(hops).as("hops"))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      emptied = obs.get("n").asInstanceOf[Long] == 0L
+      if (!emptied) {
+        frontier = next
+        labels = labels.unionByName(next).localCheckpoint()
+      }
+    }
+    labels.groupBy(col("hops"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hops"))
+  }
+
   /** Combined duplication corpus: originals ∪ planted exact copies (every
     * 5th doc, id+100000) ∪ planted truncated near-dups (every 7th doc,
     * id+200000) — the union of the fixtures DedupOps plants separately.
@@ -195,6 +315,8 @@ object GraphOps extends OpFamily {
 
   val queries = Map(
     "graph_pagerank" -> (pageRank _),
+    "graph_pagerank_converged" -> (pageRankConverged _),
+    "graph_bfs_hops" -> (bfsHops _),
     "graph_triangles" -> (triangleCensus _),
     "graph_degree_profile" -> (degreeProfile _))
 
@@ -261,6 +383,23 @@ object GraphOps extends OpFamily {
                  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
                FROM deg) ns,
               (SELECT count(*) AS n_edges FROM e) es, tri""",
+    // graph_pagerank_converged: rows-only by nature — the terminating
+    // round count is a data property, pinned instead by GraphSpec's
+    // driver-side integer reference simulation
+    "graph_bfs_hops" ->
+      s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM e0
+                   UNION ALL SELECT s, c FROM e0),
+         walk(node, d) AS (
+           SELECT min(src), 0 FROM edges
+           UNION
+           SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+           WHERE w.d < ${BfsMaxHops}),
+         dist AS (SELECT node, min(d) AS hops FROM walk GROUP BY node)
+         SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM dist GROUP BY hops ORDER BY hops""",
     "graph_degree_profile" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s

@@ -39,6 +39,57 @@ class GraphSpec extends AnyFunSuite {
     assert(units === units.sorted(Ordering[Long].reverse))
   }
 
+  test("converged pagerank matches a driver-side integer reference simulation") {
+    // independent implementation of the SAME fixed-point contraction and
+    // relative-L1 stop rule, in plain Scala over collected edges: integral
+    // ops on positive longs are order-independent, so the distributed loop
+    // must agree BIT-FOR-BIT, including the terminating round count
+    val e0 = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var units = deg.keys.map(_ -> 1000000L).toMap
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 60) {
+      val sums = new scala.collection.mutable.HashMap[Long, Long]()
+        .withDefaultValue(0L)
+      edges.foreach { case (src, dst) =>
+        sums(dst) += units(src) / deg(src)
+      }
+      val next = units.keys.map(n => n -> (150000L + 85L * sums(n) / 100L)).toMap
+      val l1 = units.keys.iterator.map(n => math.abs(next(n) - units(n)))
+        .map(BigInt(_)).sum
+      val mass = units.values.iterator.map(BigInt(_)).sum
+      converged = l1 * 100 <= mass // relTol = 0.01 without float rounding
+      units = next
+      rounds += 1
+    }
+    assert(converged, "reference simulation must converge within 60 rounds")
+    val want = units.toSeq
+      .map { case (n, u) =>
+        (if (n % 2 == 0) "customer" else "supplier", n / 2, u) }
+      .sortBy { case (k, id, u) => (-u, k, id) }
+      .take(20)
+      .map { case (k, id, u) => (k, id, u, rounds) }
+    val got = GraphOps.pageRankConverged(spark, sf).collect().toSeq
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("entity_key"),
+        r.getAs[Long]("rank_units"), r.getAs[Int]("rounds")))
+    assert(got === want)
+  }
+
+  test("bfs hops histogram starts at the single source and covers reached nodes") {
+    val rows = GraphOps.bfsHops(spark, sf).collect()
+    val byHop = rows.map(r => r.getAs[Int]("hops") -> r.getAs[Long]("n_nodes")).toMap
+    assert(byHop(0) === 1L, "exactly one source node at hop 0")
+    // hops are contiguous from 0 (an empty BFS level ends the search)
+    assert(byHop.keys.toSeq.sorted === (0 until byHop.size))
+    assert(rows.map(_.getAs[Long]("n_nodes")).forall(_ >= 1L))
+  }
+
   test("degree profile reflects the bipartite skew (suppliers ≫ customers)") {
     val prof = GraphOps.degreeProfile(spark, sf).collect()
       .map(r => r.getAs[String]("kind") -> r).toMap
