@@ -153,6 +153,40 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Codegen'd point estimate against a serialized Count-min sketch: the
+    * probe twin of Spark's own `count_min_sketch` aggregate, which ships
+    * with no probe expression (the Java API's estimateCount is only
+    * reachable via a Scala UDF otherwise — the last codegen break the r5
+    * verdict flagged in a scan pipeline). The sketch side must be FOLDABLE
+    * (a literal of the serialized bytes), per the same contract as
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]:
+    * it is deserialized ONCE per task via a plan-object reference, not per
+    * row. Key is a string column, matching how `DataFrameStatFunctions
+    * .countMinSketch` added items at build time.
+    */
+  case class CountMinEstimateCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    @transient private lazy val sketch
+        : org.apache.spark.util.sketch.CountMinSketch = {
+      val bytes = left.eval().asInstanceOf[Array[Byte]]
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      sketch.estimateCount(
+        r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sk = ctx.addReferenceObj("cmsSketch", sketch,
+        classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
+      nullSafeCodeGen(ctx, ev, (_, key) =>
+        s"${ev.value} = $sk.estimateCount($key.toString());")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register the expressions as SQL functions in THIS session's registry.
     * Called unconditionally (createOrReplaceTempFunction is idempotent and
     * cheap): the function registry is per-SparkSession, so a per-JVM guard
@@ -179,6 +213,9 @@ object NativeExprs {
           .BloomFilterAggregate(args(0), args(1), args(2))
           .toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_estimate",
+      (args: Seq[Expression]) => CountMinEstimateCount(args(0), args(1)),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_might_contain",
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
@@ -196,6 +233,13 @@ object NativeExprs {
 
   def simhash63(s: SparkSession, tokenHashes: Column): Column = {
     ensureRegistered(s); call_function("graft_simhash63", tokenHashes)
+  }
+
+  /** Codegen'd Count-min point estimate; `sketch` must be a literal of the
+    * serialized sketch bytes (see [[CountMinEstimateCount]]).
+    */
+  def cmsEstimate(s: SparkSession, sketch: Column, key: Column): Column = {
+    ensureRegistered(s); call_function("graft_cms_estimate", sketch, key)
   }
 
   /** Distributed bloom-filter build (partial sketches merged by Spark's

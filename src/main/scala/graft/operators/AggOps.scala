@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{OpFamily, Tables}
 import graft.functions.Num.dsum
+import graft.functions.NativeExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -184,11 +185,18 @@ object AggOps extends OpFamily {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
     val thr = words.count() / 30 // heavy = above ~1/30 of the token stream
-    val cms = words.stat.countMinSketch("word", 0.0001, 0.99, 42)
-    val cmsB = s.sparkContext.broadcast(cms)
-    val estimate = udf((w: String) => cmsB.value.estimateCount(w))
+    // eps 0.001 bounds overestimates at 0.1% of the stream — far inside
+    // the 1/30 cut, and a 10× smaller serialized sketch (~110 KB) than the
+    // old 0.0001, which matters because the bytes ride the PLAN as the
+    // foldable literal the codegen'd probe expression requires (the same
+    // ship-the-sketch contract as the bloom pre-join filter; the probe
+    // used to be the one ScalaUDF left in a scan pipeline)
+    val cms = words.stat.countMinSketch("word", 0.001, 0.99, 42)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
     words
-      .filter(estimate(col("word")) >= thr) // sketch prefilter (no misses)
+      .filter(NativeExprs.cmsEstimate(s, lit(bos.toByteArray), col("word"))
+        >= thr)                             // sketch prefilter (no misses)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= thr)              // exact verification
       .orderBy(desc("n"), col("word"))

@@ -74,6 +74,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CountMinEstimateCount never underestimates and matches the Java probe") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val cms = words.stat.countMinSketch("word", 0.001, 0.99, 42)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val exact = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n")).limit(50)
+    val probed = exact.withColumn("est",
+      NativeExprs.cmsEstimate(spark, lit(bos.toByteArray), col("word")))
+      .collect()
+    probed.foreach { r =>
+      val (w, n, est) = (r.getAs[String]("word"), r.getAs[Long]("n"),
+        r.getAs[Long]("est"))
+      assert(est >= n, s"CMS underestimated '$w': $est < $n")
+      assert(est === cms.estimateCount(w),
+        s"codegen probe disagrees with Java API for '$w'")
+    }
+  }
+
   test("cosine is symmetric and bounded on real embeddings") {
     val e = Tables.embeddings(spark, sf).limit(30)
       .withColumn("nrm",
