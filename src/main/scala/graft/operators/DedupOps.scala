@@ -42,11 +42,16 @@ object DedupOps extends OpFamily {
   private def normalized: Column =
     regexp_replace(trim(lower(col("text"))), " +", " ")
 
-  /** The planted-dup fixtures offset copies by +PlantBase / +2·PlantBase,
-    * so original ids must stay below PlantBase for the three id spaces to
-    * be disjoint. [[guardedDocId]] asserts that per row ON the normal scan
-    * (zero extra jobs): once the corpus outgrows the offset the fixture
-    * fails loudly instead of silently aliasing planted ids onto originals.
+  /** The REGISTERED planted-dup fixtures offset copies by +PlantBase /
+    * +2·PlantBase with PlantBase pinned at 100000, because the DuckDB
+    * oracles replay those literal offsets; original ids must then stay
+    * below PlantBase for the three id spaces to be disjoint, and
+    * [[guardedDocId]] asserts that per row ON the normal scan (zero extra
+    * jobs) — once the corpus outgrows the pinned offset the fixture fails
+    * loudly instead of silently aliasing planted ids onto originals.
+    * Corpora of ANY size use [[plantBaseFor]] + the parameterized builders
+    * instead: the offset is derived from max(doc_id), so no guard (and no
+    * 100k ceiling) applies.
     */
   private[operators] val PlantBase = 100000L
   private[operators] def guardedDocId: Column =
@@ -55,30 +60,54 @@ object DedupOps extends OpFamily {
         lit(s"planted-dup fixture requires doc_id < $PlantBase, got "),
         col("doc_id").cast("string"))))
 
-  /** Documents plus a planted exact copy of every 5th doc (id + 100000). */
-  private def withExactDupes(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    docs.select(guardedDocId.as("doc_id"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-  }
-
-  /** Documents plus a planted near-dup of every 7th doc: the same text with
-    * the last 5 tokens dropped (id + 200000).
+  /** Scale-adaptive plant offset: one tiny max() aggregate over the corpus
+    * (parquet sources answer it from footer statistics). ≥ PlantBase so
+    * small-corpus ids coincide with the pinned fixtures' shape.
     */
-  private[graft] def withNearDupes(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
-    // the % 7 filter stays on the raw column (pushes to the scan); the
-    // guard rides only the all-rows base branch, which covers every id
+  private[graft] def plantBaseFor(docs: DataFrame): Long =
+    math.max(PlantBase,
+      docs.agg(max(col("doc_id"))).head().getLong(0) + 1)
+
+  /** `docs` (doc_id, text) plus a planted exact copy of every 5th doc at
+    * id + base. Callers pass a base exceeding every doc_id
+    * ([[plantBaseFor]]) with the default raw `baseIdCol`, or PlantBase
+    * with [[guardedDocId]]; the guard column applies ONLY to the all-rows
+    * base branch (which covers every id) so the % 5 filter stays on the
+    * raw column and pushes to the scan.
+    */
+  private[graft] def withExactDupesOn(docs: DataFrame, base: Long,
+      baseIdCol: Column = col("doc_id")): DataFrame =
+    docs.select(baseIdCol.as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + base).as("doc_id"), col("text")))
+
+  /** Registered fixture: pinned base (the oracle replays +100000),
+    * per-row-guarded ids.
+    */
+  private def withExactDupes(s: SparkSession, d: String): DataFrame =
+    withExactDupesOn(Tables.documents(s, d), PlantBase, guardedDocId)
+
+  /** `docs` (doc_id, lang, source, text) plus a planted near-dup of every
+    * 7th doc at id + 2·base: the same text with the last 5 tokens dropped.
+    * Base/guard contract as in [[withExactDupesOn]].
+    */
+  private[graft] def withNearDupesOn(docs: DataFrame, base: Long,
+      baseIdCol: Column = col("doc_id")): DataFrame = {
     val truncated = docs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 200000).as("doc_id"), col("lang"), col("source"),
+      .select((col("doc_id") + 2 * base).as("doc_id"), col("lang"),
+        col("source"),
         concat_ws(" ", slice(TextOps.toks, lit(1),
           greatest(size(TextOps.toks) - 5, lit(1)))).as("text"))
-    docs.select(guardedDocId.as("doc_id"), col("lang"), col("source"),
+    docs.select(baseIdCol.as("doc_id"), col("lang"), col("source"),
         col("text"))
       .unionByName(truncated)
   }
+
+  /** Registered fixture: pinned base (the oracle replays +200000). */
+  private[graft] def withNearDupes(s: SparkSession, d: String): DataFrame =
+    withNearDupesOn(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text")),
+      PlantBase, guardedDocId)
 
   /** Exact dedup: group by content hash, surface the duplicate groups. */
   def exactDupGroups(s: SparkSession, d: String): DataFrame =

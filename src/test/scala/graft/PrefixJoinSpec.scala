@@ -96,6 +96,26 @@ class PrefixJoinSpec extends AnyFunSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("derived-base fixtures and prefix join run beyond the 100k-id pinned guard") {
+    // 120k docs in ONE (lang, source) block — over the pinned fixtures'
+    // 100k id ceiling (plantBaseFor derives the offset instead of raising)
+    // and a block where all-pairs would be ~7×10⁹ candidate pairs
+    val n = 120000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit("d"), col("id").cast("string"), lit(s"_t$j"))): _*)
+        .as("text"))
+    val base = DedupOps.plantBaseFor(docs)
+    assert(base === n, "base must clear the corpus' own id range")
+    val pairs = DedupOps.blockedJaccardPairs(DedupOps.withNearDupesOn(docs, base))
+    val expected = (0L until n).count(_ % 7 == 0).toLong
+    val planted = pairs.filter(col("b") === col("a") + 2L * base).count()
+    assert(planted === expected, s"planted recall $planted of $expected")
+    // per-doc vocabularies are disjoint, so ONLY planted pairs qualify
+    assert(pairs.count() === expected)
+  }
+
   test("candidate count is far below n(n-1)/2 on a single hot block") {
     val corpus = headerCorpus
     val n = corpus.count()
