@@ -63,30 +63,37 @@ object GraphOps extends OpFamily {
     */
   def pageRank(s: SparkSession, d: String): DataFrame = {
     // edge pipeline (scan⋈scan→distinct→symmetrize) runs ONCE; the degree
-    // table is node-sized and shares the repartition(src) exchange, so no
-    // broadcast hint: at billions of nodes an unconditional broadcast of a
-    // node-sized table would OOM the driver — let AQE pick the strategy
+    // annotation is a count-over-window on the SAME hashpartitioning(src)
+    // the iteration needs, so setup is one checkpoint job + one cached
+    // exchange — the r5 version's separate degree checkpoint + join was
+    // two more jobs for the same frame. No broadcast hint anywhere: at
+    // billions of nodes an unconditional broadcast of a node-sized table
+    // would OOM the driver — let AQE pick the per-round strategy
     val edges = custSuppEdges(s, d).localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val withDeg = edges.join(deg, Seq("src"))
-      .repartition(col("src")).persist()
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("units"))
+    val withDeg = edges
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist()
+    var ranks = withDeg
+      .groupBy(col("src"))
+      .agg(max(lit(1000000L)).as("units")) // exchange-free: cache is
+      .select(col("src").as("node"), col("units")) // already src-partitioned
     (1 to 5).foreach { _ =>
-      // per-round localCheckpoint: ranks are node-sized (cheap) and the
-      // truncation keeps every round a flat broadcast-join + aggregate
-      // instead of one 5-deep nested plan (cold-compile cost scales with
-      // plan size; iteration results are reused by the next round anyway)
+      // rounds COMPOSE into one lazy plan: each is a flat join + aggregate
+      // over the cached pre-partitioned edges, and Spark schedules the five
+      // agg stages inside ONE job (the r5 per-round localCheckpoint spent a
+      // job dispatch + block write per round for the same shuffles; the
+      // round plans are shape-identical so codegen compiles once)
       ranks = withDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("units DIV deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(expr("150000L + (85L * sum(contrib)) DIV 100L").as("units"))
         .select(col("dst").as("node"), col("units"))
-        .localCheckpoint()
     }
-    // every round's ranks are already materialized (eager localCheckpoint),
-    // so the cached edge set is no longer reachable from the result plan —
-    // release it instead of leaking a CacheManager entry into the session
+    // one materialization of the composed loop — it must run BEFORE the
+    // unpersist below, or the five rounds would recompute the edge join
+    // uncached
+    ranks = ranks.localCheckpoint()
     withDeg.unpersist()
     ranks
       .select(
@@ -123,11 +130,15 @@ object GraphOps extends OpFamily {
   private[graft] def pageRankUntil(s: SparkSession, d: String,
       relTol: Double, maxRounds: Int): DataFrame = {
     val edges = custSuppEdges(s, d).localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val withDeg = edges.join(deg, Seq("src"))
-      .repartition(col("src")).persist()
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("units"))
+    // same one-exchange degree-annotation setup as [[pageRank]]
+    val withDeg = edges
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist()
+    var ranks = withDeg
+      .groupBy(col("src"))
+      .agg(max(lit(1000000L)).as("units"))
+      .select(col("src").as("node"), col("units"))
       .localCheckpoint()
     var rounds = 0
     var converged = false
