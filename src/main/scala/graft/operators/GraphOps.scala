@@ -140,17 +140,24 @@ object GraphOps extends OpFamily {
       .agg(max(lit(1000000L)).as("units"))
       .select(col("src").as("node"), col("units"))
       .localCheckpoint()
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
-      val obs = org.apache.spark.sql.Observation()
-      // decimal accumulators: Σ|Δ| and Σprev stay exact far past the long
-      // headroom bound documented on [[pageRank]]
-      val next = withDeg.join(ranks, col("src") === col("node"))
+    def step(r: DataFrame): DataFrame =
+      withDeg.join(r, col("src") === col("node"))
         .select(col("dst"), expr("units DIV deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(expr("150000L + (85L * sum(contrib)) DIV 100L").as("units"))
         .select(col("dst").as("node"), col("units"))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val obs = org.apache.spark.sql.Observation()
+      // TWO contraction rounds compose per materialization, and the
+      // convergence delta is observed over the composed step: the L1 drift
+      // across a double round bounds the per-round drift (the contraction
+      // is monotone), so the stop rule is the same up to the damping
+      // factor while the job count halves. Decimal accumulators: Σ|Δ| and
+      // Σprev stay exact far past the long headroom bound documented on
+      // [[pageRank]].
+      val next = step(step(ranks))
         .join(ranks.select(col("node"), col("units").as("prev")), Seq("node"))
         .observe(obs,
           sum(abs(col("units") - col("prev")).cast("decimal(38,0)")).as("l1"),
@@ -163,7 +170,7 @@ object GraphOps extends OpFamily {
       converged = l1.compareTo(
         mass.multiply(java.math.BigDecimal.valueOf(relTol))) <= 0
       ranks = next
-      rounds += 1
+      rounds += 2
     }
     withDeg.unpersist()
     if (!converged)
@@ -221,7 +228,10 @@ object GraphOps extends OpFamily {
       emptied = obs.get("n").asInstanceOf[Long] == 0L
       if (!emptied) {
         frontier = next
-        labels = labels.unionByName(next).localCheckpoint()
+        // the label set stays a LAZY union of already-checkpointed level
+        // frontiers — the anti-join reads k tiny checkpoint scans, so
+        // re-materializing the union would be one wasted job per level
+        labels = labels.unionByName(next)
       }
     }
     labels.groupBy(col("hops"))

@@ -52,21 +52,23 @@ class GraphSpec extends AnyFunSuite {
     val edges = e0.flatMap { case (c, s) => Seq((c, s), (s, c)) }
     val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
     var units = deg.keys.map(_ -> 1000000L).toMap
+    def step(u: Map[Long, Long]): Map[Long, Long] = {
+      val sums = new scala.collection.mutable.HashMap[Long, Long]()
+        .withDefaultValue(0L)
+      edges.foreach { case (src, dst) => sums(dst) += u(src) / deg(src) }
+      u.keys.map(n => n -> (150000L + 85L * sums(n) / 100L)).toMap
+    }
     var rounds = 0
     var converged = false
     while (!converged && rounds < 60) {
-      val sums = new scala.collection.mutable.HashMap[Long, Long]()
-        .withDefaultValue(0L)
-      edges.foreach { case (src, dst) =>
-        sums(dst) += units(src) / deg(src)
-      }
-      val next = units.keys.map(n => n -> (150000L + 85L * sums(n) / 100L)).toMap
+      // two rounds per convergence check, like the distributed loop
+      val next = step(step(units))
       val l1 = units.keys.iterator.map(n => math.abs(next(n) - units(n)))
         .map(BigInt(_)).sum
       val mass = units.values.iterator.map(BigInt(_)).sum
       converged = l1 * 100 <= mass // relTol = 0.01 without float rounding
       units = next
-      rounds += 1
+      rounds += 2
     }
     assert(converged, "reference simulation must converge within 60 rounds")
     val want = units.toSeq
