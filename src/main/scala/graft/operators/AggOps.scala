@@ -92,6 +92,23 @@ object AggOps extends OpFamily {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** Approximate quantiles via percentile_approx (Greenwald-Khanna style
+    * sketch, mergeable partials) — the constant-memory 100 TB path when
+    * [[exactQuantiles]]' order-statistic selection isn't required. Sketch
+    * differs from DuckDB's approx_quantile, so registered rows-only; the
+    * rank-error bound vs the exact order statistic is property-tested in
+    * scalatest.
+    */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
+      .orderBy(col("event_type"))
+
   /** min-max-count composite in one pass (MRDP ch.2). */
   def minMaxCount(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -237,6 +254,7 @@ object AggOps extends OpFamily {
     "agg_count_distinct" -> (countDistinctUsers _),
     "agg_exact_quantiles" -> (exactQuantiles _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_approx_quantiles" -> (approxQuantiles _),
     "agg_min_max_count" -> (minMaxCount _),
     "agg_histogram" -> (histogram _),
     "agg_cube" -> (cubeStatusYear _),

@@ -543,6 +543,28 @@ object DedupOps extends OpFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** The end-to-end dedup OUTPUT consumers actually apply: keep the
+    * canonical (minimum-id) document of every near-dup cluster, drop the
+    * rest, and report per-(lang, source) corpus shrinkage. Cluster labels
+    * come from [[nearDupClusters]] (label = min reachable id, so the
+    * canonical doc is exactly the row whose label equals its own id);
+    * documents in no cluster survive trivially via the left anti-ness of
+    * the null-flag join. One extra broadcast-sized join over the cluster
+    * table — the pair graph and CC dominate, both scale-shaped already.
+    */
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNearDupes(s, d)
+    val dropped = nearDupClusters(s, d)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"), lit(1).as("is_dup"))
+    corpus.join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** The straightforward min-label-propagation CC (rounds = component
     * diameter) — kept as an independent reference implementation for the
     * engine-agreement property test of [[clusterPairsOn]].
@@ -618,6 +640,7 @@ object DedupOps extends OpFamily {
     "dedup_keep_first" -> (keepFirst _),
     "dedup_near_jaccard" -> (nearJaccard _),
     "dedup_clusters" -> (nearDupClusters _),
+    "dedup_survivors" -> (dedupSurvivors _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_minhash_mllib" -> (minhashMllib _),
     "dedup_simhash" -> (simhashPairs _),
@@ -632,6 +655,27 @@ object DedupOps extends OpFamily {
        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
              FROM documents)
        WHERE doc_id % 7 = 0"""
+
+  // planted corpus → shingles → jaccard≥0.3 pairs → transitive closure:
+  // the shared CTE chain of the cluster-consuming oracles
+  private val clusterCtes =
+    s"""corpus AS ($planted),
+       sh AS (SELECT doc_id, lang, source,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+               FROM corpus)),
+       pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+       sym(x, y) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+         UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+       reach(x, y) AS (
+         SELECT x, y FROM sym
+         UNION
+         SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x)"""
 
   val oracle = Map(
     "dedup_exact_groups" ->
@@ -661,25 +705,21 @@ object DedupOps extends OpFamily {
              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
          ORDER BY a, b""",
     "dedup_clusters" ->
-      s"""WITH RECURSIVE corpus AS ($planted),
-         sh AS (SELECT doc_id, lang, source,
-             list_distinct(list_transform(range(1, len(w) - 1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
-                 FROM corpus)),
-         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
-           FROM sh a JOIN sh b
-             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
-         sym(x, y) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
-           UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
-         reach(x, y) AS (
-           SELECT x, y FROM sym
-           UNION
-           SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x)
+      s"""WITH RECURSIVE $clusterCtes
          SELECT x AS doc_id, min(y) AS cluster_id FROM reach
          GROUP BY x ORDER BY doc_id""",
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         clusters AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach
+           GROUP BY x),
+         dropped AS (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id)
+         SELECT c.lang, c.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped
+         FROM corpus c LEFT JOIN dropped d USING (doc_id)
+         GROUP BY c.lang, c.source ORDER BY c.lang, c.source""",
     "dedup_embedding" ->
       """SELECT a.label, a.vec_id AS a, b.vec_id AS b,
            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

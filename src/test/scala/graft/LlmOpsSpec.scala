@@ -185,6 +185,28 @@ class LlmOpsSpec extends AnyFunSuite {
       s"HLL said $approx, exact is $exact")
   }
 
+  test("approx quantiles sit within rank-error bounds of the order statistic") {
+    val rows = AggOps.approxQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val vals = Tables.events(spark, sf)
+        .filter(col("event_type") === et)
+        .select(col("value")).collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)).foreach { case (c, p) =>
+        val got = r.getAs[Double](c)
+        // percentile_approx returns an ELEMENT of the column whose rank is
+        // within n/accuracy of ceil(p·n); accuracy 10000 ≫ n here, so allow
+        // a ±2-rank cushion for boundary ties
+        val lo = vals(math.max(0, math.ceil(p * n).toInt - 3))
+        val hi = vals(math.min(n - 1, math.ceil(p * n).toInt + 1))
+        assert(got >= lo && got <= hi,
+          s"$et.$c=$got outside rank window [$lo, $hi]")
+      }
+    }
+  }
+
   test("partial aggregation law: union of per-partition sums equals global") {
     val l = Tables.lineitem(spark, sf)
     val global = l.agg(sum(col("l_quantity"))).head().getDouble(0)
