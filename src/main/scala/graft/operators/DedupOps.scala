@@ -207,20 +207,23 @@ object DedupOps extends OpFamily {
     */
   private[graft] def prefixCandidates(sh: DataFrame, tau: Double): DataFrame = {
     // per-block document frequency of each shingle hash — the global order
-    // (freq asc, hash asc) that makes prefixes rare; a count-over-window
-    // partitioned by (block, hash) annotates the exploded stream in ONE
-    // exchange where a groupBy-freq + equi-join back would move it twice.
-    // Per-block counts keep the partition key space wide (no single hot
-    // reducer) and are consistent for any candidate pair, which by
-    // construction shares the block
+    // (freq asc, hash asc) that makes prefixes rare; per-block counts are
+    // consistent for any candidate pair, which by construction shares the
+    // block. Deliberately groupBy + join-back, NOT count-over-window on
+    // (block, hash): a window partition buffers ALL rows sharing the key
+    // in one task, so a stopword shingle in a popular block would pin an
+    // O(block)-row partition to a single task at corpus scale — the
+    // groupBy's map-side partials are skew-immune and the join-back's hot
+    // hash keys are AQE-splittable. Costs one more exchange of the token
+    // stream (~0.7 s at sf0.1), which is the right trade at 100 TB.
     val exploded = sh.select(col("doc_id"), col("lang"), col("source"),
       explode(col("sh")).as("h"))
-    val wFreq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("source"), col("h"))
+    val freq = exploded.groupBy(col("lang"), col("source"), col("h"))
+      .agg(count(lit(1)).as("f"))
     // re-assemble each doc's hashes rarest-first; array_sort on (f, h)
     // structs orders lexicographically = by frequency, ties by hash
     val pref = exploded
-      .withColumn("f", count(lit(1)).over(wFreq))
+      .join(freq, Seq("lang", "source", "h"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
       .select(col("doc_id"), col("lang"), col("source"),
