@@ -62,22 +62,20 @@ object GraphOps extends OpFamily {
     * (≲10¹⁰ nodes) the fixed-point long has ≥ 10× headroom.
     */
   def pageRank(s: SparkSession, d: String): DataFrame = {
-    // edge pipeline (scan⋈scan→distinct→symmetrize) runs ONCE; the degree
-    // annotation is a count-over-window on the SAME hashpartitioning(src)
-    // the iteration needs, so setup is one checkpoint job + one cached
-    // exchange — the r5 version's separate degree checkpoint + join was
-    // two more jobs for the same frame. No broadcast hint anywhere: at
-    // billions of nodes an unconditional broadcast of a node-sized table
-    // would OOM the driver — let AQE pick the per-round strategy
+    // edge pipeline (scan⋈scan→distinct→symmetrize) runs ONCE (checkpoint);
+    // the degree table is a groupBy over the checkpointed edges — map-side
+    // partials make it skew-immune where a count-over-window on src would
+    // buffer a hub's whole edge list in one task — and the join back is
+    // AQE-skew-splittable. deg is a lazy re-scan of the checkpoint blocks
+    // (once inside the cache materialization, once for the rank init),
+    // never a re-run of the scan⋈scan pipeline. No broadcast hint
+    // anywhere: at billions of nodes an unconditional broadcast of a
+    // node-sized table would OOM the driver — let AQE pick the per-round
+    // strategy
     val edges = custSuppEdges(s, d).localCheckpoint()
-    val withDeg = edges
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .persist()
-    var ranks = withDeg
-      .groupBy(col("src"))
-      .agg(max(lit(1000000L)).as("units")) // exchange-free: cache is
-      .select(col("src").as("node"), col("units")) // already src-partitioned
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src")).persist()
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("units"))
     (1 to 5).foreach { _ =>
       // rounds COMPOSE into one lazy plan: each is a flat join + aggregate
       // over the cached pre-partitioned edges, and Spark schedules the five
@@ -130,15 +128,10 @@ object GraphOps extends OpFamily {
   private[graft] def pageRankUntil(s: SparkSession, d: String,
       relTol: Double, maxRounds: Int): DataFrame = {
     val edges = custSuppEdges(s, d).localCheckpoint()
-    // same one-exchange degree-annotation setup as [[pageRank]]
-    val withDeg = edges
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .persist()
-    var ranks = withDeg
-      .groupBy(col("src"))
-      .agg(max(lit(1000000L)).as("units"))
-      .select(col("src").as("node"), col("units"))
+    // same skew-immune degree-annotation setup as [[pageRank]]
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src")).persist()
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("units"))
       .localCheckpoint()
     def step(r: DataFrame): DataFrame =
       withDeg.join(r, col("src") === col("node"))
