@@ -48,6 +48,28 @@ object Graft {
     graft.operators.DedupOps.minhashLshOn(
       df.select(col(id).as("doc_id"), col(text).as("text")), threshold)
 
+  /** EXACT near-duplicate pairs: every pair with shingle jaccard ≥
+    * `threshold`, guaranteed complete (unlike the probabilistic
+    * [[nearDuplicatePairs]] / [[simhashNearDupPairs]] candidate
+    * generators). Sub-quadratic despite exactness: candidates come from
+    * AllPairs/PPJoin prefix filtering on frequency-ordered shingle hashes,
+    * so even a single huge block never enumerates all pairs. Optional
+    * `blockCols` restrict pairing to equal-valued groups (a metadata
+    * pre-filter, not a correctness requirement). Output columns `a`, `b`,
+    * `jaccard` — composable with [[clusterPairs]].
+    */
+  def exactNearDuplicatePairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.3, blockCols: Seq[String] = Nil): DataFrame = {
+    val lang = blockCols.headOption.map(col).getOrElse(lit("")).cast("string")
+    val source =
+      if (blockCols.size > 1) concat_ws("", blockCols.tail.map(col): _*)
+      else lit("")
+    graft.operators.DedupOps.blockedJaccardPairs(
+      df.select(col(id).as("doc_id"), lang.as("lang"), source.as("source"),
+        col(text).as("text")),
+      threshold)
+  }
+
   /** SimHash near-duplicate pairs by rotate+sort neighborhood (Manku-style;
     * candidate generation O(n·perms·window), no all-pairs block) with the
     * final hamming distance exact-verified on the full 63-bit signature.

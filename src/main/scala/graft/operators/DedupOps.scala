@@ -158,10 +158,11 @@ object DedupOps extends OpFamily {
     * frequency puts each doc's RAREST shingles in its prefix, so prefix-key
     * collisions — the candidates — are mostly genuine near-dups.
     */
-  private[graft] def blockedJaccardPairs(corpus: DataFrame): DataFrame = {
+  private[graft] def blockedJaccardPairs(corpus: DataFrame,
+      tau: Double = 0.3): DataFrame = {
     val s = corpus.sparkSession
     val sh = blockShingles(corpus)
-    val cand = prefixCandidates(sh, 0.3)
+    val cand = prefixCandidates(sh, tau)
     // verify candidates with the exact codegen'd merge scan (one expression
     // replaces array_intersect + array_union: |A∪B| = |A|+|B|−|A∩B|)
     cand
@@ -171,7 +172,7 @@ object DedupOps extends OpFamily {
         NativeExprs.sortedIntersectCount(s, col("sha"), col("shb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("inter")))
-      .filter(col("jaccard") >= 0.3)
+      .filter(col("jaccard") >= tau)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
   }

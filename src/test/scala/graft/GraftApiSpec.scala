@@ -44,6 +44,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(clusters(1L) === 1L && clusters(4L) === 1L && clusters(2L) === 1L)
   }
 
+  test("exactNearDuplicatePairs is complete: every qualifying pair, exact jaccard") {
+    // unblocked (single global block) — the prefix filter, not metadata,
+    // bounds the candidate set
+    val pairs = Graft.exactNearDuplicatePairs(docs, "my_id", "body", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference over the 5-doc corpus
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      j = sh(ta).intersect(sh(tb)).size.toDouble /
+        sh(ta).union(sh(tb)).size
+      if j >= 0.3
+    } yield (a, b)).toSet
+    assert(want.nonEmpty && pairs === want)
+    // blocking by a metadata column removes cross-block pairs
+    val blocked = docs.withColumn("grp", col("my_id") % 2)
+    val bPairs = Graft.exactNearDuplicatePairs(blocked, "my_id", "body",
+      0.3, Seq("grp")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bPairs === want.filter { case (a, b) => a % 2 == b % 2 })
+  }
+
   test("clusterPairs merges transitive near-dups into one cluster") {
     val pairs = Seq((1L, 2L), (2L, 4L), (7L, 8L)).toDF("a", "b")
     val clusters = Graft.clusterPairs(pairs).collect()
