@@ -20,7 +20,8 @@ class PrefixJoinSpec extends AnyFunSuite {
     * blockShingles frame (the pre-r6 shape, correct by construction at
     * test scale).
     */
-  private def bruteForcePairs(corpus: DataFrame): Set[(Long, Long)] = {
+  private def bruteForcePairs(corpus: DataFrame,
+      tau: Double = 0.3): Set[(Long, Long)] = {
     val sh = DedupOps.blockShingles(corpus)
     val a = sh.select(col("doc_id").as("a"), col("lang"), col("source"),
       col("sh").as("sha"))
@@ -32,7 +33,7 @@ class PrefixJoinSpec extends AnyFunSuite {
         NativeExprs.sortedIntersectCount(spark, col("sha"), col("shb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("inter")))
-      .filter(col("jaccard") >= 0.3)
+      .filter(col("jaccard") >= tau)
       .select(col("a"), col("b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
   }
@@ -114,6 +115,19 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(planted === expected, s"planted recall $planted of $expected")
     // per-doc vocabularies are disjoint, so ONLY planted pairs qualify
     assert(pairs.count() === expected)
+  }
+
+  test("prefix-filtered jaccard equals brute force at a high threshold (tau=0.7)") {
+    // tau=0.7 prefixes are much shorter (|sh|−⌈0.7·|sh|⌉+1 ≈ 0.3·|sh|) —
+    // the aggressive-filtering arithmetic path the default 0.3 never takes
+    val corpus = mutationCorpus
+    val got = DedupOps.blockedJaccardPairs(corpus, 0.7)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteForcePairs(corpus, 0.7)
+    assert(want.nonEmpty, "mutation fixture should contain tau>=0.7 pairs")
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
   test("candidate count is far below n(n-1)/2 on a single hot block") {
