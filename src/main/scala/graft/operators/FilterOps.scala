@@ -103,13 +103,93 @@ object FilterOps extends OpFamily {
       .orderBy(col("lang"))
   }
 
+  /** TEMPERATURE-based source mixing (α = 0.5) — the step a training-data
+    * pipeline runs after dedup to rebalance languages/sources: where
+    * [[sampleStratified]] applies HAND-PICKED rates, here the per-stratum
+    * keep-rate is DERIVED from the data — rate_l = ⌊1000·√(n_min/n_l)⌋ per
+    * mille, i.e. sampling probability ∝ n^(α−1) so the kept corpus mass
+    * follows n^α: the head language is damped toward the tail, the rarest
+    * language keeps 100%. Selection reuses the wrap-safe multiplicative
+    * hash, so the mix replays identically in any engine and across
+    * re-runs/backfills.
+    *
+    * Float-parity note: √ and ÷ are IEEE-754 correctly-rounded, so the
+    * double `1000·√(n_min/n)` is bit-identical in Spark and DuckDB and the
+    * ⌊·⌋ boundary cannot disagree.
+    *
+    * Scale shape: the rate table is one groupBy over a bounded stratum
+    * column joined back with an explicit broadcast — counts→rates→filter→
+    * stats in two scans of the corpus and zero wide shuffles of it.
+    */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val nmin = counts.agg(min(col("n")).as("nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col("lang"),
+        floor(lit(1000.0) * sqrt(col("nmin").cast("double") / col("n")))
+          .cast("long").as("rate"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000)) <
+        col("rate"))
+      .groupBy(col("lang"), col("rate"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Deterministic train/val/test split (80/10/10) by the wrap-safe
+    * multiplicative hash — the assignment step every training pipeline
+    * runs last: splits are DISJOINT and EXHAUSTIVE by construction (one
+    * hash, three bands), stable across re-runs/backfills/engines, and a
+    * document never migrates between splits when the corpus grows (the
+    * hash depends only on doc_id). Reports per-split doc/token mass and
+    * the per-lang spread as the split-balance check.
+    */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        when(h < 800, lit("train")).when(h < 900, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+  }
+
   val queries = Map(
     "filter_bloom_semi_join" -> (bloomSemiJoin _),
+    "filter_mix_temperature" -> (mixTemperature _),
+    "filter_split_assign" -> (splitAssign _),
     "filter_sample_seeded" -> (sampleSeeded _),
     "filter_sample_stratified" -> (sampleStratified _),
     "filter_sample_hash" -> (sampleHash _))
 
   val oracle = Map(
+    "filter_mix_temperature" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents
+             GROUP BY lang),
+         mn AS (SELECT min(n) AS nmin FROM counts),
+         rates AS (SELECT lang,
+             CAST(FLOOR(1000.0 * SQRT(CAST(nmin AS DOUBLE) / n)) AS BIGINT)
+               AS rate
+           FROM counts CROSS JOIN mn)
+         SELECT d.lang, r.rate, count(*) AS n_kept,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents d JOIN rates r USING (lang)
+         WHERE ((d.doc_id % 1000) * 761) % 1000 < r.rate
+         GROUP BY d.lang, r.rate ORDER BY d.lang""",
+    "filter_split_assign" ->
+      """SELECT CASE WHEN ((doc_id % 1000) * 761) % 1000 < 800 THEN 'train'
+                WHEN ((doc_id % 1000) * 761) % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents GROUP BY split ORDER BY split""",
     "filter_bloom_semi_join" ->
       """SELECT l_orderkey, count(*) AS n_items,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

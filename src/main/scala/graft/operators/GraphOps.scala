@@ -232,6 +232,125 @@ object GraphOps extends OpFamily {
       .orderBy(col("hops"))
   }
 
+  /** Weighted customer↔supplier edges: weight = 1 + (co-order row count
+    * mod 5) — small positive ints derived from the data, so path costs are
+    * exact longs and every engine replays them bit-for-bit (the same
+    * integer-exactness stance as [[pageRank]]'s micro-units). Count and
+    * distinct collapse into ONE aggregate (groupBy (c, s) + count), where
+    * [[custSuppEdges]] needed a distinct.
+    */
+  private def custSuppWeightedEdges(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("c"), col("s"), (lit(1L) + col("cnt") % 5).as("w"))
+    e0.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionByName(e0.select(col("s").as("src"), col("c").as("dst"), col("w")))
+  }
+
+  /** Single-source shortest path by WEIGHTED cost (Bellman-Ford
+    * relaxation) from the minimum node id, hop-capped at [[SsspMaxHops]]:
+    * the cost histogram (cost, n_nodes) over every node whose cheapest
+    * ≤[[SsspMaxHops]]-hop path is that cost. Extends the graph family's
+    * reachability member ([[bfsHops]]) to weighted costs.
+    *
+    * Engine: per round one equi-join dist⋈edges + one min-aggregate over
+    * the union with the previous dist — all key-partitioned shuffles with
+    * map-side partials, nothing node². The hop cap is part of the query's
+    * SEMANTICS (min cost over paths of ≤ cap hops, both engines stop
+    * there), which is what lets a static recursive-CTE oracle replay it;
+    * it is also the Bellman-Ford round bound, so unlike [[bfsHops]] no
+    * early-exit signal is needed and the fixed rounds COMPOSE into one
+    * lazy plan — one job, codegen compiled once for the shape-identical
+    * rounds (the [[pageRank]] trick). Costs are bounded by cap·max(w), so
+    * the relaxation lattice stays small and exact.
+    */
+  private[graft] val SsspMaxHops = 4
+
+  def ssspCost(s: SparkSession, d: String): DataFrame =
+    ssspFrom(custSuppWeightedEdges(s, d), SsspMaxHops)
+      .groupBy(col("cost"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("cost"))
+
+  /** The relaxation core over any directed (src, dst, w) edge frame:
+    * (node, cost) of the cheapest ≤maxHops-hop path from the minimum
+    * node id. Unit-tested against hand-computed paths in GraphSpec.
+    */
+  private[graft] def ssspFrom(edgeDf: DataFrame, maxHops: Int): DataFrame = {
+    val edges = edgeDf.localCheckpoint()
+    // source declared, not collected: 1-row aggregate, AQE-broadcast into
+    // the first relaxation (the bfsHops pattern)
+    var dist = edges.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0L).as("cost"))
+    (1 to maxHops).foreach { _ =>
+      dist = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+    }
+    dist
+  }
+
+  /** k-CORE membership (k = [[KCoreK]]) of the customer–supplier graph:
+    * iteratively peel nodes of degree < k; what survives
+    * [[KCoreRounds]] peel rounds, summarized per kind (node count,
+    * min/max degree inside the core). The k-core is the unique maximal
+    * subgraph of minimum degree ≥ k — the standard density filter before
+    * community/motif analysis.
+    *
+    * The ROUND COUNT is part of the query's semantics (both engines peel
+    * exactly [[KCoreRounds]] times; an unrolled-CTE oracle replays it
+    * exactly, the [[pageRank]] oracle pattern). On this bipartite graph
+    * the peel cascade is depth ≤ 2 — customers only neighbor suppliers —
+    * so 4 rounds reach the true fixpoint with slack; GraphSpec asserts
+    * fixpoint-equality against an unbounded driver-side reference peel,
+    * and on a hand-built cascade graph. Per round: one groupBy degree +
+    * two semi-joins — key-partitioned shuffles only, composed lazily into
+    * one job (shape-identical rounds, codegen compiled once).
+    */
+  private[graft] val KCoreK = 10
+  private[graft] val KCoreRounds = 4
+
+  def kCore(s: SparkSession, d: String): DataFrame =
+    kCoreFrom(custSuppEdges(s, d), KCoreK, KCoreRounds)
+      .groupBy(when(col("src") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("kind"))
+      .agg(count(lit(1)).as("n_core_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .orderBy(col("kind"))
+
+  /** The peel core over any symmetric (src, dst) edge frame: (src, deg)
+    * of every node still alive after `rounds` peels at threshold `k`.
+    * Symmetry contract: every undirected edge must appear in both
+    * directions (as [[custSuppEdges]] guarantees), so degree-filtering
+    * src and dst against the same survivor set keeps the edge set
+    * symmetric round over round.
+    */
+  private[graft] def kCoreFrom(edgeDf: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var edges = edgeDf.localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      // each round's edge set is consumed TWICE by the next round (degree
+      // groupBy + semi-join base), so rounds must MATERIALIZE (the bfsHops
+      // shape) — composing them lazily re-evaluates shared subtrees and
+      // the plan cost goes exponential in the round count (measured 13 s
+      // vs 4 s at sf0.01). Contrast pageRank, whose per-round rank table
+      // has a single consumer and composes linearly.
+      edges = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Combined duplication corpus: originals ∪ planted exact copies (every
     * 5th doc, id+100000) ∪ planted truncated near-dups (every 7th doc,
     * id+200000) — the union of the fixtures DedupOps plants separately.
@@ -331,6 +450,8 @@ object GraphOps extends OpFamily {
     "graph_pagerank" -> (pageRank _),
     "graph_pagerank_converged" -> (pageRankConverged _),
     "graph_bfs_hops" -> (bfsHops _),
+    "graph_sssp_cost" -> (ssspCost _),
+    "graph_kcore" -> (kCore _),
     "graph_triangles" -> (triangleCensus _),
     "graph_degree_profile" -> (degreeProfile _))
 
@@ -360,6 +481,14 @@ object GraphOps extends OpFamily {
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3)"""
+
+  // one unrolled peel round: survivors of round i (degree ≥ k in e_{i-1}),
+  // then e_i = edges with both endpoints surviving — mirrors [[kCoreFrom]]
+  private def peelRound(i: Int): String =
+    s"""n$i AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e${i - 1}
+           GROUP BY src) WHERE deg >= $KCoreK),
+       e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           JOIN n$i a ON e.src = a.src JOIN n$i b ON e.dst = b.src)"""
 
   private def prIter(k: Int): String =
     s"""r$k AS (SELECT wd.dst AS node,
@@ -400,6 +529,35 @@ object GraphOps extends OpFamily {
     // graph_pagerank_converged: rows-only by nature — the terminating
     // round count is a data property, pinned instead by GraphSpec's
     // driver-side integer reference simulation
+    "graph_sssp_cost" ->
+      s"""WITH RECURSIVE e0 AS (SELECT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s, 1 + count(*) % 5 AS w
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY c, s),
+         edges AS (SELECT c AS src, s AS dst, w FROM e0
+                   UNION ALL SELECT s, c, w FROM e0),
+         walk(node, cost, hops) AS (
+           SELECT min(src), CAST(0 AS BIGINT), 0 FROM edges
+           UNION
+           SELECT e.dst, w.cost + e.w, w.hops + 1
+           FROM walk w JOIN edges e ON e.src = w.node
+           WHERE w.hops < ${SsspMaxHops}),
+         dist AS (SELECT node, min(cost) AS cost FROM walk GROUP BY node)
+         SELECT cost, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM dist GROUP BY cost ORDER BY cost""",
+    "graph_kcore" ->
+      s"""WITH ep AS (SELECT DISTINCT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e0 AS (SELECT c AS src, s AS dst FROM ep
+                UNION ALL SELECT s, c FROM ep),
+         ${(1 to KCoreRounds).map(peelRound).mkString(",\n         ")}
+         SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS kind,
+           CAST(count(*) AS BIGINT) AS n_core_nodes,
+           min(deg) AS min_deg, max(deg) AS max_deg
+         FROM (SELECT src, count(*) AS deg FROM e$KCoreRounds GROUP BY src)
+         GROUP BY kind ORDER BY kind""",
     "graph_bfs_hops" ->
       s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s

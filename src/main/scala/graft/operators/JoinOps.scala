@@ -191,8 +191,69 @@ object JoinOps extends OpFamily {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Exact edit-distance-≤1 self-join (fuzzy key match / record linkage)
+    * over customer names: every pair of names within Levenshtein distance 1.
+    */
+  def editDistanceJoin(s: SparkSession, d: String): DataFrame =
+    editDistancePairsOn(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name")
+
+  /** Exact Levenshtein-≤1 pair core over any (id, string) frame — the
+    * [[graft.api.Graft.editDistancePairs]] entry point.
+    *
+    * Candidate generation is DELETION NEIGHBORHOODS (the FastSS family,
+    * Bocek et al., ETH TR 2007; popularized as SymSpell — public
+    * knowledge): ed(r, s) ≤ 1 iff D(r) ∩ D(s) ≠ ∅, where D(x) is x plus
+    * every string obtained by deleting one character of x. Substitution at
+    * position i ⇒ both sides share the i-deleted string; insert/delete ⇒
+    * the longer side's deletion hits the shorter string itself. So an
+    * equi-join on the O(len) neighborhood keys yields a candidate SUPERSET
+    * and the exact banded-Levenshtein verify makes the output identical to
+    * the quadratic all-pairs join — same exactness-via-prefiltering shape
+    * as [[DedupOps.blockedJaccardPairs]], for edit distance instead of
+    * Jaccard. At 100 TB: per-row work O(len) keys, one 8-byte-key
+    * equi-join (xxhash64 of the variant; hash collisions only ADD
+    * candidates, the verify removes them), no block ever goes all-pairs.
+    * A hot key means many genuinely-near-identical strings — AQE-
+    * splittable, and exactly the rows a linkage run is looking for.
+    */
+  private[graft] def editDistancePairsOn(df: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("str"))
+    // D(x) hashed: the string itself + each single-character deletion.
+    // sequence(1, len) on an empty string yields [1, 0] (negative-step
+    // fallback); both ghost indices produce "" / the empty string again,
+    // and array_distinct folds them — no special-casing needed.
+    val keys = base.select(col("id"),
+        explode(array_distinct(concat(
+          array(col("str")),
+          transform(sequence(lit(1), length(col("str"))), i =>
+            concat(col("str").substr(lit(1), i - 1),
+              col("str").substr(i + 1, length(col("str")) - i)))))).as("v"))
+      .select(col("id"), xxhash64(col("v")).as("k"))
+      .distinct()
+    val cand = keys.select(col("id").as("a"), col("k"))
+      .join(keys.select(col("id").as("b"), col("k")), Seq("k"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    // banded verify: levenshtein with threshold short-circuits the DP row
+    // past the band, returning -1 above the cut — O(len) per candidate,
+    // not O(len²)
+    cand
+      .join(base.select(col("id").as("a"), col("str").as("sa")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("str").as("sb")), Seq("b"))
+      .withColumn("dist",
+        levenshtein(col("sa"), col("sb"), 1).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("a"), col("b"), col("dist"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries = Map(
     "join_salted_skew" -> (saltedSkewJoin _),
+    "join_edit_distance" -> (editDistanceJoin _),
     "join_3way_topk" -> (join3TopK _),
     "join_5way_star" -> (join5Star _),
     "join_left_outer" -> (leftOuterOrders _),
@@ -206,6 +267,12 @@ object JoinOps extends OpFamily {
     "join_asof" -> (asofJoin _))
 
   val oracle = Map(
+    "join_edit_distance" ->
+      """SELECT a.c_custkey AS a, b.c_custkey AS b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY a, b""",
     "join_salted_skew" ->
       """SELECT s_suppkey, s_name, count(*) AS n_items,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.JoinOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pair-for-pair equality of the FastSS deletion-neighborhood edit-distance
+  * join against a brute-force all-pairs reference — the same
+  * exactness-despite-prefiltering proof style as PrefixJoinSpec, for
+  * Levenshtein distance instead of Jaccard.
+  */
+class EditDistSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def brute(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = {
+    val a = df.select(col("id").as("a"), col("str").as("sa"))
+    val b = df.select(col("id").as("b"), col("str").as("sb"))
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("a"), col("b"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def fast(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    JoinOps.editDistancePairsOn(df, "id", "str")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("deletion-neighborhood join equals brute force on an adversarial corpus") {
+    // every edit class: substitution, deletion, insertion, identical
+    // strings (dist 0), empty vs 1-char, multi-byte unicode, and far-apart
+    // strings that must NOT pair
+    val rows = Seq(
+      1L -> "kitten", 2L -> "sitten", // substitution
+      3L -> "kitte",                  // deletion of 1
+      4L -> "kittens",                // insertion on 1
+      5L -> "kitten",                 // identical to 1 (dist 0)
+      6L -> "",                       // empty
+      7L -> "a",                      // 1 insert from empty
+      8L -> "ab",                     // 1 insert from "a"
+      9L -> "café", 10L -> "cafe", // unicode substitution
+      11L -> "zzzzzz",                // near nothing
+      12L -> "sittin")                // chain: 1 sub from "sitten"
+    import spark.implicits._
+    val df = rows.toDF("id", "str")
+    val (f, b) = (fast(df), brute(df))
+    assert(f === b, s"missing=${b diff f} extra=${f diff b}")
+    // the fixture exercises every edit class: at least one dist-0 pair and
+    // the empty↔1-char insertion must be present
+    assert(b.contains((1L, 5L, 0L)) && b.contains((6L, 7L, 1L)))
+  }
+
+  test("deletion-neighborhood join equals brute force on near-identical id strings") {
+    // the registered query's shape: fixed-width zero-padded keys where
+    // single-DIGIT substitutions dominate and deletion variants collide
+    // heavily across rows
+    import spark.implicits._
+    val df = (0L until 300L).map(i => i -> f"row#$i%06d").toDF("id", "str")
+    val (f, b) = (fast(df), brute(df))
+    assert(b.nonEmpty)
+    assert(f === b, s"missing=${(b diff f).take(5)} extra=${(f diff b).take(5)}")
+  }
+}

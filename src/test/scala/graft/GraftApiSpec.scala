@@ -67,6 +67,22 @@ class GraftApiSpec extends AnyFunSuite {
     assert(bPairs === want.filter { case (a, b) => a % 2 == b % 2 })
   }
 
+  test("editDistancePairs links fuzzy keys and composes with clusterPairs") {
+    val names = Seq(
+      (10L, "acme corp"), (11L, "acme corp."),   // 1 insertion
+      (12L, "acmec orp"),                        // transpose = dist 2: NOT paired
+      (13L, "akme corp"),                        // 1 substitution of 10
+      (14L, "unrelated ltd")
+    ).toDF("k", "name")
+    val pairs = Graft.editDistancePairs(names, "k", "name")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 11L), (10L, 13L)))
+    // record-linkage composition: transitive closure unifies the variants
+    val clusters = Graft.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(10L -> 10L, 11L -> 10L, 13L -> 10L))
+  }
+
   test("clusterPairs merges transitive near-dups into one cluster") {
     val pairs = Seq((1L, 2L), (2L, 4L), (7L, 8L)).toDF("a", "b")
     val clusters = Graft.clusterPairs(pairs).collect()

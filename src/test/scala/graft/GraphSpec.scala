@@ -92,6 +92,67 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_nodes")).forall(_ >= 1L))
   }
 
+  test("weighted sssp relaxation matches hand-computed shortest paths") {
+    import spark.implicits._
+    // cheapest path to node 2 takes MORE hops than the direct edge
+    // (1→3→4→2 costs 3 vs direct 10), and node 5 is unreachable — the two
+    // behaviors that separate weighted SSSP from BFS hop counting
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L),
+      (5L, 5L, 1L) // disconnected self-loop keeps node 5 in the id space
+    ).toDF("src", "dst", "w")
+    def distMap(maxHops: Int): Map[Long, Long] =
+      GraphOps.ssspFrom(edges, maxHops).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distMap(4) === Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 2L))
+    // the hop cap is part of the semantics: within 1 hop the direct edge
+    // is the only route to node 2; within 2 the relaxation reaches node 4
+    assert(distMap(1) === Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+    assert(distMap(2) === Map(1L -> 0L, 2L -> 10L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("k-core peel cascades to the exact core on a cycle-with-tail graph") {
+    import spark.implicits._
+    // cycle 1..5 with a pendant path 5-6-7-8: the 2-core is exactly the
+    // cycle, and reaching it takes a 3-deep peel cascade (8, then 7,
+    // then 6) — the behavior a single degree filter would get wrong
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+      (5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core = GraphOps.kCoreFrom(edges, 2, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("registered k-core round count reaches the true fixpoint at sf0.001") {
+    // driver-side reference peels WITHOUT a round bound; the registered
+    // 4-round peel must land on the same core (bipartite cascades are
+    // shallow — customers only neighbor suppliers)
+    val pairs = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var es: Set[(Long, Long)] = pairs.flatMap { case (c, s) =>
+      Seq((c, s), (s, c)) }.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.groupBy(_._1).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= GraphOps.KCoreK).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    val expect = es.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    import spark.implicits._
+    val df = pairs.toSeq.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+      .toDF("src", "dst")
+    val got = GraphOps.kCoreFrom(df, GraphOps.KCoreK, GraphOps.KCoreRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty && got.values.min >= GraphOps.KCoreK)
+  }
+
   test("degree profile reflects the bipartite skew (suppliers ≫ customers)") {
     val prof = GraphOps.degreeProfile(spark, sf).collect()
       .map(r => r.getAs[String]("kind") -> r).toMap

@@ -217,6 +217,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(global - partial) / math.abs(global) < 1e-9)
   }
 
+  test("temperature mixing derives rates ∝ 1/√count and keeps the rarest stratum whole") {
+    val counts = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmin = counts.values.min
+    val got = graft.operators.FilterOps.mixTemperature(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Long]("n_kept"))).toMap
+    got.foreach { case (lang, (rate, kept)) =>
+      // independent driver-side replay of the rate derivation
+      assert(rate === math.floor(1000.0 * math.sqrt(
+        nmin.toDouble / counts(lang))).toLong, s"rate mismatch for $lang")
+      assert(kept <= counts(lang))
+    }
+    // rate 1000 means hash mod 1000 < 1000: the rarest language keeps ALL
+    val rarest = counts.minBy(c => (c._2, c._1))._1
+    assert(got(rarest)._1 === 1000L)
+    assert(got(rarest)._2 === counts(rarest))
+  }
+
   test("top-k is a prefix of the total order") {
     val sorted = AggOps.wordcount(spark, sf).collect().map(_.getString(0))
     val full = Tables.documents(spark, sf)
