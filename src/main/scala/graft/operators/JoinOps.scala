@@ -191,6 +191,57 @@ object JoinOps extends OpFamily {
       .orderBy(col("s_suppkey"))
   }
 
+  /** INTERVAL-OVERLAP self-join at scale: which user pairs had concurrent
+    * activity sessions, and how often. Two stages, both classic MR idioms:
+    *
+    * 1. Lag-gap sessionization (the secondary-sort reducer expressed as
+    *    windows): order each user's events, cut a session when the gap
+    *    exceeds 17 min, aggregate [min, max] µs bounds per session.
+    * 2. Overlap join via TIME BINNING: an interval join has no equi key,
+    *    and a raw theta join of two unbounded sides is quadratic. Explode
+    *    each session onto the 1-hour epoch buckets it covers (sessions are
+    *    minutes long, so 1–2 buckets each), equi-join on bucket, verify
+    *    the exact closed-interval overlap as a residual, distinct away
+    *    double-counts from pairs sharing several buckets. Candidates are
+    *    Σ_bucket n_b² instead of N² — bounded by true temporal co-location;
+    *    a peak-hour bucket is an AQE-splittable hot key. At 100 TB the
+    *    bucket width is the one knob: ~the typical interval length.
+    *
+    * All arithmetic is exact integer µs (unix_micros ↔ DuckDB epoch_us),
+    * so the oracle replays sessionization and overlap bit-for-bit.
+    */
+  def intervalOverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val GapUs = 17L * 60 * 1000000
+    val BucketUs = 3600L * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("us") - col("prev") > GapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wsum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+      .localCheckpoint() // session build feeds BOTH sides of the pair join
+    val binned = sess.select(col("user_id"), col("sid"), col("st"), col("en"),
+      explode(sequence(expr(s"st DIV $BucketUs"), expr(s"en DIV $BucketUs")))
+        .as("bk"))
+    val a = binned.select(col("bk"), col("user_id").as("ua"),
+      col("sid").as("sa"), col("st").as("sta"), col("en").as("ena"))
+    val b = binned.select(col("bk"), col("user_id").as("ub"),
+      col("sid").as("sb"), col("st").as("stb"), col("en").as("enb"))
+    a.join(b, Seq("bk"))
+      .filter(col("ua") < col("ub"))
+      .filter(col("sta") <= col("enb") && col("stb") <= col("ena"))
+      .select(col("ua"), col("sa"), col("ub"), col("sb"))
+      .distinct()
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("ua"), col("ub"))
+  }
+
   /** Exact edit-distance-≤1 self-join (fuzzy key match / record linkage)
     * over customer names: every pair of names within Levenshtein distance 1.
     */
@@ -254,6 +305,7 @@ object JoinOps extends OpFamily {
   val queries = Map(
     "join_salted_skew" -> (saltedSkewJoin _),
     "join_edit_distance" -> (editDistanceJoin _),
+    "join_interval_overlap" -> (intervalOverlapJoin _),
     "join_3way_topk" -> (join3TopK _),
     "join_5way_star" -> (join5Star _),
     "join_left_outer" -> (leftOuterOrders _),
@@ -273,6 +325,24 @@ object JoinOps extends OpFamily {
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY a, b""",
+    "join_interval_overlap" ->
+      """WITH s1 AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1020000000
+               THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         s2 AS (SELECT user_id, us,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM s1),
+         sess AS (SELECT user_id, sid, min(us) AS st, max(us) AS en
+           FROM s2 GROUP BY user_id, sid)
+         SELECT a.user_id AS ua, b.user_id AS ub,
+           CAST(count(*) AS BIGINT) AS n_overlaps
+         FROM sess a JOIN sess b
+           ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+         GROUP BY ua, ub ORDER BY ua, ub""",
     "join_salted_skew" ->
       """SELECT s_suppkey, s_name, count(*) AS n_items,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
