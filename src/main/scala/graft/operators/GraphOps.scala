@@ -281,6 +281,16 @@ object GraphOps extends OpFamily {
     * node id. Unit-tested against hand-computed paths in GraphSpec.
     */
   private[graft] def ssspFrom(edgeDf: DataFrame, maxHops: Int): DataFrame = {
+    // one eager materialization of the edge pipeline; per round AQE
+    // broadcast-joins the node-sized dist table into unshuffled checkpoint
+    // scans. A repartition(src).persist() variant (the pageRank shape) was
+    // MEASURED SLOWER here (6.3 s vs 3.3 s steady at sf0.1): the extra
+    // up-front shuffle + cached-columnar scans buy nothing while dist
+    // broadcasts. The swap point is when dist outgrows the broadcast
+    // threshold (billions of nodes): AQE then falls back to SMJ and would
+    // re-shuffle the edge set every round — at that scale switch to the
+    // pre-partitioned persist (pageRank's documented trade, one edge
+    // shuffle total).
     val edges = edgeDf.localCheckpoint()
     // source declared, not collected: 1-row aggregate, AQE-broadcast into
     // the first relaxation (the bfsHops pattern)

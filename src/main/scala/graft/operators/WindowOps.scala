@@ -53,6 +53,32 @@ object WindowOps extends OpFamily {
       .orderBy(col("p_brand"), desc("p_size"), col("p_partkey"))
   }
 
+  /** EXACT median order value per customer segment — the per-group order
+    * statistic (low-median: rank ⌈n/2⌉ under a total order with the order
+    * key as tiebreaker), the groupwise sibling of the global
+    * [[exact quantiles|graft.api.Graft.exactQuantiles]]. One partitioned
+    * row_number + one bounded count join — both shuffles on the group
+    * key, skew-immune (map-side partials for the count; the window
+    * partitions by segment, whose cardinality bounds are the blocking
+    * contract). Exact and engine-replayable where percentile_approx is
+    * neither.
+    */
+  def groupMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    val n = o.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    o.withColumn("rn", row_number().over(w))
+      .join(n, Seq("c_mktsegment"))
+      .filter(col("rn") === ceil(col("n") / lit(2.0)).cast("long"))
+      .select(col("c_mktsegment"), col("n"),
+        col("o_totalprice").as("median_price"),
+        col("o_orderkey").as("median_orderkey"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Per-user value delta between consecutive events (lag). */
   def lagDelta(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -164,6 +190,7 @@ object WindowOps extends OpFamily {
 
   val queries = Map(
     "win_topk_per_group" -> (topkPerGroup _),
+    "win_group_median" -> (groupMedian _),
     "win_rank_dense" -> (rankDense _),
     "win_lag_delta" -> (lagDelta _),
     "win_running_sum" -> (runningSum _),
@@ -172,6 +199,18 @@ object WindowOps extends OpFamily {
     "win_first_last" -> (firstLast _))
 
   val oracle = Map(
+    "win_group_median" ->
+      """WITH o AS (SELECT c_mktsegment, o_orderkey, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         r AS (SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+           FROM o)
+         SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+           o_totalprice AS median_price, o_orderkey AS median_orderkey
+         FROM r WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+         ORDER BY c_mktsegment""",
     "win_topk_per_group" ->
       """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
            SELECT o_orderstatus, o_orderkey, o_totalprice,
