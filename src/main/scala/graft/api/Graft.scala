@@ -168,7 +168,8 @@ object Graft {
       when(col("pid") === pid, lit(offsets(pid))).otherwise(acc)
     }
     val w = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
-    val ranked = base.filter(col("pid").isin(wanted.map(x => x: Any): _*))
+    val ranked = base.filter(col("pid")
+        .isin(wanted.toIndexedSeq.map(x => x: Any): _*))
       .withColumn("r", row_number().over(w).cast("long") + offCol)
     ranked.join(broadcast(targets.toDF("pct", "r")), Seq("r"))
       .select(col("pct"), col("r").as("pos"), col(valueCol).as("value"))

@@ -34,7 +34,7 @@ object FilterOps extends OpFamily {
     val bloomBytes = bigOrders
       .agg(graft.functions.NativeExprs
         .bloomAgg(s, col("o_orderkey"), 100000L, 958506L).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     Tables.lineitem(s, d)
       .filter(graft.functions.NativeExprs.bloomMightContain(s,
         lit(bloomBytes), col("l_orderkey"))) // sketch prefilter (cheap)

@@ -17,7 +17,8 @@ import graft.functions.NativeExprs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions.NativeExprs", null, name, usage, "")
+    new ExpressionInfo("graft.functions.NativeExprs", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
