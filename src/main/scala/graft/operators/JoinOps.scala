@@ -211,22 +211,42 @@ object JoinOps extends OpFamily {
     * so the oracle replays sessionization and overlap bit-for-bit.
     */
   def intervalOverlapJoin(s: SparkSession, d: String): DataFrame = {
-    val GapUs = 17L * 60 * 1000000
-    val BucketUs = 3600L * 1000000
+    val sess = sessionIntervals(
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")),
+      gapUs = 17L * 60 * 1000000)
+      .localCheckpoint() // session build feeds BOTH sides of the pair join
+    overlapPairs(sess, bucketUs = 3600L * 1000000)
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("ua"), col("ub"))
+  }
+
+  /** Lag-gap sessionization core: (user_id, sid, st, en) µs intervals from
+    * a (user_id, event_id, us) frame. A gap must EXCEED gapUs to cut
+    * (strictly-greater, so an exactly-gap-sized silence stays one
+    * session) — boundary pinned in IntervalJoinSpec.
+    */
+  private[graft] def sessionIntervals(ev: DataFrame, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
     val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("prev", lag(col("us"), 1).over(w))
+    ev.withColumn("prev", lag(col("us"), 1).over(w))
       .withColumn("ns", when(col("prev").isNull ||
-        col("us") - col("prev") > GapUs, 1L).otherwise(0L))
+        col("us") - col("prev") > gapUs, 1L).otherwise(0L))
       .withColumn("sid", sum(col("ns")).over(wsum))
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("us")).as("st"), max(col("us")).as("en"))
-      .localCheckpoint() // session build feeds BOTH sides of the pair join
+  }
+
+  /** Time-binned interval-overlap pair core over a (user_id, sid, st, en)
+    * frame: every cross-user pair of CLOSED intervals that intersect
+    * (touching endpoints count), each pair exactly once regardless of how
+    * many buckets it shares.
+    */
+  private[graft] def overlapPairs(sess: DataFrame, bucketUs: Long): DataFrame = {
     val binned = sess.select(col("user_id"), col("sid"), col("st"), col("en"),
-      explode(sequence(expr(s"st DIV $BucketUs"), expr(s"en DIV $BucketUs")))
+      explode(sequence(expr(s"st DIV $bucketUs"), expr(s"en DIV $bucketUs")))
         .as("bk"))
     val a = binned.select(col("bk"), col("user_id").as("ua"),
       col("sid").as("sa"), col("st").as("sta"), col("en").as("ena"))
@@ -237,9 +257,6 @@ object JoinOps extends OpFamily {
       .filter(col("sta") <= col("enb") && col("stb") <= col("ena"))
       .select(col("ua"), col("sa"), col("ub"), col("sb"))
       .distinct()
-      .groupBy(col("ua"), col("ub"))
-      .agg(count(lit(1)).as("n_overlaps"))
-      .orderBy(col("ua"), col("ub"))
   }
 
   /** Exact edit-distance-≤1 self-join (fuzzy key match / record linkage)
