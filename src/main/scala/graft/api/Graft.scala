@@ -70,6 +70,20 @@ object Graft {
       threshold)
   }
 
+  /** Asymmetric CONTAINMENT pairs: every ordered pair (a, b) where at
+    * least `threshold` of a's shingles appear in b — the quote/subset/
+    * snippet detector symmetric Jaccard misses. Exact and complete via
+    * one-sided prefix filtering against an inverted index (a's rarest
+    * shingles vs b's full posting lists), never all-pairs. Output columns
+    * `a`, `b`, `containment`.
+    */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.8): DataFrame =
+    graft.operators.DedupOps.containmentPairsOn(
+      df.select(col(id).as("doc_id"), lit("").as("lang"),
+        lit("").as("source"), col(text).as("text")),
+      threshold)
+
   /** SimHash near-duplicate pairs by rotate+sort neighborhood (Manku-style;
     * candidate generation O(n·perms·window), no all-pairs block) with the
     * final hamming distance exact-verified on the full 63-bit signature.

@@ -246,6 +246,70 @@ object DedupOps extends OpFamily {
       .distinct()
   }
 
+  /** Asymmetric CONTAINMENT join: every ORDERED pair (a, b) with
+    * C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥ 0.8 — "most of a's shingles
+    * appear in b", the quote/subset/snippet detector that symmetric
+    * Jaccard misses (a short doc fully quoted inside a long one has high
+    * containment but low Jaccard). Directional by nature: the planted
+    * truncations satisfy C(truncated→original) = 1.0 exactly (a prefix's
+    * 3-shingles are a subset of the full doc's), while the reverse
+    * direction scores ~0.85 — both emitted when ≥ τ.
+    */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentPairsOn(withNearDupes(s, d), 0.8)
+
+  /** Containment core over any (doc_id, lang, source, text) corpus.
+    *
+    * Candidate generation is ONE-SIDED prefix filtering against an
+    * inverted index: with t = ⌈τ·|A|⌉, if none of A's |A|−t+1 rarest
+    * shingles (global frequency order) occurs in B then |A∩B| ≤ t−1 < t,
+    * so equi-joining A's prefix hashes against B's FULL posting lists
+    * yields a complete candidate set — B is unconstrained (that is what
+    * makes the join asymmetric), so B cannot be prefix-truncated, but
+    * A's prefix holds its RAREST hashes and rare keys have short posting
+    * lists, keeping candidates near the true positives instead of n².
+    * The ⌈·⌉ epsilon errs on the longer-prefix side (costs candidates,
+    * never recall) and the |sh(B)| ≥ τ·|A| size filter prunes pairs the
+    * sizes alone disqualify — both the [[prefixCandidates]] conventions.
+    * Exact merge-scan verify ⇒ output identical to brute force.
+    */
+  private[graft] def containmentPairsOn(corpus: DataFrame,
+      tau: Double): DataFrame = {
+    val sp = corpus.sparkSession
+    val sh = blockShingles(corpus)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    // GLOBAL document frequency (containment ignores blocks: quotes cross
+    // languages/sources); skew-immune groupBy + join-back as in
+    // [[prefixCandidates]]
+    val freq = exploded.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val pref = exploded
+      .join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
+      .select(col("doc_id"), size(col("fh")).as("n"),
+        slice(transform(col("fh"), x => x.getField("h")), lit(1),
+          (size(col("fh"))
+            - ceil(size(col("fh")) * lit(tau) - lit(1e-6)).cast("int")
+            + 1)).as("pref"))
+    val pk = pref.select(col("doc_id").as("a"), col("n").as("na"),
+      explode(col("pref")).as("h"))
+    val cand = pk
+      .join(exploded.select(col("doc_id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("na"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .filter(size(col("shb")).cast("double") >= col("na") * lit(tau) - lit(1e-6))
+      .withColumn("inter",
+        NativeExprs.sortedIntersectCount(sp, col("sha"), col("shb")))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= tau)
+      .select(col("a"), col("b"), col("containment"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** doc_id + sorted distinct 31-bit shingle hashes (`hs`), one narrow
     * scan (sorted so verification can merge-scan instead of hash-set).
     */
@@ -643,6 +707,7 @@ object DedupOps extends OpFamily {
     "dedup_exact_groups" -> (exactDupGroups _),
     "dedup_keep_first" -> (keepFirst _),
     "dedup_near_jaccard" -> (nearJaccard _),
+    "dedup_containment" -> (containmentPairs _),
     "dedup_clusters" -> (nearDupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -707,6 +772,20 @@ object DedupOps extends OpFamily {
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+         ORDER BY a, b""",
+    "dedup_containment" ->
+      s"""WITH corpus AS ($planted),
+         sh AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM corpus))
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+             AS containment
+         FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+             >= 0.8
          ORDER BY a, b""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes

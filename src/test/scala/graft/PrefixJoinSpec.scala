@@ -97,6 +97,33 @@ class PrefixJoinSpec extends AnyFunSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  /** Independent reference for CONTAINMENT: brute-force directional
+    * all-pairs |A∩B|/|A| over the same shingle frame.
+    */
+  private def bruteForceContainment(corpus: DataFrame,
+      tau: Double): Set[(Long, Long)] = {
+    val sh = DedupOps.blockShingles(corpus)
+    val a = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+    a.crossJoin(b)
+      .filter(col("a") =!= col("b"))
+      .withColumn("inter",
+        NativeExprs.sortedIntersectCount(spark, col("sha"), col("shb")))
+      .filter(col("inter").cast("double") / size(col("sha")) >= tau)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("one-sided prefix containment equals brute force on both adversarial corpora") {
+    Seq(headerCorpus, mutationCorpus).foreach { corpus =>
+      val got = pairsOf(DedupOps.containmentPairsOn(corpus, 0.8))
+      val want = bruteForceContainment(corpus, 0.8)
+      assert(want.nonEmpty, "fixture must contain directional near-subsets")
+      assert(got === want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("derived-base fixtures and prefix join run beyond the 100k-id pinned guard") {
     // 120k docs in ONE (lang, source) block — over the pinned fixtures'
     // 100k id ceiling (plantBaseFor derives the offset instead of raising)
