@@ -103,6 +103,40 @@ object GraphOps extends OpFamily {
       .limit(20)
   }
 
+  /** WEIGHTED PageRank (damping 0.85, 5 rounds): rank mass flows along
+    * each edge in proportion to its weight — contrib(u→v) =
+    * (units(u) · w(u,v)) DIV Σ_x w(u,x) — the generalization real
+    * interaction graphs use (edge weight = co-order count here). Same
+    * micro-unit integral-arithmetic stance as [[pageRank]], so the
+    * DuckDB oracle replays all five rounds bit-for-bit: units ≤ N·10⁶,
+    * w ≤ 5, so units·w keeps > 10× headroom under Long.MAX at the
+    * 100 TB node-count design point. Same composed-rounds single-job
+    * shape; the weight-sum table is the degree table's twin.
+    */
+  def pageRankWeighted(s: SparkSession, d: String): DataFrame = {
+    val edges = custSuppWeightedEdges(s, d).localCheckpoint()
+    val tw = edges.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+    val withW = edges.join(tw, Seq("src")).persist()
+    var ranks = tw.select(col("src").as("node"), lit(1000000L).as("units"))
+    (1 to 5).foreach { _ =>
+      ranks = withW.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(units * w) DIV tw").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("150000L + (85L * sum(contrib)) DIV 100L").as("units"))
+        .select(col("dst").as("node"), col("units"))
+    }
+    ranks = ranks.localCheckpoint()
+    withW.unpersist()
+    ranks
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node DIV 2").as("entity_key"),
+        col("units").as("rank_units"))
+      .orderBy(desc("rank_units"), col("kind"), col("entity_key"))
+      .limit(20)
+  }
+
   /** PageRank iterated to an ε-FIXPOINT instead of a fixed round count —
     * the iterate-until-converged termination real graph users expect. The
     * integer iteration contracts the L1 delta by exactly the damping
@@ -472,6 +506,7 @@ object GraphOps extends OpFamily {
 
   val queries = Map(
     "graph_pagerank" -> (pageRank _),
+    "graph_pagerank_weighted" -> (pageRankWeighted _),
     "graph_pagerank_converged" -> (pageRankConverged _),
     "graph_bfs_hops" -> (bfsHops _),
     "graph_sssp_cost" -> (ssspCost _),
@@ -513,6 +548,13 @@ object GraphOps extends OpFamily {
            GROUP BY src) WHERE deg >= $KCoreK),
        e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
            JOIN n$i a ON e.src = a.src JOIN n$i b ON e.dst = b.src)"""
+
+  // weighted variant of [[prIter]]: contrib = (units · w) DIV tw
+  private def prwIter(k: Int): String =
+    s"""r$k AS (SELECT wd.dst AS node,
+         150000 + (85 * CAST(sum((r.units * wd.w) // wd.tw) AS BIGINT)) // 100
+           AS units
+       FROM wd JOIN r${k - 1} r ON wd.src = r.node GROUP BY wd.dst)"""
 
   private def prIter(k: Int): String =
     s"""r$k AS (SELECT wd.dst AS node,
@@ -569,6 +611,24 @@ object GraphOps extends OpFamily {
          dist AS (SELECT node, min(cost) AS cost FROM walk GROUP BY node)
          SELECT cost, CAST(count(*) AS BIGINT) AS n_nodes
          FROM dist GROUP BY cost ORDER BY cost""",
+    "graph_pagerank_weighted" ->
+      s"""WITH e0 AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+             1 + count(*) % 5 AS w
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY c, s),
+         edges AS (SELECT c AS src, s AS dst, w FROM e0
+                   UNION ALL SELECT s, c, w FROM e0),
+         tw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges
+                GROUP BY src),
+         wd AS (SELECT e.src, e.dst, e.w, t.tw FROM edges e
+                JOIN tw t USING (src)),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS units FROM tw),
+         ${(1 to 5).map(prwIter).mkString(",\n         ")}
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS kind,
+           node // 2 AS entity_key, units AS rank_units
+         FROM r5
+         ORDER BY rank_units DESC, kind, entity_key LIMIT 20""",
     "graph_kcore" ->
       s"""WITH ep AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s

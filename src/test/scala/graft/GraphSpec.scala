@@ -39,6 +39,20 @@ class GraphSpec extends AnyFunSuite {
     assert(units === units.sorted(Ordering[Long].reverse))
   }
 
+  test("weighted pagerank: bounded, sorted, and actually uses the weights") {
+    val w = GraphOps.pageRankWeighted(spark, sf).collect()
+    assert(w.length === 20)
+    assert(w.forall(_.getAs[Long]("rank_units") >= 150000L))
+    val units = w.map(_.getAs[Long]("rank_units")).toSeq
+    assert(units === units.sorted(Ordering[Long].reverse))
+    // deterministic fixture: if the weighted top-20 ever equals the
+    // unweighted one bit-for-bit, the weights were ignored
+    val uw = GraphOps.pageRank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ww = w.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(uw !== ww)
+  }
+
   test("converged pagerank matches a driver-side integer reference simulation") {
     // independent implementation of the SAME fixed-point contraction and
     // relative-L1 stop rule, in plain Scala over collected edges: integral
