@@ -488,6 +488,72 @@ object GraphOps extends OpFamily {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** 3-TRUSS of the duplication similarity graph: keep only edges that
+    * participate in ≥ k−2 = 1 triangle, peeling iteratively (dropping an
+    * edge can break its neighbors' triangles) for up to [[TrussRounds]]
+    * rounds with the [[kCoreFrom]] no-op early exit. On the planted
+    * corpus the 3-truss is exactly the {original, copy, truncated}
+    * triangle edges — the truss is the standard "cohesive subgraph"
+    * cleaner that degree-based k-core cannot express (a star hub has
+    * high degree but zero triangles). Output: surviving edge/node
+    * counts.
+    *
+    * Triangle support here is enumerated by the id-sorted 3-way
+    * self-join (x<y<z — identical shape to the unrolled oracle). For
+    * hub-heavy graphs at corpus scale the enumeration inside each round
+    * should swap to [[triangleCensus]]'s degree-oriented wedge machinery
+    * (arboricity-bounded); on the truss's shrinking, triangle-dense
+    * remnant the sorted join is the simpler provably-identical choice.
+    */
+  private[graft] val TrussK = 3
+  private[graft] val TrussRounds = 3
+
+  def kTruss(s: SparkSession, d: String): DataFrame = {
+    val truss = trussFrom(
+      DedupOps.blockedJaccardPairs(dupCorpus(s, d)).select(col("a"), col("b")),
+      TrussK, TrussRounds)
+    val nodes = truss.select(col("a").as("x"))
+      .unionByName(truss.select(col("b").as("x"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    truss.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), col("n_edges"))
+  }
+
+  /** Peel core over an undirected (a < b) edge frame: edges alive after
+    * `rounds` support-threshold peels (early exit on a no-op round — the
+    * same fixpoint argument as [[kCoreFrom]]: unchanged edges ⇒ unchanged
+    * triangles ⇒ unchanged supports).
+    */
+  private[graft] def trussFrom(und: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    def ckptCount(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    var (e, n) = ckptCount(und.select(col("a"), col("b")))
+    var fixed = n == 0L
+    var round = 0
+    while (!fixed && round < rounds) {
+      round += 1
+      val e1 = e.select(col("a").as("x"), col("b").as("y"))
+      val e2 = e.select(col("a").as("y"), col("b").as("z"))
+      val e3 = e.select(col("a").as("x"), col("b").as("z"))
+      // x<y<z triangles; each supports its three sorted edges
+      val tri = e1.join(e2, Seq("y")).join(e3, Seq("x", "z"))
+      val sup = tri.select(col("x").as("a"), col("y").as("b"))
+        .unionByName(tri.select(col("y").as("a"), col("z").as("b")))
+        .unionByName(tri.select(col("x").as("a"), col("z").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= k - 2)
+        .select(col("a"), col("b"))
+      val (e4, n4) = ckptCount(e.join(sup, Seq("a", "b"), "left_semi"))
+      fixed = n4 == n
+      e = e4; n = n4
+    }
+    e
+  }
+
   /** Per-kind degree profile of the customer–supplier graph: node count,
     * min/max degree, and mean degree as one double division of exact
     * longs. The two-row output is the graph-shape summary a partitioning
@@ -512,6 +578,7 @@ object GraphOps extends OpFamily {
     "graph_sssp_cost" -> (ssspCost _),
     "graph_kcore" -> (kCore _),
     "graph_triangles" -> (triangleCensus _),
+    "graph_ktruss" -> (kTruss _),
     "graph_degree_profile" -> (degreeProfile _))
 
   // combined dup corpus (originals ∪ exact copies ∪ truncated near-dups),
@@ -548,6 +615,26 @@ object GraphOps extends OpFamily {
            GROUP BY src) WHERE deg >= $KCoreK),
        e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
            JOIN n$i a ON e.src = a.src JOIN n$i b ON e.dst = b.src)"""
+
+  // one unrolled truss peel: triangles of the sorted edge set, per-edge
+  // support over the three projections, threshold filter, edge semi-join —
+  // mirrors [[trussFrom]]
+  // MATERIALIZED: DuckDB inlines plain CTEs, so each self-join reference
+  // would re-expand the whole upstream chain (3^rounds copies of the
+  // shingle pipeline — measured as a too-many-open-files blowup);
+  // materializing each round's edge/triangle set keeps the unrolled plan
+  // linear, mirroring the Spark side's per-round localCheckpoint
+  private def trussRound(i: Int): String =
+    s"""tri$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM te${i - 1} e1 JOIN te${i - 1} e2 ON e2.a = e1.b
+         JOIN te${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+       sup$i AS (SELECT a, b FROM (
+           SELECT x AS a, y AS b FROM tri$i
+           UNION ALL SELECT y, z FROM tri$i
+           UNION ALL SELECT x, z FROM tri$i)
+         GROUP BY a, b HAVING count(*) >= ${TrussK - 2}),
+       te$i AS MATERIALIZED (SELECT e.a, e.b FROM te${i - 1} e
+         JOIN sup$i s ON e.a = s.a AND e.b = s.b)"""
 
   // weighted variant of [[prIter]]: contrib = (units · w) DIV tw
   private def prwIter(k: Int): String =
@@ -592,6 +679,17 @@ object GraphOps extends OpFamily {
                  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
                FROM deg) ns,
               (SELECT count(*) AS n_edges FROM e) es, tri""",
+    "graph_ktruss" ->
+      s"""WITH $nearDupEdges,
+         te0 AS MATERIALIZED (SELECT a, b FROM e),
+         ${(1 to TrussRounds).map(trussRound).mkString(",\n         ")}
+         SELECT n_nodes, n_edges FROM
+           (SELECT CAST(count(*) AS BIGINT) AS n_edges
+            FROM te$TrussRounds) ee,
+           (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM
+             (SELECT DISTINCT x FROM
+               (SELECT a AS x FROM te$TrussRounds
+                UNION ALL SELECT b FROM te$TrussRounds))) nn""",
     // graph_pagerank_converged: rows-only by nature — the terminating
     // round count is a data property, pinned instead by GraphSpec's
     // driver-side integer reference simulation

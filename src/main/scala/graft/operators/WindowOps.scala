@@ -79,6 +79,36 @@ object WindowOps extends OpFamily {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** EXACT per-group quantiles (p25/50/75/95): the value at rank
+    * ⌈p·n/100⌉ within each segment under a total order — the general form
+    * of [[groupMedian]], matching [[graft.api.Graft.exactQuantiles]]'s
+    * rank convention per group instead of globally. The 4-row-per-group
+    * target table is built from the bounded group counts and broadcast;
+    * one partitioned row_number does the selection. Exact and
+    * engine-replayable where percentile_approx is neither; p·n/100 is an
+    * exact small-int product under one correctly-rounded division, so
+    * the ⌈·⌉ boundary cannot disagree between engines.
+    */
+  def groupQuantiles(s: SparkSession, d: String): DataFrame = {
+    val pcts = Seq(25, 50, 75, 95)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    val targets = o.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .select(col("c_mktsegment").as("seg"),
+        explode(array(pcts.map(lit): _*)).as("pct"), col("n"))
+      .select(col("seg"), col("pct"),
+        ceil(col("pct") * col("n") / lit(100.0)).cast("long").as("r"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(targets),
+        col("c_mktsegment") === col("seg") && col("rn") === col("r"))
+      .select(col("c_mktsegment"), col("pct"), col("r").as("pos"),
+        col("o_totalprice").as("value"))
+      .orderBy(col("c_mktsegment"), col("pct"))
+  }
+
   /** Per-user value delta between consecutive events (lag). */
   def lagDelta(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -191,6 +221,7 @@ object WindowOps extends OpFamily {
   val queries = Map(
     "win_topk_per_group" -> (topkPerGroup _),
     "win_group_median" -> (groupMedian _),
+    "win_group_quantiles" -> (groupQuantiles _),
     "win_rank_dense" -> (rankDense _),
     "win_lag_delta" -> (lagDelta _),
     "win_running_sum" -> (runningSum _),
@@ -199,6 +230,22 @@ object WindowOps extends OpFamily {
     "win_first_last" -> (firstLast _))
 
   val oracle = Map(
+    "win_group_quantiles" ->
+      """WITH o AS (SELECT c_mktsegment, o_orderkey, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         t AS (SELECT c_mktsegment AS seg, pct,
+             CAST(ceil(pct * n / 100.0) AS BIGINT) AS r
+           FROM (SELECT c_mktsegment, count(*) AS n FROM o
+                 GROUP BY c_mktsegment),
+                unnest([25, 50, 75, 95]) AS u(pct)),
+         rr AS (SELECT c_mktsegment, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn
+           FROM o)
+         SELECT c_mktsegment, CAST(pct AS INT) AS pct, r AS pos,
+           o_totalprice AS value
+         FROM rr JOIN t ON c_mktsegment = seg AND rn = r
+         ORDER BY c_mktsegment, pct""",
     "win_group_median" ->
       """WITH o AS (SELECT c_mktsegment, o_orderkey, o_totalprice
            FROM orders JOIN customer ON o_custkey = c_custkey),

@@ -125,6 +125,31 @@ class GraphSpec extends AnyFunSuite {
     assert(distMap(2) === Map(1L -> 0L, 2L -> 10L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("3-truss keeps exactly the triangle on a triangle-with-tail graph") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant path 3-4-5: every non-triangle edge has
+    // zero support and is peeled; the triangle survives intact
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val truss = GraphOps.trussFrom(edges, 3, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truss === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // square-with-diagonal: both triangles share the diagonal, all five
+    // edges carry support >= 1, nothing peels
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("a", "b")
+    val t2 = GraphOps.trussFrom(square, 3, 3).count()
+    assert(t2 === 5L)
+  }
+
+  test("registered 3-truss covers at least the planted triangle structure") {
+    val row = GraphOps.kTruss(spark, sf).head()
+    val nDocs35 = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 35 === 0).count()
+    assert(row.getAs[Long]("n_edges") >= 3 * nDocs35)
+    assert(row.getAs[Long]("n_nodes") >= 3 * nDocs35)
+  }
+
   test("k-core peel cascades to the exact core on a cycle-with-tail graph") {
     import spark.implicits._
     // cycle 1..5 with a pendant path 5-6-7-8: the 2-core is exactly the
