@@ -67,6 +67,22 @@ class GraftApiSpec extends AnyFunSuite {
     assert(bPairs === want.filter { case (a, b) => a % 2 == b % 2 })
   }
 
+  test("containmentPairs detects a quoted snippet asymmetrically") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // doc 2 = doc 1's text fully quoted inside a longer report: every
+      // shingle of 1 appears in 2, but 2 has many shingles 1 lacks
+      (2L, "report intro alpha beta gamma delta epsilon zeta eta theta " +
+        "conclusion summary remarks appendix index"),
+      (3L, "completely unrelated content with other words entirely")
+    ).toDF("my_id", "body")
+    val got = Graft.containmentPairs(docs, "my_id", "body", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // forward direction only: C(1→2) = 1.0; the reverse ratio is far
+    // below 0.9, and doc 3 pairs with nothing
+    assert(got === List((1L, 2L, 1.0)))
+  }
+
   test("editDistancePairs links fuzzy keys and composes with clusterPairs") {
     val names = Seq(
       (10L, "acme corp"), (11L, "acme corp."),   // 1 insertion
