@@ -112,6 +112,44 @@ object Graft {
       bCol: String = "b"): DataFrame =
     graft.operators.DedupOps.clusterPairsOn(pairs, aCol, bCol)
 
+  // ---------------------------------------------------------------- graph
+
+  /** k-core of an undirected graph: (node, degree) of every node
+    * surviving the degree-< k peel, run to the fixpoint (early exit on a
+    * no-op round) with `maxRounds` as a safety cap. `edges` must list
+    * every undirected edge in BOTH directions (symmetry contract; use
+    * union with the swapped columns if yours are one-directional).
+    */
+  def kCore(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", k: Int = 3, maxRounds: Int = 30): DataFrame =
+    graft.operators.GraphOps.kCoreFrom(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      k, maxRounds)
+      .withColumnRenamed("src", "node")
+
+  /** k-truss of an undirected graph: the edges participating in ≥ k−2
+    * triangles after iterative support peeling (fixpoint early exit,
+    * `maxRounds` cap). `pairs` lists each undirected edge ONCE with
+    * aCol < bCol (the [[clusterPairs]] input convention).
+    */
+  def kTruss(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      k: Int = 3, maxRounds: Int = 30): DataFrame =
+    graft.operators.GraphOps.trussFrom(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")), k, maxRounds)
+
+  /** Single-source shortest path by weighted cost from the minimum node
+    * id: (node, cost) of the cheapest ≤`maxHops`-hop path. `edges` needs
+    * (src, dst, w) with positive integer weights, both directions for
+    * undirected graphs.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", wCol: String = "w",
+      maxHops: Int = 10): DataFrame =
+    graft.operators.GraphOps.ssspFrom(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w")),
+      maxHops)
+
   // ----------------------------------------------------------- similarity
 
   /** Exact top-k cosine neighbors of `queries` (id + float/double array

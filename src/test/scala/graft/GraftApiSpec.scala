@@ -116,6 +116,24 @@ class GraftApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("graph API: kCore, kTruss and shortestPaths on renamed ad-hoc columns") {
+    // triangle {1,2,3} + tail 3-4-5 under caller-chosen column names
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val pairs = und.toDF("left_id", "right_id")
+    val truss = Graft.kTruss(pairs, "left_id", "right_id", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truss === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val sym = (und ++ und.map(_.swap)).toDF("u", "v")
+    val core = Graft.kCore(sym, "u", "v", k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val weighted = (und ++ und.map(_.swap)).map { case (s, d) => (s, d, 1L) }
+      .toDF("from", "to", "cost")
+    val dist = Graft.shortestPaths(weighted, "from", "to", "cost", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
   test("withGlobalRank equals a single-partition sort's row_number") {
     val rows = (1 to 500).map(i => ((i * 7919) % 500, i.toLong))
     val df = rows.toDF("v", "id").repartition(7)
