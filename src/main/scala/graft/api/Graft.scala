@@ -95,15 +95,16 @@ object Graft {
     graft.operators.DedupOps.simhashSortedOn(
       df.select(col(id).as("doc_id"), col(text).as("text")), maxHamming)
 
-  /** Exact Levenshtein-≤1 pairs over an (id, string) frame — fuzzy key
-    * matching / record linkage. Guaranteed complete, never all-pairs:
-    * candidates come from FastSS deletion neighborhoods (O(len) keys per
-    * row, one equi-join on hashed variants), then a banded edit-distance
-    * verify. Output columns `a`, `b`, `dist` — composable with
-    * [[clusterPairs]].
+  /** Exact Levenshtein-≤`maxDist` pairs (maxDist 1 or 2) over an
+    * (id, string) frame — fuzzy key matching / record linkage. Guaranteed
+    * complete, never all-pairs: candidates come from FastSS deletion
+    * neighborhoods (O(len^maxDist) keys per row, one equi-join on hashed
+    * variants), then a banded edit-distance verify. Output columns `a`,
+    * `b`, `dist` — composable with [[clusterPairs]].
     */
-  def editDistancePairs(df: DataFrame, id: String, str: String): DataFrame =
-    graft.operators.JoinOps.editDistancePairsOn(df, id, str)
+  def editDistancePairs(df: DataFrame, id: String, str: String,
+      maxDist: Int = 1): DataFrame =
+    graft.operators.JoinOps.editDistancePairsOn(df, id, str, maxDist)
 
   /** Connected components over a pair DataFrame (edge endpoint columns
     * `aCol`/`bCol`, defaults matching [[nearDuplicatePairs]] output):

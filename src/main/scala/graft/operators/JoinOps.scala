@@ -287,18 +287,36 @@ object JoinOps extends OpFamily {
     * splittable, and exactly the rows a linkage run is looking for.
     */
   private[graft] def editDistancePairsOn(df: DataFrame, idCol: String,
-      strCol: String): DataFrame = {
+      strCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"editDistancePairs supports maxDist 1 or 2, got $maxDist " +
+        "(deletion neighborhoods grow as len^d — past 2, use a " +
+        "PassJoin-style segment index instead)")
     val base = df.select(col(idCol).as("id"), col(strCol).as("str"))
-    // D(x) hashed: the string itself + each single-character deletion.
-    // sequence(1, len) on an empty string yields [1, 0] (negative-step
-    // fallback); both ghost indices produce "" / the empty string again,
-    // and array_distinct folds them — no special-casing needed.
+    val str = col("str")
+    val L = length(str)
+    // D≤d(x) hashed: x, every single-character deletion, and (d = 2)
+    // every two-character deletion. ed(r, s) ≤ d ⟹ D≤d(r) ∩ D≤d(s) ≠ ∅
+    // (align r and s; deleting each side's unmatched positions — at most
+    // d per side — leaves the same subsequence), so the equi-join on
+    // neighborhood keys is a complete candidate generator and the banded
+    // verify makes the output exact. sequence(1, len) on an empty string
+    // yields [1, 0] (negative-step fallback); ghost indices only produce
+    // ghost variants, which can add candidates but never drop true pairs,
+    // and array_distinct folds the duplicates.
+    val del1 = transform(sequence(lit(1), L), i =>
+      concat(str.substr(lit(1), i - 1), str.substr(i + 1, L - i)))
+    val variants =
+      if (maxDist == 1) concat(array(str), del1)
+      else concat(array(str), del1,
+        // delete positions i < j of the ORIGINAL string in one pass
+        flatten(transform(sequence(lit(1), L - 1), i =>
+          transform(sequence(i + 1, L), j =>
+            concat(str.substr(lit(1), i - 1),
+              str.substr(i + 1, j - i - 1),
+              str.substr(j + 1, L - j))))))
     val keys = base.select(col("id"),
-        explode(array_distinct(concat(
-          array(col("str")),
-          transform(sequence(lit(1), length(col("str"))), i =>
-            concat(col("str").substr(lit(1), i - 1),
-              col("str").substr(i + 1, length(col("str")) - i)))))).as("v"))
+        explode(array_distinct(variants)).as("v"))
       .select(col("id"), xxhash64(col("v")).as("k"))
       .distinct()
     val cand = keys.select(col("id").as("a"), col("k"))
@@ -307,13 +325,13 @@ object JoinOps extends OpFamily {
       .select(col("a"), col("b"))
       .distinct()
     // banded verify: levenshtein with threshold short-circuits the DP row
-    // past the band, returning -1 above the cut — O(len) per candidate,
+    // past the band, returning -1 above the cut — O(len·d) per candidate,
     // not O(len²)
     cand
       .join(base.select(col("id").as("a"), col("str").as("sa")), Seq("a"))
       .join(base.select(col("id").as("b"), col("str").as("sb")), Seq("b"))
       .withColumn("dist",
-        levenshtein(col("sa"), col("sb"), 1).cast("long"))
+        levenshtein(col("sa"), col("sb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("a"), col("b"), col("dist"))
       .orderBy(col("a"), col("b"))

@@ -12,19 +12,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class EditDistSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def brute(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = {
+  private def brute(df: org.apache.spark.sql.DataFrame,
+      d: Int = 1): Set[(Long, Long, Long)] = {
     val a = df.select(col("id").as("a"), col("str").as("sa"))
     val b = df.select(col("id").as("b"), col("str").as("sb"))
     a.crossJoin(b)
       .filter(col("a") < col("b"))
       .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= d)
       .select(col("a"), col("b"), col("dist"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
-  private def fast(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
-    JoinOps.editDistancePairsOn(df, "id", "str")
+  private def fast(df: org.apache.spark.sql.DataFrame,
+      d: Int = 1): Set[(Long, Long, Long)] =
+    JoinOps.editDistancePairsOn(df, "id", "str", d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
   test("deletion-neighborhood join equals brute force on an adversarial corpus") {
@@ -49,6 +51,38 @@ class EditDistSpec extends AnyFunSuite {
     // the fixture exercises every edit class: at least one dist-0 pair and
     // the empty↔1-char insertion must be present
     assert(b.contains((1L, 5L, 0L)) && b.contains((6L, 7L, 1L)))
+  }
+
+  test("d=2 neighborhoods equal brute force across every two-edit class") {
+    import spark.implicits._
+    // pairs at exactly distance 2 in each composition: 2 subs, 2 dels,
+    // 2 inserts, sub+del, sub+insert — plus distance-3 strings that the
+    // d=2 join must exclude
+    val rows = Seq(
+      1L -> "abcdef",
+      2L -> "axcxef",   // 2 substitutions of 1
+      3L -> "abcd",     // 2 deletions of 1
+      4L -> "abcdefgh", // 2 insertions on 1
+      5L -> "axcde",    // sub + del of 1
+      6L -> "axbcdefg", // sub + insert of 1
+      7L -> "xycxef",   // 1 sub from 2, 3 from 1: boundary exclusion
+      8L -> "",
+      9L -> "ab")       // 2 inserts from empty
+    val df = rows.toDF("id", "str")
+    val (f, b) = (fast(df, 2), brute(df, 2))
+    assert(b.contains((1L, 2L, 2L)) && b.contains((1L, 3L, 2L)) &&
+      b.contains((1L, 4L, 2L)) && b.contains((1L, 5L, 2L)) &&
+      b.contains((8L, 9L, 2L)))
+    assert(!b.exists(p => p._1 == 1L && p._2 == 7L))
+    assert(f === b, s"missing=${b diff f} extra=${f diff b}")
+  }
+
+  test("d=2 equals brute force on the fixed-width key corpus") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => i -> f"row#$i%05d").toDF("id", "str")
+    val (f, b) = (fast(df, 2), brute(df, 2))
+    assert(b.nonEmpty)
+    assert(f === b, s"missing=${(b diff f).take(5)} extra=${(f diff b).take(5)}")
   }
 
   test("deletion-neighborhood join equals brute force on near-identical id strings") {
