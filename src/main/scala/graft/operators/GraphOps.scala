@@ -488,6 +488,55 @@ object GraphOps extends OpFamily {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** Synchronous LABEL PROPAGATION communities ([[LpaRounds]] rounds,
+    * deterministic): every node starts as its own label; each round every
+    * node adopts its neighbors' most frequent label, ties broken by the
+    * SMALLEST label — the rule that makes sync LPA a pure function of the
+    * graph (classic async LPA is order-dependent). The fixed round count
+    * is part of the query semantics (sync LPA has no convergence
+    * guarantee — bipartite graphs oscillate — so "the labeling after R
+    * rounds" is the well-defined deterministic object both engines
+    * compute). Output: the 20 largest communities.
+    *
+    * Engine trick: argmax-by-(count, min label) is ENCODED AS ONE max()
+    * — key = c·K − (lbl+1) with K = 2³¹ > any node id — so each round is
+    * two plain aggregates with map-side partials (label-count, then max
+    * per node) and zero windows: a hub node's update is combiner-friendly
+    * all the way, where a row_number-over-(node) window would buffer its
+    * whole neighbor-label list in one task. Decode: lbl = K − (mx mod K)
+    * − 1. Headroom: c·K ≤ deg·2³¹ needs deg < 2³² — at larger degrees or
+    * node ids widen K and the key to decimal.
+    */
+  private[graft] val LpaRounds = 3
+  private[graft] val LpaK = 2147483648L // 2^31
+
+  def labelProp(s: SparkSession, d: String): DataFrame =
+    labelPropFrom(custSuppEdges(s, d), LpaRounds)
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), col("lbl"))
+      .limit(20)
+
+  /** The sync-LPA core over any symmetric (src, dst) edge frame:
+    * (node, lbl) after `rounds` synchronous updates. Hand-graph
+    * community recovery pinned in GraphSpec.
+    */
+  private[graft] def labelPropFrom(edgeDf: DataFrame, rounds: Int): DataFrame = {
+    val edges = edgeDf.localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    (1 to rounds).foreach { _ =>
+      labels = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(col("c") * LpaK - (col("lbl") + 1)).as("mx"))
+        .select(col("dst").as("node"),
+          (lit(LpaK) - pmod(col("mx"), lit(LpaK)) - 1).as("lbl"))
+    }
+    labels
+  }
+
   /** 3-TRUSS of the duplication similarity graph: keep only edges that
     * participate in ≥ k−2 = 1 triangle, peeling iteratively (dropping an
     * edge can break its neighbors' triangles) for up to [[TrussRounds]]
@@ -579,6 +628,7 @@ object GraphOps extends OpFamily {
     "graph_kcore" -> (kCore _),
     "graph_triangles" -> (triangleCensus _),
     "graph_ktruss" -> (kTruss _),
+    "graph_label_prop" -> (labelProp _),
     "graph_degree_profile" -> (degreeProfile _))
 
   // combined dup corpus (originals ∪ exact copies ∪ truncated near-dups),
@@ -636,6 +686,16 @@ object GraphOps extends OpFamily {
        te$i AS MATERIALIZED (SELECT e.a, e.b FROM te${i - 1} e
          JOIN sup$i s ON e.a = s.a AND e.b = s.b)"""
 
+  // one unrolled sync-LPA round: neighbor-label counts, the c·K−(lbl+1)
+  // max encoding, decode — mirrors [[labelProp]]
+  private def lpaRound(i: Int): String =
+    s"""l$i AS (SELECT dst AS node, $LpaK - (mx % $LpaK) - 1 AS lbl FROM (
+         SELECT dst, max(c * $LpaK - (lbl + 1)) AS mx FROM (
+           SELECT e.dst, l.lbl, count(*) AS c
+           FROM edges e JOIN l${i - 1} l ON e.src = l.node
+           GROUP BY e.dst, l.lbl)
+         GROUP BY dst))"""
+
   // weighted variant of [[prIter]]: contrib = (units · w) DIV tw
   private def prwIter(k: Int): String =
     s"""r$k AS (SELECT wd.dst AS node,
@@ -679,6 +739,17 @@ object GraphOps extends OpFamily {
                  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
                FROM deg) ns,
               (SELECT count(*) AS n_edges FROM e) es, tri""",
+    "graph_label_prop" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM e0
+                   UNION ALL SELECT s, c FROM e0),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         ${(1 to LpaRounds).map(lpaRound).mkString(",\n         ")}
+         SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+         FROM l$LpaRounds
+         GROUP BY lbl ORDER BY n_members DESC, lbl LIMIT 20""",
     "graph_ktruss" ->
       s"""WITH $nearDupEdges,
          te0 AS MATERIALIZED (SELECT a, b FROM e),

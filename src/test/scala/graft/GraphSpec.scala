@@ -125,6 +125,20 @@ class GraphSpec extends AnyFunSuite {
     assert(distMap(2) === Map(1L -> 0L, 2L -> 10L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("sync label propagation recovers two bridged triangle communities") {
+    import spark.implicits._
+    // triangle cliques {1,2,3} and {4,5,6} joined by bridge (3,4): after
+    // 3 sync min-tiebreak rounds the cliques carry distinct labels
+    // (hand-simulated: {1,2,3}→1, {4,5,6}→3)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.labelPropFrom(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("3-truss keeps exactly the triangle on a triangle-with-tail graph") {
     import spark.implicits._
     // triangle {1,2,3} + pendant path 3-4-5: every non-triangle edge has
