@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{OpFamily, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -196,7 +196,51 @@ object IoOps extends OpFamily {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Z-ORDER layout: lineitem rewritten clustered on the Morton
+    * (bit-interleaved) key of (l_partkey, l_suppkey), then read back with
+    * a predicate on BOTH dimensions. Hive partitioning prunes on one
+    * column and bucketing co-locates one join key; Z-ordering is the
+    * lakehouse answer for MULTI-column selective reads — sorting by the
+    * interleaved key keeps each parquet row-group's min/max envelope
+    * tight in every interleaved dimension at once, so both predicates
+    * prune row-groups at scan time, not just one. The key exists only at
+    * write time (dropped from the schema); results are layout-independent,
+    * which is exactly what the oracle checks.
+    *
+    * The 16-bit spread uses the standard shift-or magic constants as
+    * codegen'd bitwise Columns. Keys past 2¹⁶ wrap (clustering degrades
+    * gracefully, correctness untouched — the filter runs on the real
+    * columns); widen the spread for wider key domains at scale.
+    */
+  def zorderRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = layoutPath(d, "lineitem_zorder")
+    def spread(c: Column): Column =
+      Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+        (1, 0x55555555L))
+        .foldLeft(c.bitwiseAND(lit(0xFFFFL))) { case (x, (sh, mask)) =>
+          shiftleft(x, sh).bitwiseOR(x).bitwiseAND(lit(mask))
+        }
+    writeOnce(path) {
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .withColumn("z", spread(col("l_partkey"))
+          .bitwiseOR(shiftleft(spread(col("l_suppkey")), 1)))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+      .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 20)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("l_suppkey"))
+  }
+
   val queries = Map(
+    "io_zorder_roundtrip" -> (zorderRoundtrip _),
     "io_csv_roundtrip" -> (csvRoundtrip _),
     "io_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "io_text_roundtrip" -> (textRoundtrip _),
@@ -206,6 +250,12 @@ object IoOps extends OpFamily {
     "io_bucketed_join" -> (bucketedJoin _))
 
   val oracle = Map(
+    "io_zorder_roundtrip" ->
+      """SELECT l_suppkey, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey <= 100 AND l_suppkey <= 20
+         GROUP BY l_suppkey ORDER BY l_suppkey""",
     "io_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
