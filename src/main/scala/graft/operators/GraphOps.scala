@@ -619,8 +619,39 @@ object GraphOps extends OpFamily {
         (sum(col("deg")).cast("double") / count(lit(1))).as("avg_deg"))
       .orderBy(col("kind"))
 
+  /** Degree ASSORTATIVITY (Newman's mixing coefficient): the Pearson
+    * correlation of endpoint degrees over edges — THE one-number
+    * diagnostic of hub wiring (r < 0: hubs attach to leaves, the
+    * bipartite/star shape that needs skew handling; r > 0: hubs cluster).
+    * Read together with [[degreeProfile]] before partitioning decisions.
+    *
+    * Exactness: over the symmetric directed edge list the moments
+    * Σxy, Σx, Σx² and m are exact longs (headroom: deg²·m < 2⁶³ up to
+    * ~10⁶-degree hubs on 10⁹ edges), and r is a single double expression
+    * over them — engine-exact like the clustering coefficient. One
+    * degree groupBy + two joins + one aggregate; no iteration.
+    */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val edges = custSuppEdges(s, d).localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
+    xy.agg(count(lit(1)).as("m"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("m"),
+        ((col("sxy").cast("double") / col("m")
+          - (col("sx").cast("double") / col("m"))
+            * (col("sx").cast("double") / col("m")))
+          / (col("sxx").cast("double") / col("m")
+            - (col("sx").cast("double") / col("m"))
+              * (col("sx").cast("double") / col("m"))))
+          .as("assortativity"))
+  }
+
   val queries = Map(
     "graph_pagerank" -> (pageRank _),
+    "graph_assortativity" -> (assortativity _),
     "graph_pagerank_weighted" -> (pageRankWeighted _),
     "graph_pagerank_converged" -> (pageRankConverged _),
     "graph_bfs_hops" -> (bfsHops _),
@@ -825,6 +856,28 @@ object GraphOps extends OpFamily {
          dist AS (SELECT node, min(d) AS hops FROM walk GROUP BY node)
          SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes
          FROM dist GROUP BY hops ORDER BY hops""",
+    "graph_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM e0
+                   UNION ALL SELECT s, c FROM e0),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         xy AS (SELECT dx.deg AS x, dy.deg AS y
+           FROM edges e JOIN deg dx ON e.src = dx.src
+                        JOIN deg dy ON e.dst = dy.src),
+         mo AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM xy)
+         SELECT m,
+           (CAST(sxy AS DOUBLE) / m
+             - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
+           / (CAST(sxx AS DOUBLE) / m
+             - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
+           AS assortativity
+         FROM mo""",
     "graph_degree_profile" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s

@@ -206,6 +206,15 @@ class GraphSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.min >= GraphOps.KCoreK)
   }
 
+  test("assortativity: bipartite graph is strongly disassortative") {
+    val row = GraphOps.assortativity(spark, sf).head()
+    val r = row.getAs[Double]("assortativity")
+    // customers only wire to suppliers (hub side), so endpoint degrees
+    // anti-correlate almost perfectly
+    assert(r < -0.9 && r >= -1.0, s"bipartite r should approach -1, got $r")
+    assert(row.getAs[Long]("m") > 0)
+  }
+
   test("degree profile reflects the bipartite skew (suppliers ≫ customers)") {
     val prof = GraphOps.degreeProfile(spark, sf).collect()
       .map(r => r.getAs[String]("kind") -> r).toMap
