@@ -117,26 +117,31 @@ object Graft {
 
   /** k-core of an undirected graph: (node, degree) of every node
     * surviving the degree-< k peel, run to the fixpoint (early exit on a
-    * no-op round) with `maxRounds` as a safety cap. `edges` must list
-    * every undirected edge in BOTH directions (symmetry contract; use
-    * union with the swapped columns if yours are one-directional).
+    * no-op round) with `maxRounds` as a safety cap — hitting the cap
+    * before the fixpoint THROWS rather than silently returning a
+    * non-k-core (the same loud-failure contract as converged PageRank).
+    * `edges` must list every undirected edge in BOTH directions (symmetry
+    * contract; use union with the swapped columns if yours are
+    * one-directional).
     */
   def kCore(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", k: Int = 3, maxRounds: Int = 30): DataFrame =
     graft.operators.GraphOps.kCoreFrom(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
-      k, maxRounds)
+      k, maxRounds, requireFixpoint = true)
       .withColumnRenamed("src", "node")
 
   /** k-truss of an undirected graph: the edges participating in ≥ k−2
-    * triangles after iterative support peeling (fixpoint early exit,
-    * `maxRounds` cap). `pairs` lists each undirected edge ONCE with
+    * triangles after iterative support peeling (fixpoint early exit;
+    * hitting `maxRounds` before the fixpoint throws rather than returning
+    * a partial peel). `pairs` lists each undirected edge ONCE with
     * aCol < bCol (the [[clusterPairs]] input convention).
     */
   def kTruss(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       k: Int = 3, maxRounds: Int = 30): DataFrame =
     graft.operators.GraphOps.trussFrom(
-      pairs.select(col(aCol).as("a"), col(bCol).as("b")), k, maxRounds)
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")), k, maxRounds,
+      requireFixpoint = true)
 
   /** Single-source shortest path by weighted cost from the minimum node
     * id: (node, cost) of the cheapest ≤`maxHops`-hop path. `edges` needs
@@ -233,7 +238,12 @@ object Graft {
     * keep a row iff hash(id) mod 1000 < the stratum's per-mille keep rate.
     * The hash is wrap-safe multiplicative (replayable in any engine), so
     * the mix is stable across re-runs, backfills and engines. `idCol`
-    * must be numeric and unique.
+    * must be numeric and unique — AND its values mod 1000 must be
+    * unstructured: the multiplicative hash is a bijection on id mod 1000,
+    * so selection is a residue-class filter (unbiased for dense or
+    * sequential ids; ids striped with a period dividing 1000 would bias
+    * the mix — use xxhash64(id) % 1000 instead if engine-replayability
+    * isn't needed; see the note on FilterOps.sampleHash).
     */
   def sampleByStratum(df: DataFrame, idCol: String, stratumCol: String,
       keepPerMille: Map[String, Long],

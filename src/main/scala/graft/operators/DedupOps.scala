@@ -272,6 +272,15 @@ object DedupOps extends OpFamily {
     * never recall) and the |sh(B)| ≥ τ·|A| size filter prunes pairs the
     * sizes alone disqualify — both the [[prefixCandidates]] conventions.
     * Exact merge-scan verify ⇒ output identical to brute force.
+    *
+    * Oracle-collision assumption (shared with every shingle-hash oracle
+    * here): Spark intersects 64-bit xxhash64 shingle hashes while the
+    * DuckDB oracle intersects the shingle STRINGS, so a 64-bit collision
+    * between two distinct shingles of a candidate pair would make the
+    * engines disagree on the ratio. P(any collision) ≈ s²/2⁶⁵ for s
+    * distinct shingles corpus-wide — negligible at any tested scale. If a
+    * differential run ever flags a one-pair mismatch, diff that pair's
+    * shingle sets as strings first.
     */
   private[graft] def containmentPairsOn(corpus: DataFrame,
       tau: Double): DataFrame = {

@@ -63,6 +63,19 @@ object FilterOps extends OpFamily {
     * (oracle-checked), which is the property a repeatable 100 TB pipeline
     * actually wants from its sampling stage: re-runs, backfills, and
     * downstream joins all see the same sample.
+    *
+    * RESIDUE-CLASS ASSUMPTION (shared by every consumer of this hash —
+    * [[sampleStratified]], [[mixTemperature]], [[splitAssign]],
+    * [[graft.api.Graft.sampleByStratum]]): ((id % 1000)·761) % 1000 is a
+    * BIJECTION on id mod 1000 (gcd(761, 1000) = 1), so selection is
+    * exactly a residue-class filter — correct and unbiased when ids are
+    * dense/sequential (this fixture's contract), but an id-assignment
+    * pattern with period dividing 1000 (e.g. ids striped by shard or
+    * source) would bias rates and split balance. For corpora with
+    * structured ids swap in an avalanche hash (xxhash64(id) % 1000) —
+    * same one-line filter shape; forfeits only the DuckDB oracle replay,
+    * since the multiplicative form is what both engines can evaluate
+    * bit-identically.
     */
   def sampleHash(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -147,9 +147,14 @@ object GraphOps extends OpFamily {
     * (the [[DedupOps.clusterPairsOn]] pattern — zero extra jobs per
     * round); the old⋈new join is node-sized, the cheap side of the round.
     * Exceeding maxRounds throws rather than silently returning an
-    * unconverged vector. Rounds-to-converge is log(1/relTol)/log(1/0.85)
-    * ≈ 9.6 per decade — independent of graph size, so the round count
-    * holds at 100 TB.
+    * unconverged vector. Rounds-to-converge is log(err₀/relTol)/
+    * log(1/0.85) — independent of graph size, so the round count holds at
+    * 100 TB — and err₀ is attacked directly with a WARM START: ranks
+    * initialize degree-proportionally (units₀ = deg·10⁶ DIV avg_deg, all
+    * integral), which on an undirected graph is already near the
+    * stationary vector, so the contraction starts from a small residual
+    * instead of the uniform vector's large one. Same fixpoint — PageRank's
+    * limit is init-independent — reached in fewer rounds.
     *
     * Registered rows-only: the terminating round count is a data property
     * (not expressible in a static oracle), so correctness is pinned by a
@@ -165,7 +170,14 @@ object GraphOps extends OpFamily {
     // same skew-immune degree-annotation setup as [[pageRank]]
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, Seq("src")).persist()
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("units"))
+    // degree-proportional warm start, all integral so the GraphSpec
+    // reference simulation replays it bit-for-bit: avg_deg = Σdeg DIV n
+    // (≥ 1), units₀ = deg·10⁶ DIV avg_deg. Total mass stays ≈ n·10⁶; the
+    // relative stop rule is insensitive to the floor leakage.
+    val tot = deg.agg(count(lit(1)).as("nn"), sum(col("deg")).as("sd"))
+    var ranks = deg.crossJoin(broadcast(tot))
+      .select(col("src").as("node"),
+        expr("(deg * 1000000L) DIV greatest(sd DIV nn, 1L)").as("units"))
       .localCheckpoint()
     def step(r: DataFrame): DataFrame =
       withDeg.join(r, col("src") === col("node"))
@@ -177,14 +189,16 @@ object GraphOps extends OpFamily {
     var converged = false
     while (!converged && rounds < maxRounds) {
       val obs = org.apache.spark.sql.Observation()
-      // TWO contraction rounds compose per materialization, and the
-      // convergence delta is observed over the composed step: the L1 drift
-      // across a double round bounds the per-round drift (the contraction
-      // is monotone), so the stop rule is the same up to the damping
-      // factor while the job count halves. Decimal accumulators: Σ|Δ| and
-      // Σprev stay exact far past the long headroom bound documented on
-      // [[pageRank]].
-      val next = step(step(ranks))
+      // FOUR contraction rounds compose per materialization (ranks has a
+      // single consumer inside the chain — the linear-composition shape —
+      // plus the checkpointed prev side of the delta join), and the
+      // convergence delta is observed over the composed step: the L1
+      // drift across a quad round bounds the per-round drift (the
+      // contraction is monotone), so the stop rule is the same up to the
+      // damping factor while the job count quarters. Decimal
+      // accumulators: Σ|Δ| and Σprev stay exact far past the long
+      // headroom bound documented on [[pageRank]].
+      val next = step(step(step(step(ranks))))
         .join(ranks.select(col("node"), col("units").as("prev")), Seq("node"))
         .observe(obs,
           sum(abs(col("units") - col("prev")).cast("decimal(38,0)")).as("l1"),
@@ -197,7 +211,7 @@ object GraphOps extends OpFamily {
       converged = l1.compareTo(
         mass.multiply(java.math.BigDecimal.valueOf(relTol))) <= 0
       ranks = next
-      rounds += 2
+      rounds += 4
     }
     withDeg.unpersist()
     if (!converged)
@@ -295,12 +309,15 @@ object GraphOps extends OpFamily {
     * the union with the previous dist — all key-partitioned shuffles with
     * map-side partials, nothing node². The hop cap is part of the query's
     * SEMANTICS (min cost over paths of ≤ cap hops, both engines stop
-    * there), which is what lets a static recursive-CTE oracle replay it;
-    * it is also the Bellman-Ford round bound, so unlike [[bfsHops]] no
-    * early-exit signal is needed and the fixed rounds COMPOSE into one
-    * lazy plan — one job, codegen compiled once for the shape-identical
-    * rounds (the [[pageRank]] trick). Costs are bounded by cap·max(w), so
-    * the relaxation lattice stays small and exact.
+    * there), which is what lets a static recursive-CTE oracle replay it.
+    * Unlike [[pageRank]] — whose rank table has a SINGLE consumer per
+    * round and composes linearly — each relaxation consumes `dist` TWICE
+    * (the relax join AND the union with the previous distances), so the
+    * rounds must MATERIALIZE per the two-consumers rule documented on
+    * [[kCoreFrom]]: composing them lazily doubles the plan tree per hop
+    * (~2^maxHops copies of the early rounds — measured 37.5 s vs ~3 s at
+    * sf0.1 when this briefly shipped composed). Costs are bounded by
+    * cap·max(w), so the relaxation lattice stays small and exact.
     */
   private[graft] val SsspMaxHops = 4
 
@@ -327,14 +344,33 @@ object GraphOps extends OpFamily {
     // shuffle total).
     val edges = edgeDf.localCheckpoint()
     // source declared, not collected: 1-row aggregate, AQE-broadcast into
-    // the first relaxation (the bfsHops pattern)
-    var dist = edges.agg(min(col("src")).as("node"))
+    // the first relaxation (the bfsHops pattern). The minimum is taken
+    // over src ∪ dst so a globally-minimum node that only ever appears as
+    // a destination still becomes the source (its distance map is just
+    // {source → 0}) — on the symmetric registered graph the two minima
+    // coincide, so the recursive-CTE oracle's min(src) replays it.
+    var dist = edges.agg(least(min(col("src")), min(col("dst"))).as("node"))
       .select(col("node"), lit(0L).as("cost"))
-    (1 to maxHops).foreach { _ =>
-      dist = dist.join(edges, col("node") === col("src"))
+      .localCheckpoint()
+    def relax(dd: DataFrame): DataFrame =
+      dd.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-        .unionByName(dist)
+        .unionByName(dd)
         .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+    // dist has TWO consumers per relaxation (relax join + union), so the
+    // rounds must materialize per the kCoreFrom rule — composing all of
+    // them lazily doubles the tree per hop (2^hops subtree copies;
+    // measured 37.5 s vs ~3 s at sf0.1 when this shipped composed). A
+    // stride of 2 rounds per checkpoint is the measured sweet spot: the
+    // one duplicated inner subtree is caught by ReuseExchange, and the
+    // job count halves vs per-round checkpoints.
+    var h = 0
+    while (h < maxHops) {
+      val stride = math.min(2, maxHops - h)
+      var d2 = dist
+      (1 to stride).foreach(_ => d2 = relax(d2))
+      dist = d2.localCheckpoint()
+      h += stride
     }
     dist
   }
@@ -374,9 +410,16 @@ object GraphOps extends OpFamily {
     * directions (as [[custSuppEdges]] guarantees), so degree-filtering
     * src and dst against the same survivor set keeps the edge set
     * symmetric round over round.
+    *
+    * `requireFixpoint = true` (the [[graft.api.Graft.kCore]] contract,
+    * where `rounds` is a SAFETY CAP) throws if the cap is hit before the
+    * no-op-round fixpoint — a capped non-k-core must fail loudly, the
+    * [[pageRankUntil]] convention. The registered query leaves it false:
+    * there the round count is part of the query's semantics (the unrolled
+    * oracle peels exactly that many times).
     */
   private[graft] def kCoreFrom(edgeDf: DataFrame, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int, requireFixpoint: Boolean = false): DataFrame = {
     // edge count rides each round's own materialization via observe()
     // (the clusterPairsOn pattern — zero extra jobs)
     def ckptCount(df: DataFrame): (DataFrame, Long) = {
@@ -406,6 +449,10 @@ object GraphOps extends OpFamily {
       fixed = n2 == n
       edges = e2; n = n2
     }
+    if (requireFixpoint && !fixed)
+      throw new IllegalStateException(
+        s"kCore: peel did not reach the fixpoint within rounds=$rounds " +
+          "(surviving nodes may still have degree < k); raise maxRounds")
     edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
   }
 
@@ -520,11 +567,21 @@ object GraphOps extends OpFamily {
   /** The sync-LPA core over any symmetric (src, dst) edge frame:
     * (node, lbl) after `rounds` synchronous updates. Hand-graph
     * community recovery pinned in GraphSpec.
+    *
+    * The c·K − (lbl+1) argmax encoding needs 0 ≤ id < K = 2³¹; labels are
+    * always node ids, so the GUARD on the initial assignment covers every
+    * round. It rides the init projection as a codegen'd per-row branch
+    * (raise_error on violation — no extra job, no silent corruption once
+    * ids cross 2³¹; at that scale widen K and the key to decimal).
     */
   private[graft] def labelPropFrom(edgeDf: DataFrame, rounds: Int): DataFrame = {
     val edges = edgeDf.localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+      .select(col("node"),
+        when(col("node") >= 0 && col("node") < LpaK, col("node"))
+          .otherwise(raise_error(concat(
+            lit(s"labelProp: node id out of [0, $LpaK) for the argmax " +
+              "encoding: "), col("node").cast("string")))).as("lbl"))
     (1 to rounds).foreach { _ =>
       labels = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("lbl"))
@@ -547,12 +604,14 @@ object GraphOps extends OpFamily {
     * high degree but zero triangles). Output: surviving edge/node
     * counts.
     *
-    * Triangle support here is enumerated by the id-sorted 3-way
-    * self-join (x<y<z — identical shape to the unrolled oracle). For
-    * hub-heavy graphs at corpus scale the enumeration inside each round
-    * should swap to [[triangleCensus]]'s degree-oriented wedge machinery
-    * (arboricity-bounded); on the truss's shrinking, triangle-dense
-    * remnant the sorted join is the simpler provably-identical choice.
+    * Triangle support inside each round is enumerated with
+    * [[degreeOrientedTriangles]] — the same arboricity-bounded wedge
+    * machinery as [[triangleCensus]], where a hub of degree d costs
+    * O(d·√m) instead of the O(d²) an id-sorted orientation pays. Round 1
+    * runs on the FULL pre-peel edge set (nothing has shrunk yet), so the
+    * orientation choice is exactly the hub-skew guard; support counts are
+    * orientation-independent, so the output is identical to the unrolled
+    * id-sorted oracle.
     */
   private[graft] val TrussK = 3
   private[graft] val TrussRounds = 3
@@ -571,10 +630,13 @@ object GraphOps extends OpFamily {
   /** Peel core over an undirected (a < b) edge frame: edges alive after
     * `rounds` support-threshold peels (early exit on a no-op round — the
     * same fixpoint argument as [[kCoreFrom]]: unchanged edges ⇒ unchanged
-    * triangles ⇒ unchanged supports).
+    * triangles ⇒ unchanged supports). `requireFixpoint` as on
+    * [[kCoreFrom]]: the public API treats `rounds` as a safety cap and
+    * throws when it is hit pre-fixpoint; the registered query's round
+    * count is oracle semantics.
     */
   private[graft] def trussFrom(und: DataFrame, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int, requireFixpoint: Boolean = false): DataFrame = {
     def ckptCount(df: DataFrame): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation()
       val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
@@ -585,11 +647,9 @@ object GraphOps extends OpFamily {
     var round = 0
     while (!fixed && round < rounds) {
       round += 1
-      val e1 = e.select(col("a").as("x"), col("b").as("y"))
-      val e2 = e.select(col("a").as("y"), col("b").as("z"))
-      val e3 = e.select(col("a").as("x"), col("b").as("z"))
-      // x<y<z triangles; each supports its three sorted edges
-      val tri = e1.join(e2, Seq("y")).join(e3, Seq("x", "z"))
+      // degree-oriented enumeration (arboricity-bounded), then each
+      // triangle supports its three id-sorted edges
+      val tri = degreeOrientedTriangles(e)
       val sup = tri.select(col("x").as("a"), col("y").as("b"))
         .unionByName(tri.select(col("y").as("a"), col("z").as("b")))
         .unionByName(tri.select(col("x").as("a"), col("z").as("b")))
@@ -600,7 +660,51 @@ object GraphOps extends OpFamily {
       fixed = n4 == n
       e = e4; n = n4
     }
+    if (requireFixpoint && !fixed)
+      throw new IllegalStateException(
+        s"kTruss: support peel did not reach the fixpoint within " +
+          s"rounds=$rounds; raise maxRounds")
     e
+  }
+
+  /** Exact triangle enumeration over an undirected (a < b) edge frame by
+    * DEGREE ORIENTATION — [[triangleCensus]]'s machinery, returning the
+    * triangles themselves as id-sorted (x < y < z) triples instead of a
+    * count. Orient each edge toward the higher (degree, id) endpoint,
+    * build wedges only from each node's out-neighbors, close against the
+    * oriented edges: every triangle surfaces exactly once, and per-node
+    * wedge work is O(out-degree²) with out-degrees bounded by O(√m) — a
+    * hub of degree d costs d·√m, not the d² an id-sorted orientation pays
+    * on skewed graphs. The input must already be materialized (it feeds
+    * the degree count and two joins); the oriented set checkpoints here
+    * because BOTH wedge sides and the closing join consume it.
+    */
+  private[graft] def degreeOrientedTriangles(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val e = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e.select(
+        when(aLower, col("a")).otherwise(col("b")).as("lo"),
+        when(aLower, col("b")).otherwise(col("a")).as("hi"),
+        when(aLower, col("db")).otherwise(col("da")).as("dhi"))
+      .localCheckpoint()
+    val o1 = oriented.select(col("lo"), col("hi").as("v"), col("dhi").as("dv"))
+    val o2 = oriented.select(col("lo"), col("hi").as("w"), col("dhi").as("dw"))
+    o1.join(o2, Seq("lo"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("lo"), col("v"), col("w"))
+      .join(oriented.select(col("lo").as("v"), col("hi").as("w")),
+        Seq("v", "w"))
+      .select(sort_array(array(col("lo"), col("v"), col("w"))).as("t"))
+      .select(element_at(col("t"), 1).as("x"),
+        element_at(col("t"), 2).as("y"),
+        element_at(col("t"), 3).as("z"))
   }
 
   /** Per-kind degree profile of the customer–supplier graph: node count,

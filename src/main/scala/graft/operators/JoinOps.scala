@@ -201,11 +201,15 @@ object JoinOps extends OpFamily {
     *    and a raw theta join of two unbounded sides is quadratic. Explode
     *    each session onto the 1-hour epoch buckets it covers (sessions are
     *    minutes long, so 1–2 buckets each), equi-join on bucket, verify
-    *    the exact closed-interval overlap as a residual, distinct away
-    *    double-counts from pairs sharing several buckets. Candidates are
-    *    Σ_bucket n_b² instead of N² — bounded by true temporal co-location;
-    *    a peak-hour bucket is an AQE-splittable hot key. At 100 TB the
-    *    bucket width is the one knob: ~the typical interval length.
+    *    the exact closed-interval overlap as a residual, and emit each
+    *    pair only from the FIRST bucket both intervals cover
+    *    (bk = ⌊max(st_a, st_b) / bucket⌋ — overlapping intervals both
+    *    contain the later start, so that bucket always exists): exactly
+    *    once per pair as a codegen'd filter, with no distinct() shuffle
+    *    over the candidate set. Candidates are Σ_bucket n_b² instead of
+    *    N² — bounded by true temporal co-location; a peak-hour bucket is
+    *    an AQE-splittable hot key. At 100 TB the bucket width is the one
+    *    knob: ~the typical interval length.
     *
     * All arithmetic is exact integer µs (unix_micros ↔ DuckDB epoch_us),
     * so the oracle replays sessionization and overlap bit-for-bit.
@@ -242,7 +246,13 @@ object JoinOps extends OpFamily {
   /** Time-binned interval-overlap pair core over a (user_id, sid, st, en)
     * frame: every cross-user pair of CLOSED intervals that intersect
     * (touching endpoints count), each pair exactly once regardless of how
-    * many buckets it shares.
+    * many buckets it shares — the exactly-once bucket trick: a pair is
+    * emitted only when the join bucket is the first one BOTH intervals
+    * cover, ⌊max(sta, stb) / bucket⌋. That bucket is covered by both sides
+    * whenever they overlap (max(st) ≤ min(en)), so no true pair is lost,
+    * and it is unique, so no pair repeats — a per-row codegen filter in
+    * place of a distinct() shuffle over every bucket-shared candidate
+    * (measured 13.4M candidate rows at sf0.1 for 464 output pairs).
     */
   private[graft] def overlapPairs(sess: DataFrame, bucketUs: Long): DataFrame = {
     val binned = sess.select(col("user_id"), col("sid"), col("st"), col("en"),
@@ -255,8 +265,8 @@ object JoinOps extends OpFamily {
     a.join(b, Seq("bk"))
       .filter(col("ua") < col("ub"))
       .filter(col("sta") <= col("enb") && col("stb") <= col("ena"))
+      .filter(col("bk") === expr(s"greatest(sta, stb) DIV $bucketUs"))
       .select(col("ua"), col("sa"), col("ub"), col("sb"))
-      .distinct()
   }
 
   /** Exact edit-distance-≤1 self-join (fuzzy key match / record linkage)

@@ -134,6 +134,36 @@ class GraftApiSpec extends AnyFunSuite {
     assert(dist === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
   }
 
+  test("kCore and kTruss throw (not silently partial) when the round cap is hit") {
+    // cycle 1..5 with pendant path 5-6-7-8: reaching the 2-core needs a
+    // 3-deep peel cascade, so maxRounds = 1 must fail loudly instead of
+    // returning survivors with degree < k
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+      (5L, 6L), (6L, 7L), (7L, 8L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val e1 = intercept[IllegalStateException] {
+      Graft.kCore(sym, k = 2, maxRounds = 1).collect()
+    }
+    assert(e1.getMessage.contains("fixpoint"))
+    // triangle + tail: round 1 peels the tail (not a no-op), so the cap
+    // fires before the fixpoint round can prove convergence
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val e2 = intercept[IllegalStateException] {
+      Graft.kTruss(pairs, k = 3, maxRounds = 1).collect()
+    }
+    assert(e2.getMessage.contains("fixpoint"))
+  }
+
+  test("labelProp rejects node ids outside the argmax encoding range") {
+    val bad = Seq((1L, 5000000000L), (5000000000L, 1L)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      graft.operators.GraphOps.labelPropFrom(bad, 1).collect()
+    }
+    assert(e.getMessage.contains("labelProp") ||
+      Option(e.getCause).exists(_.getMessage.contains("labelProp")))
+  }
+
   test("withGlobalRank equals a single-partition sort's row_number") {
     val rows = (1 to 500).map(i => ((i * 7919) % 500, i.toLong))
     val df = rows.toDF("v", "id").repartition(7)

@@ -65,7 +65,10 @@ class GraphSpec extends AnyFunSuite {
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val edges = e0.flatMap { case (c, s) => Seq((c, s), (s, c)) }
     val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
-    var units = deg.keys.map(_ -> 1000000L).toMap
+    // degree-proportional warm start, integral like the distributed init:
+    // avg_deg = Σdeg DIV n (≥ 1), units₀ = deg·10⁶ DIV avg_deg
+    val avgDeg = math.max(deg.values.sum / deg.size, 1L)
+    var units = deg.map { case (n, dg) => n -> dg * 1000000L / avgDeg }
     def step(u: Map[Long, Long]): Map[Long, Long] = {
       val sums = new scala.collection.mutable.HashMap[Long, Long]()
         .withDefaultValue(0L)
@@ -75,14 +78,14 @@ class GraphSpec extends AnyFunSuite {
     var rounds = 0
     var converged = false
     while (!converged && rounds < 60) {
-      // two rounds per convergence check, like the distributed loop
-      val next = step(step(units))
+      // four rounds per convergence check, like the distributed loop
+      val next = step(step(step(step(units))))
       val l1 = units.keys.iterator.map(n => math.abs(next(n) - units(n)))
         .map(BigInt(_)).sum
       val mass = units.values.iterator.map(BigInt(_)).sum
       converged = l1 * 100 <= mass // relTol = 0.01 without float rounding
       units = next
-      rounds += 2
+      rounds += 4
     }
     assert(converged, "reference simulation must converge within 60 rounds")
     val want = units.toSeq
@@ -154,6 +157,38 @@ class GraphSpec extends AnyFunSuite {
       .toDF("a", "b")
     val t2 = GraphOps.trussFrom(square, 3, 3).count()
     assert(t2 === 5L)
+  }
+
+  test("3-truss peels a hub star cleanly (star-plus-triangle, no hub blow-up)") {
+    import spark.implicits._
+    // hub 1 wired to 50 leaves (zero triangles — high degree is NOT
+    // cohesion) plus a disjoint triangle {100,101,102}: the degree-
+    // oriented support pass must peel every star edge in round 1 and keep
+    // exactly the triangle. This is the shape where an id-sorted
+    // orientation would enumerate O(hub²) wedges.
+    val star = (10L to 59L).map(l => (1L, l))
+    val edges =
+      (star ++ Seq((100L, 101L), (100L, 102L), (101L, 102L))).toDF("a", "b")
+    val truss = GraphOps.trussFrom(edges, 3, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truss === Set((100L, 101L), (100L, 102L), (101L, 102L)))
+  }
+
+  test("degree-oriented triangle enumeration lists each triangle exactly once") {
+    import spark.implicits._
+    // square-with-diagonal 1-3: exactly the triangles {1,2,3} and {1,3,4}
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("a", "b")
+    val tri = GraphOps.degreeOrientedTriangles(square).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tri.sorted === Seq((1L, 2L, 3L), (1L, 3L, 4L)))
+    // K4: all four id-sorted triples, none doubled
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val t4 = GraphOps.degreeOrientedTriangles(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(t4.sorted === Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
   }
 
   test("registered 3-truss covers at least the planted triangle structure") {
