@@ -95,12 +95,15 @@ object Graft {
     graft.operators.DedupOps.simhashSortedOn(
       df.select(col(id).as("doc_id"), col(text).as("text")), maxHamming)
 
-  /** Exact Levenshtein-≤`maxDist` pairs (maxDist 1 or 2) over an
+  /** Exact Levenshtein-≤`maxDist` pairs (maxDist 1..6) over an
     * (id, string) frame — fuzzy key matching / record linkage. Guaranteed
     * complete, never all-pairs: candidates come from FastSS deletion
-    * neighborhoods (O(len^maxDist) keys per row, one equi-join on hashed
-    * variants), then a banded edit-distance verify. Output columns `a`,
-    * `b`, `dist` — composable with [[clusterPairs]].
+    * neighborhoods for maxDist ≤ 2 (O(len^maxDist) keys per row) and from
+    * a PassJoin segment index for maxDist ≥ 3 (even d+1-way string
+    * partition, position-aware ±d substring probes — key count
+    * independent of string length), each followed by a banded
+    * edit-distance verify, so the output is identical to brute force.
+    * Output columns `a`, `b`, `dist` — composable with [[clusterPairs]].
     */
   def editDistancePairs(df: DataFrame, id: String, str: String,
       maxDist: Int = 1): DataFrame =

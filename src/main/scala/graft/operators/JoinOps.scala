@@ -277,6 +277,20 @@ object JoinOps extends OpFamily {
       Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
       "c_custkey", "c_name")
 
+  /** Exact edit-distance-≤3 self-join over SUPPLIER names — the d ≥ 3
+    * regime where candidate generation must be the PassJoin segment index
+    * (deletion neighborhoods would emit O(len³) ≈ 1000 keys per row
+    * here). The zero-padded name suffixes make every same-table pair
+    * differ in ≤ 3 digit positions, so the TRUE output is dense
+    * (quadratic in the supplier count) — suppliers are the bounded
+    * dimension that keeps an intentionally-dense fixture small, while
+    * customer names stay on the d = 1 member above.
+    */
+  def editDistance3Join(s: SparkSession, d: String): DataFrame =
+    editDistancePairsOn(
+      Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", "s_name", maxDist = 3)
+
   /** Exact Levenshtein-≤1 pair core over any (id, string) frame — the
     * [[graft.api.Graft.editDistancePairs]] entry point.
     *
@@ -298,22 +312,46 @@ object JoinOps extends OpFamily {
     */
   private[graft] def editDistancePairsOn(df: DataFrame, idCol: String,
       strCol: String, maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1 || maxDist == 2,
-      s"editDistancePairs supports maxDist 1 or 2, got $maxDist " +
-        "(deletion neighborhoods grow as len^d — past 2, use a " +
-        "PassJoin-style segment index instead)")
+    require(maxDist >= 1 && maxDist <= 6,
+      s"editDistancePairs supports maxDist 1..6, got $maxDist " +
+        "(the banded verify and the PassJoin probe window both grow " +
+        "linearly in d — past ~6 a similarity join on q-grams fits better)")
     val base = df.select(col(idCol).as("id"), col(strCol).as("str"))
+    // candidate generation dispatch: deletion neighborhoods win for d ≤ 2
+    // (O(len^d) keys, no position windows); the PassJoin segment index
+    // wins past that (O(d²·(2d+1)) keys per row, length-independent
+    // exponent)
+    val cand =
+      if (maxDist <= 2) fastSsCandidates(base, maxDist)
+      else passJoinCandidates(base, maxDist)
+    // banded verify: levenshtein with threshold short-circuits the DP row
+    // past the band, returning -1 above the cut — O(len·d) per candidate,
+    // not O(len²)
+    cand
+      .join(base.select(col("id").as("a"), col("str").as("sa")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("str").as("sb")), Seq("b"))
+      .withColumn("dist",
+        levenshtein(col("sa"), col("sb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("a"), col("b"), col("dist"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** FastSS deletion-neighborhood candidate pairs (a < b), a complete
+    * superset of all pairs with ed ≤ maxDist ∈ {1, 2}.
+    *
+    * D≤d(x) hashed: x, every single-character deletion, and (d = 2)
+    * every two-character deletion. ed(r, s) ≤ d ⟹ D≤d(r) ∩ D≤d(s) ≠ ∅
+    * (align r and s; deleting each side's unmatched positions — at most
+    * d per side — leaves the same subsequence), so the equi-join on
+    * neighborhood keys is a complete candidate generator. sequence(1,
+    * len) on an empty string yields [1, 0] (negative-step fallback);
+    * ghost indices only produce ghost variants, which can add candidates
+    * but never drop true pairs, and array_distinct folds the duplicates.
+    */
+  private def fastSsCandidates(base: DataFrame, maxDist: Int): DataFrame = {
     val str = col("str")
     val L = length(str)
-    // D≤d(x) hashed: x, every single-character deletion, and (d = 2)
-    // every two-character deletion. ed(r, s) ≤ d ⟹ D≤d(r) ∩ D≤d(s) ≠ ∅
-    // (align r and s; deleting each side's unmatched positions — at most
-    // d per side — leaves the same subsequence), so the equi-join on
-    // neighborhood keys is a complete candidate generator and the banded
-    // verify makes the output exact. sequence(1, len) on an empty string
-    // yields [1, 0] (negative-step fallback); ghost indices only produce
-    // ghost variants, which can add candidates but never drop true pairs,
-    // and array_distinct folds the duplicates.
     val del1 = transform(sequence(lit(1), L), i =>
       concat(str.substr(lit(1), i - 1), str.substr(i + 1, L - i)))
     val variants =
@@ -329,27 +367,87 @@ object JoinOps extends OpFamily {
         explode(array_distinct(variants)).as("v"))
       .select(col("id"), xxhash64(col("v")).as("k"))
       .distinct()
-    val cand = keys.select(col("id").as("a"), col("k"))
+    keys.select(col("id").as("a"), col("k"))
       .join(keys.select(col("id").as("b"), col("k")), Seq("k"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-    // banded verify: levenshtein with threshold short-circuits the DP row
-    // past the band, returning -1 above the cut — O(len·d) per candidate,
-    // not O(len²)
-    cand
-      .join(base.select(col("id").as("a"), col("str").as("sa")), Seq("a"))
-      .join(base.select(col("id").as("b"), col("str").as("sb")), Seq("b"))
-      .withColumn("dist",
-        levenshtein(col("sa"), col("sb"), maxDist).cast("long"))
-      .filter(col("dist") >= 0)
-      .select(col("a"), col("b"), col("dist"))
-      .orderBy(col("a"), col("b"))
+  }
+
+  /** PassJoin segment-index candidate pairs (a < b), a complete superset
+    * of all pairs with ed ≤ maxDist — the structure for d ≥ 3, where
+    * deletion neighborhoods blow up as len^d (Li/Deng/Feng's PassJoin
+    * partition scheme, public: VLDB'11).
+    *
+    * Index side: every string s of length l is split into k = d+1 even
+    * segments (first l mod k segments one char longer — closed-form
+    * start/length per (l, i)). Pigeonhole: ≤ d edit ops each touch at
+    * most one segment of s (insertions into the other string touch
+    * none), so some segment is edit-free and appears VERBATIM in any
+    * string r with ed(r, s) ≤ d, shifted by at most d positions (each
+    * preceding op shifts the tail by ≤ 1). Probe side: r emits, for each
+    * indexed length l ∈ [len(r)−d, len(r)] and segment i, every
+    * substring of r with that segment's length starting within ±d of
+    * that segment's position (the position-aware window, clamped to
+    * valid starts). The equi-join on hashed (l, i, substring) keys is
+    * therefore a complete candidate generator; pairs of equal length are
+    * found from both orientations and folded by the distinct.
+    *
+    * Short strings (l < k) have empty segments; both sides emit their
+    * ("", l, i) keys, so such pairs degrade to per-length mini-blocks —
+    * at l ≤ d every same-length pair is within distance d anyway (the
+    * candidate set ≈ the true result set there, so nothing is wasted).
+    * Hash collisions only ADD candidates; the banded verify removes
+    * them. Per-row key count is O(d·(d+1)·(2d+1)) — independent of
+    * string length, the property that lets d = 3+ scale where len^d
+    * cannot.
+    */
+  private def passJoinCandidates(base: DataFrame, maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    val withLen = base.withColumn("len", length(col("str")))
+    // (l DIV k) + extra for the first l%k segments; start is cumulative
+    val idxKeys = withLen
+      .select(col("id"), col("len").as("l"), col("str"),
+        explode(sequence(lit(0), lit(maxDist))).as("i"))
+      .select(col("id"),
+        xxhash64(col("l"), col("i"),
+          expr(s"substring(str, i * (l DIV $k) + least(i, l % $k) + 1, " +
+            s"(l DIV $k) + IF(i < l % $k, 1, 0))")).as("hk"))
+      .distinct()
+    val probeKeys = withLen
+      .select(col("id"), col("len").as("m"), col("str"),
+        explode(sequence(greatest(col("len") - maxDist, lit(0)),
+          col("len"))).as("l"))
+      .select(col("id"), col("m"), col("l"), col("str"),
+        explode(sequence(lit(0), lit(maxDist))).as("i"))
+      .select(col("id"), col("m"), col("l"), col("i"), col("str"),
+        expr(s"(l DIV $k) + IF(i < l % $k, 1, 0)").as("sl"),
+        expr(s"i * (l DIV $k) + least(i, l % $k) + 1").as("p"))
+      .select(col("id"), col("l"), col("i"),
+        explode(
+          when(col("sl") === 0, array(lit("")))
+            .when(
+              greatest(col("p") - maxDist, lit(1)) <=
+                least(col("p") + maxDist, col("m") - col("sl") + 1),
+              expr(s"transform(sequence(greatest(p - $maxDist, 1), " +
+                s"least(p + $maxDist, m - sl + 1)), " +
+                "q -> substring(str, q, sl))"))
+            .otherwise(array().cast("array<string>"))).as("sub"))
+      .select(col("id"),
+        xxhash64(col("l"), col("i"), col("sub")).as("hk"))
+      .distinct()
+    probeKeys.select(col("id").as("pa"), col("hk"))
+      .join(idxKeys.select(col("id").as("pb"), col("hk")), Seq("hk"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("a"),
+        greatest(col("pa"), col("pb")).as("b"))
+      .distinct()
   }
 
   val queries = Map(
     "join_salted_skew" -> (saltedSkewJoin _),
     "join_edit_distance" -> (editDistanceJoin _),
+    "join_edit_distance3" -> (editDistance3Join _),
     "join_interval_overlap" -> (intervalOverlapJoin _),
     "join_3way_topk" -> (join3TopK _),
     "join_5way_star" -> (join5Star _),
@@ -369,6 +467,12 @@ object JoinOps extends OpFamily {
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY a, b""",
+    "join_edit_distance3" ->
+      """SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+         FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+         WHERE levenshtein(a.s_name, b.s_name) <= 3
          ORDER BY a, b""",
     "join_interval_overlap" ->
       """WITH s1 AS (SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -85,6 +85,61 @@ class EditDistSpec extends AnyFunSuite {
     assert(f === b, s"missing=${(b diff f).take(5)} extra=${(f diff b).take(5)}")
   }
 
+  test("d=3 PassJoin equals brute force across every three-edit class") {
+    import spark.implicits._
+    // distance-exactly-3 pairs in each composition: 3 subs, 3 dels,
+    // 3 inserts, 2 sub + del, sub + 2 inserts — plus a distance-4 string
+    // the d=3 join must exclude, empty-vs-3, and short strings that
+    // exercise the empty-segment path (len < d+1)
+    val rows = Seq(
+      1L -> "abcdefgh",
+      2L -> "axcxexgh",    // 3 substitutions of 1
+      3L -> "abcde",       // 3 deletions of 1
+      4L -> "abcdefghijk", // 3 insertions on 1
+      5L -> "axcxegh",     // 2 subs + 1 del of 1
+      6L -> "axbcdefghi",  // 1 sub + 2 inserts of 1
+      7L -> "wxyzefgh",    // 4 subs from 1: boundary exclusion
+      8L -> "",
+      9L -> "abc",         // 3 inserts from empty; empty-segment regime
+      10L -> "ab", 11L -> "xy", // short strings, all-pairs-at-length regime
+      12L -> "zzzzzzzzzzzzzzzz") // far from everything
+    val df = rows.toDF("id", "str")
+    val (f, b) = (fast(df, 3), brute(df, 3))
+    assert(b.contains((1L, 2L, 3L)) && b.contains((1L, 3L, 3L)) &&
+      b.contains((1L, 4L, 3L)) && b.contains((1L, 5L, 3L)) &&
+      b.contains((8L, 9L, 3L)) && b.contains((10L, 11L, 2L)))
+    assert(!b.exists(p => p._1 == 1L && p._2 == 7L))
+    assert(f === b, s"missing=${b diff f} extra=${f diff b}")
+  }
+
+  test("d=3 equals brute force on the fixed-width key corpus (registered shape)") {
+    import spark.implicits._
+    // zero-padded suffixes: every pair differs in <= 5 digit positions, so
+    // the d=3 cut is exercised on a DENSE true-pair corpus where shared
+    // segments (the constant prefix) put every row in one candidate block
+    val df = (0L until 150L).map(i => i -> f"sup#$i%05d").toDF("id", "str")
+    val (f, b) = (fast(df, 3), brute(df, 3))
+    assert(b.nonEmpty)
+    assert(f === b, s"missing=${(b diff f).take(5)} extra=${(f diff b).take(5)}")
+  }
+
+  test("d=4 PassJoin equals brute force (generality past the asked-for 3)") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "abcdefghij",
+      2L -> "axcxexgxij",  // 4 subs
+      3L -> "abcdef",      // 4 dels
+      4L -> "abcdefghijklmn", // 4 inserts
+      5L -> "vwxyzfghij",  // 5 subs: excluded
+      6L -> "", 7L -> "abcd")
+    val df = rows.toDF("id", "str")
+    val (f, b) = (fast(df, 4), brute(df, 4))
+    assert(b.contains((1L, 2L, 4L)) && b.contains((1L, 3L, 4L)) &&
+      b.contains((1L, 4L, 4L)) && b.contains((6L, 7L, 4L)))
+    assert(!b.exists(p => p._1 == 1L && p._2 == 5L))
+    assert(f === b, s"missing=${b diff f} extra=${f diff b}")
+  }
+
   test("deletion-neighborhood join equals brute force on near-identical id strings") {
     // the registered query's shape: fixed-width zero-padded keys where
     // single-DIGIT substitutions dominate and deletion variants collide
