@@ -707,6 +707,107 @@ object GraphOps extends OpFamily {
         element_at(col("t"), 3).as("z"))
   }
 
+  /** Landmark-approximated HARMONIC CENTRALITY — the closeness-family
+    * member real graph users ask for beyond PageRank (harmonic over
+    * closeness because it handles disconnection gracefully: unreachable
+    * pairs contribute 0, not an undefined 1/∞ mean). Exact all-pairs
+    * harmonic is O(n·m); the standard estimator samples a LANDMARK set
+    * and sums inverse distances from it (Eppstein–Wang style, public) —
+    * here the [[HarmonicLandmarks]] smallest node ids, a FIXED
+    * deterministic set, which is what makes the query oracle-able.
+    *
+    * Exactness stance: contributions are integer micro-units
+    * (10⁶ DIV dist — integral division, order-independent summation, the
+    * [[pageRank]] trick), distances come from a multi-landmark BFS capped
+    * at [[HarmonicMaxHops]] (the cap is query semantics, replayed by the
+    * recursive-CTE oracle like [[bfsHops]]), so both engines agree
+    * bit-for-bit. Output: top-20 nodes by summed units with the landmark
+    * count reaching each node.
+    *
+    * Scale shape: ONE BFS whose frontier carries the landmark set as a
+    * BITMASK — a node's row holds every landmark that first reached it
+    * this hop, so the frontier⋈edges expansion and all per-hop state are
+    * |nodes|-sized regardless of the landmark count (up to 64 in one
+    * long), where a (landmark, node) row encoding would multiply the
+    * heaviest join's traffic by |L|. A landmark's bit first set on a node
+    * at hop h means BFS distance h exactly, so per-hop contributions are
+    * bit_count(new_bits) · (10⁶ DIV h). Per hop: one edge join +
+    * bit_or groupBy, one mask-diff join against the discovered set, one
+    * checkpoint; early exit on an empty frontier rides the checkpoint via
+    * observe(). At 100 TB the landmark count is the accuracy/cost knob
+    * (free up to 64) and hot frontier nodes are AQE-splittable.
+    */
+  private[graft] val HarmonicLandmarks = 8
+  private[graft] val HarmonicMaxHops = 6
+
+  def harmonicCentrality(s: SparkSession, d: String): DataFrame =
+    harmonicFrom(custSuppEdges(s, d), HarmonicLandmarks, HarmonicMaxHops)
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node DIV 2").as("entity_key"),
+        col("harm_units"), col("n_lm"))
+      .orderBy(desc("harm_units"), col("kind"), col("entity_key"))
+      .limit(20)
+
+  /** The landmark-BFS harmonic core over any symmetric (src, dst) edge
+    * frame: (node, harm_units = Σ_l 10⁶ DIV d(l, node), n_lm = #landmarks
+    * reaching it within maxHops), landmarks = the `nLandmarks` smallest
+    * node ids. Hand-graph exactness pinned in GraphSpec.
+    */
+  private[graft] def harmonicFrom(edgeDf: DataFrame, nLandmarks: Int,
+      maxHops: Int): DataFrame = {
+    require(nLandmarks >= 1 && nLandmarks <= 64,
+      s"harmonicFrom packs landmarks into one long bitmask; got $nLandmarks")
+    val edges = edgeDf.localCheckpoint()
+    // landmark set: bounded top-k by node id (TakeOrderedAndProject, no
+    // global sort); on the symmetric edge frame src covers every node.
+    // Each landmark gets a distinct bit via its rank among the ≤64
+    // landmark ids — a triangular self-join over the bounded set instead
+    // of an unpartitioned window (PlanGuard) or a driver collect
+    val lms = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(nLandmarks)
+    var frontier = lms.select(col("node").as("lm"))
+      .join(broadcast(lms.select(col("node").as("lm2"))),
+        col("lm2") <= col("lm"))
+      .groupBy(col("lm")).agg(count(lit(1)).as("rk"))
+      .select(col("lm").as("node"),
+        expr("shiftleft(1L, cast(rk - 1 AS int))").as("fmask"))
+      .localCheckpoint()
+    // discovered bits: lazy union of per-hop checkpoints (node, nb, dist);
+    // a (node, bit) is emitted exactly once, at the landmark's BFS hop
+    var found = frontier
+      .select(col("node"), col("fmask").as("nb"), lit(0).as("dist"))
+    var hops = 0
+    var emptied = false
+    while (!emptied && hops < maxHops) {
+      hops += 1
+      val obs = org.apache.spark.sql.Observation()
+      val known = found.groupBy(col("node"))
+        .agg(expr("bit_or(nb)").as("mask"))
+      val nb = frontier
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst")).agg(expr("bit_or(fmask)").as("pmask"))
+        .select(col("dst").as("node"), col("pmask"))
+        .join(known, Seq("node"), "left_outer")
+        .select(col("node"),
+          expr("pmask & ~coalesce(mask, 0L)").as("nb"))
+        .filter(col("nb") =!= 0)
+        .select(col("node"), col("nb"), lit(hops).as("dist"))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      emptied = obs.get("n").asInstanceOf[Long] == 0L
+      if (!emptied) {
+        frontier = nb.select(col("node"), col("nb").as("fmask"))
+        found = found.unionByName(nb)
+      }
+    }
+    found.filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(sum(expr("bit_count(nb) * (1000000L DIV dist)")).as("harm_units"),
+        sum(expr("cast(bit_count(nb) AS bigint)")).as("n_lm"))
+  }
+
   /** Per-kind degree profile of the customer–supplier graph: node count,
     * min/max degree, and mean degree as one double division of exact
     * longs. The two-row output is the graph-shape summary a partitioning
@@ -759,6 +860,7 @@ object GraphOps extends OpFamily {
     "graph_pagerank_weighted" -> (pageRankWeighted _),
     "graph_pagerank_converged" -> (pageRankConverged _),
     "graph_bfs_hops" -> (bfsHops _),
+    "graph_harmonic" -> (harmonicCentrality _),
     "graph_sssp_cost" -> (ssspCost _),
     "graph_kcore" -> (kCore _),
     "graph_triangles" -> (triangleCensus _),
@@ -946,6 +1048,30 @@ object GraphOps extends OpFamily {
            min(deg) AS min_deg, max(deg) AS max_deg
          FROM (SELECT src, count(*) AS deg FROM e$KCoreRounds GROUP BY src)
          GROUP BY kind ORDER BY kind""",
+    "graph_harmonic" ->
+      s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM e0
+                   UNION ALL SELECT s, c FROM e0),
+         lms AS (SELECT DISTINCT src AS lm FROM edges
+                 ORDER BY lm LIMIT $HarmonicLandmarks),
+         walk(lm, node, d) AS (
+           SELECT lm, lm, 0 FROM lms
+           UNION
+           SELECT w.lm, e.dst, w.d + 1
+           FROM walk w JOIN edges e ON e.src = w.node
+           WHERE w.d < $HarmonicMaxHops),
+         dist AS (SELECT lm, node, min(d) AS d FROM walk
+                  GROUP BY lm, node)
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS kind,
+           node // 2 AS entity_key,
+           CAST(sum(1000000 // d) AS BIGINT) AS harm_units,
+           CAST(count(*) AS BIGINT) AS n_lm
+         FROM dist WHERE d > 0
+         GROUP BY kind, entity_key
+         ORDER BY harm_units DESC, kind, entity_key LIMIT 20""",
     "graph_bfs_hops" ->
       s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s

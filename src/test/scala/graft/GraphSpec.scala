@@ -241,6 +241,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.min >= GraphOps.KCoreK)
   }
 
+  test("harmonic centrality matches hand-computed landmark sums on a path") {
+    import spark.implicits._
+    // path 1-2-3-4-5, landmarks = 2 smallest ids {1, 2}: units are
+    // Σ 10⁶ DIV d over dist > 0, n_lm counts reaching landmarks
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.harmonicFrom(edges, 2, 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> (1000000L, 1L),               // lm2 at d=1 (lm1 self filtered)
+      2L -> (1000000L, 1L),               // lm1 at d=1
+      3L -> (1500000L, 2L),               // 10⁶/1 + 10⁶/2
+      4L -> (833333L, 2L),                // 10⁶/2 + 10⁶ DIV 3
+      5L -> (583333L, 2L)))               // 10⁶/4 + 10⁶ DIV 3
+    // the hop cap is part of the semantics: at maxHops=2 node 5 is
+    // unreachable from both landmarks and drops out entirely
+    val capped = GraphOps.harmonicFrom(edges, 2, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!capped.contains(5L))
+    assert(capped(4L) === (500000L, 1L)) // only lm2 at d=2
+  }
+
   test("assortativity: bipartite graph is strongly disassortative") {
     val row = GraphOps.assortativity(spark, sf).head()
     val r = row.getAs[Double]("assortativity")
