@@ -261,6 +261,15 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(!capped.contains(5L))
     assert(capped(4L) === (500000L, 1L)) // only lm2 at d=2
+
+    // disconnection is handled gracefully (the reason harmonic over
+    // closeness): an unreachable component contributes nothing and its
+    // nodes score only from landmarks inside it
+    val two = Seq((1L, 2L), (10L, 11L)) // landmarks {1, 2} both left
+    val edges2 = (two ++ two.map(_.swap)).toDF("src", "dst")
+    val got2 = GraphOps.harmonicFrom(edges2, 2, 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2 === Map(1L -> (1000000L, 1L), 2L -> (1000000L, 1L)))
   }
 
   test("assortativity: bipartite graph is strongly disassortative") {

@@ -36,4 +36,18 @@ class IntervalJoinSpec extends AnyFunSuite {
     // each overlapping pair appears EXACTLY once despite sharing many bins
     assert(pairs.sorted === Seq((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)))
   }
+
+  test("overlap pairs: a dense bucket emits every pair exactly once") {
+    // 40 users all overlapping inside a handful of buckets, staggered so
+    // pairs differ in which bucket is their FIRST shared one: the
+    // first-shared-bucket filter must reproduce all C(40,2) pairs with
+    // no duplicates (a regression here would double-count pairs whose
+    // intervals share several buckets)
+    val sess = (1L to 40L).map(u => (u, 1L, u * 7L, 1000L + u))
+      .toDF("user_id", "sid", "st", "en")
+    val pairs = JoinOps.overlapPairs(sess, bucketUs = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(pairs.length === (40 * 39) / 2, "exactly-once emission")
+    assert(pairs.distinct.length === pairs.length, "no duplicates")
+  }
 }
