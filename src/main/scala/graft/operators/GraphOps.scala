@@ -808,6 +808,113 @@ object GraphOps extends OpFamily {
         sum(expr("cast(bit_count(nb) AS bigint)")).as("n_lm"))
   }
 
+  /** Landmark-approximated BETWEENNESS centrality (Brandes' dependency
+    * accumulation from a fixed source sample — Brandes 2001 + the
+    * standard pivot-sampling approximation, public), hop-bounded at
+    * [[BetwMaxDepth]]: which nodes sit on other nodes' shortest paths.
+    * The complement of [[harmonicCentrality]] (closeness says "near
+    * everything", betweenness says "carries the traffic") and the graph
+    * member the k-core/degree family cannot express: a bridge node has
+    * modest degree but dominant betweenness.
+    *
+    * Exactness stance: sources are the [[BetwLandmarks]] smallest node
+    * ids (fixed, deterministic); path counts σ are exact longs (per-level
+    * sums of predecessor σ — the forward BFS); dependency accumulation
+    * runs in integer micro-units with the backward recurrence
+    * δ(u) += (σ(u) · (10⁶ + δ(v))) DIV σ(v) — every term integral on
+    * positive values, sums order-independent, so the unrolled-level
+    * DuckDB oracle (// is floor = DIV on positives) replays the whole
+    * two-pass computation bit-for-bit. The hop bound is part of the query
+    * semantics (k-bounded betweenness): it caps the unrolled oracle AND
+    * keeps σ·(10⁶+δ) far under long overflow (σ grows with path
+    * multiplicity per extra hop; at depth 4 on 10⁹-edge graphs the
+    * product stays ≤ ~10¹⁴ — past that widen σ to decimal).
+    *
+    * Scale shape: forward = [[bfsHops]]-style level expansion keyed
+    * (source, node) with a map-side-combining σ sum per level; backward =
+    * one join per level against the NEXT level's δ — 2·depth bounded
+    * rounds, all key-partitioned equi-joins, state ≤ |L|·nodes rows,
+    * nothing node². Landmark count is the accuracy/cost knob.
+    */
+  private[graft] val BetwLandmarks = 4
+  private[graft] val BetwMaxDepth = 3
+
+  def betweennessCentrality(s: SparkSession, d: String): DataFrame =
+    betweennessFrom(custSuppEdges(s, d), BetwLandmarks, BetwMaxDepth)
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node DIV 2").as("entity_key"),
+        col("betw_units"))
+      .orderBy(desc("betw_units"), col("kind"), col("entity_key"))
+      .limit(20)
+
+  /** The two-pass Brandes core over any symmetric (src, dst) edge frame:
+    * (node, betw_units = Σ_sources δ in micro-units) for every non-source
+    * node on ≥1 counted shortest path. Hand-graph exactness pinned in
+    * GraphSpec against a manual Brandes run.
+    */
+  private[graft] def betweennessFrom(edgeDf: DataFrame, nLandmarks: Int,
+      depth: Int): DataFrame = {
+    val edges = edgeDf.localCheckpoint()
+    val lms = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(nLandmarks)
+      .select(col("node").as("lm"))
+    // forward pass: levels(h) = (lm, node, sigma) of nodes FIRST reached
+    // at hop h from lm, σ = number of shortest lm→node paths (sum of
+    // predecessor σ — correct exactly because the anti-join restricts to
+    // first-reach, i.e. shortest, levels)
+    var levels = Vector(
+      lms.select(col("lm"), col("lm").as("node"), lit(1L).as("sigma"))
+        .localCheckpoint())
+    var seen = levels(0).select(col("lm"), col("node"))
+    (1 to depth).foreach { _ =>
+      val next = levels.last.join(edges, col("node") === col("src"))
+        .groupBy(col("lm"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("lm"), col("dst").as("node"), col("sigma"))
+        .join(seen, Seq("lm", "node"), "left_anti")
+        .localCheckpoint()
+      levels = levels :+ next
+      seen = seen.unionByName(next.select(col("lm"), col("node")))
+    }
+    // backward pass: δ(u) = Σ_{successors v} (σ(u)·(10⁶+δ(v))) DIV σ(v),
+    // peeled level by level from the horizon (δ there = 0: no successors
+    // inside the hop bound — exactly the k-bounded semantics)
+    var delta = levels(depth)
+      .select(col("lm"), col("node"), lit(0L).as("du"))
+    val inner = (depth to 1 by -1).map { h =>
+      val contrib = levels(h)
+        .select(col("lm"), col("node").as("v"), col("sigma").as("sv"))
+        .join(delta.select(col("lm"), col("node").as("v"), col("du")),
+          Seq("lm", "v"))
+        .join(edges.select(col("src").as("u"), col("dst").as("v")), Seq("v"))
+        .join(levels(h - 1)
+          .select(col("lm"), col("node").as("u"), col("sigma").as("su")),
+          Seq("lm", "u"))
+        .select(col("lm"), col("u").as("node"),
+          expr("(su * (1000000L + du)) DIV sv").as("term"))
+        .groupBy(col("lm"), col("node"))
+        .agg(sum(col("term")).as("du"))
+        .localCheckpoint()
+      // carry zero-δ rows: a level-(h-1) node with no successors still
+      // enters ITS predecessors' terms with the 10⁶ base
+      delta = levels(h - 1).select(col("lm"), col("node"))
+        .join(contrib, Seq("lm", "node"), "left_outer")
+        .select(col("lm"), col("node"), coalesce(col("du"), lit(0L)).as("du"))
+      (h - 1, delta)
+    }.toMap
+    // betweenness = δ summed over sources, interior levels 1..depth−1
+    // only: level 0 is the source (excluded by Brandes' definition) and
+    // horizon-level δ is identically 0 under the hop bound. A node can
+    // be interior for one source and horizon for another — each source's
+    // row set is keyed (lm, node) at that source's unique level
+    (1 until depth).map(inner).reduceOption(_ unionByName _)
+      .getOrElse(delta.limit(0))
+      .groupBy(col("node"))
+      .agg(sum(col("du")).as("betw_units"))
+  }
+
   /** Per-kind degree profile of the customer–supplier graph: node count,
     * min/max degree, and mean degree as one double division of exact
     * longs. The two-row output is the graph-shape summary a partitioning
@@ -861,6 +968,7 @@ object GraphOps extends OpFamily {
     "graph_pagerank_converged" -> (pageRankConverged _),
     "graph_bfs_hops" -> (bfsHops _),
     "graph_harmonic" -> (harmonicCentrality _),
+    "graph_betweenness" -> (betweennessCentrality _),
     "graph_sssp_cost" -> (ssspCost _),
     "graph_kcore" -> (kCore _),
     "graph_triangles" -> (triangleCensus _),
@@ -932,6 +1040,35 @@ object GraphOps extends OpFamily {
            FROM edges e JOIN l${i - 1} l ON e.src = l.node
            GROUP BY e.dst, l.lbl)
          GROUP BY dst))"""
+
+  // one unrolled forward Brandes level: σ-summing expansion + first-reach
+  // anti-join against the accumulated node set — mirrors [[betweennessFrom]]
+  private def betwFwd(h: Int): String =
+    s"""l$h AS MATERIALIZED (SELECT x.lm, x.node, x.sigma FROM (
+         SELECT l.lm, e.dst AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+         FROM l${h - 1} l JOIN edges e ON e.src = l.node
+         GROUP BY l.lm, e.dst) x
+       LEFT JOIN a${h - 1} a ON a.lm = x.lm AND a.node = x.node
+       WHERE a.node IS NULL),
+       a$h AS MATERIALIZED (SELECT * FROM a${h - 1}
+         UNION ALL SELECT lm, node FROM l$h)"""
+
+  // one unrolled backward Brandes level: the integral dependency
+  // recurrence δ(u) += (σu·(10⁶+δv)) // σv (DuckDB // = floor = Spark DIV
+  // on positives), then zero-fill so predecessors still see the 10⁶ base
+  private def betwBwd(h: Int): String =
+    s"""c${h - 1} AS MATERIALIZED (SELECT lm, node,
+         CAST(sum((su * (1000000 + du)) // sv) AS BIGINT) AS du FROM (
+         SELECT lv.lm, lu.node AS node, lu.sigma AS su, lv.sigma AS sv, d.du
+         FROM l$h lv
+         JOIN d$h d ON d.lm = lv.lm AND d.node = lv.node
+         JOIN edges e ON e.dst = lv.node
+         JOIN l${h - 1} lu ON lu.lm = lv.lm AND lu.node = e.src)
+       GROUP BY lm, node),
+       d${h - 1} AS MATERIALIZED (SELECT l.lm, l.node,
+         CAST(coalesce(c.du, 0) AS BIGINT) AS du
+       FROM l${h - 1} l LEFT JOIN c${h - 1} c
+         ON c.lm = l.lm AND c.node = l.node)"""
 
   // weighted variant of [[prIter]]: contrib = (units · w) DIV tw
   private def prwIter(k: Int): String =
@@ -1072,6 +1209,30 @@ object GraphOps extends OpFamily {
          FROM dist WHERE d > 0
          GROUP BY kind, entity_key
          ORDER BY harm_units DESC, kind, entity_key LIMIT 20""",
+    "graph_betweenness" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM e0
+                   UNION ALL SELECT s, c FROM e0),
+         lms AS (SELECT DISTINCT src AS lm FROM edges
+                 ORDER BY lm LIMIT $BetwLandmarks),
+         l0 AS MATERIALIZED (SELECT lm, lm AS node,
+             CAST(1 AS BIGINT) AS sigma FROM lms),
+         a0 AS MATERIALIZED (SELECT lm, node FROM l0),
+         ${(1 to BetwMaxDepth).map(betwFwd).mkString(",\n         ")},
+         d$BetwMaxDepth AS (SELECT lm, node, CAST(0 AS BIGINT) AS du
+           FROM l$BetwMaxDepth),
+         ${(BetwMaxDepth to 1 by -1).map(betwBwd).mkString(",\n         ")}
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS kind,
+           node // 2 AS entity_key,
+           CAST(sum(du) AS BIGINT) AS betw_units
+         FROM (${(1 until BetwMaxDepth)
+            .map(h => s"SELECT lm, node, du FROM d$h")
+            .mkString("\n               UNION ALL ")})
+         GROUP BY kind, entity_key
+         ORDER BY betw_units DESC, kind, entity_key LIMIT 20""",
     "graph_bfs_hops" ->
       s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s

@@ -272,6 +272,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got2 === Map(1L -> (1000000L, 1L), 2L -> (1000000L, 1L)))
   }
 
+  test("betweenness matches a manual Brandes run on a path graph") {
+    import spark.implicits._
+    // path 1-2-3-4-5, landmarks {1, 2}, depth 4. Hand Brandes in
+    // micro-units (δ(u) += (σu·(10⁶+δv)) DIV σv, all σ = 1 on a path):
+    //   source 1: levels 1→2→3→4→5; δ(4)=10⁶, δ(3)=2·10⁶, δ(2)=3·10⁶
+    //             (node 5 sits AT the hop-4 horizon: δ = 0 and excluded)
+    //   source 2: levels 2→{1,3}→4→5; δ(4)=10⁶, δ(3)=2·10⁶, δ(1)=0,
+    //             δ(5)=0 at interior level 3 → a zero row, kept
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.betweennessFrom(edges, 2, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 0L,         // leaf: on nobody's shortest paths
+      2L -> 3000000L,   // carries 1's traffic to 3, 4 (5 is horizon-cut)
+      3L -> 4000000L,   // the middle: both sources route through it
+      4L -> 2000000L,
+      5L -> 0L))        // leaf at source 2's interior level 3
+    // split path counting: diamond 1-2-4, 1-3-4 (two equal shortest
+    // 1→4 paths) with tail 4-5; landmark {1} only, depth 3.
+    //   σ(2)=σ(3)=1, σ(4)=2, σ(5)=2; δ(4)=(2·10⁶)DIV 2=10⁶ from 5's base
+    //   δ(2)=δ(3)=(1·(10⁶+10⁶))DIV 2 = 10⁶ — the σ-ratio split
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val dedges = (dia ++ dia.map(_.swap)).toDF("src", "dst")
+    val got2 = GraphOps.betweennessFrom(dedges, 1, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
+  }
+
   test("assortativity: bipartite graph is strongly disassortative") {
     val row = GraphOps.assortativity(spark, sf).head()
     val r = row.getAs[Double]("assortativity")
