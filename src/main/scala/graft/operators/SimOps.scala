@@ -232,8 +232,43 @@ object SimOps extends OpFamily {
          ORDER BY cos DESC, a, b LIMIT 20""")
   }
 
+  /** Symmetric INT8 quantization of the embedding column — the storage
+    * step ANN deployments run before building an index at corpus scale
+    * (4× memory vs float32, SIMD-friendly int dot products): per vector,
+    * scale = max |x| and q_i = floor(x_i·127/scale + ½) ∈ [−127, 127].
+    *
+    * Engine parity is the whole design: the scale is a MAX of exact
+    * doubles (no summation order), the affine map is three IEEE-754
+    * correctly-rounded ops evaluated in one parenthesization, and
+    * round-half-up is spelled floor(·+0.5) because Spark's round()
+    * (BigDecimal HALF_UP) and DuckDB's round() (half away from zero)
+    * disagree on negative halves while floor is exact everywhere. The
+    * zero vector quantizes to zeros by a CASE, not NaN. Output is
+    * per-vector integral stats (dims, scale, Σq, min/max, Σ|q|) — array
+    * columns can't cross the driver's pandas compare, and the stats pin
+    * every element through the two aggregates.
+    */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), abs(_))))
+      .withColumn("q",
+        when(col("mx") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x * lit(127.0) / col("mx") + lit(0.5)))))
+      .select(col("vec_id"),
+        size(col("q")).as("n_dims"),
+        col("mx").as("scale_absmax"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
+      .orderBy(col("vec_id"))
+
   val queries = Map(
     "sim_knn_exact" -> (knnExact _),
+    "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
     "sim_knn_rplsh" -> (knnRpLsh _),
@@ -316,6 +351,23 @@ object SimOps extends OpFamily {
   val oracle = Map(
     "sim_knn_ivf" -> ivfOracleSql,
     "sim_knn_rplsh" -> rplshOracleSql,
+    "sim_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+         q AS (SELECT vec_id, mx,
+             CASE WHEN mx = 0
+               THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(v,
+                 x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) END AS q
+           FROM m)
+         SELECT vec_id, CAST(len(q) AS INT) AS n_dims, mx AS scale_absmax,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_min(q) AS BIGINT) AS q_min,
+           CAST(list_max(q) AS BIGINT) AS q_max,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
+         FROM q ORDER BY vec_id""",
     "sim_knn_exact" ->
       """SELECT qid, rank, nid, cos FROM (
            SELECT q.vec_id AS qid, n.vec_id AS nid,

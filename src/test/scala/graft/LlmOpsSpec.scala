@@ -140,6 +140,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mean >= 0.15, s"RP-LSH mean recall $mean below floor")
   }
 
+  test("int8 quantization stays in range and saturates at the scale") {
+    val rows = SimOps.quantizeInt8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Long]("q_min"), r.getAs[Long]("q_max"))
+      // symmetric-scale property: every element in [-127, 127], and the
+      // absmax element itself quantizes to exactly ±127
+      assert(mn >= -127L && mx <= 127L, s"out of int8 range: [$mn, $mx]")
+      assert(mn == -127L || mx == 127L, "scale element must saturate")
+      // Σ|q| bounds Σq on both sides
+      assert(math.abs(r.getAs[Long]("q_sum")) <= r.getAs[Long]("q_l1"))
+      assert(r.getAs[Int]("n_dims") === 64)
+      assert(r.getAs[Double]("scale_absmax") > 0.0)
+    }
+  }
+
   test("seeded sample is a subset with a plausible size") {
     val li = Tables.lineitem(spark, sf)
     val total = li.count()
