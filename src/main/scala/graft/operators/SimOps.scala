@@ -248,15 +248,23 @@ object SimOps extends OpFamily {
     * columns can't cross the driver's pandas compare, and the stats pin
     * every element through the two aggregates.
     */
-  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+  /** (vec_id, q: array<long>, mx): the shared int8 codebook of the
+    * embedding table — [[quantizeInt8]] reports it, [[knnQuantizedDot]]
+    * searches it.
+    */
+  private def quantizedVectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), abs(_))))
-      .withColumn("q",
+      .select(col("vec_id"),
         when(col("mx") === 0.0, transform(col("v"), _ => lit(0L)))
           .otherwise(transform(col("v"),
-            x => floor(x * lit(127.0) / col("mx") + lit(0.5)))))
+            x => floor(x * lit(127.0) / col("mx") + lit(0.5)))).as("q"),
+        col("mx"))
+
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    quantizedVectors(s, d)
       .select(col("vec_id"),
         size(col("q")).as("n_dims"),
         col("mx").as("scale_absmax"),
@@ -266,9 +274,43 @@ object SimOps extends OpFamily {
         aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
       .orderBy(col("vec_id"))
 
+  /** Top-5 INNER-PRODUCT neighbors searched entirely in the quantized
+    * domain — the second half of the int8 story: the integer dot
+    * Σ qa_i·qb_i is the cheap SIMD-able kernel, and the dequantized
+    * score qdot·(sa·sb/127²) needs only the two scales (the /127²
+    * constant is rank-invariant and omitted). Engine parity: integer
+    * dots are exact order-independent sums; the score is ONE double
+    * product of exact factors, so the ranking — including the
+    * cross-neighbor scale corrections visible when a larger raw qdot
+    * loses to a better-scaled neighbor — replays bit-for-bit in the
+    * oracle. Same broadcast-queries/stream-corpus shape as [[knnExact]];
+    * at 100 TB the quantized corpus is 4× less I/O per scan, which is
+    * the point.
+    */
+  def knnQuantizedDot(s: SparkSession, d: String): DataFrame = {
+    // the codebook feeds both sides of the search join
+    val qz = quantizedVectors(s, d).localCheckpoint()
+    val qs = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("mx").as("qmx"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), col("nid"))
+    qz.select(col("vec_id").as("nid"), col("q").as("nq"), col("mx").as("nmx"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("qdot",
+        aggregate(zip_with(col("nq"), col("qq"), _ * _), lit(0L), _ + _))
+      .withColumn("score",
+        col("qdot").cast("double") * col("qmx") * col("nmx"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("qdot"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries = Map(
     "sim_knn_exact" -> (knnExact _),
     "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_knn_quantized" -> (knnQuantizedDot _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
     "sim_knn_rplsh" -> (knnRpLsh _),
@@ -368,6 +410,30 @@ object SimOps extends OpFamily {
            CAST(list_max(q) AS BIGINT) AS q_max,
            CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
          FROM q ORDER BY vec_id""",
+    "sim_knn_quantized" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+         qz AS (SELECT vec_id, mx,
+             CASE WHEN mx = 0
+               THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(v,
+                 x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) END AS q
+           FROM m),
+         pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot,
+             a.mx AS qmx, b.mx AS nmx
+           FROM qz a JOIN qz b
+             ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         SELECT qid, rank, nid, qdot, score FROM (
+           SELECT qid, nid, qdot,
+             CAST(qdot AS DOUBLE) * qmx * nmx AS score,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY CAST(qdot AS DOUBLE) * qmx * nmx DESC, nid) AS rank
+           FROM pairs)
+         WHERE rank <= 5 ORDER BY qid, rank""",
     "sim_knn_exact" ->
       """SELECT qid, rank, nid, cos FROM (
            SELECT q.vec_id AS qid, n.vec_id AS nid,

@@ -156,6 +156,34 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized inner-product search recalls the float-dot top-5 well") {
+    import org.apache.spark.sql.expressions.Window
+    // float-precision inner-product top-5 (same metric, unquantized)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("dot"), col("nid"))
+    val exact = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot",
+        graft.functions.NativeExprs.dot(spark, col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val quant = SimOps.knnQuantizedDot(spark, sf)
+      .select(col("qid"), col("nid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (k, ns) =>
+      quant.getOrElse(k, Set.empty).intersect(ns).size.toDouble / ns.size }
+    val mean = recalls.sum / recalls.size
+    // int8 error is ~0.4% per element; on near-orthogonal random vectors
+    // some rank flips are expected, wholesale disagreement is not
+    assert(mean >= 0.5, s"quantized recall $mean vs float-dot top-5")
+  }
+
   test("seeded sample is a subset with a plausible size") {
     val li = Tables.lineitem(spark, sf)
     val total = li.count()
