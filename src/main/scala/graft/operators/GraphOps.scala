@@ -464,7 +464,7 @@ object GraphOps extends OpFamily {
     * perfect matching — every node degree 1 — so a census over it would
     * be vacuous).
     */
-  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     val exact = docs.filter(col("doc_id") % 5 === 0)
@@ -977,8 +977,10 @@ object GraphOps extends OpFamily {
     "graph_degree_profile" -> (degreeProfile _))
 
   // combined dup corpus (originals ∪ exact copies ∪ truncated near-dups),
-  // mirroring [[dupCorpus]]; the shingle/edge CTEs mirror DedupOps' oracles
-  private val planted =
+  // mirroring [[dupCorpus]]; the shingle/edge CTEs mirror DedupOps' oracles.
+  // private[graft]: PipelineOps composes the same corpus + near-dup edge
+  // CTEs into its end-to-end oracle
+  private[graft] val planted =
     """SELECT doc_id, lang, source, text FROM documents
        UNION ALL
        SELECT doc_id + 100000, lang, source, text FROM documents

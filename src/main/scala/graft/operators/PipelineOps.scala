@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.OpFamily
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END training-corpus pipeline — every stage the other
+  * families prove in isolation, composed in production order over the
+  * planted duplication corpus: quality gate → exact dedup (keep-first)
+  * → near-dedup (keep docs with no smaller-id near-duplicate) →
+  * temperature mixing → split assignment → per-(split, lang) summary.
+  * This is the query a user of the library actually ships; registering
+  * the composition catches the integration bugs the per-stage oracles
+  * cannot (stage order, column threading, filter interactions).
+  *
+  * Determinism stance (what makes a five-stage pipeline oracle-able):
+  * every stage is a pure function of (doc_id, text, lang, source) —
+  * token-count gate, md5 of normalized content, exact blocked Jaccard
+  * with the keep-smallest rule, per-lang rates derived integrally from
+  * survivor counts, multiplicative-hash selection. The mix and split
+  * stages deliberately use DIFFERENT coprime multipliers (503 vs 761):
+  * reusing one hash for both decisions would make the split bands a
+  * deterministic function of the mix cut (a real pipeline bug — the
+  * kept residue classes would fill 'train' first); two coprime
+  * multipliers scatter the residues independently-enough while staying
+  * engine-replayable (the [[FilterOps.sampleHash]] residue-class
+  * assumption applies to both).
+  *
+  * Near-dedup here is the SORTED-GREEDY rule (drop any doc with a
+  * smaller-id near-dup) rather than full connected components: one
+  * anti-join instead of an iterative contraction, and on duplicate
+  * CLUSTERS (planted copies/truncations) it keeps exactly the minimum
+  * id — the same canonical choice as [[DedupOps.dedupSurvivors]] — while
+  * on similarity CHAINS it is the standard streaming-dedup
+  * approximation. Candidates still come from the prefix-filtered exact
+  * Jaccard join ([[DedupOps.blockedJaccardPairs]]), never all-pairs.
+  */
+object PipelineOps extends OpFamily {
+
+  /** The five-stage frame chain, shared by both registered queries. */
+  private def stages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val corpus = GraphOps.dupCorpus(s, d)
+    // 1. quality gate: whitespace token count ≥ 20 (the cheap fraction
+    // of the text_quality feature set that gates real crawls first)
+    val quality = corpus.filter(size(split(col("text"), " ")) >= 20)
+    // 2. exact dedup: keep the minimum doc_id per normalized content
+    // fingerprint (one groupBy + semi-join, the dedup_keep_first rule)
+    val fped = quality.withColumn("fp",
+      md5(regexp_replace(trim(lower(col("text"))), " +", " ")))
+    val exact = fped.join(
+        fped.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("fp", "doc_id"), "left_semi")
+      .drop("fp")
+    // 3. near-dedup survivors: drop every doc that appears as the LARGER
+    // id of a Jaccard ≥ 0.3 pair over the exact-surviving corpus
+    val dropped = DedupOps.blockedJaccardPairs(exact)
+      .select(col("b").as("doc_id")).distinct()
+    val survivors = exact.join(dropped, Seq("doc_id"), "left_anti")
+    // 4. temperature mix (α = ½): per-lang keep-rate ⌊1000·√(nmin/n)⌋
+    // derived from SURVIVOR counts — the rates must reflect the corpus
+    // the mix actually samples, not the raw one
+    val counts = survivors.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("nmin"))))
+      .select(col("lang"),
+        floor(lit(1000.0) * sqrt(col("nmin").cast("double") / col("n")))
+          .cast("long").as("rate"))
+    val mixed = survivors.join(broadcast(rates), Seq("lang"))
+      .filter(pmod(pmod(col("doc_id"), lit(1000)) * lit(503L), lit(1000)) <
+        col("rate"))
+    (corpus, quality, exact, survivors, mixed)
+  }
+
+  /** The shipped corpus: per (split, lang) doc and token mass after all
+    * five stages. What a training run reads first.
+    */
+  def corpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, _, mixed) = stages(s, d)
+    val h = pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000))
+    mixed
+      .select(col("lang"),
+        when(h < 800, lit("train")).when(h < 900, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        size(split(col("text"), " ")).as("n_toks"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("bigint").as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** The attrition funnel: doc count after each stage, the first thing a
+    * pipeline operator looks at when the shipped corpus shrinks. One row
+    * per stage, counts composed from the same frame chain (each count is
+    * an independent aggregate — five bounded jobs, not one pass, which
+    * is exactly what the oracle replays).
+    */
+  def pipelineFunnel(s: SparkSession, d: String): DataFrame = {
+    val (corpus, quality, exact, survivors, mixed) = stages(s, d)
+    def stage(n: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(n).as("stage"), lit(name).as("name"), col("n_docs"))
+    stage(1, "raw", corpus)
+      .unionByName(stage(2, "quality", quality))
+      .unionByName(stage(3, "exact_dedup", exact))
+      .unionByName(stage(4, "near_dedup", survivors))
+      .unionByName(stage(5, "mixed", mixed))
+      .orderBy(col("stage"))
+  }
+
+  val queries = Map(
+    "pipeline_corpus" -> (corpusPipeline _),
+    "pipeline_funnel" -> (pipelineFunnel _))
+
+  // the shared five-stage CTE chain, mirroring [[stages]]: the planted
+  // corpus CTE is GraphOps' (same fixture), the shingle/pair CTEs mirror
+  // the DedupOps oracles but read the EXACT-DEDUPED survivors
+  private val stageCtes =
+    s"""corpus AS (${GraphOps.planted}),
+       quality AS (SELECT * FROM corpus
+         WHERE len(string_split(text, ' ')) >= 20),
+       fped AS (SELECT *,
+           md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+         FROM quality),
+       ex AS (SELECT f.doc_id, f.lang, f.source, f.text FROM fped f
+         JOIN (SELECT fp, min(doc_id) AS doc_id FROM fped GROUP BY fp) k
+           ON f.fp = k.fp AND f.doc_id = k.doc_id),
+       shg AS (SELECT doc_id, lang, source,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+               FROM ex)),
+       prs AS (SELECT b.doc_id AS b
+         FROM shg a JOIN shg b
+           ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+       surv AS (SELECT * FROM ex e
+         WHERE NOT EXISTS (SELECT 1 FROM prs p WHERE p.b = e.doc_id)),
+       rates AS (SELECT lang,
+           CAST(floor(1000.0 * sqrt(CAST(nmin AS DOUBLE) / n)) AS BIGINT)
+             AS rate
+         FROM (SELECT lang, count(*) AS n FROM surv GROUP BY lang)
+         CROSS JOIN (SELECT min(n) AS nmin FROM
+           (SELECT count(*) AS n FROM surv GROUP BY lang))),
+       mixed AS (SELECT s.* FROM surv s JOIN rates r USING (lang)
+         WHERE ((s.doc_id % 1000) * 503) % 1000 < r.rate)"""
+
+  val oracle = Map(
+    "pipeline_corpus" ->
+      s"""WITH $stageCtes
+         SELECT CASE WHEN ((doc_id % 1000) * 761) % 1000 < 800 THEN 'train'
+                WHEN ((doc_id % 1000) * 761) % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM mixed GROUP BY split, lang ORDER BY split, lang""",
+    "pipeline_funnel" ->
+      s"""WITH $stageCtes
+         SELECT stage, name, n_docs FROM (
+           SELECT 1 AS stage, 'raw' AS name, count(*) AS n_docs FROM corpus
+           UNION ALL SELECT 2, 'quality', count(*) FROM quality
+           UNION ALL SELECT 3, 'exact_dedup', count(*) FROM ex
+           UNION ALL SELECT 4, 'near_dedup', count(*) FROM surv
+           UNION ALL SELECT 5, 'mixed', count(*) FROM mixed)
+         ORDER BY stage""")
+}
