@@ -255,6 +255,53 @@ object Graft {
       coalesce(element_at(typedLit(keepPerMille), col(stratumCol)),
         lit(defaultPerMille)))
 
+  /** The END-TO-END corpus pipeline over any (id, text, stratum) frame —
+    * the five-stage composition PipelineOps proves against a DuckDB
+    * oracle, parameterized for application data: token-count quality
+    * gate → exact dedup (keep the minimum id per normalized content) →
+    * near-dedup (drop rows with a smaller-id Jaccard ≥ `threshold`
+    * near-duplicate; candidates from the exact prefix-filtered join,
+    * never all-pairs) → temperature mixing (keep-rate ∝ (n_min/n)^alpha
+    * per stratum, derived from survivor counts) → train/val/test split
+    * (80/10/10). Returns (id, stratum, split) for the shipped rows.
+    *
+    * Mix and split use different coprime hash multipliers so the split
+    * bands are not a function of the mix cut; `idCol` must be numeric
+    * and unique, with the [[sampleByStratum]] residue-class caveat.
+    */
+  def corpusPipeline(df: DataFrame, id: String, text: String,
+      stratumCol: String, minTokens: Int = 20, threshold: Double = 0.3,
+      alpha: Double = 0.5): DataFrame = {
+    val base = df.select(col(id).as("doc_id"),
+      col(stratumCol).cast("string").as("stratum"), col(text).as("text"))
+    val quality = base.filter(size(toks("text")) >= minTokens)
+    val fped = quality.withColumn("fp",
+      md5(regexp_replace(trim(lower(col("text"))), " +", " ")))
+    val exact = fped.join(
+        fped.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("fp", "doc_id"), "left_semi")
+      .drop("fp")
+    val dropped = graft.operators.DedupOps.blockedJaccardPairs(
+        exact.select(col("doc_id"), col("stratum").as("lang"),
+          lit("").as("source"), col("text")), threshold)
+      .select(col("b").as("doc_id")).distinct()
+    val survivors = exact.join(dropped, Seq("doc_id"), "left_anti")
+    val counts = survivors.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("nmin"))))
+      .select(col("stratum"),
+        floor(lit(1000.0) *
+          pow(col("nmin").cast("double") / col("n"), alpha))
+          .cast("long").as("rate"))
+    val h503 = pmod(pmod(col("doc_id"), lit(1000)) * lit(503L), lit(1000))
+    val h761 = pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000))
+    survivors.join(broadcast(rates), Seq("stratum"))
+      .filter(h503 < col("rate"))
+      .select(col("doc_id").as("id"), col("stratum"),
+        when(h761 < 800, lit("train")).when(h761 < 900, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   // ----------------------------------------------------------------- text
 
   /** Per-document quality features + composite score. */

@@ -164,6 +164,32 @@ class GraftApiSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("labelProp")))
   }
 
+  test("corpusPipeline: dedups, keeps the minority stratum whole, splits exhaustively") {
+    // two strata: 'big' (60 docs) and 'small' (12 docs). Planted: an
+    // exact copy of doc 1 (id 500) and a near-dup of doc 2 (id 501,
+    // one word changed). Distinct filler words keep background docs
+    // dissimilar.
+    val mk = (i: Long) => (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+    val rows =
+      (1L to 60L).map(i => (i, "big", mk(i))) ++
+      (101L to 112L).map(i => (i, "small", mk(i))) ++
+      Seq((500L, "big", mk(1)),                                  // exact dup
+        (501L, "big", mk(2).replace("w2_29", "changed")))        // near dup
+    val df = rows.toDF("doc_id", "stratum", "text")
+    val out = Graft.corpusPipeline(df, "doc_id", "text", "stratum")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ids = out.map(_._1).toSet
+    // both planted dupes dropped, their originals survive the dedup
+    assert(!ids.contains(500L) && !ids.contains(501L))
+    // the minority stratum's rate is 1000 per mille: every small doc ships
+    assert((101L to 112L).forall(ids.contains))
+    // the majority stratum is down-sampled: floor(1000*sqrt(12/60)) = 447
+    val bigKept = out.count(_._2 == "big")
+    assert(bigKept < 60 && bigKept > 0, s"big stratum kept $bigKept")
+    // splits are from the fixed 3-way band set
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("withGlobalRank equals a single-partition sort's row_number") {
     val rows = (1 to 500).map(i => ((i * 7919) % 500, i.toLong))
     val df = rows.toDF("v", "id").repartition(7)
