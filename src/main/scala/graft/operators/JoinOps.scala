@@ -384,14 +384,19 @@ object JoinOps extends OpFamily {
     * start/length per (l, i)). Pigeonhole: ≤ d edit ops each touch at
     * most one segment of s (insertions into the other string touch
     * none), so some segment is edit-free and appears VERBATIM in any
-    * string r with ed(r, s) ≤ d, shifted by at most d positions (each
-    * preceding op shifts the tail by ≤ 1). Probe side: r emits, for each
-    * indexed length l ∈ [len(r)−d, len(r)] and segment i, every
-    * substring of r with that segment's length starting within ±d of
-    * that segment's position (the position-aware window, clamped to
-    * valid starts). The equi-join on hashed (l, i, substring) keys is
-    * therefore a complete candidate generator; pairs of equal length are
-    * found from both orientations and folded by the distinct.
+    * string r with ed(r, s) ≤ d, shifted by the insert/delete balance of
+    * the ops before it. Probe side: r emits, for each indexed length
+    * l ∈ [len(r)−d, len(r)] and segment i, every substring of r with
+    * that segment's length starting inside the POSITION-AWARE window
+    * [p−⌊(d−Δ)/2⌋, p+⌊(d+Δ)/2⌋], Δ = len(r)−l: with ins−del = Δ and
+    * ins+del+sub ≤ d, at most ⌊(d−Δ)/2⌋ deletions and ⌊(d+Δ)/2⌋
+    * insertions can precede any segment, so the window is complete and
+    * roughly HALF the naive ±d one (at Δ = 0 it is exactly ±⌊d/2⌋) —
+    * candidates halve at zero recall cost, verified pair-for-pair
+    * against brute force in EditDistSpec. The equi-join on hashed
+    * (l, i, substring) keys is therefore a complete candidate
+    * generator; pairs of equal length are found from both orientations
+    * and folded by the distinct.
     *
     * Short strings (l < k) have empty segments; both sides emit their
     * ("", l, i) keys, so such pairs degrade to per-length mini-blocks —
@@ -424,13 +429,18 @@ object JoinOps extends OpFamily {
         expr(s"(l DIV $k) + IF(i < l % $k, 1, 0)").as("sl"),
         expr(s"i * (l DIV $k) + least(i, l % $k) + 1").as("p"))
       .select(col("id"), col("l"), col("i"),
+        // Δ = m − l ∈ [0, d]; window shifts (d−Δ) DIV 2 left, (d+Δ) DIV 2
+        // right of the segment's home position p
         explode(
           when(col("sl") === 0, array(lit("")))
             .when(
-              greatest(col("p") - maxDist, lit(1)) <=
-                least(col("p") + maxDist, col("m") - col("sl") + 1),
-              expr(s"transform(sequence(greatest(p - $maxDist, 1), " +
-                s"least(p + $maxDist, m - sl + 1)), " +
+              greatest(col("p") - expr(s"($maxDist - (m - l)) DIV 2"),
+                lit(1)) <=
+                least(col("p") + expr(s"($maxDist + (m - l)) DIV 2"),
+                  col("m") - col("sl") + 1),
+              expr(s"transform(sequence(" +
+                s"greatest(p - (($maxDist - (m - l)) DIV 2), 1), " +
+                s"least(p + (($maxDist + (m - l)) DIV 2), m - sl + 1)), " +
                 "q -> substring(str, q, sl))"))
             .otherwise(array().cast("array<string>"))).as("sub"))
       .select(col("id"),
