@@ -41,6 +41,16 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // Release the blocks this query pinned: localCheckpoint keeps its RDD
+      // persisted until the DataFrame is GC'd AND the async ContextCleaner
+      // runs, so 130+ sequential queries leak checkpoint blocks into the
+      // BlockManager and the eviction churn bills whichever queries run
+      // mid-pressure (the dedup_/filter_/graph_ stretch spiked 10-40x in one
+      // run while the anchors before and after sat at normal values). A real
+      // cluster app runs one query per driver; the bench must reset to that
+      // state between queries, outside the timed region.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> times.min
     }
     val slowest = results.filterNot(r => headline.contains(r._1))
