@@ -307,8 +307,67 @@ object SimOps extends OpFamily {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** INT8 IVF ANN — the quantized-cells + exact-re-rank composition that
+    * closes the int8 story: coarse cells are the nlist=10 lowest vec_ids'
+    * QUANTIZED vectors, every vector is assigned to its nearest cell by
+    * dequantized inner product (an exact integer dot × two scales — one
+    * double product, rank-exact), each query probes its nprobe=2 best
+    * cells in the same quantized domain, and only the probed candidates
+    * are re-ranked with the EXACT float cosine. At 100 TB the first
+    * phase scans nprobe/nlist of a 4×-smaller int8 corpus and the float
+    * vectors are fetched just for the candidate set — the standard
+    * two-phase ANN deployment. Every reduction is an order-independent
+    * integer sum or a single double product, so assignment, probing,
+    * candidates and the re-rank all replay bit-for-bit in DuckDB.
+    */
+  def knnIvfQuantized(s: SparkSession, d: String): DataFrame = {
+    val qz = quantizedVectors(s, d).localCheckpoint() // feeds cells + probes
+    val cent = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("cq"),
+        col("mx").as("cmx"))
+    def qscore(a: String, amx: String) =
+      aggregate(zip_with(col(a), col("cq"), _ * _), lit(0L), _ + _)
+        .cast("double") * col(amx) * col("cmx")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("s"), col("cid"))
+    val cells = qz.crossJoin(broadcast(cent))
+      .withColumn("s", qscore("q", "mx"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"))
+      .localCheckpoint() // consumed by both the probe and corpus sides
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("s"), col("cid"))
+    val probes = qz.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cent))
+      .withColumn("s", qscore("q", "mx"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("cid"))
+    // exact float re-rank of the candidate set only
+    val e = withNorm(s, Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v")),
+      "v", "vn")
+    val wRank = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("vn").as("nn")), Seq("nid"))
+      .join(broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("vn").as("qn"))), Seq("qid"))
+      .withColumn("cos", cosPair(s, "qv", "qn", "nv", "nn"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries = Map(
     "sim_knn_exact" -> (knnExact _),
+    "sim_knn_ivf_quantized" -> (knnIvfQuantized _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_knn_quantized" -> (knnQuantizedDot _),
     "sim_top_pairs_sql" -> (topPairsSql _),
@@ -390,8 +449,51 @@ object SimOps extends OpFamily {
         WHERE rank <= 5 ORDER BY qid, rank"""
   }
 
+  /** DuckDB replay of the int8 IVF pipeline: same quantization, same
+    * dequantized-integer-dot cell assignment and probing (ties → lowest
+    * cid), same exact-float re-rank of the candidate set.
+    */
+  private val ivfQuantizedOracleSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+       m AS (SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+       qz AS (SELECT vec_id, mx,
+           CASE WHEN mx = 0
+             THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(v,
+               x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) END AS q
+         FROM m),
+       cent AS (SELECT CAST(vec_id AS INT) AS cid, q AS cq, mx AS cmx
+         FROM qz WHERE vec_id < 10),
+       scored AS (SELECT x.vec_id, c.cid,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> x.q[i] * c.cq[i])) AS DOUBLE) * x.mx * c.cmx AS s
+         FROM qz x CROSS JOIN cent c),
+       cells AS (SELECT cid, vec_id FROM (
+           SELECT cid, vec_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY s DESC, cid) AS rn
+           FROM scored) WHERE rn = 1),
+       probes AS (SELECT vec_id AS qid, cid FROM (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY s DESC, cid) AS rn
+           FROM scored WHERE vec_id < 10) WHERE rn <= 2)
+       SELECT qid, rank, nid, cos FROM (
+         SELECT p.qid, n.vec_id AS nid,
+           list_cosine_similarity(qe.v, ne.v) AS cos,
+           row_number() OVER (PARTITION BY p.qid
+             ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, n.vec_id)
+             AS rank
+         FROM probes p JOIN cells n ON n.cid = p.cid AND n.vec_id <> p.qid
+         JOIN v qe ON qe.vec_id = p.qid
+         JOIN v ne ON ne.vec_id = n.vec_id)
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
   val oracle = Map(
     "sim_knn_ivf" -> ivfOracleSql,
+    "sim_knn_ivf_quantized" -> ivfQuantizedOracleSql,
     "sim_knn_rplsh" -> rplshOracleSql,
     "sim_quantize_int8" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
