@@ -839,8 +839,17 @@ object GraphOps extends OpFamily {
   private[graft] val BetwLandmarks = 4
   private[graft] val BetwMaxDepth = 3
 
-  def betweennessCentrality(s: SparkSession, d: String): DataFrame =
-    betweennessFrom(custSuppEdges(s, d), BetwLandmarks, BetwMaxDepth)
+  def betweennessCentrality(s: SparkSession, d: String): DataFrame = {
+    val edges = custSuppEdges(s, d)
+    // Brandes–Pich pivot-sampling normalization: the unbiased estimate of
+    // the FULL betweenness is (n/|S|)·Σ_{s∈S} δ_s(v). The factor is the
+    // same positive constant for every node, so it cannot change the
+    // ranking — apply it AFTER the top-20 cut (20 multiplies, not |V|)
+    // via a broadcast 1-row node count. Integral micro-units throughout;
+    // at 10⁹-node scale widen betw_units to decimal before the product.
+    val n = edges.select(col("src")).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    betweennessFrom(edges, BetwLandmarks, BetwMaxDepth)
       .select(
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("kind"),
@@ -848,6 +857,12 @@ object GraphOps extends OpFamily {
         col("betw_units"))
       .orderBy(desc("betw_units"), col("kind"), col("entity_key"))
       .limit(20)
+      .crossJoin(broadcast(n))
+      .select(col("kind"), col("entity_key"), col("betw_units"),
+        expr(s"(betw_units * n_nodes) DIV $BetwLandmarks")
+          .as("betw_est_units"))
+      .orderBy(desc("betw_units"), col("kind"), col("entity_key"))
+  }
 
   /** The two-pass Brandes core over any symmetric (src, dst) edge frame:
     * (node, betw_units = Σ_sources δ in micro-units) for every non-source
@@ -1226,15 +1241,21 @@ object GraphOps extends OpFamily {
          d$BetwMaxDepth AS (SELECT lm, node, CAST(0 AS BIGINT) AS du
            FROM l$BetwMaxDepth),
          ${(BetwMaxDepth to 1 by -1).map(betwBwd).mkString(",\n         ")}
-         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
-             AS kind,
-           node // 2 AS entity_key,
-           CAST(sum(du) AS BIGINT) AS betw_units
-         FROM (${(1 until BetwMaxDepth)
+         SELECT kind, entity_key, betw_units,
+           CAST((betw_units
+               * (SELECT count(DISTINCT src) FROM edges))
+             // $BetwLandmarks AS BIGINT) AS betw_est_units
+         FROM (
+           SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS kind,
+             node // 2 AS entity_key,
+             CAST(sum(du) AS BIGINT) AS betw_units
+           FROM (${(1 until BetwMaxDepth)
             .map(h => s"SELECT lm, node, du FROM d$h")
             .mkString("\n               UNION ALL ")})
-         GROUP BY kind, entity_key
-         ORDER BY betw_units DESC, kind, entity_key LIMIT 20""",
+           GROUP BY kind, entity_key
+           ORDER BY betw_units DESC, kind, entity_key LIMIT 20)
+         ORDER BY betw_units DESC, kind, entity_key""",
     "graph_bfs_hops" ->
       s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s
