@@ -151,6 +151,55 @@ object FilterOps extends OpFamily {
       .orderBy(col("lang"))
   }
 
+  /** TOKEN-BUDGET temperature mixing — [[mixTemperature]] rebalances by
+    * DOCUMENT counts, but training runs are provisioned in TOKENS: given
+    * a global budget B = ¼ of the corpus token mass, each language gets
+    * target_l = B·√t_l / Σ√t (mass ∝ t^α, α = ½ — the multilingual
+    * mixing rule), realized as a deterministic per-mille keep-rate
+    * min(1000, ⌊1000·target_l/t_l⌋) over the same wrap-safe hash.
+    *
+    * Engine parity by integral arithmetic: √t is floored to a LONG per
+    * stratum before the Σ (sums of longs are order-independent where
+    * sums of √-doubles are not), and the target/rate divisions run as
+    * exact integer floor-division in DECIMAL(38,0) on the Spark side and
+    * HUGEINT in DuckDB — the BIGINT intermediate 1000·B·√t would
+    * overflow at real corpus scale (10¹⁴ tokens · 10⁷ ≈ 10²¹), the
+    * 128-bit forms never do. Achieved kept_tokens lands within one
+    * doc of target for uniform ids ([[sampleHash]]'s residue-class
+    * caveat applies to structured ids).
+    *
+    * Scale shape: rate table = one bounded groupBy + broadcast back;
+    * two corpus scans, zero wide shuffles of the corpus.
+    */
+  def mixTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val perLang = docs.groupBy(col("lang"))
+      .agg(sum(col("tok")).as("t"),
+        floor(sqrt(sum(col("tok")).cast("double"))).cast("long").as("sq"))
+    val tot = perLang.agg(sum(col("t")).as("tt"), sum(col("sq")).as("ss"))
+    val rates = perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("t"),
+        expr("""CAST((CAST(tt AS DECIMAL(38,0)) * sq)
+                 DIV (CAST(4 AS DECIMAL(38,0)) * ss) AS BIGINT)""")
+          .as("target_tok"))
+      .select(col("lang"), col("t"), col("target_tok"),
+        least(lit(1000L),
+          expr("""CAST((CAST(1000 AS DECIMAL(38,0)) * target_tok)
+                   DIV CAST(t AS DECIMAL(38,0)) AS BIGINT)"""))
+          .as("rate"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000)) <
+        col("rate"))
+      .groupBy(col("lang"), col("t"), col("target_tok"), col("rate"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("tok")).as("kept_tokens"))
+      .select(col("lang"), col("t").as("total_tokens"), col("target_tok"),
+        col("rate"), col("n_kept"), col("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic train/val/test split (80/10/10) by the wrap-safe
     * multiplicative hash — the assignment step every training pipeline
     * runs last: splits are DISJOINT and EXHAUSTIVE by construction (one
@@ -176,6 +225,7 @@ object FilterOps extends OpFamily {
   val queries = Map(
     "filter_bloom_semi_join" -> (bloomSemiJoin _),
     "filter_mix_temperature" -> (mixTemperature _),
+    "filter_mix_token_budget" -> (mixTokenBudget _),
     "filter_split_assign" -> (splitAssign _),
     "filter_sample_seeded" -> (sampleSeeded _),
     "filter_sample_stratified" -> (sampleStratified _),
@@ -195,6 +245,29 @@ object FilterOps extends OpFamily {
          FROM documents d JOIN rates r USING (lang)
          WHERE ((d.doc_id % 1000) * 761) % 1000 < r.rate
          GROUP BY d.lang, r.rate ORDER BY d.lang""",
+    "filter_mix_token_budget" ->
+      """WITH toks AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+         per AS (SELECT lang, CAST(SUM(tok) AS BIGINT) AS t,
+             CAST(FLOOR(SQRT(CAST(SUM(tok) AS DOUBLE))) AS BIGINT) AS sq
+           FROM toks GROUP BY lang),
+         tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt,
+             CAST(SUM(sq) AS BIGINT) AS ss FROM per),
+         rates AS (SELECT lang, t,
+             CAST((CAST(tt AS HUGEINT) * sq)
+               // (CAST(4 AS HUGEINT) * ss) AS BIGINT) AS target_tok
+           FROM per CROSS JOIN tot),
+         rated AS (SELECT lang, t, target_tok,
+             least(1000, CAST((CAST(1000 AS HUGEINT) * target_tok)
+               // CAST(t AS HUGEINT) AS BIGINT)) AS rate
+           FROM rates)
+         SELECT d.lang, r.t AS total_tokens, r.target_tok, r.rate,
+           count(*) AS n_kept,
+           CAST(SUM(d.tok) AS BIGINT) AS kept_tokens
+         FROM toks d JOIN rated r USING (lang)
+         WHERE ((d.doc_id % 1000) * 761) % 1000 < r.rate
+         GROUP BY d.lang, r.t, r.target_tok, r.rate ORDER BY d.lang""",
     "filter_split_assign" ->
       """SELECT CASE WHEN ((doc_id % 1000) * 761) % 1000 < 800 THEN 'train'
                 WHEN ((doc_id % 1000) * 761) % 1000 < 900 THEN 'val'

@@ -298,6 +298,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(rarest)._2 === counts(rarest))
   }
 
+  test("token-budget mixing derives exact targets and damps the head rate") {
+    // independent driver-side replay of the whole derivation from raw
+    // token counts — the deterministic contract (statistical closeness of
+    // the realized sample is a corpus-size property: ±4% at sf0.1, but
+    // ±40% swings at sf0.001's ~100-doc strata, so exactness of the
+    // DERIVATION is what a fixture this small can pin)
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tt = toks.values.sum
+    val ss = toks.values.map(t => math.sqrt(t.toDouble).toLong).sum
+    val rows = graft.operators.FilterOps.mixTokenBudget(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("target_tok"), r.getAs[Long]("rate"),
+        r.getAs[Long]("kept_tokens"))).toMap
+    rows.foreach { case (lang, (total, target, rate, kept)) =>
+      assert(total === toks(lang))
+      val sq = math.sqrt(toks(lang).toDouble).toLong
+      // BigInt mirrors the DECIMAL(38,0)/HUGEINT exact integer division
+      val expTarget = (BigInt(tt) * sq / (BigInt(4) * ss)).toLong
+      assert(target === expTarget, s"$lang target")
+      assert(rate === math.min(1000L, 1000L * expTarget / toks(lang)),
+        s"$lang rate")
+      assert(kept <= total)
+    }
+    // α = ½ damps the head DETERMINISTICALLY at the rate level: the
+    // largest stratum must get the smallest keep-rate
+    val head = rows.maxBy(_._2._1)._1
+    assert(rows(head)._3 === rows.values.map(_._3).min,
+      "head stratum does not carry the minimum keep-rate")
+  }
+
   test("top-k is a prefix of the total order") {
     val sorted = AggOps.wordcount(spark, sf).collect().map(_.getString(0))
     val full = Tables.documents(spark, sf)
