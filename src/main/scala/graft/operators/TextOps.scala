@@ -171,6 +171,40 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Corpus-relative RARITY score per document — the data-DERIVED quality
+    * signal [[qualityScore]]'s static heuristics can't see: a document's
+    * mean inverse document frequency over its tokens, in integral
+    * per-mille units (token contributes (1000·n_docs) DIV df). Gibberish
+    * and OCR noise score high (singleton tokens contribute 1000·n_docs),
+    * boilerplate scores low (df ≈ n_docs ⇒ ≈1000) — the in-engine stand-in
+    * for the LM-perplexity filter corpus pipelines run, exact instead of
+    * model-dependent. Integral end to end (floor divisions on positive
+    * longs), so the oracle replays it bit-for-bit where a log-space score
+    * would ride libm drift. Long headroom: Σ per doc ≤ toks/doc ·
+    * 1000·n_docs ≈ 10¹⁶ at 10¹⁰ docs — widen to decimal past that.
+    *
+    * Scale shape: the df table is vocabulary-sized, so it joins by
+    * equi-join on term (NO broadcast — at corpus scale the vocab doesn't
+    * fit a driver), then one per-doc aggregate; the same two-shuffle
+    * inverted-index shape as [[tfidfTop]].
+    */
+  def rarityScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs.select(col("doc_id"), col("lang"),
+      explode(toks).as("term"))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    terms.join(df_, "term")
+      .crossJoin(broadcast(nDf))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(expr("(1000L * n_docs) DIV df")).as("idf_units"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        expr("idf_units DIV n_toks").as("rarity_units"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Train/eval contamination check: eval docs (doc_id % 10 == 0) that
     * share at least one 5-gram with any train doc, with the count of
     * distinct leaked 5-grams — the standard benchmark-leakage sweep. The
@@ -360,6 +394,7 @@ object TextOps extends OpFamily {
     "text_langid" -> (langId _),
     "text_quality" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
+    "text_rarity" -> (rarityScore _),
     "text_ngram_top" -> (ngramTop _),
     "text_tfidf_top" -> (tfidfTop _))
 
@@ -508,6 +543,17 @@ object TextOps extends OpFamily {
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS trigram
            FROM (SELECT string_split(text, ' ') AS w FROM documents))
          GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""",
+    "text_rarity" ->
+      """WITH tokens AS (SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS term FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM
+             (SELECT DISTINCT doc_id, term FROM tokens) GROUP BY term)
+         SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(SUM((1000 * n.n_docs) // df.df) // count(*) AS BIGINT)
+             AS rarity_units
+         FROM tokens t JOIN df USING (term) CROSS JOIN n
+         GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""",
     "text_tfidf_top" ->
       """WITH tokens AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                          FROM documents),
