@@ -1,0 +1,141 @@
+package graft.functions
+
+/** Pure-JVM media parsing for the multimodal pipeline — no codec
+  * libraries exist in this environment, but two ubiquitous container
+  * formats need none: PCM WAV (a RIFF chunk walk plus fixed-point
+  * samples) and binary PPM/PGM (an ASCII header plus raw pixel bytes).
+  * These are REAL decoders, exercised on genuine in-spec-constructed
+  * media bytes; formats that require entropy coding (JPEG/PNG/MP3)
+  * remain sniffed-but-stubbed, which is the honest boundary of a
+  * dependency-free sandbox.
+  *
+  * Every function is total over arbitrary byte arrays: malformed,
+  * truncated, or hostile input returns None / "unknown", never throws —
+  * the property a decode stage running over a 100 TB crawl actually
+  * needs, where a fraction of every real corpus is corrupt.
+  */
+object MediaCodecs {
+
+  /** Magic-byte container classification. Mirrors the SQL-expressible
+    * prefix checks in mm_format_sniff (hex of the leading bytes), so the
+    * JVM and SQL paths cannot drift.
+    */
+  def sniff(b: Array[Byte]): String = {
+    def at(i: Int): Int = if (i >= 0 && i < b.length) b(i) & 0xff else -1
+    def ascii(from: Int, s: String): Boolean =
+      s.indices.forall(i => at(from + i) == s.charAt(i).toInt)
+    if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
+    else if (at(0) == 0x89 && ascii(1, "PNG")) "png"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+    else if (ascii(0, "GIF8")) "gif"
+    else if (ascii(0, "BM")) "bmp"
+    else if (at(0) == 'P'.toInt && (at(1) == '5'.toInt || at(1) == '6'.toInt)
+      && Character.isWhitespace(at(2))) "pnm"
+    else "unknown"
+  }
+
+  /** Decoded PCM WAV facts: header fields plus integral sample stats
+    * (sum of |amplitude| over all 16-bit samples — order-independent, so
+    * downstream aggregation is engine-exact).
+    */
+  final case class WavInfo(channels: Int, sampleRate: Int, bits: Int,
+    nSamples: Long, sumAbs: Long)
+
+  /** Parse a PCM (format tag 1) WAV by walking RIFF chunks. Accepts any
+    * chunk order, skips unknown chunks (word-aligned), requires one
+    * "fmt " before "data". Only 16-bit samples get amplitude stats;
+    * other depths decode header-only with sumAbs = -1.
+    */
+  def decodeWav(b: Array[Byte]): Option[WavInfo] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    if (b.length < 12 || sniff(b) != "wav") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var out: Option[WavInfo] = None
+    while (out.isEmpty && off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = u32(off + 4)
+      val body = off + 8
+      // a hostile size field must not read past the buffer or loop forever
+      if (size < 0 || body + size > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16 || u16(body) != 1) return None // PCM only
+          fmt = Some((u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
+        case "data" =>
+          fmt match {
+            case Some((ch, rate, bits)) =>
+              if (ch <= 0 || bits <= 0) return None
+              if (bits == 16) {
+                val n = size / 2
+                var i = 0L
+                var sum = 0L
+                while (i < n) {
+                  val s = u16(body + (i * 2).toInt).toShort.toInt
+                  sum += math.abs(s.toLong)
+                  i += 1
+                }
+                out = Some(WavInfo(ch, rate, bits, n, sum))
+              } else
+                out = Some(WavInfo(ch, rate, bits,
+                  size / ((bits / 8).max(1)), -1L))
+            case None => return None // data before fmt
+          }
+        case _ => () // skip unknown chunk
+      }
+      off = body + size.toInt + (size.toInt & 1) // RIFF word alignment
+    }
+    out
+  }
+
+  /** Decoded binary PPM (P6) / PGM (P5) facts: dimensions, maxval, and
+    * integral per-channel pixel sums (PGM fills only sumR).
+    */
+  final case class PnmInfo(kind: String, width: Int, height: Int,
+    maxval: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  /** Parse the ASCII header (tolerating '#' comments, any whitespace
+    * runs) then read width·height raw pixels. Truncated pixel data or
+    * maxval > 255 (two-byte samples) → None.
+    */
+  def decodePnm(b: Array[Byte]): Option[PnmInfo] = {
+    if (sniff(b) != "pnm") return None
+    val kind = if (b(1) == '6'.toByte) "ppm" else "pgm"
+    var i = 2
+    // read exactly 3 whitespace-separated ints, skipping # comments
+    def nextInt(): Option[Int] = {
+      while (i < b.length &&
+        (Character.isWhitespace(b(i) & 0xff) || b(i) == '#'.toByte)) {
+        if (b(i) == '#'.toByte)
+          while (i < b.length && b(i) != '\n'.toByte) i += 1
+        else i += 1
+      }
+      val start = i
+      while (i < b.length && (b(i) & 0xff) >= '0'.toInt &&
+        (b(i) & 0xff) <= '9'.toInt) i += 1
+      if (i == start || i - start > 9) None
+      else Some(new String(b, start, i - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- nextInt()
+      h <- nextInt()
+      mx <- nextInt()
+      if w > 0 && h > 0 && mx > 0 && mx <= 255 && i < b.length
+      _ = { i += 1 } // exactly ONE whitespace byte after maxval, per spec
+      ch = if (kind == "ppm") 3 else 1
+      need = w.toLong * h * ch
+      if i + need <= b.length
+    } yield {
+      val sums = Array(0L, 0L, 0L)
+      var p = 0L
+      while (p < need) {
+        sums((p % ch).toInt) += (b(i + p.toInt) & 0xff)
+        p += 1
+      }
+      PnmInfo(kind, w, h, mx, sums(0), sums(1), sums(2))
+    }
+  }
+}

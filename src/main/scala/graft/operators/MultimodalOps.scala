@@ -135,6 +135,78 @@ object MultimodalOps extends OpFamily {
       .orderBy(col("lang"))
   }
 
+  /** Container-format sniff over the binary payload: classify by magic
+    * bytes (RIFF/WAVE, PNG, JPEG, GIF, BMP, PNM) and profile the corpus
+    * per format — the triage pass a crawl pipeline runs BEFORE routing
+    * payloads to decoders. Expressed as hex-prefix comparisons on the
+    * binary column (byte-accurate in both engines, so fully
+    * oracle-checked); [[graft.functions.MediaCodecs.sniff]] implements
+    * the identical classification for the JVM decode path, and
+    * MediaCodecSpec pins the two against each other on real media bytes.
+    */
+  def formatSniff(s: SparkSession, d: String): DataFrame = {
+    val h = hex(col("payload"))
+    val fmt = when(substring(h, 1, 8) === "52494646" &&
+        substring(h, 17, 8) === "57415645", "wav")
+      .when(substring(h, 1, 8) === "89504E47", "png")
+      .when(substring(h, 1, 6) === "FFD8FF", "jpeg")
+      .when(substring(h, 1, 8) === "47494638", "gif")
+      .when(substring(h, 1, 4) === "424D", "bmp")
+      .when(substring(h, 1, 2) === "50" &&
+        substring(h, 3, 2).isin("35", "36") &&
+        substring(h, 5, 2).isin("20", "0A", "09", "0D"), "pnm")
+      .otherwise("unknown")
+    assets(s, d)
+      .select(col("asset_id"), octet_length(col("payload")).as("n_bytes"),
+        fmt.as("format"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).cast("bigint").as("total_bytes"))
+      .orderBy(col("format"))
+  }
+
+  /** REAL media decode over any (asset_id, payload) frame: sniff the
+    * container, then run the genuine pure-JVM parsers —
+    * [[graft.functions.MediaCodecs.decodeWav]] (RIFF chunk walk + PCM16
+    * amplitude stats) and [[graft.functions.MediaCodecs.decodePnm]]
+    * (P5/P6 header + pixel sums). Feature columns by format: wav →
+    * (channels, n_samples, sum_abs_amplitude); pnm → (n_pixels,
+    * sum_pixel_values, maxval); undecodable/unknown → zeros with
+    * decoded=false. Malformed bytes can never throw — the decoders are
+    * total — so one corrupt payload cannot kill a 100 TB decode stage.
+    */
+  private[graft] def decodeMediaOn(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.MediaCodecs
+    df.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          MediaCodecs.sniff(bytes) match {
+            case "wav" => MediaCodecs.decodeWav(bytes) match {
+              case Some(w) =>
+                (id, "wav", true, w.channels.toLong, w.nSamples, w.sumAbs)
+              case None => (id, "wav", false, 0L, 0L, 0L)
+            }
+            case "pnm" => MediaCodecs.decodePnm(bytes) match {
+              case Some(p) => (id, "pnm", true, p.width.toLong * p.height,
+                p.sumR + p.sumG + p.sumB, p.maxval.toLong)
+              case None => (id, "pnm", false, 0L, 0L, 0L)
+            }
+            case fmt => (id, fmt, false, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("asset_id", "format", "decoded", "feat_a", "feat_b", "feat_c")
+      .orderBy(col("asset_id"))
+  }
+
+  /** [[decodeMediaOn]] over the corpus assets (text payloads classify as
+    * unknown — MediaCodecSpec proves the decoders on real WAV/PNM bytes).
+    */
+  def decodeMedia(s: SparkSession, d: String): DataFrame =
+    decodeMediaOn(s, assets(s, d))
+
   /** named payload column → array of 32-byte frames (pure SQL expression). */
   private def binaryFrames32(p: String) =
     expr(s"""transform(
@@ -142,6 +214,8 @@ object MultimodalOps extends OpFamily {
         i -> substring($p, i * 32 + 1, 32))""")
 
   val queries = Map(
+    "mm_format_sniff" -> (formatSniff _),
+    "mm_decode_media" -> (decodeMedia _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_decode_stub" -> (decodeStub _),
     "mm_resize_stub" -> (resizeStub _),
@@ -149,6 +223,28 @@ object MultimodalOps extends OpFamily {
     "mm_frame_sample" -> (frameSample _))
 
   val oracle = Map(
+    "mm_format_sniff" ->
+      """SELECT format, count(*) AS n_assets,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+         FROM (SELECT text,
+           CASE
+             WHEN substring(hex(encode(text)), 1, 8) = '52494646'
+              AND substring(hex(encode(text)), 17, 8) = '57415645'
+               THEN 'wav'
+             WHEN substring(hex(encode(text)), 1, 8) = '89504E47'
+               THEN 'png'
+             WHEN substring(hex(encode(text)), 1, 6) = 'FFD8FF'
+               THEN 'jpeg'
+             WHEN substring(hex(encode(text)), 1, 8) = '47494638'
+               THEN 'gif'
+             WHEN substring(hex(encode(text)), 1, 4) = '424D' THEN 'bmp'
+             WHEN substring(hex(encode(text)), 1, 2) = '50'
+              AND substring(hex(encode(text)), 3, 2) IN ('35', '36')
+              AND substring(hex(encode(text)), 5, 2)
+                IN ('20', '0A', '09', '0D') THEN 'pnm'
+             ELSE 'unknown' END AS format
+           FROM documents)
+         GROUP BY format ORDER BY format""",
     "mm_binary_meta" ->
       """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
            n_chars AS n_bytes_declared, md5(text) AS content_md5,
