@@ -91,6 +91,81 @@ object MediaCodecs {
     out
   }
 
+  /** Header-level image facts: pixel dimensions straight from the
+    * container header — PNG IHDR, JPEG SOF marker walk, GIF logical
+    * screen, BMP info header. No entropy decode (that genuinely needs a
+    * codec library); dimensions, the field a corpus profile/resize
+    * planner actually reads, are plain header bytes.
+    */
+  final case class ImageDims(format: String, width: Long, height: Long)
+
+  /** Parse dimensions for a sniffed png/jpeg/gif/bmp payload. Total:
+    * malformed headers → None.
+    */
+  def imageDims(b: Array[Byte]): Option[ImageDims] = {
+    def at(i: Int): Int = if (i >= 0 && i < b.length) b(i) & 0xff else -1
+    def be32(i: Int): Long =
+      ((at(i).toLong << 24) | (at(i + 1).toLong << 16) |
+        (at(i + 2).toLong << 8) | at(i + 3).toLong)
+    def be16(i: Int): Int = (at(i) << 8) | at(i + 1)
+    def le16(i: Int): Int = at(i) | (at(i + 1) << 8)
+    def le32(i: Int): Long =
+      (at(i).toLong | (at(i + 1).toLong << 8) |
+        (at(i + 2).toLong << 16) | (at(i + 3).toLong << 24))
+    sniff(b) match {
+      case "png" =>
+        // fixed layout: 8-byte signature, 4-byte length(=13), "IHDR",
+        // then big-endian width/height
+        if (b.length >= 24 && be32(8) == 13L && at(12) == 'I'.toInt &&
+          at(13) == 'H'.toInt && at(14) == 'D'.toInt && at(15) == 'R'.toInt)
+          Some(ImageDims("png", be32(16), be32(20)))
+            .filter(d => d.width > 0 && d.height > 0)
+        else None
+      case "jpeg" =>
+        // marker walk: FF xx [len16 payload]; SOFn (C0-CF minus C4/C8/CC)
+        // carries height/width big-endian at payload+1/+3
+        var i = 2
+        var out: Option[ImageDims] = None
+        while (out.isEmpty && i + 3 < b.length) {
+          if (at(i) != 0xff) return None // desynchronized marker stream
+          val m = at(i + 1)
+          if (m == 0xff) i += 1 // fill bytes before a marker are legal
+          else if ((m >= 0xd0 && m <= 0xd9) || m == 0x01)
+            i += 2 // SOI/EOI/RSTn/TEM are standalone, no length field
+          else {
+            val len = be16(i + 2)
+            if (len < 2 || i + 2 + len > b.length) return None
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+              m != 0xcc) {
+              val h = be16(i + 5)
+              val w = be16(i + 7)
+              out = if (w > 0 && h > 0) Some(ImageDims("jpeg", w, h))
+              else None
+              if (out.isEmpty) return None
+            }
+            if (m == 0xda) return out // entropy data follows — stop walking
+            i += 2 + len
+          }
+        }
+        out
+      case "gif" =>
+        if (b.length >= 10) Some(ImageDims("gif", le16(6), le16(8)))
+          .filter(d => d.width > 0 && d.height > 0)
+        else None
+      case "bmp" =>
+        // BITMAPINFOHEADER: signed little-endian; height may be negative
+        // (top-down rows) — report magnitude
+        if (b.length >= 26 && le32(14) >= 40) {
+          val w = le32(18).toInt
+          val h = le32(22).toInt
+          if (w > 0 && h != 0) Some(ImageDims("bmp", w.toLong,
+            math.abs(h.toLong)))
+          else None
+        } else None
+      case _ => None
+    }
+  }
+
   /** Decoded binary PPM (P6) / PGM (P5) facts: dimensions, maxval, and
     * integral per-channel pixel sums (PGM fills only sumR).
     */

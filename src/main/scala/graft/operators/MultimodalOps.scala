@@ -193,6 +193,12 @@ object MultimodalOps extends OpFamily {
                 p.sumR + p.sumG + p.sumB, p.maxval.toLong)
               case None => (id, "pnm", false, 0L, 0L, 0L)
             }
+            case fmt @ ("png" | "jpeg" | "gif" | "bmp") =>
+              // header-only: dimensions without entropy decode
+              MediaCodecs.imageDims(bytes) match {
+                case Some(dm) => (id, fmt, true, dm.width, dm.height, 0L)
+                case None => (id, fmt, false, 0L, 0L, 0L)
+              }
             case fmt => (id, fmt, false, 0L, 0L, 0L)
           }
         }
