@@ -35,6 +35,8 @@ object Scratch {
       } catch { case e: Throwable =>
         println(s"[scratch] $name FAILED: ${e.getMessage}")
       }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release checkpoint blocks the query pinned (same leak Bench
+      // fixed: 130+ sequential queries otherwise accumulate until
+      // BlockManager eviction churn drags the tail of the run)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -302,6 +302,76 @@ object Graft {
           .otherwise(lit("test")).as("split"))
   }
 
+  /** TOKEN-BUDGET temperature mixing over any frame: keep rows so each
+    * stratum's token mass approaches target ∝ √(stratum tokens), with a
+    * global budget of (total tokens)/`budgetDiv` — the α = ½ multilingual
+    * mixing rule provisioned in tokens rather than documents. Returns
+    * the input rows that survive, original schema intact. Deterministic
+    * per-mille keep-rates over the shared multiplicative hash (the
+    * [[sampleByStratum]] residue-class caveat applies); the rate
+    * derivation is exact 128-bit integer arithmetic, identical to the
+    * oracle-checked filter_mix_token_budget query.
+    */
+  def mixByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, budgetDiv: Int = 4): DataFrame = {
+    require(budgetDiv >= 1, s"budgetDiv must be positive, got $budgetDiv")
+    val withTok = df.withColumn("__tok",
+      size(split(col(textCol), " ")).cast("long"))
+    val per = withTok
+      .groupBy(col(stratumCol).cast("string").as("__st"))
+      .agg(sum(col("__tok")).as("t"),
+        floor(sqrt(sum(col("__tok")).cast("double"))).cast("long").as("sq"))
+    val tot = per.agg(sum(col("t")).as("tt"), sum(col("sq")).as("ss"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("__st"), col("t"),
+        expr(s"""CAST((CAST(tt AS DECIMAL(38,0)) * sq)
+                  DIV (CAST($budgetDiv AS DECIMAL(38,0)) * ss) AS BIGINT)""")
+          .as("__target"))
+      .select(col("__st"),
+        least(lit(1000L),
+          expr("""CAST((CAST(1000 AS DECIMAL(38,0)) * __target)
+                   DIV CAST(t AS DECIMAL(38,0)) AS BIGINT)""")).as("__rate"))
+    withTok
+      .join(broadcast(rates),
+        col(stratumCol).cast("string") === col("__st"))
+      .filter(pmod(pmod(col(idCol), lit(1000)) * lit(761L), lit(1000)) <
+        col("__rate"))
+      .drop("__tok", "__st", "__rate")
+  }
+
+  /** Corpus-relative rarity score per document: mean inverse document
+    * frequency over the document's tokens in integral per-mille units
+    * (each token contributes (1000·n_docs) DIV df). High = rare/garbage
+    * vocabulary, low = boilerplate — the model-free stand-in for an
+    * LM-perplexity quality filter. The vocabulary joins by term
+    * equi-join (never a driver broadcast), so it scales with the corpus.
+    */
+  def rarityScores(df: DataFrame, id: String, text: String): DataFrame = {
+    val base = df.select(col(id).as("id"), col(text).as("text"))
+    val nDf = base.agg(count(lit(1)).as("n_docs"))
+    val terms = base.select(col("id"), explode(toks("text")).as("term"))
+    val df_ = terms.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    terms.join(df_, "term").crossJoin(broadcast(nDf))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(expr("(1000L * n_docs) DIV df")).as("__u"))
+      .select(col("id"), col("n_toks"),
+        expr("__u DIV n_toks").as("rarity_units"))
+  }
+
+  /** Route binary payloads through the real pure-JVM media decoders
+    * (PCM WAV, binary PPM/PGM, plus header-only dimensions for
+    * PNG/JPEG/GIF/BMP): returns (asset_id, format, decoded, feat_a,
+    * feat_b, feat_c) per [[graft.operators.MultimodalOps.decodeMediaOn]].
+    * Total over malformed bytes — corrupt payloads yield decoded=false
+    * rows, never task failures.
+    */
+  def decodeMedia(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame =
+    graft.operators.MultimodalOps.decodeMediaOn(df.sparkSession,
+      df.select(col(idCol).as("asset_id"), col(payloadCol).as("payload")))
+
   // ----------------------------------------------------------------- text
 
   /** Per-document quality features + composite score. */

@@ -306,6 +306,59 @@ class GraftApiSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_bpe_tokens") === 4)   // ab, 12, cd, !
   }
 
+  test("mixByTokenBudget keeps original schema and derives exact rates") {
+    // two strata with very different token mass; ids dense so the hash
+    // bands are exact residue classes
+    val rows = (0L until 200L).map { i =>
+      val st = if (i < 150) "big" else "small"
+      val words = if (st == "big") 40 else 10
+      (i, st, Seq.fill(words)("w").mkString(" "))
+    }.toDF("my_id", "st", "body")
+    val kept = Graft.mixByTokenBudget(rows, "my_id", "body", "st")
+    assert(kept.columns.toSeq === Seq("my_id", "st", "body"))
+    // driver-side BigInt replay of the derivation
+    val t = Map("big" -> 150L * 40, "small" -> 50L * 10)
+    val sq = t.view.mapValues(v => math.sqrt(v.toDouble).toLong).toMap
+    val (tt, ss) = (t.values.sum, sq.values.sum)
+    val rate = t.map { case (k, v) =>
+      val target = (BigInt(tt) * sq(k) / (BigInt(4) * ss)).toLong
+      k -> math.min(1000L, 1000L * target / v)
+    }
+    val got = kept.groupBy(col("st")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dense sequential ids ⇒ kept count per stratum is EXACTLY the
+    // number of ids whose hash lands under the rate
+    def hash(i: Long) = ((i % 1000) * 761) % 1000
+    assert(got("big") ===
+      (0L until 150L).count(i => hash(i) < rate("big")))
+    assert(got.getOrElse("small", 0L) ===
+      (150L until 200L).count(i => hash(i) < rate("small")))
+    // the head stratum is damped below its proportional share
+    assert(rate("big") < rate("small"))
+  }
+
+  test("rarityScores computes exact integral mean IDF") {
+    val rows = Seq((1L, "a b"), (2L, "a c")).toDF("my_id", "body")
+    val out = Graft.rarityScores(rows, "my_id", "body").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // n_docs=2: df(a)=2, df(b)=df(c)=1 → per doc (1000 + 2000) DIV 2
+    assert(out(1L) === ((2L, 1500L)))
+    assert(out(2L) === ((2L, 1500L)))
+  }
+
+  test("decodeMedia API routes payloads by sniffed format") {
+    val rows = Seq(
+      (1L, "not media".getBytes("UTF-8")),
+      (2L, "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte](0x10, 0x00, 0x20, 0x00)))
+      .toDF("my_id", "blob")
+    val out = Graft.decodeMedia(rows, "my_id", "blob").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("unknown", false, 0L, 0L)))
+    assert(out(2L) === (("gif", true, 16L, 32L)))
+  }
+
   test("qualityScore and fingerprints run on ad-hoc columns") {
     val q = Graft.qualityScore(docs, "my_id", "body")
     assert(q.count() === 5)
