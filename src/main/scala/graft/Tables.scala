@@ -12,8 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plan.
   */
 object Tables {
+  /** One relation per (session, dir, table): `spark.read.parquet` infers
+    * schema and lists files EVERY call, so a registry of 130+ queries
+    * re-reading ten fixture tables pays footer+listing I/O hundreds of
+    * times for identical immutable relations. A long-lived session (or
+    * any catalog-backed deployment) resolves a table once — this cache
+    * is that, keyed by session so stopped sessions' entries are inert.
+    * DataFrames are immutable plans: sharing one across queries cannot
+    * leak state between them.
+    */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relationCache.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
