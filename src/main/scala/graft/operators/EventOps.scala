@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{OpFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event/product analytics over the events stream — the ordered-behavior
+  * queries (funnel conversion, cohort retention, transition matrix) that
+  * sit one level above windowed aggregation: every marketing/product
+  * pipeline runs these, and none is expressible as a single groupBy.
+  *
+  * Scale shape: everything is keyed by user_id — the sequential-funnel
+  * chain is groupBy(user)+join(user) stages that AQE co-partitions (one
+  * logical shuffle of the events table reused down the chain via
+  * ReuseExchange), retention is two user-keyed aggregates, transitions
+  * is one user-partitioned window. Nothing is event×event; output is
+  * bounded (steps / cohort-week grid / 5×6 transition matrix).
+  */
+object EventOps extends OpFamily {
+
+  /** events with ts already truncated to microseconds (Tables.events).  */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+
+  /** STRICTLY-ORDERED funnel signup → view → click → purchase: a user
+    * converts step k only with an event at step k STRICTLY AFTER their
+    * step-(k−1) conversion time (the earliest valid one — min over
+    * qualifying events, the standard unordered-events funnel semantics).
+    * Four sequential conditional-min aggregates; each step's user set is
+    * a subset of the previous, pinned by the spec's monotonicity case.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = funnelOn(ev(s, d))
+
+  private[graft] def funnelOn(e: DataFrame): DataFrame = {
+    def step(prev: DataFrame, prevT: String, evType: String, t: String) =
+      e.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevT))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(t))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = step(t1, "t1", "view", "t2")
+    val t3 = step(t2, "t2", "click", "t3")
+    val t4 = step(t3, "t3", "purchase", "t4")
+    Seq("1_signup" -> t1, "2_view" -> t2, "3_click" -> t3,
+      "4_purchase" -> t4)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"),
+          col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("step"))
+  }
+
+  /** Weekly cohort retention: cohort = week index of a user's FIRST
+    * event (integer days since 2024-01-01, DIV 7), activity offset =
+    * whole weeks between the cohort day and each active day. Distinct
+    * users per (cohort_week, week_offset) — the classic retention
+    * triangle, all-integer so both engines replay it exactly.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame =
+    cohortRetentionOn(ev(s, d))
+
+  private[graft] def cohortRetentionOn(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("day"))
+    val first = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    e.join(first, Seq("user_id"))
+      .select(col("user_id"), expr("cohort_day DIV 7").as("cohort_week"),
+        expr("(day - cohort_day) DIV 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Per-user next-event transition matrix: lead() over (ts, event_id)
+    * — event_id breaks timestamp ties deterministically — grouped into
+    * (from, to) counts; a user's last event transitions to '(end)'. The
+    * Markov-chain view of user behavior in one window + one aggregate.
+    */
+  def transitions(s: SparkSession, d: String): DataFrame =
+    transitionsOn(ev(s, d))
+
+  private[graft] def transitionsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type",
+        coalesce(lead(col("event_type"), 1).over(w), lit("(end)")))
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val queries = Map(
+    "ev_funnel" -> (funnel _),
+    "ev_cohort_retention" -> (cohortRetention _),
+    "ev_transitions" -> (transitions _))
+
+  val oracle = Map(
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events),
+         t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY user_id),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'view' AND e.ts > t1.t1
+                GROUP BY e.user_id),
+         t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+                JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'click' AND e.ts > t2.t2
+                GROUP BY e.user_id),
+         t4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM e
+                JOIN t3 ON e.user_id = t3.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t3.t3
+                GROUP BY e.user_id)
+         SELECT step, n_users FROM (
+           SELECT '1_signup' AS step, CAST(count(*) AS BIGINT) AS n_users
+             FROM t1
+           UNION ALL SELECT '2_view', CAST(count(*) AS BIGINT) FROM t2
+           UNION ALL SELECT '3_click', CAST(count(*) AS BIGINT) FROM t3
+           UNION ALL SELECT '4_purchase', CAST(count(*) AS BIGINT) FROM t4)
+         ORDER BY step""",
+    "ev_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01' AS day
+           FROM events),
+         first AS (SELECT user_id, min(day) AS cohort_day FROM e
+                   GROUP BY user_id)
+         SELECT cohort_day // 7 AS cohort_week,
+           (day - cohort_day) // 7 AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN first ON e.user_id = first.user_id
+         GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
+    "ev_transitions" ->
+      """SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT event_type,
+             coalesce(lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id), '(end)') AS next_type
+           FROM events)
+         GROUP BY event_type, next_type
+         ORDER BY event_type, next_type""")
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.EventOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-built event streams where the sf0.1 corpus is too dense to
+  * discriminate: the strict-order funnel semantics (out-of-order steps
+  * do NOT count), the retention week grid, transition conservation.
+  */
+class EventOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import TestSpark.spark.implicits._
+
+  private def events(rows: Seq[(Long, Long, String, String)]) =
+    rows.toDF("event_id", "user_id", "event_type", "tss")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("tss")).as("ts"), lit(1.0).as("value"))
+
+  test("funnel counts only strictly-ordered step sequences") {
+    val e = events(Seq(
+      // user 1: full ordered funnel
+      (1L, 1L, "signup", "2024-01-01 10:00:00"),
+      (2L, 1L, "view", "2024-01-01 10:01:00"),
+      (3L, 1L, "click", "2024-01-01 10:02:00"),
+      (4L, 1L, "purchase", "2024-01-01 10:03:00"),
+      // user 2: view BEFORE signup — must stop at signup
+      (5L, 2L, "view", "2024-01-01 09:00:00"),
+      (6L, 2L, "signup", "2024-01-01 09:30:00"),
+      // user 3: signup→view→purchase, no click — stops at view;
+      // the purchase must NOT leak past the missing step
+      (7L, 3L, "signup", "2024-01-02 08:00:00"),
+      (8L, 3L, "view", "2024-01-02 08:10:00"),
+      (9L, 3L, "purchase", "2024-01-02 08:20:00"),
+      // user 4: never signs up — appears nowhere
+      (10L, 4L, "purchase", "2024-01-03 12:00:00")))
+    val got = EventOps.funnelOn(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1_signup" -> 3L, "2_view" -> 2L,
+      "3_click" -> 1L, "4_purchase" -> 1L))
+  }
+
+  test("funnel step times are strictly increasing (same-ts never counts)") {
+    val e = events(Seq(
+      (1L, 1L, "signup", "2024-01-01 10:00:00"),
+      (2L, 1L, "view", "2024-01-01 10:00:00"))) // simultaneous — excluded
+    val got = EventOps.funnelOn(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("2_view") === 0L)
+  }
+
+  test("cohort retention buckets whole weeks from each user's first day") {
+    val e = events(Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:00"),  // cohort day 0 → week 0
+      (2L, 1L, "view", "2024-01-14 00:00:00"),  // offset 13 days → week 1
+      (3L, 2L, "view", "2024-01-09 00:00:00"),  // cohort day 8 → week 1
+      (4L, 2L, "view", "2024-01-10 00:00:00"))) // offset 1 day → week 0
+    val got = EventOps.cohortRetentionOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
+  }
+
+  test("transitions conserve events and terminate each user at (end)") {
+    val e = events(Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:01:00"),
+      (3L, 1L, "view", "2024-01-01 10:02:00"),
+      (4L, 2L, "signup", "2024-01-01 11:00:00")))
+    val rows = EventOps.transitionsOn(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows === Map(("view", "click") -> 1L, ("click", "view") -> 1L,
+      ("view", "(end)") -> 1L, ("signup", "(end)") -> 1L))
+    // every event appears exactly once as a transition source
+    assert(rows.values.sum === 4L)
+    // exactly one (end) per user
+    assert(rows.collect { case ((_, "(end)"), n) => n }.sum === 2L)
+  }
+
+  test("funnel per-step user sets shrink monotonically on the corpus") {
+    val ns = EventOps.funnel(spark, sf).collect()
+      .sortBy(_.getString(0)).map(_.getLong(1))
+    assert(ns.sliding(2).forall(p => p(0) >= p(1)),
+      s"funnel not monotone: ${ns.mkString(",")}")
+  }
+}
