@@ -247,8 +247,27 @@ object AggOps extends OpFamily {
       .na.fill(0L)
       .orderBy(col("user_id"))
 
+  /** UNPIVOT/melt — [[pivotEventTypes]]'s inverse reshaping: a wide
+    * per-language profile (doc count, char mass, token mass) melted to
+    * tidy (lang, metric, value) rows via Dataset.unpivot (Catalyst
+    * Expand: one pass, rows×metrics output, no shuffle beyond the
+    * bounded source aggregate). The long-form shape feeds charting /
+    * metric stores; the oracle spells it as the portable UNION ALL.
+    */
+  def unpivotLangProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(size(split(col("text"), " "))).cast("long").as("sum_tokens"))
+      .unpivot(Array(col("lang")),
+        Array(col("n_docs"), col("sum_chars"), col("sum_tokens")),
+        "metric", "value")
+      .orderBy(col("lang"), col("metric"))
+
   val queries = Map(
     "agg_pivot" -> (pivotEventTypes _),
+    "agg_unpivot" -> (unpivotLangProfile _),
     "agg_q1_pricing_summary" -> (q1PricingSummary _),
     "agg_numeric_summary" -> (numericSummary _),
     "agg_count_distinct" -> (countDistinctUsers _),
@@ -276,6 +295,16 @@ object AggOps extends OpFamily {
          JOIN (VALUES (25), (50), (75), (95)) t(pct)
            ON s.r = CAST(ceil(t.pct * s.n / 100.0) AS BIGINT)
          ORDER BY pct""",
+    "agg_unpivot" ->
+      """WITH wide AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+           FROM documents GROUP BY lang)
+         SELECT lang, metric, value FROM (
+           SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+           UNION ALL SELECT lang, 'sum_chars', sum_chars FROM wide
+           UNION ALL SELECT lang, 'sum_tokens', sum_tokens FROM wide)
+         ORDER BY lang, metric""",
     "agg_pivot" ->
       """SELECT user_id,
            count(*) FILTER (event_type = 'click') AS click,
