@@ -247,6 +247,38 @@ object AggOps extends OpFamily {
       .na.fill(0L)
       .orderBy(col("user_id"))
 
+  /** Pearson correlation with ENGINE-EXACT moment sums — corr(x, y) per
+    * group where every Σx, Σy, Σxy, Σx², Σy² accumulates in DECIMAL
+    * (order-independent, unlike the float sums inside builtin corr()),
+    * assembled into r by one final double expression. The decimal-domain
+    * sibling of graph_assortativity's integer-domain coefficient: the
+    * audit-grade correlation a metrics pipeline can reproduce bit-for-bit
+    * on any engine. Map-side partial aggregation; bounded output.
+    */
+  def corrQtyPrice(s: SparkSession, d: String): DataFrame = {
+    def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d4(col("l_quantity"))).as("sx"),
+        sum(d4(col("l_extendedprice"))).as("sy"),
+        sum(d4(col("l_quantity")) * d4(col("l_extendedprice"))).as("sxy"),
+        sum(d4(col("l_quantity")) * d4(col("l_quantity"))).as("sxx"),
+        sum(d4(col("l_extendedprice")) * d4(col("l_extendedprice")))
+          .as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sxy").cast("double") / col("n") -
+          (col("sx").cast("double") / col("n")) *
+            (col("sy").cast("double") / col("n"))) /
+          (sqrt(col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+              (col("sx").cast("double") / col("n"))) *
+            sqrt(col("syy").cast("double") / col("n") -
+              (col("sy").cast("double") / col("n")) *
+                (col("sy").cast("double") / col("n"))))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** UNPIVOT/melt — [[pivotEventTypes]]'s inverse reshaping: a wide
     * per-language profile (doc count, char mass, token mass) melted to
     * tidy (lang, metric, value) rows via Dataset.unpivot (Catalyst
@@ -268,6 +300,8 @@ object AggOps extends OpFamily {
   val queries = Map(
     "agg_pivot" -> (pivotEventTypes _),
     "agg_unpivot" -> (unpivotLangProfile _),
+    "agg_unpivot" -> (unpivotLangProfile _),
+    "agg_corr" -> (corrQtyPrice _),
     "agg_q1_pricing_summary" -> (q1PricingSummary _),
     "agg_numeric_summary" -> (numericSummary _),
     "agg_count_distinct" -> (countDistinctUsers _),
@@ -295,6 +329,26 @@ object AggOps extends OpFamily {
          JOIN (VALUES (25), (50), (75), (95)) t(pct)
            ON s.r = CAST(ceil(t.pct * s.n / 100.0) AS BIGINT)
          ORDER BY pct""",
+    "agg_corr" ->
+      """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+           SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+           SUM(CAST(l_quantity AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
+           SUM(CAST(l_quantity AS DECIMAL(19,4))
+             * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+           SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+             * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           (CAST(sxy AS DOUBLE) / n
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+           / (sqrt(CAST(sxx AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+             * sqrt(CAST(syy AS DOUBLE) / n
+               - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+           AS corr_qty_price
+         FROM m ORDER BY l_returnflag""",
     "agg_unpivot" ->
       """WITH wide AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
