@@ -35,23 +35,28 @@ object EventOps extends OpFamily {
   def funnel(s: SparkSession, d: String): DataFrame = funnelOn(ev(s, d))
 
   private[graft] def funnelOn(e: DataFrame): DataFrame = {
-    def step(prev: DataFrame, prevT: String, evType: String, t: String) =
-      e.filter(col("event_type") === evType)
-        .join(prev, Seq("user_id"))
-        .filter(col("ts") > col(prevT))
-        .groupBy(col("user_id")).agg(min(col("ts")).as(t))
-    val t1 = e.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val t2 = step(t1, "t1", "view", "t2")
-    val t3 = step(t2, "t2", "click", "t3")
-    val t4 = step(t3, "t3", "purchase", "t4")
-    Seq("1_signup" -> t1, "2_view" -> t2, "3_click" -> t3,
-      "4_purchase" -> t4)
-      .map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"),
-          col("n_users"))
-      }
-      .reduce(_ unionByName _)
+    // ONE shuffle: each step time is a whole-partition window min over
+    // the same user_id partitioning (consecutive Window stages reuse the
+    // exchange — the first cut's four groupBy+join stages planned 17
+    // static exchanges), conditions chain t(k) on t(k−1) with null
+    // propagation doing the gating (ts > null is null, min ignores it).
+    val w = Window.partitionBy(col("user_id"))
+    def stepMin(evType: String, prevT: Option[String]) =
+      min(when(col("event_type") === evType &&
+        prevT.map(col("ts") > col(_)).getOrElse(lit(true)), col("ts")))
+        .over(w)
+    val perUser = e
+      .withColumn("t1", stepMin("signup", None))
+      .withColumn("t2", stepMin("view", Some("t1")))
+      .withColumn("t3", stepMin("click", Some("t2")))
+      .withColumn("t4", stepMin("purchase", Some("t3")))
+      .groupBy(col("user_id")) // same key: no second shuffle
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"), max(col("t4")).as("t4"))
+    perUser
+      .agg(count(col("t1")).as("1_signup"), count(col("t2")).as("2_view"),
+        count(col("t3")).as("3_click"), count(col("t4")).as("4_purchase"))
+      .unpivot(Array.empty, "step", "n_users")
       .orderBy(col("step"))
   }
 
