@@ -103,12 +103,37 @@ object EventOps extends OpFamily {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** SCD-Type-2 snapshot build from the raw change log: each user's
+    * events become half-open validity intervals [valid_from, valid_to)
+    * via one lead() over (ts, event_id), the open-ended last row flagged
+    * current — the warehouse dimension-table construction (CDC compaction)
+    * in one window pass, no self-join. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("event_id"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   val queries = Map(
     "ev_funnel" -> (funnel _),
+    "ev_scd2" -> (scd2 _),
     "ev_cohort_retention" -> (cohortRetention _),
     "ev_transitions" -> (transitions _))
 
   val oracle = Map(
+    "ev_scd2" ->
+      """SELECT user_id, event_type AS state,
+           CAST(ts AS TIMESTAMP) AS valid_from, event_id,
+           lead(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS valid_to,
+           (lead(ts, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) IS NULL) AS is_current
+         FROM events ORDER BY user_id, valid_from, event_id""",
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
              CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -31,6 +31,32 @@ object StreamOps extends OpFamily {
         col("sum_v"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** GAP-FILLED hourly series: [[tumbling]] leaves empty hours absent,
+    * but downstream consumers (charting, anomaly detection, forecasting)
+    * need a DENSE time spine. Build the complete hour sequence from the
+    * observed min/max (sequence + explode — one row per hour, generated
+    * distributed, never a driver loop), left-join the hourly aggregate
+    * onto it, and zero-fill the gaps. The spine is data-bounded (hours
+    * between observed extremes), so the explode is O(span), not O(rows).
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_v"))
+      .select(col("w.start").as("h"), col("n"), col("sum_v"))
+    val spine = hourly
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(expr(
+        "sequence(h0, h1, INTERVAL 1 HOUR)")).as("h"))
+    spine.join(hourly, Seq("h"), "left_outer")
+      .select(col("h").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_v"), lit(0.0)).as("sum_v"))
+      .orderBy(col("hour"))
+  }
+
   /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
   def sliding(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -67,6 +93,7 @@ object StreamOps extends OpFamily {
 
   val queries = Map(
     "stream_tumbling" -> (tumbling _),
+    "stream_gapfill" -> (gapFill _),
     "stream_sliding" -> (sliding _),
     "stream_session" -> (sessionize _),
     "stream_session_stats" -> (sessionStats _))
@@ -85,6 +112,19 @@ object StreamOps extends OpFamily {
            FROM events))"""
 
   val oracle = Map(
+    "stream_gapfill" ->
+      """WITH hourly AS (
+           SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+           FROM events WHERE event_type = 'purchase' GROUP BY h),
+         spine AS (SELECT unnest(generate_series(
+             (SELECT min(h) FROM hourly), (SELECT max(h) FROM hourly),
+             INTERVAL '1 hour')) AS h)
+         SELECT spine.h AS hour, coalesce(n, 0) AS n,
+           coalesce(sum_v, 0.0) AS sum_v
+         FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+         ORDER BY hour""",
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
            event_type, count(*) AS n,
