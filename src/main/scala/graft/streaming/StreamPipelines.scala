@@ -71,6 +71,18 @@ object StreamPipelines {
         col("cts").as("click_ts"), col("amount"))
   }
 
+  /** Stream-STATIC enrichment join — the dimension-lookup pattern, and
+    * the stateless complement of [[purchasesWithPriorClick]]: each
+    * micro-batch joins the static side fresh (broadcast — no streaming
+    * state at all, no watermark required), so a reference table of any
+    * bounded size enriches an unbounded stream. Input schemas:
+    * events(ts TIMESTAMP, user_id BIGINT, event_type STRING),
+    * dim(event_type STRING, weight BIGINT).
+    */
+  def enrichedEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .select(col("ts"), col("user_id"), col("event_type"), col("weight"))
+
   /** Streaming corpus ingest — the LLM-pipeline front door as ONE
     * incremental plan: quality gate (token count + type-token ratio) →
     * content-fingerprint exact dedup with watermark-bounded state →

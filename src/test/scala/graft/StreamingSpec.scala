@@ -96,6 +96,30 @@ class StreamingSpec extends AnyFunSuite {
       s"only user 1's purchase is within 10 min of a click, got ${rows.toSeq}")
   }
 
+  test("stream-static join enriches each micro-batch with no state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = MemoryStream[(Timestamp, Long, String)]
+    val dim = Seq(("click", 1L), ("purchase", 10L)).toDF(
+      "event_type", "weight")
+    val out = graft.streaming.StreamPipelines.enrichedEvents(
+      events.toDF().toDF("ts", "user_id", "event_type"), dim)
+    val q = out.writeStream.format("memory").queryName("t_enrich")
+      .outputMode(OutputMode.Append).start()
+    events.addData((ts(1), 1L, "click"), (ts(2), 2L, "purchase"),
+      (ts(3), 3L, "error")) // no dim row — inner join drops it
+    q.processAllAvailable()
+    events.addData((ts(4), 4L, "click")) // second batch re-joins the dim
+    q.processAllAvailable()
+    val rows = spark.table("t_enrich").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).sorted
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 1L), (2L, 10L), (4L, 1L)))
+    assert(q.lastProgress.stateOperators.isEmpty ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+      "stream-static join must keep zero streaming state")
+  }
+
   test("corpusIngest stream: quality gate, fingerprint dedup, stratified keep") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Timestamp)]
