@@ -166,6 +166,47 @@ object MediaCodecs {
     }
   }
 
+  /** GIF frame count WITHOUT LZW decode: the container frames its
+    * compressed data in length-prefixed sub-blocks, so a linear walk —
+    * logical screen descriptor, optional color tables, extension blocks,
+    * image descriptors — counts animation frames while skipping every
+    * compressed byte by its declared length. None on desynchronized or
+    * truncated block streams (no trailer ⇒ None, like every parser here).
+    */
+  def gifFrames(b: Array[Byte]): Option[Int] = {
+    if (sniff(b) != "gif") return None
+    def at(i: Int): Int = if (i < b.length) b(i) & 0xff else -1
+    var i = 6
+    if (i + 7 > b.length) return None
+    val flags = at(i + 4)
+    i += 7
+    if ((flags & 0x80) != 0) i += 3 * (1 << ((flags & 7) + 1))
+    var frames = 0
+    def skipSubBlocks(): Boolean = {
+      var len = at(i)
+      while (len > 0) { i += 1 + len; len = at(i) }
+      if (len == 0) { i += 1; true } else false // -1 = ran off the end
+    }
+    while (i < b.length) {
+      at(i) match {
+        case 0x3b => return Some(frames) // trailer
+        case 0x21 => // extension: label byte, then sub-blocks
+          i += 2
+          if (!skipSubBlocks()) return None
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val lflags = at(i + 9)
+          i += 10
+          if ((lflags & 0x80) != 0) i += 3 * (1 << ((lflags & 7) + 1))
+          i += 1 // LZW minimum code size
+          if (!skipSubBlocks()) return None
+          frames += 1
+        case _ => return None // desynchronized block stream
+      }
+    }
+    None // no trailer reached
+  }
+
   /** Decoded binary PPM (P6) / PGM (P5) facts: dimensions, maxval, and
     * integral per-channel pixel sums (PGM fills only sumR).
     */

@@ -194,9 +194,14 @@ object MultimodalOps extends OpFamily {
               case None => (id, "pnm", false, 0L, 0L, 0L)
             }
             case fmt @ ("png" | "jpeg" | "gif" | "bmp") =>
-              // header-only: dimensions without entropy decode
+              // header-only: dimensions without entropy decode; for GIF
+              // the block walk also yields the animation frame count
               MediaCodecs.imageDims(bytes) match {
-                case Some(dm) => (id, fmt, true, dm.width, dm.height, 0L)
+                case Some(dm) =>
+                  val frames = if (fmt == "gif")
+                    MediaCodecs.gifFrames(bytes).getOrElse(0).toLong
+                  else 0L
+                  (id, fmt, true, dm.width, dm.height, frames)
                 case None => (id, fmt, false, 0L, 0L, 0L)
               }
             case fmt => (id, fmt, false, 0L, 0L, 0L)
