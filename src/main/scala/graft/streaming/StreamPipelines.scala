@@ -83,6 +83,30 @@ object StreamPipelines {
     events.join(broadcast(dim), Seq("event_type"))
       .select(col("ts"), col("user_id"), col("event_type"), col("weight"))
 
+  /** Custom sink via foreachBatch — the escape hatch for any external
+    * system without a native connector (JDBC upsert, Kafka-less
+    * environments, object stores): each micro-batch's COMPLETE-mode
+    * running totals atomically replace a parquet snapshot. Replay-safe
+    * by idempotence — re-running a batch overwrites with identical
+    * content — which is the contract foreachBatch asks the sink author
+    * for (Spark guarantees at-least-once batch delivery plus the
+    * batchId for dedup; an overwrite snapshot needs neither stored
+    * offsets nor a transactional target). Input schema:
+    * events(ts TIMESTAMP, user_id BIGINT, event_type STRING).
+    */
+  def totalsToParquetSink(events: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.groupBy(col("event_type"))
+      // exact distinct is unsupported on streams; deterministic sums keep
+      // the snapshot assertion exact (approx_count_distinct would not)
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.coalesce(1).write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+
   /** Streaming corpus ingest — the LLM-pipeline front door as ONE
     * incremental plan: quality gate (token count + type-token ratio) →
     * content-fingerprint exact dedup with watermark-bounded state →

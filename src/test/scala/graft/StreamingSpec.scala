@@ -120,6 +120,27 @@ class StreamingSpec extends AnyFunSuite {
       "stream-static join must keep zero streaming state")
   }
 
+  test("foreachBatch parquet sink snapshots running totals idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink")
+      .toString + "/totals"
+    val events = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamPipelines.totalsToParquetSink(
+      events.toDF().toDF("ts", "user_id", "event_type"), dir)
+    def snapshot(): Map[String, (Long, Long)] =
+      spark.read.parquet(dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    events.addData((ts(1), 1L, "click"), (ts(2), 1L, "click"),
+      (ts(3), 2L, "view"))
+    q.processAllAvailable()
+    assert(snapshot() === Map("click" -> ((2L, 2L)), "view" -> ((1L, 2L))))
+    // next batch REPLACES the snapshot with the new running totals
+    events.addData((ts(4), 3L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    assert(snapshot() === Map("click" -> ((3L, 5L)), "view" -> ((1L, 2L))))
+  }
+
   test("corpusIngest stream: quality gate, fingerprint dedup, stratified keep") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Timestamp)]
