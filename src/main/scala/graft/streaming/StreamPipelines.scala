@@ -107,6 +107,54 @@ object StreamPipelines {
       }
       .start()
 
+  /** Streaming funnel state machine — the incremental twin of the batch
+    * ev_funnel, on the Spark 4 transformWithState API: one ValueState
+    * per user holds the furthest step reached; an event advances the
+    * machine only when it is exactly the NEXT step, and each advance
+    * emits (user_id, step_index, step). `count(1) GROUP BY step` over
+    * the output is the live funnel. State is one Int per user —
+    * O(users), never O(events). Arrival order stands in for event time
+    * (pair with an upstream watermark sort where late data matters);
+    * the batch ev_funnel is the exact event-time formulation.
+    */
+  class FunnelProcessor(steps: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, Int, String)] {
+    @transient private var reached:
+      org.apache.spark.sql.streaming.ValueState[Int] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      reached = getHandle.getValueState[Int]("reached",
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Int, String)] = {
+      var cur = if (reached.exists()) reached.get() else 0
+      val advances = Seq.newBuilder[(Long, Int, String)]
+      rows.foreach { case (_, eventType) =>
+        if (cur < steps.length && eventType == steps(cur)) {
+          cur += 1
+          advances += ((key, cur, eventType))
+        }
+      }
+      reached.update(cur)
+      advances.result().iterator
+    }
+  }
+
+  /** [[FunnelProcessor]] wired over a (user_id, event_type) stream. */
+  def funnelAdvances(events: org.apache.spark.sql.Dataset[(Long, String)],
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
+      : org.apache.spark.sql.Dataset[(Long, Int, String)] =
+    events.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new FunnelProcessor(steps),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        org.apache.spark.sql.Encoders.product[(Long, Int, String)])
+
   /** Streaming corpus ingest — the LLM-pipeline front door as ONE
     * incremental plan: quality gate (token count + type-token ratio) →
     * content-fingerprint exact dedup with watermark-bounded state →

@@ -238,6 +238,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming funnel advances per-user state only on the next step") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamPipelines.funnelAdvances(mem.toDS())
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF("uid", "step_idx", "step")
+        .writeStream.format("memory").queryName("t_funnel")
+        .outputMode("append").start()
+      // user 1 starts the funnel; user 2's view is premature (no signup)
+      mem.addData((1L, "signup"), (1L, "view"), (2L, "view"))
+      q.processAllAvailable()
+      // state carries across batches: user 1 finishes; user 2's purchase
+      // is skipped (next expected step after signup is view)
+      mem.addData((1L, "click"), (1L, "purchase"),
+        (2L, "signup"), (2L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("t_funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      q.stop()
+      assert(rows === Set((1L, 1, "signup"), (1L, 2, "view"),
+        (1L, 3, "click"), (1L, 4, "purchase"), (2L, 1, "signup")))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("observe() + listener exposes MR-style job counters") {
     @volatile var seen: Option[Long] = None
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
