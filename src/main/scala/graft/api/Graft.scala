@@ -372,6 +372,40 @@ object Graft {
     graft.operators.MultimodalOps.decodeMediaOn(df.sparkSession,
       df.select(col(idCol).as("asset_id"), col(payloadCol).as("payload")))
 
+  // ------------------------------------------------------- event analytics
+
+  /** Strictly-ordered conversion funnel over any event frame, for an
+    * arbitrary ordered step list: a user converts step k only with an
+    * event STRICTLY after their step-(k−1) time. Returns (step,
+    * n_users) with steps labeled `1_<name>`, `2_<name>`, … One shuffle
+    * regardless of step count (chained window minimums).
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame =
+    graft.operators.EventOps.funnelOn(
+      df.select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
+        col(tsCol).as("ts")), steps)
+
+  /** Weekly cohort retention triangle over any event frame: cohort =
+    * week of each user's first event (integer days since `epoch`),
+    * offset = whole weeks since that first day. Returns (cohort_week,
+    * week_offset, n_users).
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+      epoch: String = "2024-01-01"): DataFrame =
+    graft.operators.EventOps.cohortRetentionOn(
+      df.select(col(userCol).as("user_id"), col(tsCol).as("ts")), epoch)
+
+  /** Per-user next-event transition matrix over any event frame; ties
+    * on the timestamp break by `seqCol`. Returns (event_type,
+    * next_type, n) with '(end)' terminal rows.
+    */
+  def transitions(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, seqCol: String): DataFrame =
+    graft.operators.EventOps.transitionsOn(
+      df.select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
+        col(tsCol).as("ts"), col(seqCol).as("event_id")))
+
   // ----------------------------------------------------------------- text
 
   /** Per-document quality features + composite score. */

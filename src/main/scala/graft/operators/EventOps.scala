@@ -34,28 +34,35 @@ object EventOps extends OpFamily {
     */
   def funnel(s: SparkSession, d: String): DataFrame = funnelOn(ev(s, d))
 
-  private[graft] def funnelOn(e: DataFrame): DataFrame = {
-    // ONE shuffle: each step time is a whole-partition window min over
-    // the same user_id partitioning (consecutive Window stages reuse the
-    // exchange — the first cut's four groupBy+join stages planned 17
-    // static exchanges), conditions chain t(k) on t(k−1) with null
-    // propagation doing the gating (ts > null is null, min ignores it).
+  private[graft] val FunnelSteps =
+    Seq("signup", "view", "click", "purchase")
+
+  private[graft] def funnelOn(e: DataFrame,
+      steps: Seq[String] = FunnelSteps): DataFrame = {
+    // ONE shuffle for any step count: each step time is a
+    // whole-partition window min over the same user_id partitioning
+    // (consecutive Window stages reuse the exchange — the first cut's
+    // groupBy+join chain planned 17 static exchanges), conditions chain
+    // t(k) on t(k−1) with null propagation doing the gating (ts > null
+    // is null, min ignores it).
+    require(steps.nonEmpty && steps.size == steps.distinct.size,
+      s"funnel steps must be non-empty and distinct: $steps")
     val w = Window.partitionBy(col("user_id"))
-    def stepMin(evType: String, prevT: Option[String]) =
-      min(when(col("event_type") === evType &&
-        prevT.map(col("ts") > col(_)).getOrElse(lit(true)), col("ts")))
-        .over(w)
-    val perUser = e
-      .withColumn("t1", stepMin("signup", None))
-      .withColumn("t2", stepMin("view", Some("t1")))
-      .withColumn("t3", stepMin("click", Some("t2")))
-      .withColumn("t4", stepMin("purchase", Some("t3")))
+    val ts = steps.indices.map(i => s"t${i + 1}")
+    val labels = steps.zipWithIndex.map { case (st, i) => s"${i + 1}_$st" }
+    val withT = steps.zipWithIndex.foldLeft(e) { case (df, (st, i)) =>
+      val gate = col("event_type") === st &&
+        (if (i == 0) lit(true) else col("ts") > col(ts(i - 1)))
+      df.withColumn(ts(i), min(when(gate, col("ts"))).over(w))
+    }
+    val perUser = withT
       .groupBy(col("user_id")) // same key: no second shuffle
-      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
-        max(col("t3")).as("t3"), max(col("t4")).as("t4"))
+      .agg(max(col(ts.head)).as(ts.head),
+        ts.tail.map(t => max(col(t)).as(t)): _*)
     perUser
-      .agg(count(col("t1")).as("1_signup"), count(col("t2")).as("2_view"),
-        count(col("t3")).as("3_click"), count(col("t4")).as("4_purchase"))
+      .agg(count(col(ts.head)).as(labels.head),
+        ts.tail.zip(labels.tail)
+          .map { case (t, l) => count(col(t)).as(l) }: _*)
       .unpivot(Array.empty, "step", "n_users")
       .orderBy(col("step"))
   }
@@ -69,10 +76,11 @@ object EventOps extends OpFamily {
   def cohortRetention(s: SparkSession, d: String): DataFrame =
     cohortRetentionOn(ev(s, d))
 
-  private[graft] def cohortRetentionOn(events: DataFrame): DataFrame = {
+  private[graft] def cohortRetentionOn(events: DataFrame,
+      epoch: String = "2024-01-01"): DataFrame = {
     val e = events
       .select(col("user_id"),
-        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        datediff(col("ts").cast("date"), lit(epoch).cast("date"))
           .as("day"))
     val first = e.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))

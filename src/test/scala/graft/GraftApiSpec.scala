@@ -359,6 +359,40 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(2L) === (("gif", true, 16L, 32L)))
   }
 
+  test("funnel API runs a custom step list on ad-hoc columns") {
+    val rows = Seq(
+      (10L, "install", "2024-02-01 10:00:00"),
+      (10L, "open", "2024-02-01 10:05:00"),
+      (10L, "subscribe", "2024-02-01 10:09:00"),
+      (20L, "open", "2024-02-01 11:00:00"), // no install first
+      (20L, "install", "2024-02-01 11:30:00"))
+      .toDF("uid", "action", "at")
+      .select(col("uid"), col("action"), to_timestamp(col("at")).as("at"))
+    val got = Graft.funnel(rows, "uid", "action", "at",
+      Seq("install", "open", "subscribe")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1_install" -> 2L, "2_open" -> 1L,
+      "3_subscribe" -> 1L))
+    intercept[IllegalArgumentException] {
+      Graft.funnel(rows, "uid", "action", "at", Seq("a", "a"))
+    }
+  }
+
+  test("cohortRetention and transitions APIs run on renamed columns") {
+    val rows = Seq(
+      (1L, 1L, "x", "2024-03-01 00:00:00"),
+      (2L, 1L, "y", "2024-03-09 00:00:00"))
+      .toDF("seq", "uid", "action", "at")
+      .select(col("seq"), col("uid"), col("action"),
+        to_timestamp(col("at")).as("at"))
+    val ret = Graft.cohortRetention(rows, "uid", "at", epoch = "2024-03-01")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ret === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L))
+    val tr = Graft.transitions(rows, "uid", "action", "at", "seq")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tr === Set(("x", "y"), ("y", "(end)")))
+  }
+
   test("qualityScore and fingerprints run on ad-hoc columns") {
     val q = Graft.qualityScore(docs, "my_id", "body")
     assert(q.count() === 5)
