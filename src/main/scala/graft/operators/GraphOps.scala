@@ -840,7 +840,11 @@ object GraphOps extends OpFamily {
   private[graft] val BetwMaxDepth = 3
 
   def betweennessCentrality(s: SparkSession, d: String): DataFrame = {
-    val edges = custSuppEdges(s, d)
+    // checkpoint the edge build HERE so the node count below reads the
+    // materialized blocks instead of re-running the orders⋈lineitem
+    // join (betweennessFrom's own checkpoint of this frame is then a
+    // cheap narrow rescan)
+    val edges = custSuppEdges(s, d).localCheckpoint()
     // Brandes–Pich pivot-sampling normalization: the unbiased estimate of
     // the FULL betweenness is (n/|S|)·Σ_{s∈S} δ_s(v). The factor is the
     // same positive constant for every node, so it cannot change the
