@@ -67,6 +67,51 @@ object EventOps extends OpFamily {
       .orderBy(col("step"))
   }
 
+  /** SESSIONIZED funnel — [[funnel]] asks "did the user EVER convert";
+    * this asks "did they convert WITHIN ONE VISIT": events are tagged
+    * with a gap-based session id (17-minute gap, the session family's
+    * constant, compared in exact epoch micros), then the same chained
+    * window minimums run per (user, session) and count SESSIONS
+    * reaching each step. Two window stages over one user_id shuffle
+    * (session tagging needs the ordered window, the funnel the
+    * per-session one — same key prefix, no second exchange of the
+    * events).
+    */
+  def sessionFunnel(s: SparkSession, d: String): DataFrame =
+    sessionFunnelOn(ev(s, d))
+
+  private[graft] def sessionFunnelOn(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tagged = events
+      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >
+            1020L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("sid"))
+    val steps = FunnelSteps
+    val ts = steps.indices.map(i => s"t${i + 1}")
+    val labels = steps.zipWithIndex.map { case (st, i) => s"${i + 1}_$st" }
+    val withT = steps.zipWithIndex.foldLeft(tagged) { case (df, (st, i)) =>
+      val gate = col("event_type") === st &&
+        (if (i == 0) lit(true) else col("ts") > col(ts(i - 1)))
+      df.withColumn(ts(i), min(when(gate, col("ts"))).over(wSess))
+    }
+    withT
+      .groupBy(col("user_id"), col("sid"))
+      .agg(max(col(ts.head)).as(ts.head),
+        ts.tail.map(t => max(col(t)).as(t)): _*)
+      .agg(count(col(ts.head)).as(labels.head),
+        ts.tail.zip(labels.tail)
+          .map { case (t, l) => count(col(t)).as(l) }: _*)
+      .unpivot(Array.empty, "step", "n_sessions")
+      .orderBy(col("step"))
+  }
+
   /** Weekly cohort retention: cohort = week index of a user's FIRST
     * event (integer days since 2024-01-01, DIV 7), activity offset =
     * whole weeks between the cohort day and each active day. Distinct
@@ -129,6 +174,7 @@ object EventOps extends OpFamily {
 
   val queries = Map(
     "ev_funnel" -> (funnel _),
+    "ev_session_funnel" -> (sessionFunnel _),
     "ev_scd2" -> (scd2 _),
     "ev_cohort_retention" -> (cohortRetention _),
     "ev_transitions" -> (transitions _))
@@ -142,6 +188,40 @@ object EventOps extends OpFamily {
            (lead(ts, 1) OVER (PARTITION BY user_id
              ORDER BY ts, event_id) IS NULL) AS is_current
          FROM events ORDER BY user_id, valid_from, event_id""",
+    "ev_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events),
+         tagged AS (SELECT user_id, sid, event_type, ts FROM (
+           SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev IS NULL
+                 OR epoch_us(ts) - epoch_us(prev) > 1020000000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM (SELECT user_id, event_id, event_type, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev FROM e))),
+         t1 AS (SELECT user_id, sid, min(ts) AS t1 FROM tagged
+                WHERE event_type = 'signup' GROUP BY user_id, sid),
+         t2 AS (SELECT g.user_id, g.sid, min(g.ts) AS t2 FROM tagged g
+                JOIN t1 ON g.user_id = t1.user_id AND g.sid = t1.sid
+                WHERE g.event_type = 'view' AND g.ts > t1.t1
+                GROUP BY g.user_id, g.sid),
+         t3 AS (SELECT g.user_id, g.sid, min(g.ts) AS t3 FROM tagged g
+                JOIN t2 ON g.user_id = t2.user_id AND g.sid = t2.sid
+                WHERE g.event_type = 'click' AND g.ts > t2.t2
+                GROUP BY g.user_id, g.sid),
+         t4 AS (SELECT g.user_id, g.sid, min(g.ts) AS t4 FROM tagged g
+                JOIN t3 ON g.user_id = t3.user_id AND g.sid = t3.sid
+                WHERE g.event_type = 'purchase' AND g.ts > t3.t3
+                GROUP BY g.user_id, g.sid)
+         SELECT step, n_sessions FROM (
+           SELECT '1_signup' AS step, CAST(count(*) AS BIGINT) AS n_sessions
+             FROM t1
+           UNION ALL SELECT '2_view', CAST(count(*) AS BIGINT) FROM t2
+           UNION ALL SELECT '3_click', CAST(count(*) AS BIGINT) FROM t3
+           UNION ALL SELECT '4_purchase', CAST(count(*) AS BIGINT) FROM t4)
+         ORDER BY step""",
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
              CAST(ts AS TIMESTAMP) AS ts FROM events),

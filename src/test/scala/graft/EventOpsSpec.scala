@@ -76,6 +76,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(rows.collect { case ((_, "(end)"), n) => n }.sum === 2L)
   }
 
+  test("session funnel resets at the session boundary; in-session counts") {
+    val e = events(Seq(
+      // user 1: signup and view in ONE session (1 min apart)
+      (1L, 1L, "signup", "2024-01-01 10:00:00"),
+      (2L, 1L, "view", "2024-01-01 10:01:00"),
+      // user 2: signup, then view 30 MINUTES later — next session, so
+      // the view must NOT count even though it is strictly after
+      (3L, 2L, "signup", "2024-01-01 10:00:00"),
+      (4L, 2L, "view", "2024-01-01 10:30:00"),
+      // user 2's second session also re-counts as a signup session? no —
+      // it has no signup, so it contributes nothing
+      (5L, 3L, "view", "2024-01-01 09:00:00"))) // view-only session
+    val got = EventOps.sessionFunnelOn(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1_signup" -> 2L, "2_view" -> 1L,
+      "3_click" -> 0L, "4_purchase" -> 0L))
+  }
+
   test("funnel per-step user sets shrink monotonically on the corpus") {
     val ns = EventOps.funnel(spark, sf).collect()
       .sortBy(_.getString(0)).map(_.getLong(1))
