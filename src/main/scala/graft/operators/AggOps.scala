@@ -297,10 +297,48 @@ object AggOps extends OpFamily {
         "metric", "value")
       .orderBy(col("lang"), col("metric"))
 
+  /** 3σ anomaly detection per event type — top-5 outliers by deviation,
+    * decided ENTIRELY in integer arithmetic so both engines agree exactly:
+    * values quantize to micro-units u = floor(value·1e6) (one IEEE multiply
+    * + floor, bit-identical in Spark and DuckDB), and |x − μ| > 3σ is
+    * tested squared and cleared of divisions —
+    * (n·u − S)² > 9·(n·Q − S²) with S = Σu, Q = Σu² — in decimal(38)
+    * (HUGEINT on the oracle side: Q ~ n·u² overflows int64 at real scale).
+    * Scale shape: one bounded moments aggregate (map-side partials),
+    * broadcast back over the event stream, WindowGroupLimit for the
+    * per-type top-5 — no shuffle of the big table beyond the window's
+    * bounded partition count.
+    */
+  def zscoreOutliers(s: SparkSession, d: String): DataFrame =
+    zscoreOutliersOn(Tables.events(s, d))
+
+  private[graft] def zscoreOutliersOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val u = events.select(col("event_type"), col("event_id"),
+      floor(col("value") * 1e6).cast("long").as("value_micro"))
+    val m = u.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value_micro")).as("sm"),
+      sum(dec(col("value_micro")) * col("value_micro")).as("q"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("dev")).desc, col("event_id"))
+    u.join(broadcast(m), Seq("event_type"))
+      .withColumn("dev", dec(col("n")) * col("value_micro") - col("sm"))
+      .filter(col("dev") * col("dev") >
+        lit(9) * (dec(col("n")) * col("q") - dec(col("sm")) * col("sm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("value_micro"),
+        when(col("dev") > 0, lit("hi")).otherwise(lit("lo")).as("side"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   val queries = Map(
     "agg_pivot" -> (pivotEventTypes _),
     "agg_unpivot" -> (unpivotLangProfile _),
-    "agg_unpivot" -> (unpivotLangProfile _),
+    "agg_zscore_outliers" -> (zscoreOutliers _),
     "agg_corr" -> (corrQtyPrice _),
     "agg_q1_pricing_summary" -> (q1PricingSummary _),
     "agg_numeric_summary" -> (numericSummary _),
@@ -319,6 +357,24 @@ object AggOps extends OpFamily {
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
+    "agg_zscore_outliers" ->
+      """WITH u AS (SELECT event_type, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS value_micro FROM events),
+           m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(value_micro) AS HUGEINT) AS sm,
+             sum(CAST(value_micro AS HUGEINT) * value_micro) AS q
+           FROM u GROUP BY event_type),
+           d AS (SELECT u.event_type, u.event_id, u.value_micro,
+             m.n * u.value_micro - m.sm AS dev
+           FROM u JOIN m USING (event_type)
+           WHERE (m.n * u.value_micro - m.sm) * (m.n * u.value_micro - m.sm)
+             > 9 * (m.n * m.q - m.sm * m.sm))
+         SELECT event_type, rank, event_id, value_micro, side FROM (
+           SELECT event_type, event_id, value_micro,
+             CASE WHEN dev > 0 THEN 'hi' ELSE 'lo' END AS side,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(dev) DESC, event_id) AS INT) AS rank
+           FROM d) WHERE rank <= 5 ORDER BY event_type, rank""",
     "agg_exact_quantiles" ->
       """SELECT pct, r AS pos, v AS value FROM (
            SELECT l_extendedprice AS v,

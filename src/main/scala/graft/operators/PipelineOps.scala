@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.OpFamily
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{OpFamily, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The END-TO-END training-corpus pipeline — every stage the other
@@ -108,8 +108,57 @@ object PipelineOps extends OpFamily {
       .orderBy(col("stage"))
   }
 
+  /** Entity-resolution (record-linkage) pipeline: block/verify candidate
+    * matches with the edit-distance join (FastSS deletion neighborhoods,
+    * d ≤ 1), transitively close the match graph into entities
+    * (star-contraction CC), and report each entity with its canonical
+    * (minimum-id) record. The dirty feed plants two GENERATIONS of
+    * one-character deletions on distinct document name-prefixes —
+    * source ↔ v1 ↔ v2 where ed(source, v2) = 2 — so entity formation
+    * genuinely needs the transitive closure, not just pair grouping
+    * (the sorted-greedy near-dedup rule would be wrong here).
+    *
+    * Scale shape: candidates come from the deletion-neighborhood
+    * equi-join (never all-pairs), CC is O(log d) star rounds, the entity
+    * report is one bounded groupBy plus a join back for the canonical
+    * name. The oracle brute-forces pairs under a SOUND ed≤1 blocking
+    * (length diff ≤ 1 AND (prefix-2 or suffix-2 equal) — complete for
+    * strings of length ≥ 4, which the feed filter guarantees) and
+    * replays the closure as a recursive CTE.
+    */
+  def linkageEntities(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("name"))
+      .filter(length(col("name")) >= 4)
+      .groupBy(col("name")).agg(min(col("doc_id")).as("id"))
+      .select(col("id"), col("name"))
+    // delete the character at 1-based position (pos(id) mod len) + 1 —
+    // the same two IEEE-free integer/substring expressions the oracle
+    // spells, so variants match byte-for-byte
+    def delOne(src: DataFrame, pos: Column => Column): DataFrame = {
+      val p = pos(col("id")).cast("int") + 1
+      src.select((col("id") + 1000000).as("id"),
+        concat(col("name").substr(lit(1), p - 1),
+          col("name").substr(p + 1, length(col("name")) - p)).as("name"))
+    }
+    val v1 = delOne(base.filter(col("id") % 3 === 0),
+      i => i % length(col("name")))
+    val v2 = delOne(v1, i => (i * 31) % length(col("name")))
+    val feed = base.unionByName(v1).unionByName(v2)
+    val pairs = JoinOps.editDistancePairsOn(feed, "id", "name", maxDist = 1)
+    DedupOps.clusterPairsOn(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      .join(feed.select(col("id").as("cluster_id"),
+        col("name").as("canonical_name")), Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("max_member"),
+        col("canonical_name"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries = Map(
     "pipeline_corpus" -> (corpusPipeline _),
+    "pipeline_linkage" -> (linkageEntities _),
     "pipeline_funnel" -> (pipelineFunnel _))
 
   // the shared five-stage CTE chain, mirroring [[stages]]: the planted
@@ -148,6 +197,41 @@ object PipelineOps extends OpFamily {
          WHERE ((s.doc_id % 1000) * 503) % 1000 < r.rate)"""
 
   val oracle = Map(
+    "pipeline_linkage" ->
+      """WITH RECURSIVE p AS (SELECT min(doc_id) AS id, name FROM (
+             SELECT doc_id, substring(text, 1, 40) AS name FROM documents)
+           WHERE length(name) >= 4 GROUP BY name),
+         v1 AS (SELECT s.id + 1000000 AS id,
+             substring(s.name, 1, CAST(s.id % length(s.name) AS INT)) ||
+             substring(s.name, CAST(s.id % length(s.name) AS INT) + 2,
+               length(s.name)) AS name
+           FROM p s WHERE s.id % 3 = 0),
+         v2 AS (SELECT s.id + 1000000 AS id,
+             substring(s.name, 1,
+               CAST((s.id * 31) % length(s.name) AS INT)) ||
+             substring(s.name,
+               CAST((s.id * 31) % length(s.name) AS INT) + 2,
+               length(s.name)) AS name
+           FROM v1 s),
+         feed AS (SELECT * FROM p UNION ALL SELECT * FROM v1
+           UNION ALL SELECT * FROM v2),
+         pairs AS (SELECT a.id AS a, b.id AS b FROM feed a JOIN feed b
+           ON a.id < b.id
+           AND abs(length(a.name) - length(b.name)) <= 1
+           AND (substring(a.name, 1, 2) = substring(b.name, 1, 2)
+             OR substring(a.name, length(a.name) - 1, 2)
+               = substring(b.name, length(b.name) - 1, 2))
+           AND levenshtein(a.name, b.name) <= 1),
+         sym(x, y) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+           UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+         reach(x, y) AS (SELECT x, y FROM sym
+           UNION SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+         clusters AS (SELECT x AS id, min(y) AS cluster_id FROM reach
+           GROUP BY x)
+         SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           max(c.id) AS max_member, f.name AS canonical_name
+         FROM clusters c JOIN feed f ON f.id = c.cluster_id
+         GROUP BY c.cluster_id, f.name ORDER BY cluster_id""",
     "pipeline_corpus" ->
       s"""WITH $stageCtes
          SELECT CASE WHEN ((doc_id % 1000) * 761) % 1000 < 800 THEN 'train'

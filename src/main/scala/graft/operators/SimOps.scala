@@ -71,7 +71,14 @@ object SimOps extends OpFamily {
     * BIGINT, divided back), which is summation-order-independent, so DuckDB
     * replays the exact same centroids, assignments, probes and ranks.
     */
-  def knnIvf(s: SparkSession, d: String): DataFrame = {
+  /** The Lloyd k-means core shared by [[knnIvf]] and [[kmeansProfile]]:
+    * nlist=10 centroids seeded from the 10 lowest vec_ids, 3 assignment/
+    * re-centering rounds with integer micro-unit means (order-independent,
+    * so DuckDB replays them bit-for-bit), returning the final
+    * (cells = every vector labeled with its nearest cid, centroids).
+    */
+  private[graft] def lloydCells(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val e = withNorm(s, Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("v")),
@@ -103,7 +110,11 @@ object SimOps extends OpFamily {
         .select(col("cid"),
           transform(col("pm"), _.getField("m")).as("centroid")))
     }
-    val cells = assign(centroids).localCheckpoint()
+    (assign(centroids).localCheckpoint(), centroids)
+  }
+
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val (cells, centroids) = lloydCells(s, d)
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(desc("c_sim"), col("cid"))
     val probes = cells.filter(col("vec_id") < 10)
@@ -124,6 +135,28 @@ object SimOps extends OpFamily {
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** K-means cluster profile — the direct clustering consumer of the
+    * [[lloydCells]] loop (topic bucketing / corpus stratification, not
+    * search): cluster sizes plus the head of each final centroid. The
+    * centroid head dims are the micro-unit means themselves — the same
+    * IEEE expression on both engines, compared at the harness's 10
+    * significant digits — NOT floor-quantized here, because quantizing a
+    * computed float would amplify ulp drift into integer flips. Scale
+    * shape: the Lloyd loop is nlist-bounded broadcast joins; the profile
+    * adds one bounded groupBy.
+    */
+  def kmeansProfile(s: SparkSession, d: String): DataFrame = {
+    val (cells, centroids) = lloydCells(s, d)
+    cells.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(broadcast(centroids.select(col("cid"),
+        col("centroid")(0).as("c0"), col("centroid")(1).as("c1"),
+        col("centroid")(2).as("c2"), col("centroid")(3).as("c3"))),
+        Seq("cid"))
+      .select(col("cid"), col("n_members"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .orderBy(col("cid"))
   }
 
   /** Per-label centroid of the first 4 embedding dimensions — the vector
@@ -367,6 +400,7 @@ object SimOps extends OpFamily {
 
   val queries = Map(
     "sim_knn_exact" -> (knnExact _),
+    "sim_kmeans" -> (kmeansProfile _),
     "sim_knn_ivf_quantized" -> (knnIvfQuantized _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_knn_quantized" -> (knnQuantizedDot _),
@@ -381,30 +415,38 @@ object SimOps extends OpFamily {
     * tie-breaks, same nprobe=2 probing, same final ranking — possible only
     * because every float reduction in [[knnIvf]] is order-independent.
     */
-  private val ivfOracleSql: String = {
-    def assignCte(name: String, cFrom: String) =
-      s"""$name AS (SELECT cid, vec_id, v FROM (
-            SELECT c.cid, x.vec_id, x.v,
-              row_number() OVER (PARTITION BY x.vec_id
-                ORDER BY list_cosine_similarity(x.v, c.centroid) DESC, c.cid)
-                AS rn
-            FROM v x CROSS JOIN $cFrom c) WHERE rn = 1)"""
-    def centroidCte(name: String, aFrom: String) =
-      s"""$name AS (SELECT cid, list(m ORDER BY pos) AS centroid FROM (
-            SELECT cid, i - 1 AS pos,
-              CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
-                / count(*) / 1e6 AS m
-            FROM (SELECT cid, i, v[i] AS x
-                  FROM $aFrom, unnest(range(1, 65)) AS t(i))
-            GROUP BY cid, i) GROUP BY cid)"""
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  private def assignCte(name: String, cFrom: String) =
+    s"""$name AS (SELECT cid, vec_id, v FROM (
+          SELECT c.cid, x.vec_id, x.v,
+            row_number() OVER (PARTITION BY x.vec_id
+              ORDER BY list_cosine_similarity(x.v, c.centroid) DESC, c.cid)
+              AS rn
+          FROM v x CROSS JOIN $cFrom c) WHERE rn = 1)"""
+
+  private def centroidCte(name: String, aFrom: String) =
+    s"""$name AS (SELECT cid, list(m ORDER BY pos) AS centroid FROM (
+          SELECT cid, i - 1 AS pos,
+            CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
+              / count(*) / 1e6 AS m
+          FROM (SELECT cid, i, v[i] AS x
+                FROM $aFrom, unnest(range(1, 65)) AS t(i))
+          GROUP BY cid, i) GROUP BY cid)"""
+
+  /** The shared 3-round Lloyd CTE chain: v → c0 (seed) → a1/c1 → a2/c2 →
+    * a3/c3 → cells; the replay core of [[lloydCells]].
+    */
+  private val lloydCtes: String =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings),
           c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid
             FROM v WHERE vec_id < 10),
           ${assignCte("a1", "c0")}, ${centroidCte("c1", "a1")},
           ${assignCte("a2", "c1")}, ${centroidCte("c2", "a2")},
           ${assignCte("a3", "c2")}, ${centroidCte("c3", "a3")},
-          ${assignCte("cells", "c3")},
+          ${assignCte("cells", "c3")}"""
+
+  private val ivfOracleSql: String = {
+    s"""WITH $lloydCtes,
           probes AS (SELECT qid, qv, cid FROM (
             SELECT q.vec_id AS qid, q.v AS qv, c.cid,
               row_number() OVER (PARTITION BY q.vec_id
@@ -493,6 +535,14 @@ object SimOps extends OpFamily {
 
   val oracle = Map(
     "sim_knn_ivf" -> ivfOracleSql,
+    "sim_kmeans" ->
+      s"""WITH $lloydCtes
+         SELECT g.cid, g.n_members,
+           c.centroid[1] AS c0, c.centroid[2] AS c1,
+           c.centroid[3] AS c2, c.centroid[4] AS c3
+         FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+               FROM cells GROUP BY cid) g
+         JOIN c3 c USING (cid) ORDER BY cid""",
     "sim_knn_ivf_quantized" -> ivfQuantizedOracleSql,
     "sim_knn_rplsh" -> rplshOracleSql,
     "sim_quantize_int8" ->
