@@ -335,9 +335,31 @@ object AggOps extends OpFamily {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** Modal value per group (the MODE aggregate): most frequent lang per
+    * source, ties broken toward the lexicographically smallest lang so
+    * both engines pick the same winner. Two-level aggregate then a
+    * WindowGroupLimit over the bounded (source, lang) grid — the big
+    * table is touched once; never a self-join against the max count.
+    */
+  def modeLangPerSource(s: SparkSession, d: String): DataFrame =
+    modeOn(Tables.documents(s, d))
+
+  private[graft] def modeOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("lang"))
+    docs
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("mode_lang"), col("n"))
+      .orderBy(col("source"))
+  }
+
   val queries = Map(
     "agg_pivot" -> (pivotEventTypes _),
     "agg_unpivot" -> (unpivotLangProfile _),
+    "agg_mode" -> (modeLangPerSource _),
     "agg_zscore_outliers" -> (zscoreOutliers _),
     "agg_corr" -> (corrQtyPrice _),
     "agg_q1_pricing_summary" -> (q1PricingSummary _),
@@ -357,6 +379,13 @@ object AggOps extends OpFamily {
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
+    "agg_mode" ->
+      """SELECT source, mode_lang, n FROM (
+           SELECT source, lang AS mode_lang, count(*) AS n,
+             row_number() OVER (PARTITION BY source
+               ORDER BY count(*) DESC, lang) AS rk
+           FROM documents GROUP BY source, lang)
+         WHERE rk = 1 ORDER BY source""",
     "agg_zscore_outliers" ->
       """WITH u AS (SELECT event_type, event_id,
              CAST(floor(value * 1e6) AS BIGINT) AS value_micro FROM events),

@@ -239,7 +239,33 @@ object IoOps extends OpFamily {
       .orderBy(col("l_suppkey"))
   }
 
+  /** Data-quality column profile — the first query any pipeline runs
+    * against a new feed: per column, row count, null count and exact
+    * distinct count over the events stream. ONE scan for all columns:
+    * Spark plans the multi-column distinct aggregate as a single Expand
+    * (rows × columns) feeding two hash aggregates, then the one profile
+    * row is melted to tidy per-column rows with a no-shuffle explode.
+    * At 100 TB swap countDistinct for approx_count_distinct per column —
+    * same single-scan shape, constant memory.
+    */
+  def profileEvents(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val aggs = cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"nd_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val one = Tables.events(s, d).agg(aggs.head, aggs.tail: _*)
+    val melted = cols.map(c => struct(lit(c).as("column_name"),
+      col(s"nd_$c").as("n_distinct"), col(s"nn_$c").as("n_nulls")))
+    one.select(col("n_rows"), explode(array(melted: _*)).as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_distinct"),
+        col("p.n_nulls"))
+      .orderBy(col("column_name"))
+  }
+
   val queries = Map(
+    "io_profile" -> (profileEvents _),
     "io_zorder_roundtrip" -> (zorderRoundtrip _),
     "io_csv_roundtrip" -> (csvRoundtrip _),
     "io_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -250,6 +276,21 @@ object IoOps extends OpFamily {
     "io_bucketed_join" -> (bucketedJoin _))
 
   val oracle = Map(
+    // ts profiles through CAST(ts AS TIMESTAMP): the nanos→micros
+    // truncation DuckDB applies is the same `ts DIV 1000` Tables.events
+    // applies on the Spark side
+    "io_profile" -> Seq(
+      ("event_id", "event_id"), ("ts", "CAST(ts AS TIMESTAMP)"),
+      ("user_id", "user_id"), ("event_type", "event_type"),
+      ("value", "value"), ("props", "props"))
+      .map { case (name, expr) =>
+        s"""SELECT '$name' AS column_name, count(*) AS n_rows,
+             count(DISTINCT $expr) AS n_distinct,
+             CAST(sum(CASE WHEN $expr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls
+           FROM events"""
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY column_name"),
     "io_zorder_roundtrip" ->
       """SELECT l_suppkey, count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

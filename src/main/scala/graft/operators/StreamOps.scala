@@ -39,6 +39,39 @@ object StreamOps extends OpFamily {
     * onto it, and zero-fill the gaps. The spine is data-bounded (hours
     * between observed extremes), so the explode is O(span), not O(rows).
     */
+  /** OHLC downsampling — the financial/metrics resampler: per (event_type,
+    * hour), the first value (open), max (high), min (low), last value
+    * (close), count and exact decimal sum. First/last are pinned by
+    * (ts, event_id) row_numbers — event_id breaks equal-timestamp ties
+    * identically on both engines (DuckDB arg_min/arg_max cannot take a
+    * composite ordering key, so both sides spell the window form). Both
+    * row_number windows and the final aggregate share one
+    * (event_type, hour) partitioning — a single shuffle, then one sort.
+    */
+  def ohlc(s: SparkSession, d: String): DataFrame =
+    ohlcOn(Tables.events(s, d))
+
+  private[graft] def ohlcOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq(col("event_type"), col("w_start"))
+    val wAsc = Window.partitionBy(keys: _*)
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(keys: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("w_start", date_trunc("hour", col("ts")))
+      .withColumn("rn_o", row_number().over(wAsc))
+      .withColumn("rn_c", row_number().over(wDesc))
+      .groupBy(keys: _*)
+      .agg(max(when(col("rn_o") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_c") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_v"))
+      .orderBy(col("event_type"), col("w_start"))
+  }
+
   def gapFill(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
@@ -94,6 +127,7 @@ object StreamOps extends OpFamily {
   val queries = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_gapfill" -> (gapFill _),
+    "stream_ohlc" -> (ohlc _),
     "stream_sliding" -> (sliding _),
     "stream_session" -> (sessionize _),
     "stream_session_stats" -> (sessionStats _))
@@ -125,6 +159,25 @@ object StreamOps extends OpFamily {
            coalesce(sum_v, 0.0) AS sum_v
          FROM spine LEFT JOIN hourly ON spine.h = hourly.h
          ORDER BY hour""",
+    "stream_ohlc" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(ts AS TIMESTAMP) AS ts, value,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start
+           FROM events),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type, w_start
+               ORDER BY ts, event_id) AS rn_o,
+             row_number() OVER (PARTITION BY event_type, w_start
+               ORDER BY ts DESC, event_id DESC) AS rn_c
+           FROM e)
+         SELECT event_type, w_start,
+           max(CASE WHEN rn_o = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_c = 1 THEN value END) AS close,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+         FROM r GROUP BY event_type, w_start
+         ORDER BY event_type, w_start""",
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
            event_type, count(*) AS n,

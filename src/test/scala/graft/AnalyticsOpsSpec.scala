@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AggOps, PipelineOps, SimOps}
+import graft.operators.{AggOps, IoOps, PipelineOps, SimOps, StreamOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -42,6 +42,45 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(prof.forall(r => r.getAs[Int]("cid") >= 0 &&
       r.getAs[Int]("cid") < 10), "cells are the 10 seed ids")
     assert(prof.forall(_.getAs[Long]("n_members") > 0))
+  }
+
+  test("ohlc: open/close pin the (ts, event_id) order, ties by event_id") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:20:00")
+    // two events share t0 — open must come from the LOWER event_id (id 1)
+    val e = Seq((2L, t0, "m", 7.0), (1L, t0, "m", 3.0), (3L, t1, "m", 5.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val r = StreamOps.ohlcOn(e).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Double]("open") === 3.0)
+    assert(r.head.getAs[Double]("close") === 5.0)
+    assert(r.head.getAs[Double]("high") === 7.0)
+    assert(r.head.getAs[Double]("low") === 3.0)
+    assert(r.head.getAs[Long]("n") === 3L)
+  }
+
+  test("mode: ties break toward the lexicographically smallest value") {
+    import spark.implicits._
+    val docs = Seq((1L, "s1", "en"), (2L, "s1", "de"), (3L, "s1", "de"),
+      (4L, "s1", "en"), (5L, "s2", "fr")).toDF("doc_id", "source", "lang")
+    val m = AggOps.modeOn(docs).collect()
+    assert(m.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq(("s1", "de", 2L), ("s2", "fr", 1L)))
+  }
+
+  test("profile: distinct/null counts are internally consistent") {
+    val p = IoOps.profileEvents(spark, sf).collect()
+    assert(p.length === 6)
+    p.foreach { r =>
+      val (rows, nd, nn) = (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("n_nulls"))
+      assert(nd + nn <= rows && nd >= 1,
+        s"${r.getAs[String]("column_name")}: nd=$nd nn=$nn rows=$rows")
+    }
+    val ids = p.find(_.getAs[String]("column_name") == "event_id").get
+    assert(ids.getAs[Long]("n_distinct") === ids.getAs[Long]("n_rows"),
+      "event_id is unique")
   }
 
   test("linkage entities: deletion chains close transitively to one entity") {
