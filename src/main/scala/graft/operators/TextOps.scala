@@ -205,6 +205,88 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-continuation fluency score — the deterministic stand-in for
+    * LM-perplexity filtering: per doc, the mean per-mille conditional
+    * frequency of its word bigrams, fluency = (Σ (1000·c(w₁w₂)) DIV
+    * c(w₁·)) DIV n_bigrams, where c(w₁·) counts corpus bigrams STARTING
+    * with w₁ (so each ratio is an integral P(w₂|w₁) estimate in
+    * [1, 1000]). Templated/boilerplate text scores high, word salad
+    * scores low — the same ranking a real LM filter produces, exact
+    * instead of libm-drifty (a log-space perplexity would not oracle).
+    *
+    * Scale shape: bigram and first-word count tables are
+    * vocabulary-bounded, joined back by equi-join (no driver broadcast —
+    * at corpus scale the vocab doesn't fit), then one per-doc aggregate:
+    * the [[rarityScore]] two-shuffle inverted-index shape.
+    */
+  def bigramFluency(s: SparkSession, d: String): DataFrame =
+    bigramFluencyOn(Tables.documents(s, d))
+
+  private[graft] def bigramFluencyOn(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+        explode(shinglesN(toks, 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val cBg = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+    val cW1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    bg.join(cBg, "bigram").join(cW1, "w1")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(1000L * c_bg) DIV c_w1")).as("permille_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("permille_sum DIV n_bigrams").as("fluency_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-doc repeated-substring spans — the exact-substring dedup
+    * marker (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", public): every 5-gram occurring ≥ 2 times in the
+    * corpus marks its token span [pos, pos+4]; overlapping marks merge
+    * into maximal spans per doc (gaps-and-islands over positions), and
+    * the report carries the scrubber's numbers — how many spans to cut
+    * and how many tokens they cover. Docs with no repeats (or < 5
+    * tokens) report zeros: the scrubber must see them pass through.
+    *
+    * Scale shape: one posexplode, a gram-keyed count (swap the string
+    * key for xxhash64(gram) at 100 TB to shrink the shuffle — collision
+    * odds are the MinHash argument), an equi-join back, and one per-doc
+    * window — never doc×doc.
+    */
+  def repeatedSpans(s: SparkSession, d: String): DataFrame =
+    repeatedSpansOn(Tables.documents(s, d))
+
+  private[graft] def repeatedSpansOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col("doc_id"),
+      posexplode(shinglesN(toks, 5)).as(Seq("pos", "gram")))
+    val freq = g.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    val rep = g.join(freq.filter(col("cnt") >= 2), "gram")
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = rep
+      .withColumn("gap",
+        when(col("pos") - lag(col("pos"), 1).over(wd) <= 4, 0L).otherwise(1L))
+      .withColumn("island", sum(col("gap")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("mx") - col("mn") + 5).as("covered_tokens"))
+    val perDoc = g.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_grams"))
+    val nRep = rep.groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeated"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(nRep, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Train/eval contamination check: eval docs (doc_id % 10 == 0) that
     * share at least one 5-gram with any train doc, with the count of
     * distinct leaked 5-grams — the standard benchmark-leakage sweep. The
@@ -382,6 +464,8 @@ object TextOps extends OpFamily {
   }
 
   val queries = Map(
+    "text_bigram_fluency" -> (bigramFluency _),
+    "text_repeated_spans" -> (repeatedSpans _),
     "text_chunks" -> (chunkWindows _),
     "text_contamination" -> (contamination _),
     "text_pack_bins" -> (packBins _),
@@ -399,6 +483,50 @@ object TextOps extends OpFamily {
     "text_tfidf_top" -> (tfidfTop _))
 
   val oracle = Map(
+    "text_bigram_fluency" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram, w[i] AS w1
+           FROM t, unnest(range(1, len(w))) AS u(i)),
+         cbg AS (SELECT bigram, count(*) AS c_bg FROM g GROUP BY bigram),
+         cw1 AS (SELECT w1, count(*) AS c_w1 FROM g GROUP BY w1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum((1000 * c.c_bg) // w.c_w1) // count(*) AS BIGINT)
+             AS fluency_permille
+         FROM g JOIN cbg c USING (bigram) JOIN cw1 w USING (w1)
+         GROUP BY g.doc_id ORDER BY doc_id""",
+    "text_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+               || ' ' || w[i+4] AS gram
+           FROM t, unnest(range(1, len(w) - 3)) AS u(i)),
+         freq AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         r AS (SELECT g.doc_id, g.pos FROM g JOIN freq USING (gram)),
+         isl AS (SELECT doc_id, pos,
+             sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                 ORDER BY pos) <= 4 THEN 0 ELSE 1 END AS gap
+             FROM r)),
+         sp AS (SELECT doc_id, island, min(pos) AS mn, max(pos) AS mx
+           FROM isl GROUP BY doc_id, island),
+         spd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(mx - mn + 5) AS BIGINT) AS covered_tokens
+           FROM sp GROUP BY doc_id),
+         gc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM g GROUP BY doc_id),
+         rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated
+           FROM r GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(gc.n_grams, 0) AS n_grams,
+           coalesce(rc.n_repeated, 0) AS n_repeated,
+           coalesce(spd.n_spans, 0) AS n_spans,
+           coalesce(spd.covered_tokens, 0) AS covered_tokens
+         FROM documents d LEFT JOIN gc USING (doc_id)
+         LEFT JOIN rc USING (doc_id) LEFT JOIN spd USING (doc_id)
+         ORDER BY doc_id""",
     "text_pack_bins" ->
       """SELECT source, bin, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AggOps, IoOps, PipelineOps, SimOps, StreamOps}
+import graft.operators.{AggOps, IoOps, PipelineOps, SimOps, StreamOps, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -81,6 +81,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val ids = p.find(_.getAs[String]("column_name") == "event_id").get
     assert(ids.getAs[Long]("n_distinct") === ids.getAs[Long]("n_rows"),
       "event_id is unique")
+  }
+
+  test("bigram fluency: integral conditional frequencies, floor division") {
+    import spark.implicits._
+    // corpus bigrams: "a b"×2, "a c"×1 → c(a·)=3; doc1 "a b": (1000·2)//3
+    // = 666; doc3 "a c": (1000·1)//3 = 333
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val f = TextOps.bigramFluencyOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(f === Map(1L -> 666L, 2L -> 666L, 3L -> 333L))
+  }
+
+  test("repeated spans: marks merge into maximal spans; far repeats split") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t"),                            // the shared 5-gram
+      (2L, "a p q r s t b"),                        // one overlapping span
+      (3L, "p q r s t z1 z2 z3 z4 z5 z6 p q r s t") // two separated spans
+    ).toDF("doc_id", "text")
+    val r = TextOps.repeatedSpansOn(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) === ((1L, 1L, 1L, 5L)))
+    assert(r(2L) === ((3L, 1L, 1L, 5L)))
+    // doc 3: 12 grams, repeats at pos 0 and 11 — gap > 4 → two spans of 5
+    assert(r(3L) === ((12L, 2L, 2L, 10L)))
   }
 
   test("linkage entities: deletion chains close transitively to one entity") {
