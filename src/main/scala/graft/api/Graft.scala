@@ -485,4 +485,84 @@ object Graft {
         .as("n_alpha_tokens"),
       size(expr(s"regexp_extract_all($text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
         .as("n_bpe_tokens"))
+
+  // ------------------------------------------------------------ analytics
+
+  /** 3σ outliers per key, decided in exact integer micro-units (no float
+    * compare — see AggOps.zscoreOutliersOn). Returns the top-5 deviants
+    * per key as (key, rank, id, value_micro, side).
+    */
+  def outliers(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.AggOps.zscoreOutliersOn(
+      df.select(col(keyCol).as("event_type"), col(idCol).as("event_id"),
+        col(valueCol).as("value")))
+      .select(col("event_type").as("key"), col("rank"),
+        col("event_id").as("id"), col("value_micro"), col("side"))
+
+  /** Per-(key, hour) OHLC resampling bars; first/last pinned by
+    * (ts, id) so equal timestamps resolve deterministically. Returns
+    * (key, w_start, open, high, low, close, n, sum_v).
+    */
+  def ohlc(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.StreamOps.ohlcOn(
+      df.select(col(keyCol).as("event_type"), col(tsCol).as("ts"),
+        col(idCol).as("event_id"), col(valueCol).as("value")))
+      .withColumnRenamed("event_type", "key")
+
+  /** Modal value per group, ties toward the smallest value. Returns
+    * (group, mode_value, n).
+    */
+  def modeBy(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    graft.operators.AggOps.modeOn(
+      df.select(col(groupCol).as("source"), col(valueCol).as("lang")))
+      .select(col("source").as("group"), col("mode_lang").as("mode_value"),
+        col("n"))
+
+  /** One-scan data-quality profile of the named columns: per column,
+    * (column_name, n_rows, n_distinct, n_nulls). Exact distinct counts —
+    * swap in approx_count_distinct for 100 TB feeds.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    graft.operators.IoOps.profileOn(df, cols)
+
+  /** Entity resolution over a dirty string column: edit-distance
+    * blocking+verify (deletion neighborhoods / PassJoin) at `maxDist`,
+    * transitive closure into entities, canonical = minimum id. Returns
+    * one row per multi-record entity: (entity_id, n_members, max_member,
+    * canonical_value).
+    */
+  def linkEntities(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    val feed = df.select(col(idCol).as("id"), col(strCol).as("str"))
+    val pairs = graft.operators.JoinOps
+      .editDistancePairsOn(feed, "id", "str", maxDist)
+    graft.operators.DedupOps.clusterPairsOn(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      .join(feed.select(col("id").as("cluster_id"),
+        col("str").as("canonical_value")), Seq("cluster_id"))
+      .select(col("cluster_id").as("entity_id"), col("n_members"),
+        col("max_member"), col("canonical_value"))
+      .orderBy(col("entity_id"))
+  }
+
+  /** Cross-doc repeated 5-gram spans (the exact-substring dedup marker):
+    * (id, n_grams, n_repeated, n_spans, covered_tokens); zeros pass
+    * through for clean docs.
+    */
+  def repeatedSpans(df: DataFrame, id: String, text: String): DataFrame =
+    graft.operators.TextOps.repeatedSpansOn(
+      df.select(col(id).as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
+
+  /** Integral bigram-continuation fluency score per document — the
+    * deterministic stand-in for LM-perplexity filtering. Returns
+    * (id, n_bigrams, fluency_permille); single-token docs are absent.
+    */
+  def bigramFluency(df: DataFrame, id: String, text: String): DataFrame =
+    graft.operators.TextOps.bigramFluencyOn(
+      df.select(col(id).as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
 }

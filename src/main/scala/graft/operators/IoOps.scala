@@ -248,14 +248,17 @@ object IoOps extends OpFamily {
     * At 100 TB swap countDistinct for approx_count_distinct per column —
     * same single-scan shape, constant memory.
     */
-  def profileEvents(s: SparkSession, d: String): DataFrame = {
-    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
-      "props")
+  def profileEvents(s: SparkSession, d: String): DataFrame =
+    profileOn(Tables.events(s, d), Seq("event_id", "ts", "user_id",
+      "event_type", "value", "props"))
+
+  private[graft] def profileOn(df: DataFrame,
+      cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(
       countDistinct(col(c)).as(s"nd_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))) :+
       count(lit(1)).as("n_rows")
-    val one = Tables.events(s, d).agg(aggs.head, aggs.tail: _*)
+    val one = df.agg(aggs.head, aggs.tail: _*)
     val melted = cols.map(c => struct(lit(c).as("column_name"),
       col(s"nd_$c").as("n_distinct"), col(s"nn_$c").as("n_nulls")))
     one.select(col("n_rows"), explode(array(melted: _*)).as("p"))

@@ -393,6 +393,49 @@ class GraftApiSpec extends AnyFunSuite {
     assert(tr === Set(("x", "y"), ("y", "(end)")))
   }
 
+  test("outliers / ohlc / modeBy / profile run on renamed columns") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:30:00")
+    val m = (1 to 30).map(i => (i.toLong, "g", t0, 10.0 + (i % 3))) :+
+      ((31L, "g", t1, 500.0))
+    val df = m.toDF("rid", "grp", "at", "v")
+    val out = Graft.outliers(df, "grp", "rid", "v").collect()
+    assert(out.length === 1 && out.head.getAs[Long]("id") === 31L)
+    val bars = Graft.ohlc(df, "grp", "at", "rid", "v").collect()
+    assert(bars.length === 1)
+    assert(bars.head.getAs[Double]("open") === 11.0) // rid 1 at t0
+    assert(bars.head.getAs[Double]("close") === 500.0)
+    val mode = Graft.modeBy(docs.withColumn("g", lit("all")), "g", "body")
+      .collect()
+    assert(mode.head.getAs[Long]("n") === 2L, "the duplicated body wins")
+    val prof = Graft.profile(df, Seq("rid", "grp")).collect()
+    assert(prof.map(r => r.getAs[String]("column_name") ->
+      r.getAs[Long]("n_distinct")).toMap === Map("rid" -> 31L, "grp" -> 1L))
+  }
+
+  test("linkEntities resolves a typo chain to one canonical record") {
+    val recs = Seq((10L, "acme corporation"), (11L, "acme corporatio"),
+      (12L, "acme corporati"), (20L, "globex industries"))
+      .toDF("rid", "nm")
+    val ents = Graft.linkEntities(recs, "rid", "nm", maxDist = 1).collect()
+    assert(ents.length === 1)
+    assert(ents.head.getAs[Long]("entity_id") === 10L)
+    assert(ents.head.getAs[Long]("n_members") === 3L)
+    assert(ents.head.getAs[String]("canonical_value") === "acme corporation")
+  }
+
+  test("repeatedSpans and bigramFluency keep the caller's id column") {
+    val sp = Graft.repeatedSpans(docs, "my_id", "body")
+    assert(sp.columns.head === "my_id" && sp.count() === 5)
+    // docs 1 and 4 are identical 12-token texts: all their 5-grams repeat
+    val cov = sp.collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(cov(1L) === 12L && cov(4L) === 12L)
+    assert(cov(5L) === 0L, "clean short doc passes through with zeros")
+    val fl = Graft.bigramFluency(docs, "my_id", "body")
+    assert(fl.columns.head === "my_id")
+    assert(fl.count() === 5)
+  }
+
   test("qualityScore and fingerprints run on ad-hoc columns") {
     val q = Graft.qualityScore(docs, "my_id", "body")
     assert(q.count() === 5)
