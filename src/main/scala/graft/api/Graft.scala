@@ -386,6 +386,16 @@ object Graft {
       df.select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
         col(tsCol).as("ts")), steps)
 
+  /** Conversion latency between consecutive funnel steps over any event
+    * frame: (transition, n_users, min_s, median_s, max_s) with an exact
+    * lower-middle median in whole seconds.
+    */
+  def timeToConvert(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame =
+    graft.operators.EventOps.timeToConvertOn(
+      df.select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
+        col(tsCol).as("ts")), steps)
+
   /** Weekly cohort retention triangle over any event frame: cohort =
     * week of each user's first event (integer days since `epoch`),
     * offset = whole weeks since that first day. Returns (cohort_week,

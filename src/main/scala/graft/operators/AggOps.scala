@@ -356,7 +356,31 @@ object AggOps extends OpFamily {
       .orderBy(col("source"))
   }
 
+  /** Good-Turing count-of-counts: N_r = number of distinct word TRIGRAMS
+    * occurring exactly r times in the corpus, r ≤ 50 — the
+    * frequency-of-frequencies table every smoothed n-gram language model
+    * is estimated from (the companion of
+    * [[graft.operators.TextOps.bigramFluency]]'s raw counts). Trigrams,
+    * not unigrams: the synthetic vocabulary is so small every unigram
+    * clears r = 50, while the trigram table has a real sparse head —
+    * exactly the regime Good-Turing smoothing exists for. Two bounded
+    * aggregates (gram counts are vocabulary³-capped, N_r ≤ 50 rows),
+    * both map-side combined.
+    */
+  def countOfCounts(s: SparkSession, d: String): DataFrame =
+    countOfCountsOn(Tables.documents(s, d))
+
+  private[graft] def countOfCountsOn(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(
+        TextOps.shinglesN(split(col("text"), " "), 3)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_types"))
+      .filter(col("r") <= 50)
+      .orderBy(col("r"))
+
   val queries = Map(
+    "agg_count_of_counts" -> (countOfCounts _),
     "agg_pivot" -> (pivotEventTypes _),
     "agg_unpivot" -> (unpivotLangProfile _),
     "agg_mode" -> (modeLangPerSource _),
@@ -379,6 +403,14 @@ object AggOps extends OpFamily {
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
+    "agg_count_of_counts" ->
+      """SELECT r, CAST(count(*) AS BIGINT) AS n_types FROM (
+           SELECT count(*) AS r FROM (
+             SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+             FROM (SELECT string_split(text, ' ') AS w FROM documents),
+               unnest(range(1, len(w) - 1)) AS u(i))
+           GROUP BY gram)
+         WHERE r <= 50 GROUP BY r ORDER BY r""",
     "agg_mode" ->
       """SELECT source, mode_lang, n FROM (
            SELECT source, lang AS mode_lang, count(*) AS n,

@@ -37,34 +37,82 @@ object EventOps extends OpFamily {
   private[graft] val FunnelSteps =
     Seq("signup", "view", "click", "purchase")
 
-  private[graft] def funnelOn(e: DataFrame,
-      steps: Seq[String] = FunnelSteps): DataFrame = {
-    // ONE shuffle for any step count: each step time is a
-    // whole-partition window min over the same user_id partitioning
-    // (consecutive Window stages reuse the exchange — the first cut's
-    // groupBy+join chain planned 17 static exchanges), conditions chain
-    // t(k) on t(k−1) with null propagation doing the gating (ts > null
-    // is null, min ignores it).
+  /** Per-user funnel step conversion times (user_id, t1..tk) — the
+    * chained-window core shared by [[funnelOn]] and [[timeToConvertOn]].
+    * ONE shuffle for any step count: each step time is a whole-partition
+    * window min over the same user_id partitioning (consecutive Window
+    * stages reuse the exchange — the first cut's groupBy+join chain
+    * planned 17 static exchanges), conditions chain t(k) on t(k−1) with
+    * null propagation doing the gating (ts > null is null, min ignores
+    * it).
+    */
+  private[graft] def stepTimesOn(e: DataFrame,
+      steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.size == steps.distinct.size,
       s"funnel steps must be non-empty and distinct: $steps")
     val w = Window.partitionBy(col("user_id"))
     val ts = steps.indices.map(i => s"t${i + 1}")
-    val labels = steps.zipWithIndex.map { case (st, i) => s"${i + 1}_$st" }
     val withT = steps.zipWithIndex.foldLeft(e) { case (df, (st, i)) =>
       val gate = col("event_type") === st &&
         (if (i == 0) lit(true) else col("ts") > col(ts(i - 1)))
       df.withColumn(ts(i), min(when(gate, col("ts"))).over(w))
     }
-    val perUser = withT
+    withT
       .groupBy(col("user_id")) // same key: no second shuffle
       .agg(max(col(ts.head)).as(ts.head),
         ts.tail.map(t => max(col(t)).as(t)): _*)
-    perUser
+  }
+
+  private[graft] def funnelOn(e: DataFrame,
+      steps: Seq[String] = FunnelSteps): DataFrame = {
+    val ts = steps.indices.map(i => s"t${i + 1}")
+    val labels = steps.zipWithIndex.map { case (st, i) => s"${i + 1}_$st" }
+    stepTimesOn(e, steps)
       .agg(count(col(ts.head)).as(labels.head),
         ts.tail.zip(labels.tail)
           .map { case (t, l) => count(col(t)).as(l) }: _*)
       .unpivot(Array.empty, "step", "n_users")
       .orderBy(col("step"))
+  }
+
+  /** Conversion LATENCY per funnel transition — how long converting
+    * users take between consecutive steps: n_users, min / exact median
+    * / max seconds (integral epoch-micro differences DIV 10⁶; the
+    * median is the lower-middle sorted element, position (n+1) DIV 2,
+    * so no float interpolation). The per-transition deltas melt out of
+    * ONE [[stepTimesOn]] pass (no re-scan per transition); ranking is a
+    * WindowGroupLimit-sized sort over the bounded converting-user set.
+    */
+  def timeToConvert(s: SparkSession, d: String): DataFrame =
+    timeToConvertOn(ev(s, d))
+
+  private[graft] def timeToConvertOn(e: DataFrame,
+      steps: Seq[String] = FunnelSteps): DataFrame = {
+    val st = stepTimesOn(e, steps)
+    val pairs = steps.indices.dropRight(1).map { i =>
+      struct(
+        lit(s"${i + 1}_${steps(i)}->${i + 2}_${steps(i + 1)}")
+          .as("transition"),
+        // positive deltas (strict > in the gate) so DIV = floor, matching
+        // DuckDB's // ; a Spark `/` here would be a double divide
+        expr(s"(unix_micros(t${i + 2}) - unix_micros(t${i + 1})) " +
+          "DIV 1000000").as("delta_s"))
+    }
+    val wT = Window.partitionBy(col("transition")).orderBy(col("delta_s"))
+    st.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.transition").as("transition"),
+        col("p.delta_s").as("delta_s"))
+      .filter(col("delta_s").isNotNull)
+      .withColumn("rn", row_number().over(wT))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("transition"))))
+      .groupBy(col("transition"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("delta_s")).as("min_s"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("delta_s")))
+          .as("median_s"),
+        max(col("delta_s")).as("max_s"))
+      .orderBy(col("transition"))
   }
 
   /** SESSIONIZED funnel — [[funnel]] asks "did the user EVER convert";
@@ -174,12 +222,52 @@ object EventOps extends OpFamily {
 
   val queries = Map(
     "ev_funnel" -> (funnel _),
+    "ev_time_to_convert" -> (timeToConvert _),
     "ev_session_funnel" -> (sessionFunnel _),
     "ev_scd2" -> (scd2 _),
     "ev_cohort_retention" -> (cohortRetention _),
     "ev_transitions" -> (transitions _))
 
   val oracle = Map(
+    "ev_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events),
+         t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY user_id),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'view' AND e.ts > t1.t1
+                GROUP BY e.user_id),
+         t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+                JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'click' AND e.ts > t2.t2
+                GROUP BY e.user_id),
+         t4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM e
+                JOIN t3 ON e.user_id = t3.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t3.t3
+                GROUP BY e.user_id),
+         d AS (
+           SELECT '1_signup->2_view' AS transition,
+             (epoch_us(t2.t2) - epoch_us(t1.t1)) // 1000000 AS delta_s
+           FROM t1 JOIN t2 USING (user_id)
+           UNION ALL
+           SELECT '2_view->3_click',
+             (epoch_us(t3.t3) - epoch_us(t2.t2)) // 1000000
+           FROM t2 JOIN t3 USING (user_id)
+           UNION ALL
+           SELECT '3_click->4_purchase',
+             (epoch_us(t4.t4) - epoch_us(t3.t3)) // 1000000
+           FROM t3 JOIN t4 USING (user_id)),
+         r AS (SELECT transition, delta_s,
+             row_number() OVER (PARTITION BY transition
+               ORDER BY delta_s) AS rn,
+             count(*) OVER (PARTITION BY transition) AS n
+           FROM d)
+         SELECT transition, CAST(count(*) AS BIGINT) AS n_users,
+           min(delta_s) AS min_s,
+           max(CASE WHEN rn = (n + 1) // 2 THEN delta_s END) AS median_s,
+           max(delta_s) AS max_s
+         FROM r GROUP BY transition ORDER BY transition""",
     "ev_scd2" ->
       """SELECT user_id, event_type AS state,
            CAST(ts AS TIMESTAMP) AS valid_from, event_id,

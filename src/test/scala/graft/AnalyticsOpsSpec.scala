@@ -110,6 +110,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r(3L) === ((12L, 2L, 2L, 10L)))
   }
 
+  test("count-of-counts: N_r tabulates trigram frequencies exactly") {
+    import spark.implicits._
+    // "a b c" ×3 docs → one trigram type at r=3; "x y z w" → two types
+    // at r=1
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y z w")).toDF("doc_id", "text")
+    val n = AggOps.countOfCountsOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("time-to-convert: median is the lower-middle sorted delta") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, t: String, ty: String) =
+      (id, u, ty, java.sql.Timestamp.valueOf(t))
+    // three users convert signup→view in 10 s, 20 s, 100 s → median 20;
+    // only user 1 continues view→click (5 s)
+    val e = Seq(
+      ev(1, 1, "2024-01-01 00:00:00", "signup"),
+      ev(2, 1, "2024-01-01 00:00:10", "view"),
+      ev(3, 1, "2024-01-01 00:00:15", "click"),
+      ev(4, 2, "2024-01-01 00:00:00", "signup"),
+      ev(5, 2, "2024-01-01 00:00:20", "view"),
+      ev(6, 3, "2024-01-01 00:00:00", "signup"),
+      ev(7, 3, "2024-01-01 00:01:40", "view"))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = graft.operators.EventOps.timeToConvertOn(e).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("1_signup->2_view") === ((3L, 10L, 20L, 100L)))
+    assert(r("2_view->3_click") === ((1L, 5L, 5L, 5L)))
+    assert(!r.contains("3_click->4_purchase"), "no converting users")
+  }
+
   test("linkage entities: deletion chains close transitively to one entity") {
     val ents = PipelineOps.linkageEntities(spark, sf).collect()
     assert(ents.nonEmpty)

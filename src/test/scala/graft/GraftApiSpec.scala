@@ -376,6 +376,11 @@ class GraftApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Graft.funnel(rows, "uid", "action", "at", Seq("a", "a"))
     }
+    val ttc = Graft.timeToConvert(rows, "uid", "action", "at",
+      Seq("install", "open", "subscribe")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(ttc === Map("1_install->2_open" -> ((1L, 300L)),
+      "2_open->3_subscribe" -> ((1L, 240L))))
   }
 
   test("cohortRetention and transitions APIs run on renamed columns") {
