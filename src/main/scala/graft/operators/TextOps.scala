@@ -256,6 +256,15 @@ object TextOps extends OpFamily {
 
   private[graft] def repeatedSpansOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE explode pipeline: g → corpus freq → join back → islands →
+    // per-doc aggregate (n_repeated fused into the island rollup, NOT a
+    // separate scan of the repeated marks); n_grams never needs the
+    // explode at all — it is just max(len − 4, 0) per doc, a scalar on
+    // the base table. The first cut materialized g for THREE consumers
+    // (freq, join-back, per-doc gram count) and the repeated marks for
+    // two — 11 exchanges and ~4 corpus scans; this shape scans the
+    // corpus twice (gram side + scalar side), the 100 TB-honest minimum
+    // for a corpus-global frequency predicate.
     val g = docs.select(col("doc_id"),
       posexplode(shinglesN(toks, 5)).as(Seq("pos", "gram")))
     val freq = g.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
@@ -268,19 +277,16 @@ object TextOps extends OpFamily {
       .withColumn("island", sum(col("gap")).over(
         wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"),
+        count(lit(1)).as("n_marks"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(col("mx") - col("mn") + 5).as("covered_tokens"))
-    val perDoc = g.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_grams"))
-    val nRep = rep.groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeated"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .join(nRep, Seq("doc_id"), "left")
+        sum(col("mx") - col("mn") + 5).as("covered_tokens"),
+        sum(col("n_marks")).as("n_repeated"))
+    docs.select(col("doc_id"),
+        greatest(size(toks) - 4, lit(0)).cast("long").as("n_grams"))
       .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+      .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
