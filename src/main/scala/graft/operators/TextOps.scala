@@ -227,7 +227,11 @@ object TextOps extends OpFamily {
         explode(shinglesN(toks, 2)).as("bigram"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val cBg = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
-    val cW1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    // c(w₁·) rolls up from the VOCAB-SIZED bigram counts, not a second
+    // corpus explode: Σ c_bg grouped by first word is the same number
+    val cW1 = cBg
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
     bg.join(cBg, "bigram").join(cW1, "w1")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
