@@ -48,15 +48,23 @@ object PipelineOps extends OpFamily {
     // fingerprint (one groupBy + semi-join, the dedup_keep_first rule)
     val fped = quality.withColumn("fp",
       md5(regexp_replace(trim(lower(col("text"))), " +", " ")))
+    // exact has TWO consumers (the Jaccard pair build and the anti-join
+    // probe) and survivors THREE (rates, mixed, the funnel count) — the
+    // two-consumers rule: materialize, or every downstream stage (and
+    // each of the funnel's five counts) re-executes the whole upstream
+    // chain. Lazy composition planned 184 exchanges for pipeline_funnel;
+    // checkpointed, each stage's subtree runs once.
     val exact = fped.join(
         fped.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
         Seq("fp", "doc_id"), "left_semi")
       .drop("fp")
+      .localCheckpoint()
     // 3. near-dedup survivors: drop every doc that appears as the LARGER
     // id of a Jaccard ≥ 0.3 pair over the exact-surviving corpus
     val dropped = DedupOps.blockedJaccardPairs(exact)
       .select(col("b").as("doc_id")).distinct()
     val survivors = exact.join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     // 4. temperature mix (α = ½): per-lang keep-rate ⌊1000·√(nmin/n)⌋
     // derived from SURVIVOR counts — the rates must reflect the corpus
     // the mix actually samples, not the raw one
