@@ -381,10 +381,11 @@ object Graft {
     * regardless of step count (chained window minimums).
     */
   def funnel(df: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame =
+      tsCol: String, steps: Seq[String],
+      horizonMicros: Option[Long] = None): DataFrame =
     graft.operators.EventOps.funnelOn(
       df.select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
-        col(tsCol).as("ts")), steps)
+        col(tsCol).as("ts")), steps, horizonMicros)
 
   /** Conversion latency between consecutive funnel steps over any event
     * frame: (transition, n_users, min_s, median_s, max_s) with an exact

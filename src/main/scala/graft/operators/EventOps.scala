@@ -46,15 +46,21 @@ object EventOps extends OpFamily {
     * null propagation doing the gating (ts > null is null, min ignores
     * it).
     */
-  private[graft] def stepTimesOn(e: DataFrame,
-      steps: Seq[String]): DataFrame = {
+  private[graft] def stepTimesOn(e: DataFrame, steps: Seq[String],
+      horizonMicros: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty && steps.size == steps.distinct.size,
       s"funnel steps must be non-empty and distinct: $steps")
     val w = Window.partitionBy(col("user_id"))
     val ts = steps.indices.map(i => s"t${i + 1}")
     val withT = steps.zipWithIndex.foldLeft(e) { case (df, (st, i)) =>
       val gate = col("event_type") === st &&
-        (if (i == 0) lit(true) else col("ts") > col(ts(i - 1)))
+        (if (i == 0) lit(true) else {
+          val ordered = col("ts") > col(ts(i - 1))
+          // conversion deadline: step k counts only within the horizon
+          // of the user's STEP-1 time (exact epoch-micro comparison)
+          horizonMicros.fold(ordered)(h => ordered &&
+            unix_micros(col("ts")) - unix_micros(col(ts.head)) <= lit(h))
+        })
       df.withColumn(ts(i), min(when(gate, col("ts"))).over(w))
     }
     withT
@@ -64,16 +70,26 @@ object EventOps extends OpFamily {
   }
 
   private[graft] def funnelOn(e: DataFrame,
-      steps: Seq[String] = FunnelSteps): DataFrame = {
+      steps: Seq[String] = FunnelSteps,
+      horizonMicros: Option[Long] = None): DataFrame = {
     val ts = steps.indices.map(i => s"t${i + 1}")
     val labels = steps.zipWithIndex.map { case (st, i) => s"${i + 1}_$st" }
-    stepTimesOn(e, steps)
+    stepTimesOn(e, steps, horizonMicros)
       .agg(count(col(ts.head)).as(labels.head),
         ts.tail.zip(labels.tail)
           .map { case (t, l) => count(col(t)).as(l) }: _*)
       .unpivot(Array.empty, "step", "n_users")
       .orderBy(col("step"))
   }
+
+  /** [[funnel]] with a CONVERSION DEADLINE — every later step must land
+    * within 72 hours of the user's step-1 time, the windowed-conversion
+    * semantics every product-analytics funnel defaults to (the unbounded
+    * funnel saturates on long-lived users; the deadline is what makes
+    * cohort comparisons honest). Same one-shuffle chained-window plan.
+    */
+  def funnelWindowed(s: SparkSession, d: String): DataFrame =
+    funnelOn(ev(s, d), FunnelSteps, Some(72L * 3600L * 1000000L))
 
   /** Conversion LATENCY per funnel transition — how long converting
     * users take between consecutive steps: n_users, min / exact median
@@ -222,6 +238,7 @@ object EventOps extends OpFamily {
 
   val queries = Map(
     "ev_funnel" -> (funnel _),
+    "ev_funnel_72h" -> (funnelWindowed _),
     "ev_time_to_convert" -> (timeToConvert _),
     "ev_session_funnel" -> (sessionFunnel _),
     "ev_scd2" -> (scd2 _),
@@ -229,6 +246,35 @@ object EventOps extends OpFamily {
     "ev_transitions" -> (transitions _))
 
   val oracle = Map(
+    "ev_funnel_72h" ->
+      """WITH e AS (SELECT user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events),
+         t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY user_id),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'view' AND e.ts > t1.t1
+                  AND epoch_us(e.ts) - epoch_us(t1.t1) <= 259200000000
+                GROUP BY e.user_id),
+         t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+                JOIN t2 ON e.user_id = t2.user_id
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'click' AND e.ts > t2.t2
+                  AND epoch_us(e.ts) - epoch_us(t1.t1) <= 259200000000
+                GROUP BY e.user_id),
+         t4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM e
+                JOIN t3 ON e.user_id = t3.user_id
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t3.t3
+                  AND epoch_us(e.ts) - epoch_us(t1.t1) <= 259200000000
+                GROUP BY e.user_id)
+         SELECT step, n_users FROM (
+           SELECT '1_signup' AS step, CAST(count(*) AS BIGINT) AS n_users
+             FROM t1
+           UNION ALL SELECT '2_view', CAST(count(*) AS BIGINT) FROM t2
+           UNION ALL SELECT '3_click', CAST(count(*) AS BIGINT) FROM t3
+           UNION ALL SELECT '4_purchase', CAST(count(*) AS BIGINT) FROM t4)
+         ORDER BY step""",
     "ev_time_to_convert" ->
       """WITH e AS (SELECT user_id, event_type,
              CAST(ts AS TIMESTAMP) AS ts FROM events),

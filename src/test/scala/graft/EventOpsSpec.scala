@@ -40,6 +40,26 @@ class EventOpsSpec extends AnyFunSuite {
       "3_click" -> 1L, "4_purchase" -> 1L))
   }
 
+  test("windowed funnel: the deadline is measured from step 1, inclusive") {
+    val e = events(Seq(
+      // user 1: view exactly AT the 60-second horizon — counts (<=)
+      (1L, 1L, "signup", "2024-01-01 10:00:00"),
+      (2L, 1L, "view", "2024-01-01 10:01:00"),
+      // user 2: view one second past the horizon — does not count
+      (3L, 2L, "signup", "2024-01-01 10:00:00"),
+      (4L, 2L, "view", "2024-01-01 10:01:01"),
+      // user 3: click within horizon of SIGNUP even though the view was
+      // late → click still cannot count (it needs a converted view)
+      (5L, 3L, "signup", "2024-01-01 10:00:00"),
+      (6L, 3L, "view", "2024-01-01 10:02:00"),
+      (7L, 3L, "click", "2024-01-01 10:00:30")))
+    val got = EventOps.funnelOn(e, EventOps.FunnelSteps,
+        horizonMicros = Some(60L * 1000000L)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1_signup" -> 3L, "2_view" -> 1L,
+      "3_click" -> 0L, "4_purchase" -> 0L))
+  }
+
   test("funnel step times are strictly increasing (same-ts never counts)") {
     val e = events(Seq(
       (1L, 1L, "signup", "2024-01-01 10:00:00"),
