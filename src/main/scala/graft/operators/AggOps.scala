@@ -379,7 +379,40 @@ object AggOps extends OpFamily {
       .filter(col("r") <= 50)
       .orderBy(col("r"))
 
+  /** Key-skew diagnostics — the numbers a partition planner needs before
+    * choosing salting / AQE skew handling: per-key row counts of the
+    * events stream summarized as max and top-10 key shares (integral
+    * per-mille) plus exact p50/p99 per-key counts. No unpartitioned
+    * window: the count table ranks through the range-partitioned
+    * [[WindowOps.withExactGlobalRank]], the top-10 side is a
+    * TakeOrdered, and the three one-row frames broadcast-join into the
+    * single output row.
+    */
+  def keySkew(s: SparkSession, d: String): DataFrame =
+    keySkewOn(Tables.events(s, d))
+
+  private[graft] def keySkewOn(events: DataFrame): DataFrame = {
+    val counts = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("kc"))
+    val base = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("kc")).as("n_rows"), max(col("kc")).as("max_count"))
+    val top10 = counts.orderBy(col("kc").desc, col("user_id")).limit(10)
+      .agg(sum(col("kc")).as("top10_rows"))
+    val (ranked, n) = WindowOps.withExactGlobalRank(counts,
+      Seq(col("kc"), col("user_id")))
+    val (p50, p99) = ((n * 50 + 99) / 100, (n * 99 + 99) / 100)
+    val quant = ranked.filter(col("r") === p50 || col("r") === p99)
+      .agg(max(when(col("r") === p50, col("kc"))).as("p50_count"),
+        max(when(col("r") === p99, col("kc"))).as("p99_count"))
+    base.crossJoin(broadcast(top10)).crossJoin(broadcast(quant))
+      .select(col("n_keys"), col("n_rows"), col("max_count"),
+        expr("(1000 * max_count) DIV n_rows").as("max_share_permille"),
+        expr("(1000 * top10_rows) DIV n_rows").as("top10_share_permille"),
+        col("p50_count"), col("p99_count"))
+  }
+
   val queries = Map(
+    "agg_key_skew" -> (keySkew _),
     "agg_count_of_counts" -> (countOfCounts _),
     "agg_pivot" -> (pivotEventTypes _),
     "agg_unpivot" -> (unpivotLangProfile _),
@@ -403,6 +436,27 @@ object AggOps extends OpFamily {
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
+    "agg_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS kc FROM events
+             GROUP BY user_id),
+         b AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(kc) AS BIGINT) AS n_rows, max(kc) AS max_count
+           FROM c),
+         t AS (SELECT CAST(sum(kc) AS BIGINT) AS top10_rows FROM (
+           SELECT kc FROM c ORDER BY kc DESC, user_id LIMIT 10)),
+         r AS (SELECT kc, row_number() OVER (ORDER BY kc, user_id) AS r,
+             count(*) OVER () AS n FROM c),
+         q AS (SELECT
+             max(CASE WHEN r = (n * 50 + 99) // 100 THEN kc END)
+               AS p50_count,
+             max(CASE WHEN r = (n * 99 + 99) // 100 THEN kc END)
+               AS p99_count
+           FROM r)
+         SELECT b.n_keys, b.n_rows, b.max_count,
+           (1000 * b.max_count) // b.n_rows AS max_share_permille,
+           (1000 * t.top10_rows) // b.n_rows AS top10_share_permille,
+           q.p50_count, q.p99_count
+         FROM b, t, q""",
     "agg_count_of_counts" ->
       """SELECT r, CAST(count(*) AS BIGINT) AS n_types FROM (
            SELECT count(*) AS r FROM (

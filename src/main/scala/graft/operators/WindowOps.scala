@@ -203,6 +203,25 @@ object WindowOps extends OpFamily {
       .orderBy(col("quartile"))
   }
 
+  /** percent_rank + cume_dist — the relative-standing pair (the last two
+    * standard ranking functions the family lacked): each probed event's
+    * standing within its type. Rank ties resolve by VALUE only (the
+    * standard semantics — equal values share a rank), so both doubles
+    * are the same (rank−1)/(n−1) and peers/n expressions on both
+    * engines; output is bounded by probing every 500th event_id.
+    */
+  def relativeStanding(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("event_id") % 500 === 0)
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("pr"), col("cd"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** first/last order per status over a deterministic full-frame window. */
   def firstLast(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
@@ -227,9 +246,19 @@ object WindowOps extends OpFamily {
     "win_running_sum" -> (runningSum _),
     "win_moving_avg" -> (movingAvg _),
     "win_ntile" -> (ntileQuartiles _),
+    "win_percent_rank" -> (relativeStanding _),
     "win_first_last" -> (firstLast _))
 
   val oracle = Map(
+    "win_percent_rank" ->
+      """SELECT event_type, event_id, value, pr, cd FROM (
+           SELECT event_type, event_id, value,
+             percent_rank() OVER (PARTITION BY event_type
+               ORDER BY value) AS pr,
+             cume_dist() OVER (PARTITION BY event_type
+               ORDER BY value) AS cd
+           FROM events)
+         WHERE event_id % 500 = 0 ORDER BY event_type, event_id""",
     "win_group_quantiles" ->
       """WITH o AS (SELECT c_mktsegment, o_orderkey, o_totalprice
            FROM orders JOIN customer ON o_custkey = c_custkey),

@@ -144,6 +144,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(!r.contains("3_click->4_purchase"), "no converting users")
   }
 
+  test("key skew: shares and exact positional percentiles") {
+    import spark.implicits._
+    // per-key counts 1,1,2,6 → n=10 rows; max share 600‰, top10 covers
+    // everything (1000‰); sorted counts [1,1,2,6]: p50 at pos 2 → 1,
+    // p99 at pos 4 → 6
+    val ev = (Seq.fill(6)(10L) ++ Seq(20L, 20L, 30L, 40L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("event_id", "user_id")
+    val r = AggOps.keySkewOn(ev).collect().head
+    assert((r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"),
+      r.getAs[Long]("max_count"), r.getAs[Long]("max_share_permille"),
+      r.getAs[Long]("top10_share_permille"), r.getAs[Long]("p50_count"),
+      r.getAs[Long]("p99_count")) === ((4L, 10L, 6L, 600L, 1000L, 1L, 6L)))
+  }
+
   test("linkage entities: deletion chains close transitively to one entity") {
     val ents = PipelineOps.linkageEntities(spark, sf).collect()
     assert(ents.nonEmpty)
