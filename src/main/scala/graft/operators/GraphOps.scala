@@ -103,6 +103,46 @@ object GraphOps extends OpFamily {
       .limit(20)
   }
 
+  /** PERSONALIZED PageRank (damping 0.85, 5 rounds): teleport mass is
+    * restricted to a fixed 4-customer seed set (nodes 0/2/4/6 — customer
+    * keys 0..3), so rank measures proximity TO THE SEEDS rather than
+    * global importance — the similar-entities / recommendation variant.
+    * Same micro-unit integral arithmetic and composed-rounds plan as
+    * [[pageRank]]: init 10⁶ units per seed, per-round teleport 150000
+    * units per seed, damped sums in longs — DuckDB replays all five
+    * rounds exactly. Nodes never reached keep 0 units and are filtered,
+    * so the top-20 is well-defined at any fixture scale.
+    */
+  def pageRankPersonalized(s: SparkSession, d: String): DataFrame = {
+    val seeds = Seq(0L, 2L, 4L, 6L)
+    val isSeed = (c: Column) => c.isin(seeds.map(x => x: Any): _*)
+    val edges = custSuppEdges(s, d).localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src")).persist()
+    var ranks = deg.select(col("src").as("node"),
+      when(isSeed(col("src")), lit(1000000L)).otherwise(lit(0L))
+        .as("units"))
+    (1 to 5).foreach { _ =>
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("units DIV deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((when(isSeed(col("dst")), lit(150000L)).otherwise(lit(0L)) +
+          expr("(85L * sum(contrib)) DIV 100L")).as("units"))
+        .select(col("dst").as("node"), col("units"))
+    }
+    ranks = ranks.localCheckpoint()
+    withDeg.unpersist()
+    ranks
+      .filter(col("units") > 0)
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node DIV 2").as("entity_key"),
+        col("units").as("rank_units"))
+      .orderBy(desc("rank_units"), col("kind"), col("entity_key"))
+      .limit(20)
+  }
+
   /** WEIGHTED PageRank (damping 0.85, 5 rounds): rank mass flows along
     * each edge in proportion to its weight — contrib(u→v) =
     * (units(u) · w(u,v)) DIV Σ_x w(u,x) — the generalization real
@@ -982,6 +1022,7 @@ object GraphOps extends OpFamily {
 
   val queries = Map(
     "graph_pagerank" -> (pageRank _),
+    "graph_ppr" -> (pageRankPersonalized _),
     "graph_assortativity" -> (assortativity _),
     "graph_pagerank_weighted" -> (pageRankWeighted _),
     "graph_pagerank_converged" -> (pageRankConverged _),
@@ -1104,6 +1145,13 @@ object GraphOps extends OpFamily {
            AS units
        FROM wd JOIN r${k - 1} r ON wd.src = r.node GROUP BY wd.dst)"""
 
+  private def pprIter(k: Int): String =
+    s"""p$k AS (SELECT wd.dst AS node,
+         (CASE WHEN wd.dst IN (0, 2, 4, 6) THEN 150000 ELSE 0 END)
+           + (85 * CAST(sum(r.units // wd.deg) AS BIGINT)) // 100
+           AS units
+       FROM wd JOIN p${k - 1} r ON wd.src = r.node GROUP BY wd.dst)"""
+
   val oracle = Map(
     "graph_pagerank" ->
       s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
@@ -1119,6 +1167,24 @@ object GraphOps extends OpFamily {
              AS kind,
            node // 2 AS entity_key, units AS rank_units
          FROM r5
+         ORDER BY rank_units DESC, kind, entity_key LIMIT 20""",
+    "graph_ppr" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM e0
+                   UNION ALL SELECT s, c FROM e0),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         wd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         p0 AS (SELECT src AS node,
+             CAST(CASE WHEN src IN (0, 2, 4, 6) THEN 1000000 ELSE 0 END
+               AS BIGINT) AS units
+           FROM deg),
+         ${(1 to 5).map(pprIter).mkString(",\n         ")}
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS kind,
+           node // 2 AS entity_key, units AS rank_units
+         FROM p5 WHERE units > 0
          ORDER BY rank_units DESC, kind, entity_key LIMIT 20""",
     "graph_triangles" ->
       s"""WITH $nearDupEdges,

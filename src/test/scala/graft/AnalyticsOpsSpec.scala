@@ -159,6 +159,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       r.getAs[Long]("p99_count")) === ((4L, 10L, 6L, 600L, 1000L, 1L, 6L)))
   }
 
+  test("personalized pagerank: integral rounds are bit-deterministic") {
+    val run1 = graft.operators.GraphOps.pageRankPersonalized(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val run2 = graft.operators.GraphOps.pageRankPersonalized(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(run1.nonEmpty && run1.length <= 20)
+    assert(run1.forall(_._3 > 0), "unreached nodes are filtered")
+    assert(run1.toSeq === run2.toSeq,
+      "micro-unit arithmetic replays bit-for-bit")
+    val seedMass = run1.filter(r => r._1 == "customer" && r._2 <= 3)
+    assert(seedMass.nonEmpty, "a teleport seed holds visible mass")
+  }
+
   test("linkage entities: deletion chains close transitively to one entity") {
     val ents = PipelineOps.linkageEntities(spark, sf).collect()
     assert(ents.nonEmpty)
