@@ -99,6 +99,20 @@ object StreamOps extends OpFamily {
       .select(col("w.start").as("w_start"), col("n"), col("sum_v"))
       .orderBy(col("w_start"))
 
+  /** Rolling active users — exact distinct user count per sliding
+    * 1-hour/30-minute window, the DAU/WAU metric shape. The distinct
+    * aggregate expands to the two-phase (window, user) plan — linear,
+    * map-side partials; at 100 TB swap for approx_count_distinct per
+    * window (constant memory) or the HLL sketch union if windows must
+    * merge downstream.
+    */
+  def slidingDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("w_start"), col("n_users"))
+      .orderBy(col("w_start"))
+
   /** Session windows per user with a 17-minute inactivity gap: session
     * count, size, and bounds. (Odd gap length so no event-time diff can sit
     * exactly on the boundary, where half-open-interval semantics differ
@@ -128,6 +142,7 @@ object StreamOps extends OpFamily {
     "stream_tumbling" -> (tumbling _),
     "stream_gapfill" -> (gapFill _),
     "stream_ohlc" -> (ohlc _),
+    "stream_sliding_distinct" -> (slidingDistinct _),
     "stream_sliding" -> (sliding _),
     "stream_session" -> (sessionize _),
     "stream_session_stats" -> (sessionStats _))
@@ -159,6 +174,14 @@ object StreamOps extends OpFamily {
            coalesce(sum_v, 0.0) AS sum_v
          FROM spine LEFT JOIN hourly ON spine.h = hourly.h
          ORDER BY hour""",
+    "stream_sliding_distinct" ->
+      """SELECT w_start, count(DISTINCT user_id) AS n_users
+         FROM (SELECT unnest([
+             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               - INTERVAL '30 minutes']) AS w_start, user_id
+           FROM events)
+         GROUP BY w_start ORDER BY w_start""",
     "stream_ohlc" ->
       """WITH e AS (SELECT event_type, event_id,
              CAST(ts AS TIMESTAMP) AS ts, value,
