@@ -17,17 +17,41 @@ object Tables {
     * re-reading ten fixture tables pays footer+listing I/O hundreds of
     * times for identical immutable relations. A long-lived session (or
     * any catalog-backed deployment) resolves a table once — this cache
-    * is that, keyed by session so stopped sessions' entries are inert.
-    * DataFrames are immutable plans: sharing one across queries cannot
-    * leak state between them.
+    * is that, keyed by session. DataFrames are immutable plans: sharing
+    * one across queries cannot leak state between them.
+    *
+    * Lifecycle: the first insert for a session registers a listener that
+    * drops ALL of that session's entries on application end, so stopped
+    * sessions hold no strong references here for the JVM lifetime (a
+    * long-lived driver JVM cycling many sessions would otherwise leak
+    * every session + its resolved relations).
+    *
+    * CONTRACT: a fixture path is immutable for the life of the session.
+    * Rewriting files under a cached (dir, table) within one session would
+    * serve the stale file listing/schema — exactly like an external
+    * catalog; writers that need to re-read must use a fresh dir (all io_*
+    * roundtrips write to fresh temp dirs and bypass this cache entirely).
     */
   private val relationCache =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String), DataFrame]()
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (evictionHooked.add(spark)) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            relationCache.keySet.removeIf(_._1 eq spark)
+            evictionHooked.remove(spark)
+          }
+        })
+    }
     relationCache.computeIfAbsent((spark, sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

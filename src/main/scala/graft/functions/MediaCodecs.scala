@@ -30,7 +30,11 @@ object MediaCodecs {
     else if (ascii(0, "GIF8")) "gif"
     else if (ascii(0, "BM")) "bmp"
     else if (at(0) == 'P'.toInt && (at(1) == '5'.toInt || at(1) == '6'.toInt)
-      && Character.isWhitespace(at(2))) "pnm"
+      && (at(2) == 0x20 || at(2) == 0x0A || at(2) == 0x09 || at(2) == 0x0D))
+      "pnm" // exactly the four bytes the SQL sniff accepts — NOT
+    // Character.isWhitespace, whose wider set (0x0B 0x0C 0x1C-0x1F)
+    // would let the JVM and mm_format_sniff classify a payload
+    // differently
     else "unknown"
   }
 
@@ -239,8 +243,13 @@ object MediaCodecs {
       w <- nextInt()
       h <- nextInt()
       mx <- nextInt()
-      if w > 0 && h > 0 && mx > 0 && mx <= 255 && i < b.length
-      _ = { i += 1 } // exactly ONE whitespace byte after maxval, per spec
+      // exactly ONE whitespace byte after maxval, per spec — and it must
+      // BE whitespace: 'P5 2 2 255X<pixels>' is out-of-spec, and skipping
+      // the X blindly would shift all pixel reads by one byte yet still
+      // report decoded=true (parser total but not faithful)
+      if w > 0 && h > 0 && mx > 0 && mx <= 255 && i < b.length &&
+        Character.isWhitespace(b(i) & 0xff)
+      _ = { i += 1 }
       ch = if (kind == "ppm") 3 else 1
       need = w.toLong * h * ch
       if i + need <= b.length

@@ -304,6 +304,17 @@ object AggOps extends OpFamily {
     * tested squared and cleared of divisions —
     * (n·u − S)² > 9·(n·Q − S²) with S = Σu, Q = Σu² — in decimal(38)
     * (HUGEINT on the oracle side: Q ~ n·u² overflows int64 at real scale).
+    *
+    * HEADROOM GUARD: decimal(38) holds < 10³⁸, and both squared sides are
+    * bounded by (n·max|u|)² up to small constants — (n·u−S)² ≤ 4·(n·max|u|)²
+    * and 9·(nQ−S²) ≤ 9·(n·max|u|)² — so n·max|u| ≤ 3·10¹⁸ keeps every
+    * intermediate under 38 digits (at n ~ 10¹² rows per type that still
+    * allows |values| up to ~3·10⁶ i.e. 3·10¹² micro-units). Beyond it,
+    * Spark's non-ANSI decimal overflow yields NULL and the filter would
+    * SILENTLY drop true outliers — so the moments projection raises
+    * instead (raise_error on the 5-row aggregate, zero per-row cost; the
+    * guard lives inside the rhs9 expression the filter consumes, so
+    * column pruning cannot elide it).
     * Scale shape: one bounded moments aggregate (map-side partials),
     * broadcast back over the event stream, WindowGroupLimit for the
     * per-type top-5 — no shuffle of the big table beyond the window's
@@ -318,15 +329,25 @@ object AggOps extends OpFamily {
     val u = events.select(col("event_type"), col("event_id"),
       floor(col("value") * 1e6).cast("long").as("value_micro"))
     val m = u.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"),
-      sum(col("value_micro")).as("sm"),
-      sum(dec(col("value_micro")) * col("value_micro")).as("q"))
+        count(lit(1)).as("n"),
+        sum(col("value_micro")).as("sm"),
+        sum(dec(col("value_micro")) * col("value_micro")).as("q"),
+        max(abs(col("value_micro"))).as("maxu"))
+      .select(col("event_type"), col("n"), col("sm"),
+        when(dec(col("n")) * col("maxu") <= lit(3000000000000000000L),
+          lit(9) * (dec(col("n")) * col("q") - dec(col("sm")) * col("sm")))
+          .otherwise(raise_error(concat(
+            lit("zscoreOutliers: n*max|u| exceeds the decimal(38) " +
+              "headroom bound 3e18 for event_type "),
+            col("event_type"),
+            lit(" — squared moments would overflow to NULL and silently " +
+              "drop outliers; rescale the micro-unit quantum"))))
+          .as("rhs9"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(abs(col("dev")).desc, col("event_id"))
     u.join(broadcast(m), Seq("event_type"))
       .withColumn("dev", dec(col("n")) * col("value_micro") - col("sm"))
-      .filter(col("dev") * col("dev") >
-        lit(9) * (dec(col("n")) * col("q") - dec(col("sm")) * col("sm")))
+      .filter(col("dev") * col("dev") > col("rhs9"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("event_type"), col("rank"), col("event_id"),

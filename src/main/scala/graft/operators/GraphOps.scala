@@ -104,17 +104,23 @@ object GraphOps extends OpFamily {
   }
 
   /** PERSONALIZED PageRank (damping 0.85, 5 rounds): teleport mass is
-    * restricted to a fixed 4-customer seed set (nodes 0/2/4/6 — customer
-    * keys 0..3), so rank measures proximity TO THE SEEDS rather than
-    * global importance — the similar-entities / recommendation variant.
-    * Same micro-unit integral arithmetic and composed-rounds plan as
-    * [[pageRank]]: init 10⁶ units per seed, per-round teleport 150000
-    * units per seed, damped sums in longs — DuckDB replays all five
-    * rounds exactly. Nodes never reached keep 0 units and are filtered,
-    * so the top-20 is well-defined at any fixture scale.
+    * restricted to a fixed 4-customer seed set (nodes 2/4/6/8 — customer
+    * keys 1..4; TPC-H custkeys are 1-based, so node 0 never exists), so
+    * rank measures proximity TO THE SEEDS rather than global importance —
+    * the similar-entities / recommendation variant. Same micro-unit
+    * integral arithmetic and composed-rounds plan as [[pageRank]]: init
+    * 10⁶ units per seed, per-round teleport 150000 units per seed, damped
+    * sums in longs — DuckDB replays all five rounds exactly. Semantics
+    * note: each round's teleport term is added only to nodes that appear
+    * as a dst of the contribution join, so a seed with no in-edges would
+    * lose its teleport mass that round — a deliberate deviation from
+    * textbook PPR (where teleport reaches every seed unconditionally)
+    * that both engines replay identically; on this co-order graph every
+    * seed has in-edges. Nodes never reached keep 0 units and are
+    * filtered, so the top-20 is well-defined at any fixture scale.
     */
   def pageRankPersonalized(s: SparkSession, d: String): DataFrame = {
-    val seeds = Seq(0L, 2L, 4L, 6L)
+    val seeds = Seq(2L, 4L, 6L, 8L)
     val isSeed = (c: Column) => c.isin(seeds.map(x => x: Any): _*)
     val edges = custSuppEdges(s, d).localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1147,7 +1153,7 @@ object GraphOps extends OpFamily {
 
   private def pprIter(k: Int): String =
     s"""p$k AS (SELECT wd.dst AS node,
-         (CASE WHEN wd.dst IN (0, 2, 4, 6) THEN 150000 ELSE 0 END)
+         (CASE WHEN wd.dst IN (2, 4, 6, 8) THEN 150000 ELSE 0 END)
            + (85 * CAST(sum(r.units // wd.deg) AS BIGINT)) // 100
            AS units
        FROM wd JOIN p${k - 1} r ON wd.src = r.node GROUP BY wd.dst)"""
@@ -1177,7 +1183,7 @@ object GraphOps extends OpFamily {
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          wd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
          p0 AS (SELECT src AS node,
-             CAST(CASE WHEN src IN (0, 2, 4, 6) THEN 1000000 ELSE 0 END
+             CAST(CASE WHEN src IN (2, 4, 6, 8) THEN 1000000 ELSE 0 END
                AS BIGINT) AS units
            FROM deg),
          ${(1 to 5).map(pprIter).mkString(",\n         ")}
