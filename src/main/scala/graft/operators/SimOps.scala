@@ -358,6 +358,46 @@ object SimOps extends OpFamily {
     val cent = qz.filter(col("vec_id") < 10)
       .select(col("vec_id").cast("int").as("cid"), col("q").as("cq"),
         col("mx").as("cmx"))
+    quantizedIvfSearch(s, d, qz, cent)
+  }
+
+  /** INT8 IVF over LLOYD-REFINED centroids — the deployment-grade ANN
+    * composition: the [[lloydCells]] k-means loop refines the 10 seed
+    * centroids in exact float arithmetic, the refined centroids are then
+    * quantized into the same int8 codebook as the corpus
+    * (floor(x·127/absmax + ½) — identical IEEE spelling in both engines
+    * over centroid doubles the sim_kmeans oracle already proves
+    * bit-identical), and search runs entirely in the quantized domain
+    * with an exact float re-rank of the probed candidates. vs
+    * [[knnIvfQuantized]]: refined cells partition the corpus by actual
+    * density instead of by 10 arbitrary seed vectors, so probes capture
+    * more true neighbors at the same nprobe/nlist read fraction — the
+    * recall spec pins it at-or-above the seed-cell variant's floor. At
+    * 100 TB the Lloyd loop runs on a sample or offline (centroids are a
+    * tiny broadcast artifact); phase 1 scans nprobe/nlist of the
+    * 4×-smaller int8 corpus, floats fetched only for candidates.
+    */
+  def knnIvfLloyd(s: SparkSession, d: String): DataFrame = {
+    val (_, centroids) = lloydCells(s, d)
+    val cent = centroids
+      .withColumn("cmx", array_max(transform(col("centroid"), abs(_))))
+      .select(col("cid"),
+        when(col("cmx") === 0.0,
+          transform(col("centroid"), _ => lit(0L)))
+          .otherwise(transform(col("centroid"),
+            x => floor(x * lit(127.0) / col("cmx") + lit(0.5)))).as("cq"),
+        col("cmx"))
+    quantizedIvfSearch(s, d, quantizedVectors(s, d).localCheckpoint(), cent)
+  }
+
+  /** The int8 two-phase search core shared by [[knnIvfQuantized]] (seed
+    * cells) and [[knnIvfLloyd]] (Lloyd-refined cells): quantized-domain
+    * cell assignment and nprobe=2 probing over `cent` (cid, cq, cmx),
+    * exact float cosine re-rank of only the probed candidates. `qz` must
+    * be materialized by the caller (consumed by cells AND probes).
+    */
+  private def quantizedIvfSearch(s: SparkSession, d: String, qz: DataFrame,
+      cent: DataFrame): DataFrame = {
     def qscore(a: String, amx: String) =
       aggregate(zip_with(col(a), col("cq"), _ * _), lit(0L), _ + _)
         .cast("double") * col(amx) * col("cmx")
@@ -402,6 +442,7 @@ object SimOps extends OpFamily {
     "sim_knn_exact" -> (knnExact _),
     "sim_kmeans" -> (kmeansProfile _),
     "sim_knn_ivf_quantized" -> (knnIvfQuantized _),
+    "sim_knn_ivf_lloyd" -> (knnIvfLloyd _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_knn_quantized" -> (knnQuantizedDot _),
     "sim_top_pairs_sql" -> (topPairsSql _),
@@ -533,8 +574,58 @@ object SimOps extends OpFamily {
          JOIN v ne ON ne.vec_id = n.vec_id)
        WHERE rank <= 5 ORDER BY qid, rank"""
 
+  /** DuckDB replay of the Lloyd-refined int8 IVF: the shared 3-round
+    * Lloyd chain (c3), centroid quantization with the identical IEEE
+    * spelling, then the same quantized assignment/probing and exact
+    * float re-rank as [[ivfQuantizedOracleSql]].
+    */
+  private val ivfLloydOracleSql: String =
+    s"""WITH $lloydCtes,
+       cm AS (SELECT cid, centroid,
+           list_max(list_transform(centroid, x -> abs(x))) AS cmx
+         FROM c3),
+       cent AS (SELECT cid, cmx,
+           CASE WHEN cmx = 0
+             THEN list_transform(centroid, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(centroid,
+               x -> CAST(floor(x * 127.0 / cmx + 0.5) AS BIGINT)) END AS cq
+         FROM cm),
+       m AS (SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+       qz AS (SELECT vec_id, mx,
+           CASE WHEN mx = 0
+             THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(v,
+               x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) END AS q
+         FROM m),
+       scored AS (SELECT x.vec_id, c.cid,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> x.q[i] * c.cq[i])) AS DOUBLE) * x.mx * c.cmx AS s
+         FROM qz x CROSS JOIN cent c),
+       qcells AS (SELECT cid, vec_id FROM (
+           SELECT cid, vec_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY s DESC, cid) AS rn
+           FROM scored) WHERE rn = 1),
+       probes AS (SELECT vec_id AS qid, cid FROM (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY s DESC, cid) AS rn
+           FROM scored WHERE vec_id < 10) WHERE rn <= 2)
+       SELECT qid, rank, nid, cos FROM (
+         SELECT p.qid, n.vec_id AS nid,
+           list_cosine_similarity(qe.v, ne.v) AS cos,
+           row_number() OVER (PARTITION BY p.qid
+             ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, n.vec_id)
+             AS rank
+         FROM probes p JOIN qcells n ON n.cid = p.cid AND n.vec_id <> p.qid
+         JOIN v qe ON qe.vec_id = p.qid
+         JOIN v ne ON ne.vec_id = n.vec_id)
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
   val oracle = Map(
     "sim_knn_ivf" -> ivfOracleSql,
+    "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_kmeans" ->
       s"""WITH $lloydCtes
          SELECT g.cid, g.n_members,

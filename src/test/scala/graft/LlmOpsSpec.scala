@@ -143,6 +143,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mean >= 0.15, s"int8 IVF mean recall $mean below floor")
   }
 
+  test("Lloyd-refined int8 IVF recalls at least like the seed-cell IVF") {
+    val exact = SimOps.knnExact(spark, sf)
+      .select(col("qid"), col("nid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("qid"), col("nid")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = exact.map { case (q, ns) =>
+        got.getOrElse(q, Set.empty).intersect(ns).size.toDouble / ns.size
+      }
+      rs.sum / rs.size
+    }
+    val refined = meanRecall(SimOps.knnIvfLloyd(spark, sf))
+    // density-refined cells must not lose neighbors vs 10 arbitrary seed
+    // vectors at the same nprobe/nlist read fraction (small slack: cell
+    // boundaries move, individual queries can flip either way)
+    val seeded = meanRecall(SimOps.knnIvfQuantized(spark, sf))
+    assert(refined >= 0.15, s"refined IVF mean recall $refined below floor")
+    assert(refined >= seeded - 0.1,
+      s"refined IVF recall $refined well below seed-cell IVF $seeded")
+  }
+
   test("RP-LSH ANN recall beats random guessing by a wide margin") {
     val exact = SimOps.knnExact(spark, sf)
       .select(col("qid"), col("nid")).collect()
