@@ -13,7 +13,7 @@ object SparkEntry {
   private val families: Seq[OpFamily] = Seq(
     CoreOps, AggOps, JoinOps, WindowOps, SetOps, ScalarOps,
     TextOps, DedupOps, SimOps, StreamOps, IoOps, ReduceOps, MultimodalOps,
-    FilterOps, GraphOps, PipelineOps, EventOps)
+    FilterOps, GraphOps, PipelineOps, EventOps, UrlOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

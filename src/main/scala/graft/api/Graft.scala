@@ -576,4 +576,37 @@ object Graft {
     graft.operators.TextOps.bigramFluencyOn(
       df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnRenamed("doc_id", id)
+
+  // --------------------------------------------------------- URL analytics
+
+  /** Parse a URL string column into components, appended as columns:
+    * url_scheme, url_host (lowercased, port stripped), url_port (long, 0
+    * when absent), url_regdomain (eTLD+1 with a bounded multi-label
+    * suffix list), url_path, url_query, url_fragment. Pure codegen'd
+    * Column expressions, total over malformed input (scheme-less strings
+    * parse as empty components, never throw).
+    */
+  def parseUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    import graft.operators.UrlOps
+    df.withColumn("url_scheme", UrlOps.urlScheme(u))
+      .withColumn("url_host", UrlOps.urlHost(u))
+      .withColumn("url_port",
+        when(UrlOps.urlPortStr(u) === "", lit(0L))
+          .otherwise(UrlOps.urlPortStr(u).cast("long")))
+      .withColumn("url_regdomain", UrlOps.registrableDomain(UrlOps.urlHost(u)))
+      .withColumn("url_path", UrlOps.urlPath(u))
+      .withColumn("url_query", UrlOps.urlQuery(u))
+      .withColumn("url_fragment", UrlOps.urlFragment(u))
+  }
+
+  /** Append `url_normalized`: the canonical dedup key for a URL column —
+    * lowercase host, default ports (443/https, 80/http) stripped, real
+    * ports kept, trailing slashes trimmed from non-root paths, utm_*
+    * tracking params dropped, surviving params sorted, fragment dropped.
+    * Idempotent: normalizing an already-normalized URL is the identity.
+    */
+  def normalizeUrls(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("url_normalized",
+      graft.operators.UrlOps.normalizedUrl(col(urlCol)))
 }

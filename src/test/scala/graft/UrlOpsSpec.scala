@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Graft
+
+/** The generic URL operators (graft.operators.UrlOps via the Graft API) on
+  * hand-built URLs — real-world malformations the derived fixture never
+  * produces: scheme-less strings, bare hosts, single-label hosts, empty
+  * queries, explicit default and non-default ports, mixed case.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def parsedMap(url: String): Map[String, Any] = {
+    val row = Graft.parseUrls(Seq(url).toDF("u"), "u").collect().head
+    row.schema.fieldNames.map(n => n -> row.getAs[Any](n)).toMap
+  }
+
+  private def norm(url: String): String =
+    Graft.normalizeUrls(Seq(url).toDF("u"), "u")
+      .collect().head.getAs[String]("url_normalized")
+
+  test("full URL parses into all components") {
+    val p = parsedMap("https://WWW.Example.CO.UK:8443/a/b/c?x=1&y=2#frag")
+    assert(p("url_scheme") === "https")
+    assert(p("url_host") === "www.example.co.uk")
+    assert(p("url_port") === 8443L)
+    assert(p("url_regdomain") === "example.co.uk")
+    assert(p("url_path") === "/a/b/c")
+    assert(p("url_query") === "x=1&y=2")
+    assert(p("url_fragment") === "frag")
+  }
+
+  test("parse is total on malformed input (no scheme, bare strings)") {
+    for (bad <- Seq("", "no scheme at all", "example.com/path?x=1",
+      "://missing", "https:/half", "ftp:")) {
+      val p = parsedMap(bad) // must not throw
+      assert(p("url_scheme") === "")
+      assert(p("url_host") === "")
+      assert(p("url_port") === 0L)
+    }
+  }
+
+  test("single-label and empty hosts pass through registrableDomain") {
+    assert(parsedMap("http://localhost:9000/x")("url_regdomain")
+      === "localhost")
+    assert(parsedMap("not a url")("url_regdomain") === "")
+    assert(parsedMap("http://cdn.static.example.com/i.png")("url_regdomain")
+      === "example.com")
+  }
+
+  test("normalization strips exactly what is not page identity") {
+    // case, default port, trailing slash, utm params, param order, fragment
+    assert(norm("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#top")
+      === "https://www.example.com/a/b?a=1&b=2")
+    assert(norm("http://example.com:80/x") === "http://example.com/x")
+  }
+
+  test("normalization keeps what IS page identity") {
+    // real port, https-default port on http (and vice versa), params
+    assert(norm("http://example.com:443/x") === "http://example.com:443/x")
+    assert(norm("https://example.com:8080/x") === "https://example.com:8080/x")
+    assert(norm("https://example.com/x?id=1") === "https://example.com/x?id=1")
+    // root path: bare host and lone slash canonicalize to '/'
+    assert(norm("https://example.com") === "https://example.com/")
+    assert(norm("https://example.com/") === "https://example.com/")
+  }
+
+  test("normalization is idempotent") {
+    for (u <- Seq(
+      "HTTPS://A.Example.COM:443/a/?utm_medium=m&z=9&a=1#f",
+      "http://example.co.uk:8080/deep/path///",
+      "https://example.com",
+      "http://localhost/x?utm_a=1")) {
+      val once = norm(u)
+      assert(norm(once) === once, s"not idempotent for $u")
+    }
+  }
+}
