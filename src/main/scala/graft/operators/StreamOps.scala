@@ -138,8 +138,47 @@ object StreamOps extends OpFamily {
           .as("events_per_session"))
       .orderBy(col("user_id"))
 
+  /** Integral EWMA (exponential smoothing, α = 1/4) over the hourly sum
+    * series per event type — the forecasting/anomaly-baseline consumer of
+    * the tumbling aggregate. The recurrence e₁ = s₁;
+    * eₕ = (sₕ + 3·eₕ₋₁) DIV 4 runs entirely in non-negative integer
+    * micro-units, so the inherently ORDER-DEPENDENT fold is bit-exact on
+    * both engines (Spark: per-key array fold; DuckDB: recursive CTE over
+    * the row-numbered series) — no float accumulation drift ever.
+    *
+    * Scale shape: one (type, hour) hash aggregate with map-side partials
+    * compresses the stream to the hourly grid, then the fold is O(series
+    * length) per key — bounded by wall-clock hours (~10⁵ rows/key per
+    * decade), never by event volume. Keys process in parallel; for an
+    * unbounded/incremental variant the same recurrence runs in
+    * transformWithState keyed by type (one long of state per key).
+    */
+  def ewma(s: SparkSession, d: String): DataFrame =
+    ewmaOn(Tables.events(s, d))
+
+  private[graft] def ewmaOn(events: DataFrame): DataFrame =
+    events
+      .withColumn("w_start", date_trunc("hour", col("ts")))
+      .groupBy(col("event_type"), col("w_start"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("sum_units"))
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("w_start"), col("sum_units"))))
+        .as("arr"))
+      .withColumn("ewma_arr",
+        expr("aggregate(arr, CAST(array() AS ARRAY<BIGINT>), " +
+          "(acc, x) -> array_append(acc, " +
+          "CASE WHEN size(acc) = 0 THEN x.sum_units " +
+          "ELSE (x.sum_units + 3 * element_at(acc, -1)) div 4 END))"))
+      .select(col("event_type"),
+        explode(arrays_zip(col("arr"), col("ewma_arr"))).as("z"))
+      .select(col("event_type"), col("z.arr.w_start").as("w_start"),
+        col("z.arr.sum_units").as("sum_units"),
+        col("z.ewma_arr").as("ewma_units"))
+      .orderBy(col("event_type"), col("w_start"))
+
   val queries = Map(
     "stream_tumbling" -> (tumbling _),
+    "stream_ewma" -> (ewma _),
     "stream_gapfill" -> (gapFill _),
     "stream_ohlc" -> (ohlc _),
     "stream_sliding_distinct" -> (slidingDistinct _),
@@ -182,6 +221,26 @@ object StreamOps extends OpFamily {
                - INTERVAL '30 minutes']) AS w_start, user_id
            FROM events)
          GROUP BY w_start ORDER BY w_start""",
+    "stream_ewma" ->
+      """WITH RECURSIVE h AS (
+           SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+             CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS sum_units
+           FROM events GROUP BY 1, 2),
+         hr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY w_start) AS rn FROM h),
+         e AS (
+           SELECT event_type, w_start, sum_units, rn,
+             sum_units AS ewma_units
+           FROM hr WHERE rn = 1
+           UNION ALL
+           SELECT hr.event_type, hr.w_start, hr.sum_units, hr.rn,
+             (hr.sum_units + 3 * e.ewma_units) // 4
+           FROM hr JOIN e ON hr.event_type = e.event_type
+             AND hr.rn = e.rn + 1)
+         SELECT event_type, w_start, sum_units, ewma_units
+         FROM e ORDER BY event_type, w_start""",
     "stream_ohlc" ->
       """WITH e AS (SELECT event_type, event_id,
              CAST(ts AS TIMESTAMP) AS ts, value,

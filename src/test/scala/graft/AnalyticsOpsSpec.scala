@@ -186,4 +186,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(chains.forall(_.getAs[Long]("n_members") >= 3),
       "a v2 entity also holds the source and the v1 link")
   }
+
+  test("ewma: the integer smoothing recurrence matches a hand computation") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:30:00")
+    // hourly sums in micro-units: s = [4e6, 8e6, 12e6]
+    // e1 = 4e6; e2 = (8e6 + 3·4e6) div 4 = 5e6;
+    // e3 = (12e6 + 3·5e6) div 4 = 6_750_000
+    val events = Seq(
+      ("t", ts(0), 1.0), ("t", ts(0), 3.0), // hour 0 sums to 4.0
+      ("t", ts(1), 8.0),
+      ("t", ts(2), 12.0),
+      ("u", ts(0), 2.0) // second key: independent series, e1 = s1
+    ).toDF("event_type", "ts", "value")
+    val out = StreamOps.ewmaOn(events).collect()
+    val t = out.filter(_.getAs[String]("event_type") == "t")
+      .map(r => (r.getAs[Long]("sum_units"), r.getAs[Long]("ewma_units")))
+    assert(t.toSeq === Seq((4000000L, 4000000L), (8000000L, 5000000L),
+      (12000000L, 6750000L)))
+    val u = out.filter(_.getAs[String]("event_type") == "u")
+      .map(r => (r.getAs[Long]("sum_units"), r.getAs[Long]("ewma_units")))
+    assert(u.toSeq === Seq((2000000L, 2000000L)))
+  }
 }
