@@ -92,6 +92,26 @@ object AggOps extends OpFamily {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** MERGEABLE-sketch rollup — the stored-sketch pattern that makes
+    * approximate distinct work at 100 TB: build one DataSketches HLL
+    * sketch PER DAY (the granularity a pipeline would persist alongside
+    * its daily partitions), then answer the global question by UNIONING
+    * the stored sketches — never rescanning the raw events. The union is
+    * a register-wise max (order-independent, lossless at equal lgK), so
+    * the unioned estimate equals the one-shot whole-table sketch exactly
+    * — asserted in scalatest; sketch bytes have no DuckDB twin, so the
+    * query registers rows-only. Distinct from [[approxDistinct]]
+    * (one-shot HLL++): this is the re-aggregable artifact.
+    */
+  def hllUnionDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_users"))
+
   /** Approximate quantiles via percentile_approx (Greenwald-Khanna style
     * sketch, mergeable partials) — the constant-memory 100 TB path when
     * [[exactQuantiles]]' order-statistic selection isn't required. Sketch
@@ -445,6 +465,7 @@ object AggOps extends OpFamily {
     "agg_count_distinct" -> (countDistinctUsers _),
     "agg_exact_quantiles" -> (exactQuantiles _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_hll_union" -> (hllUnionDaily _),
     "agg_approx_quantiles" -> (approxQuantiles _),
     "agg_min_max_count" -> (minMaxCount _),
     "agg_histogram" -> (histogram _),

@@ -155,6 +155,57 @@ object StreamPipelines {
         org.apache.spark.sql.streaming.OutputMode.Append())(
         org.apache.spark.sql.Encoders.product[(Long, Int, String)])
 
+  /** Streaming EWMA state machine — the incremental twin of the batch
+    * stream_ewma: one ValueState per key holds the last smoothed value in
+    * integer micro-units, and each arriving (key, sum_units) point emits
+    * (key, seq, ewma_units) under the SAME recurrence the batch query
+    * replays in DuckDB — e₁ = s₁; eₙ = (sₙ + 3·eₙ₋₁) div 4 — so a batch
+    * backfill and the live stream produce bit-identical trajectories.
+    * State is two longs per key, O(keys) forever. Arrival order stands in
+    * for hour order (pair with an upstream watermark sort where late
+    * points matter); the batch stream_ewma is the exact event-time
+    * formulation.
+    */
+  class EwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long, Long)] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Long)]("last",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long)] = {
+      var (seq, ewma) =
+        if (last.exists()) last.get() else (0L, 0L)
+      val out = Seq.newBuilder[(String, Long, Long)]
+      rows.foreach { case (_, sumUnits) =>
+        seq += 1
+        // Math.floorDiv, matching Spark SQL div / DuckDB // on the
+        // non-negative units the batch twin feeds it
+        ewma = if (seq == 1L) sumUnits
+          else Math.floorDiv(sumUnits + 3L * ewma, 4L)
+        out += ((key, seq, ewma))
+      }
+      last.update((seq, ewma))
+      out.result().iterator
+    }
+  }
+
+  /** [[EwmaProcessor]] wired over a (key, sum_units) points stream. */
+  def ewmaPoints(points: org.apache.spark.sql.Dataset[(String, Long)])
+      : org.apache.spark.sql.Dataset[(String, Long, Long)] =
+    points.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new EwmaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        org.apache.spark.sql.Encoders.product[(String, Long, Long)])
+
   /** Streaming corpus ingest — the LLM-pipeline front door as ONE
     * incremental plan: quality gate (token count + type-token ratio) →
     * content-fingerprint exact dedup with watermark-bounded state →

@@ -268,6 +268,21 @@ class LlmOpsSpec extends AnyFunSuite {
       s"HLL said $approx, exact is $exact")
   }
 
+  test("daily HLL sketch union equals the one-shot sketch and tracks exact") {
+    val ev = Tables.events(spark, sf)
+    val unioned = AggOps.hllUnionDaily(spark, sf).head()
+    val oneShot = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+      .head().getLong(0)
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    // union of same-lgK sketches is a lossless register-wise max: the
+    // merged estimate must equal sketching the whole table at once
+    assert(unioned.getAs[Long]("est_users") === oneShot,
+      "sketch union is not lossless")
+    assert(math.abs(oneShot - exact).toDouble / exact <= 0.05,
+      s"sketch said $oneShot, exact is $exact")
+  }
+
   test("approx quantiles sit within rank-error bounds of the order statistic") {
     val rows = AggOps.approxQuantiles(spark, sf).collect()
     assert(rows.nonEmpty)

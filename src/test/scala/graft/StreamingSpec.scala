@@ -265,6 +265,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming EWMA replays the batch recurrence across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val out = graft.streaming.StreamPipelines.ewmaPoints(mem.toDS())
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF("k", "seq", "ewma")
+        .writeStream.format("memory").queryName("t_ewma")
+        .outputMode("append").start()
+      // same series AnalyticsOpsSpec hand-computes for the batch twin:
+      // [4e6, 8e6, 12e6] -> e = [4e6, 5e6, 6_750_000]; split across
+      // micro-batches so the state handoff is load-bearing
+      mem.addData(("t", 4000000L), ("t", 8000000L), ("u", 2000000L))
+      q.processAllAvailable()
+      mem.addData(("t", 12000000L))
+      q.processAllAvailable()
+      val rows = spark.table("t_ewma").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      q.stop()
+      assert(rows === Set(("t", 1L, 4000000L), ("t", 2L, 5000000L),
+        ("t", 3L, 6750000L), ("u", 1L, 2000000L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("observe() + listener exposes MR-style job counters") {
     @volatile var seen: Option[Long] = None
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
