@@ -577,6 +577,19 @@ object Graft {
       df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnRenamed("doc_id", id)
 
+  /** Integral EWMA (α = 1/4) of the hourly sum series per key over any
+    * (key, ts, value) frame: (key, w_start, sum_units, ewma_units) in
+    * micro-units via the exact integer recurrence eₕ = (sₕ + 3·eₕ₋₁)
+    * div 4 — deterministic, no float accumulation drift. Values must be
+    * non-negative (floor-division identity across engines).
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.StreamOps.ewmaOn(
+      df.select(col(keyCol).as("event_type"), col(tsCol).as("ts"),
+        col(valueCol).as("value")))
+      .withColumnRenamed("event_type", keyCol)
+
   // --------------------------------------------------------- URL analytics
 
   /** Parse a URL string column into components, appended as columns:

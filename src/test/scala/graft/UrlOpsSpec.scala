@@ -68,6 +68,18 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(norm("https://example.com/") === "https://example.com/")
   }
 
+  test("Graft.ewma smooths an ad-hoc renamed frame") {
+    import java.sql.Timestamp
+    val pts = Seq(
+      ("a", Timestamp.valueOf("2026-01-01 00:10:00"), 4.0),
+      ("a", Timestamp.valueOf("2026-01-01 01:10:00"), 8.0))
+      .toDF("sensor", "at", "reading")
+    val out = Graft.ewma(pts, "sensor", "at", "reading").collect()
+    assert(out.map(_.getAs[Long]("ewma_units")).toSeq
+      === Seq(4000000L, 5000000L))
+    assert(out.head.getAs[String]("sensor") === "a")
+  }
+
   test("normalization is idempotent") {
     for (u <- Seq(
       "HTTPS://A.Example.COM:443/a/?utm_medium=m&z=9&a=1#f",
