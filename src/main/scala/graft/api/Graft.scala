@@ -590,6 +590,60 @@ object Graft {
         col(valueCol).as("value")))
       .withColumnRenamed("event_type", keyCol)
 
+  // ------------------------------------------------------ time-series joins
+
+  /** As-of join: match each left row to the LATEST right row with the
+    * same key and right ts ≤ left ts (ties count as matches). Returns
+    * (idCol, keyCol, tsCol, asof_<pickCol>). The union + last-non-null
+    * ordered-window idiom: one shuffle on the key, one in-partition sort
+    * — never a range cross product. Among equal-ts right rows the
+    * largest pickCol wins (deterministic).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, pickCol: String): DataFrame = {
+    val l = left.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(idCol).as("lid"), lit(null).cast("long").as("pick"),
+      lit(1).as("is_left"))
+    val r = right.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      lit(null).cast(left.schema(idCol).dataType).as("lid"),
+      col(pickCol).cast("long").as("pick"), lit(0).as("is_left"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_left"), col("pick"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof", last(col("pick"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("lid").as(idCol), col("k").as(keyCol),
+        col("t").as(tsCol), col("asof").as(s"asof_$pickCol"))
+  }
+
+  /** Lag-gap sessionization over any (key, id, ts) frame: contiguous
+    * activity runs per key, cut when the gap STRICTLY exceeds gapUs.
+    * Returns (keyCol, session_id, start_us, end_us) in exact integer µs.
+    */
+  def sessionize(df: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, gapUs: Long): DataFrame =
+    graft.operators.JoinOps.sessionIntervals(
+      df.select(col(keyCol).as("user_id"), col(idCol).as("event_id"),
+        unix_micros(col(tsCol)).as("us")), gapUs)
+      .select(col("user_id").as(keyCol), col("sid").as("session_id"),
+        col("st").as("start_us"), col("en").as("end_us"))
+
+  /** Interval-overlap join over any (owner, interval_id, start_us,
+    * end_us) frame: every cross-owner pair of CLOSED intervals that
+    * intersect, each pair exactly once — time-binned equi-join with the
+    * first-shared-bucket filter, never an all-pairs theta join.
+    * bucketUs should approximate the typical interval length.
+    */
+  def overlapJoin(intervals: DataFrame, ownerCol: String, idCol: String,
+      startUsCol: String, endUsCol: String, bucketUs: Long): DataFrame =
+    graft.operators.JoinOps.overlapPairs(
+      intervals.select(col(ownerCol).as("user_id"), col(idCol).as("sid"),
+        col(startUsCol).as("st"), col(endUsCol).as("en")), bucketUs)
+      .select(col("ua").as(s"${ownerCol}_a"), col("sa").as(s"${idCol}_a"),
+        col("ub").as(s"${ownerCol}_b"), col("sb").as(s"${idCol}_b"))
+
   // --------------------------------------------------------- URL analytics
 
   /** Parse a URL string column into components, appended as columns:

@@ -450,4 +450,59 @@ class GraftApiSpec extends AnyFunSuite {
     assert(fp(1L) === fp(4L), "identical text, identical fingerprint")
     assert(fp(1L) !== fp(3L))
   }
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+    val trades = Seq(
+      (1L, "A", ts("10:00:05")), // after quote 11 and 12 -> 12
+      (2L, "A", ts("10:00:01")), // tie with quote 11 -> ties match
+      (3L, "A", ts("09:59:59")), // before any quote -> null
+      (4L, "B", ts("10:00:10"))  // other key -> 21
+    ).toDF("trade_id", "sym", "at")
+    val quotes = Seq(
+      ("A", ts("10:00:01"), 11L), ("A", ts("10:00:03"), 12L),
+      ("B", ts("10:00:00"), 21L)
+    ).toDF("sym", "at", "quote_id")
+    val got = Graft.asofJoin(trades, quotes, "sym", "at",
+      "trade_id", "quote_id").collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("asof_quote_id"))).toMap
+    assert(got(1L) === Some(12L))
+    assert(got(2L) === Some(11L))
+    assert(got(3L) === None)
+    assert(got(4L) === Some(21L))
+  }
+
+  test("sessionize cuts only when the gap strictly exceeds gapUs") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+    val ev = Seq(
+      (7L, 1L, ts("10:00:00")),
+      (7L, 2L, ts("10:01:00")), // exactly-gap-sized silence: same session
+      (7L, 3L, ts("10:02:01"))  // 61 s > 60 s: new session
+    ).toDF("uid", "eid", "at")
+    val sess = Graft.sessionize(ev, "uid", "eid", "at", gapUs = 60000000L)
+      .collect().map(r => (r.getAs[Long]("session_id"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+    assert(sess.length === 2)
+    val bySid = sess.sortBy(_._1)
+    assert(bySid(0)._3 - bySid(0)._2 === 60000000L, "first session spans 60 s")
+    assert(bySid(1)._2 === bySid(1)._3, "second session is the lone event")
+  }
+
+  test("overlapJoin emits each intersecting cross-owner pair exactly once") {
+    val iv = Seq(
+      (1L, 10L, 0L, 5000000L),         // owner 1: [0, 5 s]
+      (2L, 20L, 5000000L, 6000000L),   // touches owner 1 at 5 s -> pair
+      (3L, 30L, 7000000L, 8000000L),   // disjoint from 1 and 2, inside 4
+      (4L, 40L, 0L, 10000000L)         // spans MANY buckets with owner 1
+    ).toDF("owner", "iv_id", "s_us", "e_us")
+    val pairs = Graft.overlapJoin(iv, "owner", "iv_id", "s_us", "e_us",
+      bucketUs = 1000000L).collect()
+      .map(r => (r.getAs[Long]("owner_a"), r.getAs[Long]("owner_b")))
+    // exactly once despite 6 shared buckets for (1, 4)
+    assert(pairs.sorted.toSeq
+      === Seq((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)))
+  }
 }
