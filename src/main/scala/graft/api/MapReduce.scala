@@ -65,6 +65,24 @@ object MapReduce {
         reducer(k, rows.map(_._2)).iterator)(oe)
   }
 
+  /** Multi-input reduce (Hadoop's reduce-side join / CoGroup primitive,
+    * MRDP ch.5): two tagged inputs shuffle on the SAME key and one
+    * reducer sees both value iterators side by side. Keys present in
+    * either input reach the reducer (the other iterator is empty) — the
+    * full-outer contract. Like MR, neither iterator has an order
+    * guarantee; sort inside the reducer if order matters. Scale: both
+    * sides hash-partition on the key, the reducer streams — the honest
+    * reduce-side join; use a broadcast join instead when one side is
+    * small.
+    */
+  def coGroup[A, B, K, O](
+      left: Dataset[A], right: Dataset[B],
+      keyL: A => K, keyR: B => K,
+      reducer: (K, Iterator[A], Iterator[B]) => IterableOnce[O])(
+      implicit ke: Encoder[K], oe: Encoder[O]): Dataset[O] =
+    left.groupByKey(keyL)(ke)
+      .cogroup(right.groupByKey(keyR)(ke))(reducer)(oe)
+
   /** Secondary sort (MRDP ch.4 composite-key pattern): the reducer sees
     * each key's values in ascending value order (Spark's natural column
     * ordering of V). Implemented the way Hadoop does it —

@@ -267,8 +267,39 @@ object IoOps extends OpFamily {
       .orderBy(col("column_name"))
   }
 
+  /** SCHEMA EVOLUTION read — the 100 TB dataset reality that columns
+    * arrive over time: an early producer wrote (event_id, value), a later
+    * one added event_type; `mergeSchema` unions the parquet footers so
+    * one scan reads both generations, with the missing column NULL for
+    * old files. The rollup labels the pre-schema rows '(v1)' via
+    * coalesce — exactly what a backfill-free consumer does. (Default
+    * reads skip footer merging for speed; the option is per-read, which
+    * is the right knob: pay it only on evolving datasets.)
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val path = layoutPath(d, "events_evolving")
+    val ev = Tables.events(s, d)
+    writeOnce(s"$path/gen=1") {
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("value"))
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+    }
+    writeOnce(s"$path/gen=2") {
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+    }
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("event_type"), lit("(v1)")).as("etype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("sum_v"))
+      .orderBy(col("etype"))
+  }
+
   val queries = Map(
     "io_profile" -> (profileEvents _),
+    "io_schema_evolution" -> (schemaEvolution _),
     "io_zorder_roundtrip" -> (zorderRoundtrip _),
     "io_csv_roundtrip" -> (csvRoundtrip _),
     "io_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -294,6 +325,12 @@ object IoOps extends OpFamily {
            FROM events"""
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY column_name"),
+    "io_schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN '(v1)' ELSE event_type END
+           AS etype,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1 ORDER BY etype""",
     "io_zorder_roundtrip" ->
       """SELECT l_suppkey, count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

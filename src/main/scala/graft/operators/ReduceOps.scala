@@ -104,9 +104,43 @@ object ReduceOps extends OpFamily {
       .limit(20)
   }
 
+  /** Reduce-side join written as `cogroup(clicks, purchases)` through the
+    * [[graft.api.MapReduce.coGroup]] shim — the second program a reference
+    * user ports (multi-input reduce with both tagged value streams in one
+    * reducer). Per user: click/purchase counts and the smallest purchase
+    * id (min — order-free, so the unordered iterators stay deterministic);
+    * users with only one side present still appear (full-outer contract),
+    * with −1 marking "no purchase".
+    */
+  def cogroupClickPurchase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as[Long], col("event_id").as[Long])
+      .as[(Long, Long)]
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as[Long], col("event_id").as[Long])
+      .as[(Long, Long)]
+    graft.api.MapReduce.coGroup[(Long, Long), (Long, Long), Long,
+      (Long, Long, Long, Long)](
+      clicks, purchases, _._1, _._1,
+      (user, cs, ps) => {
+        var nC = 0L
+        cs.foreach(_ => nC += 1)
+        var nP = 0L
+        var firstP = Long.MaxValue
+        ps.foreach { p => nP += 1; if (p._2 < firstP) firstP = p._2 }
+        Iterator((user, nC, nP, if (nP == 0) -1L else firstP))
+      })
+      .toDF("user_id", "n_clicks", "n_purchases", "first_purchase_id")
+      .orderBy(col("user_id"))
+  }
+
   val queries = Map(
     "reduce_weighted_avg" -> (weightedAvg _),
     "reduce_mr_wordcount" -> (mrWordcount _),
+    "reduce_cogroup" -> (cogroupClickPurchase _),
     "reduce_longest_streak" -> (longestStreak _))
 
   val oracle = Map(
@@ -114,6 +148,16 @@ object ReduceOps extends OpFamily {
       """SELECT word, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "reduce_cogroup" ->
+      """SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+             AS n_clicks,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+             AS BIGINT) AS n_purchases,
+           CAST(coalesce(min(CASE WHEN event_type = 'purchase'
+             THEN event_id END), -1) AS BIGINT) AS first_purchase_id
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY user_id ORDER BY user_id""",
     "reduce_weighted_avg" ->
       """SELECT l_returnflag,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *

@@ -148,6 +148,19 @@ class MapReduceSpec extends AnyFunSuite {
     assert(oversize.value === 0, s"combiner saw ${oversize.value} unbounded batches")
   }
 
+  test("coGroup presents both tagged value streams with full-outer keys") {
+    val clicks = Seq((1L, 10L), (1L, 11L), (3L, 30L)).toDS()
+    val buys = Seq((1L, 100L), (2L, 200L), (2L, 201L)).toDS()
+    val out = MapReduce.coGroup[(Long, Long), (Long, Long), Long,
+      (Long, Long, Long)](
+      clicks, buys, _._1, _._1,
+      (k, cs, ps) => Iterator((k, cs.size.toLong, ps.size.toLong)))
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((2L, 1L)), "both sides present")
+    assert(out(2L) === ((0L, 2L)), "right-only key still reaches the reducer")
+    assert(out(3L) === ((1L, 0L)), "left-only key still reaches the reducer")
+  }
+
   test("chained jobs: output of one mapreduce feeds the next") {
     // job 1: wordcount; job 2: histogram of counts
     val counts = MapReduce.mapReduce[String, String, Long, (String, Long)](
