@@ -590,6 +590,18 @@ object Graft {
         col(valueCol).as("value")))
       .withColumnRenamed("event_type", keyCol)
 
+  /** Hours whose raw sum deviates from the PRIOR hour's EWMA baseline by
+    * ≥ thresholdPermille (integral rule over [[ewma]]'s series — the
+    * baseline excludes the hour under test). Returns (key, w_start,
+    * sum_units, baseline_units, dev_permille).
+    */
+  def anomalies(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, thresholdPermille: Long = 3000L): DataFrame =
+    graft.operators.StreamOps.anomalyOn(
+      df.select(col(keyCol).as("event_type"), col(tsCol).as("ts"),
+        col(valueCol).as("value")), thresholdPermille)
+      .withColumnRenamed("event_type", keyCol)
+
   // ------------------------------------------------------ time-series joins
 
   /** As-of join: match each left row to the LATEST right row with the

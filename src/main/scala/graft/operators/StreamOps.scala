@@ -157,6 +157,12 @@ object StreamOps extends OpFamily {
     ewmaOn(Tables.events(s, d))
 
   private[graft] def ewmaOn(events: DataFrame): DataFrame =
+    ewmaCore(events).orderBy(col("event_type"), col("w_start"))
+
+  /** Unordered (event_type, w_start, sum_units, ewma_units) rows — the
+    * shared core of [[ewma]] and [[anomaly]].
+    */
+  private def ewmaCore(events: DataFrame): DataFrame =
     events
       .withColumn("w_start", date_trunc("hour", col("ts")))
       .groupBy(col("event_type"), col("w_start"))
@@ -174,11 +180,38 @@ object StreamOps extends OpFamily {
       .select(col("event_type"), col("z.arr.w_start").as("w_start"),
         col("z.arr.sum_units").as("sum_units"),
         col("z.ewma_arr").as("ewma_units"))
+
+  /** Anomalous hours against the EWMA baseline — the alerting consumer of
+    * [[ewma]]: hour h is flagged when its raw sum deviates from the PRIOR
+    * hour's smoothed baseline e₍ₕ₋₁₎ by ≥ 3× (integral per-mille rule:
+    * (1000·|sₕ − eₕ₋₁|) DIV max(eₕ₋₁, 1) ≥ 3000 — the baseline excludes
+    * the hour under test, so a spike cannot vouch for itself). First hour
+    * of each series has no prior baseline and is exempt. Same integer
+    * arithmetic end-to-end, so flags replay exactly in DuckDB.
+    */
+  def anomaly(s: SparkSession, d: String): DataFrame =
+    anomalyOn(Tables.events(s, d), thresholdPermille = 3000L)
+
+  private[graft] def anomalyOn(events: DataFrame,
+      thresholdPermille: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("w_start"))
+    ewmaCore(events)
+      .withColumn("baseline_units", lag(col("ewma_units"), 1).over(w))
+      .filter(col("baseline_units").isNotNull)
+      .withColumn("dev_permille",
+        expr("(1000 * abs(sum_units - baseline_units))" +
+          " div greatest(baseline_units, 1L)"))
+      .filter(col("dev_permille") >= thresholdPermille)
+      .select(col("event_type"), col("w_start"), col("sum_units"),
+        col("baseline_units"), col("dev_permille"))
       .orderBy(col("event_type"), col("w_start"))
+  }
 
   val queries = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_ewma" -> (ewma _),
+    "stream_anomaly" -> (anomaly _),
     "stream_gapfill" -> (gapFill _),
     "stream_ohlc" -> (ohlc _),
     "stream_sliding_distinct" -> (slidingDistinct _),
@@ -241,6 +274,36 @@ object StreamOps extends OpFamily {
              AND hr.rn = e.rn + 1)
          SELECT event_type, w_start, sum_units, ewma_units
          FROM e ORDER BY event_type, w_start""",
+    "stream_anomaly" ->
+      """WITH RECURSIVE h AS (
+           SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+             CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS sum_units
+           FROM events GROUP BY 1, 2),
+         hr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY w_start) AS rn FROM h),
+         e AS (
+           SELECT event_type, w_start, sum_units, rn,
+             sum_units AS ewma_units
+           FROM hr WHERE rn = 1
+           UNION ALL
+           SELECT hr.event_type, hr.w_start, hr.sum_units, hr.rn,
+             (hr.sum_units + 3 * e.ewma_units) // 4
+           FROM hr JOIN e ON hr.event_type = e.event_type
+             AND hr.rn = e.rn + 1),
+         lagged AS (SELECT event_type, w_start, sum_units,
+             lag(ewma_units) OVER (PARTITION BY event_type
+               ORDER BY w_start) AS baseline_units
+           FROM e)
+         SELECT event_type, w_start, sum_units, baseline_units,
+           (1000 * abs(sum_units - baseline_units))
+             // greatest(baseline_units, 1) AS dev_permille
+         FROM lagged
+         WHERE baseline_units IS NOT NULL
+           AND (1000 * abs(sum_units - baseline_units))
+             // greatest(baseline_units, 1) >= 3000
+         ORDER BY event_type, w_start""",
     "stream_ohlc" ->
       """WITH e AS (SELECT event_type, event_id,
              CAST(ts AS TIMESTAMP) AS ts, value,

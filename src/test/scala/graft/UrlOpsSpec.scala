@@ -68,6 +68,19 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(norm("https://example.com/") === "https://example.com/")
   }
 
+  test("Graft.anomalies flags only the spike hour against the prior EWMA") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:15:00")
+    // steady 4.0/hour, then a 40.0 spike at hour 3: baseline e2 = 4e6,
+    // dev = (1000·36e6) div 4e6 = 9000 ≥ 3000 — only that hour flags
+    val pts = Seq(("a", ts(0), 4.0), ("a", ts(1), 4.0), ("a", ts(2), 4.0),
+      ("a", ts(3), 40.0)).toDF("k", "at", "v")
+    val out = Graft.anomalies(pts, "k", "at", "v").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("dev_permille") === 9000L)
+    assert(out.head.getAs[Long]("baseline_units") === 4000000L)
+  }
+
   test("Graft.ewma smooths an ad-hoc renamed frame") {
     import java.sql.Timestamp
     val pts = Seq(
