@@ -181,19 +181,29 @@ object StreamOps extends OpFamily {
         col("z.arr.sum_units").as("sum_units"),
         col("z.ewma_arr").as("ewma_units"))
 
-  /** Anomalous hours against the EWMA baseline — the alerting consumer of
-    * [[ewma]]: hour h is flagged when its raw sum deviates from the PRIOR
-    * hour's smoothed baseline e₍ₕ₋₁₎ by ≥ 3× (integral per-mille rule:
-    * (1000·|sₕ − eₕ₋₁|) DIV max(eₕ₋₁, 1) ≥ 3000 — the baseline excludes
-    * the hour under test, so a spike cannot vouch for itself). First hour
-    * of each series has no prior baseline and is exempt. Same integer
-    * arithmetic end-to-end, so flags replay exactly in DuckDB.
+  /** Most-anomalous hours against the EWMA baseline — the alerting
+    * consumer of [[ewma]]: hour h's deviation is measured against the
+    * PRIOR hour's smoothed baseline e₍ₕ₋₁₎ (integral per-mille rule:
+    * (1000·|sₕ − eₕ₋₁|) DIV max(eₕ₋₁, 1) — the baseline excludes the
+    * hour under test, so a spike cannot vouch for itself). First hour of
+    * each series has no prior baseline and is exempt. The REGISTERED
+    * query reports the top-20 deviant hours under the total order
+    * (dev desc, type, hour) — a fixed absolute threshold stops
+    * discriminating as data grows (at sf0.1 hourly sums are 10× smoother
+    * and a 3000‰ cut flags NOTHING, making the oracle compare vacuous);
+    * top-k by relative deviation discriminates at every scale. The
+    * thresholded alerting variant stays on [[anomalyOn]] /
+    * `Graft.anomalies`. Same integer arithmetic end-to-end, so rows
+    * replay exactly in DuckDB; (type, hour) is unique so the ordering is
+    * total and the LIMIT deterministic.
     */
   def anomaly(s: SparkSession, d: String): DataFrame =
-    anomalyOn(Tables.events(s, d), thresholdPermille = 3000L)
+    deviations(Tables.events(s, d))
+      .orderBy(col("dev_permille").desc, col("event_type"), col("w_start"))
+      .limit(20)
 
-  private[graft] def anomalyOn(events: DataFrame,
-      thresholdPermille: Long): DataFrame = {
+  /** Per-hour deviation vs the prior hour's EWMA baseline (unfiltered). */
+  private def deviations(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("w_start"))
     ewmaCore(events)
@@ -202,11 +212,15 @@ object StreamOps extends OpFamily {
       .withColumn("dev_permille",
         expr("(1000 * abs(sum_units - baseline_units))" +
           " div greatest(baseline_units, 1L)"))
-      .filter(col("dev_permille") >= thresholdPermille)
       .select(col("event_type"), col("w_start"), col("sum_units"),
         col("baseline_units"), col("dev_permille"))
-      .orderBy(col("event_type"), col("w_start"))
   }
+
+  private[graft] def anomalyOn(events: DataFrame,
+      thresholdPermille: Long): DataFrame =
+    deviations(events)
+      .filter(col("dev_permille") >= thresholdPermille)
+      .orderBy(col("event_type"), col("w_start"))
 
   val queries = Map(
     "stream_tumbling" -> (tumbling _),
@@ -301,9 +315,8 @@ object StreamOps extends OpFamily {
              // greatest(baseline_units, 1) AS dev_permille
          FROM lagged
          WHERE baseline_units IS NOT NULL
-           AND (1000 * abs(sum_units - baseline_units))
-             // greatest(baseline_units, 1) >= 3000
-         ORDER BY event_type, w_start""",
+         ORDER BY dev_permille DESC, event_type, w_start
+         LIMIT 20""",
     "stream_ohlc" ->
       """WITH e AS (SELECT event_type, event_id,
              CAST(ts AS TIMESTAMP) AS ts, value,
