@@ -66,20 +66,35 @@ object Tables {
     */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long (sanctioned legacy conf,
-    * set ONCE at session construction — never mutated mid-query) and
-    * truncate to microseconds — exactly what DuckDB does when it casts
-    * ns→µs, so oracle comparisons stay aligned. Integer `DIV` keeps the
-    * arithmetic exact (a double division would lose precision above 2^53).
+  /** `events.ts` has changed physical type across fixture generations:
+    * parquet TIMESTAMP(NANOS) (rejected by the vectorized reader unless
+    * [[NanosConf]] reads it as a long) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Branch on the
+    * ACTUAL read schema, not an assumption about the generator, and
+    * normalize every variant to plain TimestampType so downstream
+    * epoch arithmetic (`unix_micros` et al) resolves:
+    *  - long ⇒ nanoseconds; truncate to micros with integer `DIV`
+    *    (exact above 2^53, and the same ns→µs cast DuckDB applies, so
+    *    oracle comparisons stay aligned);
+    *  - TIMESTAMP_NTZ ⇒ cast to TIMESTAMP — an identity on the wall
+    *    clock under the UTC session timezone every graft main sets,
+    *    and the instant semantics all prior oracle-green rounds ran
+    *    with.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     require(s.conf.getOption(NanosConf).contains("true"),
       s"reading events requires $NanosConf=true at session build " +
         "(parquet TIMESTAMP(NANOS) is unsupported by the vectorized reader)")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already TimestampType: nothing to convert
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
