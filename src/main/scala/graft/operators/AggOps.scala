@@ -452,7 +452,51 @@ object AggOps extends OpFamily {
         col("p50_count"), col("p99_count"))
   }
 
+  /** Co-occurrence pairs + lift (market-basket association) — the
+    * canonical MapReduce "pairs" design pattern (Lin & Dyer ch. 3): parts
+    * bought together in one order, scored by lift = P(a,b)/(P(a)·P(b)).
+    * The pairs emit from a per-order self-join, NOT an all-parts cross:
+    * candidate volume is Σ k_o² over order sizes (TPC-H orders hold ≤ 7
+    * items, so ~tens of pairs per order — at 100 TB the bound is the
+    * basket size the schema enforces, never the catalog). The per-part
+    * support table is catalog-sized and broadcast; lift stays exact:
+    * every input is a count (integer-valued, < 2^53), so the one
+    * double-multiply/divide spelling is replayed bit-for-bit by the
+    * oracle. Top-20 by (lift, a, b) rides TakeOrderedAndProject.
+    * A "stripes" formulation (per-key map accumulation) would cut the
+    * shuffle record count but cap at driver-map sizes per key; the pairs
+    * shape scales with ordinary shuffle machinery, so it is the one
+    * implemented.
+    */
+  def copurchaseLift(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct() // a part twice in one order is one basket membership
+    val n = li.agg(count_distinct(col("ok")).as("n_orders"))
+    val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val a = li.select(col("ok"), col("pk").as("a"))
+    val b = li.select(col("ok"), col("pk").as("b"))
+    a.join(b, Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2) // min support: a single co-basket is noise
+      .join(broadcast(supp.select(col("pk").as("a"), col("n_p").as("n_a"))),
+        Seq("a"))
+      .join(broadcast(supp.select(col("pk").as("b"), col("n_p").as("n_b"))),
+        Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        col("n_ab").cast("double") * col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift"))
+      .orderBy(desc("lift"), col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries = Map(
+    "agg_copurchase_lift" -> (copurchaseLift _),
     "agg_key_skew" -> (keySkew _),
     "agg_count_of_counts" -> (countOfCounts _),
     "agg_pivot" -> (pivotEventTypes _),
@@ -478,6 +522,21 @@ object AggOps extends OpFamily {
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
+    "agg_copurchase_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+         supp AS (SELECT pk, count(*) AS n_p FROM li GROUP BY pk),
+         pairs AS (SELECT a.pk AS a, b.pk AS b, count(*) AS n_ab
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk HAVING count(*) >= 2)
+         SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(sa.n_p AS BIGINT) AS n_a, CAST(sb.n_p AS BIGINT) AS n_b,
+           CAST(n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / (CAST(sa.n_p AS DOUBLE) * CAST(sb.n_p AS DOUBLE)) AS lift
+         FROM pairs JOIN supp sa ON sa.pk = a JOIN supp sb ON sb.pk = b
+         CROSS JOIN n
+         ORDER BY lift DESC, a, b LIMIT 20""",
     "agg_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS kc FROM events
              GROUP BY user_id),

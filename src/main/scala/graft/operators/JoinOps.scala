@@ -166,6 +166,49 @@ object JoinOps extends OpFamily {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST-event join — the bidirectional refinement of [[asofJoin]]:
+    * each click matched to the temporally closest purchase by the same
+    * user, before OR after (ties → the earlier purchase). Same
+    * sort-merge-free shape as as-of: union both event types into ONE
+    * relation, one window pass per direction (last purchase at-or-before,
+    * first at-or-after via ignoreNulls frames), pick the smaller |Δ| —
+    * never a click×purchase product, and both windows share the
+    * (user_id, ts) sort so Catalyst plans a single Exchange+Sort. The
+    * delta stays in raw signed MICROSECONDS: a `DIV` here would diverge
+    * between engines on negative deltas (Spark truncates toward zero,
+    * DuckDB floors), so no division happens at all.
+    */
+  def nearestJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase",
+          struct(col("ts").as("pts"), col("event_id").as("pid"))).as("p"))
+    val ord = Seq(col("ts"),
+      when(col("p").isNull, 1).otherwise(0), col("event_id"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("prev", last(col("p"), ignoreNulls = true).over(wPrev))
+      .withColumn("nxt", first(col("p"), ignoreNulls = true).over(wNext))
+      .filter(col("event_type") === "click")
+      .withColumn("d_prev",
+        unix_micros(col("ts")) - unix_micros(col("prev.pts")))
+      .withColumn("d_next",
+        unix_micros(col("nxt.pts")) - unix_micros(col("ts")))
+      .withColumn("take_prev", col("prev").isNotNull &&
+        (col("nxt").isNull || col("d_prev") <= col("d_next")))
+      .filter(col("prev").isNotNull || col("nxt").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        when(col("take_prev"), col("prev.pid"))
+          .otherwise(col("nxt.pid")).as("nearest_pid"),
+        when(col("take_prev"), -col("d_prev"))
+          .otherwise(col("d_next")).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Skew-mitigated (salted) join: the fact side gets a random-ish but
     * DETERMINISTIC salt (hash-mod of a fine-grained column), the dimension
     * side is replicated once per salt value, and the join runs on
@@ -469,9 +512,40 @@ object JoinOps extends OpFamily {
     "join_cross" -> (crossJoinRegions _),
     "join_theta" -> (thetaJoinParts _),
     "join_range_bands" -> (rangeJoinBands _),
-    "join_asof" -> (asofJoin _))
+    "join_asof" -> (asofJoin _),
+    "join_nearest" -> (nearestJoin _))
 
   val oracle = Map(
+    "join_nearest" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             CASE WHEN event_type = 'purchase'
+               THEN struct_pack(pts := CAST(ts AS TIMESTAMP),
+                 pid := event_id) END AS p
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (
+           SELECT event_id, user_id, ts, event_type,
+             last_value(p IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN p IS NULL THEN 1 ELSE 0 END, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+             first_value(p IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN p IS NULL THEN 1 ELSE 0 END, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+           FROM ev)
+         SELECT event_id, user_id,
+           CASE WHEN take_prev THEN prev.pid ELSE nxt.pid END
+             AS nearest_pid,
+           CASE WHEN take_prev THEN -d_prev ELSE d_next END AS delta_us
+         FROM (
+           SELECT event_id, user_id, prev, nxt,
+             epoch_us(ts) - epoch_us(prev.pts) AS d_prev,
+             epoch_us(nxt.pts) - epoch_us(ts) AS d_next,
+             prev IS NOT NULL AND (nxt IS NULL
+               OR epoch_us(ts) - epoch_us(prev.pts)
+                 <= epoch_us(nxt.pts) - epoch_us(ts)) AS take_prev
+           FROM w WHERE event_type = 'click')
+         WHERE prev IS NOT NULL OR nxt IS NOT NULL
+         ORDER BY event_id""",
     "join_edit_distance" ->
       """SELECT a.c_custkey AS a, b.c_custkey AS b,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

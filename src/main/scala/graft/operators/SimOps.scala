@@ -159,6 +159,42 @@ object SimOps extends OpFamily {
       .orderBy(col("cid"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public): k-means
+    * clusters are the blocking key, near-duplicate candidates compare
+    * only WITHIN a cluster, and every non-minimal member of a ≥-threshold
+    * pair is dropped (keep-min survivorship). This is the embedding
+    * analogue of [[graft.operators.DedupOps]]'s MinHash banding: the
+    * published scale story is that nlist grows with the corpus (10k-100k
+    * cells at web scale) so per-cell membership — and therefore the
+    * intra-cell quadratic — stays bounded while cross-cell pairs are
+    * never generated. Reuses the oracle-replayable [[lloydCells]] loop;
+    * the 0.35 cosine threshold matches dedup_embedding, measured ≥3.6e-5
+    * away from every realized pair cosine at all three fixture SFs, so
+    * ulp drift cannot flip membership. Output: per-cluster dedup ledger
+    * (members, dup pairs, dropped docs), the corpus-shrinkage report a
+    * pipeline operator reads before materializing survivors.
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val (cells, _) = lloydCells(s, d)
+    val left = cells.select(col("cid"), col("vec_id").as("a"),
+      col("v").as("va"), col("vn").as("na"))
+    val right = cells.select(col("cid"), col("vec_id").as("b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val pairs = left.join(right, Seq("cid"))
+      .filter(col("a") < col("b"))
+      .filter(cosPair(s, "va", "na", "vb", "nb") >= 0.35)
+      .select(col("cid"), col("b"))
+    val stats = pairs.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        count_distinct(col("b")).as("n_dropped"))
+    cells.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(broadcast(stats), Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(col("cid"))
+  }
+
   /** Per-label centroid of the first 4 embedding dimensions — the vector
     * AGGREGATE the IVF/clustering scale path is built from, made
     * engine-exact by summing on a floor-quantized 1e-6 grid (integer
@@ -439,6 +475,7 @@ object SimOps extends OpFamily {
   }
 
   val queries = Map(
+    "dedup_semantic" -> (semanticDedup _),
     "sim_knn_exact" -> (knnExact _),
     "sim_kmeans" -> (kmeansProfile _),
     "sim_knn_ivf_quantized" -> (knnIvfQuantized _),
@@ -624,6 +661,21 @@ object SimOps extends OpFamily {
        WHERE rank <= 5 ORDER BY qid, rank"""
 
   val oracle = Map(
+    "dedup_semantic" ->
+      s"""WITH $lloydCtes,
+         pairs AS (SELECT a.cid, b.vec_id AS b
+           FROM cells a JOIN cells b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+         stats AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+             CAST(count(DISTINCT b) AS BIGINT) AS n_dropped
+           FROM pairs GROUP BY cid),
+         sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+           FROM cells GROUP BY cid)
+         SELECT s.cid, s.n_members,
+           coalesce(t.n_dup_pairs, 0) AS n_dup_pairs,
+           coalesce(t.n_dropped, 0) AS n_dropped
+         FROM sizes s LEFT JOIN stats t USING (cid) ORDER BY s.cid""",
     "sim_knn_ivf" -> ivfOracleSql,
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_kmeans" ->

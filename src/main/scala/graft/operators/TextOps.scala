@@ -171,6 +171,44 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Okapi BM25 (k1=1.2, b=0.75): top-3 terms per probed document — the
+    * ranking function real retrieval stacks use where [[tfidfTop]] is the
+    * textbook baseline. Same two-shuffle inverted-index shape (bounded df
+    * and per-doc tf aggregates), plus one doc-length table; the three
+    * one-row frames (N, total tokens) broadcast. Every float input is a
+    * count, and the score expression is spelled identically in the DuckDB
+    * oracle (same association order), so ranks replay exactly; the only
+    * libm call is one ln per (term, doc), ulp-tolerated by the harness.
+    * avgdl arrives as dl·N/Σtok (all integers < 2^53 — exact) rather
+    * than a precomputed float average, keeping every division a single
+    * rounding on both engines.
+    */
+  def bm25Top(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tot = terms.agg(count(lit(1)).as("n_toks"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = terms.filter(col("doc_id") < 50)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("bm25"), col("term"))
+    tf.join(broadcast(df_), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nDf))
+      .crossJoin(broadcast(tot))
+      .withColumn("bm25", expr(
+        "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)" +
+          " * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 *" +
+          " (dl * CAST(n_docs AS DOUBLE) / n_toks)))"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("bm25"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** Corpus-relative RARITY score per document — the data-DERIVED quality
     * signal [[qualityScore]]'s static heuristics can't see: a document's
     * mean inverse document frequency over its tokens, in integral
@@ -490,7 +528,8 @@ object TextOps extends OpFamily {
     "text_fingerprint" -> (fingerprint _),
     "text_rarity" -> (rarityScore _),
     "text_ngram_top" -> (ngramTop _),
-    "text_tfidf_top" -> (tfidfTop _))
+    "text_tfidf_top" -> (tfidfTop _),
+    "text_bm25_top" -> (bm25Top _))
 
   val oracle = Map(
     "text_bigram_fluency" ->
@@ -692,6 +731,31 @@ object TextOps extends OpFamily {
              AS rarity_units
          FROM tokens t JOIN df USING (term) CROSS JOIN n
          GROUP BY t.doc_id, t.lang ORDER BY t.doc_id""",
+    "text_bm25_top" ->
+      """WITH tokens AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                         FROM documents),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         tot AS (SELECT count(*) AS n_toks FROM tokens),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+         df AS (SELECT term, count(*) AS df FROM
+             (SELECT DISTINCT doc_id, term FROM tokens) GROUP BY term),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens
+                WHERE doc_id < 50 GROUP BY doc_id, term)
+         SELECT doc_id, rn, term, bm25 FROM (
+           SELECT tf.doc_id, tf.term,
+             ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)
+                 + 1.0)
+               * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                 (dl.dl * CAST(n.n_docs AS DOUBLE) / tot.n_toks))) AS bm25,
+             row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+               ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)
+                   + 1.0)
+                 * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                   (dl.dl * CAST(n.n_docs AS DOUBLE) / tot.n_toks))) DESC,
+               tf.term) AS rn
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN n CROSS JOIN tot)
+         WHERE rn <= 3 ORDER BY doc_id, rn""",
     "text_tfidf_top" ->
       """WITH tokens AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                          FROM documents),
