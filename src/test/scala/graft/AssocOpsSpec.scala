@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AggOps, SimOps, TextOps}
+import graft.operators.{AggOps, FilterOps, SimOps, TextOps}
 
 /** Invariant checks for the round-9 additions (each is also oracle
   * hash-checked end to end; these pin the properties a hash can't name).
@@ -41,6 +41,25 @@ class AssocOpsSpec extends AnyFunSuite {
       assert(scores.forall(_ > 0.0))
       assert(scores == scores.sorted(Ordering[Double].reverse))
     }
+  }
+
+  test("weighted sample: keys in (0,1], deterministic, biased toward weight") {
+    val rows = FilterOps.sampleWeighted(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val k = r.getDouble(3)
+      assert(k > 0.0 && k <= 1.0)
+    }
+    // A-Res keeps heavy (long) docs more often: the sample's mean weight
+    // must exceed the corpus mean by a clear margin on this fixture
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean * 1.15,
+      s"sample mean $sampleMean vs corpus mean $corpusMean")
+    // replayable: a second evaluation returns the identical sample
+    val again = FilterOps.sampleWeighted(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
   test("semantic dedup: ledger is a partition of the corpus, drops bounded") {
