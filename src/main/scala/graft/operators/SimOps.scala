@@ -159,6 +159,69 @@ object SimOps extends OpFamily {
       .orderBy(col("cid"))
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR'09, public) — the fusion step RAG stacks run over a lexical
+    * and a vector ranker. Two independent rankings per query id < 10:
+    *  - LEXICAL: idf-weighted distinct-term overlap via the inverted
+    *    index (query terms equi-join corpus postings — work is bounded
+    *    by the query set's posting lists, never corpus×corpus). The
+    *    score is summed in integral micro-units (floor(ln(N/df)·1e6) as
+    *    BIGINT) because a raw double Σln is summation-order-dependent
+    *    and would ulp-flip ranks between engines;
+    *  - VECTOR: exact cosine over the embedding column (the [[knnExact]]
+    *    broadcast shape; partial coverage — embeddings are a subset of
+    *    doc ids at sf0.1 — is the realistic case and costs only a missing
+    *    vector contribution).
+    * Fusion: rrf = Σ 1/(60+rank) over the lists a doc appears in (k=60,
+    * the published constant), full-outer on (qid, did) so either signal
+    * alone can carry a candidate; top-10 per query. Every rrf addend is
+    * 1/integer — bit-identical across engines.
+    */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val dt = docs.select(col("doc_id"), explode(TextOps.toks).as("term"))
+      .distinct()
+    val df_ = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tscore = dt.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("term"))
+      .join(dt.select(col("doc_id").as("did"), col("term")), Seq("term"))
+      .filter(col("did") =!= col("qid"))
+      .join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(floor(log(col("n_docs").cast("double") / col("df")) * 1e6)
+        .cast("long")).as("ts_units"))
+    val wT = Window.partitionBy(col("qid"))
+      .orderBy(desc("ts_units"), col("did"))
+    val trank = tscore.withColumn("tr", row_number().over(wT))
+      .filter(col("tr") <= 20).select(col("qid"), col("did"), col("tr"))
+    val e = Tables.embeddings(s, d).withColumn("nrm",
+      sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val wV = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("did"))
+    val vrank = e.select(col("vec_id").as("did"), col("embedding").as("ne"),
+        col("nrm"))
+      .crossJoin(broadcast(qv))
+      .filter(col("did") =!= col("qid"))
+      .withColumn("cos",
+        NativeExprs.dot(s, col("qe"), col("ne")) / (col("qn") * col("nrm")))
+      .withColumn("vr", row_number().over(wV))
+      .filter(col("vr") <= 20)
+      .select(col("qid"), col("did"), col("vr"))
+    val wR = Window.partitionBy(col("qid")).orderBy(desc("rrf"), col("did"))
+    trank.join(vrank, Seq("qid", "did"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("tr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0)))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("did"), col("rrf"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, public): k-means
     * clusters are the blocking key, near-duplicate candidates compare
     * only WITHIN a cluster, and every non-minimal member of a ≥-threshold
@@ -475,6 +538,7 @@ object SimOps extends OpFamily {
   }
 
   val queries = Map(
+    "sim_hybrid_rrf" -> (hybridRrf _),
     "dedup_semantic" -> (semanticDedup _),
     "sim_knn_exact" -> (knnExact _),
     "sim_kmeans" -> (kmeansProfile _),
@@ -661,6 +725,47 @@ object SimOps extends OpFamily {
        WHERE rank <= 5 ORDER BY qid, rank"""
 
   val oracle = Map(
+    "sim_hybrid_rrf" ->
+      """WITH tokens AS (SELECT doc_id, unnest(string_split(text,' '))
+             AS term FROM documents),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         dt AS (SELECT DISTINCT doc_id, term FROM tokens),
+         df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         tscore AS (
+           SELECT q.doc_id AS qid, c.doc_id AS did,
+             CAST(sum(CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / df.df)
+               * 1e6) AS BIGINT)) AS BIGINT) AS ts_units
+           FROM dt q JOIN dt c ON q.term = c.term AND c.doc_id <> q.doc_id
+           JOIN df ON df.term = q.term CROSS JOIN n
+           WHERE q.doc_id < 10
+           GROUP BY q.doc_id, c.doc_id),
+         trank AS (SELECT qid, did,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY ts_units DESC, did) AS tr
+           FROM tscore),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         vrank AS (SELECT qid, did,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did)
+               AS vr
+           FROM (SELECT q.vec_id AS qid, c.vec_id AS did,
+                   list_cosine_similarity(q.v, c.v) AS cos
+                 FROM v q JOIN v c ON c.vec_id <> q.vec_id
+                 WHERE q.vec_id < 10)),
+         fused AS (
+           SELECT coalesce(t.qid, u.qid) AS qid,
+             coalesce(t.did, u.did) AS did,
+             coalesce(1.0 / (60 + t.tr), 0.0)
+               + coalesce(1.0 / (60 + u.vr), 0.0) AS rrf
+           FROM (SELECT * FROM trank WHERE tr <= 20) t
+           FULL OUTER JOIN (SELECT * FROM vrank WHERE vr <= 20) u
+             ON t.qid = u.qid AND t.did = u.did)
+         SELECT qid, rank, did, rrf FROM (
+           SELECT qid, did, rrf,
+             row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, did)
+               AS rank
+           FROM fused)
+         WHERE rank <= 10 ORDER BY qid, rank""",
     "dedup_semantic" ->
       s"""WITH $lloydCtes,
          pairs AS (SELECT a.cid, b.vec_id AS b

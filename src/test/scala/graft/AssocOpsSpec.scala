@@ -43,6 +43,24 @@ class AssocOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid RRF: 10 ranked fusions per query, scores bounded by 2/61") {
+    val rows = SimOps.hybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, perQ) =>
+      val byRank = perQ.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      assert(byRank.length == 10)
+      val scores = byRank.map(_.getDouble(3)).toSeq
+      // best possible fusion = rank 1 in BOTH lists = 2/61; worst
+      // surfaced = one list at rank 20 = 1/80
+      assert(scores.forall(v => v > 0.0 && v <= 2.0 / 61.0 + 1e-15))
+      assert(scores == scores.sorted(Ordering[Double].reverse))
+    }
+    // fusion is real on this fixture: some doc must carry BOTH signals
+    // (rrf > 1/61, impossible from a single list)
+    assert(rows.exists(_.getDouble(3) > 1.0 / 61.0 + 1e-12))
+  }
+
   test("weighted sample: keys in (0,1], deterministic, biased toward weight") {
     val rows = FilterOps.sampleWeighted(spark, sf).collect()
     assert(rows.length == 100)
