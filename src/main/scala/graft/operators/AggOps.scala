@@ -469,11 +469,17 @@ object AggOps extends OpFamily {
     * implemented.
     */
   def copurchaseLift(s: SparkSession, d: String): DataFrame = {
+    // the distinct basket table has FIVE consumers (n, supp×2, both pair
+    // sides) and canonicalizes differently under each alias, so
+    // ReuseExchange does NOT dedupe it (verified in the executed plan:
+    // five parquet scans) — materialize once per the two-consumers rule
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct() // a part twice in one order is one basket membership
+      .localCheckpoint()
     val n = li.agg(count_distinct(col("ok")).as("n_orders"))
     val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+      .localCheckpoint() // catalog-sized; broadcast twice below
     val a = li.select(col("ok"), col("pk").as("a"))
     val b = li.select(col("ok"), col("pk").as("b"))
     a.join(b, Seq("ok"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{OpFamily, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Advanced filtering patterns (SURVEY.md §2.3 #18–19): the MRDP ch.3
@@ -237,18 +238,44 @@ object FilterOps extends OpFamily {
     * Same RESIDUE-CLASS ASSUMPTION as [[sampleHash]] (documented there):
     * structured ids with period | 1000 would need the xxhash64 swap.
     */
+  /** The A-Res key: u^(1/w) with the deterministic multiplicative-hash
+    * uniform, weight = n_chars. Shared by the global and per-group
+    * weighted samplers.
+    */
+  private def aresKey =
+    pow((pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000))
+        .cast("double") + lit(0.5)) / lit(1000.0),
+      lit(1.0) / col("n_chars"))
+
   def sampleWeighted(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("wkey",
-        pow((pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000))
-            .cast("double") + lit(0.5)) / lit(1000.0),
-          lit(1.0) / col("n_chars")))
+      .withColumn("wkey", aresKey)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("wkey"))
       .orderBy(desc("wkey"), col("doc_id"))
       .limit(100)
 
+  /** Per-stratum A-Res: the SAME weighted-reservoir key, top-5 per
+    * language — weighted sampling with per-group quotas (the corpus-mix
+    * step when each language must contribute a fixed-size, quality-
+    * weighted sample). One window pass; Spark prunes it to a
+    * WindowGroupLimit, so each partition keeps only k rows per group
+    * past the sort — never a global top-k of the whole corpus.
+    */
+  def sampleWeightedGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(desc("wkey"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("wkey", aresKey)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"),
+        col("wkey"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   val queries = Map(
     "filter_sample_weighted" -> (sampleWeighted _),
+    "filter_sample_weighted_group" -> (sampleWeightedGroup _),
     "filter_bloom_semi_join" -> (bloomSemiJoin _),
     "filter_mix_temperature" -> (mixTemperature _),
     "filter_mix_token_budget" -> (mixTokenBudget _),
@@ -258,6 +285,16 @@ object FilterOps extends OpFamily {
     "filter_sample_hash" -> (sampleHash _))
 
   val oracle = Map(
+    "filter_sample_weighted_group" ->
+      """SELECT lang, rn, doc_id, n_chars, wkey FROM (
+           SELECT lang, doc_id, n_chars, wkey,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY wkey DESC, doc_id) AS rn
+           FROM (SELECT doc_id, lang, n_chars,
+                   pow((doc_id % 1000 * 761 % 1000 + 0.5) / 1000.0,
+                     1.0 / n_chars) AS wkey
+                 FROM documents))
+         WHERE rn <= 5 ORDER BY lang, rn""",
     "filter_sample_weighted" ->
       """SELECT doc_id, lang, n_chars,
            pow((doc_id % 1000 * 761 % 1000 + 0.5) / 1000.0,

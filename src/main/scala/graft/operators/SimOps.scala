@@ -180,8 +180,12 @@ object SimOps extends OpFamily {
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    // the distinct posting table has THREE consumers (query side, corpus
+    // side, df) whose aliases defeat ReuseExchange — one distinct shuffle
+    // materialized beats three (two-consumers rule)
     val dt = docs.select(col("doc_id"), explode(TextOps.toks).as("term"))
       .distinct()
+      .localCheckpoint()
     val df_ = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tscore = dt.filter(col("doc_id") < 10)
       .select(col("doc_id").as("qid"), col("term"))
