@@ -688,4 +688,131 @@ object Graft {
   def normalizeUrls(df: DataFrame, urlCol: String): DataFrame =
     df.withColumn("url_normalized",
       graft.operators.UrlOps.normalizedUrl(col(urlCol)))
+
+  // ------------------------------------------- association & retrieval (r9)
+
+  /** Market-basket association: every item pair co-occurring in ≥
+    * minSupport baskets, scored by lift = P(a,b)/(P(a)·P(b)). Returns
+    * (a, b, n_ab, n_a, n_b, lift), unranked — order by lift and limit at
+    * the call site. Candidate volume is Σ basket_size², never catalog².
+    */
+  def copurchaseLift(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L): DataFrame =
+    graft.operators.AggOps.copurchaseLiftOn(
+      df.select(col(basketCol).as("ok"), col(itemCol).as("pk")), minSupport)
+
+  /** Okapi BM25 (k1=1.2, b=0.75) top-k characteristic terms per document
+    * over a whitespace tokenization. Returns (idCol, rn, term, bm25).
+    */
+  def bm25TopTerms(df: DataFrame, id: String, text: String,
+      k: Int = 3): DataFrame =
+    graft.operators.TextOps.bm25On(
+      df.select(col(id).as("doc_id"), col(text).as("text")), lit(true), k)
+      .select(col("doc_id").as(id), col("rn"), col("term"), col("bm25"))
+
+  /** SemDeDup ledger over an embedding column: k-means cells as the
+    * near-dup blocking key, intra-cell cosine ≥ threshold, keep-min
+    * survivorship. Returns (cid, n_members, n_dup_pairs, n_dropped).
+    * Ids must be DENSE from 0 (the nlist lowest seed the clusters);
+    * remap sparse ids with [[withGlobalRank]] first. nlist is the scale
+    * knob: grow it with the corpus so cells stay bounded.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 10, threshold: Double = 0.35): DataFrame =
+    graft.operators.SimOps.semanticDedupOn(df.sparkSession,
+      df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v")), nlist, threshold)
+
+  /** Reciprocal Rank Fusion (k=60 by default) over any number of rank
+    * lists: each input frame carries (qCol, dCol, rankCol); a candidate's
+    * fused score is Σ 1/(kRrf + rank) over the lists it appears in.
+    * Returns the top-k fused (qCol, rank, dCol, rrf) per query.
+    */
+  def rrfFuse(ranks: Seq[DataFrame], qCol: String, dCol: String,
+      rankCol: String, kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(ranks.nonEmpty, "rrfFuse needs at least one ranking")
+    val scored = ranks.map(_.select(col(qCol).as("q"), col(dCol).as("d"),
+      (lit(1.0) / (lit(kRrf) + col(rankCol))).as("s")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(desc("rrf"), col("d"))
+    scored.reduce(_ unionByName _)
+      .groupBy(col("q"), col("d")).agg(sum(col("s")).as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q").as(qCol), col("rank"), col("d").as(dCol), col("rrf"))
+  }
+
+  /** Nearest join — the bidirectional [[asofJoin]]: match each left row
+    * to the right row with the same key whose TimestampType tsCol is
+    * CLOSEST in either direction (ties → the earlier right row). Returns
+    * (idCol, keyCol, tsCol, nearest_<pickCol>, delta_us) with the signed
+    * distance in raw microseconds (negative = the match precedes the
+    * left row). One union relation, one key shuffle, one sort.
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, pickCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val l = left.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(idCol).as("lid"), lit(1).as("is_left"),
+      lit(null).cast("long").as("pick"))
+    val r = right.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      lit(null).cast(left.schema(idCol).dataType).as("lid"),
+      lit(0).as("is_left"), col(pickCol).cast("long").as("pick"))
+    val u = l.unionByName(r).withColumn("p",
+      when(col("is_left") === 0,
+        struct(col("t").as("pts"), col("pick").as("pid"))))
+    val ord = Seq(col("t"), col("is_left"), col("pick"))
+    val wPrev = W.partitionBy(col("k")).orderBy(ord: _*)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wNext = W.partitionBy(col("k")).orderBy(ord: _*)
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    u.withColumn("prev", last(col("p"), ignoreNulls = true).over(wPrev))
+      .withColumn("nxt", first(col("p"), ignoreNulls = true).over(wNext))
+      .filter(col("is_left") === 1)
+      .filter(col("prev").isNotNull || col("nxt").isNotNull)
+      .withColumn("d_prev",
+        unix_micros(col("t")) - unix_micros(col("prev.pts")))
+      .withColumn("d_next",
+        unix_micros(col("nxt.pts")) - unix_micros(col("t")))
+      .withColumn("take_prev", col("prev").isNotNull &&
+        (col("nxt").isNull || col("d_prev") <= col("d_next")))
+      .select(col("lid").as(idCol), col("k").as(keyCol),
+        col("t").as(tsCol),
+        when(col("take_prev"), col("prev.pid"))
+          .otherwise(col("nxt.pid")).as(s"nearest_$pickCol"),
+        when(col("take_prev"), -col("d_prev"))
+          .otherwise(col("d_next")).as("delta_us"))
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-Res): top-k rows by u^(1/weight) where u is an
+    * avalanche-hash uniform of the id — replayable across runs and
+    * backfills, works for any id type. Appends the `wkey` column.
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame =
+    df.withColumn("wkey", aresKey(idCol, weightCol))
+      .orderBy(desc("wkey"), col(idCol))
+      .limit(k)
+
+  /** Per-group [[sampleWeighted]]: k quality-weighted rows per group via
+    * one WindowGroupLimit pass. Appends `wkey` and the per-group `rn`.
+    */
+  def sampleWeightedByGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(desc("wkey"), col(idCol))
+    df.withColumn("wkey", aresKey(idCol, weightCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** The A-Res key: an xxhash64-derived uniform on a 10⁵ grid raised to
+    * 1/weight. The grid keeps the uniform exactly representable; ties
+    * across rows resolve by id at the call sites.
+    */
+  private def aresKey(idCol: String, weightCol: String): Column =
+    pow((pmod(xxhash64(col(idCol)), lit(100000)).cast("double") + 0.5)
+        / 100000.0,
+      lit(1.0) / col(weightCol))
 }

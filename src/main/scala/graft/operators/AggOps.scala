@@ -468,14 +468,26 @@ object AggOps extends OpFamily {
     * shape scales with ordinary shuffle machinery, so it is the one
     * implemented.
     */
-  def copurchaseLift(s: SparkSession, d: String): DataFrame = {
+  def copurchaseLift(s: SparkSession, d: String): DataFrame =
+    copurchaseLiftOn(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      minSupport = 2)
+      .orderBy(desc("lift"), col("a"), col("b"))
+      .limit(20)
+
+  /** The generic association core behind [[copurchaseLift]] and
+    * [[graft.api.Graft.copurchaseLift]]: input is any (ok = basket id,
+    * pk = item id) frame; output every co-occurring item pair with
+    * count ≥ minSupport and its lift, UNRANKED (callers order/limit).
+    */
+  private[graft] def copurchaseLiftOn(bi: DataFrame,
+      minSupport: Long): DataFrame = {
     // the distinct basket table has FIVE consumers (n, supp×2, both pair
     // sides) and canonicalizes differently under each alias, so
     // ReuseExchange does NOT dedupe it (verified in the executed plan:
     // five parquet scans) — materialize once per the two-consumers rule
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct() // a part twice in one order is one basket membership
+    val li = bi.select(col("ok"), col("pk"))
+      .distinct() // an item twice in one basket is one membership
       .localCheckpoint()
     val n = li.agg(count_distinct(col("ok")).as("n_orders"))
     val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
@@ -486,7 +498,7 @@ object AggOps extends OpFamily {
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 2) // min support: a single co-basket is noise
+      .filter(col("n_ab") >= minSupport) // a single co-basket is noise
       .join(broadcast(supp.select(col("pk").as("a"), col("n_p").as("n_a"))),
         Seq("a"))
       .join(broadcast(supp.select(col("pk").as("b"), col("n_p").as("n_b"))),
@@ -497,8 +509,6 @@ object AggOps extends OpFamily {
           (col("n_a").cast("double") * col("n_b").cast("double")))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         col("lift"))
-      .orderBy(desc("lift"), col("a"), col("b"))
-      .limit(20)
   }
 
   val queries = Map(

@@ -78,11 +78,20 @@ object SimOps extends OpFamily {
     * (cells = every vector labeled with its nearest cid, centroids).
     */
   private[graft] def lloydCells(s: SparkSession,
-      d: String): (DataFrame, DataFrame) = {
-    val e = withNorm(s, Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("v")),
-      "v", "vn")
+      d: String): (DataFrame, DataFrame) =
+    lloydCellsOn(s, Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v")), nlist = 10)
+
+  /** The generic Lloyd core behind [[lloydCells]] (and the public
+    * clustering/dedup APIs): any (vec_id, v: array&lt;double&gt;) frame.
+    * Seeding assumes ids are DENSE from 0 (the nlist lowest ids are the
+    * seeds via a pushdown-able `vec_id < nlist` filter); callers with
+    * sparse ids pass a rank-remapped frame.
+    */
+  private[graft] def lloydCellsOn(s: SparkSession, e0: DataFrame,
+      nlist: Int): (DataFrame, DataFrame) = {
+    val e = withNorm(s, e0, "v", "vn")
       .localCheckpoint() // consumed every Lloyd round + twice at search
     def normedCentroids(c: DataFrame): DataFrame =
       withNorm(s, c, "centroid", "cn").localCheckpoint()
@@ -95,7 +104,7 @@ object SimOps extends OpFamily {
         .filter(col("rn") === 1)
         .select(col("cid"), col("vec_id"), col("v"), col("vn"))
     }
-    var centroids = normedCentroids(e.filter(col("vec_id") < 10)
+    var centroids = normedCentroids(e.filter(col("vec_id") < nlist)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid")))
     (1 to 3).foreach { _ =>
       centroids = normedCentroids(assign(centroids)
@@ -241,15 +250,27 @@ object SimOps extends OpFamily {
     * (members, dup pairs, dropped docs), the corpus-shrinkage report a
     * pipeline operator reads before materializing survivors.
     */
-  def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val (cells, _) = lloydCells(s, d)
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedupOn(s, Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v")),
+      nlist = 10, threshold = 0.35)
+
+  /** The generic SemDeDup core behind [[semanticDedup]] and
+    * [[graft.api.Graft.semanticDedup]]: any (vec_id, v: array&lt;double&gt;)
+    * frame (dense ids — see [[lloydCellsOn]]), parametric cluster count
+    * and cosine threshold.
+    */
+  private[graft] def semanticDedupOn(s: SparkSession, e0: DataFrame,
+      nlist: Int, threshold: Double): DataFrame = {
+    val (cells, _) = lloydCellsOn(s, e0, nlist)
     val left = cells.select(col("cid"), col("vec_id").as("a"),
       col("v").as("va"), col("vn").as("na"))
     val right = cells.select(col("cid"), col("vec_id").as("b"),
       col("v").as("vb"), col("vn").as("nb"))
     val pairs = left.join(right, Seq("cid"))
       .filter(col("a") < col("b"))
-      .filter(cosPair(s, "va", "na", "vb", "nb") >= 0.35)
+      .filter(cosPair(s, "va", "na", "vb", "nb") >= threshold)
       .select(col("cid"), col("b"))
     val stats = pairs.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_dup_pairs"),

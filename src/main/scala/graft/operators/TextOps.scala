@@ -183,15 +183,25 @@ object TextOps extends OpFamily {
     * than a precomputed float average, keeping every division a single
     * rounding on both engines.
     */
-  def bm25Top(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def bm25Top(s: SparkSession, d: String): DataFrame =
+    bm25On(Tables.documents(s, d), col("doc_id") < 50, k = 3)
+      .orderBy(col("doc_id"), col("rn"))
+
+  /** The generic BM25 core behind [[bm25Top]] and
+    * [[graft.api.Graft.bm25TopTerms]]: any (doc_id, text) frame, a probe
+    * predicate bounding which docs get scored, top-k terms per probed
+    * doc. k1 = 1.2, b = 0.75 (the standard constants).
+    */
+  private[graft] def bm25On(docs: DataFrame, probe: Column,
+      k: Int): DataFrame = {
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
     val terms = docs.select(col("doc_id"), explode(toks).as("term"))
     val tot = terms.agg(count(lit(1)).as("n_toks"))
     val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val df_ = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val tf = terms.filter(col("doc_id") < 50)
+    val tf = docs.filter(probe)
+      .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("bm25"), col("term"))
@@ -204,9 +214,8 @@ object TextOps extends OpFamily {
           " * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 *" +
           " (dl * CAST(n_docs AS DOUBLE) / n_toks)))"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("doc_id"), col("rn"), col("term"), col("bm25"))
-      .orderBy(col("doc_id"), col("rn"))
   }
 
   /** Corpus-relative RARITY score per document — the data-DERIVED quality

@@ -505,4 +505,97 @@ class GraftApiSpec extends AnyFunSuite {
     assert(pairs.sorted.toSeq
       === Seq((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)))
   }
+
+  // ------------------------------------------- association & retrieval (r9)
+
+  test("copurchaseLift scores co-occurring items on renamed columns") {
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (12L, 4L),
+      (13L, 3L), (13L, 4L),
+      (14L, 1L), (14L, 1L) // duplicate membership collapses
+    ).toDF("cart", "sku")
+    val rows = Graft.copurchaseLift(baskets, "cart", "sku").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // (1,2) co-occur in carts 10,11,12; item 1 in 4 carts (14's dup
+    // collapses), item 2 in 3; 5 baskets total
+    assert(rows.keySet === Set((1L, 2L)))
+    val (nAb, nA, nB, lift) = rows((1L, 2L))
+    assert(nAb === 3L && nA === 4L && nB === 3L)
+    assert(math.abs(lift - 3.0 * 5 / (4 * 3)) < 1e-12)
+  }
+
+  test("bm25TopTerms surfaces the discriminative term per doc") {
+    val out = Graft.bm25TopTerms(docs, "my_id", "body", k = 1).collect()
+    assert(out.length === 5)
+    // doc 3's rarest vocabulary ranks above corpus-wide stopwords, and
+    // rank-1 terms must not be the ubiquitous 'the'
+    val top3 = out.find(_.getLong(0) == 3L).get.getString(2)
+    assert(top3 != "the")
+    out.foreach(r => assert(r.getDouble(3) > 0.0))
+  }
+
+  test("rrfFuse sums reciprocal ranks across lists, either list can carry") {
+    val textR = Seq((1L, 100L, 1), (1L, 101L, 2)).toDF("q", "doc", "r")
+    val vecR = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("q", "doc", "r")
+    val fused = Graft.rrfFuse(Seq(textR, vecR), "q", "doc", "r")
+      .collect().map(r => r.getLong(2) -> (r.getInt(1), r.getDouble(3))).toMap
+    // 101 appears in both lists (ranks 2 and 1) and must win
+    assert(fused(101L)._1 === 1)
+    assert(math.abs(fused(101L)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(fused(100L)._2 - 1.0 / 61) < 1e-15)
+    assert(math.abs(fused(102L)._2 - 1.0 / 62) < 1e-15)
+  }
+
+  test("nearestJoin picks the closer side, signed micros, earlier on ties") {
+    val ts0 = 1600000000000000L // epoch micros
+    def t(us: Long) = timestamp_micros(lit(us))
+    val left = Seq((7L, 1L), (7L, 2L)).toDF("acct", "click_id")
+      .withColumn("at", when(col("click_id") === 1, t(ts0 + 100L))
+        .otherwise(t(ts0 + 1000L)))
+    val right = Seq((7L, 50L), (7L, 51L)).toDF("acct", "buy_id")
+      .withColumn("at", when(col("buy_id") === 50, t(ts0))
+        .otherwise(t(ts0 + 1030L)))
+    val out = Graft.nearestJoin(left, right, "acct", "at", "click_id", "buy_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // click 1 at +100: buy 50 is 100us back, buy 51 is 930us ahead -> 50
+    assert(out(1L) === (50L, -100L))
+    // click 2 at +1000: buy 51 is 30us ahead, buy 50 is 1000us back -> 51
+    assert(out(2L) === (51L, 30L))
+  }
+
+  test("sampleWeighted variants are deterministic and respect group quotas") {
+    val weighted = Seq.tabulate(200)(i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd", 1L + i % 50))
+      .toDF("wid", "grp", "wt")
+    val g1 = Graft.sampleWeighted(weighted, "wid", "wt", 10).collect()
+    val g2 = Graft.sampleWeighted(weighted, "wid", "wt", 10).collect()
+    assert(g1.map(_.getLong(0)).toSeq == g2.map(_.getLong(0)).toSeq)
+    assert(g1.length === 10)
+    val byGroup = Graft.sampleWeightedByGroup(weighted, "grp", "wid", "wt", 3)
+      .collect().groupBy(_.getString(1))
+    assert(byGroup.keySet === Set("even", "odd"))
+    byGroup.values.foreach(rows => assert(rows.length === 3))
+  }
+
+  test("semanticDedup ledger partitions an ad-hoc embedding frame") {
+    val vecs = Seq.tabulate(40) { i =>
+      // two planted exact pairs inside a noisy space
+      val base = if (i == 21) 20 else if (i == 31) 30 else i
+      (i.toLong, Array.tabulate(8)(j =>
+        math.sin(base * 7.0 + j).toFloat))
+    }.toDF("vid", "emb")
+    val ledger = Graft.semanticDedup(vecs, "vid", "emb",
+      nlist = 4, threshold = 0.999)
+    val rows = ledger.collect()
+    assert(rows.map(_.getLong(1)).sum === 40L)
+    // the two planted exact clones land in their original's cell by
+    // construction and MUST be dropped; the sin-lattice may add a few
+    // incidental near-periodic matches on top (observed: 2 extra)
+    assert(rows.map(_.getLong(3)).sum >= 2L)
+    rows.foreach(r => assert(r.getLong(3) <= math.max(r.getLong(1) - 1, 0)))
+  }
 }
