@@ -236,7 +236,38 @@ object EventOps extends OpFamily {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the revenue-credit query every marketing
+    * pipeline runs: each purchase credits the campaign (props.k) of the
+    * user's most recent click at-or-before it (same-instant clicks
+    * count; ties among clicks → highest event_id via the window order),
+    * then revenue rolls up per campaign. The [[JoinOps.asofJoin]]
+    * union+window idiom — ONE user_id shuffle, one in-partition sort,
+    * never a click×purchase product — followed by a bounded
+    * (campaign-count-sized) aggregate with the decimal-exact revenue
+    * sum. Unattributed purchases (no prior click) are excluded, the
+    * standard last-touch convention.
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "click",
+          get_json_object(col("props"), "$.k").cast("long")).as("campaign"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"),
+        when(col("campaign").isNull, 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("attr", last(col("campaign"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("attr").isNotNull)
+      .groupBy(col("attr").as("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.functions.Num.dsum(col("value")).as("revenue"))
+      .orderBy(col("campaign"))
+  }
+
   val queries = Map(
+    "ev_attribution" -> (attribution _),
     "ev_funnel" -> (funnel _),
     "ev_funnel_72h" -> (funnelWindowed _),
     "ev_time_to_convert" -> (timeToConvert _),
@@ -246,6 +277,25 @@ object EventOps extends OpFamily {
     "ev_transitions" -> (transitions _))
 
   val oracle = Map(
+    "ev_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             event_type, value,
+             CASE WHEN event_type = 'click'
+               THEN CAST(json_extract(props, '$.k') AS BIGINT) END
+               AS campaign
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (
+           SELECT event_id, event_type, value,
+             last_value(campaign IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN campaign IS NULL THEN 1 ELSE 0 END,
+                 event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr
+           FROM ev)
+         SELECT attr AS campaign, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM w WHERE event_type = 'purchase' AND attr IS NOT NULL
+         GROUP BY attr ORDER BY attr""",
     "ev_funnel_72h" ->
       """WITH e AS (SELECT user_id, event_type,
              CAST(ts AS TIMESTAMP) AS ts FROM events),
