@@ -247,7 +247,20 @@ object EventOps extends OpFamily {
     * sum. Unattributed purchases (no prior click) are excluded, the
     * standard last-touch convention.
     */
-  def attribution(s: SparkSession, d: String): DataFrame = {
+  def attribution(s: SparkSession, d: String): DataFrame =
+    attributionOn(s, d, firstTouch = false)
+
+  /** FIRST-touch variant: the purchase credits the EARLIEST click in the
+    * user's history instead of the latest — same single window pass
+    * (first instead of last over the identical frame), so comparing the
+    * two rollups quantifies how much credit moves from closers to
+    * openers.
+    */
+  def attributionFirst(s: SparkSession, d: String): DataFrame =
+    attributionOn(s, d, firstTouch = true)
+
+  private def attributionOn(s: SparkSession, d: String,
+      firstTouch: Boolean): DataFrame = {
     val e = Tables.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"),
@@ -258,7 +271,10 @@ object EventOps extends OpFamily {
       .orderBy(col("ts"),
         when(col("campaign").isNull, 1).otherwise(0), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.withColumn("attr", last(col("campaign"), ignoreNulls = true).over(w))
+    val attr =
+      if (firstTouch) first(col("campaign"), ignoreNulls = true).over(w)
+      else last(col("campaign"), ignoreNulls = true).over(w)
+    e.withColumn("attr", attr)
       .filter(col("event_type") === "purchase" && col("attr").isNotNull)
       .groupBy(col("attr").as("campaign"))
       .agg(count(lit(1)).as("n_purchases"),
@@ -268,6 +284,7 @@ object EventOps extends OpFamily {
 
   val queries = Map(
     "ev_attribution" -> (attribution _),
+    "ev_attribution_first" -> (attributionFirst _),
     "ev_funnel" -> (funnel _),
     "ev_funnel_72h" -> (funnelWindowed _),
     "ev_time_to_convert" -> (timeToConvert _),
@@ -288,6 +305,25 @@ object EventOps extends OpFamily {
          w AS (
            SELECT event_id, event_type, value,
              last_value(campaign IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN campaign IS NULL THEN 1 ELSE 0 END,
+                 event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr
+           FROM ev)
+         SELECT attr AS campaign, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM w WHERE event_type = 'purchase' AND attr IS NOT NULL
+         GROUP BY attr ORDER BY attr""",
+    "ev_attribution_first" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             event_type, value,
+             CASE WHEN event_type = 'click'
+               THEN CAST(json_extract(props, '$.k') AS BIGINT) END
+               AS campaign
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (
+           SELECT event_id, event_type, value,
+             first_value(campaign IGNORE NULLS) OVER (PARTITION BY user_id
                ORDER BY ts, CASE WHEN campaign IS NULL THEN 1 ELSE 0 END,
                  event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr

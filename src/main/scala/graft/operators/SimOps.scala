@@ -186,7 +186,25 @@ object SimOps extends OpFamily {
     * alone can carry a candidate; top-10 per query. Every rrf addend is
     * 1/integer — bit-identical across engines.
     */
-  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+  def hybridRrf(s: SparkSession, d: String): DataFrame =
+    fuseRrf(lexicalRank(s, d), vrankExact(s, d))
+
+  /** [[hybridRrf]] with the IVF search as the vector leg — the 100 TB
+    * variant: each query reads only its nprobe=2 of nlist=10 cells
+    * (~1/5 of the corpus) instead of scanning every vector, at the cost
+    * of missing neighbors outside probed cells. The lexical leg, fusion
+    * arithmetic, and oracle replay are identical — the whole pipeline
+    * stays hash-checked because the IVF ranks themselves are
+    * deterministic (the [[knnIvf]] oracle machinery).
+    */
+  def hybridRrfIvf(s: SparkSession, d: String): DataFrame =
+    fuseRrf(lexicalRank(s, d), vrankIvf(s, d))
+
+  /** Lexical leg shared by both hybrids: idf-weighted distinct-term
+    * overlap for queries doc_id < 10, top-20 per query, scored in
+    * integral micro-units (order-independent).
+    */
+  private def lexicalRank(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
     // the distinct posting table has THREE consumers (query side, corpus
@@ -207,15 +225,19 @@ object SimOps extends OpFamily {
         .cast("long")).as("ts_units"))
     val wT = Window.partitionBy(col("qid"))
       .orderBy(desc("ts_units"), col("did"))
-    val trank = tscore.withColumn("tr", row_number().over(wT))
+    tscore.withColumn("tr", row_number().over(wT))
       .filter(col("tr") <= 20).select(col("qid"), col("did"), col("tr"))
+  }
+
+  /** Exact-cosine vector leg: brute force over the corpus, top-20. */
+  private def vrankExact(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).withColumn("nrm",
       sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
     val qv = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"))
     val wV = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("did"))
-    val vrank = e.select(col("vec_id").as("did"), col("embedding").as("ne"),
+    e.select(col("vec_id").as("did"), col("embedding").as("ne"),
         col("nrm"))
       .crossJoin(broadcast(qv))
       .filter(col("did") =!= col("qid"))
@@ -224,6 +246,36 @@ object SimOps extends OpFamily {
       .withColumn("vr", row_number().over(wV))
       .filter(col("vr") <= 20)
       .select(col("qid"), col("did"), col("vr"))
+  }
+
+  /** IVF vector leg: the [[lloydCells]] cells, nprobe=2 routing, exact
+    * re-rank within probed cells only, top-20.
+    */
+  private def vrankIvf(s: SparkSession, d: String): DataFrame = {
+    val (cells, centroids) = lloydCells(s, d)
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(desc("c_sim"), col("cid"))
+    val probes = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosPair(s, "qv", "qn", "centroid", "cn"))
+      .withColumn("c_rank", row_number().over(wProbe))
+      .filter(col("c_rank") <= 2)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos"), col("did"))
+    cells.select(col("vec_id").as("did"), col("cid"), col("v").as("nv"),
+        col("vn").as("nn"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("did") =!= col("qid"))
+      .withColumn("cos", cosPair(s, "qv", "qn", "nv", "nn"))
+      .withColumn("vr", row_number().over(wRank))
+      .filter(col("vr") <= 20)
+      .select(col("qid"), col("did"), col("vr"))
+  }
+
+  /** RRF fusion (k=60) of a lexical and a vector top-20, top-10 out. */
+  private def fuseRrf(trank: DataFrame, vrank: DataFrame): DataFrame = {
     val wR = Window.partitionBy(col("qid")).orderBy(desc("rrf"), col("did"))
     trank.join(vrank, Seq("qid", "did"), "full_outer")
       .withColumn("rrf",
@@ -564,6 +616,7 @@ object SimOps extends OpFamily {
 
   val queries = Map(
     "sim_hybrid_rrf" -> (hybridRrf _),
+    "sim_hybrid_rrf_ivf" -> (hybridRrfIvf _),
     "dedup_semantic" -> (semanticDedup _),
     "sim_knn_exact" -> (knnExact _),
     "sim_kmeans" -> (kmeansProfile _),
@@ -750,6 +803,53 @@ object SimOps extends OpFamily {
        WHERE rank <= 5 ORDER BY qid, rank"""
 
   val oracle = Map(
+    "sim_hybrid_rrf_ivf" ->
+      s"""WITH tokens AS (SELECT doc_id, unnest(string_split(text,' '))
+             AS term FROM documents),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         dt AS (SELECT DISTINCT doc_id, term FROM tokens),
+         df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         tscore AS (
+           SELECT q.doc_id AS qid, c.doc_id AS did,
+             CAST(sum(CAST(floor(ln(CAST(nd.n_docs AS DOUBLE) / df.df)
+               * 1e6) AS BIGINT)) AS BIGINT) AS ts_units
+           FROM dt q JOIN dt c ON q.term = c.term AND c.doc_id <> q.doc_id
+           JOIN df ON df.term = q.term CROSS JOIN nd
+           WHERE q.doc_id < 10
+           GROUP BY q.doc_id, c.doc_id),
+         trank AS (SELECT qid, did,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY ts_units DESC, did) AS tr
+           FROM tscore),
+         $lloydCtes,
+         probes AS (SELECT qid, qv, cid FROM (
+           SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.centroid) DESC,
+                 c.cid) AS rn
+           FROM (SELECT vec_id, v FROM cells WHERE vec_id < 10) q
+           CROSS JOIN c3 c) WHERE rn <= 2),
+         vrank AS (SELECT qid, did,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did)
+               AS vr
+           FROM (SELECT p.qid, cand.vec_id AS did,
+                   list_cosine_similarity(p.qv, cand.v) AS cos
+                 FROM probes p JOIN cells cand ON cand.cid = p.cid
+                 WHERE cand.vec_id <> p.qid)),
+         fused AS (
+           SELECT coalesce(t.qid, u.qid) AS qid,
+             coalesce(t.did, u.did) AS did,
+             coalesce(1.0 / (60 + t.tr), 0.0)
+               + coalesce(1.0 / (60 + u.vr), 0.0) AS rrf
+           FROM (SELECT * FROM trank WHERE tr <= 20) t
+           FULL OUTER JOIN (SELECT * FROM vrank WHERE vr <= 20) u
+             ON t.qid = u.qid AND t.did = u.did)
+         SELECT qid, rank, did, rrf FROM (
+           SELECT qid, did, rrf,
+             row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, did)
+               AS rank
+           FROM fused)
+         WHERE rank <= 10 ORDER BY qid, rank""",
     "sim_hybrid_rrf" ->
       """WITH tokens AS (SELECT doc_id, unnest(string_split(text,' '))
              AS term FROM documents),
