@@ -815,4 +815,39 @@ object Graft {
     pow((pmod(xxhash64(col(idCol)), lit(100000)).cast("double") + 0.5)
         / 100000.0,
       lit(1.0) / col(weightCol))
+
+  /** Single-touch marketing attribution over arbitrary frames: each
+    * conversion credits the campaign of the key's latest
+    * (firstTouch=false, the default last-touch model) or earliest
+    * (firstTouch=true) touch at-or-before it; unattributed conversions
+    * are dropped. touches = (keyCol, tsCol, idCol, campaignCol);
+    * conversions = (keyCol, tsCol, idCol, valueCol). Returns (campaign,
+    * n_conversions, revenue) with the decimal-exact revenue sum. One
+    * shuffle on the key, one sort — the as-of union+window idiom.
+    */
+  def attribution(touches: DataFrame, conversions: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, campaignCol: String,
+      valueCol: String, firstTouch: Boolean = false): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val t = touches.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(idCol).cast("long").as("eid"),
+      col(campaignCol).as("campaign"), lit(null).cast("double").as("value"))
+    val c = conversions.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(idCol).cast("long").as("eid"),
+      lit(null).cast(touches.schema(campaignCol).dataType).as("campaign"),
+      col(valueCol).cast("double").as("value"))
+    val w = W.partitionBy(col("k"))
+      .orderBy(col("t"),
+        when(col("campaign").isNull, 1).otherwise(0), col("eid"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val attr =
+      if (firstTouch) first(col("campaign"), ignoreNulls = true).over(w)
+      else last(col("campaign"), ignoreNulls = true).over(w)
+    t.unionByName(c)
+      .withColumn("attr", attr)
+      .filter(col("value").isNotNull && col("attr").isNotNull)
+      .groupBy(col("attr").as(campaignCol))
+      .agg(count(lit(1)).as("n_conversions"),
+        graft.functions.Num.dsum(col("value")).as("revenue"))
+  }
 }

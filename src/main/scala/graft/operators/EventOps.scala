@@ -259,6 +259,42 @@ object EventOps extends OpFamily {
   def attributionFirst(s: SparkSession, d: String): DataFrame =
     attributionOn(s, d, firstTouch = true)
 
+  /** LINEAR (multi-touch) attribution — the third standard model: each
+    * purchase splits its revenue EQUALLY across the distinct campaigns
+    * of its last ≤5 prior clicks. Credit is integral: floor(value·10⁴)
+    * micro-cents DIV the distinct-campaign count (value ≥ 0 in this
+    * domain, so DIV = floor on both engines — the same positivity
+    * argument as [[timeToConvertOn]]'s deltas), then summed as longs —
+    * order-independent where a fractional double split would
+    * ulp-diverge under Spark's nondeterministic partial-sum order.
+    * Same single user_id window as the single-touch models; the touch
+    * list is ≤5 elements per purchase by construction, so the explode
+    * is bounded.
+    */
+  def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "click",
+          get_json_object(col("props"), "$.k").cast("long")).as("campaign"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"),
+        when(col("campaign").isNull, 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("touches", collect_list(col("campaign")).over(w))
+      .filter(col("event_type") === "purchase" && size(col("touches")) > 0)
+      .withColumn("cset", array_distinct(
+        expr("slice(touches, greatest(size(touches) - 4, 1), 5)")))
+      .withColumn("credit_units",
+        expr("CAST(floor(value * 1e4) AS BIGINT) DIV size(cset)"))
+      .select(explode(col("cset")).as("campaign"), col("credit_units"))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_creditings"),
+        sum(col("credit_units")).as("credit_units"))
+      .orderBy(col("campaign"))
+  }
+
   private def attributionOn(s: SparkSession, d: String,
       firstTouch: Boolean): DataFrame = {
     val e = Tables.events(s, d)
@@ -285,6 +321,7 @@ object EventOps extends OpFamily {
   val queries = Map(
     "ev_attribution" -> (attribution _),
     "ev_attribution_first" -> (attributionFirst _),
+    "ev_attribution_linear" -> (attributionLinear _),
     "ev_funnel" -> (funnel _),
     "ev_funnel_72h" -> (funnelWindowed _),
     "ev_time_to_convert" -> (timeToConvert _),
@@ -313,6 +350,34 @@ object EventOps extends OpFamily {
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM w WHERE event_type = 'purchase' AND attr IS NOT NULL
          GROUP BY attr ORDER BY attr""",
+    "ev_attribution_linear" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             event_type, value,
+             CASE WHEN event_type = 'click'
+               THEN CAST(json_extract(props, '$.k') AS BIGINT) END
+               AS campaign
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (
+           SELECT event_id, event_type, value,
+             list_filter(list(campaign) OVER (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN campaign IS NULL THEN 1 ELSE 0 END,
+                 event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               x -> x IS NOT NULL) AS touches
+           FROM ev),
+         p AS (
+           SELECT event_id, value,
+             list_distinct(
+               touches[greatest(len(touches) - 4, 1):len(touches)]) AS cset
+           FROM w WHERE event_type = 'purchase' AND len(touches) > 0),
+         c AS (
+           SELECT unnest(cset) AS campaign,
+             CAST(floor(value * 1e4) AS BIGINT) // len(cset) AS credit_units
+           FROM p)
+         SELECT campaign, CAST(count(*) AS BIGINT) AS n_creditings,
+           CAST(sum(credit_units) AS BIGINT) AS credit_units
+         FROM c GROUP BY campaign ORDER BY campaign""",
     "ev_attribution_first" ->
       """WITH ev AS (
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

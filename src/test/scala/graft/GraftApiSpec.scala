@@ -581,6 +581,29 @@ class GraftApiSpec extends AnyFunSuite {
     byGroup.values.foreach(rows => assert(rows.length === 3))
   }
 
+  test("attribution credits last vs first touch, drops unattributed") {
+    val ts0 = 1700000000000000L
+    val touches = Seq((7L, 1L, "A", 0L), (7L, 2L, "B", 5L))
+      .toDF("acct", "eid", "camp", "off")
+      .select(col("acct"), col("eid"), col("camp"),
+        timestamp_micros(col("off") + lit(ts0)).as("at"))
+    val convs = Seq((7L, 10L, 10.0, 3L), (7L, 11L, 20.0, 7L),
+      (9L, 12L, 99.0, 1L)) // user 9 has no touches -> dropped
+      .toDF("acct", "eid", "v", "off")
+      .select(col("acct"), col("eid"), col("v"),
+        timestamp_micros(col("off") + lit(ts0)).as("at"))
+    val last = Graft.attribution(touches, convs,
+        "acct", "at", "eid", "camp", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(last === Map("A" -> (1L, 10.0), "B" -> (1L, 20.0)))
+    val firstT = Graft.attribution(touches, convs,
+        "acct", "at", "eid", "camp", "v", firstTouch = true)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(firstT === Map("A" -> (2L, 30.0)))
+  }
+
   test("semanticDedup ledger partitions an ad-hoc embedding frame") {
     val vecs = Seq.tabulate(40) { i =>
       // two planted exact pairs inside a noisy space
