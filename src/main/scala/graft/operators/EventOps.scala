@@ -295,6 +295,91 @@ object EventOps extends OpFamily {
       .orderBy(col("campaign"))
   }
 
+  /** POSITION-BASED (U-shaped) attribution — the fourth standard model:
+    * over the same last-≤5-touch window as [[attributionLinear]], the
+    * FIRST and LAST touch each take 40% of the purchase credit and the
+    * middle touches split the remaining 20% equally (1 touch → 100%,
+    * 2 touches → 50/50). Credit stays integral — micro-cent units with
+    * ((units·4) DIV 10)-style shares, every divisor positive so DIV =
+    * floor on both engines — and campaigns are credited PER TOUCH (a
+    * campaign occupying both endpoints earns both 40% shares), the
+    * standard U-shape convention. Same single user_id window + bounded
+    * posexplode as the linear model.
+    */
+  def attributionPosition(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "click",
+          get_json_object(col("props"), "$.k").cast("long")).as("campaign"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"),
+        when(col("campaign").isNull, 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("touches", collect_list(col("campaign")).over(w))
+      .filter(col("event_type") === "purchase" && size(col("touches")) > 0)
+      .withColumn("tl",
+        expr("slice(touches, greatest(size(touches) - 4, 1), 5)"))
+      .withColumn("units", expr("CAST(floor(value * 1e4) AS BIGINT)"))
+      .withColumn("n", size(col("tl")))
+      .selectExpr("posexplode(tl) AS (pos, campaign)", "units", "n")
+      .withColumn("credit_units", expr(
+        """CASE WHEN n = 1 THEN units
+                WHEN n = 2 THEN units DIV 2
+                WHEN pos = 0 OR pos = n - 1 THEN (units * 4) DIV 10
+                ELSE ((units * 2) DIV 10) DIV (n - 2) END"""))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_units")).as("credit_units"))
+      .orderBy(col("campaign"))
+  }
+
+  /** TIME-DECAY attribution — the fifth standard model: every touch in
+    * the last-≤5 window earns credit proportional to 2^(−age/halflife)
+    * with a 7-day half-life. Weights are integral powers of two
+    * (w = 2^(7 − min(age_days DIV 7, 7)) ∈ {1..128}; age_days is an
+    * epoch-micro difference DIV 86400·10⁶, non-negative because touches
+    * precede the purchase in the window order), and each touch's credit
+    * is (units·w) DIV Σw — an integer proportional split both engines
+    * replay exactly, where the float softmax-style normalization would
+    * ulp-diverge. Touch timestamps ride along in the collected struct;
+    * everything else is the same bounded single-window shape.
+    */
+  def attributionDecay(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "click",
+          get_json_object(col("props"), "$.k").cast("long")).as("campaign"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"),
+        when(col("campaign").isNull, 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("touches", collect_list(
+        when(col("campaign").isNotNull,
+          struct(col("campaign"), unix_micros(col("ts")).as("tus")))).over(w))
+      .filter(col("event_type") === "purchase" && size(col("touches")) > 0)
+      .withColumn("tl",
+        expr("slice(touches, greatest(size(touches) - 4, 1), 5)"))
+      .withColumn("units", expr("CAST(floor(value * 1e4) AS BIGINT)"))
+      .withColumn("pus", unix_micros(col("ts")))
+      .withColumn("wl", expr(
+        """transform(tl, t ->
+             shiftleft(1L, 7 - CAST(least((pus - t.tus) DIV 86400000000,
+                                          7) AS INT)))"""))
+      .withColumn("wsum", expr(
+        "aggregate(wl, 0L, (acc, x) -> acc + x)"))
+      .selectExpr("posexplode(tl) AS (pos, t)", "wl", "units", "wsum")
+      .withColumn("credit_units",
+        expr("(units * wl[pos]) DIV wsum"))
+      .groupBy(col("t.campaign").as("campaign"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_units")).as("credit_units"))
+      .orderBy(col("campaign"))
+  }
+
   private def attributionOn(s: SparkSession, d: String,
       firstTouch: Boolean): DataFrame = {
     val e = Tables.events(s, d)
@@ -322,6 +407,8 @@ object EventOps extends OpFamily {
     "ev_attribution" -> (attribution _),
     "ev_attribution_first" -> (attributionFirst _),
     "ev_attribution_linear" -> (attributionLinear _),
+    "ev_attribution_position" -> (attributionPosition _),
+    "ev_attribution_decay" -> (attributionDecay _),
     "ev_funnel" -> (funnel _),
     "ev_funnel_72h" -> (funnelWindowed _),
     "ev_time_to_convert" -> (timeToConvert _),
@@ -378,6 +465,73 @@ object EventOps extends OpFamily {
          SELECT campaign, CAST(count(*) AS BIGINT) AS n_creditings,
            CAST(sum(credit_units) AS BIGINT) AS credit_units
          FROM c GROUP BY campaign ORDER BY campaign""",
+    "ev_attribution_position" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             event_type, value,
+             CASE WHEN event_type = 'click'
+               THEN CAST(json_extract(props, '$.k') AS BIGINT) END
+               AS campaign
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (
+           SELECT event_id, event_type, value,
+             list_filter(list(campaign) OVER (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN campaign IS NULL THEN 1 ELSE 0 END,
+                 event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               x -> x IS NOT NULL) AS touches
+           FROM ev),
+         p AS (
+           SELECT CAST(floor(value * 1e4) AS BIGINT) AS units,
+             touches[greatest(len(touches) - 4, 1):len(touches)] AS tl
+           FROM w WHERE event_type = 'purchase' AND len(touches) > 0),
+         c AS (
+           SELECT unnest(tl) AS campaign, unnest(range(len(tl))) AS pos,
+             units, len(tl) AS n
+           FROM p)
+         SELECT campaign, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN n = 1 THEN units
+             WHEN n = 2 THEN units // 2
+             WHEN pos = 0 OR pos = n - 1 THEN (units * 4) // 10
+             ELSE ((units * 2) // 10) // (n - 2) END) AS BIGINT)
+             AS credit_units
+         FROM c GROUP BY campaign ORDER BY campaign""",
+    "ev_attribution_decay" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             event_type, value,
+             CASE WHEN event_type = 'click'
+               THEN CAST(json_extract(props, '$.k') AS BIGINT) END
+               AS campaign
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (
+           SELECT event_id, event_type, value, epoch_us(ts) AS pus,
+             list_filter(list(CASE WHEN campaign IS NOT NULL THEN
+                 struct_pack(campaign := campaign, tus := epoch_us(ts)) END)
+               OVER (PARTITION BY user_id
+                 ORDER BY ts, CASE WHEN campaign IS NULL THEN 1 ELSE 0 END,
+                   event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               x -> x IS NOT NULL) AS touches
+           FROM ev),
+         p AS (
+           SELECT CAST(floor(value * 1e4) AS BIGINT) AS units, pus,
+             touches[greatest(len(touches) - 4, 1):len(touches)] AS tl
+           FROM w WHERE event_type = 'purchase' AND len(touches) > 0),
+         q AS (
+           SELECT units, tl,
+             list_transform(tl, t -> CAST(1 AS BIGINT) <<
+               (7 - CAST(least((pus - t.tus) // 86400000000, 7) AS INT)))
+               AS wl
+           FROM p),
+         c AS (
+           SELECT unnest(tl) AS t, unnest(wl) AS tw, units,
+             CAST(list_sum(wl) AS BIGINT) AS wsum
+           FROM q)
+         SELECT t.campaign AS campaign, CAST(count(*) AS BIGINT)
+             AS n_touches,
+           CAST(sum((units * tw) // wsum) AS BIGINT) AS credit_units
+         FROM c GROUP BY t.campaign ORDER BY campaign""",
     "ev_attribution_first" ->
       """WITH ev AS (
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -137,7 +137,29 @@ object ReduceOps extends OpFamily {
       .orderBy(col("user_id"))
   }
 
+  /** Per-group quantile estimates via the mergeable KLL/MRL sketch UDAF
+    * ([[graft.functions.KllSketch]]): p50/p90/p99 of extendedprice per
+    * returnflag. The scale story vs the exact paths: percentile() holds
+    * every group value in memory, [[graft.api.Graft.exactQuantiles]]
+    * pays a total-order sort; the sketch ships one O(k·log(n/k)) buffer
+    * per (key, partition) through the shuffle with map-side partial
+    * aggregation — the only shape that survives a 100 TB group.
+    * Sketch estimates are partition-order-dependent (rows-only query);
+    * PropertySpec pins the ≤5%-rank-error and merge-law guarantees.
+    */
+  def kllQuantiles(s: SparkSession, d: String): DataFrame = {
+    val kll = udaf(new graft.functions.KllSketch(512,
+      Array(0.5, 0.9, 0.99)))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(kll(col("l_extendedprice")).as("qs"))
+      .select(col("l_returnflag"), col("qs")(0).as("p50_est"),
+        col("qs")(1).as("p90_est"), col("qs")(2).as("p99_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries = Map(
+    "reduce_kll_quantiles" -> (kllQuantiles _),
     "reduce_weighted_avg" -> (weightedAvg _),
     "reduce_mr_wordcount" -> (mrWordcount _),
     "reduce_cogroup" -> (cogroupClickPurchase _),

@@ -206,6 +206,60 @@ object StreamPipelines {
         org.apache.spark.sql.streaming.OutputMode.Append())(
         org.apache.spark.sql.Encoders.product[(String, Long, Long)])
 
+  /** Streaming last-touch attribution — the incremental twin of the
+    * batch ev_attribution: one ValueState per user holds the campaign of
+    * the user's most recent click, and each purchase emits (user_id,
+    * campaign, value_units) crediting that campaign; purchases with no
+    * prior click emit nothing (the batch model's unattributed-excluded
+    * convention). `SUM(value_units) GROUP BY campaign` over the output
+    * is the live revenue rollup, exactly comparable to a batch backfill
+    * because credit rides as integral micro-cents. State is ONE long per
+    * user — O(users), never O(events) — and clicks cost a state write,
+    * purchases a state read: nothing is ever joined. Arrival order
+    * stands in for event time (pair with an upstream watermark sort
+    * where late clicks matter); batch ev_attribution is the exact
+    * event-time formulation.
+    *
+    * Input: (user_id, event_type, campaign — negative when absent,
+    * value_units).
+    */
+  class AttributionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long, Long), (Long, Long, Long)] {
+    @transient private var lastCampaign:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastCampaign = getHandle.getValueState[Long]("last_campaign",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val credits = Seq.newBuilder[(Long, Long, Long)]
+      rows.foreach { case (_, eventType, campaign, valueUnits) =>
+        if (eventType == "click" && campaign >= 0L)
+          lastCampaign.update(campaign)
+        else if (eventType == "purchase" && lastCampaign.exists())
+          credits += ((key, lastCampaign.get(), valueUnits))
+      }
+      credits.result().iterator
+    }
+  }
+
+  /** [[AttributionProcessor]] wired over a
+    * (user_id, event_type, campaign, value_units) stream. */
+  def attributionCredits(
+      events: org.apache.spark.sql.Dataset[(Long, String, Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] =
+    events.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+
   /** Streaming corpus ingest — the LLM-pipeline front door as ONE
     * incremental plan: quality gate (token count + type-token ratio) →
     * content-fingerprint exact dedup with watermark-bounded state →

@@ -236,4 +236,67 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(estimate - exactJ) < 0.3,
       s"minhash estimate $estimate vs exact $exactJ")
   }
+
+  test("KLL sketch: rank error bounded through the distributed UDAF") {
+    import graft.functions.KllSketch
+    val rnd = new scala.util.Random(7)
+    val n = 60000
+    // mixed distribution: uniform + a heavy spike (quantile stress case)
+    val xs = Array.fill(n)(
+      if (rnd.nextBoolean()) rnd.nextDouble() * 1000.0
+      else 500.0 + rnd.nextGaussian())
+    val qs = Array(0.1, 0.5, 0.9, 0.99)
+    val agg = new KllSketch(512, qs)
+    val est = spark.createDataset(xs.toSeq)(
+        org.apache.spark.sql.Encoders.scalaDouble)
+      .repartition(8).toDF("x")
+      .agg(udaf(agg).apply(col("x"))).head().getSeq[Double](0)
+    val sorted = xs.sorted
+    def rankOf(v: Double): Int = {
+      // count of items <= v via binary search on the sorted copy
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    qs.zip(est).foreach { case (q, e) =>
+      assert(math.abs(rankOf(e) - q * n) <= KllSketch.rankEps * n + 1,
+        s"q=$q est=$e rank=${rankOf(e)} target=${q * n}")
+    }
+  }
+
+  test("KLL sketch: merge law, weight conservation, zero identity") {
+    import graft.functions.KllSketch
+    val rnd = new scala.util.Random(11)
+    val n = 40000
+    val xs = Array.fill(n)(rnd.nextDouble() * 100.0)
+    val qs = Array(0.25, 0.5, 0.75)
+    val agg = new KllSketch(512, qs)
+    val sorted = xs.sorted
+    def rankOf(v: Double): Int = sorted.count(_ <= v)
+    // every split shape must stay within the same error budget
+    Seq(1, n / 7, n / 3, n / 2, n - 1).foreach { cut =>
+      val (l, r) = xs.splitAt(cut)
+      val sl = l.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      val sr = r.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      val m = agg.merge(sl, sr)
+      assert(m.n == n)
+      val w = m.levels.zipWithIndex
+        .map { case (a, i) => a.length.toLong << i }.sum
+      assert(w == n, s"weight conservation broke at cut=$cut: $w != $n")
+      agg.finish(m).zip(qs).foreach { case (e, q) =>
+        assert(math.abs(rankOf(e) - q * n) <= KllSketch.rankEps * n + 1,
+          s"cut=$cut q=$q est=$e rank=${rankOf(e)}")
+      }
+      // zero is a merge identity on content
+      val mz = agg.merge(agg.zero, m)
+      assert(mz.n == m.n &&
+        mz.levels.map(_.length).sum == m.levels.map(_.length).sum)
+    }
+    // every level except a just-compacted remainder respects capacity
+    val s1 = xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    assert(s1.levels.forall(_.length <= 512 + 1))
+  }
 }

@@ -291,6 +291,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming attribution credits purchases to the last prior click") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val out = graft.streaming.StreamPipelines.attributionCredits(mem.toDS())
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF("uid", "campaign", "value_units")
+        .writeStream.format("memory").queryName("t_attr")
+        .outputMode("append").start()
+      // user 1: click c7 then purchase (credited); user 2: purchase with
+      // no prior click (dropped, the batch unattributed convention);
+      // a click with no campaign (-1) must not overwrite state
+      mem.addData((1L, "click", 7L, 0L), (1L, "purchase", -1L, 1000L),
+        (2L, "purchase", -1L, 500L), (1L, "click", -1L, 0L))
+      q.processAllAvailable()
+      // state carries across batches: user 1's second purchase still
+      // credits c7; a new click c9 then retargets the third purchase
+      mem.addData((1L, "purchase", -1L, 250L), (1L, "click", 9L, 0L),
+        (1L, "purchase", -1L, 125L), (2L, "click", 3L, 0L))
+      q.processAllAvailable()
+      // user 2's click from batch 2 attributes their batch-3 purchase
+      mem.addData((2L, "purchase", -1L, 64L))
+      q.processAllAvailable()
+      val rows = spark.table("t_attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      q.stop()
+      assert(rows === Set((1L, 7L, 1000L), (1L, 7L, 250L),
+        (1L, 9L, 125L), (2L, 3L, 64L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("observe() + listener exposes MR-style job counters") {
     @volatile var seen: Option[Long] = None
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
