@@ -850,4 +850,141 @@ object Graft {
       .agg(count(lit(1)).as("n_conversions"),
         graft.functions.Num.dsum(col("value")).as("revenue"))
   }
+
+  /** MULTI-touch attribution over arbitrary frames — the generic form of
+    * ev_attribution_linear / _position / _decay: each conversion's value
+    * splits across the key's last ≤`lookback` prior touches under the
+    * chosen model:
+    *
+    *  - "linear": equal split over the DISTINCT campaigns in the window;
+    *  - "position": U-shape — first and last touch 40% each, middle
+    *    touches split the remaining 20% (1 touch → 100%, 2 → 50/50);
+    *  - "decay": weight 2^(−age/halflifeDays), ages capped at 7
+    *    half-lives, credit = (units·w) DIV Σw.
+    *
+    * Credit is integral micro-cent units (floor(value·10⁴), split with
+    * DIV — every divisor positive), so the rollup is order-independent
+    * where a float split would ulp-drift under Spark's partial-sum
+    * order. ONE key-partitioned window (no touch×conversion join), the
+    * explode bounded by `lookback`. `tsCol` must be a TIMESTAMP column
+    * on both frames. Returns (campaignCol, n_creditings, credit_units).
+    */
+  def attributionMultiTouch(touches: DataFrame, conversions: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, campaignCol: String,
+      valueCol: String, model: String = "linear", lookback: Int = 5,
+      halflifeDays: Int = 7): DataFrame = {
+    require(Seq("linear", "position", "decay").contains(model),
+      s"model must be linear|position|decay, got '$model'")
+    require(lookback >= 1 && halflifeDays >= 1,
+      s"lookback and halflifeDays must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val t = touches.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(idCol).cast("long").as("eid"),
+      col(campaignCol).as("campaign"), lit(null).cast("double").as("value"))
+    val c = conversions.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(idCol).cast("long").as("eid"),
+      lit(null).cast(touches.schema(campaignCol).dataType).as("campaign"),
+      col(valueCol).cast("double").as("value"))
+    val w = W.partitionBy(col("k"))
+      .orderBy(col("t"),
+        when(col("campaign").isNull, 1).otherwise(0), col("eid"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val base = t.unionByName(c)
+      .withColumn("touches", collect_list(
+        when(col("campaign").isNotNull,
+          struct(col("campaign"), unix_micros(col("t")).as("tus"))))
+        .over(w))
+      .filter(col("value").isNotNull && size(col("touches")) > 0)
+      .withColumn("tl", expr(s"slice(touches, " +
+        s"greatest(size(touches) - ${lookback - 1}, 1), $lookback)"))
+      .withColumn("units", expr("CAST(floor(value * 1e4) AS BIGINT)"))
+    val credits = model match {
+      case "linear" =>
+        base
+          .withColumn("cset",
+            array_distinct(expr("transform(tl, x -> x.campaign)")))
+          .withColumn("credit_units", expr("units DIV size(cset)"))
+          .select(explode(col("cset")).as("campaign"), col("credit_units"))
+      case "position" =>
+        base
+          .withColumn("n", size(col("tl")))
+          .selectExpr("posexplode(tl) AS (pos, tc)", "units", "n")
+          .withColumn("credit_units", expr(
+            """CASE WHEN n = 1 THEN units
+                    WHEN n = 2 THEN units DIV 2
+                    WHEN pos = 0 OR pos = n - 1 THEN (units * 4) DIV 10
+                    ELSE ((units * 2) DIV 10) DIV (n - 2) END"""))
+          .select(col("tc.campaign").as("campaign"), col("credit_units"))
+      case "decay" =>
+        base
+          .withColumn("pus", unix_micros(col("t")))
+          .withColumn("wl", expr(
+            s"""transform(tl, x -> shiftleft(1L,
+                 7 - CAST(least((pus - x.tus) DIV ${86400000000L *
+                   halflifeDays}, 7) AS INT)))"""))
+          .withColumn("wsum", expr("aggregate(wl, 0L, (acc, x) -> acc + x)"))
+          .selectExpr("posexplode(tl) AS (pos, tc)", "wl", "units", "wsum")
+          .withColumn("credit_units", expr("(units * wl[pos]) DIV wsum"))
+          .select(col("tc.campaign").as("campaign"), col("credit_units"))
+    }
+    credits
+      .groupBy(col("campaign").as(campaignCol))
+      .agg(count(lit(1)).as("n_creditings"),
+        sum(col("credit_units")).as("credit_units"))
+  }
+
+  /** Per-group quantile estimates via the mergeable KLL/MRL sketch
+    * ([[graft.functions.KllSketch]]): one O(k·log(n/k)) buffer per
+    * (group, partition) through the shuffle with map-side partials —
+    * the shape that survives groups exact percentile() cannot (it holds
+    * every value in memory) and [[exactQuantiles]] pays a total-order
+    * sort for. Returns groupCols + one `q<NN>` double column per
+    * requested quantile (estimates, rank error ≈ log(n/k)/(2k)).
+    */
+  def sketchQuantiles(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], quantiles: Seq[Double],
+      k: Int = 512): DataFrame = {
+    val kll = udaf(new graft.functions.KllSketch(k, quantiles.toArray))
+    val agged = df.groupBy(groupCols.map(col): _*)
+      .agg(kll.apply(col(valueCol).cast("double")).as("qs"))
+    val qCols = quantiles.zipWithIndex.map { case (q, i) =>
+      col("qs")(i).as(f"q${math.round(q * 100)}%02d")
+    }
+    agged.select(groupCols.map(col) ++ qCols: _*)
+  }
+
+  /** RFM segmentation over an arbitrary purchases frame — the generic
+    * ev_rfm: per key, Recency in whole days from the key's last purchase
+    * to the frame's max timestamp (or `anchorUs` when the caller has an
+    * external "now"), Frequency, and integral micro-cent Monetary, each
+    * scored 1..`buckets` by [[graft.operators.WindowOps.ntileBucket]]'s
+    * exact-rank arithmetic (no single-task global sort). Returns one row
+    * per key: (key, recency_days, frequency, monetary_units, r_score,
+    * f_score, m_score).
+    */
+  def rfm(purchases: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, buckets: Long = 4L,
+      anchorUs: Option[Long] = None): DataFrame = {
+    val per0 = purchases
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        expr(s"CAST(floor($valueCol * 1e4) AS BIGINT)").as("units"))
+      .groupBy(col("k"))
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("frequency"),
+        sum(col("units")).as("monetary_units"))
+    val per = anchorUs match {
+      case Some(a) => per0.withColumn("aus", lit(a))
+      case None => per0.crossJoin(broadcast(
+        purchases.agg(max(unix_micros(col(tsCol))).as("aus"))))
+    }
+    val metrics = per
+      .withColumn("recency_days", expr("(aus - last_us) DIV 86400000000"))
+      .select(col("k").as(keyCol), col("recency_days"), col("frequency"),
+        col("monetary_units"))
+    Seq(("recency_days", "r_score"), ("frequency", "f_score"),
+      ("monetary_units", "m_score"))
+      .foldLeft(metrics) { case (df, (metric, out)) =>
+        graft.operators.WindowOps.ntileBucket(df,
+          Seq(col(metric), col(keyCol)), buckets, out)
+      }
+  }
 }

@@ -380,6 +380,46 @@ object EventOps extends OpFamily {
       .orderBy(col("campaign"))
   }
 
+  /** RFM SEGMENTATION — the classic customer-value grid: per buying
+    * user, Recency (whole days from their last purchase to the stream's
+    * anchor = global max event time), Frequency (purchase count) and
+    * Monetary (micro-cent revenue sum), each scored into quartiles, then
+    * the 4×4×4 segment grid rolled up. Scores are ascending quartile
+    * indexes (1 = lowest metric; the marketing convention's reversed R
+    * is a relabel) assigned by [[WindowOps.ntileBucket]] — exact-rank
+    * arithmetic over a range partitioning, bit-identical to
+    * `ntile(4) OVER (ORDER BY metric, user_id)` without the SQL
+    * function's single-task global sort, so the scoring is the same
+    * plan shape at 10⁹ users as at 10³. All-integer metrics (day DIVs,
+    * counts, micro-cents) make every quartile boundary engine-exact.
+    */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val anchor = e.agg(max(unix_micros(col("ts"))).as("aus"))
+    val per = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(floor(value * 1e4) AS BIGINT)"))
+          .as("monetary_units"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days", expr("(aus - last_us) DIV 86400000000"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_units"))
+    val scored = Seq(
+      (col("recency_days"), "r_score"),
+      (col("frequency"), "f_score"),
+      (col("monetary_units"), "m_score"))
+      .foldLeft(per) { case (df, (metric, out)) =>
+        WindowOps.ntileBucket(df, Seq(metric, col("user_id")), 4L, out)
+      }
+    scored
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_units")).as("monetary_units"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   private def attributionOn(s: SparkSession, d: String,
       firstTouch: Boolean): DataFrame = {
     val e = Tables.events(s, d)
@@ -414,6 +454,7 @@ object EventOps extends OpFamily {
     "ev_time_to_convert" -> (timeToConvert _),
     "ev_session_funnel" -> (sessionFunnel _),
     "ev_scd2" -> (scd2 _),
+    "ev_rfm" -> (rfm _),
     "ev_cohort_retention" -> (cohortRetention _),
     "ev_transitions" -> (transitions _))
 
@@ -619,6 +660,30 @@ object EventOps extends OpFamily {
            max(CASE WHEN rn = (n + 1) // 2 THEN delta_s END) AS median_s,
            max(delta_s) AS max_s
          FROM r GROUP BY transition ORDER BY transition""",
+    "ev_rfm" ->
+      """WITH p AS (
+           SELECT user_id,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(value * 1e4) AS BIGINT)) AS BIGINT)
+               AS monetary_units
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         a AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS aus
+               FROM events),
+         s AS (SELECT user_id,
+             (aus - last_us) // 86400000000 AS recency_days,
+             frequency, monetary_units
+           FROM p, a),
+         t AS (SELECT user_id, monetary_units,
+             ntile(4) OVER (ORDER BY recency_days, user_id) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, user_id) AS f_score,
+             ntile(4) OVER (ORDER BY monetary_units, user_id) AS m_score
+           FROM s)
+         SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(monetary_units) AS BIGINT) AS monetary_units
+         FROM t GROUP BY r_score, f_score, m_score
+         ORDER BY r_score, f_score, m_score""",
     "ev_scd2" ->
       """SELECT user_id, event_type AS state,
            CAST(ts AS TIMESTAMP) AS valid_from, event_id,

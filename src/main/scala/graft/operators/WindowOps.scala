@@ -184,18 +184,30 @@ object WindowOps extends OpFamily {
     * bucket is pure arithmetic on the exact global rank, bit-identical to
     * `ntile(4) OVER (ORDER BY …)` (first n%4 buckets get the extra row).
     */
-  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
-    val k = 4L
-    val (ranked, n) = withExactGlobalRank(
-      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
-      Seq(col("c_acctbal"), col("c_custkey")))
+  /** `ntile(k) OVER (ORDER BY sortCols)` as pure arithmetic on the exact
+    * global rank — bit-identical to the SQL function (first n%k buckets
+    * take the extra row) without its single-task global sort. Shared by
+    * [[ntileQuartiles]] and [[EventOps.rfm]]'s three scorings. The sort
+    * must be a total order (include a unique tiebreaker).
+    */
+  private[graft] def ntileBucket(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], k: Long,
+      out: String): DataFrame = {
+    val (ranked, n) = withExactGlobalRank(df, sortCols)
     val fl = n / k; val rem = n % k; val cut = rem * (fl + 1)
     ranked
-      .withColumn("quartile",
+      .withColumn(out,
         if (fl == 0) col("r").cast("int")
         else when(col("r") <= cut,
             expr(s"CAST((r - 1) DIV ${fl + 1} + 1 AS INT)"))
           .otherwise(expr(s"CAST($rem + (r - 1 - $cut) DIV $fl + 1 AS INT)")))
+      .drop("r")
+  }
+
+  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
+    ntileBucket(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal"), col("c_custkey")), 4L, "quartile")
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"),
         min(col("c_acctbal")).as("min_bal"),

@@ -604,6 +604,79 @@ class GraftApiSpec extends AnyFunSuite {
     assert(firstT === Map("A" -> (2L, 30.0)))
   }
 
+  test("attributionMultiTouch: linear, position, decay hand-computed") {
+    val ts0 = 1700000000000000L
+    val day = 86400000000L
+    // touches A @ -8d, B @ -1d, A @ -0d before the conversion at ts0
+    val touches = Seq((7L, 1L, "A", -8L * day), (7L, 2L, "B", -day),
+      (7L, 3L, "A", 0L))
+      .toDF("acct", "eid", "camp", "off")
+      .select(col("acct"), col("eid"), col("camp"),
+        timestamp_micros(col("off") + lit(ts0)).as("at"))
+    val convs = Seq((7L, 10L, 10.0, 1L)) // units = 100000
+      .toDF("acct", "eid", "v", "off")
+      .select(col("acct"), col("eid"), col("v"),
+        timestamp_micros(col("off") + lit(ts0)).as("at"))
+    def run(model: String, lookback: Int = 5) =
+      Graft.attributionMultiTouch(touches, convs,
+          "acct", "at", "eid", "camp", "v", model, lookback)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // linear: distinct campaigns {A, B}, 100000 DIV 2 each
+    assert(run("linear") === Map("A" -> (1L, 50000L), "B" -> (1L, 50000L)))
+    // position, n=3: endpoints (both A) 40% each, middle B gets 20%
+    assert(run("position") === Map("A" -> (2L, 80000L),
+      "B" -> (1L, 20000L)))
+    // decay: ages 8d/1d/0d -> weights 64/128/128, sum 320:
+    // A: 100000*64 DIV 320 + 100000*128 DIV 320 = 20000 + 40000
+    assert(run("decay") === Map("A" -> (2L, 60000L), "B" -> (1L, 40000L)))
+    // lookback=2 keeps only [B, A]: linear splits across both
+    assert(run("linear", lookback = 2) ===
+      Map("A" -> (1L, 50000L), "B" -> (1L, 50000L)))
+    // lookback=1 keeps only the final A touch
+    assert(run("linear", lookback = 1) === Map("A" -> (1L, 100000L)))
+  }
+
+  test("sketchQuantiles estimates per-group ranks within the KLL budget") {
+    val df = (1 to 2000).map(i => (if (i % 2 == 0) "even" else "odd",
+        i.toDouble))
+      .toDF("grp", "x")
+    val out = Graft.sketchQuantiles(df, "x", Seq("grp"),
+        Seq(0.5, 0.9)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out.keySet === Set("even", "odd"))
+    // each group is 1000 values spread over [1, 2000]: true q50 ~ 1000,
+    // true q90 ~ 1800; allow the 5% rank budget (±100 in value terms)
+    out.values.foreach { case (q50, q90) =>
+      assert(math.abs(q50 - 1000.0) <= 110.0, s"q50=$q50")
+      assert(math.abs(q90 - 1800.0) <= 110.0, s"q90=$q90")
+    }
+  }
+
+  test("rfm scores keys into exact ntile buckets on all three metrics") {
+    val ts0 = 1700000000000000L
+    val day = 86400000000L
+    // key k: k purchases, last on day (k-adjusted), value k.0 each
+    val rows = Seq(
+      (1L, 0L, 1.0), // key 1: 1 purchase on day 0
+      (2L, 5L, 2.0), (2L, 4L, 2.0), // key 2: 2, last day 5
+      (3L, 9L, 3.0), (3L, 8L, 3.0), (3L, 1L, 3.0), // key 3: 3, last day 9
+      (4L, 10L, 4.0), (4L, 2L, 4.0), (4L, 3L, 4.0), (4L, 0L, 4.0))
+    val purchases = rows.toDF("uid", "d", "v")
+      .select(col("uid"), col("v"),
+        timestamp_micros(col("d") * lit(day) + lit(ts0)).as("at"))
+    val out = Graft.rfm(purchases, "uid", "at", "v", buckets = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)),
+        (r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    // anchor = day 10 (key 4's last). recency: 10/5/1/0 days; frequency
+    // 1/2/3/4; monetary 1e4/4e4/9e4/16e4 micro-cents
+    assert(out(1L) === ((10L, 1L, 10000L), (2, 1, 1)))
+    assert(out(2L) === ((5L, 2L, 40000L), (2, 1, 1)))
+    assert(out(3L) === ((1L, 3L, 90000L), (1, 2, 2)))
+    assert(out(4L) === ((0L, 4L, 160000L), (1, 2, 2)))
+  }
+
   test("semanticDedup ledger partitions an ad-hoc embedding frame") {
     val vecs = Seq.tabulate(40) { i =>
       // two planted exact pairs inside a noisy space
