@@ -82,7 +82,48 @@ object CoreOps extends OpFamily {
       .orderBy(col("dim"), col("key"))
   }
 
+  /** CDC UPSERT / MERGE compaction — the warehouse "apply a changelog to
+    * a snapshot" pattern (the reference-era version is a reduce-side
+    * merge keyed on the primary key): base = the customer snapshot;
+    * changes = one row per ordering customer carrying their LATEST
+    * order's total as the new balance, flagged 'D' (delete) when that
+    * order is fully shipped ('F' status, an arbitrary-but-deterministic
+    * delete rule). The merge keeps the highest-version row per key and
+    * drops deletes — exactly MERGE INTO ... WHEN MATCHED UPDATE/DELETE
+    * semantics, expressed as union + one keyed window (never a join of
+    * base×changes beyond the shuffle both sides already need).
+    *
+    * Scale shape: two shuffles on the key (latest-change dedup, merge) —
+    * on a bucketed base table the merge window rides the bucketing and
+    * only the (smaller) changelog shuffles; version beats timestamps for
+    * idempotent replays.
+    */
+  def upsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"),
+        lit(0L).as("version"), lit("U").as("op"))
+    val wLatest = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val changes = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("key"), col("o_totalprice").as("bal"),
+        lit(1L).as("version"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
+    val wMerge = Window.partitionBy(col("key"))
+      .orderBy(col("version").desc)
+    base.unionByName(changes)
+      .withColumn("rn", row_number().over(wMerge))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("bal"), col("version"))
+      .orderBy(col("key"))
+  }
+
   val queries = Map(
+    "core_upsert" -> (upsert _),
     "core_shared_scan" -> (sharedScanMultiOutput _),
     "core_map_project" -> (mapProject _),
     "core_filter" -> (filterGrep _),
@@ -91,6 +132,29 @@ object CoreOps extends OpFamily {
     "core_limit" -> (limitHead _))
 
   val oracle = Map(
+    "core_upsert" ->
+      """WITH base AS (
+           SELECT c_custkey AS key, c_acctbal AS bal,
+             CAST(0 AS BIGINT) AS version, 'U' AS op
+           FROM customer),
+         latest AS (
+           SELECT o_custkey, o_totalprice, o_orderstatus FROM (
+             SELECT o_custkey, o_totalprice, o_orderstatus,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders) WHERE rn = 1),
+         changes AS (
+           SELECT o_custkey AS key, o_totalprice AS bal,
+             CAST(1 AS BIGINT) AS version,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+           FROM latest),
+         merged AS (
+           SELECT key, bal, version, op,
+             row_number() OVER (PARTITION BY key
+               ORDER BY version DESC) AS rn
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
+         SELECT key, bal, version FROM merged
+         WHERE rn = 1 AND op <> 'D' ORDER BY key""",
     "core_shared_scan" ->
       """SELECT dim, key, n, sum_v FROM (
            SELECT 'by_user' AS dim, CAST(user_id AS VARCHAR) AS key,

@@ -260,6 +260,49 @@ object StreamPipelines {
         org.apache.spark.sql.streaming.OutputMode.Append())(
         org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
 
+  /** Streaming per-key quantile sketch — the incremental twin of the
+    * batch reduce_kll_quantiles: one ValueState per key holds the
+    * [[graft.functions.KllSketch]] compactor stack (O(k·log(n/k)),
+    * never the values), each micro-batch folds its rows in through the
+    * SAME reduce the batch UDAF uses, and the batch-end snapshot emits
+    * (key, n, estimates). While the sketch holds fewer than k values no
+    * compaction has fired, so early snapshots are exact order
+    * statistics — the spec pins that window bit-for-bit.
+    */
+  class QuantileProcessor(k: Int, quantiles: Array[Double])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), (String, Long, Seq[Double])] {
+    @transient private lazy val sketch =
+      new graft.functions.KllSketch(k, quantiles)
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[graft.functions.KllBuf] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[graft.functions.KllBuf]("kll",
+        org.apache.spark.sql.Encoders.product[graft.functions.KllBuf],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Seq[Double])] = {
+      var buf = if (state.exists()) state.get() else sketch.zero
+      rows.foreach { case (_, x) => buf = sketch.reduce(buf, x) }
+      state.update(buf)
+      Iterator((key, buf.n, sketch.finish(buf).toSeq))
+    }
+  }
+
+  /** [[QuantileProcessor]] wired over a (key, value) stream. */
+  def quantilePoints(points: org.apache.spark.sql.Dataset[(String, Double)],
+      k: Int = 512, quantiles: Array[Double] = Array(0.5, 0.9))
+      : org.apache.spark.sql.Dataset[(String, Long, Seq[Double])] =
+    points.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new QuantileProcessor(k, quantiles),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        org.apache.spark.sql.Encoders.product[(String, Long, Seq[Double])])
+
   /** Streaming corpus ingest — the LLM-pipeline front door as ONE
     * incremental plan: quality gate (token count + type-token ratio) →
     * content-fingerprint exact dedup with watermark-bounded state →

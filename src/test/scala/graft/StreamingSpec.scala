@@ -324,6 +324,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming KLL snapshots exact quantiles below the compaction cap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Double)]
+    val out = graft.streaming.StreamPipelines.quantilePoints(mem.toDS(),
+      quantiles = Array(0.5))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF("k", "n", "est")
+        .writeStream.format("memory").queryName("t_kll")
+        .outputMode("append").start()
+      // 100 values < k=512: no compaction, snapshots are EXACT order
+      // statistics — rank ceil(0.5·60)=30 after batch 1, 50 after batch 2
+      mem.addData((1 to 60).map(i => ("a", i.toDouble)): _*)
+      q.processAllAvailable()
+      mem.addData((61 to 100).map(i => ("a", i.toDouble)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("t_kll").collect()
+        .map(r => (r.getLong(1), r.getSeq[Double](2).head)).toSet
+      q.stop()
+      assert(rows === Set((60L, 30.0), (100L, 50.0)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("observe() + listener exposes MR-style job counters") {
     @volatile var seen: Option[Long] = None
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
