@@ -987,4 +987,63 @@ object Graft {
           Seq(col(metric), col(keyCol)), buckets, out)
       }
   }
+
+  /** Shannon entropy (bits) of the `symbolCol` mix within each
+    * `groupCol`: (group, n_rows, n_symbols, entropy_bits) — 0 for a
+    * pure group, log₂(k) for a uniform k-way mix. One aggregate pass.
+    */
+  def entropyProfile(df: DataFrame, groupCol: String,
+      symbolCol: String): DataFrame =
+    graft.operators.AggOps.entropyOn(df, groupCol, symbolCol)
+      .withColumnRenamed("grp", "group")
+
+  /** Median/MAD robust outlier stats per key (Iglewicz–Hoaglin modified
+    * z-score, |0.6745·dev/MAD| > 3.5), all integral micro-units: (key,
+    * n, med_micro, mad_micro, n_outliers, max_absdev_micro). Survives
+    * contaminated feeds where mean/stddev rules mask every outlier.
+    */
+  def robustOutlierStats(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.AggOps.madOutliersOn(
+      df.select(col(keyCol).as("event_type"), col(idCol).as("event_id"),
+        col(valueCol).as("value")))
+      .withColumnRenamed("event_type", "key")
+
+  /** Gini concentration coefficient of the non-negative long `valueCol`
+    * per `groupCol` (tie order pinned by `keyCol`): (group, n, total,
+    * gini) with gini ∈ [0, (n−1)/n]. Exact rank-formula arithmetic.
+    */
+  def gini(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.AggOps.giniOn(df, groupCol, keyCol, valueCol)
+      .withColumnRenamed("grp", "group")
+
+  /** Top-20 opening event paths (first `steps` types per user in
+    * (ts, id) order, joined " > "): (path, n_users).
+    */
+  def topPaths(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, steps: Int = 5): DataFrame =
+    graft.operators.EventOps.pathsTopkOn(
+      df.select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
+        col(tsCol).as("ts"), col(idCol).as("event_id")), steps)
+
+  /** DAU/MAU stickiness per calendar month, integral per-mille:
+    * (month, n_days, sum_dau, mau, stickiness_permille).
+    */
+  def stickiness(df: DataFrame, userCol: String, tsCol: String): DataFrame =
+    graft.operators.EventOps.stickinessOn(
+      df.select(col(userCol).as("user_id"), col(tsCol).as("ts")))
+
+  /** Per-node local clustering coefficient of an undirected edge list
+    * (self-loops dropped, duplicate/reversed edges deduped): top-20
+    * (node, deg, n_tri, local_cc) — degree-oriented triangle
+    * enumeration, safe on skewed graphs.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    graft.operators.GraphOps.clusteringCoeffOn(
+      edges.select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") < col("b"))
+        .distinct())
 }

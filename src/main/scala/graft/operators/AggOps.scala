@@ -511,7 +511,143 @@ object AggOps extends OpFamily {
         col("lift"))
   }
 
+  /** SHANNON ENTROPY profile: per document source, the entropy (bits) of
+    * its language mix — the mixture-diversity diagnostic a corpus curator
+    * reads before setting per-language sampling rates (a source whose
+    * entropy ≈ 0 is monolingual; ≈ log₂(n_langs) is uniform). Spelled as
+    * H = log₂(N) − Σ n·log₂(n) / N over the bounded (source, lang) count
+    * grid: ONE aggregate over counts, no window, no second pass — the
+    * big table is touched once with map-side partials, the entropy math
+    * runs on the grid (≤ sources×langs rows). Engine math is two libm
+    * log₂ calls and a ≤-5-term sum, inside the driver's 1e-12 relative
+    * float gate (the [[corrQtyPrice]] precedent).
+    */
+  def entropyBySource(s: SparkSession, d: String): DataFrame =
+    entropyOn(Tables.documents(s, d), "source", "lang")
+      .withColumnRenamed("grp", "source")
+
+  /** The entropy core over any (group, symbol) pair: (grp, n_rows,
+    * n_symbols, entropy_bits), hand-computed expectations in
+    * AnalyticsOpsSpec. */
+  private[graft] def entropyOn(df: DataFrame, grp: String,
+      sym: String): DataFrame =
+    df.groupBy(col(grp).as("grp"), col(sym).as("sym"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_symbols"),
+        sum(col("n").cast("double") * log2(col("n"))).as("snl"))
+      .select(col("grp"), col("n_rows"), col("n_symbols"),
+        (log2(col("n_rows")) - col("snl") / col("n_rows"))
+          .as("entropy_bits"))
+      .orderBy(col("grp"))
+
+  /** ROBUST OUTLIER STATS (median / MAD / modified z-score) per event
+    * type — the outlier rule that survives what [[zscoreOutliers]]'s
+    * mean/stddev rule cannot: a single extreme value inflates the stddev
+    * and hides every other outlier, while the median and the median
+    * absolute deviation have a 50% breakdown point (Iglewicz–Hoaglin's
+    * modified z-score, |0.6745·(x−med)/MAD| > 3.5). Everything is
+    * INTEGRAL: values quantize to micro-units, medians are the exact
+    * lower-median by rank (position (n+1) DIV 2 in (value, event_id)
+    * order — no interpolation, so no float to drift), and the cut is
+    * cross-multiplied to 6745·|dev| > 35000·MAD, exact long arithmetic
+    * both engines replay bit-for-bit.
+    *
+    * Scale shape: two rank-median passes = two shuffles partitioned by
+    * event_type (per-type partitions sort in place); the joins back are
+    * broadcasts of the type-sized median tables. A per-type partition
+    * that outgrows one task at 100 TB moves to the mergeable KLL sketch
+    * ([[graft.functions.KllSketch]], reduce_kll_quantiles) at the cost
+    * of rank exactness — this query IS the exact anchor the sketch is
+    * graded against.
+    */
+  def madOutliers(s: SparkSession, d: String): DataFrame =
+    madOutliersOn(Tables.events(s, d))
+
+  private[graft] def madOutliersOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = events.select(col("event_type"), col("event_id"),
+      floor(col("value") * 1e6).cast("long").as("v"))
+    val wn = Window.partitionBy(col("event_type"))
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame =
+      df.withColumn("r", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col(value), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("r") === expr("(n + 1) DIV 2"))
+        .select(col("event_type"), col(value).as(out))
+    val med = lowerMedian(u, "v", "med")
+    val dev = u.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev, "ad", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med_micro"), // constant per group
+        max(col("mad")).as("mad_micro"),
+        sum(when(col("ad") * 6745 > col("mad") * 35000, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("ad")).as("max_absdev_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** GINI COEFFICIENT of revenue concentration per nation — the
+    * inequality number behind "top-1% of customers" dashboards, and the
+    * curator's skew summary one level above [[keySkew]]'s percentiles.
+    * Population: customers with ≥ 1 order; x = lifetime order revenue in
+    * exact cents. The rank formula G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)
+    * over ascending x needs ONE window rank per nation plus one
+    * aggregate; equal values make Σ i·x₍ᵢ₎ permutation-invariant, so the
+    * custkey tie-break only pins the plan, not the value. Accumulators
+    * are decimal(38,0) (rank·cents overflows long at warehouse scale —
+    * the [[zscoreOutliers]] headroom discipline) and G is one double
+    * division of exact integers, bit-replayed by the oracle.
+    *
+    * Scale: rank windows partition by nation (25 partitions here; at
+    * 100 TB the per-nation sort is the shuffle's in-partition sort, no
+    * global order); both joins are dimension-broadcasts.
+    */
+  def giniRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("x"))
+    val nat = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("o_custkey"), col("n_name"))
+    giniOn(rev.join(broadcast(nat), Seq("o_custkey")),
+        "n_name", "o_custkey", "x")
+      .select(col("grp").as("n_name"), col("n").as("n_cust"),
+        col("total").as("rev_cents"), col("gini"))
+      .orderBy(col("n_name"))
+  }
+
+  /** The Gini core over any (group, unit key, non-negative long value)
+    * frame: (grp, n, total, gini), unordered. Hand-computed expectations
+    * in AnalyticsOpsSpec. */
+  private[graft] def giniOn(df: DataFrame, grp: String, key: String,
+      x: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val w = Window.partitionBy(col(grp)).orderBy(col(x), col(key))
+    df.withColumn("i", row_number().over(w))
+      .groupBy(col(grp).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(x)).as("total"),
+        sum(dec(col("i")) * col(x)).as("six"))
+      .select(col("grp"), col("n"), col("total"),
+        ((lit(2) * col("six") - dec(col("n") + 1) * col("total"))
+          .cast("double") /
+          (dec(col("n")) * col("total")).cast("double"))
+          .as("gini"))
+  }
+
   val queries = Map(
+    "agg_gini" -> (giniRevenue _),
+    "agg_entropy" -> (entropyBySource _),
+    "agg_mad_outliers" -> (madOutliers _),
     "agg_copurchase_lift" -> (copurchaseLift _),
     "agg_key_skew" -> (keySkew _),
     "agg_count_of_counts" -> (countOfCounts _),
@@ -729,5 +865,57 @@ object AggOps extends OpFamily {
          array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS postings10
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
          WHERE term <> '' GROUP BY term
-         ORDER BY term""")
+         ORDER BY term""",
+    "agg_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM orders GROUP BY o_custkey),
+         nat AS (SELECT c_custkey AS o_custkey, n_name
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         rk AS (SELECT n_name, x,
+             row_number() OVER (PARTITION BY n_name
+               ORDER BY x, o_custkey) AS i
+           FROM rev JOIN nat USING (o_custkey)),
+         g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(x) AS BIGINT) AS rev_cents,
+             sum(CAST(i AS HUGEINT) * x) AS six
+           FROM rk GROUP BY n_name)
+         SELECT n_name, n_cust, rev_cents,
+           CAST(2 * six - CAST(n_cust + 1 AS HUGEINT) * rev_cents AS DOUBLE)
+             / CAST(CAST(n_cust AS HUGEINT) * rev_cents AS DOUBLE) AS gini
+         FROM g ORDER BY n_name""",
+    "agg_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY source, lang)
+         SELECT source, CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_symbols,
+           log2(sum(n)) - sum(CAST(n AS DOUBLE) * log2(n)) / sum(n)
+             AS entropy_bits
+         FROM c GROUP BY source ORDER BY source""",
+    "agg_mad_outliers" ->
+      """WITH u AS (SELECT event_type, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS v FROM events),
+         med AS (SELECT event_type, v AS med FROM (
+             SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY v, event_id) AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM u) WHERE r = (n + 1) // 2),
+         dev AS (SELECT u.event_type, u.event_id, abs(u.v - med.med) AS ad,
+             med.med
+           FROM u JOIN med USING (event_type)),
+         mad AS (SELECT event_type, ad AS mad FROM (
+             SELECT event_type, ad,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY ad, event_id) AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM dev) WHERE r = (n + 1) // 2)
+         SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+           max(dev.med) AS med_micro, max(mad.mad) AS mad_micro,
+           CAST(sum(CASE WHEN dev.ad * 6745 > mad.mad * 35000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           max(dev.ad) AS max_absdev_micro
+         FROM dev JOIN mad USING (event_type)
+         GROUP BY dev.event_type ORDER BY dev.event_type""")
 }

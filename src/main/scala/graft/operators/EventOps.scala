@@ -220,6 +220,76 @@ object EventOps extends OpFamily {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** TOP USER JOURNEYS: the 20 most common opening event-type paths
+    * (each user's first ≤ [[PathSteps]] events in (ts, event_id) order,
+    * joined " > ") with how many users walk each — the full-sequence
+    * refinement of [[transitions]]' one-step Markov view, the query
+    * behind every "top paths" product-analytics panel (Sankey feeds).
+    *
+    * ONE user_id shuffle: the per-user prefix is a row_number that
+    * Catalyst caps in-exchange via WindowGroupLimit (never buffers a
+    * hot user's full history), the path string assembles from an
+    * array_sort over (rn, type) structs — collect_list order is
+    * partition-nondeterministic, the sort makes it a pure function of
+    * the data — and the path-count aggregate + top-20 ride map-side
+    * partials and TakeOrderedAndProject. Path cardinality is bounded by
+    * |event types|^steps, not by users.
+    */
+  /** DAU/MAU STICKINESS per calendar month — the engagement ratio every
+    * growth dashboard tracks (what share of a month's users show up on an
+    * average day). Kept INTEGRAL end-to-end: per-month day count, summed
+    * daily-active counts and monthly-active count are exact longs, and
+    * stickiness reports as (1000·Σdau) DIV (n_days·mau) per-mille —
+    * integer floor division, no float to drift. avg(DAU)/MAU ≡
+    * Σdau/(n_days·mau), so the per-mille is the standard metric scaled.
+    *
+    * Scale shape: one distinct over (day, user) — the only pass touching
+    * raw events, map-side partial-deduped — then two bounded aggregates;
+    * the deduped frame feeds BOTH (two-consumers rule ⇒ materialize).
+    * Calendar keys derive from the shared UTC session clock, so both
+    * engines bucket identically.
+    */
+  def stickiness(s: SparkSession, d: String): DataFrame =
+    stickinessOn(ev(s, d))
+
+  private[graft] def stickinessOn(events: DataFrame): DataFrame = {
+    val du = events
+      .select(date_format(col("ts"), "yyyy-MM").as("month"),
+        to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint()
+    val dau = du.groupBy(col("month"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val mau = du.select(col("month"), col("user_id")).distinct()
+      .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("month"))
+      .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
+        expr("(1000 * sum_dau) DIV (n_days * mau)").as("stickiness_permille"))
+      .orderBy(col("month"))
+  }
+
+  private[graft] val PathSteps = 5
+
+  def pathsTopk(s: SparkSession, d: String): DataFrame =
+    pathsTopkOn(ev(s, d), PathSteps)
+
+  private[graft] def pathsTopkOn(events: DataFrame, steps: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= steps)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), " > ").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), col("path"))
+      .limit(20)
+  }
+
   /** SCD-Type-2 snapshot build from the raw change log: each user's
     * events become half-open validity intervals [valid_from, valid_to)
     * via one lead() over (ts, event_id), the open-ended last row flagged
@@ -456,6 +526,8 @@ object EventOps extends OpFamily {
     "ev_scd2" -> (scd2 _),
     "ev_rfm" -> (rfm _),
     "ev_cohort_retention" -> (cohortRetention _),
+    "ev_paths_topk" -> (pathsTopk _),
+    "ev_stickiness" -> (stickiness _),
     "ev_transitions" -> (transitions _))
 
   val oracle = Map(
@@ -769,5 +841,29 @@ object EventOps extends OpFamily {
                ORDER BY ts, event_id), '(end)') AS next_type
            FROM events)
          GROUP BY event_type, next_type
-         ORDER BY event_type, next_type""")
+         ORDER BY event_type, next_type""",
+    "ev_paths_topk" ->
+      s"""WITH p AS (SELECT user_id,
+             string_agg(event_type, ' > ' ORDER BY rn) AS path
+           FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+             FROM events)
+           WHERE rn <= $PathSteps GROUP BY user_id)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_users
+         FROM p GROUP BY path
+         ORDER BY n_users DESC, path LIMIT 20""",
+    "ev_stickiness" ->
+      """WITH du AS (SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+             CAST(ts AS DATE) AS day, user_id FROM events),
+         dau AS (SELECT month, day, count(*) AS dau
+           FROM du GROUP BY month, day),
+         md AS (SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(dau) AS BIGINT) AS sum_dau
+           FROM dau GROUP BY month),
+         mau AS (SELECT month, CAST(count(*) AS BIGINT) AS mau
+           FROM (SELECT DISTINCT month, user_id FROM du) GROUP BY month)
+         SELECT month, n_days, sum_dau, mau,
+           (1000 * sum_dau) // (n_days * mau) AS stickiness_permille
+         FROM md JOIN mau USING (month) ORDER BY month""")
 }

@@ -547,28 +547,8 @@ object GraphOps extends OpFamily {
     val und = DedupOps.blockedJaccardPairs(dupCorpus(s, d))
       .select(col("a"), col("b"))
       .localCheckpoint()
-    val deg = und.select(col("a").as("x"))
-      .unionByName(und.select(col("b").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
-    val e = und
-      .join(deg.select(col("x").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("x").as("b"), col("deg").as("db")), Seq("b"))
-    val aLower = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    val oriented = e.select(
-        when(aLower, col("a")).otherwise(col("b")).as("lo"),
-        when(aLower, col("b")).otherwise(col("a")).as("hi"),
-        when(aLower, col("db")).otherwise(col("da")).as("dhi"))
-      .localCheckpoint()
-    val o1 = oriented.select(col("lo"), col("hi").as("v"), col("dhi").as("dv"))
-    val o2 = oriented.select(col("lo"), col("hi").as("w"), col("dhi").as("dw"))
-    val wedges = o1.join(o2, Seq("lo"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-      .select(col("v"), col("w"))
-    val tri = wedges
-      .join(oriented.select(col("lo").as("v"), col("hi").as("w")),
-        Seq("v", "w"))
+    val deg = degreeOf(und)
+    val tri = degreeOrientedTriangles(und)
       .agg(count(lit(1)).as("n_triangles"))
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       expr("CAST(sum(deg * (deg - 1) DIV 2) AS BIGINT)").as("n_wedges"))
@@ -579,6 +559,49 @@ object GraphOps extends OpFamily {
         when(col("n_wedges") > 0,
           lit(3.0) * col("n_triangles") / col("n_wedges"))
           .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Degrees of an undirected (a < b) edge frame: (x, deg). */
+  private def degreeOf(und: DataFrame): DataFrame =
+    und.select(col("a").as("x"))
+      .unionByName(und.select(col("b").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+
+  /** LOCAL CLUSTERING COEFFICIENT per node of the duplication similarity
+    * graph: cc(x) = 2·tri(x) / (deg(x)·(deg(x)−1)) — how close each
+    * node's neighborhood is to a clique, the node-level refinement of
+    * [[triangleCensus]]'s global coefficient (Watts–Strogatz). Top-20
+    * nodes by (cc, deg, id); degree-1 nodes are excluded (cc undefined).
+    *
+    * Per-node triangle counts ride the SAME exactly-once degree-oriented
+    * enumeration as the census ([[degreeOrientedTriangles]]): each
+    * triangle row explodes into its three corners, one groupBy counts
+    * them, so the
+    * per-node extension costs one extra shuffle over triangle rows
+    * (output-bounded, never wedge-bounded). The cc value is a single
+    * double division of exact longs — engine-exact, no float drift.
+    */
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame =
+    clusteringCoeffOn(DedupOps.blockedJaccardPairs(dupCorpus(s, d))
+      .select(col("a"), col("b"))
+      .localCheckpoint())
+
+  /** The per-node clustering-coefficient core over any undirected
+    * strictly (a < b) edge frame; exactness pinned on a hand graph in
+    * GraphSpec. */
+  private[graft] def clusteringCoeffOn(und: DataFrame): DataFrame = {
+    val deg = degreeOf(und)
+    val triNodes = degreeOrientedTriangles(und)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triNodes, Seq("x"), "left")
+      .select(col("x").as("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("local_cc",
+        lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)))
+      .orderBy(desc("local_cc"), desc("deg"), col("node"))
+      .limit(20)
   }
 
   /** Synchronous LABEL PROPAGATION communities ([[LpaRounds]] rounds,
@@ -1038,6 +1061,7 @@ object GraphOps extends OpFamily {
     "graph_sssp_cost" -> (ssspCost _),
     "graph_kcore" -> (kCore _),
     "graph_triangles" -> (triangleCensus _),
+    "graph_clustering_coeff" -> (clusteringCoeff _),
     "graph_ktruss" -> (kTruss _),
     "graph_label_prop" -> (labelProp _),
     "graph_degree_profile" -> (degreeProfile _))
@@ -1206,6 +1230,23 @@ object GraphOps extends OpFamily {
                  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
                FROM deg) ns,
               (SELECT count(*) AS n_edges FROM e) es, tri""",
+    "graph_clustering_coeff" ->
+      s"""WITH $nearDupEdges,
+         deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS x FROM e UNION ALL SELECT b FROM e) GROUP BY x),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e2.a = e1.b
+                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         tn AS (SELECT x, CAST(count(*) AS BIGINT) AS n_tri
+           FROM (SELECT x FROM tri UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri)
+           GROUP BY x)
+         SELECT deg.x AS node, deg,
+           coalesce(tn.n_tri, 0) AS n_tri,
+           2.0 * coalesce(tn.n_tri, 0) / (deg * (deg - 1)) AS local_cc
+         FROM deg LEFT JOIN tn ON deg.x = tn.x
+         WHERE deg >= 2
+         ORDER BY local_cc DESC, deg DESC, node LIMIT 20""",
     "graph_label_prop" ->
       s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s

@@ -209,4 +209,92 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("sum_units"), r.getAs[Long]("ewma_units")))
     assert(u.toSeq === Seq((2000000L, 2000000L)))
   }
+
+  test("entropy: uniform mix is log2(k) bits, monolingual is zero") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"), // H = 1.0
+      ("s2", "fr"), ("s2", "fr"), ("s2", "fr"), ("s2", "fr"), // H = 0.0
+      ("s3", "en"), ("s3", "de"), ("s3", "fr"), ("s3", "fr")  // H = 1.5
+    ).toDF("source", "lang")
+    val out = AggOps.entropyOn(docs, "source", "lang").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_symbols"), r.getAs[Double]("entropy_bits")))
+    assert(out.toSeq === Seq(("s1", 4L, 2L, 1.0), ("s2", 4L, 1L, 0.0),
+      ("s3", 4L, 3L, 1.5)))
+  }
+
+  test("mad outliers: lower-median rank rule flags only the far spike") {
+    import spark.implicits._
+    // v = 1..8 and 100: n=9, med = rank-5 value = 5, ad sorted
+    // [0,1,1,2,2,3,3,4,95] → mad = rank-5 value = 2; the 3.5-modified-z
+    // cut 6745·ad > 35000·mad flags ad > ~10.4, i.e. only the spike
+    val events = ((1 to 8).map(i => ("t", i.toLong, i.toDouble)) :+
+      (("t", 9L, 100.0))).toDF("event_type", "event_id", "value")
+    val out = AggOps.madOutliersOn(events).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === 9L)
+    assert(r.getAs[Long]("med_micro") === 5000000L)
+    assert(r.getAs[Long]("mad_micro") === 2000000L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Long]("max_absdev_micro") === 95000000L)
+  }
+
+  test("mad outliers: constant series has zero MAD and flags every deviation") {
+    import spark.implicits._
+    // 5 identical values and one bump: med = 7, mad = 0 — the rule
+    // degenerates to "any deviation at all", the documented MAD=0 edge
+    val events = ((1 to 5).map(i => ("t", i.toLong, 7.0)) :+
+      (("t", 6L, 8.0))).toDF("event_type", "event_id", "value")
+    val r = AggOps.madOutliersOn(events).head()
+    assert(r.getAs[Long]("mad_micro") === 0L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("gini: equal split is 0, total concentration approaches (n-1)/n") {
+    import spark.implicits._
+    val rows = Seq(("eq", 1L, 5L), ("eq", 2L, 5L), ("eq", 3L, 5L),
+      ("eq", 4L, 5L),
+      ("conc", 1L, 0L), ("conc", 2L, 0L), ("conc", 3L, 0L),
+      ("conc", 4L, 4L)).toDF("grp", "key", "x")
+    val out = AggOps.giniOn(rows, "grp", "key", "x").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Long]("total"), r.getAs[Double]("gini"))).sortBy(_._1)
+    // conc: G = (2·16 − 5·4)/(4·4) = 0.75 = (n−1)/n; eq: G = 0 exactly
+    assert(out.toSeq === Seq(("conc", 4L, 4L, 0.75), ("eq", 4L, 20L, 0.0)))
+  }
+
+  test("stickiness: per-mille is floor(1000·sum_dau / (n_days·mau))") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2026-03-$d%02d $h%02d:00:00")
+    // March: day 1 actives {1,2} (user 1 twice — deduped), day 2 {1}:
+    // sum_dau 3, n_days 2, mau 2 → 1000·3 DIV 4 = 750
+    val events = Seq((1L, ts(1, 9)), (1L, ts(1, 12)), (2L, ts(1, 10)),
+      (1L, ts(2, 9))).toDF("user_id", "ts")
+    val out = graft.operators.EventOps.stickinessOn(events).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("month") === "2026-03")
+    assert(r.getAs[Long]("n_days") === 2L)
+    assert(r.getAs[Long]("sum_dau") === 3L)
+    assert(r.getAs[Long]("mau") === 2L)
+    assert(r.getAs[Long]("stickiness_permille") === 750L)
+  }
+
+  test("top paths: prefixes cap at five steps and count users exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val rows =
+      Seq(("a", 1), ("b", 2), ("c", 3)).map { case (t, m) => (1L, 10L + m, t, ts(m)) } ++
+      Seq(("a", 1), ("b", 2), ("c", 3)).map { case (t, m) => (2L, 20L + m, t, ts(m)) } ++
+      Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5), ("f", 6))
+        .map { case (t, m) => (3L, 30L + m, t, ts(m)) }
+    val out = graft.operators.EventOps.pathsTopkOn(
+      rows.toDF("user_id", "event_id", "event_type", "ts"), 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a > b > c", 2L), ("a > b > c > d > e", 1L)))
+  }
 }

@@ -191,6 +191,20 @@ class GraphSpec extends AnyFunSuite {
       (2L, 3L, 4L)))
   }
 
+  test("local clustering coefficient matches hand values on a tailed triangle") {
+    import spark.implicits._
+    // triangle {1,2,3} + tail 3-4 + wedge 7-8, 8-9 (+ isolated edge 5-6):
+    // cc(1)=cc(2)=1 (deg 2), cc(3)=2·1/(3·2)=1/3, cc(8)=0 (open wedge);
+    // deg-1 nodes 4,5,6,7,9 are excluded
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L),
+      (7L, 8L), (8L, 9L)).toDF("a", "b")
+    val out = GraphOps.clusteringCoeffOn(und).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("deg"),
+        r.getAs[Long]("n_tri"), r.getAs[Double]("local_cc")))
+    assert(out.toSeq === Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 2.0 / 6.0), (8L, 2L, 0L, 0.0)))
+  }
+
   test("registered 3-truss covers at least the planted triangle structure") {
     val row = GraphOps.kTruss(spark, sf).head()
     val nDocs35 = Tables.documents(spark, sf)
