@@ -644,7 +644,40 @@ object AggOps extends OpFamily {
           .as("gini"))
   }
 
+  /** BENFORD FIRST-DIGIT profile of order totals — the fraud/data-quality
+    * screen auditors run on any money column: the leading digit of
+    * naturally-occurring amounts should follow P(d) = log₁₀(1 + 1/d)
+    * (~30.1% ones), and a fabricated or truncated feed shows up as a
+    * flat or spiky profile. Digit extraction is STRING-BASED on the
+    * exact integer cents (first char of the decimal rendering) — no
+    * float log10 whose boundary could round a 999999→1000000 differently
+    * across engines; shares are integral per-mille floor divisions. The
+    * reference Benford per-mille floor(1000·log₁₀(1+1/d)) values are
+    * 301/176/124/96/79/66/57/51/45 — every libm input is ≥ 0.009 from a
+    * floor boundary, so both engines agree. One bounded groupBy (9 rows)
+    * plus a broadcast total.
+    */
+  def benfordProfile(s: SparkSession, d: String): DataFrame =
+    benfordOn(Tables.orders(s, d)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("x")), "x")
+
+  /** The Benford core over any positive-long column: (digit, n,
+    * share_permille, benford_permille). */
+  private[graft] def benfordOn(df: DataFrame, x: String): DataFrame = {
+    val counts = df.filter(col(x) > 0)
+      .select(substring(col(x).cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .select(col("digit"), col("n"),
+        expr("(1000 * n) DIV total").as("share_permille"),
+        floor(lit(1000.0) * log10(lit(1.0) + lit(1.0) / col("digit")))
+          .cast("long").as("benford_permille"))
+      .orderBy(col("digit"))
+  }
+
   val queries = Map(
+    "agg_benford" -> (benfordProfile _),
     "agg_gini" -> (giniRevenue _),
     "agg_entropy" -> (entropyBySource _),
     "agg_mad_outliers" -> (madOutliers _),
@@ -866,6 +899,18 @@ object AggOps extends OpFamily {
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
          WHERE term <> '' GROUP BY term
          ORDER BY term""",
+    "agg_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT)
+             AS digit, count(*) AS n
+           FROM (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+                 FROM orders)
+           WHERE x > 0 GROUP BY digit),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         SELECT digit, CAST(n AS BIGINT) AS n,
+           (1000 * n) // total AS share_permille,
+           CAST(floor(1000.0 * log10(1.0 + 1.0 / digit)) AS BIGINT)
+             AS benford_permille
+         FROM c, t ORDER BY digit""",
     "agg_gini" ->
       """WITH rev AS (SELECT o_custkey,
              CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)

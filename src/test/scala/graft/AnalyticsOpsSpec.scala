@@ -283,6 +283,17 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("stickiness_permille") === 750L)
   }
 
+  test("benford: string-extracted digits, floor shares, reference permilles") {
+    import spark.implicits._
+    val xs = Seq(1L, 10L, 25L, 29L, 3L, 999L, 0L, -7L).toDF("x")
+    val out = AggOps.benfordOn(xs, "x").collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n"),
+        r.getAs[Long]("share_permille"), r.getAs[Long]("benford_permille")))
+    // 0 and -7 are dropped; digits 1,1,2,2,3,9 over total 6
+    assert(out.toSeq === Seq((1, 2L, 333L, 301L), (2, 2L, 333L, 176L),
+      (3, 1L, 166L, 124L), (9, 1L, 166L, 45L)))
+  }
+
   test("top paths: prefixes cap at five steps and count users exactly") {
     import spark.implicits._
     import java.sql.Timestamp
