@@ -35,10 +35,20 @@ object Bench {
     // SPARK_GRAFT_REPS>1 = steady-state mode (min of N reps, amortizing
     // per-query codegen compile); default 1 = cold, the driver's contract
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+    // Failure ledger: a query that throws must NOT be silently billed its
+    // time-to-failure with rc 0 — that hole let round 8 report a 755.7 s
+    // "total" over ~50 fast-failing queries with no error signal. Every
+    // exception is counted and the first failing (name, message) surfaces
+    // in the JSON line.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       // Release the blocks this query pinned: localCheckpoint keeps its RDD
@@ -62,7 +72,17 @@ object Bench {
     val qs = shown.map { case (k, v) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errPart = if (failed.isEmpty) """"errors":0"""
+      else {
+        val (n0, msg) = failed.head
+        s""""errors":${failed.size},"first_error":{"query":${jstr(n0)},"message":${jstr(msg)}}"""
+      }
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},$errPart,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for the driver's tail-scrape: also persist the line to a
     // file that survives any stdout wrapping/truncation.

@@ -70,6 +70,32 @@ object Graft {
       threshold)
   }
 
+  /** Incremental near-dedup: every `incoming` row's Jaccard-≥-threshold
+    * matches in `index` — (new_id, matched_id, jaccard), never any
+    * incoming×incoming or index×index pair, so ingest cost is bounded by
+    * the batch's posting lists regardless of corpus size (the
+    * build-once/probe-many shape of production dedup). Exact and
+    * complete via prefix filtering ordered by INDEX-side shingle
+    * frequency (unseen incoming shingles rank rarest — the safe side).
+    * Both frames need (id, text); optional `blockCols` restrict pairing
+    * to equal-valued groups as in [[exactNearDuplicatePairs]].
+    */
+  def incrementalNearDupPairs(index: DataFrame, incoming: DataFrame,
+      id: String, text: String, threshold: Double = 0.3,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    def shaped(df: DataFrame): DataFrame = {
+      val lang =
+        blockCols.headOption.map(col).getOrElse(lit("")).cast("string")
+      val source =
+        if (blockCols.size > 1) concat_ws("", blockCols.tail.map(col): _*)
+        else lit("")
+      df.select(col(id).as("doc_id"), lang.as("lang"), source.as("source"),
+        col(text).as("text"))
+    }
+    graft.operators.DedupOps.incrementalNearDupsOn(
+      shaped(index), shaped(incoming), threshold)
+  }
+
   /** Asymmetric CONTAINMENT pairs: every ordered pair (a, b) where at
     * least `threshold` of a's shingles appear in b — the quote/subset/
     * snippet detector symmetric Jaccard misses. Exact and complete via
@@ -577,6 +603,18 @@ object Graft {
       df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnRenamed("doc_id", id)
 
+  /** Unigram cross-entropy of every document under the corpus's own
+    * unigram LM (the CCNet-family quality filter): (id, n_tokens,
+    * nll_units, xent_nats), nll in integral micro-nats. High = rare-token
+    * salad, low = boilerplate; unlike [[rarityScores]] (doc-frequency
+    * weighted) every repeated occurrence pays its token's surprisal.
+    */
+  def unigramCrossEntropy(df: DataFrame, id: String,
+      text: String): DataFrame =
+    graft.operators.TextOps.unigramXentOn(
+      df.select(col(id).as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
+
   /** Integral EWMA (α = 1/4) of the hourly sum series per key over any
     * (key, ts, value) frame: (key, w_start, sum_units, ewma_units) in
     * micro-units via the exact integer recurrence eₕ = (sₕ + 3·eₕ₋₁)
@@ -1001,6 +1039,9 @@ object Graft {
     * z-score, |0.6745·dev/MAD| > 3.5), all integral micro-units: (key,
     * n, med_micro, mad_micro, n_outliers, max_absdev_micro). Survives
     * contaminated feeds where mean/stddev rules mask every outlier.
+    * Input magnitude cap: values quantize via floor(value·1e6) AS BIGINT,
+    * which wraps silently for |value| above ~9.2e12 (Long.MaxValue/1e6) —
+    * pre-scale inputs living beyond that range.
     */
   def robustOutlierStats(df: DataFrame, keyCol: String, idCol: String,
       valueCol: String): DataFrame =
@@ -1009,9 +1050,25 @@ object Graft {
         col(valueCol).as("value")))
       .withColumnRenamed("event_type", "key")
 
+  /** Equi-depth histogram of `valueCol`: k buckets of (as close as
+    * possible to) equal row counts with exact order-statistic
+    * boundaries — (bucket 1..k, n, lo, hi). Bucket membership is
+    * `ntile(k) OVER (ORDER BY value, tieCols…)` semantics computed by
+    * [[graft.operators.WindowOps.ntileBucket]]'s range-partitioned
+    * exact rank (no single-task global sort); `tieCols` must complete a
+    * total order or ties at a boundary land nondeterministically.
+    */
+  def equidepthHistogram(df: DataFrame, valueCol: String,
+      tieCols: Seq[String], k: Long = 10L): DataFrame =
+    graft.operators.AggOps.equidepthHistOn(df, valueCol, tieCols, k)
+
   /** Gini concentration coefficient of the non-negative long `valueCol`
     * per `groupCol` (tie order pinned by `keyCol`): (group, n, total,
     * gini) with gini ∈ [0, (n−1)/n]. Exact rank-formula arithmetic.
+    * Degenerate case: a group whose values are ALL zero has total = 0 and
+    * the rank formula divides by n·total, so its gini is NaN (the
+    * concentration of nothing is undefined); filter zero-total groups
+    * first if 0.0 is the wanted convention.
     */
   def gini(df: DataFrame, groupCol: String, keyCol: String,
       valueCol: String): DataFrame =

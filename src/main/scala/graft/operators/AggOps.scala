@@ -149,6 +149,38 @@ object AggOps extends OpFamily {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("qty_bin"))
 
+  /** EQUI-DEPTH HISTOGRAM (SURVEY §7.12): k buckets holding equal ROW
+    * COUNTS, boundaries at exact order statistics — the histogram shape
+    * optimizers and data-profiling dashboards want when the value
+    * distribution is skewed and [[histogram]]'s fixed-width bins would
+    * dump everything into one bar. Bucket assignment is
+    * [[graft.operators.WindowOps.ntileBucket]]'s exact-rank arithmetic
+    * (bit-identical to `ntile(k) OVER (ORDER BY …)`), so the plan is the
+    * range-partition + per-partition-offset machinery — NO unpartitioned
+    * window, parallelism scales with data size, not with k. The sort is
+    * totally ordered by (value, l_orderkey, l_linenumber), so bucket
+    * membership is deterministic and the DuckDB NTILE replay hashes
+    * identically.
+    */
+  def equidepthHist(s: SparkSession, d: String): DataFrame =
+    equidepthHistOn(
+      Tables.lineitem(s, d).select(col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber")),
+      "l_extendedprice", Seq("l_orderkey", "l_linenumber"), 8L)
+
+  /** The equi-depth core over any frame: exact k-bucket (bucket, n, lo,
+    * hi) for `value`, tie-broken to a total order by `tieCols`. Exposed
+    * publicly as [[graft.api.Graft.equidepthHistogram]]; hand-computed
+    * spec cases in AnalyticsOpsSpec.
+    */
+  private[graft] def equidepthHistOn(df: DataFrame, value: String,
+      tieCols: Seq[String], k: Long): DataFrame =
+    WindowOps.ntileBucket(df, (value +: tieCols).map(col), k, "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(value)).as("lo"), max(col(value)).as("hi"))
+      .orderBy(col("bucket"))
+
   /** cube: all key-subset aggregates in one pass (the MR "emit every subset
     * of keys from the mapper" idiom, planned as Expand + one aggregate).
     */
@@ -554,10 +586,12 @@ object AggOps extends OpFamily {
     * cross-multiplied to 6745·|dev| > 35000·MAD, exact long arithmetic
     * both engines replay bit-for-bit.
     *
-    * Scale shape: two rank-median passes = two shuffles partitioned by
-    * event_type (per-type partitions sort in place); the joins back are
-    * broadcasts of the type-sized median tables. A per-type partition
-    * that outgrows one task at 100 TB moves to the mergeable KLL sketch
+    * Scale shape: two rank-median passes = two RANGE-partitioned sorts
+    * on (type, value, id) via [[graft.operators.WindowOps.groupLowerMedian]]
+    * — parallelism scales with data size, never capping at the handful
+    * of event types; the joins back are broadcasts of the type-sized
+    * median tables. A corpus too hot for even two exact sorted passes
+    * at 100 TB moves to the mergeable KLL sketch
     * ([[graft.functions.KllSketch]], reduce_kll_quantiles) at the cost
     * of rank exactness — this query IS the exact anchor the sketch is
     * graded against.
@@ -566,17 +600,13 @@ object AggOps extends OpFamily {
     madOutliersOn(Tables.events(s, d))
 
   private[graft] def madOutliersOn(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val u = events.select(col("event_type"), col("event_id"),
       floor(col("value") * 1e6).cast("long").as("v"))
-    val wn = Window.partitionBy(col("event_type"))
+    // both rank-median passes ride WindowOps.groupLowerMedian — range
+    // partitioning on (type, value, id), so parallelism scales with data
+    // size instead of capping at the handful of event types
     def lowerMedian(df: DataFrame, value: String, out: String): DataFrame =
-      df.withColumn("r", row_number().over(Window
-          .partitionBy(col("event_type"))
-          .orderBy(col(value), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(wn))
-        .filter(col("r") === expr("(n + 1) DIV 2"))
-        .select(col("event_type"), col(value).as(out))
+      WindowOps.groupLowerMedian(df, "event_type", value, "event_id", out)
     val med = lowerMedian(u, "v", "med")
     val dev = u.join(broadcast(med), Seq("event_type"))
       .withColumn("ad", abs(col("v") - col("med")))
@@ -664,9 +694,12 @@ object AggOps extends OpFamily {
   /** The Benford core over any positive-long column: (digit, n,
     * share_permille, benford_permille). */
   private[graft] def benfordOn(df: DataFrame, x: String): DataFrame = {
+    // two consumers (group rows + the broadcast total) ⇒ materialize the
+    // 9-row frame, or the input scan and groupBy run twice
     val counts = df.filter(col(x) > 0)
       .select(substring(col(x).cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     counts
       .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
       .select(col("digit"), col("n"),
@@ -698,6 +731,7 @@ object AggOps extends OpFamily {
     "agg_approx_quantiles" -> (approxQuantiles _),
     "agg_min_max_count" -> (minMaxCount _),
     "agg_histogram" -> (histogram _),
+    "agg_equidepth_hist" -> (equidepthHist _),
     "agg_cube" -> (cubeStatusYear _),
     "agg_rollup" -> (rollupYearMonth _),
     "agg_wordcount" -> (wordcount _),
@@ -859,6 +893,14 @@ object AggOps extends OpFamily {
     "agg_histogram" ->
       """SELECT CAST(floor(l_quantity / 10.0) * 10 AS BIGINT) AS qty_bin,
          count(*) AS n FROM lineitem GROUP BY qty_bin ORDER BY qty_bin""",
+    "agg_equidepth_hist" ->
+      """SELECT bucket, count(*) AS n, min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi
+         FROM (SELECT l_extendedprice,
+             ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+               l_linenumber) AS bucket
+           FROM lineitem)
+         GROUP BY bucket ORDER BY bucket""",
     "agg_cube" ->
       """SELECT o_orderstatus, year(o_orderdate) AS o_year,
          count(*) AS n,

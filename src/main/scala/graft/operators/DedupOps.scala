@@ -319,6 +319,85 @@ object DedupOps extends OpFamily {
       .orderBy(col("a"), col("b"))
   }
 
+  /** INCREMENTAL NEAR-DEDUP: today's batch against yesterday's corpus —
+    * the shape every production dedup pipeline actually runs (a full
+    * corpus re-dedup per ingest is a non-starter at 100 TB). Fixture:
+    * the [[withNearDupes]] corpus split into INDEX (the originals,
+    * doc_id < PlantBase) and INCOMING (the planted re-crawls,
+    * doc_id ≥ 2·PlantBase); every incoming doc reports its ≥ τ Jaccard
+    * matches in the index. See [[incrementalNearDupsOn]] for why the
+    * index×index quadratic never runs.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNearDupes(s, d)
+    incrementalNearDupsOn(
+      corpus.filter(col("doc_id") < PlantBase),
+      corpus.filter(col("doc_id") >= 2 * PlantBase), 0.3)
+  }
+
+  /** The incremental core: (new_id, matched_id, jaccard) for every
+    * incoming×index pair with J ≥ tau — NEVER any incoming×incoming or
+    * index×index pair. Same prefix-filter theorem as
+    * [[prefixCandidates]], with the global shingle order defined by
+    * INDEX-side document frequency (unseen incoming shingles get f = 0,
+    * sorting first — rarest — which can only lengthen the safe side of
+    * a prefix). That ordering choice is the production contract: the
+    * index's (freq, shingles, prefix-keys) tables are write-once
+    * artifacts of the index build — the dedup analogue of
+    * [[SimOps.lloydCells]]'s persisted IVF index — and an ingest batch
+    * computes only ITS side of the join, so candidates are bounded by
+    * the batch's posting lists and per-batch cost is independent of how
+    * many batches preceded it. Exact merge-scan verify ⇒ identical to
+    * brute-force incoming×index. Equality property in
+    * AnalyticsOpsSpec; shingle-hash collision caveat as in
+    * [[containmentPairsOn]].
+    */
+  private[graft] def incrementalNearDupsOn(index: DataFrame,
+      incoming: DataFrame, tau: Double): DataFrame = {
+    val sp = index.sparkSession
+    val shI = blockShingles(index)
+    val shN = blockShingles(incoming)
+    val freq = shI
+      .select(col("lang"), col("source"), explode(col("sh")).as("h"))
+      .groupBy(col("lang"), col("source"), col("h"))
+      .agg(count(lit(1)).as("f"))
+    def prefixKeys(sh: DataFrame): DataFrame =
+      sh.select(col("doc_id"), col("lang"), col("source"),
+          explode(col("sh")).as("h"))
+        .join(freq, Seq("lang", "source", "h"), "left")
+        .withColumn("f", coalesce(col("f"), lit(0L)))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(col("fh")).as("n"),
+          explode(slice(transform(col("fh"), x => x.getField("h")), lit(1),
+            (size(col("fh"))
+              - ceil(size(col("fh")) * lit(tau) - lit(1e-6)).cast("int")
+              + 1))).as("pk"))
+    val cand = prefixKeys(shN)
+      .select(col("doc_id").as("new_id"), col("lang"), col("source"),
+        col("pk"), col("n").as("nn"))
+      .join(prefixKeys(shI)
+        .select(col("doc_id").as("matched_id"), col("lang"), col("source"),
+          col("pk"), col("n").as("ni")), Seq("lang", "source", "pk"))
+      .filter(least(col("nn"), col("ni")).cast("double") >=
+        greatest(col("nn"), col("ni")) * lit(tau) - lit(1e-6))
+      .select(col("new_id"), col("matched_id"))
+      .distinct()
+    cand
+      .join(shN.select(col("doc_id").as("new_id"), col("sh").as("shn")),
+        Seq("new_id"))
+      .join(shI.select(col("doc_id").as("matched_id"), col("sh").as("shi")),
+        Seq("matched_id"))
+      .withColumn("inter",
+        NativeExprs.sortedIntersectCount(sp, col("shn"), col("shi")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shn")) + size(col("shi")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("new_id"), col("matched_id"), col("jaccard"))
+      .orderBy(col("new_id"), col("matched_id"))
+  }
+
   /** doc_id + sorted distinct 31-bit shingle hashes (`hs`), one narrow
     * scan (sorted so verification can merge-scan instead of hash-set).
     */
@@ -716,6 +795,7 @@ object DedupOps extends OpFamily {
     "dedup_exact_groups" -> (exactDupGroups _),
     "dedup_keep_first" -> (keepFirst _),
     "dedup_near_jaccard" -> (nearJaccard _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_containment" -> (containmentPairs _),
     "dedup_clusters" -> (nearDupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
@@ -767,6 +847,22 @@ object DedupOps extends OpFamily {
       """SELECT lang, source, min(doc_id) AS kept_id,
            count(*) - 1 AS n_dropped
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "dedup_incremental" ->
+      s"""WITH corpus AS ($planted),
+         sh AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM corpus))
+         SELECT n.doc_id AS new_id, i.doc_id AS matched_id,
+           CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.sh, i.sh))) AS jaccard
+         FROM sh n JOIN sh i
+           ON n.lang = i.lang AND n.source = i.source
+           AND n.doc_id >= 200000 AND i.doc_id < 100000
+         WHERE CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.3
+         ORDER BY new_id, matched_id""",
     "dedup_near_jaccard" ->
       s"""WITH corpus AS ($planted),
          sh AS (SELECT doc_id, lang, source,

@@ -220,21 +220,6 @@ object EventOps extends OpFamily {
       .orderBy(col("event_type"), col("next_type"))
   }
 
-  /** TOP USER JOURNEYS: the 20 most common opening event-type paths
-    * (each user's first ≤ [[PathSteps]] events in (ts, event_id) order,
-    * joined " > ") with how many users walk each — the full-sequence
-    * refinement of [[transitions]]' one-step Markov view, the query
-    * behind every "top paths" product-analytics panel (Sankey feeds).
-    *
-    * ONE user_id shuffle: the per-user prefix is a row_number that
-    * Catalyst caps in-exchange via WindowGroupLimit (never buffers a
-    * hot user's full history), the path string assembles from an
-    * array_sort over (rn, type) structs — collect_list order is
-    * partition-nondeterministic, the sort makes it a pure function of
-    * the data — and the path-count aggregate + top-20 ride map-side
-    * partials and TakeOrderedAndProject. Path cardinality is bounded by
-    * |event types|^steps, not by users.
-    */
   /** DAU/MAU STICKINESS per calendar month — the engagement ratio every
     * growth dashboard tracks (what share of a month's users show up on an
     * average day). Kept INTEGRAL end-to-end: per-month day count, summed
@@ -272,6 +257,21 @@ object EventOps extends OpFamily {
 
   private[graft] val PathSteps = 5
 
+  /** TOP USER JOURNEYS: the 20 most common opening event-type paths
+    * (each user's first ≤ [[PathSteps]] events in (ts, event_id) order,
+    * joined " > ") with how many users walk each — the full-sequence
+    * refinement of [[transitions]]' one-step Markov view, the query
+    * behind every "top paths" product-analytics panel (Sankey feeds).
+    *
+    * ONE user_id shuffle: the per-user prefix is a row_number that
+    * Catalyst caps in-exchange via WindowGroupLimit (never buffers a
+    * hot user's full history), the path string assembles from an
+    * array_sort over (rn, type) structs — collect_list order is
+    * partition-nondeterministic, the sort makes it a pure function of
+    * the data — and the path-count aggregate + top-20 ride map-side
+    * partials and TakeOrderedAndProject. Path cardinality is bounded by
+    * |event types|^steps, not by users.
+    */
   def pathsTopk(s: SparkSession, d: String): DataFrame =
     pathsTopkOn(ev(s, d), PathSteps)
 

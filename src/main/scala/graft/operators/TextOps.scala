@@ -252,6 +252,51 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** UNIGRAM CROSS-ENTROPY per document — the canonical corpus-LM
+    * quality filter (the CCNet/Gopher-family recipe): train a unigram
+    * LM on the corpus itself (P(t) = tokenCount(t)/totalTokens), score
+    * each doc's mean per-token negative log-likelihood. Differs from
+    * both siblings: [[rarityScore]] weights by DOCUMENT frequency and
+    * [[bigramFluency]] by bigram continuation; this is the actual
+    * token-frequency cross-entropy, where a doc repeating one rare
+    * token pays for every occurrence. Score is integral micro-nats
+    * (Σ floor(ln(N/cnt)·1e6) as BIGINT — order-independent, and the
+    * only libm call is the same audited floor(ln·1e6) family the
+    * hybrid lexical leg uses); the reported xent_nats is one IEEE
+    * division of exact integers, bit-identical across engines. Output
+    * bounded: the 15 highest-entropy docs (the filter's kill list).
+    *
+    * Scale shape: token explode → vocabulary-sized count table →
+    * equi-join back by term (NO broadcast — web-scale vocab outgrows a
+    * driver; hot stop-word keys are AQE-splittable) → per-doc aggregate
+    * → TakeOrderedAndProject. Two shuffles of the token stream, one of
+    * the vocab.
+    */
+  def unigramXent(s: SparkSession, d: String): DataFrame =
+    unigramXentOn(Tables.documents(s, d))
+      .orderBy(desc("xent_nats"), col("doc_id"))
+      .limit(15)
+
+  /** The generic scorer behind [[unigramXent]] and
+    * [[graft.api.Graft.unigramCrossEntropy]]: every doc scored,
+    * (doc_id, n_tokens, nll_units, xent_nats), unordered.
+    */
+  private[graft] def unigramXentOn(docs: DataFrame): DataFrame = {
+    // token stream has two consumers (LM counts + scoring) ⇒ materialize
+    val toksT = docs.select(col("doc_id"), explode(toks).as("term"))
+      .localCheckpoint()
+    val lm = toksT.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = toksT.agg(count(lit(1)).as("n_corpus"))
+    toksT.join(lm, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(floor(log(col("n_corpus").cast("double") / col("cnt")) * 1e6)
+          .cast("long")).as("nll_units"))
+      .withColumn("xent_nats",
+        col("nll_units").cast("double") / col("n_tokens") / 1e6)
+  }
+
   /** Bigram-continuation fluency score — the deterministic stand-in for
     * LM-perplexity filtering: per doc, the mean per-mille conditional
     * frequency of its word bigrams, fluency = (Σ (1000·c(w₁w₂)) DIV
@@ -536,11 +581,25 @@ object TextOps extends OpFamily {
     "text_quality" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
     "text_rarity" -> (rarityScore _),
+    "text_unigram_xent" -> (unigramXent _),
     "text_ngram_top" -> (ngramTop _),
     "text_tfidf_top" -> (tfidfTop _),
     "text_bm25_top" -> (bm25Top _))
 
   val oracle = Map(
+    "text_unigram_xent" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+         lm AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM t),
+         sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(floor(ln(CAST(tot.n_corpus AS DOUBLE) / lm.cnt)
+               * 1e6) AS BIGINT)) AS BIGINT) AS nll_units
+           FROM t JOIN lm USING (term) CROSS JOIN tot
+           GROUP BY t.doc_id)
+         SELECT doc_id, n_tokens, nll_units,
+           CAST(nll_units AS DOUBLE) / n_tokens / 1e6 AS xent_nats
+         FROM sc ORDER BY xent_nats DESC, doc_id LIMIT 15""",
     "text_bigram_fluency" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
              FROM documents),

@@ -178,6 +178,51 @@ object WindowOps extends OpFamily {
       .drop("pid"), n)
   }
 
+  /** Exact PER-GROUP lower median without a per-group window — the
+    * scale-safe sibling of [[withExactGlobalRank]] for grouped order
+    * statistics. A `row_number() OVER (PARTITION BY grp)` plan caps
+    * parallelism at the number of groups (5 event types = 5 tasks
+    * sorting whole-corpus fractions at 100 TB); here the heavy sort is
+    * a RANGE partition on (grp, value, tie) — parallelism scales with
+    * DATA SIZE — and the only per-group bookkeeping happens on the tiny
+    * (partition × group) count frame:
+    *  1. range-partition, count rows per (pid, grp);
+    *  2. on that bounded frame, per-group running offsets locate the ONE
+    *     partition holding each group's target rank (n+1) DIV 2;
+    *  3. broadcast those locators back; a window partitioned by
+    *     (pid, grp) — each partition at most one range-partition of rows,
+    *     never a whole group — ranks locally, adds the offset, keeps the
+    *     row whose global in-group rank is the target.
+    * The sort must reach a total order (unique `tie` within group).
+    * Returns one (grp, out) row per group — bit-identical to the
+    * PARTITION BY grp row_number formulation it replaces.
+    */
+  private[graft] def groupLowerMedian(df: DataFrame, grp: String,
+      value: String, tie: String, out: String): DataFrame = {
+    val sortCols = Seq(col(grp), col(value), col(tie))
+    val base = df.repartitionByRange(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // two consumers + offsets must describe THIS partitioning
+    val perPart = base.groupBy(col("pid"), col(grp))
+      .agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col(grp)).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy(col(grp))
+    val locators = perPart
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wN))
+      .withColumn("target", expr("(n + 1) DIV 2"))
+      .filter(col("target") > col("off") &&
+        col("target") <= col("off") + col("c"))
+      .select(col("pid"), col(grp), col("off"), col("target"))
+    val wIn = Window.partitionBy(col("pid"), col(grp))
+      .orderBy(col(value), col(tie))
+    base.join(broadcast(locators), Seq("pid", grp))
+      .withColumn("rr", row_number().over(wIn).cast("long") + col("off"))
+      .filter(col("rr") === col("target"))
+      .select(col(grp), col(value).as(out))
+  }
+
   /** Quartile assignment (ntile) of customers by balance, summarized —
     * on [[withExactGlobalRank]] instead of an unpartitioned Window (which
     * would serialize the whole table through one task at scale). The ntile

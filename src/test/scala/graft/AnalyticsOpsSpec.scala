@@ -308,4 +308,77 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq === Seq(("a > b > c", 2L), ("a > b > c > d > e", 1L)))
   }
+
+  test("equi-depth histogram: 10 rows over 4 buckets split 3/3/2/2 " +
+      "with exact rank boundaries") {
+    import spark.implicits._
+    // values 10,20,…,100 — ntile(4) over 10 rows: buckets of 3,3,2,2
+    val df = (1 to 10).map(i => (i * 10.0, i.toLong)).toDF("v", "id")
+    val out = AggOps.equidepthHistOn(df, "v", Seq("id"), 4L).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1, 3L, 10.0, 30.0), (2, 3L, 40.0, 60.0),
+      (3, 2L, 70.0, 80.0), (4, 2L, 90.0, 100.0)))
+  }
+
+  test("equi-depth histogram: skewed data still buckets by COUNT, " +
+      "duplicate values split across boundaries deterministically") {
+    import spark.implicits._
+    // 8 copies of 1.0 then 2.0, 3.0 — equi-WIDTH would dump 8 rows in one
+    // bin; equi-depth must cut the duplicates at the tie-broken rank
+    val df = ((1 to 8).map(i => (1.0, i.toLong)) ++
+      Seq((2.0, 9L), (3.0, 10L))).toDF("v", "id")
+    val out = AggOps.equidepthHistOn(df, "v", Seq("id"), 5L).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1, 2L, 1.0, 1.0), (2, 2L, 1.0, 1.0),
+      (3, 2L, 1.0, 1.0), (4, 2L, 1.0, 1.0), (5, 2L, 2.0, 3.0)))
+  }
+
+  test("groupLowerMedian: matches the per-group window formulation on " +
+      "random grouped data (odd and even group sizes)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // 6 groups of sizes 1..97, values with heavy ties to stress tie-break
+    val rows = (0 until 6).flatMap { g =>
+      val n = Seq(1, 2, 5, 40, 96, 97)(g)
+      (0 until n).map(i => (s"g$g", (g * 1000 + i).toLong,
+        rnd.nextInt(10).toLong))
+    }
+    val df = rows.toDF("event_type", "event_id", "v")
+    val fast = graft.operators.WindowOps
+      .groupLowerMedian(df, "event_type", "v", "event_id", "med")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val naive = df.withColumn("r", row_number().over(Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("v"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("r") === expr("(n + 1) DIV 2"))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(fast === naive)
+  }
+
+  test("lexical df-cap: a corpus-wide hot term changes nothing vs " +
+      "stripping it, and its postings are never candidates") {
+    import spark.implicits._
+    // 40 docs all share stop-word "the"; discriminative terms are rare.
+    // Query docs 0..3 each share exactly one rare term with some others.
+    // rare terms have df = 4 = exactly 10% of 40 (the cap boundary is
+    // inclusive: 4·1000 ≤ 40·100); the hot term's df = 40 is capped out
+    val docs = (0 until 40).map { i =>
+      val rare = s"tok${i % 10}"
+      (i.toLong, s"the $rare filler$i")
+    }.toDF("doc_id", "text")
+    val capped = SimOps.lexicalRankOn(spark, docs, dfCapPermille = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val stripped = SimOps.lexicalRankOn(spark,
+        docs.withColumn("text", regexp_replace(col("text"), "the ", "")),
+        dfCapPermille = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped === stripped)
+    assert(capped.nonEmpty)
+    // every candidate shares the query's RARE term (df 4 of 40), never
+    // the hot one: doc_id ≡ qid (mod 10)
+    assert(capped.forall { case (qid, did, _) => did % 10 == qid % 10 })
+  }
 }

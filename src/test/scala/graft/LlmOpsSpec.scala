@@ -368,6 +368,21 @@ class LlmOpsSpec extends AnyFunSuite {
       "head stratum does not carry the minimum keep-rate")
   }
 
+  test("unigram cross-entropy: hand-computed micro-nat units on a " +
+      "three-token LM") {
+    import TestSpark.spark.implicits._
+    // corpus tokens: a×3, b×1, c×1 (total 5)
+    // d0 = "a a b": nll = 2·⌊ln(5/3)·1e6⌋ + ⌊ln(5)·1e6⌋ = 2·510825
+    //      + 1609437 = 2631087 over 3 tokens
+    // d1 = "a c":   nll = 510825 + 1609437 = 2120262 over 2 tokens
+    // per-token: d1 (1.060131) > d0 (0.877029)
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.unigramXentOn(docs)
+      .orderBy(desc("xent_nats"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 2120262L), (0L, 3L, 2631087L)))
+  }
+
   test("top-k is a prefix of the total order") {
     val sorted = AggOps.wordcount(spark, sf).collect().map(_.getString(0))
     val full = Tables.documents(spark, sf)

@@ -157,6 +157,54 @@ class PrefixJoinSpec extends AnyFunSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  /** Independent reference for the INCREMENTAL join: brute-force
+    * incoming×index jaccard (never incoming×incoming / index×index).
+    */
+  private def bruteForceIncremental(index: DataFrame, incoming: DataFrame,
+      tau: Double): Set[(Long, Long)] = {
+    val shI = DedupOps.blockShingles(index)
+    val shN = DedupOps.blockShingles(incoming)
+    shN.select(col("doc_id").as("new_id"), col("lang"), col("source"),
+        col("sh").as("shn"))
+      .join(shI.select(col("doc_id").as("matched_id"), col("lang"),
+        col("source"), col("sh").as("shi")), Seq("lang", "source"))
+      .withColumn("inter",
+        NativeExprs.sortedIntersectCount(spark, col("shn"), col("shi")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shn")) + size(col("shi")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("new_id"), col("matched_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("incremental near-dedup equals brute-force incoming×index, " +
+      "including incoming docs whose shingles the index never saw") {
+    import TestSpark.spark.implicits._
+    // index = headerCorpus originals; incoming = its planted re-crawls
+    // plus 10 genuinely-new docs (every shingle f=0 in the index — the
+    // left-join coalesce path) and one near-dup of a new doc that must
+    // NOT match (its only neighbor is in the same batch)
+    val corpus = headerCorpus
+    val index = corpus.filter(col("doc_id") < 1000)
+    val fresh = (0 until 10).map { i =>
+      val toksNew = (0 until 25).map(j => s"fresh${i}_$j").mkString(" ")
+      (5000L + i, "en", "web", toksNew)
+    }.toDF("doc_id", "lang", "source", "text")
+    val incoming = corpus.filter(col("doc_id") >= 1000).union(fresh)
+    val got = DedupOps.incrementalNearDupsOn(index, incoming, 0.3)
+      .select(col("new_id"), col("matched_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteForceIncremental(index, incoming, 0.3)
+    assert(want.nonEmpty, "planted re-crawls must match their originals")
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // every match pairs an incoming id with an index id — the asymmetric
+    // contract (no batch-internal or index-internal pair ever emitted)
+    assert(got.forall { case (n, i) => n >= 1000 && i < 1000 })
+    assert(got.forall { case (n, _) => n < 5000 },
+      "genuinely-new docs must not match anything in the index")
+  }
+
   test("candidate count is far below n(n-1)/2 on a single hot block") {
     val corpus = headerCorpus
     val n = corpus.count()
