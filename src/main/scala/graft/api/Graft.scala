@@ -1062,6 +1062,21 @@ object Graft {
       tieCols: Seq[String], k: Long = 10L): DataFrame =
     graft.operators.AggOps.equidepthHistOn(df, valueCol, tieCols, k)
 
+  /** Per-group ntile bucketing: appends `out` = `ntile(k) OVER
+    * (PARTITION BY groupCol ORDER BY valueCol, tieCols…)` without the
+    * window's group-count parallelism ceiling (the heavy sort
+    * range-partitions on (group, value, ties)). Built for
+    * LOW-cardinality groups — feature binning per dimension, per-key
+    * deciles; with many groups an ordinary window already parallelizes.
+    * `pid`/`r`/`n`/`c`/`off` are reserved internal names the input must
+    * not carry; (valueCol, tieCols…) must totally order each group.
+    */
+  def groupedNtile(df: DataFrame, groupCol: String, valueCol: String,
+      tieCols: Seq[String], k: Long = 4L,
+      out: String = "bucket"): DataFrame =
+    graft.operators.WindowOps.groupNtile(df, groupCol,
+      (valueCol +: tieCols).map(col), k, out)
+
   /** Gini concentration coefficient of the non-negative long `valueCol`
     * per `groupCol` (tie order pinned by `keyCol`): (group, n, total,
     * gini) with gini ∈ [0, (n−1)/n]. Exact rank-formula arithmetic.

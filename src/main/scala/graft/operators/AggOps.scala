@@ -634,9 +634,9 @@ object AggOps extends OpFamily {
     * the [[zscoreOutliers]] headroom discipline) and G is one double
     * division of exact integers, bit-replayed by the oracle.
     *
-    * Scale: rank windows partition by nation (25 partitions here; at
-    * 100 TB the per-nation sort is the shuffle's in-partition sort, no
-    * global order); both joins are dimension-broadcasts.
+    * Scale: the per-nation rank rides [[giniOn]]'s range-partitioned
+    * exact group rank — parallelism scales with data size, not the 25
+    * nations; both joins are dimension-broadcasts.
     */
   def giniRevenue(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.orders(s, d)
@@ -656,17 +656,23 @@ object AggOps extends OpFamily {
 
   /** The Gini core over any (group, unit key, non-negative long value)
     * frame: (grp, n, total, gini), unordered. Hand-computed expectations
-    * in AnalyticsOpsSpec. */
+    * in AnalyticsOpsSpec. The per-group rank i rides
+    * [[graft.operators.WindowOps.withExactGroupRank]] — bit-identical to
+    * the `row_number() OVER (PARTITION BY grp)` it replaces, but the
+    * heavy sort range-partitions on (grp, x, key), so a 25-nation
+    * grouping no longer caps the sort at 25 tasks (the r9 watch item).
+    * All-zero-value groups yield gini = NaN (0/0) on both engines — see
+    * [[graft.api.Graft.gini]].
+    */
   private[graft] def giniOn(df: DataFrame, grp: String, key: String,
       x: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
-    val w = Window.partitionBy(col(grp)).orderBy(col(x), col(key))
-    df.withColumn("i", row_number().over(w))
+    WindowOps.withExactGroupRank(df.select(col(grp), col(key), col(x)),
+        grp, Seq(col(x), col(key)))
       .groupBy(col(grp).as("grp"))
       .agg(count(lit(1)).as("n"),
         sum(col(x)).as("total"),
-        sum(dec(col("i")) * col(x)).as("six"))
+        sum(dec(col("r")) * col(x)).as("six"))
       .select(col("grp"), col("n"), col("total"),
         ((lit(2) * col("six") - dec(col("n") + 1) * col("total"))
           .cast("double") /

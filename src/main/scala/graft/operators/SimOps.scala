@@ -408,6 +408,33 @@ object SimOps extends OpFamily {
         (col("sum_micro").cast("double") / col("n") / 1e6).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** PER-DIMENSION EQUI-DEPTH FEATURE BINNING of the embedding column —
+    * the discretization step scalar-quantization indexes and
+    * gradient-boosted-tree featurizers run: each of the first 8
+    * dimensions is cut into 4 equal-count buckets with exact
+    * order-statistic boundaries (`ntile(4) OVER (PARTITION BY dim)`
+    * semantics), reporting each bin's population and [lo, hi] range —
+    * the codebook a quantizer ships. Rides
+    * [[graft.operators.WindowOps.groupNtile]]: the rank sort
+    * RANGE-partitions on (dim, value, id), so 8 dimensions do NOT mean
+    * 8 tasks — the per-dim sorts spread across the cluster (the same
+    * discipline that fixed agg_mad_outliers). Float→double casts are
+    * exact, so the DuckDB NTILE replay hashes identically.
+    */
+  def embeddingBins(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("pos", "x")))
+      .filter(col("pos") < 8)
+    WindowOps.groupNtile(e, "pos", Seq(col("x"), col("vec_id")), 4L,
+        "bucket")
+      .groupBy(col("pos"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("pos"), col("bucket"))
+  }
+
   /** Top-20 most-similar intra-label pairs (blocked all-pairs top-k). */
   def topPairsIntraLabel(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -681,6 +708,7 @@ object SimOps extends OpFamily {
     "sim_knn_ivf" -> (knnIvf _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
+    "sim_embedding_bins" -> (embeddingBins _),
     "sim_top_pairs" -> (topPairsIntraLabel _))
 
   /** DuckDB replay of the full IVF pipeline: 3 Lloyd rounds with the same
@@ -1023,6 +1051,15 @@ object SimOps extends OpFamily {
            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
            WHERE q.vec_id < 10)
          WHERE rank <= 5 ORDER BY qid, rank""",
+    "sim_embedding_bins" ->
+      """WITH x AS (SELECT vec_id, i - 1 AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, 9)) AS t(i)),
+         b AS (SELECT pos, x,
+             ntile(4) OVER (PARTITION BY pos ORDER BY x, vec_id) AS bucket
+           FROM x)
+         SELECT pos, bucket, count(*) AS n, min(x) AS lo, max(x) AS hi
+         FROM b GROUP BY pos, bucket ORDER BY pos, bucket""",
     "sim_label_centroids" ->
       """SELECT label, pos, count(*) AS n,
            CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)

@@ -199,18 +199,10 @@ object WindowOps extends OpFamily {
     */
   private[graft] def groupLowerMedian(df: DataFrame, grp: String,
       value: String, tie: String, out: String): DataFrame = {
-    val sortCols = Seq(col(grp), col(value), col(tie))
-    val base = df.repartitionByRange(sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // two consumers + offsets must describe THIS partitioning
-    val perPart = base.groupBy(col("pid"), col(grp))
-      .agg(count(lit(1)).as("c"))
-    val wOff = Window.partitionBy(col(grp)).orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wN = Window.partitionBy(col(grp))
-    val locators = perPart
-      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .withColumn("n", sum(col("c")).over(wN))
+    val (base, offs) = groupRankScaffold(df, grp, Seq(col(value), col(tie)))
+    // prune to the ONE partition holding each group's target rank before
+    // ranking anything — a median consumer never ranks the full frame
+    val locators = offs
       .withColumn("target", expr("(n + 1) DIV 2"))
       .filter(col("target") > col("off") &&
         col("target") <= col("off") + col("c"))
@@ -222,6 +214,71 @@ object WindowOps extends OpFamily {
       .filter(col("rr") === col("target"))
       .select(col(grp), col(value).as(out))
   }
+
+  /** Shared scaffold of the grouped exact-rank family: range-partition on
+    * (grp, sortCols…), materialize, and compute the tiny
+    * (pid, grp, c, off, n) ledger — per-(partition, group) row count,
+    * the group's cumulative offset before that partition, and total
+    * group size. The ledger is (partitions × groups) rows; this
+    * machinery is specifically for LOW-cardinality groups (where a
+    * `PARTITION BY grp` window caps parallelism at the group count and
+    * the ledger broadcast is trivially small). High-cardinality groups
+    * don't need it: an ordinary hash-partitioned window already
+    * parallelizes across groups.
+    */
+  private def groupRankScaffold(df: DataFrame, grp: String,
+      sortCols: Seq[org.apache.spark.sql.Column]): (DataFrame, DataFrame) = {
+    val base = df.repartitionByRange(col(grp) +: sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // two consumers + offsets must describe THIS partitioning
+    val wOff = Window.partitionBy(col(grp)).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy(col(grp))
+    val offs = base.groupBy(col("pid"), col(grp))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wN))
+    (base, offs)
+  }
+
+  /** Every row's EXACT rank within its group (plus the group size) with
+    * the [[groupRankScaffold]] plan shape — the full-rank sibling of
+    * [[groupLowerMedian]] for consumers that need all ranks (Gini's
+    * Σ i·x₍ᵢ₎, per-group ntile). Appends long columns `r` (1-based rank
+    * in (sortCols) order within `grp`) and `n` (group size); `pid`/`r`/
+    * `n`/`c`/`off` are reserved names the input must not carry. The sort
+    * must reach a total order within each group. Bit-identical to
+    * `row_number() OVER (PARTITION BY grp ORDER BY sortCols…)` + a group
+    * count, without its group-count parallelism ceiling.
+    */
+  private[graft] def withExactGroupRank(df: DataFrame, grp: String,
+      sortCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val (base, offs) = groupRankScaffold(df, grp, sortCols)
+    val wIn = Window.partitionBy(col("pid"), col(grp)).orderBy(sortCols: _*)
+    base.join(broadcast(offs.select(col("pid"), col(grp), col("off"),
+        col("n"))), Seq("pid", grp))
+      .withColumn("r", row_number().over(wIn).cast("long") + col("off"))
+      .drop("pid", "off")
+  }
+
+  /** `ntile(k) OVER (PARTITION BY grp ORDER BY sortCols…)` semantics on
+    * [[withExactGroupRank]] — per-group equal-count bucketing (feature
+    * binning, per-key deciles) with no low-cardinality window. Same
+    * first-buckets-take-the-extra-row arithmetic as [[ntileBucket]],
+    * with the bucket widths depending on each group's own n.
+    */
+  private[graft] def groupNtile(df: DataFrame, grp: String,
+      sortCols: Seq[org.apache.spark.sql.Column], k: Long,
+      out: String): DataFrame =
+    withExactGroupRank(df, grp, sortCols)
+      .withColumn(out,
+        when(expr(s"n DIV $k") === 0, col("r").cast("int"))
+          .otherwise(when(col("r") <= expr(s"(n % $k) * (n DIV $k + 1)"),
+              expr(s"CAST((r - 1) DIV (n DIV $k + 1) + 1 AS INT)"))
+            .otherwise(expr(s"CAST(n % $k + " +
+              s"(r - 1 - (n % $k) * (n DIV $k + 1)) DIV (n DIV $k) + 1" +
+              " AS INT)"))))
+      .drop("r", "n")
 
   /** Quartile assignment (ntile) of customers by balance, summarized —
     * on [[withExactGlobalRank]] instead of an unpartitioned Window (which

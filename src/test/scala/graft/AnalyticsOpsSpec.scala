@@ -358,6 +358,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(fast === naive)
   }
 
+  test("groupNtile: matches ntile() OVER (PARTITION BY grp) on random " +
+      "grouped data including n < k groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    // group sizes straddle k = 4: 1, 2, 3 (n < k → bucket = rank), 4,
+    // 41, 96; heavy value ties exercise the tie-break
+    val rows = Seq(1, 2, 3, 4, 41, 96).zipWithIndex.flatMap { case (n, g) =>
+      (0 until n).map(i => (s"g$g", (g * 1000 + i).toLong,
+        rnd.nextInt(7).toLong))
+    }
+    val df = rows.toDF("grp", "id", "v")
+    val fast = graft.operators.WindowOps
+      .groupNtile(df, "grp", Seq(col("v"), col("id")), 4L, "bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3))
+      .toMap
+    val naive = df.withColumn("bucket", ntile(4).over(Window
+        .partitionBy(col("grp")).orderBy(col("v"), col("id"))))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3))
+      .toMap
+    assert(fast === naive)
+  }
+
   test("lexical df-cap: a corpus-wide hot term changes nothing vs " +
       "stripping it, and its postings are never candidates") {
     import spark.implicits._
