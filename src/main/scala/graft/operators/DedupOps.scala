@@ -138,7 +138,34 @@ object DedupOps extends OpFamily {
     * (AllPairs/PPJoin), never all-pairs — see [[blockedJaccardPairs]].
     */
   def nearJaccard(s: SparkSession, d: String): DataFrame =
-    blockedJaccardPairs(withNearDupes(s, d))
+    cachedPairs(s, d, "neardup_tau30")(
+      blockedJaccardPairs(withNearDupes(s, d)))
+      .orderBy(col("a"), col("b"))
+
+  /** Content-addressed NEAR-DUP PAIR INDEX — the dedup twin of
+    * [[SimOps.lloydCells]]'s persisted IVF index: the prefix-filtered
+    * exact-Jaccard pair table is a pure function of (corpus file,
+    * corpus recipe tag, τ), so it is built ONCE, written to parquet,
+    * and re-attached by every consumer (the pair listing, the CC
+    * clustering, the survivor report, and the three dup-graph analytics
+    * in GraphOps) instead of re-running the similarity join per query.
+    * At 100 TB the pair build is the batch job and everything downstream
+    * — clustering, survivor materialization, graph analytics — reads
+    * the artifact. Keyed on the documents file's (size, mtime)
+    * fingerprint so a regenerated fixture invalidates (the r8 lesson);
+    * doubles round-trip parquet bit-exactly, so cached results hash
+    * identically to fresh ones.
+    */
+  private[graft] def cachedPairs(s: SparkSession, d: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path =
+      s"/tmp/graft_pairs/v1_${key}_${f.length()}_${f.lastModified()}/$tag"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
 
   /** Exact-jaccard pair core over any (doc_id, lang, source, text) corpus —
     * shared by [[nearJaccard]] and the dup-graph consumers

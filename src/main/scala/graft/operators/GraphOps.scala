@@ -541,12 +541,19 @@ object GraphOps extends OpFamily {
     * coefficient is one double division of two exact longs, so the value
     * is engine-exact.
     */
-  def triangleCensus(s: SparkSession, d: String): DataFrame = {
-    // undirected (a < b) similarity edges, materialized once: the edge set
-    // feeds the degree count, the orientation join and the closing join
-    val und = DedupOps.blockedJaccardPairs(dupCorpus(s, d))
+  /** Undirected (a < b) similarity edges over [[dupCorpus]], re-attached
+    * from the content-addressed pair index ([[DedupOps.cachedPairs]]) —
+    * built once, shared by [[triangleCensus]], [[clusteringCoeff]] and
+    * [[kTruss]]; a parquet re-read replaces the old per-query
+    * similarity-join + localCheckpoint.
+    */
+  private def dupEdges(s: SparkSession, d: String): DataFrame =
+    DedupOps.cachedPairs(s, d, "dupgraph_tau30")(
+      DedupOps.blockedJaccardPairs(dupCorpus(s, d)))
       .select(col("a"), col("b"))
-      .localCheckpoint()
+
+  def triangleCensus(s: SparkSession, d: String): DataFrame = {
+    val und = dupEdges(s, d)
     val deg = degreeOf(und)
     val tri = degreeOrientedTriangles(und)
       .agg(count(lit(1)).as("n_triangles"))
@@ -582,9 +589,7 @@ object GraphOps extends OpFamily {
     * double division of exact longs — engine-exact, no float drift.
     */
   def clusteringCoeff(s: SparkSession, d: String): DataFrame =
-    clusteringCoeffOn(DedupOps.blockedJaccardPairs(dupCorpus(s, d))
-      .select(col("a"), col("b"))
-      .localCheckpoint())
+    clusteringCoeffOn(dupEdges(s, d))
 
   /** The per-node clustering-coefficient core over any undirected
     * strictly (a < b) edge frame; exactness pinned on a hand graph in
@@ -686,9 +691,7 @@ object GraphOps extends OpFamily {
   private[graft] val TrussRounds = 3
 
   def kTruss(s: SparkSession, d: String): DataFrame = {
-    val truss = trussFrom(
-      DedupOps.blockedJaccardPairs(dupCorpus(s, d)).select(col("a"), col("b")),
-      TrussK, TrussRounds)
+    val truss = trussFrom(dupEdges(s, d), TrussK, TrussRounds)
     val nodes = truss.select(col("a").as("x"))
       .unionByName(truss.select(col("b").as("x"))).distinct()
       .agg(count(lit(1)).as("n_nodes"))

@@ -107,6 +107,44 @@ object StreamPipelines {
       }
       .start()
 
+  /** Streaming INCREMENTAL NEAR-DEDUP ingest — the streaming twin of the
+    * batch dedup_incremental: each micro-batch of incoming documents
+    * probes a STATIC index corpus with the same asymmetric prefix-
+    * filtered exact-Jaccard join
+    * ([[graft.operators.DedupOps.incrementalNearDupsOn]]) and appends
+    * its (new_id, matched_id, jaccard, batch_id) match ledger to a
+    * parquet directory. foreachBatch because the prefix build needs a
+    * per-batch groupBy over the batch's shingles — a bounded,
+    * batch-local aggregation, which is exactly what production ingest
+    * jobs run; the index side is the write-once artifact
+    * ([[graft.operators.DedupOps.cachedPairs]] family), so per-batch
+    * cost is bounded by the batch's posting lists and independent of
+    * how many batches came before. Batch-id column makes replays
+    * detectable downstream (at-least-once contract). Input schema:
+    * docs(doc_id BIGINT, lang STRING, source STRING, text STRING).
+    */
+  def incrementalDedupSink(docs: DataFrame, index: DataFrame, tau: Double,
+      outDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the micro-batch executes in a CLONED session whose function
+        // registry was snapshotted at stream start — re-register the
+        // graft_* codegen expressions there or the merge-scan verify
+        // resolves against a registry that never saw them
+        graft.functions.NativeExprs.ensureRegistered(batch.sparkSession)
+        graft.operators.DedupOps
+          .incrementalNearDupsOn(index, batch, tau)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming funnel state machine — the incremental twin of the batch
     * ev_funnel, on the Spark 4 transformWithState API: one ValueState
     * per user holds the furthest step reached; an event advances the

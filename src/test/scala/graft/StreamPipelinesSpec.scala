@@ -97,4 +97,59 @@ class StreamPipelinesSpec extends AnyFunSuite {
     val out = spark.table("sp_dedup")
     assert(out.count() === out.select("event_id").distinct().count())
   }
+
+  test("streaming incremental dedup: per-batch ledgers union to the " +
+      "batch incoming×index result") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    // index: 60 docs, 3-token shared header + 20 unique tokens each
+    val header = "h0 h1 h2"
+    val indexRows = (0 until 60).map { i =>
+      val unique = (0 until 20).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, "en", "web", s"$header $unique")
+    }
+    val index = indexRows.toDF("doc_id", "lang", "source", "text")
+    // incoming: truncated re-crawls of every 6th index doc (high Jaccard)
+    // plus 5 fresh docs that must match nothing
+    val recrawls = indexRows.filter(_._1 % 6 == 0).map { case (id, l, s, t) =>
+      (id + 1000L, l, s, t.split(" ").dropRight(5).mkString(" "))
+    }
+    val fresh = (0 until 5).map { i =>
+      (2000L + i, "en", "web", (0 until 23).map(j => s"f${i}_$j").mkString(" "))
+    }
+    // two staged files + maxFilesPerTrigger=1 → at least two micro-batches;
+    // each file carries some re-crawls so BOTH batches emit ledger rows
+    // (an all-fresh batch appends an empty ledger with no batch_id rows)
+    val (rc1, rc2) = recrawls.splitAt(recrawls.size / 2)
+    val dir = Files.createTempDirectory("graft_stream_docs").toFile
+    dir.deleteOnExit()
+    rc1.toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    (rc2 ++ fresh).toDF("doc_id", "lang", "source", "text")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val outDir = Files.createTempDirectory("graft_stream_incdedup").toFile
+    outDir.deleteOnExit()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, source STRING, text STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+    val q = StreamPipelines.incrementalDedupSink(
+      stream, index, 0.3, outDir.toString)
+    q.awaitTermination(120000)
+    val ledger = spark.read.parquet(outDir.toString)
+    assert(ledger.select("batch_id").distinct().count() >= 2,
+      "maxFilesPerTrigger=1 over two files must yield two micro-batches")
+    val got = ledger.select("new_id", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = DedupOps.incrementalNearDupsOn(index,
+        (recrawls ++ fresh).toDF("doc_id", "lang", "source", "text"), 0.3)
+      .select("new_id", "matched_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "re-crawls must match their originals")
+    assert(got === want)
+    assert(got.forall { case (n, _) => n < 2000L },
+      "fresh docs must match nothing in the index")
+  }
 }
