@@ -1077,6 +1077,20 @@ object Graft {
     graft.operators.WindowOps.groupNtile(df, groupCol,
       (valueCol +: tieCols).map(col), k, out)
 
+  /** Top principal direction (uncentered Gram) of a fixed-`dim` vector
+    * column by `rounds` deterministic power iterations — every float
+    * reduction is order-independent (micro-unit integer accumulation,
+    * exact-integer norms), so results are reproducible across cluster
+    * sizes and replayable by an external engine. Returns (pos, loading),
+    * a unit vector. The input is scanned once per round — persist it
+    * when it isn't already a cheap re-read.
+    */
+  def topPrincipalComponent(df: DataFrame, vecCol: String, dim: Int,
+      rounds: Int = 3): DataFrame =
+    graft.operators.SimOps.topComponentOn(df.sparkSession,
+      df.select(transform(col(vecCol), _.cast("double")).as("v")),
+      dim, rounds)
+
   /** Gini concentration coefficient of the non-negative long `valueCol`
     * per `groupCol` (tie order pinned by `keyCol`): (group, n, total,
     * gini) with gini ∈ [0, (n−1)/n]. Exact rank-formula arithmetic.

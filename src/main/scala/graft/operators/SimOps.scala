@@ -408,6 +408,62 @@ object SimOps extends OpFamily {
         (col("sum_micro").cast("double") / col("n") / 1e6).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** TOP PRINCIPAL COMPONENT by power iteration — the spectral summary
+    * embedding pipelines read before whitening / dimension dropping:
+    * which direction carries the corpus's variance (uncentered Gram
+    * matrix here, the common retrieval formulation). Three rounds of
+    * w = Σₓ x·(x·v), each made ORDER-INDEPENDENT the [[lloydCellsOn]]
+    * way: the per-row projection x·v is the codegen'd left-to-right
+    * [[NativeExprs.dot]] (bit-equal to DuckDB's list_dot_product), the
+    * per-dimension accumulation sums floor(xᵢ·s·1e6) as exact longs,
+    * the norm is sqrt of an EXACT integer Σwᵢ² (BigInt here, HUGEINT in
+    * the oracle), and the renormalized vector re-quantizes to
+    * floor(wᵢ/‖w‖·1e6)/1e6 — every float op is a correctly-rounded IEEE
+    * primitive on identical inputs, so DuckDB replays all three rounds
+    * bit-for-bit and the query is hash-checked, where a naive float
+    * pipeline would drift at the first Σ. Output: (pos, loading), the
+    * unit eigenvector estimate.
+    *
+    * Scale shape: per round ONE narrow pass over the corpus (projection
+    * is row-local against a broadcast literal) + a dim-bounded (64-row)
+    * aggregate; the only driver artifact is the d-vector itself —
+    * O(d) per round, the same bounded-collect class as the bloom bytes.
+    */
+  def topComponent(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // consumed once per power round
+    topComponentOn(s, e, dim = 64, rounds = 3)
+  }
+
+  /** The generic power-iteration core over any (v: array&lt;double&gt;)
+    * frame with fixed dimensionality `dim`; seed = all-ones (exact in
+    * binary, any dim). Convergence properties in AnalyticsOpsSpec.
+    */
+  private[graft] def topComponentOn(s: SparkSession, e: DataFrame,
+      dim: Int, rounds: Int): DataFrame = {
+    var vec: IndexedSeq[Double] = IndexedSeq.fill(dim)(1.0)
+    (1 to rounds).foreach { _ =>
+      val w = e.withColumn("s", NativeExprs.dot(s, col("v"), typedLit(vec)))
+        .select(posexplode(col("v")).as(Seq("pos", "x")), col("s"))
+        .groupBy(col("pos"))
+        .agg(sum(floor(col("x") * col("s") * 1e6).cast("long")).as("w"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        .map(_._2)
+      // exact integer Σw² (w up to ~1e12 squares past long range), then
+      // one correctly-rounded toDouble + sqrt — replayed by HUGEINT→
+      // DOUBLE in the oracle
+      val norm = math.sqrt(
+        w.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      vec = w.map(wi => math.floor(wi.toDouble / norm * 1e6) / 1e6)
+        .toIndexedSeq
+    }
+    import s.implicits._
+    vec.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("pos", "loading")
+      .orderBy(col("pos"))
+  }
+
   /** PER-DIMENSION EQUI-DEPTH FEATURE BINNING of the embedding column —
     * the discretization step scalar-quantization indexes and
     * gradient-boosted-tree featurizers run: each of the first 8
@@ -709,7 +765,26 @@ object SimOps extends OpFamily {
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_embedding_bins" -> (embeddingBins _),
+    "sim_top_component" -> (topComponent _),
     "sim_top_pairs" -> (topPairsIntraLabel _))
+
+  /** One power-iteration round as a DuckDB CTE triple: w (micro-unit
+    * integer accumulation), n (exact-integer norm), v_next (requantized
+    * unit vector) — the replay core of [[topComponentOn]].
+    */
+  private def powerCte(k: Int, prev: String): String =
+    s"""w$k AS (SELECT i - 1 AS pos,
+           CAST(sum(CAST(floor(x.v[i] * x.s * 1e6) AS BIGINT)) AS BIGINT)
+             AS w
+         FROM (SELECT v, list_dot_product(v,
+                 (SELECT list(c ORDER BY pos) FROM $prev)) AS s
+               FROM v) x, unnest(range(1, 65)) AS t(i)
+         GROUP BY i),
+       n$k AS (SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE))
+             AS nrm FROM w$k),
+       v$k AS (SELECT pos, floor(CAST(w AS DOUBLE) / n.nrm * 1e6) / 1e6
+             AS c
+         FROM w$k CROSS JOIN n$k n)"""
 
   /** DuckDB replay of the full IVF pipeline: 3 Lloyd rounds with the same
     * deterministic micro-unit means, same nearest-cell assignment and
@@ -1051,6 +1126,13 @@ object SimOps extends OpFamily {
            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
            WHERE q.vec_id < 10)
          WHERE rank <= 5 ORDER BY qid, rank""",
+    "sim_top_component" ->
+      s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         p0 AS (SELECT i - 1 AS pos, CAST(1.0 AS DOUBLE) AS c
+           FROM unnest(range(1, 65)) AS t(i)),
+         ${powerCte(1, "p0")}, ${powerCte(2, "v1")}, ${powerCte(3, "v2")}
+         SELECT pos, c AS loading FROM v3 ORDER BY pos""",
     "sim_embedding_bins" ->
       """WITH x AS (SELECT vec_id, i - 1 AS pos,
              CAST(embedding[i] AS DOUBLE) AS x

@@ -381,6 +381,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(fast === naive)
   }
 
+  test("power iteration recovers a planted dominant direction as a " +
+      "unit vector, exact zeros off-axis") {
+    import spark.implicits._
+    // points k·(0.6, 0.8, 0, 0), k = 1..20: the top component IS
+    // (0.6, 0.8, 0, 0); with the all-ones seed round 1 already lands on
+    // it, rounds 2-3 must hold it fixed under requantization
+    val pts = (1 to 20).map { k =>
+      Tuple1(Seq(0.6 * k, 0.8 * k, 0.0, 0.0))
+    }.toDF("v")
+    val out = graft.operators.SimOps
+      .topComponentOn(spark, pts, dim = 4, rounds = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(0) - 0.6) < 2e-6, s"loading0=${out(0)}")
+    assert(math.abs(out(1) - 0.8) < 2e-6, s"loading1=${out(1)}")
+    assert(out(2) === 0.0 && out(3) === 0.0,
+      "zero-variance dims must stay EXACTLY zero (integer accumulation)")
+    val norm = math.sqrt(out.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5, s"norm=$norm")
+  }
+
   test("lexical df-cap: a corpus-wide hot term changes nothing vs " +
       "stripping it, and its postings are never candidates") {
     import spark.implicits._
