@@ -429,11 +429,57 @@ object SimOps extends OpFamily {
     * aggregate; the only driver artifact is the d-vector itself —
     * O(d) per round, the same bounded-collect class as the bloom bytes.
     */
-  def topComponent(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(transform(col("embedding"), _.cast("double")).as("v"))
-      .localCheckpoint() // consumed once per power round
-    topComponentOn(s, e, dim = 64, rounds = 3)
+  def topComponent(s: SparkSession, d: String): DataFrame =
+    cachedComponent(s, d).orderBy(col("pos"))
+
+  /** The (pos, loading) estimate as a content-addressed on-disk artifact
+    * (same fingerprint discipline as [[ivfIndexPath]]) — built once,
+    * read by [[topComponent]] and projected against by
+    * [[spectralProfile]]; at scale the spectral fit is a batch job and
+    * consumers are readers.
+    */
+  private def cachedComponent(s: SparkSession, d: String): DataFrame = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path =
+      s"/tmp/graft_ivf/v1_${key}_${f.length()}_${f.lastModified()}/component"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val e = Tables.embeddings(s, d)
+        .select(transform(col("embedding"), _.cast("double")).as("v"))
+        .localCheckpoint() // consumed once per power round
+      topComponentOn(s, e, dim = 64, rounds = 3)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** SPECTRAL PROJECTION PROFILE per label — what the corpus does with
+    * the [[topComponent]] estimate: every vector's projection onto the
+    * principal direction, summarized per label (population, integral
+    * micro-unit mean). The pipeline read: if labels separate along the
+    * top component, it is a real stratification axis (and a whitening /
+    * de-biasing candidate); flat means the dominant variance is
+    * label-independent. Projections are the same codegen dot against
+    * the broadcast loading vector; the mean is an order-independent
+    * micro-unit sum over exact longs divided once — hash-replayable
+    * through the full 3-round CTE chain. One narrow corpus pass + a
+    * label-bounded aggregate.
+    */
+  def spectralProfile(s: SparkSession, d: String): DataFrame = {
+    val loading = cachedComponent(s, d).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        NativeExprs.dot(s,
+          transform(col("embedding"), _.cast("double")),
+          typedLit(loading.toSeq)).as("proj"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("proj") * 1e6).cast("long")).as("proj_units"))
+      .select(col("label"), col("n"),
+        (col("proj_units").cast("double") / col("n") / 1e6)
+          .as("mean_proj"))
+      .orderBy(col("label"))
   }
 
   /** The generic power-iteration core over any (v: array&lt;double&gt;)
@@ -766,6 +812,7 @@ object SimOps extends OpFamily {
     "sim_label_centroids" -> (labelCentroids _),
     "sim_embedding_bins" -> (embeddingBins _),
     "sim_top_component" -> (topComponent _),
+    "sim_spectral_profile" -> (spectralProfile _),
     "sim_top_pairs" -> (topPairsIntraLabel _))
 
   /** One power-iteration round as a DuckDB CTE triple: w (micro-unit
@@ -1133,6 +1180,20 @@ object SimOps extends OpFamily {
            FROM unnest(range(1, 65)) AS t(i)),
          ${powerCte(1, "p0")}, ${powerCte(2, "v1")}, ${powerCte(3, "v2")}
          SELECT pos, c AS loading FROM v3 ORDER BY pos""",
+    "sim_spectral_profile" ->
+      s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         p0 AS (SELECT i - 1 AS pos, CAST(1.0 AS DOUBLE) AS c
+           FROM unnest(range(1, 65)) AS t(i)),
+         ${powerCte(1, "p0")}, ${powerCte(2, "v1")}, ${powerCte(3, "v2")},
+         pr AS (SELECT e.label, list_dot_product(
+               CAST(e.embedding AS DOUBLE[]),
+               (SELECT list(c ORDER BY pos) FROM v3)) AS proj
+           FROM embeddings e)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(floor(proj * 1e6) AS BIGINT)) AS BIGINT)
+             AS DOUBLE) / count(*) / 1e6 AS mean_proj
+         FROM pr GROUP BY label ORDER BY label""",
     "sim_embedding_bins" ->
       """WITH x AS (SELECT vec_id, i - 1 AS pos,
              CAST(embedding[i] AS DOUBLE) AS x
