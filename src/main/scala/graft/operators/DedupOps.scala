@@ -157,15 +157,9 @@ object DedupOps extends OpFamily {
     * identically to fresh ones.
     */
   private[graft] def cachedPairs(s: SparkSession, d: String, tag: String)(
-      build: => DataFrame): DataFrame = {
-    val f = new java.io.File(s"$d/documents.parquet")
-    val key = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val path =
-      s"/tmp/graft_pairs/v1_${key}_${f.length()}_${f.lastModified()}/$tag"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      build.write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+      build: => DataFrame): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(d, "documents", "/tmp/graft_pairs", tag))(build)
 
   /** Exact-jaccard pair core over any (doc_id, lang, source, text) corpus —
     * shared by [[nearJaccard]] and the dup-graph consumers

@@ -103,12 +103,8 @@ object SimOps extends OpFamily {
     * serving cells from a different corpus; parquet round-trips doubles
     * bit-exactly, so cached and freshly-built searches are identical.
     */
-  private def ivfIndexPath(d: String, nlist: Int): String = {
-    val f = new java.io.File(s"$d/embeddings.parquet")
-    val fp = s"${f.length()}_${f.lastModified()}"
-    val key = d.replaceAll("[^A-Za-z0-9.]", "_")
-    s"/tmp/graft_ivf/v1_${key}_$fp/nlist_$nlist"
-  }
+  private def ivfIndexPath(d: String, nlist: Int): String =
+    ArtifactCache.dir(d, "embeddings", "/tmp/graft_ivf", s"nlist_$nlist")
 
   /** The generic Lloyd core behind [[lloydCells]] (and the public
     * clustering/dedup APIs): any (vec_id, v: array&lt;double&gt;) frame.
@@ -262,9 +258,12 @@ object SimOps extends OpFamily {
     // df-cap BEFORE candidate generation: the query terms meet df and the
     // corpus size first, hot terms drop, and only then do surviving terms
     // meet the posting table — a capped term's postings are never read.
-    val qterms = dt.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("qid"), col("term"))
-      .join(broadcast(df_), Seq("term"))
+    // The BROADCAST side is the query-term list (bounded by the query
+    // set), never df_ — the vocabulary outgrows any driver at corpus
+    // scale (the rarityScore rule).
+    val qterms = broadcast(dt.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("term")))
+      .join(df_, Seq("term"))
       .crossJoin(broadcast(nDf))
       .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
     val tscore = qterms
@@ -438,20 +437,14 @@ object SimOps extends OpFamily {
     * [[spectralProfile]]; at scale the spectral fit is a batch job and
     * consumers are readers.
     */
-  private def cachedComponent(s: SparkSession, d: String): DataFrame = {
-    val f = new java.io.File(s"$d/embeddings.parquet")
-    val key = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val path =
-      s"/tmp/graft_ivf/v1_${key}_${f.length()}_${f.lastModified()}/component"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+  private def cachedComponent(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+        ArtifactCache.dir(d, "embeddings", "/tmp/graft_ivf", "component")) {
       val e = Tables.embeddings(s, d)
         .select(transform(col("embedding"), _.cast("double")).as("v"))
         .localCheckpoint() // consumed once per power round
       topComponentOn(s, e, dim = 64, rounds = 3)
-        .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
-  }
 
   /** SPECTRAL PROJECTION PROFILE per label — what the corpus does with
     * the [[topComponent]] estimate: every vector's projection onto the
