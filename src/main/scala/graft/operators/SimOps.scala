@@ -266,7 +266,10 @@ object SimOps extends OpFamily {
       .join(df_, Seq("term"))
       .crossJoin(broadcast(nDf))
       .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
-    val tscore = qterms
+    // the surviving (query, term) list is bounded by the query set —
+    // broadcast it so candidate generation is a map-side probe of the
+    // posting table, not a shuffle of the postings by term
+    val tscore = broadcast(qterms)
       .join(dt.select(col("doc_id").as("did"), col("term")), Seq("term"))
       .filter(col("did") =!= col("qid"))
       .groupBy(col("qid"), col("did"))
