@@ -1091,6 +1091,15 @@ object Graft {
       df.select(transform(col(vecCol), _.cast("double")).as("v")),
       dim, rounds)
 
+  /** Pairwise Pearson correlation matrix over the named numeric columns
+    * in ONE aggregate pass (all moment sums together, DECIMAL-exact
+    * accumulation): one (ma, mb, n, r) row per unordered pair — the
+    * redundant-feature screen run before training. Constant columns
+    * yield r = NaN (zero variance).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    graft.operators.AggOps.corrMatrixOn(df, cols.map(c => c -> c))
+
   /** Gini concentration coefficient of the non-negative long `valueCol`
     * per `groupCol` (tie order pinned by `keyCol`): (group, n, total,
     * gini) with gini ∈ [0, (n−1)/n]. Exact rank-formula arithmetic.

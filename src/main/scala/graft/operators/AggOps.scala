@@ -331,6 +331,59 @@ object AggOps extends OpFamily {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Metric pairs of the correlation matrix, shared by [[corrMatrix]]
+    * and its generated oracle: (short name, lineitem column). */
+  private[graft] val CorrMetrics = Seq(
+    "discount" -> "l_discount", "extprice" -> "l_extendedprice",
+    "quantity" -> "l_quantity", "tax" -> "l_tax")
+  private[graft] val CorrPairs =
+    for { i <- CorrMetrics.indices; j <- CorrMetrics.indices if i < j }
+      yield (CorrMetrics(i), CorrMetrics(j))
+
+  /** FEATURE-CORRELATION MATRIX — every pairwise Pearson r over the
+    * lineitem numeric metrics in ONE aggregate pass (the profiling
+    * screen a feature pipeline runs before training: near-±1 pairs are
+    * redundant features, near-0 pairs are independent signals).
+    * [[corrQtyPrice]] generalized from one pair to the 4×4 upper
+    * triangle: all 14 moment sums (4 Σx, 4 Σx², 6 Σxy) accumulate in
+    * DECIMAL in a single map-side-partial aggregate — one corpus scan
+    * for the whole matrix, not one per pair — and each r is the same
+    * final double expression the single-pair oracle replays. Output: 6
+    * rows (ma, mb, n, r).
+    */
+  def corrMatrix(s: SparkSession, d: String): DataFrame =
+    corrMatrixOn(Tables.lineitem(s, d), CorrMetrics)
+
+  /** The matrix core over any frame and (name, numeric column) list —
+    * [[graft.api.Graft.correlationMatrix]]. One aggregate pass; output
+    * one (ma, mb, n, r) row per unordered name pair.
+    */
+  private[graft] def corrMatrixOn(df: DataFrame,
+      metrics: Seq[(String, String)]): DataFrame = {
+    val pairs =
+      for { i <- metrics.indices; j <- metrics.indices if i < j }
+        yield (metrics(i), metrics(j))
+    def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+    val aggCols =
+      metrics.flatMap { case (nm, c) => Seq(
+        sum(d4(col(c))).as(s"s_$nm"),
+        sum(d4(col(c)) * d4(col(c))).as(s"p_${nm}_$nm")) } ++
+      pairs.map { case ((na, ca), (nb, cb)) =>
+        sum(d4(col(ca)) * d4(col(cb))).as(s"p_${na}_$nb") }
+    val row = df.agg(count(lit(1)).as("n"), aggCols: _*)
+    def mean(nm: String) = col(s"s_$nm").cast("double") / col("n")
+    def cov(a: String, b: String) =
+      col(s"p_${a}_$b").cast("double") / col("n") - mean(a) * mean(b)
+    val cells = pairs.map { case ((na, _), (nb, _)) =>
+      struct(lit(na).as("ma"), lit(nb).as("mb"),
+        (cov(na, nb) / (sqrt(cov(na, na)) * sqrt(cov(nb, nb)))).as("r"))
+    }
+    row.select(col("n"), explode(array(cells: _*)).as("p"))
+      .select(col("p.ma").as("ma"), col("p.mb").as("mb"), col("n"),
+        col("p.r").as("r"))
+      .orderBy(col("ma"), col("mb"))
+  }
+
   /** UNPIVOT/melt — [[pivotEventTypes]]'s inverse reshaping: a wide
     * per-language profile (doc count, char mass, token mass) melted to
     * tidy (lang, metric, value) rows via Dataset.unpivot (Catalyst
@@ -728,6 +781,7 @@ object AggOps extends OpFamily {
     "agg_mode" -> (modeLangPerSource _),
     "agg_zscore_outliers" -> (zscoreOutliers _),
     "agg_corr" -> (corrQtyPrice _),
+    "agg_corr_matrix" -> (corrMatrix _),
     "agg_q1_pricing_summary" -> (q1PricingSummary _),
     "agg_numeric_summary" -> (numericSummary _),
     "agg_count_distinct" -> (countDistinctUsers _),
@@ -826,6 +880,28 @@ object AggOps extends OpFamily {
          JOIN (VALUES (25), (50), (75), (95)) t(pct)
            ON s.r = CAST(ceil(t.pct * s.n / 100.0) AS BIGINT)
          ORDER BY pct""",
+    "agg_corr_matrix" -> {
+      def d4(c: String) = s"CAST($c AS DECIMAL(19,4))"
+      val sums =
+        CorrMetrics.flatMap { case (nm, c) => Seq(
+          s"SUM(${d4(c)}) AS s_$nm",
+          s"SUM(${d4(c)} * ${d4(c)}) AS p_${nm}_$nm") } ++
+        CorrPairs.map { case ((na, ca), (nb, cb)) =>
+          s"SUM(${d4(ca)} * ${d4(cb)}) AS p_${na}_$nb" }
+      def mean(nm: String) = s"(CAST(s_$nm AS DOUBLE) / n)"
+      def cov(a: String, b: String) =
+        s"(CAST(p_${a}_$b AS DOUBLE) / n - ${mean(a)} * ${mean(b)})"
+      val rows = CorrPairs.map { case ((na, _), (nb, _)) =>
+        s"""SELECT '$na' AS ma, '$nb' AS mb, n,
+            ${cov(na, nb)} / (sqrt(${cov(na, na)}) * sqrt(${cov(nb, nb)}))
+              AS r FROM a""" }
+      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           ${sums.mkString(",\n           ")}
+         FROM lineitem)
+         SELECT ma, mb, n, r FROM (
+           ${rows.mkString("\n           UNION ALL ")})
+         ORDER BY ma, mb"""
+    },
     "agg_corr" ->
       """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
            SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,

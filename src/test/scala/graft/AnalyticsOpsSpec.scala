@@ -381,6 +381,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(fast === naive)
   }
 
+  test("correlation matrix: perfectly linear pairs hit ±1, one row per " +
+      "unordered pair") {
+    import spark.implicits._
+    // y = 2x and z = 11 − x: r(x,y) = 1, r(x,z) = −1, r(y,z) = −1
+    val df = (1 to 10).map(i => (i.toDouble, 2.0 * i, 11.0 - i))
+      .toDF("x", "y", "z")
+    val out = AggOps.corrMatrixOn(df, Seq("x" -> "x", "y" -> "y",
+        "z" -> "z")).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(out.values.forall(_._1 === 10L))
+    assert(math.abs(out(("x", "y"))._2 - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z"))._2 + 1.0) < 1e-12)
+    assert(math.abs(out(("y", "z"))._2 + 1.0) < 1e-12)
+  }
+
   test("power iteration recovers a planted dominant direction as a " +
       "unit vector, exact zeros off-axis") {
     import spark.implicits._
