@@ -677,6 +677,51 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(4L) === ((0L, 4L, 160000L), (1, 2, 2)))
   }
 
+  test("equidepthHistogram covers n < k: each row its own bucket") {
+    val tiny = Seq((5.0, 1L), (1.0, 2L), (9.0, 3L)).toDF("v", "id")
+    val out = Graft.equidepthHistogram(tiny, "v", Seq("id"), k = 5L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // ntile semantics with 3 rows over 5 buckets: buckets 1..3, one row
+    // each, in ascending value order
+    assert(out.toSeq === Seq((1, 1L, 1.0), (2, 1L, 5.0), (3, 1L, 9.0)))
+  }
+
+  test("incrementalNearDupPairs on ad-hoc frames with renamed columns") {
+    val index = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (200L, "one two three four five six seven eight nine ten"))
+      .toDF("k", "t")
+    val incoming = Seq(
+      // truncated re-crawl of 100 → must match
+      (900L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // fresh content → must not
+      (901L, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+      .toDF("k", "t")
+    val out = Graft.incrementalNearDupPairs(index, incoming, "k", "t", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((900L, 100L)))
+  }
+
+  test("unigramCrossEntropy ranks rare-token docs above boilerplate") {
+    val corpus = (Seq.fill(9)("common words repeated across the corpus")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (99L, "zyx wvu tsr qpo nml")).toDF("my_id", "body")
+    val out = Graft.unigramCrossEntropy(corpus, "my_id", "body")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(99L) > out(0L),
+      "rare-token doc must carry higher cross-entropy than boilerplate")
+  }
+
+  test("correlationMatrix on an ad-hoc frame emits sorted pairs") {
+    val df = (1 to 50).map(i =>
+      (i.toDouble, i * 3.0 + 1, 50.0 - i)).toDF("a", "b", "c")
+    val out = Graft.correlationMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out.forall { case (_, _, r) => math.abs(math.abs(r) - 1.0) < 1e-12 })
+  }
+
   test("semanticDedup ledger partitions an ad-hoc embedding frame") {
     val vecs = Seq.tabulate(40) { i =>
       // two planted exact pairs inside a noisy space
