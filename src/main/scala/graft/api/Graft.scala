@@ -1077,6 +1077,21 @@ object Graft {
     graft.operators.WindowOps.groupNtile(df, groupCol,
       (valueCol +: tieCols).map(col), k, out)
 
+  /** Quantile (rank) normalization of `valueCol` within each `groupCol`:
+    * appends `out` = (rank − 0.5) / n ∈ (0, 1), the distribution-free
+    * feature transform (invariant under any monotone rescaling of the
+    * input, robust to outliers by construction). Ranks ride
+    * [[graft.operators.WindowOps.withExactGroupRank]], so low-cardinality
+    * groups don't cap the sort parallelism; reserved internal names and
+    * total-order requirements as in [[groupedNtile]].
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      tieCols: Seq[String], out: String = "qnorm"): DataFrame =
+    graft.operators.WindowOps.withExactGroupRank(df, groupCol,
+        (valueCol +: tieCols).map(col))
+      .withColumn(out, (col("r").cast("double") - 0.5) / col("n"))
+      .drop("r", "n")
+
   /** Top principal direction (uncentered Gram) of a fixed-`dim` vector
     * column by `rounds` deterministic power iterations — every float
     * reduction is order-independent (micro-unit integer accumulation,

@@ -712,6 +712,21 @@ class GraftApiSpec extends AnyFunSuite {
       "rare-token doc must carry higher cross-entropy than boilerplate")
   }
 
+  test("quantileNormalize is monotone-invariant and centers each group") {
+    val df = (1 to 9).flatMap(i => Seq(("g1", i.toLong, i * 10.0),
+      ("g2", i.toLong + 100, math.exp(i)))).toDF("g", "id", "v")
+    val qn = Graft.quantileNormalize(df, "g", "v", Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    // ranks 1..9 in value order → qnorm = (r − .5)/9 regardless of the
+    // value scale (linear for g1, exponential for g2)
+    (1 to 9).foreach { i =>
+      val want = (i - 0.5) / 9.0
+      assert(math.abs(qn(("g1", i.toLong)) - want) < 1e-15)
+      assert(math.abs(qn(("g2", i.toLong + 100)) - want) < 1e-15)
+    }
+  }
+
   test("correlationMatrix on an ad-hoc frame emits sorted pairs") {
     val df = (1 to 50).map(i =>
       (i.toDouble, i * 3.0 + 1, 50.0 - i)).toDF("a", "b", "c")
