@@ -82,7 +82,12 @@ object Bench {
         val (n0, msg) = failed.head
         s""""errors":${failed.size},"first_error":{"query":${jstr(n0)},"message":${jstr(msg)}}"""
       }
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},$errPart,"queries":$qs,"sf":"$sfDir"}"""
+    // Artifact-store transparency: a "cold" (REPS=1) total that re-attached
+    // warm build-once/probe-many indexes (IVF, pair table, component) is not
+    // comparable to one that built them — surface the counts so readers can
+    // tell which run they are looking at (r10 advice).
+    val cache = s""""artifact_cache":{"hits":${operators.ArtifactCache.hits.get()},"builds":${operators.ArtifactCache.builds.get()}}"""
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},$errPart,$cache,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for the driver's tail-scrape: also persist the line to a
     // file that survives any stdout wrapping/truncation.

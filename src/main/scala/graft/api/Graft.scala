@@ -62,7 +62,7 @@ object Graft {
       threshold: Double = 0.3, blockCols: Seq[String] = Nil): DataFrame = {
     val lang = blockCols.headOption.map(col).getOrElse(lit("")).cast("string")
     val source =
-      if (blockCols.size > 1) concat_ws("", blockCols.tail.map(col): _*)
+      if (blockCols.size > 1) concat_ws("\u0001", blockCols.tail.map(col): _*)
       else lit("")
     graft.operators.DedupOps.blockedJaccardPairs(
       df.select(col(id).as("doc_id"), lang.as("lang"), source.as("source"),
@@ -87,7 +87,10 @@ object Graft {
       val lang =
         blockCols.headOption.map(col).getOrElse(lit("")).cast("string")
       val source =
-        if (blockCols.size > 1) concat_ws("", blockCols.tail.map(col): _*)
+        // \u0001-delimited like exactNearDuplicatePairs: distinct tuples
+        // ("a","bc")/("ab","c") must never collapse into one block key
+        if (blockCols.size > 1)
+          concat_ws("\u0001", blockCols.tail.map(col): _*)
         else lit("")
       df.select(col(id).as("doc_id"), lang.as("lang"), source.as("source"),
         col(text).as("text"))

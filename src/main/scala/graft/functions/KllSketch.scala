@@ -30,8 +30,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * weight-conservation invariant the spec pins (Σ 2^i·|level_i| +
   * buffered = n exactly).
   */
+/** `m0` is the count of VALID entries in `levels(0)`: per-row inserts
+  * write into pre-grown slack (capacity k+1) instead of reallocating the
+  * array, so a row costs O(1) amortized rather than the O(k) copy the
+  * `:+` formulation paid (the r9/r10 watch item). Every boundary —
+  * merge, finish, compaction — first normalizes `levels(0)` back to
+  * exactly `m0` entries, so the slack is never observable outside
+  * [[KllSketch.reduce]]; levels ≥ 1 are always exact-length.
+  */
 final case class KllBuf(levels: Array[Array[Double]], n: Long,
-    coins: Array[Int])
+    coins: Array[Int], m0: Int)
 
 class KllSketch(k: Int, quantiles: Array[Double])
   extends Aggregator[Double, KllBuf, Array[Double]] {
@@ -39,15 +47,32 @@ class KllSketch(k: Int, quantiles: Array[Double])
   require(quantiles.forall(q => q >= 0.0 && q <= 1.0),
     s"quantiles must be in [0,1]: ${quantiles.mkString(",")}")
 
-  def zero: KllBuf = KllBuf(Array(Array.empty[Double]), 0L, Array(0))
+  def zero: KllBuf = KllBuf(Array(Array.empty[Double]), 0L, Array(0), 0)
 
   def reduce(b: KllBuf, x: Double): KllBuf = {
-    val lv = b.levels.clone()
-    lv(0) = lv(0) :+ x
-    compact(KllBuf(lv, b.n + 1, b.coins.clone()))
+    var lv = b.levels
+    if (b.m0 >= lv(0).length) {
+      // grow level-0 to full capacity once per ≥k inserts — the only
+      // copies on the insert path, so appends are O(1) amortized
+      lv = lv.clone()
+      lv(0) = java.util.Arrays.copyOf(lv(0), k + 1)
+    }
+    lv(0)(b.m0) = x
+    val nb = KllBuf(lv, b.n + 1, b.coins, b.m0 + 1)
+    if (nb.m0 > k) compact(normalized(nb)) else nb
   }
 
-  def merge(a: KllBuf, b: KllBuf): KllBuf = {
+  /** Trim level-0 to its `m0` valid entries (no-op when already exact). */
+  private def normalized(b: KllBuf): KllBuf =
+    if (b.m0 == b.levels(0).length) b
+    else {
+      val lv = b.levels.clone()
+      lv(0) = java.util.Arrays.copyOf(lv(0), b.m0)
+      KllBuf(lv, b.n, b.coins, b.m0)
+    }
+
+  def merge(a0: KllBuf, b0: KllBuf): KllBuf = {
+    val a = normalized(a0); val b = normalized(b0)
     val h = math.max(a.levels.length, b.levels.length)
     val lv = Array.tabulate(h) { i =>
       val xa = if (i < a.levels.length) a.levels(i) else Array.empty[Double]
@@ -58,7 +83,7 @@ class KllSketch(k: Int, quantiles: Array[Double])
       (if (i < a.coins.length) a.coins(i) else 0) +
         (if (i < b.coins.length) b.coins(i) else 0)
     }
-    compact(KllBuf(lv, a.n + b.n, coins))
+    compact(KllBuf(lv, a.n + b.n, coins, lv(0).length))
   }
 
   /** Collapse every level over capacity, bottom-up (a promotion can
@@ -68,6 +93,7 @@ class KllSketch(k: Int, quantiles: Array[Double])
     * deterministic, and unbiased across compactions like KLL's coin.
     */
   private def compact(b: KllBuf): KllBuf = {
+    // callers pass a NORMALIZED buffer (level-0 exact-length)
     var lv = b.levels
     var coins = b.coins
     var i = 0
@@ -92,13 +118,14 @@ class KllSketch(k: Int, quantiles: Array[Double])
       }
       i += 1
     }
-    KllBuf(lv, b.n, coins)
+    KllBuf(lv, b.n, coins, lv(0).length)
   }
 
   /** Weighted order statistics: expand (value, 2^level) pairs, sort by
     * value, walk cumulative weight to each target rank ceil(q·n). */
-  def finish(b: KllBuf): Array[Double] = {
-    if (b.n == 0) return quantiles.map(_ => Double.NaN)
+  def finish(b0: KllBuf): Array[Double] = {
+    if (b0.n == 0) return quantiles.map(_ => Double.NaN)
+    val b = normalized(b0)
     val items = b.levels.iterator.zipWithIndex.flatMap { case (arr, i) =>
       arr.iterator.map(v => (v, 1L << i))
     }.toArray.sortBy(_._1)

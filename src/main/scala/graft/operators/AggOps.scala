@@ -308,7 +308,10 @@ object AggOps extends OpFamily {
     * on any engine. Map-side partial aggregation; bounded output.
     */
   def corrQtyPrice(s: SparkSession, d: String): DataFrame = {
-    def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+    // decimal(19,4) matches the oracle's DECIMAL(19,4) headroom exactly —
+    // at (18,4) Spark would overflow (null sums → NaN r) one decimal digit
+    // before DuckDB does on large-magnitude inputs (r10 advice)
+    def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(19,4)")
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -363,7 +366,9 @@ object AggOps extends OpFamily {
     val pairs =
       for { i <- metrics.indices; j <- metrics.indices if i < j }
         yield (metrics(i), metrics(j))
-    def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+    // (19,4), matching the generated oracle's DECIMAL(19,4) — see
+    // corrQtyPrice for the overflow-parity rationale
+    def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(19,4)")
     val aggCols =
       metrics.flatMap { case (nm, c) => Seq(
         sum(d4(col(c))).as(s"s_$nm"),

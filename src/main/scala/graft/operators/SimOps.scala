@@ -79,17 +79,14 @@ object SimOps extends OpFamily {
     */
   private[graft] def lloydCells(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
-    val p = ivfIndexPath(d, nlist = 10)
-    val cellsP = s"$p/cells"; val centP = s"$p/centroids"
-    if (!new java.io.File(s"$cellsP/_SUCCESS").exists() ||
-        !new java.io.File(s"$centP/_SUCCESS").exists()) {
+    val parts = ArtifactCache.readOrBuildAll(s,
+        ivfIndexPath(s, d, nlist = 10), Seq("cells", "centroids")) {
       val (cells, centroids) = lloydCellsOn(s, Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("v")), nlist = 10)
-      cells.write.mode("overwrite").parquet(cellsP)
-      centroids.write.mode("overwrite").parquet(centP)
+      Seq("cells" -> cells, "centroids" -> centroids)
     }
-    (s.read.parquet(cellsP), s.read.parquet(centP))
+    (parts("cells"), parts("centroids"))
   }
 
   /** Content-addressed on-disk IVF index — build once, probe many. Every
@@ -103,8 +100,8 @@ object SimOps extends OpFamily {
     * serving cells from a different corpus; parquet round-trips doubles
     * bit-exactly, so cached and freshly-built searches are identical.
     */
-  private def ivfIndexPath(d: String, nlist: Int): String =
-    ArtifactCache.dir(d, "embeddings", "/tmp/graft_ivf", s"nlist_$nlist")
+  private def ivfIndexPath(s: SparkSession, d: String, nlist: Int): String =
+    ArtifactCache.dir(s, d, "embeddings", "graft_ivf", s"nlist_$nlist@r1")
 
   /** The generic Lloyd core behind [[lloydCells]] (and the public
     * clustering/dedup APIs): any (vec_id, v: array&lt;double&gt;) frame.
@@ -228,8 +225,15 @@ object SimOps extends OpFamily {
     * integral micro-units (order-independent). Stop-word-grade terms are
     * DF-CAPPED OUT (df ≤ 10% of the corpus) — see [[lexicalRankOn]].
     */
-  private def lexicalRank(s: SparkSession, d: String): DataFrame =
-    lexicalRankOn(s, Tables.documents(s, d), dfCapPermille = 100)
+  private def lexicalRank(s: SparkSession, d: String): DataFrame = {
+    // the distinct posting table, df and n_docs all come from the
+    // persisted lexical index (TextOps.cachedLexIndex) — the leg
+    // re-attaches parquet instead of re-tokenizing the corpus; scores
+    // are unchanged (tf-projected postings ARE the distinct pairs)
+    val ix = TextOps.cachedLexIndex(s, d)
+    lexicalRankFromIndex(ix("tf").select(col("doc_id"), col("term")),
+      ix("df"), ix("stats").select(col("n_docs")), dfCapPermille = 100)
+  }
 
   /** The generic lexical core over any (doc_id, text) frame. The df cap
     * is the leg's scale guarantee: a query term only becomes a join key
@@ -247,14 +251,24 @@ object SimOps extends OpFamily {
     */
   private[graft] def lexicalRankOn(s: SparkSession, docs: DataFrame,
       dfCapPermille: Int): DataFrame = {
-    val nDf = docs.agg(count(lit(1)).as("n_docs"))
     // the distinct posting table has THREE consumers (query side, corpus
     // side, df) whose aliases defeat ReuseExchange — one distinct shuffle
-    // materialized beats three (two-consumers rule)
+    // materialized beats three (two-consumers rule); the registered
+    // hybrids skip this build entirely and re-attach the persisted index
     val dt = docs.select(col("doc_id"), explode(TextOps.toks).as("term"))
       .distinct()
       .localCheckpoint()
-    val df_ = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    lexicalRankFromIndex(dt,
+      dt.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      docs.agg(count(lit(1)).as("n_docs")), dfCapPermille)
+  }
+
+  /** The rank core over a prebuilt distinct posting table, its df
+    * marginal and the one-row corpus count — shared by the in-line
+    * [[lexicalRankOn]] and the persisted-index [[lexicalRank]].
+    */
+  private[graft] def lexicalRankFromIndex(dt: DataFrame, df_ : DataFrame,
+      nDf: DataFrame, dfCapPermille: Int): DataFrame = {
     // df-cap BEFORE candidate generation: the query terms meet df and the
     // corpus size first, hot terms drop, and only then do surviving terms
     // meet the posting table — a capped term's postings are never read.
@@ -442,7 +456,7 @@ object SimOps extends OpFamily {
     */
   private def cachedComponent(s: SparkSession, d: String): DataFrame =
     ArtifactCache.readOrBuild(s,
-        ArtifactCache.dir(d, "embeddings", "/tmp/graft_ivf", "component")) {
+        ArtifactCache.dir(s, d, "embeddings", "graft_ivf", "component@r1")) {
       val e = Tables.embeddings(s, d)
         .select(transform(col("embedding"), _.cast("double")).as("v"))
         .localCheckpoint() // consumed once per power round

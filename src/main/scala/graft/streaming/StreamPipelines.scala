@@ -127,7 +127,15 @@ object StreamPipelines {
       outDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Build the index-side tables ONCE, at stream start — they are the
+    // write-once artifacts of the contract (DedupOps.dedupIndexTables),
+    // not per-batch work: one localCheckpoint each pins them for the
+    // stream's lifetime, so per-batch cost is the batch's own shingling
+    // + probe and does not grow with index size or accumulate new
+    // checkpoint blocks per micro-batch (r10 advice).
+    val prebuilt = graft.operators.DedupOps.dedupIndexTables(index, tau)
+      .map { case (n, df) => n -> df.localCheckpoint() }.toMap
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -137,13 +145,15 @@ object StreamPipelines {
         // resolves against a registry that never saw them
         graft.functions.NativeExprs.ensureRegistered(batch.sparkSession)
         graft.operators.DedupOps
-          .incrementalNearDupsOn(index, batch, tau)
+          .incrementalNearDupsProbe(prebuilt("shingles"), prebuilt("freq"),
+            prebuilt("prefix"), batch, tau)
           .withColumn("batch_id", lit(batchId))
           .coalesce(1)
           .write.mode("append").parquet(outDir)
       }
       .trigger(trigger)
       .start()
+  }
 
   /** Streaming funnel state machine — the incremental twin of the batch
     * ev_funnel, on the Spark 4 transformWithState API: one ValueState

@@ -8,7 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * store ([[graft.operators.ArtifactCache]]): same source file → the
   * build runs once and re-attaches; a CHANGED source file (the r8
   * silent-fixture-regeneration incident) → a different path, so the
-  * stale artifact can never be served for the new corpus.
+  * stale artifact can never be served for the new corpus. Fingerprints
+  * go through Hadoop's FileSystem API, so the same addressing works on
+  * a shared-storage scheme — covered below via an explicit `file:` URI.
   */
 class ArtifactCacheSpec extends AnyFunSuite {
   import TestSpark._
@@ -26,12 +28,10 @@ class ArtifactCacheSpec extends AnyFunSuite {
   test("readOrBuild builds once, re-attaches after, and a source " +
       "fingerprint change forces a rebuild at a fresh path") {
     val src = stageSource()
-    val root = Files.createTempDirectory("graft_artifact_store").toFile
-    root.deleteOnExit()
     var builds = 0
     def attach(): Long = {
-      val p = ArtifactCache.dir(src.toString, "documents",
-        root.toString, "probe")
+      val p = ArtifactCache.dir(spark, src.toString, "documents",
+        s"graft_spec_${src.getName}", "probe@r1")
       ArtifactCache.readOrBuild(spark, p) {
         builds += 1
         spark.range(5).select(col("id"))
@@ -47,5 +47,44 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(attach() === 5L)
     assert(builds === 2,
       "a changed source fingerprint must force a rebuild")
+  }
+
+  test("a file:-scheme source URI fingerprints through Hadoop " +
+      "FileSystem and re-attaches against the plain-path build state") {
+    val src = stageSource()
+    val store = s"graft_spec_uri_${src.getName}"
+    var builds = 0
+    def attach(srcDir: String): Long = {
+      val p = ArtifactCache.dir(spark, srcDir, "documents", store, "k@r1")
+      ArtifactCache.readOrBuild(spark, p) {
+        builds += 1
+        spark.range(7).select(col("id"))
+      }.count()
+    }
+    assert(attach(s"file:$src") === 7L)
+    assert(attach(s"file:$src") === 7L)
+    assert(builds === 1, "scheme-qualified source must cache like a local one")
+    // the length+mtime fingerprint must agree between the two spellings
+    // of the same file (only the sanitized dir prefix differs)
+    def fingerprint(d: String): String = ArtifactCache
+      .dir(spark, d, "documents", store, "k@r1")
+      .split("/").init.last.split("_").takeRight(2).mkString("_")
+    assert(fingerprint(src.toString) === fingerprint(s"file:$src"))
+  }
+
+  test("hit/build counters move so Bench can report cache transparency") {
+    val src = stageSource()
+    val store = s"graft_spec_ctr_${src.getName}"
+    val (h0, b0) = (ArtifactCache.hits.get(), ArtifactCache.builds.get())
+    val p = ArtifactCache.dir(spark, src.toString, "documents", store,
+      "c@r1")
+    ArtifactCache.readOrBuild(spark, p)(
+      spark.range(3).select(col("id"))).count()
+    assert(ArtifactCache.builds.get() === b0 + 1)
+    assert(ArtifactCache.hits.get() === h0)
+    ArtifactCache.readOrBuild(spark, p)(
+      spark.range(3).select(col("id"))).count()
+    assert(ArtifactCache.builds.get() === b0 + 1)
+    assert(ArtifactCache.hits.get() === h0 + 1)
   }
 }

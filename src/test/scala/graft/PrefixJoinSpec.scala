@@ -205,6 +205,28 @@ class PrefixJoinSpec extends AnyFunSuite {
       "genuinely-new docs must not match anything in the index")
   }
 
+  test("dedupIncremental's index tables are persisted artifacts: a " +
+      "repeat invocation re-attaches instead of rebuilding, output " +
+      "identical to the build-inline overload") {
+    import graft.operators.ArtifactCache
+    def run() = DedupOps.dedupIncremental(TestSpark.spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val first = run() // populates the artifact store if not already warm
+    val (h0, b0) = (ArtifactCache.hits.get(), ArtifactCache.builds.get())
+    val second = run()
+    assert(ArtifactCache.builds.get() === b0,
+      "second invocation must not rebuild the index-side tables")
+    assert(ArtifactCache.hits.get() === h0 + 1)
+    assert(second === first)
+    // the persisted-index probe is byte-identical to building in-line
+    val corpus = DedupOps.withNearDupes(TestSpark.spark, TestSpark.sf)
+    val inline = DedupOps.incrementalNearDupsOn(
+        corpus.filter(col("doc_id") < 100000L),
+        corpus.filter(col("doc_id") >= 200000L), 0.3) // PlantBase = 100000
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(inline === first)
+  }
+
   test("candidate count is far below n(n-1)/2 on a single hot block") {
     val corpus = headerCorpus
     val n = corpus.count()

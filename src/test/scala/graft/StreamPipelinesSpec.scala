@@ -152,4 +152,53 @@ class StreamPipelinesSpec extends AnyFunSuite {
     assert(got.forall { case (n, _) => n < 2000L },
       "fresh docs must match nothing in the index")
   }
+
+  test("transformWithState state survives a stop-and-restart from " +
+      "checkpoint: the resumed query continues the EWMA trajectory") {
+    import spark.implicits._
+    // One point per key per file, so within-batch row order cannot affect
+    // the order-sensitive recurrence; the SECOND run's outputs depend on
+    // the first run's persisted (seq, ewma) state — a fresh store would
+    // emit seq=1 with the raw value, which the assertion distinguishes.
+    val dir = Files.createTempDirectory("graft_restart_pts").toFile
+    dir.deleteOnExit()
+    val outDir = Files.createTempDirectory("graft_restart_out").toFile
+    outDir.deleteOnExit()
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toFile
+    ckpt.deleteOnExit()
+    Seq(("a", 100L), ("b", 40L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    def runOnce(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k STRING, v BIGINT")
+      val pts = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir.toString)
+        .as[(String, Long)]
+      val q = StreamPipelines.ewmaPoints(pts)
+        .toDF("k", "seq", "ewma")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // transformWithState needs a multi-column-family store (RocksDB)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runOnce() // drains f1, commits source offsets AND key state
+      Seq(("a", 300L), ("b", 80L)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$dir/f2")
+      runOnce() // a NEW query instance resumes from the checkpoint
+      val got = spark.read.parquet(outDir.toString).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // e₁ = s₁; eₙ = (sₙ + 3·eₙ₋₁) div 4 continued ACROSS the restart
+      assert(got === Set(
+        ("a", 1L, 100L), ("b", 1L, 40L),
+        ("a", 2L, (300L + 3 * 100L) / 4), // 150
+        ("b", 2L, (80L + 3 * 40L) / 4))) // 50
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
