@@ -218,6 +218,96 @@ object TextOps extends OpFamily {
       .select(col("doc_id"), col("rn"), col("term"), col("bm25"))
   }
 
+  /** Content-addressed LEXICAL POSTING INDEX over the documents corpus —
+    * the text-retrieval analogue of [[SimOps.lloydCells]]'s persisted
+    * IVF index and [[DedupOps.dedupIndexTables]]: term-frequency
+    * postings (doc_id, term, tf), doc lengths (doc_id, dl), document
+    * frequencies (term, df) and the one-row corpus stats
+    * (n_docs, n_toks), built in ONE tokenization pass and persisted via
+    * [[ArtifactCache]], so every lexical consumer ([[bm25Search]], the
+    * hybrid-retrieval lexical leg) re-attaches posting lists instead of
+    * re-tokenizing the corpus per query. At 100 TB the index build is
+    * the batch job; searches only read postings.
+    */
+  private[graft] def cachedLexIndex(s: SparkSession,
+      d: String): Map[String, DataFrame] =
+    ArtifactCache.readOrBuildAll(s,
+      ArtifactCache.dir(s, d, "documents", "graft_lex", "tokens@r1"),
+      Seq("tf", "dl", "df", "stats"))(
+      lexIndexTables(Tables.documents(s, d)))
+
+  /** The index build over any (doc_id, text) frame: one explode pass
+    * feeding the posting table and its three marginals.
+    */
+  private[graft] def lexIndexTables(
+      docs: DataFrame): Seq[(String, DataFrame)] = {
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+      .localCheckpoint() // consumed by tf, dl and stats
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(terms.agg(count(lit(1)).as("n_toks")))
+    Seq("tf" -> tf, "dl" -> dl, "df" -> df_, "stats" -> stats)
+  }
+
+  /** BM25 DOCUMENT SEARCH — full-text retrieval over the persisted
+    * lexical index, where [[bm25Top]] only ranks a document's own
+    * terms: each query document's distinct terms (doc_id < 10, qtf = 1)
+    * score every OTHER document by Σ_t idf(t)·sat(tf, dl) with Okapi
+    * k1 = 1.2, b = 0.75, and the top-10 matches per query come back
+    * ranked. Scale shape: query terms are df-capped (10·df ≤ n_docs —
+    * the stop-word pruning real retrieval stacks run) BEFORE touching
+    * the posting table, and the surviving bounded (query, term) list
+    * BROADCASTS, so candidate generation is a map-side probe of posting
+    * lists — never a shuffle of the postings by term (the
+    * [[SimOps.lexicalRankOn]] discipline). Per-term scores quantize to
+    * micro-units (floor·1e6, one ulp-tolerated ln each) and sum as
+    * LONGS — order-independent, so the oracle replays exact ranks where
+    * a float Σ would be partition-order-dependent.
+    */
+  def bm25Search(s: SparkSession, d: String): DataFrame = {
+    val ix = cachedLexIndex(s, d)
+    bm25SearchFromIndex(ix("tf"), ix("dl"), ix("df"), ix("stats"),
+      nQueries = 10, k = 10)
+  }
+
+  /** The search core over prebuilt index tables ([[lexIndexTables]]
+    * shapes) — queries are the docs with doc_id &lt; nQueries.
+    */
+  private[graft] def bm25SearchFromIndex(tf: DataFrame, dl: DataFrame,
+      dfT: DataFrame, stats: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    val qterms = broadcast(tf.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("qid"), col("term")))
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") * 10 <= col("n_docs"))
+    val scored = broadcast(qterms)
+      .join(tf.select(col("doc_id").as("did"), col("term"), col("tf")),
+        Seq("term"))
+      .filter(col("did") =!= col("qid"))
+      .join(dl.select(col("doc_id").as("did"), col("dl")), Seq("did"))
+      // spelled in the same association order as the oracle so both
+      // engines perform the identical IEEE operation sequence
+      .withColumn("score_units", floor(
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) *
+            (col("dl") * col("n_docs").cast("double") / col("n_toks")))) *
+          lit(1e6)).cast("long"))
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(col("score_units")).as("bm25_units"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("bm25_units"), col("did"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("did"), col("bm25_units"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Corpus-relative RARITY score per document — the data-DERIVED quality
     * signal [[qualityScore]]'s static heuristics can't see: a document's
     * mean inverse document frequency over its tokens, in integral
@@ -584,9 +674,42 @@ object TextOps extends OpFamily {
     "text_unigram_xent" -> (unigramXent _),
     "text_ngram_top" -> (ngramTop _),
     "text_tfidf_top" -> (tfidfTop _),
-    "text_bm25_top" -> (bm25Top _))
+    "text_bm25_top" -> (bm25Top _),
+    "text_bm25_search" -> (bm25Search _))
 
   val oracle = Map(
+    "text_bm25_search" ->
+      """WITH tokens AS (SELECT doc_id, unnest(string_split(text,' '))
+               AS term FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_toks FROM tokens),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM tokens GROUP BY doc_id),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tokens GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY term),
+         q AS (SELECT tf.doc_id AS qid, tf.term, df.df
+             FROM tf JOIN df USING (term) CROSS JOIN n
+             WHERE tf.doc_id < 10 AND df.df * 10 <= n.n_docs),
+         sc AS (SELECT q.qid, tf.doc_id AS did,
+             CAST(sum(CAST(floor(
+               ln((CAST(n.n_docs AS DOUBLE) - q.df + 0.5) / (q.df + 0.5)
+                   + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75
+                     * (dl.dl * CAST(n.n_docs AS DOUBLE) / tot.n_toks)))
+                 * 1e6) AS BIGINT)) AS BIGINT) AS bm25_units
+           FROM q JOIN tf ON q.term = tf.term AND tf.doc_id <> q.qid
+           JOIN dl ON dl.doc_id = tf.doc_id
+           CROSS JOIN n CROSS JOIN tot
+           GROUP BY q.qid, tf.doc_id)
+         SELECT qid, rank, did, bm25_units FROM (
+           SELECT qid, did, bm25_units,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY bm25_units DESC, did) AS INT) AS rank
+           FROM sc)
+         WHERE rank <= 10 ORDER BY qid, rank""",
     "text_unigram_xent" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
              FROM documents),
