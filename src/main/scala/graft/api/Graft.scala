@@ -751,6 +751,26 @@ object Graft {
       df.select(col(id).as("doc_id"), col(text).as("text")), lit(true), k)
       .select(col("doc_id").as(id), col("rn"), col("term"), col("bm25"))
 
+  /** Okapi BM25 DOCUMENT SEARCH: the docs matching `queryPred` — a
+    * predicate over the internal `doc_id` column (the renamed id, e.g.
+    * `col("doc_id") < 10`), selecting a BOUNDED query set (it
+    * broadcasts) — retrieve their top-k matches
+    * from the rest of the corpus by Σ idf·tf-saturation over their
+    * distinct terms, stop-word terms df-capped out at dfCapPermille/1000
+    * of the corpus (default 10%) before any posting list is read. Returns
+    * (qid, rank, did, bm25_units) with scores in integral micro-units
+    * (order-independent sums — reproducible on any engine).
+    */
+  def bm25Search(df: DataFrame, id: String, text: String,
+      queryPred: Column, k: Int = 10,
+      dfCapPermille: Int = 100): DataFrame = {
+    val ix = graft.operators.TextOps.lexIndexTables(
+      df.select(col(id).as("doc_id"), col(text).as("text"))).toMap
+    graft.operators.TextOps.bm25SearchFromIndex(
+      ix("tf"), ix("dl"), ix("df"), ix("stats"), queryPred, k,
+      dfCapPermille)
+  }
+
   /** SemDeDup ledger over an embedding column: k-means cells as the
     * near-dup blocking key, intra-cell cosine ≥ threshold, keep-min
     * survivorship. Returns (cid, n_members, n_dup_pairs, n_dropped).
@@ -763,6 +783,32 @@ object Graft {
     graft.operators.SimOps.semanticDedupOn(df.sparkSession,
       df.select(col(idCol).as("vec_id"),
         transform(col(vecCol), _.cast("double")).as("v")), nlist, threshold)
+
+  /** Incremental ANN ingest — an `incoming` embedding batch against a
+    * k-means (IVF) index built over `index`: each incoming vector gets
+    * its HOME cell (nearest centroid — where the ingest appends it) and
+    * its top-k index-side cosine neighbors within `nprobe` probed cells
+    * (the admission-time near-dup/link check). Never any
+    * incoming×incoming pair, and at scale the index build is the batch
+    * job ([[graft.operators.SimOps]] persists the registered fixture's
+    * via its artifact store) while per-batch cost is the
+    * batch×centroids probe plus the probed posting lists. Index ids
+    * must be DENSE from 0 (the nlist lowest seed the clusters); remap
+    * sparse ids with [[withGlobalRank]] first. Returns
+    * (new_id, home_cid, rank, nid, cos).
+    */
+  def incrementalAnnAssign(index: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, nlist: Int = 10, nprobe: Int = 2,
+      k: Int = 3): DataFrame = {
+    val s = index.sparkSession
+    def shaped(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+    val (cells, centroids) =
+      graft.operators.SimOps.lloydCellsOn(s, shaped(index), nlist)
+    graft.operators.SimOps.incrementalAssignOn(s, cells, centroids,
+      shaped(incoming), nprobe, k)
+  }
 
   /** Reciprocal Rank Fusion (k=60 by default) over any number of rank
     * lists: each input frame carries (qCol, dCol, rankCol); a candidate's

@@ -142,6 +142,78 @@ object SimOps extends OpFamily {
     (assign(centroids).localCheckpoint(), centroids)
   }
 
+  /** INCREMENTAL ANN INGEST — today's embedding batch against a
+    * persisted IVF index, the vector twin of
+    * [[DedupOps.dedupIncremental]]: the index side (every vector except
+    * the 50 highest vec_ids — "yesterday's corpus") gets its own
+    * content-addressed Lloyd build, and each incoming vector probes its
+    * nprobe=2 nearest cells, reporting its HOME cell (the rank-1 probe —
+    * where the ingest appends it) and its top-3 index-side cosine
+    * neighbors within probed cells (the link/near-dup check ingest
+    * pipelines run before admission). Never incoming×incoming, and the
+    * index build never reruns for a batch: per-batch cost is the
+    * batch×centroids probe plus the probed posting lists, independent of
+    * how many batches preceded it. The oracle replays the prefix Lloyd
+    * rounds, probe routing and ranking exactly (the [[knnIvf]]
+    * machinery over the filtered corpus).
+    */
+  def incrementalAssign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    def cut = e.agg((max(col("vec_id")) - 49).as("cutv"))
+    val parts = ArtifactCache.readOrBuildAll(s,
+        ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+          "nlist_10_prefix@r1"), Seq("cells", "centroids")) {
+      val (cells, centroids) = lloydCellsOn(s,
+        e.crossJoin(broadcast(cut)).filter(col("vec_id") < col("cutv"))
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v")),
+        nlist = 10)
+      Seq("cells" -> cells, "centroids" -> centroids)
+    }
+    val incoming = e.crossJoin(broadcast(cut))
+      .filter(col("vec_id") >= col("cutv"))
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    incrementalAssignOn(s, parts("cells"), parts("centroids"), incoming,
+      nprobe = 2, k = 3)
+  }
+
+  /** The probe core over prebuilt (cells, centroids) index tables: each
+    * incoming (vec_id, v) row → (new_id, home_cid, rank, nid, cos).
+    * Also the [[graft.api.Graft.incrementalAnnAssign]] core.
+    */
+  private[graft] def incrementalAssignOn(s: SparkSession, cells: DataFrame,
+      centroids: DataFrame, incoming: DataFrame, nprobe: Int,
+      k: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("new_id"))
+      .orderBy(desc("c_sim"), col("cid"))
+    val probes = withNorm(s, incoming, "v", "vn")
+      .select(col("vec_id").as("new_id"), col("v").as("qv"),
+        col("vn").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosPair(s, "qv", "qn", "centroid", "cn"))
+      .withColumn("c_rank", row_number().over(wProbe))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("new_id"), col("qv"), col("qn"), col("cid"),
+        col("c_rank"))
+    val home = probes.filter(col("c_rank") === 1)
+      .select(col("new_id"), col("cid").as("home_cid"))
+    val wRank = Window.partitionBy(col("new_id"))
+      .orderBy(desc("cos"), col("nid"))
+    cells
+      .select(col("vec_id").as("nid"), col("cid"), col("v").as("nv"),
+        col("vn").as("nn"))
+      .join(broadcast(probes.select(col("new_id"), col("qv"), col("qn"),
+        col("cid"))), Seq("cid"))
+      .withColumn("cos", cosPair(s, "qv", "qn", "nv", "nn"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .join(broadcast(home), Seq("new_id"))
+      .select(col("new_id"), col("home_cid"), col("rank"), col("nid"),
+        col("cos"))
+      .orderBy(col("new_id"), col("rank"))
+  }
+
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val (cells, centroids) = lloydCells(s, d)
     val wProbe = Window.partitionBy(col("qid"))
@@ -818,6 +890,7 @@ object SimOps extends OpFamily {
     "sim_knn_quantized" -> (knnQuantizedDot _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
+    "sim_incremental_assign" -> (incrementalAssign _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_embedding_bins" -> (embeddingBins _),
@@ -896,6 +969,43 @@ object SimOps extends OpFamily {
           FROM probes p JOIN cells n ON n.cid = p.cid
           WHERE n.vec_id <> p.qid)
         WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  /** DuckDB replay of the incremental ingest: the same Lloyd CTE chain
+    * over the PREFIX corpus (all but the 50 highest vec_ids), then probe
+    * routing, home-cell pick and index-side ranking for the incoming
+    * suffix — mirror of [[incrementalAssign]] term for term.
+    */
+  private val incrementalAssignOracleSql: String = {
+    s"""WITH cut AS (SELECT max(vec_id) - 49 AS cutv FROM embeddings),
+          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings CROSS JOIN cut WHERE vec_id < cutv),
+          c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid
+            FROM v WHERE vec_id < 10),
+          ${assignCte("a1", "c0")}, ${centroidCte("c1", "a1")},
+          ${assignCte("a2", "c1")}, ${centroidCte("c2", "a2")},
+          ${assignCte("a3", "c2")}, ${centroidCte("c3", "a3")},
+          ${assignCte("cells", "c3")},
+          inc AS (SELECT vec_id AS new_id,
+              CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings CROSS JOIN cut WHERE vec_id >= cutv),
+          probes AS (SELECT new_id, qv, cid, rn AS c_rank FROM (
+              SELECT i.new_id, i.qv, c.cid,
+                row_number() OVER (PARTITION BY i.new_id
+                  ORDER BY list_cosine_similarity(i.qv, c.centroid) DESC,
+                    c.cid) AS rn
+              FROM inc i CROSS JOIN c3 c) WHERE rn <= 2),
+          home AS (SELECT new_id, cid AS home_cid FROM probes
+            WHERE c_rank = 1)
+        SELECT new_id, home_cid, rank, nid, cos FROM (
+          SELECT p.new_id, n.vec_id AS nid,
+            list_cosine_similarity(p.qv, n.v) AS cos,
+            row_number() OVER (PARTITION BY p.new_id
+              ORDER BY list_cosine_similarity(p.qv, n.v) DESC, n.vec_id)
+              AS rank
+          FROM probes p JOIN cells n ON n.cid = p.cid) r
+        JOIN home USING (new_id)
+        WHERE rank <= 3 ORDER BY new_id, rank"""
   }
 
   /** DuckDB replay of the RP-LSH search: the 6×64 hyperplanes inline as
@@ -1120,6 +1230,7 @@ object SimOps extends OpFamily {
            coalesce(t.n_dropped, 0) AS n_dropped
          FROM sizes s LEFT JOIN stats t USING (cid) ORDER BY s.cid""",
     "sim_knn_ivf" -> ivfOracleSql,
+    "sim_incremental_assign" -> incrementalAssignOracleSql,
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_kmeans" ->
       s"""WITH $lloydCtes

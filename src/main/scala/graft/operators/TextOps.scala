@@ -270,20 +270,22 @@ object TextOps extends OpFamily {
   def bm25Search(s: SparkSession, d: String): DataFrame = {
     val ix = cachedLexIndex(s, d)
     bm25SearchFromIndex(ix("tf"), ix("dl"), ix("df"), ix("stats"),
-      nQueries = 10, k = 10)
+      col("doc_id") < 10, k = 10, dfCapPermille = 100)
   }
 
   /** The search core over prebuilt index tables ([[lexIndexTables]]
-    * shapes) — queries are the docs with doc_id &lt; nQueries.
+    * shapes) — queries are the docs matching `queryPred` (a predicate
+    * over the posting table's doc_id column; must select a BOUNDED set,
+    * it is the broadcast side).
     */
   private[graft] def bm25SearchFromIndex(tf: DataFrame, dl: DataFrame,
-      dfT: DataFrame, stats: DataFrame, nQueries: Int,
-      k: Int): DataFrame = {
-    val qterms = broadcast(tf.filter(col("doc_id") < nQueries)
+      dfT: DataFrame, stats: DataFrame, queryPred: Column, k: Int,
+      dfCapPermille: Int): DataFrame = {
+    val qterms = broadcast(tf.filter(queryPred)
         .select(col("doc_id").as("qid"), col("term")))
       .join(dfT, Seq("term"))
       .crossJoin(broadcast(stats))
-      .filter(col("df") * 10 <= col("n_docs"))
+      .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
     val scored = broadcast(qterms)
       .join(tf.select(col("doc_id").as("did"), col("term"), col("tf")),
         Seq("term"))
@@ -691,7 +693,7 @@ object TextOps extends OpFamily {
              FROM tf GROUP BY term),
          q AS (SELECT tf.doc_id AS qid, tf.term, df.df
              FROM tf JOIN df USING (term) CROSS JOIN n
-             WHERE tf.doc_id < 10 AND df.df * 10 <= n.n_docs),
+             WHERE tf.doc_id < 10 AND df.df * 1000 <= n.n_docs * 100),
          sc AS (SELECT q.qid, tf.doc_id AS did,
              CAST(sum(CAST(floor(
                ln((CAST(n.n_docs AS DOUBLE) - q.df + 0.5) / (q.df + 0.5)

@@ -754,4 +754,54 @@ class GraftApiSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum >= 2L)
     rows.foreach(r => assert(r.getLong(3) <= math.max(r.getLong(1) - 1, 0)))
   }
+
+  test("bm25Search retrieves the sharing doc first and never the query") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma epsilon zeta"), // 3 shared terms with 0
+      (2L, "alpha unrelated words here entirely"), // 1 shared term
+      (3L, "nothing in common with query docs"),
+      (4L, "gamma delta alpha beta gamma") // shares all 4 of doc 0
+    ).toDF("my_id", "body")
+    val got = Graft.bm25Search(corpus, "my_id", "body",
+        col("doc_id") === 0L, k = 3, dfCapPermille = 1000) // tiny corpus: no cap
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.forall(_._1 === 0L))
+    assert(got.forall(_._3 !== 0L), "a query must never retrieve itself")
+    // doc 4 shares every query term (two gamma hits saturate, still max
+    // overlap), doc 1 shares three, doc 2 one; doc 3 must be absent
+    assert(got.map(_._3).toSeq === Seq(4L, 1L, 2L))
+    assert(got.map(_._2).toSeq === Seq(1, 2, 3))
+  }
+
+  test("incrementalAnnAssign homes a batch vector to its cluster and " +
+      "ranks only index-side neighbors") {
+    // index: two tight orthogonal clusters; ids 0 and 1 (the nlist=2
+    // dense-id seeds) land one per cluster, so Lloyd separates the axes
+    // cleanly and both cells stay populated
+    val d = 8
+    def vec(axis: Int, eps: Double): Array[Float] =
+      Array.tabulate(d)(j =>
+        (if (j == axis) 1.0 else if (j == (axis + 1) % d) eps else 0.0)
+          .toFloat)
+    val e1Ids = Set(0L, 2L, 3L, 4L); val e4Ids = Set(1L, 5L, 6L, 7L)
+    val index = Seq(
+      0L -> vec(0, 0.0), 1L -> vec(4, 0.0),
+      2L -> vec(0, 0.01), 3L -> vec(0, 0.02), 4L -> vec(0, 0.03),
+      5L -> vec(4, 0.01), 6L -> vec(4, 0.02), 7L -> vec(4, 0.03))
+    val incoming = Seq((100L, vec(4, 0.02)), (101L, vec(0, 0.03)))
+    val out = Graft.incrementalAnnAssign(index.toDF("vid", "emb"),
+        incoming.toDF("vid", "emb"), "vid", "emb", nlist = 2, nprobe = 2,
+        k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // neighbors come from the index only, never the batch
+    assert(out.forall(_._4 < 8L))
+    val byId = out.groupBy(_._1)
+    // top neighbors must come from the matching cluster
+    assert(e4Ids(byId(100L).head._4), "e4 ingest must match the e4 cluster")
+    assert(e1Ids(byId(101L).head._4), "e1 ingest must match the e1 cluster")
+    assert(byId(100L).head._2 !== byId(101L).head._2,
+      "orthogonal ingests must home to different cells")
+  }
 }
