@@ -155,6 +155,41 @@ object StreamPipelines {
       .start()
   }
 
+  /** Streaming INCREMENTAL ANN INGEST — the vector twin of
+    * [[incrementalDedupSink]]: the IVF index (Lloyd cells + centroids
+    * over the static `index` frame of (vec_id, v: array&lt;double&gt;))
+    * is built ONCE at stream start and localCheckpoint-pinned; each
+    * micro-batch of incoming (vec_id, v) embeddings probes its nprobe
+    * nearest cells and appends its (new_id, home_cid, rank, nid, cos,
+    * batch_id) assignment ledger to parquet — never batch×batch, and
+    * per-batch cost is the batch×centroids probe plus the probed
+    * posting lists regardless of stream age. Batch-id column makes
+    * replays detectable downstream (at-least-once contract).
+    */
+  def incrementalAnnSink(vecs: DataFrame, index: DataFrame, nlist: Int,
+      outDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // lloydCellsOn localCheckpoints both outputs eagerly — the
+    // write-once index artifacts of this stream's lifetime
+    val (cells, centroids) = graft.operators.SimOps
+      .lloydCellsOn(index.sparkSession, index, nlist)
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.NativeExprs.ensureRegistered(batch.sparkSession)
+        graft.operators.SimOps
+          .incrementalAssignOn(batch.sparkSession, cells, centroids,
+            batch, nprobe = 2, k = 3)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming funnel state machine — the incremental twin of the batch
     * ev_funnel, on the Spark 4 transformWithState API: one ValueState
     * per user holds the furthest step reached; an event advances the

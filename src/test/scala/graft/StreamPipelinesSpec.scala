@@ -153,6 +153,52 @@ class StreamPipelinesSpec extends AnyFunSuite {
       "fresh docs must match nothing in the index")
   }
 
+  test("streaming ANN ingest: per-batch assignment ledgers union to the " +
+      "batch probe of the same prebuilt index") {
+    import spark.implicits._
+    import graft.operators.SimOps
+    val d = 8
+    def vec(axis: Int, eps: Double): Seq[Double] =
+      Seq.tabulate(d)(j =>
+        if (j == axis) 1.0 else if (j == (axis + 1) % d) eps else 0.0)
+    // ids 0 and 1 seed one cluster each (dense-id seeding, nlist = 2)
+    val index = Seq(
+      0L -> vec(0, 0.0), 1L -> vec(4, 0.0),
+      2L -> vec(0, 0.01), 3L -> vec(0, 0.02), 4L -> vec(0, 0.03),
+      5L -> vec(4, 0.01), 6L -> vec(4, 0.02), 7L -> vec(4, 0.03))
+      .toDF("vec_id", "v")
+    val b1 = Seq(100L -> vec(4, 0.02), 101L -> vec(0, 0.03))
+    val b2 = Seq(102L -> vec(0, 0.01), 103L -> vec(4, 0.04))
+    val dir = Files.createTempDirectory("graft_stream_vecs").toFile
+    dir.deleteOnExit()
+    b1.toDF("vec_id", "v").coalesce(1).write.parquet(s"$dir/f1")
+    b2.toDF("vec_id", "v").coalesce(1).write.parquet(s"$dir/f2")
+    val outDir = Files.createTempDirectory("graft_stream_ann").toFile
+    outDir.deleteOnExit()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, v ARRAY<DOUBLE>")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+    val q = StreamPipelines.incrementalAnnSink(stream, index, nlist = 2,
+      outDir.toString)
+    q.awaitTermination(120000)
+    val ledger = spark.read.parquet(outDir.toString)
+    assert(ledger.select("batch_id").distinct().count() === 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))
+    val got = ledger.select("new_id", "home_cid", "rank", "nid")
+      .collect().map(key).toSet
+    val (cells, centroids) = SimOps.lloydCellsOn(spark, index, 2)
+    val want = SimOps.incrementalAssignOn(spark, cells, centroids,
+        (b1 ++ b2).toDF("vec_id", "v"), nprobe = 2, k = 3)
+      .select("new_id", "home_cid", "rank", "nid")
+      .collect().map(key).toSet
+    assert(want.nonEmpty && got === want)
+    assert(got.forall(_._4 < 8L), "neighbors must be index-side only")
+  }
+
   test("transformWithState state survives a stop-and-restart from " +
       "checkpoint: the resumed query continues the EWMA trajectory") {
     import spark.implicits._
