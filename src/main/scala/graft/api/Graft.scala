@@ -754,21 +754,22 @@ object Graft {
   /** Okapi BM25 DOCUMENT SEARCH: the docs matching `queryPred` — a
     * predicate over the internal `doc_id` column (the renamed id, e.g.
     * `col("doc_id") < 10`), selecting a BOUNDED query set (it
-    * broadcasts) — retrieve their top-k matches
-    * from the rest of the corpus by Σ idf·tf-saturation over their
-    * distinct terms, stop-word terms df-capped out at dfCapPermille/1000
-    * of the corpus (default 10%) before any posting list is read. Returns
-    * (qid, rank, did, bm25_units) with scores in integral micro-units
-    * (order-independent sums — reproducible on any engine).
+    * broadcasts) — retrieve their top-k matches from the rest of the
+    * corpus by Σ idf·tf-saturation over each query's `maxQueryTerms`
+    * RAREST distinct terms (lowest df — the discriminative signature,
+    * and the per-query posting-read bound: at most K lists are ever
+    * read per query). Returns (qid, rank, did, bm25_units) with scores
+    * in integral micro-units (order-independent sums — reproducible on
+    * any engine).
     */
   def bm25Search(df: DataFrame, id: String, text: String,
       queryPred: Column, k: Int = 10,
-      dfCapPermille: Int = 100): DataFrame = {
+      maxQueryTerms: Int = 8): DataFrame = {
     val ix = graft.operators.TextOps.lexIndexTables(
       df.select(col(id).as("doc_id"), col(text).as("text"))).toMap
     graft.operators.TextOps.bm25SearchFromIndex(
       ix("tf"), ix("dl"), ix("df"), ix("stats"), queryPred, k,
-      dfCapPermille)
+      maxQueryTerms)
   }
 
   /** SemDeDup ledger over an embedding column: k-means cells as the

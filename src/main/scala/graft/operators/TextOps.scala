@@ -254,12 +254,16 @@ object TextOps extends OpFamily {
 
   /** BM25 DOCUMENT SEARCH — full-text retrieval over the persisted
     * lexical index, where [[bm25Top]] only ranks a document's own
-    * terms: each query document's distinct terms (doc_id < 10, qtf = 1)
-    * score every OTHER document by Σ_t idf(t)·sat(tf, dl) with Okapi
-    * k1 = 1.2, b = 0.75, and the top-10 matches per query come back
-    * ranked. Scale shape: query terms are df-capped (10·df ≤ n_docs —
-    * the stop-word pruning real retrieval stacks run) BEFORE touching
-    * the posting table, and the surviving bounded (query, term) list
+    * terms: each query document (doc_id < 10, qtf = 1) retrieves by its
+    * 8 RAREST distinct terms, scoring every OTHER document by
+    * Σ_t idf(t)·sat(tf, dl) with Okapi k1 = 1.2, b = 0.75; the top-10
+    * matches per query come back ranked. Scale shape: rarest-K term
+    * selection happens BEFORE touching the posting table, so per-query
+    * posting reads are bounded by K lists (the top-terms pruning
+    * stand-in for WAND/MaxScore, and the right behavior on this
+    * fixture's 31-term vocabulary where EVERY term exceeds any df cap —
+    * idf weighting then down-weights whatever hot terms survive
+    * selection), and the surviving bounded (query, term) list
     * BROADCASTS, so candidate generation is a map-side probe of posting
     * lists — never a shuffle of the postings by term (the
     * [[SimOps.lexicalRankOn]] discipline). Per-term scores quantize to
@@ -270,22 +274,25 @@ object TextOps extends OpFamily {
   def bm25Search(s: SparkSession, d: String): DataFrame = {
     val ix = cachedLexIndex(s, d)
     bm25SearchFromIndex(ix("tf"), ix("dl"), ix("df"), ix("stats"),
-      col("doc_id") < 10, k = 10, dfCapPermille = 100)
+      col("doc_id") < 10, k = 10, maxQueryTerms = 8)
   }
 
   /** The search core over prebuilt index tables ([[lexIndexTables]]
     * shapes) — queries are the docs matching `queryPred` (a predicate
     * over the posting table's doc_id column; must select a BOUNDED set,
-    * it is the broadcast side).
+    * it is the broadcast side). Each query keeps its `maxQueryTerms`
+    * lowest-df terms (ties by term), the per-query posting-read bound.
     */
   private[graft] def bm25SearchFromIndex(tf: DataFrame, dl: DataFrame,
       dfT: DataFrame, stats: DataFrame, queryPred: Column, k: Int,
-      dfCapPermille: Int): DataFrame = {
+      maxQueryTerms: Int): DataFrame = {
+    val wQ = Window.partitionBy(col("qid")).orderBy(col("df"), col("term"))
     val qterms = broadcast(tf.filter(queryPred)
         .select(col("doc_id").as("qid"), col("term")))
       .join(dfT, Seq("term"))
+      .withColumn("qr", row_number().over(wQ))
+      .filter(col("qr") <= maxQueryTerms)
       .crossJoin(broadcast(stats))
-      .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
     val scored = broadcast(qterms)
       .join(tf.select(col("doc_id").as("did"), col("term"), col("tf")),
         Seq("term"))
@@ -691,9 +698,12 @@ object TextOps extends OpFamily {
              FROM tokens GROUP BY doc_id, term),
          df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
              FROM tf GROUP BY term),
-         q AS (SELECT tf.doc_id AS qid, tf.term, df.df
-             FROM tf JOIN df USING (term) CROSS JOIN n
-             WHERE tf.doc_id < 10 AND df.df * 1000 <= n.n_docs * 100),
+         q AS (SELECT qid, term, df FROM (
+             SELECT tf.doc_id AS qid, tf.term, df.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY df.df, tf.term) AS qr
+             FROM tf JOIN df USING (term) WHERE tf.doc_id < 10)
+           WHERE qr <= 8),
          sc AS (SELECT q.qid, tf.doc_id AS did,
              CAST(sum(CAST(floor(
                ln((CAST(n.n_docs AS DOUBLE) - q.df + 0.5) / (q.df + 0.5)

@@ -764,7 +764,7 @@ class GraftApiSpec extends AnyFunSuite {
       (4L, "gamma delta alpha beta gamma") // shares all 4 of doc 0
     ).toDF("my_id", "body")
     val got = Graft.bm25Search(corpus, "my_id", "body",
-        col("doc_id") === 0L, k = 3, dfCapPermille = 1000) // tiny corpus: no cap
+        col("doc_id") === 0L, k = 3) // 4 query terms < maxQueryTerms: all kept
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(got.forall(_._1 === 0L))
     assert(got.forall(_._3 !== 0L), "a query must never retrieve itself")
