@@ -1085,6 +1085,17 @@ object Graft {
     graft.operators.AggOps.entropyOn(df, groupCol, symbolCol)
       .withColumnRenamed("grp", "group")
 
+  /** Exact audience-overlap matrix: for every unordered pair of
+    * categories sharing ≥ 1 key, the number of keys carrying both (the
+    * diagonal is each category's key-set size). One distinct + one
+    * bounded aggregate — the fact table is never self-joined, so cost is
+    * one corpus-sized shuffle regardless of category skew. Returns
+    * (type_a, type_b, n_keys), type_a ≤ type_b.
+    */
+  def overlapMatrix(df: DataFrame, keyCol: String,
+      categoryCol: String): DataFrame =
+    graft.operators.AggOps.overlapMatrixOn(df, keyCol, categoryCol)
+
   /** Median/MAD robust outlier stats per key (Iglewicz–Hoaglin modified
     * z-score, |0.6745·dev/MAD| > 3.5), all integral micro-units: (key,
     * n, med_micro, mad_micro, n_outliers, max_absdev_micro). Survives

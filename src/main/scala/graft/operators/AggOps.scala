@@ -601,6 +601,35 @@ object AggOps extends OpFamily {
         col("lift"))
   }
 
+  /** AUDIENCE OVERLAP MATRIX — exact pairwise user-set overlaps across
+    * event types (the diagonal carries the set sizes): the segmentation
+    * screen a growth/analytics pipeline reads to see which behaviors
+    * share an audience. ONE distinct + ONE bounded aggregate, never a
+    * self-join of the fact table: each user's sorted distinct type set
+    * (bounded by the type cardinality) expands row-locally to its
+    * diagonal-inclusive upper-triangle pairs via nested transform
+    * lambdas, and the grid groupBy has ≤ types² rows. At 100 TB the only
+    * corpus-sized shuffle is the (user, type) distinct.
+    */
+  def overlapMatrix(s: SparkSession, d: String): DataFrame =
+    overlapMatrixOn(Tables.events(s, d), "user_id", "event_type")
+
+  /** The overlap core over any (key, category) pair —
+    * [[graft.api.Graft.overlapMatrix]]: (type_a, type_b, n_keys) for
+    * every unordered category pair sharing at least one key.
+    */
+  private[graft] def overlapMatrixOn(df: DataFrame, key: String,
+      cat: String): DataFrame =
+    df.select(col(key).as("k"), col(cat).as("c"))
+      .groupBy(col("k"))
+      .agg(array_sort(collect_set(col("c"))).as("cs"))
+      .select(explode(flatten(transform(col("cs"), (x, i) =>
+        transform(slice(col("cs"), i + 1, size(col("cs")) - i), y =>
+          struct(x.as("ta"), y.as("tb")))))).as("p"))
+      .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("type_a"), col("type_b"))
+
   /** SHANNON ENTROPY profile: per document source, the entropy (bits) of
     * its language mix — the mixture-diversity diagnostic a corpus curator
     * reads before setting per-language sampling rates (a source whose
@@ -777,6 +806,7 @@ object AggOps extends OpFamily {
     "agg_benford" -> (benfordProfile _),
     "agg_gini" -> (giniRevenue _),
     "agg_entropy" -> (entropyBySource _),
+    "agg_overlap_matrix" -> (overlapMatrix _),
     "agg_mad_outliers" -> (madOutliers _),
     "agg_copurchase_lift" -> (copurchaseLift _),
     "agg_key_skew" -> (keySkew _),
@@ -1059,6 +1089,13 @@ object AggOps extends OpFamily {
            CAST(2 * six - CAST(n_cust + 1 AS HUGEINT) * rev_cents AS DOUBLE)
              / CAST(CAST(n_cust AS HUGEINT) * rev_cents AS DOUBLE) AS gini
          FROM g ORDER BY n_name""",
+    "agg_overlap_matrix" ->
+      """WITH du AS (SELECT DISTINCT user_id, event_type FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_keys
+         FROM du a JOIN du b
+           ON a.user_id = b.user_id AND a.event_type <= b.event_type
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "agg_entropy" ->
       """WITH c AS (SELECT source, lang, count(*) AS n
            FROM documents GROUP BY source, lang)

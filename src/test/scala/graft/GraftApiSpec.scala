@@ -755,6 +755,21 @@ class GraftApiSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) <= math.max(r.getLong(1) - 1, 0)))
   }
 
+  test("overlapMatrix counts shared keys per category pair, hand-computed") {
+    val events = Seq(
+      (1L, "click"), (1L, "view"), (1L, "click"), // dup rows collapse
+      (2L, "click"), (2L, "purchase"),
+      (3L, "view"),
+      (4L, "click"), (4L, "view"), (4L, "purchase")
+    ).toDF("uid", "etype")
+    val got = Graft.overlapMatrix(events, "uid", "etype").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      ("click", "click") -> 3L, ("click", "purchase") -> 2L,
+      ("click", "view") -> 2L, ("purchase", "purchase") -> 2L,
+      ("purchase", "view") -> 1L, ("view", "view") -> 3L))
+  }
+
   test("bm25Search retrieves the sharing doc first and never the query") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta"),
