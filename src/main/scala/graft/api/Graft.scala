@@ -1217,4 +1217,19 @@ object Graft {
           greatest(col(srcCol), col(dstCol)).as("b"))
         .filter(col("a") < col("b"))
         .distinct())
+
+  /** Newman modularity profile of ANY community labeling over a
+    * SYMMETRIC edge list (every undirected edge present in both
+    * orientations): per community (top-20 by size),
+    * q_part = e_in/m − (deg_sum/2m)²; Σ q_part over all communities is
+    * the partition's modularity Q. Compose with [[clusterPairs]] (CC
+    * labels) or any external clustering. Returns
+    * (lbl, n_nodes, deg_sum, e_in, q_part).
+    */
+  def modularityProfile(edges: DataFrame, labels: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", labelCol: String = "lbl"): DataFrame =
+    graft.operators.GraphOps.modularityOn(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      labels.select(col(nodeCol).as("node"), col(labelCol).as("lbl")))
 }

@@ -668,6 +668,61 @@ object GraphOps extends OpFamily {
     labels
   }
 
+  /** NEWMAN MODULARITY PROFILE of the [[labelProp]] communities over the
+    * customer–supplier graph — the quality metric that tells a curator
+    * whether LPA's communities are real structure or noise: per
+    * community, q_part = e_in/m − (deg_sum/2m)², whose sum over
+    * communities is the partition's modularity Q (q_part ≈ 0 means that
+    * community's internal density is what random wiring would give).
+    * One LPA pass (shared machinery), then three bounded aggregates:
+    * degrees from the symmetric edge list, community sizes/degree mass
+    * from the label table, internal-edge counts from one labels⋈edges
+    * join — no windows, everything map-side partial. Output: top-20
+    * communities by size.
+    */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val edges = custSuppEdges(s, d).localCheckpoint() // deg + und + LPA
+    modularityOn(edges, labelPropFrom(edges, LpaRounds))
+  }
+
+  /** The modularity core over any SYMMETRIC (src, dst) edge frame and a
+    * (node, lbl) community table — [[graft.api.Graft.modularityProfile]]
+    * composes it with any labeling (LPA, CC, an external clustering).
+    */
+  private[graft] def modularityOn(edges: DataFrame,
+      labelsIn: DataFrame): DataFrame = {
+    val labels = labelsIn
+      .localCheckpoint() // consumed three times (comm + both endpoints)
+    // each undirected edge once (symmetric input: src < dst keeps one
+    // orientation; the fixture oracle's (customer, supplier) orientation
+    // selects the same edge set)
+    val und = edges.filter(col("src") < col("dst"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val comm = labels.join(deg, Seq("node"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val ein = und
+      .join(labels.select(col("node").as("a_node"), col("lbl").as("la")),
+        col("src") === col("a_node"))
+      .join(labels.select(col("node").as("b_node"), col("lbl").as("lb")),
+        col("dst") === col("b_node"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl"))
+      .agg(count(lit(1)).as("e_in"))
+    comm.join(ein, Seq("lbl"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("lbl"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        (coalesce(col("e_in"), lit(0L)).cast("double") / col("m")
+          - (col("deg_sum").cast("double") / (lit(2) * col("m")))
+            * (col("deg_sum").cast("double") / (lit(2) * col("m"))))
+          .as("q_part"))
+      .orderBy(desc("n_nodes"), col("lbl"))
+      .limit(20)
+  }
+
   /** 3-TRUSS of the duplication similarity graph: keep only edges that
     * participate in ≥ k−2 = 1 triangle, peeling iteratively (dropping an
     * edge can break its neighbors' triangles) for up to [[TrussRounds]]
@@ -1067,6 +1122,7 @@ object GraphOps extends OpFamily {
     "graph_clustering_coeff" -> (clusteringCoeff _),
     "graph_ktruss" -> (kTruss _),
     "graph_label_prop" -> (labelProp _),
+    "graph_modularity" -> (modularity _),
     "graph_degree_profile" -> (degreeProfile _))
 
   // combined dup corpus (originals ∪ exact copies ∪ truncated near-dups),
@@ -1250,6 +1306,32 @@ object GraphOps extends OpFamily {
          FROM deg LEFT JOIN tn ON deg.x = tn.x
          WHERE deg >= 2
          ORDER BY local_cc DESC, deg DESC, node LIMIT 20""",
+    "graph_modularity" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+             l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM e0
+                   UNION ALL SELECT s, c FROM e0),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         ${(1 to LpaRounds).map(lpaRound).mkString(",\n         ")},
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM edges GROUP BY src),
+         comm AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.deg) AS BIGINT) AS deg_sum
+           FROM l$LpaRounds l JOIN deg d ON l.node = d.node GROUP BY l.lbl),
+         ein AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_in
+           FROM e0 u JOIN l$LpaRounds la ON u.c = la.node
+           JOIN l$LpaRounds lb ON u.s = lb.node
+           WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+         SELECT lbl, n_nodes, deg_sum, e_in, q_part FROM (
+           SELECT c.lbl, c.n_nodes, c.deg_sum,
+             coalesce(e.e_in, 0) AS e_in,
+             CAST(coalesce(e.e_in, 0) AS DOUBLE) / m.m
+               - (CAST(c.deg_sum AS DOUBLE) / (2 * m.m))
+                 * (CAST(c.deg_sum AS DOUBLE) / (2 * m.m)) AS q_part
+           FROM comm c LEFT JOIN ein e ON c.lbl = e.lbl CROSS JOIN m)
+         ORDER BY n_nodes DESC, lbl LIMIT 20""",
     "graph_label_prop" ->
       s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s

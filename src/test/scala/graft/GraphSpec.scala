@@ -324,6 +324,23 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getAs[Long]("m") > 0)
   }
 
+  test("modularity profile matches hand math on two bridged triangles") {
+    import TestSpark.spark.implicits._
+    // triangles {1,2,3} and {4,5,6} + bridge 3–4; labels = the triangles
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L).toDF("node", "lbl")
+    val got = graft.api.Graft.modularityProfile(sym, labels).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // m = 7; each triangle: 3 nodes, deg_sum = 2+2+3 = 7, e_in = 3,
+    // q_part = 3/7 − (7/14)² — the same IEEE op order as the engine
+    val q = 3.0 / 7 - (7.0 / 14) * (7.0 / 14)
+    assert(got === Map(1L -> ((3L, 7L, 3L, q)), 4L -> ((3L, 7L, 3L, q))))
+  }
+
   test("degree profile reflects the bipartite skew (suppliers ≫ customers)") {
     val prof = GraphOps.degreeProfile(spark, sf).collect()
       .map(r => r.getAs[String]("kind") -> r).toMap
