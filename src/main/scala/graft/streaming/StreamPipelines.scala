@@ -386,6 +386,66 @@ object StreamPipelines {
         org.apache.spark.sql.streaming.OutputMode.Append())(
         org.apache.spark.sql.Encoders.product[(String, Long, Seq[Double])])
 
+  /** Streaming HEAVY HITTERS — the incremental twin of the batch
+    * agg_heavy_hitters (which sketch-prunes with CMS): per stream key,
+    * a Misra–Gries summary (Misra–Gries 1982, public) of at most
+    * `capacity` counters held in ONE MapState: an arriving item
+    * increments its counter if present, takes a free slot if one
+    * exists, and otherwise decrements EVERY counter (zeros evicted) —
+    * the classical guarantee that any item with true frequency
+    * > n/(capacity+1) is in the summary, and each kept estimate
+    * undercounts its true frequency by at most the total decrement.
+    * State is ≤ capacity entries per key — O(keys·capacity) forever,
+    * never O(stream) — and while distinct items per key ≤ capacity no
+    * decrement fires, so counts are EXACT (the window the spec pins
+    * bit-for-bit across a multi-batch handoff). Each batch emits the
+    * post-batch summary snapshot (key, item, est).
+    */
+  class HeavyHittersProcessor(capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String), (String, String, Long)] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("mg",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, String, Long)] = {
+      rows.foreach { case (_, item) =>
+        if (counts.containsKey(item))
+          counts.updateValue(item, counts.getValue(item) + 1L)
+        else {
+          // materialize before mutating — the state iterator must not
+          // observe concurrent updates
+          val entries = counts.iterator().toList
+          if (entries.size < capacity) counts.updateValue(item, 1L)
+          else entries.foreach { case (k, v) =>
+            if (v <= 1L) counts.removeKey(k)
+            else counts.updateValue(k, v - 1L)
+          }
+        }
+      }
+      counts.iterator().toList.map { case (k, v) => (key, k, v) }.iterator
+    }
+  }
+
+  /** [[HeavyHittersProcessor]] wired over a (key, item) stream. */
+  def heavyHitterItems(items: org.apache.spark.sql.Dataset[(String, String)],
+      capacity: Int = 8)
+      : org.apache.spark.sql.Dataset[(String, String, Long)] =
+    items.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new HeavyHittersProcessor(capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        org.apache.spark.sql.Encoders.product[(String, String, Long)])
+
   /** Streaming corpus ingest — the LLM-pipeline front door as ONE
     * incremental plan: quality gate (token count + type-token ratio) →
     * content-fingerprint exact dedup with watermark-bounded state →

@@ -265,6 +265,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming Misra-Gries heavy hitters: exact under capacity, " +
+      "classical decrement-eviction over it, state carried across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamPipelines.heavyHitterItems(
+      mem.toDS(), capacity = 2)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF("k", "item", "est")
+        .writeStream.format("memory").queryName("t_mg")
+        .outputMode("append").start()
+      mem.addData(("t", "a"), ("t", "a"), ("t", "b"), ("u", "x"))
+      q.processAllAvailable()
+      // snapshot 1: t → {a:2, b:1} (exact: 2 distinct ≤ capacity); u → {x:1}
+      val snap1 = spark.table("t_mg").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(snap1 === Set(("t", "a", 2L), ("t", "b", 1L), ("u", "x", 1L)))
+      // batch 2 for t: c hits a FULL summary → decrement all (a 2→1,
+      // b 1→0 evicted, c not inserted); then a → 2; then c takes the
+      // freed slot → 1. u stays exact across the batch handoff.
+      mem.addData(("t", "c"), ("t", "a"), ("t", "c"),
+        ("u", "x"), ("u", "y"))
+      q.processAllAvailable()
+      val all = spark.table("t_mg").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      q.stop()
+      assert(all.length === 3 + 4, "batch 2 must emit 4 snapshot rows")
+      // multiset-subtract batch 1's emission: what batch 2 emitted
+      val batch2 = all.diff(snap1.toSeq).toSet
+      assert(batch2 === Set(("t", "a", 2L), ("t", "c", 1L),
+        ("u", "x", 2L), ("u", "y", 1L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming EWMA replays the batch recurrence across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
