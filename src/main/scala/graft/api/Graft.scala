@@ -785,6 +785,23 @@ object Graft {
       df.select(col(idCol).as("vec_id"),
         transform(col(vecCol), _.cast("double")).as("v")), nlist, threshold)
 
+  /** Product-quantization ANN search (PQ/ADC): vectors encode as `m`
+    * sub-centroid codes (k-means per `subDim`-wide subspace — the
+    * vector dim must equal m·subDim) and queries rank the corpus by the
+    * exact cosine against each vector's RECONSTRUCTION, computed from a
+    * per-query m·nlist dot-product LUT — the memory-compression scale
+    * path (codes are m small ints per vector). `queryPred` selects the
+    * query rows by the internal `vec_id` column; ids must be DENSE from
+    * 0 (per-subspace seeding). Returns (qid, rank, nid, cos_adc).
+    */
+  def pqKnn(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, m: Int = 4, subDim: Int = 16, nlist: Int = 16,
+      k: Int = 5): DataFrame =
+    graft.operators.SimOps.knnPqOn(df.sparkSession,
+      df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v")),
+      queryPred, m, subDim, nlist, k)
+
   /** Incremental ANN ingest — an `incoming` embedding batch against a
     * k-means (IVF) index built over `index`: each incoming vector gets
     * its HOME cell (nearest centroid — where the ingest appends it) and

@@ -793,6 +793,76 @@ object SimOps extends OpFamily {
     * integer sum or a single double product, so assignment, probing,
     * candidates and the re-rank all replay bit-for-bit in DuckDB.
     */
+  /** PRODUCT-QUANTIZATION ANN (PQ/ADC — Jégou et al. 2011, public):
+    * the memory-compression scale path. Every 64-dim vector encodes as
+    * m = 4 small codes (its nearest of nlist = 16 sub-centroids per
+    * 16-dim subspace, each codebook a bit-replayable [[lloydCellsOn]]
+    * run on the sliced vectors), and search scans CODES with a
+    * per-query asymmetric-distance LUT: approx cos(q, x) =
+    * Σ_j dot(q_j, c_{j,code_j}) / (|q|·|x̂|) — the EXACT cosine between
+    * q and x's reconstruction x̂, so scores are bounded in [−1, 1] and
+    * every stage (codes, LUTs, ranks) replays in the oracle. At 100 TB
+    * the corpus side reads m bytes per vector instead of 4·dim — the
+    * difference between scanning embeddings and scanning ~1/64th of
+    * the bytes — with the LUT just m·nlist dots per query; exact
+    * re-rank of the top-k is the [[knnIvfQuantized]] composition.
+    */
+  def knnPq(s: SparkSession, d: String): DataFrame =
+    knnPqOn(s, Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v")),
+      col("vec_id") < 10, m = 4, subDim = 16, nlist = 16, k = 5)
+
+  /** The PQ search core over any (vec_id, v: array<double>) frame with
+    * dense ids (the [[lloydCellsOn]] seeding contract, per subspace).
+    * Queries = rows matching `queryPred` (self-matches excluded).
+    */
+  private[graft] def knnPqOn(s: SparkSession, e0: DataFrame,
+      queryPred: org.apache.spark.sql.Column, m: Int, subDim: Int, nlist: Int,
+      k: Int): DataFrame = {
+    val e = e0.localCheckpoint() // m subspace builds + query norms
+    val subs = (0 until m).map { j =>
+      val sub = e.select(col("vec_id"),
+        slice(col("v"), j * subDim + 1, subDim).as("v"))
+      val (cells, cents) = lloydCellsOn(s, sub, nlist)
+      (j, cells, cents)
+    }
+    val codes = subs.map { case (j, cells, _) =>
+      cells.select(col("vec_id"), col("cid").as(s"c$j"))
+    }.reduce(_.join(_, Seq("vec_id")))
+    // per-query LUT for subspace j: dot(q_j, centroid) and |centroid|²
+    // per cid — m·nlist rows per query, always broadcast
+    val luts = subs.map { case (j, cells, cents) =>
+      cells.filter(queryPred)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("cid").as(s"c$j"),
+          NativeExprs.dot(s, col("qv"), col("centroid")).as(s"d$j"),
+          NativeExprs.dot(s, col("centroid"), col("centroid"))
+            .as(s"nn$j"))
+    }
+    val qn = withNorm(s, e.filter(queryPred), "v", "qn")
+      .select(col("vec_id").as("qid"), col("qn"))
+    val joined = luts.zipWithIndex.foldLeft(
+        codes.select((col("vec_id").as("nid") +:
+          (0 until m).map(j => col(s"c$j"))): _*)) {
+      case (acc, (lut, j)) =>
+        val keys = if (j == 0) Seq(s"c$j") else Seq("qid", s"c$j")
+        acc.join(broadcast(lut), keys)
+    }
+    val dSum = (1 until m).foldLeft(col("d0"))((a, j) => a + col(s"d$j"))
+    val nnSum = (1 until m).foldLeft(col("nn0"))((a, j) => a + col(s"nn$j"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos_adc"), col("nid"))
+    joined.join(broadcast(qn), Seq("qid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos_adc", dSum / (col("qn") * sqrt(nnSum)))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos_adc"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def knnIvfQuantized(s: SparkSession, d: String): DataFrame = {
     val qz = quantizedVectors(s, d).localCheckpoint() // feeds cells + probes
     val cent = qz.filter(col("vec_id") < 10)
@@ -888,6 +958,7 @@ object SimOps extends OpFamily {
     "sim_knn_ivf_lloyd" -> (knnIvfLloyd _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_knn_quantized" -> (knnQuantizedDot _),
+    "sim_knn_pq" -> (knnPq _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
     "sim_incremental_assign" -> (incrementalAssign _),
@@ -922,21 +993,87 @@ object SimOps extends OpFamily {
     * because every float reduction in [[knnIvf]] is order-independent.
     */
   private def assignCte(name: String, cFrom: String) =
+    assignCteIn(name, cFrom, "v")
+
+  private def centroidCte(name: String, aFrom: String) =
+    centroidCteIn(name, aFrom, 64)
+
+  /** [[assignCte]] generalized over the vector-table name (the PQ
+    * oracle runs one chain per subspace table). */
+  private def assignCteIn(name: String, cFrom: String, vFrom: String) =
     s"""$name AS (SELECT cid, vec_id, v FROM (
           SELECT c.cid, x.vec_id, x.v,
             row_number() OVER (PARTITION BY x.vec_id
               ORDER BY list_cosine_similarity(x.v, c.centroid) DESC, c.cid)
               AS rn
-          FROM v x CROSS JOIN $cFrom c) WHERE rn = 1)"""
+          FROM $vFrom x CROSS JOIN $cFrom c) WHERE rn = 1)"""
 
-  private def centroidCte(name: String, aFrom: String) =
+  /** [[centroidCte]] generalized over the vector dimensionality. */
+  private def centroidCteIn(name: String, aFrom: String, dim: Int) =
     s"""$name AS (SELECT cid, list(m ORDER BY pos) AS centroid FROM (
           SELECT cid, i - 1 AS pos,
             CAST(SUM(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
               / count(*) / 1e6 AS m
           FROM (SELECT cid, i, v[i] AS x
-                FROM $aFrom, unnest(range(1, 65)) AS t(i))
+                FROM $aFrom, unnest(range(1, ${dim + 1})) AS t(i))
           GROUP BY cid, i) GROUP BY cid)"""
+
+  /** One subspace's Lloyd replay for the PQ oracle: slice dims
+    * [j·16+1, (j+1)·16], seed from the 16 lowest vec_ids, 3 rounds —
+    * the [[lloydCtes]] chain with per-subspace table names.
+    */
+  private def pqSubCtes(j: Int): String = {
+    def a(n: String, c: String) = assignCteIn(s"$n$j", s"$c$j", s"v$j")
+    def cc(n: String, ag: String) = centroidCteIn(s"$n$j", s"$ag$j", 16)
+    s"""v$j AS (SELECT vec_id, v[${j * 16 + 1}:${(j + 1) * 16}] AS v
+            FROM v),
+          c0$j AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid
+            FROM v$j WHERE vec_id < 16),
+          ${a("a1", "c0")}, ${cc("c1", "a1")},
+          ${a("a2", "c1")}, ${cc("c2", "a2")},
+          ${a("a3", "c2")}, ${cc("c3", "a3")},
+          ${a("cells", "c3")}"""
+  }
+
+  /** DuckDB replay of the PQ/ADC search: 4 per-subspace Lloyd chains →
+    * codes; per-query LUT dots against the final sub-codebooks; the
+    * ADC score is the exact cosine against the reconstruction —
+    * mirror of [[knnPq]] term for term.
+    */
+  private val pqOracleSql: String = {
+    val luts = (0 until 4).map(j =>
+      s"""lut$j AS (SELECT q.vec_id AS qid, c.cid,
+              list_dot_product(q.v, c.centroid) AS d,
+              list_dot_product(c.centroid, c.centroid) AS nn
+            FROM (SELECT vec_id, v FROM v$j WHERE vec_id < 10) q
+            CROSS JOIN c3$j c)""").mkString(",\n          ")
+    val lutJoins = (0 until 4).map(j =>
+      s"JOIN lut$j ON lut$j.qid = q.qid AND lut$j.cid = x.c$j")
+      .mkString("\n           ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+          ${(0 until 4).map(pqSubCtes).mkString(",\n          ")},
+          codes AS (SELECT cells0.vec_id, cells0.cid AS c0,
+              cells1.cid AS c1, cells2.cid AS c2, cells3.cid AS c3
+            FROM cells0 JOIN cells1 USING (vec_id)
+            JOIN cells2 USING (vec_id) JOIN cells3 USING (vec_id)),
+          $luts,
+          q AS (SELECT vec_id AS qid, sqrt(list_dot_product(v, v)) AS qn
+            FROM v WHERE vec_id < 10),
+          score AS (SELECT q.qid, x.vec_id AS nid,
+              (lut0.d + lut1.d + lut2.d + lut3.d)
+                / (q.qn * sqrt(lut0.nn + lut1.nn + lut2.nn + lut3.nn))
+                AS cos_adc
+            FROM codes x CROSS JOIN q
+           $lutJoins
+            WHERE x.vec_id <> q.qid)
+        SELECT qid, rank, nid, cos_adc FROM (
+          SELECT qid, nid, cos_adc,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY cos_adc DESC, nid) AS rank
+          FROM score)
+        WHERE rank <= 5 ORDER BY qid, rank"""
+  }
 
   /** The shared 3-round Lloyd CTE chain: v → c0 (seed) → a1/c1 → a2/c2 →
     * a3/c3 → cells; the replay core of [[lloydCells]].
@@ -1230,6 +1367,7 @@ object SimOps extends OpFamily {
            coalesce(t.n_dropped, 0) AS n_dropped
          FROM sizes s LEFT JOIN stats t USING (cid) ORDER BY s.cid""",
     "sim_knn_ivf" -> ivfOracleSql,
+    "sim_knn_pq" -> pqOracleSql,
     "sim_incremental_assign" -> incrementalAssignOracleSql,
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_kmeans" ->

@@ -770,6 +770,37 @@ class GraftApiSpec extends AnyFunSuite {
       ("purchase", "view") -> 1L, ("view", "view") -> 3L))
   }
 
+  test("pqKnn: ADC scores are true reconstruction cosines (bounded) and " +
+      "rank the matching cluster first") {
+    // two near-orthogonal clusters in dim 8, m=2 subspaces of 4; ids 8
+    // and 9 are the probes (queryPred picks them; corpus ids stay dense
+    // 0..9). Every dim gets a 0.05 floor so no SUBSPACE is the zero
+    // vector (cosine of a zero subvector is 0/0 — ANSI division error;
+    // dense real embeddings never hit it)
+    val d = 8
+    def vec(axis: Int, eps: Double): Array[Float] =
+      Array.tabulate(d)(j =>
+        (0.05 + (if (j == axis) 1.0
+          else if (j == (axis + 1) % d) eps else 0.0)).toFloat)
+    val e1Ids = Set(0L, 2L, 3L, 4L); val e4Ids = Set(1L, 5L, 6L, 7L)
+    val rows = Seq(
+      0L -> vec(0, 0.0), 1L -> vec(4, 0.0),
+      2L -> vec(0, 0.01), 3L -> vec(0, 0.02), 4L -> vec(0, 0.03),
+      5L -> vec(4, 0.01), 6L -> vec(4, 0.02), 7L -> vec(4, 0.03),
+      8L -> vec(4, 0.02), 9L -> vec(0, 0.03)).toDF("vid", "emb")
+    val got = Graft.pqKnn(rows, "vid", "emb", col("vec_id") >= 8L,
+        m = 2, subDim = 4, nlist = 2, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.forall { case (_, _, _, c) => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 },
+      "ADC score is an exact reconstruction cosine, so it must be bounded")
+    val byQ = got.groupBy(_._1)
+    // probe 8 is an e4 vector, probe 9 an e1 vector: their top-ranked
+    // CORPUS neighbors must come from the matching cluster
+    assert(e4Ids(byQ(8L).minBy(_._2)._3), "e4 probe must retrieve e4 side")
+    assert(e1Ids(byQ(9L).minBy(_._2)._3), "e1 probe must retrieve e1 side")
+  }
+
   test("bm25Search retrieves the sharing doc first and never the query") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta"),
