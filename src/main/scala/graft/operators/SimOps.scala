@@ -807,20 +807,31 @@ object SimOps extends OpFamily {
     * the bytes — with the LUT just m·nlist dots per query; exact
     * re-rank of the top-k is the [[knnIvfQuantized]] composition.
     */
-  def knnPq(s: SparkSession, d: String): DataFrame =
-    knnPqOn(s, Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("v")),
-      col("vec_id") < 10, m = 4, subDim = 16, nlist = 16, k = 5)
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    // the codebooks and code table are the persisted index (the
+    // lloydCells discipline): searches re-attach and run the LUT probe
+    // only — the build is a batch job, never per-query work
+    val names = "codes" +: (0 until 4).map(j => s"cent$j")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val parts = ArtifactCache.readOrBuildAll(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+        "pq_m4_sub16_nlist16@r1"), names)(
+      pqIndexTables(s, e.localCheckpoint(), m = 4, subDim = 16,
+        nlist = 16))
+    knnPqProbe(s, e, parts("codes"),
+      (0 until 4).map(j => parts(s"cent$j")), col("vec_id") < 10,
+      m = 4, subDim = 16, k = 5)
+  }
 
-  /** The PQ search core over any (vec_id, v: array<double>) frame with
-    * dense ids (the [[lloydCellsOn]] seeding contract, per subspace).
-    * Queries = rows matching `queryPred` (self-matches excluded).
+  /** The PQ index build over any (vec_id, v: array<double>) frame with
+    * dense ids (the [[lloydCellsOn]] seeding contract, per subspace):
+    * the code table (vec_id, c0..c_{m−1}) plus one codebook table per
+    * subspace, in the [[ArtifactCache.readOrBuildAll]] shape.
     */
-  private[graft] def knnPqOn(s: SparkSession, e0: DataFrame,
-      queryPred: org.apache.spark.sql.Column, m: Int, subDim: Int, nlist: Int,
-      k: Int): DataFrame = {
-    val e = e0.localCheckpoint() // m subspace builds + query norms
+  private[graft] def pqIndexTables(s: SparkSession, e: DataFrame, m: Int,
+      subDim: Int, nlist: Int): Seq[(String, DataFrame)] = {
     val subs = (0 until m).map { j =>
       val sub = e.select(col("vec_id"),
         slice(col("v"), j * subDim + 1, subDim).as("v"))
@@ -830,12 +841,36 @@ object SimOps extends OpFamily {
     val codes = subs.map { case (j, cells, _) =>
       cells.select(col("vec_id"), col("cid").as(s"c$j"))
     }.reduce(_.join(_, Seq("vec_id")))
+    ("codes" -> codes) +: subs.map { case (j, _, cents) =>
+      s"cent$j" -> cents }
+  }
+
+  /** One-shot build-and-search over ad-hoc frames
+    * ([[graft.api.Graft.pqKnn]]). */
+  private[graft] def knnPqOn(s: SparkSession, e0: DataFrame,
+      queryPred: org.apache.spark.sql.Column, m: Int, subDim: Int,
+      nlist: Int, k: Int): DataFrame = {
+    val e = e0.localCheckpoint() // m subspace builds + query norms
+    val parts = pqIndexTables(s, e, m, subDim, nlist).toMap
+    knnPqProbe(s, e, parts("codes"),
+      (0 until m).map(j => parts(s"cent$j")), queryPred, m, subDim, k)
+  }
+
+  /** The ADC probe over a prebuilt PQ index: queries (rows of `e`
+    * matching `queryPred`, self-matches excluded) rank the code table
+    * by reconstruction cosine via per-query LUTs.
+    */
+  private[graft] def knnPqProbe(s: SparkSession, e: DataFrame,
+      codes: DataFrame, cents: Seq[DataFrame],
+      queryPred: org.apache.spark.sql.Column, m: Int, subDim: Int,
+      k: Int): DataFrame = {
     // per-query LUT for subspace j: dot(q_j, centroid) and |centroid|²
     // per cid — m·nlist rows per query, always broadcast
-    val luts = subs.map { case (j, cells, cents) =>
-      cells.filter(queryPred)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-        .crossJoin(broadcast(cents))
+    val luts = (0 until m).map { j =>
+      e.filter(queryPred)
+        .select(col("vec_id").as("qid"),
+          slice(col("v"), j * subDim + 1, subDim).as("qv"))
+        .crossJoin(broadcast(cents(j)))
         .select(col("qid"), col("cid").as(s"c$j"),
           NativeExprs.dot(s, col("qv"), col("centroid")).as(s"d$j"),
           NativeExprs.dot(s, col("centroid"), col("centroid"))
