@@ -864,6 +864,26 @@ object SimOps extends OpFamily {
       codes: DataFrame, cents: Seq[DataFrame],
       queryPred: org.apache.spark.sql.Column, m: Int, subDim: Int,
       k: Int): DataFrame = {
+    // brute scan of the code table: every (query, code-row) pair — the
+    // compression-only PQ shape ([[knnIvfPq]] bounds the pair set by
+    // IVF routing instead)
+    val base = codes
+      .select((col("vec_id").as("nid") +:
+        (0 until m).map(j => col(s"c$j"))): _*)
+      .crossJoin(broadcast(
+        e.filter(queryPred).select(col("vec_id").as("qid"))))
+    pqAdcRank(s, e, base, cents, queryPred, m, subDim, k)
+  }
+
+  /** The shared ADC rank core: `base` carries (qid, nid, c0..c_{m−1})
+    * candidate pairs from any candidate generator; each pair scores by
+    * the reconstruction cosine via the per-query broadcast LUTs, and
+    * the top-k per query survive (self-pairs excluded).
+    */
+  private[graft] def pqAdcRank(s: SparkSession, e: DataFrame,
+      base: DataFrame, cents: Seq[DataFrame],
+      queryPred: org.apache.spark.sql.Column, m: Int, subDim: Int,
+      k: Int): DataFrame = {
     // per-query LUT for subspace j: dot(q_j, centroid) and |centroid|²
     // per cid — m·nlist rows per query, always broadcast
     val luts = (0 until m).map { j =>
@@ -878,12 +898,8 @@ object SimOps extends OpFamily {
     }
     val qn = withNorm(s, e.filter(queryPred), "v", "qn")
       .select(col("vec_id").as("qid"), col("qn"))
-    val joined = luts.zipWithIndex.foldLeft(
-        codes.select((col("vec_id").as("nid") +:
-          (0 until m).map(j => col(s"c$j"))): _*)) {
-      case (acc, (lut, j)) =>
-        val keys = if (j == 0) Seq(s"c$j") else Seq("qid", s"c$j")
-        acc.join(broadcast(lut), keys)
+    val joined = luts.zipWithIndex.foldLeft(base) {
+      case (acc, (lut, j)) => acc.join(broadcast(lut), Seq("qid", s"c$j"))
     }
     val dSum = (1 until m).foldLeft(col("d0"))((a, j) => a + col(s"d$j"))
     val nnSum = (1 until m).foldLeft(col("nn0"))((a, j) => a + col(s"nn$j"))
@@ -896,6 +912,48 @@ object SimOps extends OpFamily {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos_adc"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF-PQ (the faiss-style composition, both halves PERSISTED): the
+    * full-vector IVF index routes each query to its nprobe=2 nearest
+    * cells, and only the vectors IN those cells are scored — by the PQ
+    * code table through the ADC LUT, not by their raw vectors. At
+    * 100 TB this is the production ANN read path: touch ~nprobe/nlist
+    * of the corpus AND read only m code bytes per touched vector;
+    * exact re-rank of the survivors is the [[knnIvfQuantized]]
+    * composition. Both indexes are the same content-addressed
+    * artifacts the standalone queries use ([[lloydCells]],
+    * [[knnPq]]'s codebooks) — built once, shared by every consumer.
+    */
+  def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (cells, centroids) = lloydCells(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val names = "codes" +: (0 until 4).map(j => s"cent$j")
+    val parts = ArtifactCache.readOrBuildAll(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+        "pq_m4_sub16_nlist16@r1"), names)(
+      pqIndexTables(s, e.localCheckpoint(), m = 4, subDim = 16,
+        nlist = 16))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(desc("c_sim"), col("cid"))
+    val probes = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("vn").as("qn0"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosPair(s, "qv", "qn0", "centroid", "cn"))
+      .withColumn("c_rank", row_number().over(wProbe))
+      .filter(col("c_rank") <= 2)
+      .select(col("qid"), col("cid"))
+    val base = cells.select(col("vec_id").as("nid"), col("cid"))
+      .join(broadcast(probes), Seq("cid"))
+      .join(parts("codes").select((col("vec_id").as("nid") +:
+        (0 until 4).map(j => col(s"c$j"))): _*), Seq("nid"))
+      .select((col("qid") +: col("nid") +:
+        (0 until 4).map(j => col(s"c$j"))): _*)
+    pqAdcRank(s, e, base, (0 until 4).map(j => parts(s"cent$j")),
+      col("vec_id") < 10, m = 4, subDim = 16, k = 5)
   }
 
   def knnIvfQuantized(s: SparkSession, d: String): DataFrame = {
@@ -994,6 +1052,7 @@ object SimOps extends OpFamily {
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_knn_quantized" -> (knnQuantizedDot _),
     "sim_knn_pq" -> (knnPq _),
+    "sim_knn_ivf_pq" -> (knnIvfPq _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
     "sim_incremental_assign" -> (incrementalAssign _),
@@ -1178,6 +1237,54 @@ object SimOps extends OpFamily {
           FROM probes p JOIN cells n ON n.cid = p.cid) r
         JOIN home USING (new_id)
         WHERE rank <= 3 ORDER BY new_id, rank"""
+  }
+
+  /** DuckDB replay of the IVF-PQ composition: the full-vector Lloyd
+    * chain routes (probes), the four subspace chains code, and the ADC
+    * score ranks only probed-cell candidates — mirror of [[knnIvfPq]].
+    */
+  private val ivfPqOracleSql: String = {
+    val luts = (0 until 4).map(j =>
+      s"""lut$j AS (SELECT q.vec_id AS qid, c.cid,
+              list_dot_product(q.v, c.centroid) AS d,
+              list_dot_product(c.centroid, c.centroid) AS nn
+            FROM (SELECT vec_id, v FROM v$j WHERE vec_id < 10) q
+            CROSS JOIN c3$j c)""").mkString(",\n          ")
+    val lutJoins = (0 until 4).map(j =>
+      s"JOIN lut$j ON lut$j.qid = b.qid AND lut$j.cid = x.c$j")
+      .mkString("\n           ")
+    s"""WITH $lloydCtes,
+          ${(0 until 4).map(pqSubCtes).mkString(",\n          ")},
+          pqcodes AS (SELECT cells0.vec_id, cells0.cid AS c0,
+              cells1.cid AS c1, cells2.cid AS c2, cells3.cid AS c3
+            FROM cells0 JOIN cells1 USING (vec_id)
+            JOIN cells2 USING (vec_id) JOIN cells3 USING (vec_id)),
+          $luts,
+          probes AS (SELECT qid, cid FROM (
+              SELECT q.vec_id AS qid, c.cid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.v, c.centroid) DESC,
+                    c.cid) AS rn
+              FROM (SELECT vec_id, v FROM cells WHERE vec_id < 10) q
+              CROSS JOIN c3 c) WHERE rn <= 2),
+          q AS (SELECT vec_id AS qid, sqrt(list_dot_product(v, v)) AS qn
+            FROM v WHERE vec_id < 10),
+          b AS (SELECT p.qid, n.vec_id AS nid
+            FROM probes p JOIN cells n ON n.cid = p.cid
+            WHERE n.vec_id <> p.qid),
+          score AS (SELECT b.qid, b.nid,
+              (lut0.d + lut1.d + lut2.d + lut3.d)
+                / (q.qn * sqrt(lut0.nn + lut1.nn + lut2.nn + lut3.nn))
+                AS cos_adc
+            FROM b JOIN pqcodes x ON x.vec_id = b.nid
+            JOIN q ON q.qid = b.qid
+           $lutJoins)
+        SELECT qid, rank, nid, cos_adc FROM (
+          SELECT qid, nid, cos_adc,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY cos_adc DESC, nid) AS rank
+          FROM score)
+        WHERE rank <= 5 ORDER BY qid, rank"""
   }
 
   /** DuckDB replay of the RP-LSH search: the 6×64 hyperplanes inline as
@@ -1403,6 +1510,7 @@ object SimOps extends OpFamily {
          FROM sizes s LEFT JOIN stats t USING (cid) ORDER BY s.cid""",
     "sim_knn_ivf" -> ivfOracleSql,
     "sim_knn_pq" -> pqOracleSql,
+    "sim_knn_ivf_pq" -> ivfPqOracleSql,
     "sim_incremental_assign" -> incrementalAssignOracleSql,
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_kmeans" ->
