@@ -401,6 +401,20 @@ object Graft {
     graft.operators.MultimodalOps.decodeMediaOn(df.sparkSession,
       df.select(col(idCol).as("asset_id"), col(payloadCol).as("payload")))
 
+  /** Windowed audio ENERGY features over PCM16 WAV payloads — the table
+    * VAD / loudness-normalization / clip-detection stages read: one row
+    * per (asset, window of `window` samples) with the exact integral
+    * Σ amplitude² , its sample count, and the derived RMS. Non-WAV,
+    * non-16-bit or malformed payloads contribute no rows (total
+    * decoder), so one bad asset can never fail the stage. Returns
+    * (asset_id, win, sum_sq, n_samples, rms).
+    */
+  def audioEnergyWindows(df: DataFrame, idCol: String,
+      payloadCol: String, window: Int = 1024): DataFrame =
+    graft.operators.MultimodalOps.audioEnergyOn(df.sparkSession,
+      df.select(col(idCol).as("asset_id"), col(payloadCol).as("payload")),
+      window)
+
   // ------------------------------------------------------- event analytics
 
   /** Strictly-ordered conversion funnel over any event frame, for an

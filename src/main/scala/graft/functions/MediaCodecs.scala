@@ -95,6 +95,53 @@ object MediaCodecs {
     out
   }
 
+  /** Windowed audio ENERGY over a PCM16 WAV — the feature-extraction
+    * step an audio training pipeline runs after decode (VAD/silence
+    * trimming, loudness normalization, clip detection all read windowed
+    * energy): for each window of `window` samples (frame-interleaved;
+    * the last window may be short), the EXACT integral sum of squared
+    * amplitudes plus its sample count — callers derive RMS as
+    * sqrt(sum_sq/n) without losing reproducibility to float order.
+    * Total like [[decodeWav]]: malformed bytes or non-16-bit audio →
+    * None, never a throw. Headroom: a 16-bit square is < 2³⁰, so a
+    * window may hold 2³³ samples before the long sum could wrap —
+    * far past any real window size.
+    */
+  def wavEnergyWindows(b: Array[Byte],
+      window: Int): Option[Seq[(Long, Long)]] = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    decodeWav(b).filter(_.bits == 16).map { w =>
+      // re-walk to the data chunk (decodeWav validated the layout)
+      var off = 12
+      var body = -1
+      var size = 0L
+      while (body < 0) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val sz = (b(off + 4) & 0xffL) | ((b(off + 5) & 0xffL) << 8) |
+          ((b(off + 6) & 0xffL) << 16) | ((b(off + 7) & 0xffL) << 24)
+        if (id == "data") { body = off + 8; size = sz }
+        else off = off + 8 + sz.toInt + (sz.toInt & 1)
+      }
+      val n = (size / 2).toInt
+      val out = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < n) {
+        val m = math.min(window, n - i)
+        var j = 0
+        var acc = 0L
+        while (j < m) {
+          val s = u16(body + (i + j) * 2).toShort.toLong
+          acc += s * s
+          j += 1
+        }
+        out += ((acc, m.toLong))
+        i += m
+      }
+      out.result()
+    }
+  }
+
   /** Header-level image facts: pixel dimensions straight from the
     * container header — PNG IHDR, JPEG SOF marker walk, GIF logical
     * screen, BMP info header. No entropy decode (that genuinely needs a

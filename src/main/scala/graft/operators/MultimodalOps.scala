@@ -218,6 +218,38 @@ object MultimodalOps extends OpFamily {
   def decodeMedia(s: SparkSession, d: String): DataFrame =
     decodeMediaOn(s, assets(s, d))
 
+  /** Windowed audio ENERGY extraction over any (asset_id, payload)
+    * frame — the per-asset feature table VAD/loudness/clip stages read:
+    * one row per (asset, window) with the EXACT integral sum of squared
+    * PCM16 amplitudes, its sample count, and the derived RMS (one sqrt
+    * per window — reproducible because the sum is integer). Non-WAV /
+    * non-16-bit / malformed payloads contribute no rows instead of
+    * failing the stage ([[graft.functions.MediaCodecs.wavEnergyWindows]]
+    * is total). Same mapPartitions shape as [[decodeMediaOn]]: per-row
+    * byte parsing, no driver involvement, output linear in audio
+    * length/window.
+    */
+  private[graft] def audioEnergyOn(s: SparkSession, df: DataFrame,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window") // driver-side
+    import s.implicits._
+    import graft.functions.MediaCodecs
+    df.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodecs.wavEnergyWindows(bytes, window)
+            .getOrElse(Seq.empty).iterator.zipWithIndex
+            .map { case ((sumSq, n), w) =>
+              (id, w.toLong, sumSq, n,
+                math.sqrt(sumSq.toDouble / n))
+            }
+        }
+      }
+      .toDF("asset_id", "win", "sum_sq", "n_samples", "rms")
+      .orderBy(col("asset_id"), col("win"))
+  }
+
   /** named payload column → array of 32-byte frames (pure SQL expression). */
   private def binaryFrames32(p: String) =
     expr(s"""transform(

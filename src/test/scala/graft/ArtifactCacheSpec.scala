@@ -72,6 +72,32 @@ class ArtifactCacheSpec extends AnyFunSuite {
     assert(fingerprint(src.toString) === fingerprint(s"file:$src"))
   }
 
+  test("readOrBuildAll: a missing sub-table forces ONE joint rebuild " +
+      "(the pieces of an index must come from the same build)") {
+    val src = stageSource()
+    val store = s"graft_spec_multi_${src.getName}"
+    var builds = 0
+    def attach(): Map[String, Long] = {
+      val p = ArtifactCache.dir(spark, src.toString, "documents", store,
+        "idx@r1")
+      ArtifactCache.readOrBuildAll(spark, p, Seq("left", "right")) {
+        builds += 1
+        Seq("left" -> spark.range(4).select(col("id")),
+          "right" -> spark.range(6).select(col("id")))
+      }.map { case (n, df) => n -> df.count() }
+    }
+    assert(attach() === Map("left" -> 4L, "right" -> 6L))
+    assert(builds === 1)
+    // delete ONE sub-table's commit marker: the next attach must re-run
+    // the whole build (a half-cached index is not servable)
+    val p = ArtifactCache.dir(spark, src.toString, "documents", store,
+      "idx@r1")
+    assert(new java.io.File(s"$p/right/_SUCCESS").delete())
+    assert(attach() === Map("left" -> 4L, "right" -> 6L))
+    assert(builds === 2,
+      "a partially-present artifact must trigger a full joint rebuild")
+  }
+
   test("hit/build counters move so Bench can report cache transparency") {
     val src = stageSource()
     val store = s"graft_spec_ctr_${src.getName}"
