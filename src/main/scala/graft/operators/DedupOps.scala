@@ -872,7 +872,9 @@ object DedupOps extends OpFamily {
     "dedup_simhash_sorted" -> (simhashSorted _),
     "dedup_embedding" -> (embeddingNearDup _))
 
-  private val planted =
+  // private[operators]: PipelineOps' incremental admission oracle reads
+  // the same corpus CTE
+  private[operators] val planted =
     """SELECT doc_id, lang, source, text FROM documents
        UNION ALL
        SELECT doc_id + 200000, lang, source,

@@ -164,9 +164,50 @@ object PipelineOps extends OpFamily {
       .orderBy(col("cluster_id"))
   }
 
+  /** INCREMENTAL ADMISSION PIPELINE — the per-ingest counterpart of
+    * [[corpusPipeline]]'s batch rebuild: the incoming batch (the
+    * planted re-crawls, doc_id ≥ 2·PlantBase) runs the crawl front
+    * door's admission checks against YESTERDAY'S corpus — the stage-1
+    * token quality gate, an exact-duplicate fingerprint probe against
+    * the index, and the near-dup probe against the PERSISTED
+    * incremental dedup index ([[DedupOps.dedupIncremental]]'s artifact
+    * tables: nothing index×index, nothing batch×batch) — and reports
+    * per-verdict doc/token attrition. Verdict precedence mirrors stage
+    * order: quality_reject → exact_dup → near_dup → admitted. At
+    * 100 TB every probe is bounded by the BATCH side (the fingerprint
+    * anti-probe is one hash equi-join; the near-dup probe reads the
+    * batch's posting lists), which is what makes per-ingest admission
+    * affordable where a corpus re-dedup is not.
+    */
+  def pipelineIngest(s: SparkSession, d: String): DataFrame = {
+    val corpus = DedupOps.withNearDupes(s, d)
+    def fp(c: Column) = md5(regexp_replace(trim(lower(c)), " +", " "))
+    val idxFp = corpus.filter(col("doc_id") < 100000L)
+      .select(fp(col("text")).as("fp")).distinct()
+      .withColumn("fp_hit", lit(1))
+    val nearIds = DedupOps.dedupIncremental(s, d)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("near_hit", lit(1))
+    corpus.filter(col("doc_id") >= 200000L)
+      .select(col("doc_id"), fp(col("text")).as("fp"),
+        size(split(col("text"), " ")).as("n_toks"))
+      .join(idxFp, Seq("fp"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("n_toks"),
+        when(col("n_toks") < 20, lit("quality_reject"))
+          .when(col("fp_hit") === 1, lit("exact_dup"))
+          .when(col("near_hit") === 1, lit("near_dup"))
+          .otherwise(lit("admitted")).as("verdict"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("bigint").as("n_tokens"))
+      .orderBy(col("verdict"))
+  }
+
   val queries = Map(
     "pipeline_corpus" -> (corpusPipeline _),
     "pipeline_linkage" -> (linkageEntities _),
+    "pipeline_ingest" -> (pipelineIngest _),
     "pipeline_funnel" -> (pipelineFunnel _))
 
   // the shared five-stage CTE chain, mirroring [[stages]]: the planted
@@ -205,6 +246,36 @@ object PipelineOps extends OpFamily {
          WHERE ((s.doc_id % 1000) * 503) % 1000 < r.rate)"""
 
   val oracle = Map(
+    "pipeline_ingest" ->
+      s"""WITH corpus AS (${DedupOps.planted}),
+         inc AS (SELECT doc_id, lang, source, text FROM corpus
+           WHERE doc_id >= 200000),
+         idxfp AS (SELECT DISTINCT
+             md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+           FROM corpus WHERE doc_id < 100000),
+         shg AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM corpus)),
+         near AS (SELECT DISTINCT n.doc_id
+           FROM shg n JOIN shg i
+             ON n.lang = i.lang AND n.source = i.source
+           WHERE n.doc_id >= 200000 AND i.doc_id < 100000
+             AND CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.3),
+         v AS (SELECT
+             CASE WHEN len(string_split(text, ' ')) < 20
+                    THEN 'quality_reject'
+                  WHEN md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+                    IN (SELECT fp FROM idxfp) THEN 'exact_dup'
+                  WHEN doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                  ELSE 'admitted' END AS verdict,
+             len(string_split(text, ' ')) AS n_toks
+           FROM inc)
+         SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         FROM v GROUP BY verdict ORDER BY verdict""",
     "pipeline_linkage" ->
       """WITH RECURSIVE p AS (SELECT min(doc_id) AS id, name FROM (
              SELECT doc_id, substring(text, 1, 40) AS name FROM documents)
