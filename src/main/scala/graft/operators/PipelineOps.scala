@@ -180,15 +180,40 @@ object PipelineOps extends OpFamily {
     * affordable where a corpus re-dedup is not.
     */
   def pipelineIngest(s: SparkSession, d: String): DataFrame = {
-    val corpus = DedupOps.withNearDupes(s, d)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // the batch exercises every admission path: truncated re-crawls
+    // (near-dups of their originals), verbatim resubmissions (exact
+    // dups), and token-reversed docs (novel content: 3-shingles of a
+    // reversed sequence share ~nothing with the original's)
+    val toks = split(col("text"), " ")
+    val incoming = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("lang"),
+        col("source"),
+        concat_ws(" ", slice(toks, lit(1),
+          greatest(size(toks) - 5, lit(1)))).as("text"))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("lang"),
+          col("source"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("lang"),
+          col("source"),
+          concat_ws(" ", reverse(toks)).as("text")))
+      .localCheckpoint() // probed three times (fp, near-dup, verdicts)
     def fp(c: Column) = md5(regexp_replace(trim(lower(c)), " +", " "))
-    val idxFp = corpus.filter(col("doc_id") < 100000L)
-      .select(fp(col("text")).as("fp")).distinct()
+    val idxFp = base.select(fp(col("text")).as("fp")).distinct()
       .withColumn("fp_hit", lit(1))
-    val nearIds = DedupOps.dedupIncremental(s, d)
+    // near-dup probe against the SAME persisted index artifact
+    // dedup_incremental builds (identical index side: the originals)
+    val parts = ArtifactCache.readOrBuildAll(s,
+      ArtifactCache.dir(s, d, "documents", "graft_pairs",
+        "incr_index_tau30@r1"), Seq("shingles", "freq", "prefix"))(
+      DedupOps.dedupIndexTables(base, 0.3))
+    val nearIds = DedupOps.incrementalNearDupsProbe(parts("shingles"),
+        parts("freq"), parts("prefix"), incoming, 0.3)
       .select(col("new_id").as("doc_id")).distinct()
       .withColumn("near_hit", lit(1))
-    corpus.filter(col("doc_id") >= 200000L)
+    incoming
       .select(col("doc_id"), fp(col("text")).as("fp"),
         size(split(col("text"), " ")).as("n_toks"))
       .join(idxFp, Seq("fp"), "left")
@@ -247,12 +272,24 @@ object PipelineOps extends OpFamily {
 
   val oracle = Map(
     "pipeline_ingest" ->
-      s"""WITH corpus AS (${DedupOps.planted}),
-         inc AS (SELECT doc_id, lang, source, text FROM corpus
-           WHERE doc_id >= 200000),
+      s"""WITH inc AS (
+           SELECT doc_id + 200000 AS doc_id, lang, source,
+             array_to_string(w[1:greatest(len(w) - 5, 1)], ' ') AS text
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM documents)
+           WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 300000, lang, source, text FROM documents
+           WHERE doc_id % 11 = 0
+           UNION ALL
+           SELECT doc_id + 400000, lang, source,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+           FROM documents WHERE doc_id % 13 = 0),
+         corpus AS (SELECT doc_id, lang, source, text FROM documents
+           UNION ALL SELECT doc_id, lang, source, text FROM inc),
          idxfp AS (SELECT DISTINCT
              md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
-           FROM corpus WHERE doc_id < 100000),
+           FROM documents),
          shg AS (SELECT doc_id, lang, source,
              list_distinct(list_transform(range(1, len(w) - 1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
