@@ -1116,6 +1116,19 @@ object Graft {
     graft.operators.AggOps.entropyOn(df, groupCol, symbolCol)
       .withColumnRenamed("grp", "group")
 
+  /** Per-group Jensen–Shannon drift (nats) of each group's unigram
+    * distribution against the corpus-wide mixture — the mixture
+    * monitoring metric (symmetric, bounded by ln 2, defined on
+    * disjoint supports). Returns (group, n_terms, div_units, js_nats)
+    * with div_units an order-independent integral nano-nat sum, so the
+    * number is reproducible on any engine.
+    */
+  def divergenceProfile(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    graft.operators.TextOps.sourceDivergenceOn(
+      df.select(col(groupCol).as("grp"), col(textCol).as("text")), "grp")
+      .withColumnRenamed("grp", "group")
+
   /** Exact audience-overlap matrix: for every unordered pair of
     * categories sharing ≥ 1 key, the number of keys carrying both (the
     * diagonal is each category's key-set size). One distinct + one

@@ -371,6 +371,58 @@ object TextOps extends OpFamily {
     * → TakeOrderedAndProject. Two shuffles of the token stream, one of
     * the vocab.
     */
+  /** SOURCE DRIFT — per-source Jensen–Shannon divergence (nats) of the
+    * source's unigram distribution against the corpus-wide mixture: the
+    * monitoring metric a mixture curator watches (a source whose JS
+    * jumps between crawls changed character; JS is symmetric, bounded
+    * by ln 2, and defined even where KL is infinite because the mixture
+    * m = (p+q)/2 covers both supports). Topology: one token pass to the
+    * bounded (source, term) count grid, marginals off the grid, then
+    * the vocabulary STREAMS past the broadcast per-source totals
+    * (sources are the bounded dimension; the vocabulary is never
+    * broadcast or collected — the rarityScore rule). Per-term
+    * contributions quantize to nano-nats (floor·1e9, one ulp-tolerated
+    * ln each) and SUM AS LONGS — order-independent, so the oracle
+    * replays exactly where a float Σ would be partition-order-dependent.
+    */
+  def sourceDivergence(s: SparkSession, d: String): DataFrame =
+    sourceDivergenceOn(Tables.documents(s, d), "source")
+      .withColumnRenamed("grp", "source")
+
+  /** The divergence core over any (group, text) pair —
+    * [[graft.api.Graft.divergenceProfile]]: (grp, n_terms, div_units,
+    * js_nats) with div_units = Σ floor(1e9·(p·ln(p/m) + q·ln(q/m)))
+    * over the group×vocabulary grid and js_nats = div_units/2/1e9.
+    */
+  private[graft] def sourceDivergenceOn(docs: DataFrame,
+      grp: String): DataFrame = {
+    val sc = docs
+      .select(col(grp).as("grp"), explode(toks).as("term"))
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three consumers: grid probe + both marginals
+    val ns = sc.groupBy(col("grp")).agg(sum(col("c")).as("ns"))
+    val ct = sc.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+    val nTot = sc.agg(sum(col("c")).as("n_tot"))
+    val p = col("c").cast("double") / col("ns")
+    val q = col("ct").cast("double") / col("n_tot")
+    val m = (p + q) / lit(2)
+    ct.crossJoin(broadcast(ns))
+      .join(sc, Seq("grp", "term"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .select(col("grp"),
+        (when(col("c") > 0, floor(p * log(p / m) * lit(1e9)).cast("long"))
+          .otherwise(lit(0L)) +
+          floor(q * log(q / m) * lit(1e9)).cast("long")).as("u"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("u")).cast("bigint").as("div_units"))
+      .withColumn("js_nats",
+        col("div_units").cast("double") / 2 / 1e9)
+      .orderBy(col("grp"))
+  }
+
   def unigramXent(s: SparkSession, d: String): DataFrame =
     unigramXentOn(Tables.documents(s, d))
       .orderBy(desc("xent_nats"), col("doc_id"))
@@ -684,9 +736,43 @@ object TextOps extends OpFamily {
     "text_ngram_top" -> (ngramTop _),
     "text_tfidf_top" -> (tfidfTop _),
     "text_bm25_top" -> (bm25Top _),
-    "text_bm25_search" -> (bm25Search _))
+    "text_bm25_search" -> (bm25Search _),
+    "text_source_divergence" -> (sourceDivergence _))
 
   val oracle = Map(
+    "text_source_divergence" ->
+      """WITH t AS (SELECT source AS grp,
+             unnest(string_split(text, ' ')) AS term FROM documents),
+         sc AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS c
+           FROM t GROUP BY grp, term),
+         ns AS (SELECT grp, CAST(sum(c) AS BIGINT) AS ns
+           FROM sc GROUP BY grp),
+         ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct
+           FROM sc GROUP BY term),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM sc),
+         grid AS (SELECT ns.grp, ct.term, ns.ns, ct.ct,
+             coalesce(sc.c, 0) AS c
+           FROM ct CROSS JOIN ns
+           LEFT JOIN sc ON sc.grp = ns.grp AND sc.term = ct.term),
+         u AS (SELECT grp,
+             CASE WHEN c > 0 THEN CAST(floor(
+                 (CAST(c AS DOUBLE) / ns)
+                 * ln((CAST(c AS DOUBLE) / ns)
+                     / ((CAST(c AS DOUBLE) / ns
+                         + CAST(ct AS DOUBLE) / n_tot) / 2))
+                 * 1e9) AS BIGINT)
+               ELSE 0 END
+             + CAST(floor(
+                 (CAST(ct AS DOUBLE) / n_tot)
+                 * ln((CAST(ct AS DOUBLE) / n_tot)
+                     / ((CAST(c AS DOUBLE) / ns
+                         + CAST(ct AS DOUBLE) / n_tot) / 2))
+                 * 1e9) AS BIGINT) AS u
+           FROM grid CROSS JOIN tot)
+         SELECT grp AS source, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(u) AS BIGINT) AS div_units,
+           CAST(sum(u) AS DOUBLE) / 2 / 1e9 AS js_nats
+         FROM u GROUP BY grp ORDER BY grp""",
     "text_bm25_search" ->
       """WITH tokens AS (SELECT doc_id, unnest(string_split(text,' '))
                AS term FROM documents),

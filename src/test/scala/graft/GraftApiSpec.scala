@@ -755,6 +755,34 @@ class GraftApiSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) <= math.max(r.getLong(1) - 1, 0)))
   }
 
+  test("divergenceProfile matches a hand JS computation in the same " +
+      "IEEE operation order") {
+    val corpus = Seq(("A", "x x y"), ("B", "x z")).toDF("grp", "body")
+    val got = Graft.divergenceProfile(corpus, "grp", "body").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    // mirror the engine's expression order exactly: p = c/ns, q = ct/N,
+    // m = (p + q)/2, u = floor(p·ln(p/m)·1e9) + floor(q·ln(q/m)·1e9)
+    def cell(c: Long, ns: Long, ct: Long, n: Long): Long = {
+      val p = c.toDouble / ns; val q = ct.toDouble / n
+      val m = (p + q) / 2
+      val pu = if (c > 0) math.floor(p * math.log(p / m) * 1e9).toLong
+        else 0L
+      pu + math.floor(q * math.log(q / m) * 1e9).toLong
+    }
+    // counts: A = {x:2, y:1} (ns 3), B = {x:1, z:1} (ns 2);
+    // corpus = {x:3, y:1, z:1} (N 5); grid covers all 3 terms per group
+    val uA = cell(2, 3, 3, 5) + cell(1, 3, 1, 5) + cell(0, 3, 1, 5)
+    val uB = cell(1, 2, 3, 5) + cell(0, 2, 1, 5) + cell(1, 2, 1, 5)
+    assert(got === List(
+      ("A", 3L, uA, uA.toDouble / 2 / 1e9),
+      ("B", 3L, uB, uB.toDouble / 2 / 1e9)))
+    // JS is nonnegative and bounded by ln 2
+    got.foreach { case (_, _, _, js) =>
+      assert(js >= -1e-9 && js <= math.log(2) + 1e-9)
+    }
+  }
+
   test("overlapMatrix counts shared keys per category pair, hand-computed") {
     val events = Seq(
       (1L, "click"), (1L, "view"), (1L, "click"), // dup rows collapse
