@@ -1053,6 +1053,7 @@ object SimOps extends OpFamily {
     "sim_knn_quantized" -> (knnQuantizedDot _),
     "sim_knn_pq" -> (knnPq _),
     "sim_knn_ivf_pq" -> (knnIvfPq _),
+    "sim_recall_report" -> (recallReport _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
     "sim_incremental_assign" -> (incrementalAssign _),
@@ -1287,6 +1288,114 @@ object SimOps extends OpFamily {
         WHERE rank <= 5 ORDER BY qid, rank"""
   }
 
+  /** ANN QUALITY REPORT — recall@5 of every approximate search family
+    * against the exact top-5, measured IN THE ENGINE over the same
+    * persisted indexes the searches read (the "measure, don't guess"
+    * artifact an ANN rollout ships with): (method, n_hits, n_exact,
+    * recall_permille), all integral, so the report reproduces on any
+    * engine. IVF loses only cross-cell neighbors, PQ only quantization
+    * casualties, IVF-PQ both — the report prices each on the corpus'
+    * own geometry instead of trusting paper numbers.
+    */
+  def recallReport(s: SparkSession, d: String): DataFrame = {
+    val exact = knnExact(s, d).select(col("qid"), col("nid"))
+      .localCheckpoint() // joined by all three legs + the total
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    def leg(name: String, df: DataFrame): DataFrame =
+      df.select(col("qid"), col("nid")).join(exact, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_hits"))
+    leg("ivf", knnIvf(s, d))
+      .unionByName(leg("ivf_pq", knnIvfPq(s, d)))
+      .unionByName(leg("pq", knnPq(s, d)))
+      .crossJoin(broadcast(tot))
+      .select(col("method"), col("n_hits"), col("n_exact"),
+        expr("n_hits * 1000 div n_exact").as("recall_permille"))
+      .orderBy(col("method"))
+  }
+
+  /** DuckDB replay of [[recallReport]]: the exact, IVF, PQ and IVF-PQ
+    * top-5 lists from the shared Lloyd/subspace CTE chains, intersected
+    * with exact per method.
+    */
+  private val recallOracleSql: String = {
+    val luts = (0 until 4).map(j =>
+      s"""lut$j AS (SELECT q.vec_id AS qid, c.cid,
+              list_dot_product(q.v, c.centroid) AS d,
+              list_dot_product(c.centroid, c.centroid) AS nn
+            FROM (SELECT vec_id, v FROM v$j WHERE vec_id < 10) q
+            CROSS JOIN c3$j c)""").mkString(",\n          ")
+    def lutJoins(codeSrc: String) = (0 until 4).map(j =>
+      s"JOIN lut$j ON lut$j.qid = b.qid AND lut$j.cid = $codeSrc.c$j")
+      .mkString("\n           ")
+    // codeSrc: the alias carrying c0..c3 — the joined code table ("x")
+    // for the routed leg, the candidate row itself ("b") for brute-code
+    def adcRank(fromB: String, codeJoin: String, codeSrc: String) =
+      s"""SELECT qid, nid FROM (
+              SELECT b.qid, b.nid,
+                row_number() OVER (PARTITION BY b.qid ORDER BY
+                  (lut0.d + lut1.d + lut2.d + lut3.d)
+                    / (q.qn * sqrt(lut0.nn + lut1.nn + lut2.nn
+                        + lut3.nn)) DESC, b.nid) AS rank
+              FROM $fromB b $codeJoin
+              JOIN q ON q.qid = b.qid
+             ${lutJoins(codeSrc)}) WHERE rank <= 5"""
+    s"""WITH $lloydCtes,
+          ${(0 until 4).map(pqSubCtes).mkString(",\n          ")},
+          pqcodes AS (SELECT cells0.vec_id, cells0.cid AS c0,
+              cells1.cid AS c1, cells2.cid AS c2, cells3.cid AS c3
+            FROM cells0 JOIN cells1 USING (vec_id)
+            JOIN cells2 USING (vec_id) JOIN cells3 USING (vec_id)),
+          $luts,
+          q AS (SELECT vec_id AS qid, v AS qv,
+              sqrt(list_dot_product(v, v)) AS qn
+            FROM v WHERE vec_id < 10),
+          exact AS (SELECT qid, nid FROM (
+              SELECT q.qid, n.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_cosine_similarity(q.qv, n.v) DESC,
+                    n.vec_id) AS rank
+              FROM q CROSS JOIN v n WHERE n.vec_id <> q.qid)
+            WHERE rank <= 5),
+          probes AS (SELECT qid, cid FROM (
+              SELECT c2q.vec_id AS qid, c.cid,
+                row_number() OVER (PARTITION BY c2q.vec_id
+                  ORDER BY list_cosine_similarity(c2q.v, c.centroid) DESC,
+                    c.cid) AS rn
+              FROM (SELECT vec_id, v FROM cells WHERE vec_id < 10) c2q
+              CROSS JOIN c3 c) WHERE rn <= 2),
+          ivf AS (SELECT qid, nid FROM (
+              SELECT p.qid, n.vec_id AS nid,
+                row_number() OVER (PARTITION BY p.qid
+                  ORDER BY list_cosine_similarity(q.qv, n.v) DESC,
+                    n.vec_id) AS rank
+              FROM probes p JOIN cells n ON n.cid = p.cid
+              JOIN q ON q.qid = p.qid
+              WHERE n.vec_id <> p.qid) WHERE rank <= 5),
+          cand AS (SELECT p.qid, n.vec_id AS nid
+            FROM probes p JOIN cells n ON n.cid = p.cid
+            WHERE n.vec_id <> p.qid),
+          ivfpq AS (${adcRank("cand",
+              "JOIN pqcodes x ON x.vec_id = b.nid", "x")}),
+          pqall AS (SELECT q.qid, x.vec_id AS nid,
+              x.c0, x.c1, x.c2, x.c3
+            FROM pqcodes x CROSS JOIN q WHERE x.vec_id <> q.qid),
+          pq AS (${adcRank("pqall", "", "b")}),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+          hits AS (
+            SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS n_hits
+            FROM ivf JOIN exact USING (qid, nid)
+            UNION ALL
+            SELECT 'ivf_pq', CAST(count(*) AS BIGINT)
+            FROM ivfpq JOIN exact USING (qid, nid)
+            UNION ALL
+            SELECT 'pq', CAST(count(*) AS BIGINT)
+            FROM pq JOIN exact USING (qid, nid))
+        SELECT method, n_hits, n_exact,
+          (n_hits * 1000) // n_exact AS recall_permille
+        FROM hits CROSS JOIN tot ORDER BY method"""
+  }
+
   /** DuckDB replay of the RP-LSH search: the 6×64 hyperplanes inline as
     * literals; sign-pattern bucketing, 1-bit-flip multi-probe, exact search
     * within probed buckets — mirror of [[knnRpLsh]] term for term.
@@ -1511,6 +1620,7 @@ object SimOps extends OpFamily {
     "sim_knn_ivf" -> ivfOracleSql,
     "sim_knn_pq" -> pqOracleSql,
     "sim_knn_ivf_pq" -> ivfPqOracleSql,
+    "sim_recall_report" -> recallOracleSql,
     "sim_incremental_assign" -> incrementalAssignOracleSql,
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_kmeans" ->
