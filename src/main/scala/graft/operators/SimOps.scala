@@ -806,6 +806,11 @@ object SimOps extends OpFamily {
     * difference between scanning embeddings and scanning ~1/64th of
     * the bytes — with the LUT just m·nlist dots per query; exact
     * re-rank of the top-k is the [[knnIvfQuantized]] composition.
+    * Fidelity is MEASURED, not assumed: [[recallReport]] prices these
+    * 16-centroid codebooks at ~240-340 permille recall@5 on the
+    * fixture's geometry — production deployments raise m/nlist and
+    * exact-re-rank the shortlist, which is why the report ships as a
+    * first-class query.
     */
   def knnPq(s: SparkSession, d: String): DataFrame = {
     // the codebooks and code table are the persisted index (the
