@@ -919,6 +919,45 @@ object SimOps extends OpFamily {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** PQ SHORTLIST + EXACT RE-RANK — the production answer to the
+    * recall price [[recallReport]] measures on raw ADC ranks: the PQ
+    * codes produce a k=25 shortlist (still reading only m code ints
+    * per corpus vector), and only the 25 survivors per query get their
+    * RAW vectors read for an exact-cosine re-rank to top-5. At 100 TB
+    * this touches 25 raw vectors per query instead of the corpus — the
+    * two-stage read path every deployed PQ system runs — and the
+    * recall recovery is itself measured by the report's pq_rerank leg.
+    */
+  def knnPqRerank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val names = "codes" +: (0 until 4).map(j => s"cent$j")
+    val parts = ArtifactCache.readOrBuildAll(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+        "pq_m4_sub16_nlist16@r1"), names)(
+      pqIndexTables(s, e.localCheckpoint(), m = 4, subDim = 16,
+        nlist = 16))
+    val shortlist = knnPqProbe(s, e, parts("codes"),
+        (0 until 4).map(j => parts(s"cent$j")), col("vec_id") < 10,
+        m = 4, subDim = 16, k = 25)
+      .select(col("qid"), col("nid"))
+    val en = withNorm(s, e, "v", "vn")
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos"), col("nid"))
+    shortlist
+      .join(en.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("vn").as("nn")), Seq("nid"))
+      .join(broadcast(en.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("vn").as("qn"))), Seq("qid"))
+      .withColumn("cos", cosPair(s, "qv", "qn", "nv", "nn"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** IVF-PQ (the faiss-style composition, both halves PERSISTED): the
     * full-vector IVF index routes each query to its nprobe=2 nearest
     * cells, and only the vectors IN those cells are scored — by the PQ
@@ -1058,6 +1097,7 @@ object SimOps extends OpFamily {
     "sim_knn_quantized" -> (knnQuantizedDot _),
     "sim_knn_pq" -> (knnPq _),
     "sim_knn_ivf_pq" -> (knnIvfPq _),
+    "sim_knn_pq_rerank" -> (knnPqRerank _),
     "sim_recall_report" -> (recallReport _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
@@ -1293,6 +1333,54 @@ object SimOps extends OpFamily {
         WHERE rank <= 5 ORDER BY qid, rank"""
   }
 
+  /** DuckDB replay of the PQ shortlist + exact re-rank: the PQ chains
+    * produce the k=25 ADC shortlist, then the raw vectors re-rank —
+    * mirror of [[knnPqRerank]].
+    */
+  private val pqRerankOracleSql: String = {
+    val luts = (0 until 4).map(j =>
+      s"""lut$j AS (SELECT q.vec_id AS qid, c.cid,
+              list_dot_product(q.v, c.centroid) AS d,
+              list_dot_product(c.centroid, c.centroid) AS nn
+            FROM (SELECT vec_id, v FROM v$j WHERE vec_id < 10) q
+            CROSS JOIN c3$j c)""").mkString(",\n          ")
+    val lutJoins = (0 until 4).map(j =>
+      s"JOIN lut$j ON lut$j.qid = b.qid AND lut$j.cid = b.c$j")
+      .mkString("\n           ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+          ${(0 until 4).map(pqSubCtes).mkString(",\n          ")},
+          pqcodes AS (SELECT cells0.vec_id, cells0.cid AS c0,
+              cells1.cid AS c1, cells2.cid AS c2, cells3.cid AS c3
+            FROM cells0 JOIN cells1 USING (vec_id)
+            JOIN cells2 USING (vec_id) JOIN cells3 USING (vec_id)),
+          $luts,
+          q AS (SELECT vec_id AS qid, v AS qv,
+              sqrt(list_dot_product(v, v)) AS qn
+            FROM v WHERE vec_id < 10),
+          pqall AS (SELECT q.qid, x.vec_id AS nid,
+              x.c0, x.c1, x.c2, x.c3
+            FROM pqcodes x CROSS JOIN q WHERE x.vec_id <> q.qid),
+          short AS (SELECT qid, nid FROM (
+              SELECT b.qid, b.nid,
+                row_number() OVER (PARTITION BY b.qid ORDER BY
+                  (lut0.d + lut1.d + lut2.d + lut3.d)
+                    / (q.qn * sqrt(lut0.nn + lut1.nn + lut2.nn
+                        + lut3.nn)) DESC, b.nid) AS rank
+              FROM pqall b
+              JOIN q ON q.qid = b.qid
+             $lutJoins) WHERE rank <= 25)
+        SELECT qid, rank, nid, cos FROM (
+          SELECT s.qid, s.nid,
+            list_cosine_similarity(q.qv, n.v) AS cos,
+            row_number() OVER (PARTITION BY s.qid
+              ORDER BY list_cosine_similarity(q.qv, n.v) DESC, s.nid)
+              AS rank
+          FROM short s JOIN v n ON n.vec_id = s.nid
+          JOIN q ON q.qid = s.qid)
+        WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
   /** ANN QUALITY REPORT — recall@5 of every approximate search family
     * against the exact top-5, measured IN THE ENGINE over the same
     * persisted indexes the searches read (the "measure, don't guess"
@@ -1313,6 +1401,7 @@ object SimOps extends OpFamily {
     leg("ivf", knnIvf(s, d))
       .unionByName(leg("ivf_pq", knnIvfPq(s, d)))
       .unionByName(leg("pq", knnPq(s, d)))
+      .unionByName(leg("pq_rerank", knnPqRerank(s, d)))
       .crossJoin(broadcast(tot))
       .select(col("method"), col("n_hits"), col("n_exact"),
         expr("n_hits * 1000 div n_exact").as("recall_permille"))
@@ -1386,6 +1475,15 @@ object SimOps extends OpFamily {
               x.c0, x.c1, x.c2, x.c3
             FROM pqcodes x CROSS JOIN q WHERE x.vec_id <> q.qid),
           pq AS (${adcRank("pqall", "", "b")}),
+          short AS (${adcRank("pqall", "", "b")
+            .replace("WHERE rank <= 5", "WHERE rank <= 25")}),
+          pqrr AS (SELECT qid, nid FROM (
+              SELECT s.qid, s.nid,
+                row_number() OVER (PARTITION BY s.qid
+                  ORDER BY list_cosine_similarity(q.qv, n.v) DESC,
+                    s.nid) AS rank
+              FROM short s JOIN v n ON n.vec_id = s.nid
+              JOIN q ON q.qid = s.qid) WHERE rank <= 5),
           tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
           hits AS (
             SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS n_hits
@@ -1395,7 +1493,10 @@ object SimOps extends OpFamily {
             FROM ivfpq JOIN exact USING (qid, nid)
             UNION ALL
             SELECT 'pq', CAST(count(*) AS BIGINT)
-            FROM pq JOIN exact USING (qid, nid))
+            FROM pq JOIN exact USING (qid, nid)
+            UNION ALL
+            SELECT 'pq_rerank', CAST(count(*) AS BIGINT)
+            FROM pqrr JOIN exact USING (qid, nid))
         SELECT method, n_hits, n_exact,
           (n_hits * 1000) // n_exact AS recall_permille
         FROM hits CROSS JOIN tot ORDER BY method"""
@@ -1625,6 +1726,7 @@ object SimOps extends OpFamily {
     "sim_knn_ivf" -> ivfOracleSql,
     "sim_knn_pq" -> pqOracleSql,
     "sim_knn_ivf_pq" -> ivfPqOracleSql,
+    "sim_knn_pq_rerank" -> pqRerankOracleSql,
     "sim_recall_report" -> recallOracleSql,
     "sim_incremental_assign" -> incrementalAssignOracleSql,
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
