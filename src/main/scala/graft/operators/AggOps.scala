@@ -112,6 +112,40 @@ object AggOps extends OpFamily {
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
           .as("est_users"))
 
+  /** APPROXIMATE AUDIENCE INTERSECTION by HLL inclusion–exclusion:
+    * |A∩B| ≈ |A| + |B| − |A∪B| where every term is an estimate from
+    * the SAME mergeable Datasketches HLL family ([[hllUnionDaily]]) —
+    * the set-overlap question at 100 TB, answered from three
+    * O(2^lgK)-byte sketches built in ONE pass over the fact table
+    * (each (type, sketch) partial merges map-side; the union sketch is
+    * one more merge, never a re-scan). Pairs over the bounded
+    * event-type set; exact-side check and accuracy bound live in
+    * scalatest (engine-probabilistic registers rows-only — the HLL
+    * estimate is DuckDB-incompatible by nature, the agg_hll_union
+    * precedent). Inclusion–exclusion differences can go slightly
+    * negative at small true overlaps — reported as-is (clamping hides
+    * the error bar a reader should see).
+    */
+  def hllIntersection(s: SparkSession, d: String): DataFrame = {
+    val sk = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .localCheckpoint() // both sides of the pair grid + the union merge
+    val pairs = sk.select(col("event_type").as("type_a"),
+        col("sk").as("ska"))
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("skb")),
+        col("type_a") < col("type_b"))
+    pairs
+      .select(col("type_a"), col("type_b"),
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+          .as("est_union"))
+      .withColumn("est_intersection",
+        col("est_a") + col("est_b") - col("est_union"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Approximate quantiles via percentile_approx (Greenwald-Khanna style
     * sketch, mergeable partials) — the constant-memory 100 TB path when
     * [[exactQuantiles]]' order-statistic selection isn't required. Sketch
@@ -823,6 +857,7 @@ object AggOps extends OpFamily {
     "agg_exact_quantiles" -> (exactQuantiles _),
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_hll_union" -> (hllUnionDaily _),
+    "agg_hll_intersection" -> (hllIntersection _),
     "agg_approx_quantiles" -> (approxQuantiles _),
     "agg_min_max_count" -> (minMaxCount _),
     "agg_histogram" -> (histogram _),

@@ -42,6 +42,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Bench transparency: [[hits]]/[[builds]] count re-attaches vs builds
   * process-wide, and Bench emits them in its JSON line so a "cold" run
   * that actually re-attached warm artifacts is visible as such.
+  *
+  * Concurrency: two writers racing the same missing artifact both run
+  * the build and the LAST overwrite wins — benign because builds are
+  * pure functions of the fingerprinted source (identical bytes), and
+  * readers only attach after a committed _SUCCESS marker. A deployment
+  * wanting single-build semantics puts a coordination layer (e.g. a
+  * scheduler-level build job) in front — the store itself stays
+  * lock-free.
   */
 private[graft] object ArtifactCache {
 

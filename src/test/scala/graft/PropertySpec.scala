@@ -237,6 +237,26 @@ class PropertySpec extends AnyFunSuite {
       s"minhash estimate $estimate vs exact $exactJ")
   }
 
+  test("HLL inclusion-exclusion intersection tracks the exact overlap") {
+    import graft.operators.AggOps
+    val est = AggOps.hllIntersection(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(4).toDouble)).toMap
+    val exact = AggOps.overlapMatrixOn(
+        Tables.events(spark, "/root/testdata/sf0.001"), "user_id",
+        "event_type")
+      .filter(col("type_a") =!= col("type_b")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, truth) =>
+      val e = est(k)
+      // three lgK=12 HLL estimates (~1.6% sigma each) difference: allow
+      // 10% of the truth plus a small absolute floor
+      assert(math.abs(e - truth) <= 0.10 * truth + 30,
+        s"pair $k: est $e vs exact $truth")
+    }
+  }
+
   test("KLL sketch: rank error bounded through the distributed UDAF") {
     import graft.functions.KllSketch
     val rnd = new scala.util.Random(7)
