@@ -175,6 +175,19 @@ object Graft {
       pairs.select(col(aCol).as("a"), col(bCol).as("b")), k, maxRounds,
       requireFixpoint = true)
 
+  /** Neighborhood link prediction over a bipartite incidence frame:
+    * top-k (a, b) pairs of `nodeCol` values sharing `viaCol` neighbors,
+    * scored by common neighbors, Jaccard, and the resource-allocation
+    * index in exact pico-units (Σ 10¹² DIV deg(via) — the
+    * integer-replayable cousin of Adamic–Adar). `maxViaDegree` caps the
+    * via-side degree at pair GENERATION, bounding the self-join blow-up
+    * to maxViaDegree·|rows| — raise it only with a skew profile in hand.
+    */
+  def linkPrediction(incidence: DataFrame, viaCol: String, nodeCol: String,
+      maxViaDegree: Int = 64, k: Int = 20): DataFrame =
+    graft.operators.GraphOps.linkPredictionOn(
+      incidence, viaCol, nodeCol, maxViaDegree, k)
+
   /** Single-source shortest path by weighted cost from the minimum node
     * id: (node, cost) of the cheapest ≤`maxHops`-hop path. `edges` needs
     * (src, dst, w) with positive integer weights, both directions for
@@ -460,6 +473,19 @@ object Graft {
       df.select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
         col(tsCol).as("ts"), col(seqCol).as("event_id")))
 
+  /** Stationary distribution of the per-key behavior Markov chain:
+    * transition counts from consecutive (tsCol, seqCol)-ordered events,
+    * a uniform integer-micro-unit start vector, and `rounds`
+    * power-iteration rounds of exact `units·cnt DIV tot` mass pushes
+    * (replayable — no float summation order in the chain). Returns
+    * (event_type, stat_units) sorted by long-run mass.
+    */
+  def markovStationary(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, seqCol: String, rounds: Int = 4): DataFrame =
+    graft.operators.EventOps.markovStationaryOn(
+      df.select(col(keyCol).as("user_id"), col(typeCol).as("event_type"),
+        col(tsCol).as("ts"), col(seqCol).as("event_id")), rounds)
+
   // ----------------------------------------------------------------- text
 
   /** Per-document quality features + composite score. */
@@ -631,6 +657,20 @@ object Graft {
     graft.operators.TextOps.unigramXentOn(
       df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnRenamed("doc_id", id)
+
+  /** Zipf rank–frequency slope per group over any (group, text) frame:
+    * log-log OLS over each group's top-`topK` term frequencies, with
+    * both axes quantized to exact integer micro-nats so the slope is one
+    * double division of exact moments. Natural language fits ≈ −1;
+    * boilerplate flattens toward 0. Returns (group, n_terms,
+    * zipf_slope); a single-term group has nothing to fit → NaN.
+    */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 100): DataFrame =
+    graft.operators.TextOps.zipfSlopeOn(
+      df.select(col(groupCol).as("grp"), col(textCol).as("text")),
+      "grp", topK)
+      .withColumnRenamed("grp", groupCol)
 
   /** Integral EWMA (α = 1/4) of the hourly sum series per key over any
     * (key, ts, value) frame: (key, w_start, sum_units, ewma_units) in

@@ -220,6 +220,57 @@ object EventOps extends OpFamily {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** STATIONARY DISTRIBUTION of the user-behavior Markov chain — where
+    * the [[transitions]] matrix says user attention settles if the
+    * observed dynamics keep running (THE summary a growth team reads off
+    * a transition matrix: which state accumulates long-run mass). States
+    * are event types; P(i→j) is estimated from per-user consecutive
+    * pairs (last events drop — no '(end)' state, the chain is over
+    * observed behavior only) and the uniform start vector is pushed
+    * through 4 power-iteration rounds.
+    *
+    * Fixed-point arithmetic, the [[GraphOps.pageRank]] discipline: mass
+    * is BIGINT micro-units, each from-state contributes
+    * `units·cnt DIV tot` to its successors — all integral ops on
+    * positive values, so the DuckDB oracle replays every round exactly
+    * (a float chain would diverge on summation order). Floors leak mass
+    * down by ≤ |states| units/round, identically in both engines.
+    *
+    * Scale shape: ONE user-partitioned window over raw events builds the
+    * pair counts; everything after runs on the |types|² transition
+    * matrix — driver-bounded like the funnel grid, so 4 rounds cost 4
+    * joins over a dimension-sized frame (broadcast at any scale).
+    * Headroom: units·cnt < 2⁶³ holds while Σunits·max_cnt ≲ 9·10¹⁸ —
+    * beyond ~10¹² observed transitions per cell, lift the product into
+    * decimal(38,0) (same note as PageRank's 85·Σcontrib).
+    */
+  def markovStationary(s: SparkSession, d: String): DataFrame =
+    markovStationaryOn(ev(s, d), rounds = 4)
+
+  private[graft] def markovStationaryOn(events: DataFrame,
+      rounds: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from"), col("next_type").as("to"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = trans.groupBy(col("from")).agg(sum(col("cnt")).as("tot"))
+    // |types|² rows: pin the matrix once, iterate on the tiny frame
+    val wd = trans.join(tot, Seq("from")).localCheckpoint()
+    var r = wd.select(col("from").as("state")).distinct()
+      .withColumn("units", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      r = wd.join(r, wd("from") === r("state"))
+        .select(col("to"), expr("(units * cnt) DIV tot").as("c"))
+        .groupBy(col("to")).agg(sum(col("c")).as("units"))
+        .select(col("to").as("state"), col("units"))
+    }
+    r.select(col("state").as("event_type"), col("units").as("stat_units"))
+      .orderBy(desc("stat_units"), col("event_type"))
+  }
+
   /** DAU/MAU STICKINESS per calendar month — the engagement ratio every
     * growth dashboard tracks (what share of a month's users show up on an
     * average day). Kept INTEGRAL end-to-end: per-month day count, summed
@@ -528,7 +579,14 @@ object EventOps extends OpFamily {
     "ev_cohort_retention" -> (cohortRetention _),
     "ev_paths_topk" -> (pathsTopk _),
     "ev_stickiness" -> (stickiness _),
-    "ev_transitions" -> (transitions _))
+    "ev_transitions" -> (transitions _),
+    "ev_markov_stationary" -> (markovStationary _))
+
+  /** one unrolled stationary-distribution power round (integer units). */
+  private def mkvIter(k: Int): String =
+    s"""r$k AS (SELECT wd.t AS state,
+         CAST(sum((r.units * wd.cnt) // wd.tot) AS BIGINT) AS units
+       FROM wd JOIN r${k - 1} r ON wd.f = r.state GROUP BY wd.t)"""
 
   val oracle = Map(
     "ev_attribution" ->
@@ -842,6 +900,22 @@ object EventOps extends OpFamily {
            FROM events)
          GROUP BY event_type, next_type
          ORDER BY event_type, next_type""",
+    "ev_markov_stationary" ->
+      s"""WITH nx AS (SELECT event_type AS f,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t
+           FROM events),
+         tr AS (SELECT f, t, CAST(count(*) AS BIGINT) AS cnt
+           FROM nx WHERE t IS NOT NULL GROUP BY f, t),
+         tot AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS tot
+           FROM tr GROUP BY f),
+         wd AS (SELECT tr.f, tr.t, tr.cnt, tot.tot
+           FROM tr JOIN tot ON tr.f = tot.f),
+         r0 AS (SELECT DISTINCT f AS state, CAST(1000000 AS BIGINT) AS units
+           FROM wd),
+         ${(1 to 4).map(mkvIter).mkString(",\n         ")}
+         SELECT state AS event_type, units AS stat_units FROM r4
+         ORDER BY stat_units DESC, event_type""",
     "ev_paths_topk" ->
       s"""WITH p AS (SELECT user_id,
              string_agg(event_type, ' > ' ORDER BY rn) AS path

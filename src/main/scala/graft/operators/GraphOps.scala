@@ -1107,7 +1107,70 @@ object GraphOps extends OpFamily {
           .as("assortativity"))
   }
 
+  /** LINK PREDICTION on the supplier projection of the customer–supplier
+    * bipartite graph: score supplier pairs that share customers by the
+    * three classic neighborhood indices — common neighbors (cn), Jaccard
+    * cn/(|N(a)|∪|N(b)|), and the resource-allocation index
+    * Σ_{c ∈ N(a)∩N(b)} 1/deg(c) (Zhou–Lü–Zhang; preferred here over
+    * Adamic–Adar's 1/ln(deg) because 1/deg replays as an EXACT integer —
+    * pico-units 10¹² DIV deg summed as BIGINT — where ln() would bet the
+    * hash check on two engines' libm agreeing). Top-20 pairs by
+    * (ra desc, cn desc, a, b); Jaccard is one double division of exact
+    * longs, so both engines emit identical bits.
+    *
+    * Scale shape: candidate pairs are generated THROUGH the shared
+    * customer (one self-join keyed on custkey) — never supplier×supplier
+    * — so the blow-up is Σ_c deg(c)², and customers with deg > 64 are
+    * excluded from pair GENERATION up front (the hybrid-lexical df-cap
+    * move: a hub customer who buys from everyone asserts nothing about
+    * any particular supplier pair and would alone contribute O(|S|²)
+    * pairs). With the cap, pair volume is ≤ 64·|E|; the pair groupBy is
+    * the one real shuffle, and the full (uncapped) supplier-degree table
+    * joins in at dimension size — broadcast at any scale.
+    */
+  def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    val cs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    linkPredictionOn(cs, via = "cust", node = "supp",
+      maxViaDegree = 64, k = 20)
+  }
+
+  /** The generic core behind [[linkPrediction]] (and
+    * [[graft.api.Graft.linkPrediction]]): any 2-column bipartite incidence
+    * frame — (via, node) rows, deduped here — scored on the `node` side
+    * through shared `via` neighbors. See [[linkPrediction]] for the
+    * candidate-generation cap and exact-arithmetic contract.
+    */
+  private[graft] def linkPredictionOn(inc: DataFrame, via: String,
+      node: String, maxViaDegree: Int, k: Int): DataFrame = {
+    val cs = inc.select(col(via).as("cust"), col(node).as("supp"))
+      .distinct()
+      .localCheckpoint() // 2 consumers (degrees + pairs): upstream runs once
+    val cdeg = cs.groupBy(col("cust")).agg(count(lit(1)).as("cdeg"))
+    val sdeg = cs.groupBy(col("supp")).agg(count(lit(1)).as("sdeg"))
+    val capped = cs.join(cdeg.filter(col("cdeg") <= maxViaDegree), Seq("cust"))
+    val pairs = capped.select(col("cust"), col("supp").as("sa"), col("cdeg"))
+      .join(capped.select(col("cust"), col("supp").as("sb")), Seq("cust"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("CAST(1000000000000 AS BIGINT) DIV cdeg")).as("ra_units"))
+    pairs
+      .join(broadcast(sdeg.select(col("supp").as("sa"), col("sdeg").as("da"))),
+        Seq("sa"))
+      .join(broadcast(sdeg.select(col("supp").as("sb"), col("sdeg").as("db"))),
+        Seq("sb"))
+      .select(col("sa"), col("sb"), col("cn"), col("ra_units"),
+        (col("cn").cast("double") / (col("da") + col("db") - col("cn")))
+          .as("jaccard"))
+      .orderBy(desc("ra_units"), desc("cn"), col("sa"), col("sb"))
+      .limit(k)
+  }
+
   val queries = Map(
+    "graph_link_prediction" -> (linkPrediction _),
     "graph_pagerank" -> (pageRank _),
     "graph_ppr" -> (pageRankPersonalized _),
     "graph_assortativity" -> (assortativity _),
@@ -1242,6 +1305,26 @@ object GraphOps extends OpFamily {
        FROM wd JOIN p${k - 1} r ON wd.src = r.node GROUP BY wd.dst)"""
 
   val oracle = Map(
+    "graph_link_prediction" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         cdeg AS (SELECT cust, count(*) AS cdeg FROM cs GROUP BY cust),
+         sdeg AS (SELECT supp, count(*) AS sdeg FROM cs GROUP BY supp),
+         capped AS (SELECT cs.cust, cs.supp, cdeg.cdeg
+           FROM cs JOIN cdeg ON cs.cust = cdeg.cust WHERE cdeg.cdeg <= 64),
+         pairs AS (SELECT a.supp AS sa, b.supp AS sb,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(CAST(1000000000000 AS BIGINT) // a.cdeg) AS BIGINT)
+               AS ra_units
+           FROM capped a JOIN capped b
+             ON a.cust = b.cust AND a.supp < b.supp
+           GROUP BY a.supp, b.supp)
+         SELECT sa, sb, cn, ra_units,
+           CAST(cn AS DOUBLE) / (da.sdeg + db.sdeg - cn) AS jaccard
+         FROM pairs
+           JOIN sdeg da ON pairs.sa = da.supp
+           JOIN sdeg db ON pairs.sb = db.supp
+         ORDER BY ra_units DESC, cn DESC, sa, sb LIMIT 20""",
     "graph_pagerank" ->
       s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s

@@ -423,6 +423,52 @@ object TextOps extends OpFamily {
       .orderBy(col("grp"))
   }
 
+  /** ZIPF RANK–FREQUENCY SLOPE per source: the log-log OLS slope over
+    * each source's top-`topK` term frequencies — THE one-number check
+    * that a text source looks like natural language (natural corpora fit
+    * slope ≈ −1; templated/boilerplate sources flatten toward 0, word
+    * salad steepens). Read next to [[sourceDivergence]] when deciding
+    * mixture weights: divergence says a source drifted, the Zipf slope
+    * says whether it still looks like language at all.
+    *
+    * Exactness: each (rank, freq) point quantizes to integer micro-nats
+    * (floor(ln·1e6) — the [[unigramXentOn]] move), so the OLS moments
+    * Σx, Σy, Σxy, Σx² are exact BIGINTs and the slope is ONE double
+    * division of exact longs — no float summation order for the oracle
+    * to miss. Headroom: with topK ≤ 10³ and counts ≤ 10¹² the cross
+    * moment stays < 2⁶²; a single-term group yields 0/0 → NaN in both
+    * engines (nothing to fit).
+    *
+    * Scale shape: one vocabulary-bounded (grp, term) count, one
+    * grp-partitioned top-K window (WindowGroupLimit prunes past rank K),
+    * one bounded aggregate — no doc×doc, no driver vocab.
+    */
+  def zipfSlope(s: SparkSession, d: String): DataFrame =
+    zipfSlopeOn(Tables.documents(s, d), "source", topK = 100)
+      .withColumnRenamed("grp", "source")
+
+  private[graft] def zipfSlopeOn(docs: DataFrame, grp: String,
+      topK: Int): DataFrame = {
+    val tc = docs.select(col(grp).as("grp"), explode(toks).as("term"))
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp")).orderBy(desc("cnt"), col("term"))
+    val pts = tc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("grp"),
+        floor(log(col("rank").cast("double")) * 1e6).cast("long").as("xu"),
+        floor(log(col("cnt").cast("double")) * 1e6).cast("long").as("yu"))
+    pts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+        sum(col("xu") * col("yu")).as("sxy"),
+        sum(col("xu") * col("xu")).as("sxx"))
+      .select(col("grp"), col("n_terms"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("zipf_slope"))
+      .orderBy(col("grp"))
+  }
+
   def unigramXent(s: SparkSession, d: String): DataFrame =
     unigramXentOn(Tables.documents(s, d))
       .orderBy(desc("xent_nats"), col("doc_id"))
@@ -733,6 +779,7 @@ object TextOps extends OpFamily {
     "text_fingerprint" -> (fingerprint _),
     "text_rarity" -> (rarityScore _),
     "text_unigram_xent" -> (unigramXent _),
+    "text_zipf_slope" -> (zipfSlope _),
     "text_ngram_top" -> (ngramTop _),
     "text_tfidf_top" -> (tfidfTop _),
     "text_bm25_top" -> (bm25Top _),
@@ -821,6 +868,26 @@ object TextOps extends OpFamily {
          SELECT doc_id, n_tokens, nll_units,
            CAST(nll_units AS DOUBLE) / n_tokens / 1e6 AS xent_nats
          FROM sc ORDER BY xent_nats DESC, doc_id LIMIT 15""",
+    "text_zipf_slope" ->
+      """WITH tc AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT source AS grp,
+               unnest(string_split(text, ' ')) AS term FROM documents)
+           GROUP BY grp, term),
+         pts AS (SELECT grp,
+             CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS xu,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS yu
+           FROM (SELECT grp, cnt, row_number() OVER (PARTITION BY grp
+               ORDER BY cnt DESC, term) AS rank FROM tc)
+           WHERE rank <= 100),
+         ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(xu) AS BIGINT) AS sx, CAST(sum(yu) AS BIGINT) AS sy,
+             CAST(sum(xu * yu) AS BIGINT) AS sxy,
+             CAST(sum(xu * xu) AS BIGINT) AS sxx
+           FROM pts GROUP BY grp)
+         SELECT grp AS source, n_terms,
+           CAST(n_terms * sxy - sx * sy AS DOUBLE)
+             / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope
+         FROM ag ORDER BY source""",
     "text_bigram_fluency" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
              FROM documents),

@@ -96,6 +96,26 @@ class EventOpsSpec extends AnyFunSuite {
     assert(rows.collect { case ((_, "(end)"), n) => n }.sum === 2L)
   }
 
+  test("markov stationary replays hand-computed integer power rounds") {
+    // user 1: A,A,B  user 2: A,B,B,A ⇒ counts A→A 1, A→B 2, B→B 1, B→A 1
+    // totA=3, totB=2; two exact rounds from uniform 1e6:
+    //   r1: A = 1e6·1//3 + 1e6·1//2 = 833333, B = 1e6·2//3 + 1e6//2 = 1166666
+    //   r2: A = 833333//3 + 1166666//2 = 861110
+    //       B = (833333·2)//3 + 1166666//2 = 1138888
+    val e = events(Seq(
+      (1L, 1L, "A", "2024-01-01 10:00:00"),
+      (2L, 1L, "A", "2024-01-01 10:01:00"),
+      (3L, 1L, "B", "2024-01-01 10:02:00"),
+      (4L, 2L, "A", "2024-01-01 11:00:00"),
+      (5L, 2L, "B", "2024-01-01 11:01:00"),
+      (6L, 2L, "B", "2024-01-01 11:02:00"),
+      (7L, 2L, "A", "2024-01-01 11:03:00")))
+    val got = graft.api.Graft.markovStationary(
+      e, "user_id", "event_type", "ts", "event_id", rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === Seq("B" -> 1138888L, "A" -> 861110L))
+  }
+
   test("session funnel resets at the session boundary; in-session counts") {
     val e = events(Seq(
       // user 1: signup and view in ONE session (1 min apart)

@@ -341,6 +341,26 @@ class GraphSpec extends AnyFunSuite {
     assert(got === Map(1L -> ((3L, 7L, 3L, q)), 4L -> ((3L, 7L, 3L, q))))
   }
 
+  test("link prediction matches hand math on a tiny bipartite incidence") {
+    import TestSpark.spark.implicits._
+    // customers c1..c4 × suppliers A,B,C; c4 is an A-only singleton
+    val inc = Seq(("c1", "A"), ("c1", "B"), ("c2", "A"), ("c2", "B"),
+      ("c3", "B"), ("c3", "C"), ("c4", "A")).toDF("cust", "supp")
+    val got = graft.api.Graft.linkPrediction(inc, "cust", "supp")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    // (A,B): shared c1,c2 (deg 2 each) → cn=2, ra=2·(1e12 div 2)=1e12,
+    //        jaccard = 2/(3+3−2); (B,C): shared c3 → ra=5e11, j=1/(3+1−1)
+    assert(got.toSeq === Seq(
+      ("A", "B") -> ((2L, 1000000000000L, 2.0 / 4)),
+      ("B", "C") -> ((1L, 500000000000L, 1.0 / 3))))
+    // a via-degree cap of 1 keeps only c4, which has a single supplier:
+    // no pair can be generated through a capped-out hub
+    assert(graft.api.Graft.linkPrediction(inc, "cust", "supp",
+      maxViaDegree = 1).count() === 0L)
+  }
+
   test("degree profile reflects the bipartite skew (suppliers ≫ customers)") {
     val prof = GraphOps.degreeProfile(spark, sf).collect()
       .map(r => r.getAs[String]("kind") -> r).toMap

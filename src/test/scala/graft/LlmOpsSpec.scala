@@ -383,6 +383,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 2120262L), (0L, 3L, 2631087L)))
   }
 
+  test("zipf slope: hand-quantized OLS on a skewed group, exact 0 on uniform") {
+    import TestSpark.spark.implicits._
+    // group g: a×4, b×2, c×1 → ranked points (ln1,ln4),(ln2,ln2),(ln3,0);
+    // group u: three equal-frequency terms → flat line, slope EXACTLY 0
+    val docs = Seq(("g", "a a a a b b c"), ("u", "x y z x y z"))
+      .toDF("src", "text")
+    def q(v: Double): Long = math.floor(math.log(v) * 1e6).toLong
+    val xs = Seq(q(1), q(2), q(3)); val ys = Seq(q(4), q(2), q(1))
+    val n = 3L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val want = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val got = graft.api.Graft.zipfSlope(docs, "src", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("g") === ((3L, want)))
+    assert(want < 0.0) // heavier head than tail ⇒ falling rank–freq line
+    assert(got("u") === ((3L, 0.0)))
+  }
+
   test("top-k is a prefix of the total order") {
     val sorted = AggOps.wordcount(spark, sf).collect().map(_.getString(0))
     val full = Tables.documents(spark, sf)
