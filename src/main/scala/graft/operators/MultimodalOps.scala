@@ -250,6 +250,52 @@ object MultimodalOps extends OpFamily {
       .orderBy(col("asset_id"), col("win"))
   }
 
+  /** REGISTERED audio path: synthesize real PCM16 WAV payloads in-engine
+    * (6 assets keyed by nation, 600 deterministic samples each — header
+    * hex is a plan-time constant, sample bytes come from
+    * hex/lpad/unhex SQL expressions, so the binary assembly is
+    * distributed row-local work, no driver bytes), then run the REAL
+    * [[audioEnergyOn]] decoder over them. The DuckDB oracle never sees a
+    * byte: it recomputes each window's Σv² straight from the sample
+    * formula — so a hash match proves the whole encode→RIFF-parse→
+    * window-sum path agrees with pure arithmetic, the strongest check a
+    * binary decoder can get without codec libs (closes the r11 gap where
+    * wavEnergyWindows was spec-only because the fixture corpus carries
+    * no real audio payloads).
+    *
+    * Sample v_i = ((asset·131 + i·17) mod 4096) − 2048, window 256 ⇒
+    * per-asset windows of 256/256/88 — exercising the short tail window.
+    */
+  def audioEnergy(s: SparkSession, d: String): DataFrame = {
+    val n = 600
+    // u16 little-endian of v_i as 4 hex chars; 63488 = 2^16 − 2048 maps
+    // the signed sample into its two's-complement u16 image
+    val h4 =
+      "lpad(hex(((asset_id * 131 + i * 17) % 4096 + 63488) % 65536), 4, '0')"
+    val dataHex = s"""array_join(transform(sequence(0, ${n - 1}),
+        i -> concat(substring($h4, 3, 2), substring($h4, 1, 2))), '')"""
+    val wavs = Tables.nation(s, d)
+      .filter(col("n_nationkey") < 6)
+      .select(col("n_nationkey").cast("long").as("asset_id"))
+      .withColumn("payload",
+        unhex(concat(lit(wavHeaderHex(n)), expr(dataHex))))
+    audioEnergyOn(s, wavs, window = 256)
+  }
+
+  /** Canonical 44-byte PCM16 mono WAV header (8 kHz) as a hex literal —
+    * plan-time constant; only the RIFF/data sizes depend on nSamples.
+    */
+  private def wavHeaderHex(nSamples: Int): String = {
+    def le16(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x"
+    def le32(v: Int) =
+      le16(v & 0xffff) + le16((v >>> 16) & 0xffff)
+    val dataSize = nSamples * 2
+    "52494646" + le32(36 + dataSize) + "57415645" + // RIFF <sz> WAVE
+      "666d7420" + le32(16) + le16(1) + le16(1) + // fmt: PCM, mono
+      le32(8000) + le32(16000) + le16(2) + le16(16) + // 8 kHz, 16-bit
+      "64617461" + le32(dataSize) // data <sz>
+  }
+
   /** named payload column → array of 32-byte frames (pure SQL expression). */
   private def binaryFrames32(p: String) =
     expr(s"""transform(
@@ -263,9 +309,23 @@ object MultimodalOps extends OpFamily {
     "mm_decode_stub" -> (decodeStub _),
     "mm_resize_stub" -> (resizeStub _),
     "mm_decode_agg" -> (decodeAgg _),
+    "mm_audio_energy" -> (audioEnergy _),
     "mm_frame_sample" -> (frameSample _))
 
   val oracle = Map(
+    "mm_audio_energy" ->
+      """WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS asset_id
+             FROM nation WHERE n_nationkey < 6),
+         s AS (SELECT asset_id, i,
+             ((asset_id * 131 + i * 17) % 4096) - 2048 AS v
+           FROM a, unnest(range(0, 600)) AS t(i)),
+         w AS (SELECT asset_id, i // 256 AS win,
+             CAST(sum(v * v) AS BIGINT) AS sum_sq,
+             CAST(count(*) AS BIGINT) AS n_samples
+           FROM s GROUP BY asset_id, i // 256)
+         SELECT asset_id, win, sum_sq, n_samples,
+           sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
+         FROM w ORDER BY asset_id, win""",
     "mm_format_sniff" ->
       """SELECT format, count(*) AS n_assets,
            CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes

@@ -251,6 +251,22 @@ class MediaCodecSpec extends AnyFunSuite {
       (1L, 1L, 169L, 2L, math.sqrt(169.0 / 2)))) // 5² + 12²
   }
 
+  test("registered audio-energy query: in-engine WAV synthesis decodes to " +
+      "the 256/256/88 window grid with the formula's exact energies") {
+    val rows = graft.operators.MultimodalOps
+      .audioEnergy(TestSpark.spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 18) // 6 assets × 3 windows
+    // window layout: 600 samples at window 256 ⇒ 256, 256, 88
+    assert(rows.map(r => (r.getLong(1), r.getLong(3))).distinct.sorted.toSeq
+      === Seq((0L, 256L), (1L, 256L), (2L, 88L)))
+    // driver-side replay of the sample formula for one mid-grid cell
+    val want = (256 until 512).map { i =>
+      val v = ((3L * 131 + i * 17) % 4096) - 2048; v * v
+    }.sum
+    val cell = rows.find(r => r.getLong(0) == 3L && r.getLong(1) == 1L).get
+    assert(cell.getLong(2) === want)
+  }
+
   test("the decode pipeline carries GIF frame counts through feat_c") {
     import TestSpark.spark.implicits._
     val rows = Seq((1L, gif(3))).toDF("asset_id", "payload")
