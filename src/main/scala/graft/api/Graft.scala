@@ -225,6 +225,21 @@ object Graft {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** MMR diversified top-k: greedy re-rank of each query's
+    * `shortlist`-sized cosine shortlist maximizing λ·relevance −
+    * (1−λ)·max-similarity-to-picked. Returns (qid, step, nid, mmr);
+    * step 1's mmr is the raw relevance. Everything past the shortlist
+    * scan is per-query bounded (shortlist² pair sims, one argmax window
+    * per step).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, shortlist: Int = 12, k: Int = 5,
+      lambda: Double = 0.7): DataFrame =
+    graft.operators.SimOps.mmrRerankOn(corpus.sparkSession,
+      corpus.select(col(id).as("nid"), col(vec).as("ne")),
+      queries.select(col(id).as("qid"), col(vec).as("qe")),
+      shortlist, k, lambda)
+
   // ------------------------------------------------------ rank / sampling
 
   /** Exact 1-based global rank over a total order — distributed (range

@@ -958,6 +958,92 @@ object SimOps extends OpFamily {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** MMR DIVERSIFIED RE-RANK (Maximal Marginal Relevance, Carbonell &
+    * Goldstein 1998) — the retrieval post-processor every RAG stack runs
+    * between ANN search and the context window: from each query's
+    * top-12 cosine shortlist, greedily pick k=5 results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) with λ = 0.7 — so the
+    * second pick is penalized for restating the first, and near-dup
+    * results give way to relevant-but-different ones.
+    *
+    * Exact replay: relevances and candidate-pair similarities are the
+    * [[knnExact]] cosine (codegen'd dot, bit-equal to DuckDB's list
+    * functions); each greedy step is then ONE argmax over ≤ 12
+    * λ·cos − (1−λ)·max(sim) doubles with (mmr desc, nid) tie-breaks —
+    * the same IEEE ops in both engines, so the oracle unrolls all five
+    * steps as chained CTEs and the hash must match.
+    *
+    * Scale shape: everything after the shortlist is per-query bounded —
+    * pair sims are shortlist², each step is a qid-partitioned
+    * WindowGroupLimit argmax — so cost is linear in #queries with a
+    * 12²-sized constant; the corpus is touched only by the shortlist
+    * scan (in production: the IVF/PQ index probe — compose
+    * [[knnIvfPq]]'s shortlist into [[mmrRerankOn]] exactly like
+    * [[knnPqRerank]] composes its exact re-rank).
+    */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    mmrRerankOn(s,
+      e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      shortlist = 12, k = 5, lam = 0.7)
+  }
+
+  /** The generic MMR core behind [[mmrRerank]] and
+    * [[graft.api.Graft.mmrRerank]]: corpus (nid, ne) × queries
+    * (qid, qe), float/double array vectors. Returns (qid, step, nid,
+    * mmr) — step 1's mmr is the raw relevance (nothing picked yet to
+    * diversify against), later steps report the penalized score.
+    */
+  private[graft] def mmrRerankOn(s: SparkSession, corpus: DataFrame,
+      queries: DataFrame, shortlist: Int, k: Int, lam: Double): DataFrame = {
+    val en = withNorm(s, corpus, "ne", "nn")
+    val q = withNorm(s, queries, "qe", "qn")
+    val wC = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
+    // shortlist scan runs once; the greedy loop and the pair grid both
+    // re-read it ⇒ pin (per-query bounded: ≤ shortlist rows per query)
+    val cand = en.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosPair(s, "qe", "qn", "ne", "nn"))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= shortlist)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"),
+        col("ne"), col("nn"))
+      .localCheckpoint()
+    val pairs = cand.select(col("qid"), col("nid").as("cnid"),
+        col("ne").as("av"), col("nn").as("an"))
+      .join(cand.select(col("qid"), col("nid").as("snid"),
+        col("ne").as("bv"), col("nn").as("bn")), Seq("qid"))
+      .filter(col("cnid") =!= col("snid"))
+      .select(col("qid"), col("cnid"), col("snid"),
+        cosPair(s, "av", "an", "bv", "bn").as("sim"))
+      .localCheckpoint()
+    var sel = cand.filter(col("rank") === 1)
+      .select(col("qid"), lit(1).as("step"), col("nid"),
+        col("cos").as("mmr"))
+      .localCheckpoint()
+    var selected = sel.select(col("qid"), col("nid"))
+    val wS = Window.partitionBy(col("qid")).orderBy(desc("mmr"), col("nid"))
+    for (t <- 2 to k) {
+      val msim = pairs
+        .join(selected.withColumnRenamed("nid", "snid"), Seq("qid", "snid"))
+        .groupBy(col("qid"), col("cnid")).agg(max(col("sim")).as("msim"))
+        .withColumnRenamed("cnid", "nid")
+      val next = cand.join(selected, Seq("qid", "nid"), "left_anti")
+        .join(msim, Seq("qid", "nid"))
+        .withColumn("mmr",
+          lit(lam) * col("cos") - lit(1.0 - lam) * col("msim"))
+        .withColumn("rn", row_number().over(wS))
+        .filter(col("rn") === 1)
+        .select(col("qid"), lit(t).as("step"), col("nid"), col("mmr"))
+        .localCheckpoint() // ≤ |queries| rows; keeps the loop plan flat
+      sel = sel.unionByName(next)
+      selected = sel.select(col("qid"), col("nid"))
+    }
+    sel.orderBy(col("qid"), col("step"))
+  }
+
   /** IVF-PQ (the faiss-style composition, both halves PERSISTED): the
     * full-vector IVF index routes each query to its nprobe=2 nearest
     * cells, and only the vectors IN those cells are scored — by the PQ
@@ -1098,6 +1184,7 @@ object SimOps extends OpFamily {
     "sim_knn_pq" -> (knnPq _),
     "sim_knn_ivf_pq" -> (knnIvfPq _),
     "sim_knn_pq_rerank" -> (knnPqRerank _),
+    "sim_mmr_rerank" -> (mmrRerank _),
     "sim_recall_report" -> (recallReport _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
@@ -1108,6 +1195,30 @@ object SimOps extends OpFamily {
     "sim_top_component" -> (topComponent _),
     "sim_spectral_profile" -> (spectralProfile _),
     "sim_top_pairs" -> (topPairsIntraLabel _))
+
+  /** One unrolled MMR greedy step as a DuckDB CTE triple: m$t (max sim
+    * to the picked set), c$t (penalized scores of the unpicked), s$t
+    * (the argmax pick), sel$t (picked-set accumulator). The λ and 1−λ
+    * literals interpolate from the SAME Scala doubles the engine uses —
+    * 1.0−0.7 is 0.30000000000000004 in IEEE, and writing "0.3" here
+    * would hash-diverge at the last ulp.
+    */
+  private def mmrStep(t: Int): String =
+    s"""m$t AS (SELECT p.qid, p.cnid, max(p.sim) AS msim
+         FROM p JOIN sel${t - 1} s ON p.qid = s.qid AND p.snid = s.nid
+         GROUP BY p.qid, p.cnid),
+       c$t AS (SELECT c.qid, c.nid,
+           ${MmrLam} * c.cos - ${1.0 - MmrLam} * m.msim AS mmr
+         FROM cand c JOIN m$t m ON c.qid = m.qid AND c.nid = m.cnid
+         WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s2
+           WHERE s2.qid = c.qid AND s2.nid = c.nid)),
+       s$t AS (SELECT qid, $t AS step, nid, mmr FROM (
+           SELECT qid, nid, mmr, row_number() OVER (PARTITION BY qid
+             ORDER BY mmr DESC, nid) AS rn FROM c$t) WHERE rn = 1),
+       sel$t AS (SELECT qid, nid FROM sel${t - 1}
+                 UNION ALL SELECT qid, nid FROM s$t)"""
+
+  private val MmrLam = 0.7
 
   /** One power-iteration round as a DuckDB CTE triple: w (micro-unit
     * integer accumulation), n (exact-integer norm), v_next (requantized
@@ -1781,6 +1892,30 @@ object SimOps extends OpFamily {
                ORDER BY CAST(qdot AS DOUBLE) * qmx * nmx DESC, nid) AS rank
            FROM pairs)
          WHERE rank <= 5 ORDER BY qid, rank""",
+    "sim_mmr_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         c0 AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+             list_cosine_similarity(q.v, n.v) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id)
+               AS rank
+           FROM e q JOIN e n ON n.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         cand AS (SELECT qid, nid, cos, rank FROM c0 WHERE rank <= 12),
+         p AS (SELECT a.qid, a.nid AS cnid, b.nid AS snid,
+             list_cosine_similarity(ea.v, eb.v) AS sim
+           FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+           JOIN e ea ON ea.vec_id = a.nid JOIN e eb ON eb.vec_id = b.nid),
+         s1 AS (SELECT qid, 1 AS step, nid, cos AS mmr
+           FROM cand WHERE rank = 1),
+         sel1 AS (SELECT qid, nid FROM s1),
+         ${(2 to 5).map(mmrStep).mkString(",\n         ")}
+         SELECT qid, step, nid, mmr FROM (
+           SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+           UNION ALL SELECT * FROM s5)
+         ORDER BY qid, step""",
     "sim_knn_exact" ->
       """SELECT qid, rank, nid, cos FROM (
            SELECT q.vec_id AS qid, n.vec_id AS nid,

@@ -278,6 +278,30 @@ class GraftApiSpec extends AnyFunSuite {
       s"expected nearest=11 then 12, got ${out.toSeq}")
   }
 
+  test("mmrRerank flips a near-clone below the diverse result knn prefers") {
+    // query 0 = (1,0); 1 sits at +25° (rel cos25° ≈ .9063), 2 is 1
+    // scaled by 0.5 (identical direction ⇒ BIT-equal relevance, knn
+    // tie-breaks it to rank 2), 3 sits at −26° (rel ≈ .8988, knn rank
+    // 3). Plain knn returns 1, 2, 3. After MMR picks 1: the clone pays
+    // 0.3·sim(2,1)=0.3·1.0 → mmr ≈ .334, while the mirror-side 3 pays
+    // only 0.3·cos51° → mmr ≈ .440 — so the diversified order is
+    // 1, 3, 2: redundancy demoted below a slightly-less-relevant but
+    // novel result, the exact behavior MMR exists for.
+    val a = (math.cos(math.toRadians(25)), math.sin(math.toRadians(25)))
+    val c = (math.cos(math.toRadians(26)), -math.sin(math.toRadians(26)))
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(a._1, a._2)),
+      (2L, Seq(a._1 * 0.5, a._2 * 0.5)), (3L, Seq(c._1, c._2))
+    ).toDF("vid", "v")
+    val out = Graft.mmrRerank(vecs, vecs.filter(col("vid") === 0L),
+      "vid", "v", shortlist = 3, k = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((1, 1L), (2, 3L), (3, 2L)),
+      s"expected diversified order 1,3,2; got ${out.toSeq}")
+    // step-1 mmr is the raw relevance; penalized steps score below it
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3)
+  }
+
   test("redact masks digits and id-like tokens with counts") {
     val rows = Seq((1L, "user42 paid 100 dollars"), (2L, "clean text"))
       .toDF("my_id", "body")
