@@ -501,6 +501,19 @@ object Graft {
       df.select(col(keyCol).as("user_id"), col(typeCol).as("event_type"),
         col(tsCol).as("ts"), col(seqCol).as("event_id")), rounds)
 
+  /** Time-decayed engagement score per key over any (key, ts, value)
+    * frame: each event's milli-unit value halves per `halfLifeDays` of
+    * age against the frame's newest timestamp. Values must be
+    * non-negative (the integral floor-division identity). Returns
+    * (key, n_events, raw_units, decay_units) by descending decayed mass.
+    */
+  def decayScore(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeDays: Int = 7): DataFrame =
+    graft.operators.EventOps.decayScoreOn(
+      df.select(col(keyCol).as("event_type"), col(tsCol).as("ts"),
+        col(valueCol).as("value")), halfLifeDays)
+      .withColumnRenamed("event_type", keyCol)
+
   // ----------------------------------------------------------------- text
 
   /** Per-document quality features + composite score. */

@@ -271,6 +271,44 @@ object EventOps extends OpFamily {
       .orderBy(desc("stat_units"), col("event_type"))
   }
 
+  /** TIME-DECAYED ENGAGEMENT SCORE per event type — the freshness-
+    * weighted counter every ranking/trending feature store keeps: each
+    * event's value contributes halved for every `halfLifeDays`-day step
+    * of age (age measured against the newest event in the frame, so the
+    * score is a pure function of the data — no wall clock in an
+    * oracle-checked query).
+    *
+    * Exactness: value quantizes to integer milli-units, the decay is
+    * `(vu·1000) DIV 2^steps` with the shift capped at 62 — integral ops
+    * on NON-NEGATIVE values (truncating DIV ≡ floor ≡ DuckDB `//`; the
+    * [[graft.api.Graft.ewma]] non-negativity contract), so both engines
+    * agree bit-for-bit. Mass beyond ~40 half-lives floors to zero —
+    * deliberately: that is what a decay counter is FOR.
+    *
+    * Scale shape: one broadcast 1-row max, one narrow per-row
+    * projection, one bounded groupBy — linear, no window, no shuffle
+    * beyond the |types|-sized aggregate.
+    */
+  def decayScore(s: SparkSession, d: String): DataFrame =
+    decayScoreOn(ev(s, d), halfLifeDays = 7)
+
+  private[graft] def decayScoreOn(events: DataFrame,
+      halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    val ref = events.agg(max(col("ts")).as("ref"))
+    events.crossJoin(broadcast(ref))
+      .withColumn("hl", expr("(unix_micros(ref) - unix_micros(ts)) DIV " +
+        s"${86400000000L * halfLifeDays}"))
+      .withColumn("vu", floor(col("value") * 1000).cast("long"))
+      .withColumn("du", expr("(vu * 1000) DIV " +
+        "shiftleft(CAST(1 AS BIGINT), CAST(least(hl, 62) AS INT))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("vu")).as("raw_units"),
+        sum(col("du")).as("decay_units"))
+      .orderBy(desc("decay_units"), col("event_type"))
+  }
+
   /** DAU/MAU STICKINESS per calendar month — the engagement ratio every
     * growth dashboard tracks (what share of a month's users show up on an
     * average day). Kept INTEGRAL end-to-end: per-month day count, summed
@@ -580,7 +618,8 @@ object EventOps extends OpFamily {
     "ev_paths_topk" -> (pathsTopk _),
     "ev_stickiness" -> (stickiness _),
     "ev_transitions" -> (transitions _),
-    "ev_markov_stationary" -> (markovStationary _))
+    "ev_markov_stationary" -> (markovStationary _),
+    "ev_decay_score" -> (decayScore _))
 
   /** one unrolled stationary-distribution power round (integer units). */
   private def mkvIter(k: Int): String =
@@ -916,6 +955,18 @@ object EventOps extends OpFamily {
          ${(1 to 4).map(mkvIter).mkString(",\n         ")}
          SELECT state AS event_type, units AS stat_units FROM r4
          ORDER BY stat_units DESC, event_type""",
+    "ev_decay_score" ->
+      """WITH ref AS (SELECT max(ts) AS ref FROM events),
+         x AS (SELECT event_type,
+             (epoch_us(ref.ref) - epoch_us(ts)) // 604800000000 AS hl,
+             CAST(floor(value * 1000) AS BIGINT) AS vu
+           FROM events CROSS JOIN ref)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(vu) AS BIGINT) AS raw_units,
+           CAST(sum((vu * 1000) // (CAST(1 AS BIGINT)
+             << CAST(least(hl, 62) AS INT))) AS BIGINT) AS decay_units
+         FROM x GROUP BY event_type
+         ORDER BY decay_units DESC, event_type""",
     "ev_paths_topk" ->
       s"""WITH p AS (SELECT user_id,
              string_agg(event_type, ' > ' ORDER BY rn) AS path

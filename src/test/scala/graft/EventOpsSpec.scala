@@ -116,6 +116,25 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("B" -> 1138888L, "A" -> 861110L))
   }
 
+  test("decay score halves milli-unit mass per half-life step, exactly") {
+    // newest event anchors age 0; with a 1-day half-life: same-day event
+    // decays ×1, a 1-day-old ×1/2, a 3-day-old ×1/8 (floored)
+    val e = events(Seq(
+      (1L, 1L, "A", "2024-01-04 00:00:00"), // age 0: 10.5 → vu 10500
+      (2L, 1L, "A", "2024-01-03 00:00:00"), // age 1: halved
+      (3L, 1L, "B", "2024-01-01 00:00:00"))) // age 3: ÷8
+      .withColumn("value",
+        when(col("event_id") === 3L, 8.008).otherwise(10.5))
+    val got = graft.api.Graft.decayScore(
+      e, "event_type", "ts", "value", halfLifeDays = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // A: raw 21000, decayed 10500·1000/1 + 10500·1000/2 = 15750000
+    // B: 8.008·1000 = 8007.999… in IEEE ⇒ vu floors to 8007 (the same
+    //    floor the oracle takes), decayed 8007000 // 8 = 1000875
+    assert(got.toSeq === Seq(("A", 2L, 21000L, 15750000L),
+      ("B", 1L, 8007L, 1000875L)))
+  }
+
   test("session funnel resets at the session boundary; in-session counts") {
     val e = events(Seq(
       // user 1: signup and view in ONE session (1 min apart)
