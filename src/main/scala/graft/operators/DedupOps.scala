@@ -659,6 +659,45 @@ object DedupOps extends OpFamily {
       .orderBy(col("a"), col("b"))
   }
 
+  /** DEDUP QUALITY REPORT — the near-dup twin of
+    * [[SimOps.recallReport]]: recall AND precision of every probabilistic
+    * pair detector against the exact prefix-filtered τ ≥ 0.3 pair table
+    * (read from its persisted index), measured IN THE ENGINE on the
+    * corpus' own geometry. (method, n_detected, n_hits, n_exact,
+    * recall_permille, precision_permille), all integral. The
+    * `exact_prefix` row is the internal control — it must read
+    * 1000/1000, pinning the report's own plumbing. This is the number a
+    * production rollout tunes MinHash bands/rows and SimHash hamming
+    * cuts against — banding theory gives an S-curve, the report gives
+    * the truth on YOUR corpus. Engine-probabilistic inputs (xxhash64 /
+    * mllib hashing) ⇒ no SQL oracle; the control row and range
+    * properties are scalatest-pinned.
+    */
+  def recallReport(s: SparkSession, d: String): DataFrame = {
+    val exact = nearJaccard(s, d).select(col("a"), col("b"))
+      .localCheckpoint() // joined by every leg + the control + the total
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    def leg(name: String, df: DataFrame): DataFrame = {
+      val det = df.select(col("a"), col("b"))
+      val hits = det.join(exact, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_hits"))
+      det.agg(count(lit(1)).as("n_detected"))
+        .crossJoin(hits)
+        .select(lit(name).as("method"), col("n_detected"), col("n_hits"))
+    }
+    leg("exact_prefix", exact)
+      .unionByName(leg("minhash_lsh", minhashLsh(s, d)))
+      .unionByName(leg("minhash_mllib", minhashMllib(s, d)))
+      .unionByName(leg("simhash", simhashPairs(s, d)))
+      .unionByName(leg("simhash_sorted", simhashSorted(s, d)))
+      .crossJoin(broadcast(tot))
+      .select(col("method"), col("n_detected"), col("n_hits"), col("n_exact"),
+        expr("n_hits * 1000 DIV n_exact").as("recall_permille"),
+        expr("IF(n_detected = 0, 0, n_hits * 1000 DIV n_detected)")
+          .as("precision_permille"))
+      .orderBy(col("method"))
+  }
+
   /** Near-dup CLUSTERING: connected components over the blocked-jaccard
     * pair graph (label propagation to fixpoint — each node takes the min
     * label among itself and its neighbors; iterate until no change, with
@@ -870,6 +909,7 @@ object DedupOps extends OpFamily {
     "dedup_minhash_mllib" -> (minhashMllib _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_simhash_sorted" -> (simhashSorted _),
+    "dedup_recall_report" -> (recallReport _),
     "dedup_embedding" -> (embeddingNearDup _))
 
   // private[operators]: PipelineOps' incremental admission oracle reads

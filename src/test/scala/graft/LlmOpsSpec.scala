@@ -20,6 +20,32 @@ class LlmOpsSpec extends AnyFunSuite {
     (planted, expected)
   }
 
+  test("dedup recall report: control row reads 1000/1000, permilles bounded, " +
+      "and the minhash leg's recall matches its pair query") {
+    val rows = DedupOps.recallReport(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(rows.keySet === Set("exact_prefix", "minhash_lsh",
+      "minhash_mllib", "simhash", "simhash_sorted"))
+    // internal control: the exact table against itself is perfect
+    val (ed, eh, en, er, ep) = rows("exact_prefix")
+    assert(ed === en && eh === en && er === 1000L && ep === 1000L)
+    rows.values.foreach { case (det, hits, nEx, rec, prec) =>
+      assert(nEx === en) // one shared denominator
+      assert(hits <= det && hits <= nEx)
+      assert(rec >= 0L && rec <= 1000L && prec >= 0L && prec <= 1000L)
+    }
+    // the lsh leg τ-verifies its candidates, but UNBLOCKED — it may
+    // legitimately claim cross-(lang, source) pairs the blocked exact
+    // table excludes by contract (measured here: precision < 1000 is
+    // the blocking delta, not hash error), while still recovering most
+    // of the blocked truth
+    val (_, lh, _, lrec, _) = rows("minhash_lsh")
+    assert(lh > 0L && lrec >= 500L,
+      s"minhash_lsh recall collapsed: $lrec permille")
+  }
+
   test("minhash LSH recovers nearly all planted truncation near-dups") {
     val (found, expected) = plantedFound(DedupOps.minhashLsh(spark, sf))
     assert(expected > 0)
