@@ -289,6 +289,63 @@ object StreamPipelines {
         org.apache.spark.sql.streaming.OutputMode.Append())(
         org.apache.spark.sql.Encoders.product[(String, Long, Long)])
 
+  /** Streaming CUSUM drift detector (Page 1954, tabular form) — the
+    * change-point monitor a data pipeline hangs on its quality metrics
+    * (token counts, dup rates, per-source volumes): per key, the
+    * one-sided cumulative sums
+    * S⁺ₙ = max(0, S⁺ₙ₋₁ + (xₙ − target − slack)) and
+    * S⁻ₙ = max(0, S⁻ₙ₋₁ + (target − slack − xₙ)) accumulate only
+    * SUSTAINED drift past the slack band — a single spike decays, a
+    * level shift grows linearly — and an alarm fires when either sum
+    * crosses `threshold`, then restarts the detector (the standard
+    * post-alarm reset). All integer units: exact, replayable, no float
+    * accumulation. State is three longs per key, O(keys) forever;
+    * unlike [[EwmaProcessor]]'s baseline-deviation alarm (which reads
+    * each point alone against the smoothed past), CUSUM integrates
+    * small persistent shifts that never individually clear a
+    * per-point deviation bar.
+    */
+  class CusumProcessor(target: Long, slack: Long, threshold: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long, Long, Long, Boolean)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("cusum",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long, Long, Boolean)] = {
+      var (seq, sp, sn) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      val out = Seq.newBuilder[(String, Long, Long, Long, Boolean)]
+      rows.foreach { case (_, x) =>
+        seq += 1
+        sp = math.max(0L, sp + (x - target - slack))
+        sn = math.max(0L, sn + (target - slack - x))
+        val alarm = sp > threshold || sn > threshold
+        out += ((key, seq, sp, sn, alarm))
+        if (alarm) { sp = 0L; sn = 0L } // restart after the change-point
+      }
+      st.update((seq, sp, sn))
+      out.result().iterator
+    }
+  }
+
+  /** [[CusumProcessor]] wired over a (key, value) points stream. */
+  def cusumPoints(points: org.apache.spark.sql.Dataset[(String, Long)],
+      target: Long, slack: Long, threshold: Long)
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Boolean)] =
+    points.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new CusumProcessor(target, slack, threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        org.apache.spark.sql.Encoders
+          .product[(String, Long, Long, Long, Boolean)])
+
   /** Streaming last-touch attribution — the incremental twin of the
     * batch ev_attribution: one ValueState per user holds the campaign of
     * the user's most recent click, and each purchase emits (user_id,

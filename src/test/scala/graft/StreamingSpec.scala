@@ -301,6 +301,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming CUSUM integrates sustained drift across batches and " +
+      "resets after the alarm") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    // target 100, slack 10 (drift must exceed ±10 to accumulate),
+    // alarm when a sum crosses 50
+    val out = graft.streaming.StreamPipelines.cusumPoints(
+      mem.toDS(), target = 100L, slack = 10L, threshold = 50L)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF("k", "seq", "sp", "sn", "alarm")
+        .writeStream.format("memory").queryName("t_cusum")
+        .outputMode("append").start()
+      // t drifts UP: in-band 105 decays to 0, then 120/140/150 integrate
+      // 10+30+40 and cross 50 at seq 4 — the alarm needs the CARRIED sum
+      // (no single point exceeds threshold+slack on its own deviation);
+      // u drifts DOWN: 60 and 40 integrate 30+50 on the negative side
+      mem.addData(("t", 105L), ("t", 120L), ("u", 100L))
+      q.processAllAvailable()
+      mem.addData(("t", 140L), ("t", 150L), ("u", 60L), ("u", 40L))
+      q.processAllAvailable()
+      val rows = spark.table("t_cusum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+      q.stop()
+      assert(rows === Set(
+        ("t", 1L, 0L, 0L, false), ("t", 2L, 10L, 0L, false),
+        ("t", 3L, 40L, 0L, false), ("t", 4L, 80L, 0L, true),
+        ("u", 1L, 0L, 0L, false), ("u", 2L, 0L, 30L, false),
+        ("u", 3L, 0L, 80L, true)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming EWMA replays the batch recurrence across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
