@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{OpFamily, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -156,6 +157,64 @@ object StreamOps extends OpFamily {
   def ewma(s: SparkSession, d: String): DataFrame =
     ewmaOn(Tables.events(s, d))
 
+  /** BATCH CUSUM SCAN — the event-time twin of the streaming
+    * [[graft.streaming.StreamPipelines.CusumProcessor]]: per event type,
+    * detect a sustained level shift in the hourly sum series. The first
+    * 24 hours are the self-calibrating training window (baseline = their
+    * integral mean, slack = baseline/20, threshold = baseline/2 — all
+    * derived from the data, nothing wall-clock or hand-tuned enters an
+    * oracle-checked query); post-training hours run the NO-RESET tabular
+    * CUSUM via the scan identity S⁺ₙ = RSₙ − min(0, min_{k≤n} RS_k)
+    * (RS = running sum of the slack-adjusted deviations) — Page's
+    * recurrence without max() per row, so TWO window running aggregates
+    * replace an inherently sequential fold and the whole thing stays in
+    * exact BIGINTs. Equals the streaming processor's trajectory
+    * bit-for-bit up to each key's FIRST alarm (the processor then
+    * resets; the batch scan reports that first change-point —
+    * equivalence property in StreamingSpec).
+    *
+    * Scale shape: one (type, hour) map-side-partial aggregate compresses
+    * events to the hourly grid, then four running-window passes over one
+    * type-partitioned sort — O(hours) per key, parallel across keys,
+    * bounded output (one summary row per type).
+    */
+  def cusumScan(s: SparkSession, d: String): DataFrame =
+    cusumScanOn(Tables.events(s, d), trainHours = 24)
+
+  private[graft] def cusumScanOn(events: DataFrame,
+      trainHours: Int): DataFrame = {
+    val series = events
+      .withColumn("w_start", date_trunc("hour", col("ts")))
+      .groupBy(col("event_type"), col("w_start"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("sum_units"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("w_start"))
+    val rs = series.withColumn("rn", row_number().over(wOrd))
+    val bl = rs.filter(col("rn") <= trainHours)
+      .groupBy(col("event_type"))
+      .agg(expr("sum(sum_units) DIV count(1)").as("baseline_units"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("w_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rs.filter(col("rn") > trainHours)
+      .join(broadcast(bl), Seq("event_type"))
+      .withColumn("slack", expr("baseline_units DIV 20"))
+      .withColumn("thr", expr("baseline_units DIV 2"))
+      .withColumn("rsu",
+        sum(col("sum_units") - col("baseline_units") - col("slack"))
+          .over(wRun))
+      .withColumn("rsn",
+        sum(col("baseline_units") - col("slack") - col("sum_units"))
+          .over(wRun))
+      .withColumn("sp", col("rsu") - least(lit(0L), min(col("rsu")).over(wRun)))
+      .withColumn("sn", col("rsn") - least(lit(0L), min(col("rsn")).over(wRun)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        max(col("baseline_units")).as("baseline_units"),
+        max(col("sp")).as("max_sp"), max(col("sn")).as("max_sn"),
+        min(when(col("sp") > col("thr") || col("sn") > col("thr"),
+          col("w_start"))).as("first_alarm"))
+      .orderBy(col("event_type"))
+  }
+
   private[graft] def ewmaOn(events: DataFrame): DataFrame =
     ewmaCore(events).orderBy(col("event_type"), col("w_start"))
 
@@ -226,6 +285,7 @@ object StreamOps extends OpFamily {
     "stream_tumbling" -> (tumbling _),
     "stream_ewma" -> (ewma _),
     "stream_anomaly" -> (anomaly _),
+    "stream_cusum" -> (cusumScan _),
     "stream_gapfill" -> (gapFill _),
     "stream_ohlc" -> (ohlc _),
     "stream_sliding_distinct" -> (slidingDistinct _),
@@ -247,6 +307,36 @@ object StreamOps extends OpFamily {
            FROM events))"""
 
   val oracle = Map(
+    "stream_cusum" ->
+      """WITH series AS (SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+             CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS su
+           FROM events GROUP BY event_type, w_start),
+         rs AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY w_start) AS rn FROM series),
+         bl AS (SELECT event_type,
+             CAST(sum(su) AS BIGINT) // count(*) AS bl
+           FROM rs WHERE rn <= 24 GROUP BY event_type),
+         acc AS (SELECT rs.event_type, rs.w_start, rs.su, bl.bl,
+             bl.bl // 20 AS slack, bl.bl // 2 AS thr,
+             CAST(sum(rs.su - bl.bl - bl.bl // 20) OVER wp AS BIGINT) AS rsu,
+             CAST(sum(bl.bl - bl.bl // 20 - rs.su) OVER wp AS BIGINT) AS rsn
+           FROM rs JOIN bl USING (event_type) WHERE rn > 24
+           WINDOW wp AS (PARTITION BY event_type ORDER BY w_start
+             ROWS UNBOUNDED PRECEDING)),
+         sc AS (SELECT *,
+             rsu - least(CAST(0 AS BIGINT), min(rsu) OVER wp) AS sp,
+             rsn - least(CAST(0 AS BIGINT), min(rsn) OVER wp) AS sn
+           FROM acc
+           WINDOW wp AS (PARTITION BY event_type ORDER BY w_start
+             ROWS UNBOUNDED PRECEDING))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           max(bl) AS baseline_units,
+           CAST(max(sp) AS BIGINT) AS max_sp,
+           CAST(max(sn) AS BIGINT) AS max_sn,
+           min(CASE WHEN sp > thr OR sn > thr THEN w_start END)
+             AS first_alarm
+         FROM sc GROUP BY event_type ORDER BY event_type""",
     "stream_gapfill" ->
       """WITH hourly AS (
            SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,

@@ -178,6 +178,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CUSUM scan identity equals Page's recurrence on random series " +
+      "(the stream_cusum / CusumProcessor equivalence, pre-reset)") {
+    // S⁺ₙ = max(0, S⁺ₙ₋₁ + dₙ)  ⇔  S⁺ₙ = RSₙ − min(0, min_{k≤n} RS_k)
+    // — the window formulation the batch query runs vs the sequential
+    // recurrence the streaming processor runs (before its alarm reset)
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { _ =>
+      val xs = List.fill(300)(rnd.nextInt(201).toLong) // values in [0,200]
+      val (target, slack) = (100L, 10L)
+      val dUp = xs.map(x => x - target - slack)
+      val rec = dUp.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+      val rs = dUp.scanLeft(0L)(_ + _).tail
+      val scan = rs.zipWithIndex.map { case (r, i) =>
+        r - math.min(0L, rs.take(i + 1).min)
+      }
+      assert(rec === scan)
+    }
+  }
+
   test("star-contraction and min-label CC engines agree on random graphs") {
     val rnd = new scala.util.Random(11)
     (1 to 4).foreach { _ =>
