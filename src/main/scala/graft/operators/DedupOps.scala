@@ -154,7 +154,11 @@ object DedupOps extends OpFamily {
     * the artifact. Keyed on the documents file's (size, mtime)
     * fingerprint so a regenerated fixture invalidates (the r8 lesson);
     * doubles round-trip parquet bit-exactly, so cached results hash
-    * identically to fresh ones.
+    * identically to fresh ones. The PROBABILISTIC detectors (MinHash-LSH,
+    * SimHash ×2, mllib MinHash) persist under their own tags too — their
+    * signatures are deterministic (fixed perms/seeds), so the pair table
+    * is as content-addressable as the exact one, and [[recallReport]]
+    * re-attaches all five tables instead of re-running five pipelines.
     */
   private[graft] def cachedPairs(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame =
@@ -499,7 +503,9 @@ object DedupOps extends OpFamily {
     * the planted-dupe recall property is asserted in scalatest.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashLshOn(withNearDupes(s, d), 0.3)
+    cachedPairs(s, d, "minhash_lsh_tau30")(
+      minhashLshOn(withNearDupes(s, d), 0.3))
+      .orderBy(col("a"), col("b"))
 
   /** Generalized MinHash+LSH near-dup pairs over any (doc_id, text)
     * DataFrame — the [[graft.api.Graft.nearDuplicatePairs]] core.
@@ -557,7 +563,11 @@ object DedupOps extends OpFamily {
     * weakly (frequency profiles are all similar), so the cut is tight;
     * identical texts are always hamming 0 (property-tested).
     */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    cachedPairs(s, d, "simhash_h6")(simhashPairsBuild(s, d))
+      .orderBy(col("a"), col("b"))
+
+  private def simhashPairsBuild(s: SparkSession, d: String): DataFrame = {
     val corpus = withNearDupes(s, d)
     val sigs = simhashSigs(corpus)
       .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -585,7 +595,9 @@ object DedupOps extends OpFamily {
     * candidate-subset and planted-dupe properties are scalatest-verified.
     */
   def simhashSorted(s: SparkSession, d: String): DataFrame =
-    simhashSortedOn(withNearDupes(s, d))
+    cachedPairs(s, d, "simhash_sorted_h6")(
+      simhashSortedOn(withNearDupes(s, d)))
+      .orderBy(col("a"), col("b"))
 
   /** [[simhashSorted]] core over any (doc_id, text) DataFrame — the
     * [[graft.api.Graft.simhashNearDupPairs]] entry point.
@@ -631,7 +643,11 @@ object DedupOps extends OpFamily {
     * hashing isn't SQL-replayable); agreement with the hand-rolled
     * pipeline is asserted in scalatest.
     */
-  def minhashMllib(s: SparkSession, d: String): DataFrame = {
+  def minhashMllib(s: SparkSession, d: String): DataFrame =
+    cachedPairs(s, d, "minhash_mllib_j07")(minhashMllibBuild(s, d))
+      .orderBy(col("a"), col("b"))
+
+  private def minhashMllibBuild(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     val docs = withNearDupes(s, d)
       .select(col("doc_id"),
