@@ -1279,6 +1279,29 @@ object Graft {
       df.select(transform(col(vecCol), _.cast("double")).as("v")),
       dim, rounds)
 
+  /** Top-2 principal directions of a fixed-`dim` vector column:
+    * [[topPrincipalComponent]] plus its Hotelling deflation — u₁ is
+    * projected out of every row and the power iteration re-runs on the
+    * residual. Returns (component, pos, loading) with component ∈
+    * {1, 2}; u₁·u₂ ≈ 0 up to the micro-unit quantization grid.
+    */
+  def top2PrincipalComponents(df: DataFrame, vecCol: String, dim: Int,
+      rounds: Int = 3): DataFrame = {
+    val s = df.sparkSession
+    val e = df.select(transform(col(vecCol), _.cast("double")).as("v"))
+      .localCheckpoint() // scanned once per round by BOTH iterations
+    val c1 = graft.operators.SimOps.topComponentOn(s, e, dim, rounds)
+    val u1 = c1.collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2).toSeq
+    val c2 = graft.operators.SimOps.topComponentOn(s,
+      graft.operators.SimOps.deflateOn(s, e, u1).localCheckpoint(),
+      dim, rounds)
+    c1.withColumn("component", lit(1))
+      .unionByName(c2.withColumn("component", lit(2)))
+      .select(col("component"), col("pos"), col("loading"))
+      .orderBy(col("component"), col("pos"))
+  }
+
   /** Pairwise Pearson correlation matrix over the named numeric columns
     * in ONE aggregate pass (all moment sums together, DECIMAL-exact
     * accumulation): one (ma, mb, n, r) row per unordered pair — the

@@ -592,6 +592,45 @@ object SimOps extends OpFamily {
       .orderBy(col("pos"))
   }
 
+  /** SECOND PRINCIPAL COMPONENT by HOTELLING DEFLATION — the step that
+    * turns [[topComponent]] into an actual 2-D embedding map (the
+    * corpus-visualization / whitening axis pair): project the first
+    * component OUT of every vector (x′ = x − u₁·(x·u₁)/(u₁·u₁), one
+    * narrow row-local pass against the broadcast loading literal), then
+    * run the SAME 3-round micro-unit power iteration on the deflated
+    * corpus. Every step reuses an already-replayable core: the
+    * deflation's two dots are the codegen'd left-to-right
+    * [[NativeExprs.dot]] (bit-equal to DuckDB's list functions), and the
+    * oracle recomputes u₁ through the first powerCte chain — the same
+    * chain sim_top_component is hash-green on — then chains a second
+    * one over the deflated rows. Persisted like the first component
+    * (content-addressed on the embeddings fingerprint); orthogonality
+    * u₁·u₂ ≈ 0 is property-tested in AnalyticsOpsSpec.
+    */
+  def pca2(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+        ArtifactCache.dir(s, d, "embeddings", "graft_ivf", "component2@r1")) {
+      val u1 = cachedComponent(s, d).collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2).toSeq
+      val e = Tables.embeddings(s, d)
+        .select(transform(col("embedding"), _.cast("double")).as("v"))
+      topComponentOn(s, deflateOn(s, e, u1).localCheckpoint(),
+        dim = 64, rounds = 3)
+    }.orderBy(col("pos"))
+
+  /** x′ = x − u·(x·u)/(u·u) over a (v: array&lt;double&gt;) frame — the
+    * row-local deflation shared by [[pca2]] and the public API. `u` is
+    * embedded as a literal (plan constant, broadcast with the plan).
+    */
+  private[graft] def deflateOn(s: SparkSession, e: DataFrame,
+      u: Seq[Double]): DataFrame = {
+    val uLit = typedLit(u)
+    e.withColumn("f",
+        NativeExprs.dot(s, col("v"), uLit) / NativeExprs.dot(s, uLit, uLit))
+      .select(zip_with(col("v"), uLit,
+        (x, uc) => x - col("f") * uc).as("v"))
+  }
+
   /** PER-DIMENSION EQUI-DEPTH FEATURE BINNING of the embedding column —
     * the discretization step scalar-quantization indexes and
     * gradient-boosted-tree featurizers run: each of the first 8
@@ -1193,6 +1232,7 @@ object SimOps extends OpFamily {
     "sim_label_centroids" -> (labelCentroids _),
     "sim_embedding_bins" -> (embeddingBins _),
     "sim_top_component" -> (topComponent _),
+    "sim_pca2" -> (pca2 _),
     "sim_spectral_profile" -> (spectralProfile _),
     "sim_top_pairs" -> (topPairsIntraLabel _))
 
@@ -1225,18 +1265,25 @@ object SimOps extends OpFamily {
     * unit vector) — the replay core of [[topComponentOn]].
     */
   private def powerCte(k: Int, prev: String): String =
-    s"""w$k AS (SELECT i - 1 AS pos,
+    powerCteV(k, prev, "v", "")
+
+  /** [[powerCte]] generalized over the vector-table name and a CTE-name
+    * suffix — the pca2 oracle runs a SECOND chain over the deflated rows.
+    */
+  private def powerCteV(k: Int, prev: String, vt: String,
+      sfx: String): String =
+    s"""w$sfx$k AS (SELECT i - 1 AS pos,
            CAST(sum(CAST(floor(x.v[i] * x.s * 1e6) AS BIGINT)) AS BIGINT)
              AS w
          FROM (SELECT v, list_dot_product(v,
                  (SELECT list(c ORDER BY pos) FROM $prev)) AS s
-               FROM v) x, unnest(range(1, 65)) AS t(i)
+               FROM $vt) x, unnest(range(1, 65)) AS t(i)
          GROUP BY i),
-       n$k AS (SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE))
-             AS nrm FROM w$k),
-       v$k AS (SELECT pos, floor(CAST(w AS DOUBLE) / n.nrm * 1e6) / 1e6
+       n$sfx$k AS (SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE))
+             AS nrm FROM w$sfx$k),
+       v$sfx$k AS (SELECT pos, floor(CAST(w AS DOUBLE) / n.nrm * 1e6) / 1e6
              AS c
-         FROM w$k CROSS JOIN n$k n)"""
+         FROM w$sfx$k CROSS JOIN n$sfx$k n)"""
 
   /** DuckDB replay of the full IVF pipeline: 3 Lloyd rounds with the same
     * deterministic micro-unit means, same nearest-cell assignment and
@@ -1934,6 +1981,23 @@ object SimOps extends OpFamily {
            FROM unnest(range(1, 65)) AS t(i)),
          ${powerCte(1, "p0")}, ${powerCte(2, "v1")}, ${powerCte(3, "v2")}
          SELECT pos, c AS loading FROM v3 ORDER BY pos""",
+    "sim_pca2" ->
+      s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         p0 AS (SELECT i - 1 AS pos, CAST(1.0 AS DOUBLE) AS c
+           FROM unnest(range(1, 65)) AS t(i)),
+         ${powerCte(1, "p0")}, ${powerCte(2, "v1")}, ${powerCte(3, "v2")},
+         u AS (SELECT list(c ORDER BY pos) AS u FROM v3),
+         vdef AS (SELECT list_transform(range(1, 65),
+               i -> x.v[i] - x.f * x.u[i]) AS v
+           FROM (SELECT v.v, u.u,
+                   list_dot_product(v.v, u.u)
+                     / list_dot_product(u.u, u.u) AS f
+                 FROM v CROSS JOIN u) x),
+         ${powerCteV(1, "p0", "vdef", "d")},
+         ${powerCteV(2, "vd1", "vdef", "d")},
+         ${powerCteV(3, "vd2", "vdef", "d")}
+         SELECT pos, c AS loading FROM vd3 ORDER BY pos""",
     "sim_spectral_profile" ->
       s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),

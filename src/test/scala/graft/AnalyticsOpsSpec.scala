@@ -418,6 +418,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-5, s"norm=$norm")
   }
 
+  test("top-2 components: deflation recovers the planted secondary axis, " +
+      "orthogonal to the first") {
+    import spark.implicits._
+    // dominant axis (0.6, 0.8, 0, 0) at scales 1..20, secondary axis
+    // (0, 0, 1, 0) at smaller scales 1..10: deflation must strip the
+    // first and the second iteration must land on e₃
+    val pts = ((1 to 20).map(k => Tuple1(Seq(0.6 * k, 0.8 * k, 0.0, 0.0)))
+      ++ (1 to 10).map(k => Tuple1(Seq(0.0, 0.0, k.toDouble, 0.0))))
+      .toDF("v")
+    val out = graft.api.Graft.top2PrincipalComponents(pts, "v", dim = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // each round floors loadings onto the 1e-6 grid, so k rounds sit up
+    // to ~k·1e-6 below the true axis — bound accordingly
+    assert(math.abs(out((1, 0)) - 0.6) < 5e-6 &&
+      math.abs(out((1, 1)) - 0.8) < 5e-6)
+    assert(math.abs(out((2, 2)) - 1.0) < 5e-6, s"c2=${out((2, 2))}")
+    val dot12 = (0 until 4).map(i => out((1, i)) * out((2, i))).sum
+    assert(math.abs(dot12) < 1e-5, s"components not orthogonal: $dot12")
+    // the registered deflated component is unit-norm-ish on the fixture
+    val reg = graft.operators.SimOps.pca2(spark, sf).collect()
+      .map(r => r.getDouble(1))
+    val nrm = math.sqrt(reg.map(x => x * x).sum)
+    assert(reg.length === 64 && math.abs(nrm - 1.0) < 1e-4, s"norm=$nrm")
+  }
+
   test("lexical df-cap: a corpus-wide hot term changes nothing vs " +
       "stripping it, and its postings are never candidates") {
     import spark.implicits._
