@@ -713,6 +713,20 @@ object Graft {
         col(valueCol).as("value")))
       .withColumnRenamed("event_type", keyCol)
 
+  /** Holt linear trend (double exponential smoothing, α = β = 1/4) of
+    * the hourly sum series per key: (key, w_start, sum_units,
+    * level_units, trend_units, forecast_units) in exact micro-units via
+    * arithmetic-shift floor division — valid on falling series (negative
+    * trend), no non-negativity contract. The trend-aware upgrade of
+    * [[ewma]] for ramp-shaped load.
+    */
+  def holt(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.StreamOps.holtOn(
+      df.select(col(keyCol).as("event_type"), col(tsCol).as("ts"),
+        col(valueCol).as("value")))
+      .withColumnRenamed("event_type", keyCol)
+
   /** Hours whose raw sum deviates from the PRIOR hour's EWMA baseline by
     * ≥ thresholdPermille (integral rule over [[ewma]]'s series — the
     * baseline excludes the hour under test). Returns (key, w_start,

@@ -157,6 +157,55 @@ object StreamOps extends OpFamily {
   def ewma(s: SparkSession, d: String): DataFrame =
     ewmaOn(Tables.events(s, d))
 
+  /** HOLT LINEAR TREND (double exponential smoothing, α = β = 1/4) over
+    * the hourly sum series per event type — the trend-aware upgrade of
+    * [[ewma]]: a level that tracks the series plus a trend that tracks
+    * its slope, and the one-step forecast level+trend that a
+    * capacity-planning / alerting consumer actually reads (EWMA lags a
+    * ramp forever; Holt closes on it).
+    *
+    * Integral recurrence: l₁ = s₁, b₁ = 0;
+    * lₕ = (sₕ + 3·(lₕ₋₁+bₕ₋₁)) >> 2, bₕ = (lₕ − lₕ₋₁ + 3·bₕ₋₁) >> 2.
+    * The trend goes NEGATIVE on a falling series, where truncating DIV
+    * and floor-division disagree — so both engines use the ARITHMETIC
+    * RIGHT SHIFT (floor by 2² in Spark's shiftright and DuckDB's >>
+    * alike, verified on negative BIGINTs), keeping the fold bit-exact
+    * with no non-negativity contract at all. Same O(series) per-key
+    * array fold as [[ewma]] (DuckDB: recursive CTE).
+    */
+  def holt(s: SparkSession, d: String): DataFrame =
+    holtOn(Tables.events(s, d))
+
+  private[graft] def holtOn(events: DataFrame): DataFrame =
+    events
+      .withColumn("w_start", date_trunc("hour", col("ts")))
+      .groupBy(col("event_type"), col("w_start"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("sum_units"))
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("w_start"), col("sum_units"))))
+        .as("arr"))
+      .withColumn("lb_arr",
+        expr("""aggregate(arr,
+            CAST(array() AS ARRAY<STRUCT<l: BIGINT, b: BIGINT>>),
+            (acc, x) -> array_append(acc,
+              CASE WHEN size(acc) = 0
+                THEN named_struct('l', x.sum_units, 'b', CAST(0 AS BIGINT))
+                ELSE named_struct(
+                  'l', shiftright(x.sum_units
+                    + 3 * (element_at(acc, -1).l + element_at(acc, -1).b), 2),
+                  'b', shiftright(shiftright(x.sum_units
+                      + 3 * (element_at(acc, -1).l + element_at(acc, -1).b), 2)
+                    - element_at(acc, -1).l + 3 * element_at(acc, -1).b, 2))
+              END))"""))
+      .select(col("event_type"),
+        explode(arrays_zip(col("arr"), col("lb_arr"))).as("z"))
+      .select(col("event_type"), col("z.arr.w_start").as("w_start"),
+        col("z.arr.sum_units").as("sum_units"),
+        col("z.lb_arr.l").as("level_units"),
+        col("z.lb_arr.b").as("trend_units"),
+        (col("z.lb_arr.l") + col("z.lb_arr.b")).as("forecast_units"))
+      .orderBy(col("event_type"), col("w_start"))
+
   /** BATCH CUSUM SCAN — the event-time twin of the streaming
     * [[graft.streaming.StreamPipelines.CusumProcessor]]: per event type,
     * detect a sustained level shift in the hourly sum series. The first
@@ -286,6 +335,7 @@ object StreamOps extends OpFamily {
     "stream_ewma" -> (ewma _),
     "stream_anomaly" -> (anomaly _),
     "stream_cusum" -> (cusumScan _),
+    "stream_holt" -> (holt _),
     "stream_gapfill" -> (gapFill _),
     "stream_ohlc" -> (ohlc _),
     "stream_sliding_distinct" -> (slidingDistinct _),
@@ -358,6 +408,28 @@ object StreamOps extends OpFamily {
                - INTERVAL '30 minutes']) AS w_start, user_id
            FROM events)
          GROUP BY w_start ORDER BY w_start""",
+    "stream_holt" ->
+      """WITH RECURSIVE h AS (
+           SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+             CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS sum_units
+           FROM events GROUP BY 1, 2),
+         hr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY w_start) AS rn FROM h),
+         e AS (
+           SELECT event_type, w_start, sum_units, rn,
+             sum_units AS l, CAST(0 AS BIGINT) AS b
+           FROM hr WHERE rn = 1
+           UNION ALL
+           SELECT hr.event_type, hr.w_start, hr.sum_units, hr.rn,
+             (hr.sum_units + 3 * (e.l + e.b)) >> 2,
+             (((hr.sum_units + 3 * (e.l + e.b)) >> 2) - e.l + 3 * e.b) >> 2
+           FROM hr JOIN e ON hr.event_type = e.event_type
+             AND hr.rn = e.rn + 1)
+         SELECT event_type, w_start, sum_units, l AS level_units,
+           b AS trend_units, l + b AS forecast_units
+         FROM e ORDER BY event_type, w_start""",
     "stream_ewma" ->
       """WITH RECURSIVE h AS (
            SELECT event_type,

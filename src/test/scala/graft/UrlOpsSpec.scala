@@ -93,6 +93,24 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("sensor") === "a")
   }
 
+  test("Graft.holt tracks a falling series with a negative floor-shift trend") {
+    import java.sql.Timestamp
+    // hourly micro-sums 1000, 500, 100 (values ·1e-6):
+    //   l₁=1000, b₁=0
+    //   l₂=(500+3·1000)>>2=875,  b₂=(875−1000)>>2=(−125)>>2=−32 (floor!)
+    //   l₃=(100+3·(875−32))>>2=657, b₃=(657−875−96)>>2=(−314)>>2=−79
+    val pts = Seq(
+      ("a", Timestamp.valueOf("2026-01-01 00:10:00"), 0.001),
+      ("a", Timestamp.valueOf("2026-01-01 01:10:00"), 0.0005),
+      ("a", Timestamp.valueOf("2026-01-01 02:10:00"), 0.0001))
+      .toDF("sensor", "at", "reading")
+    val out = Graft.holt(pts, "sensor", "at", "reading").collect()
+      .map(r => (r.getAs[Long]("level_units"), r.getAs[Long]("trend_units"),
+        r.getAs[Long]("forecast_units")))
+    assert(out.toSeq === Seq((1000L, 0L, 1000L), (875L, -32L, 843L),
+      (657L, -79L, 578L)))
+  }
+
   test("normalization is idempotent") {
     for (u <- Seq(
       "HTTPS://A.Example.COM:443/a/?utm_medium=m&z=9&a=1#f",
