@@ -61,6 +61,33 @@ object SimOps extends OpFamily {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** RANGE SEARCH (the faiss `range_search` analogue): every corpus
+    * vector within cosine ≥ 0.35 of each query — the radius variant a
+    * retrieval stack uses when "how many are this close" matters more
+    * than a fixed k (dedup candidacy, density probes, duplicate-burst
+    * detection). Same broadcast-queries/stream-corpus shape as
+    * [[knnExact]] minus the top-k window: one narrow pass, output
+    * bounded by the radius (≈2.8σ on this corpus geometry, so sub-1% of
+    * scanned pairs emit). The production path routes through the IVF
+    * cells first ([[knnIvf]]) — compose cell probing with the same
+    * radius filter.
+    */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm",
+        sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("nrm"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosPair(s, "qe", "qn", "ne", "nrm"))
+      .filter(col("cos") >= 0.35)
+      .select(col("qid"), col("nid"), col("cos"))
+      .orderBy(col("qid"), desc("cos"), col("nid"))
+  }
+
   /** IVF ANN with k-means coarse quantization: Lloyd iterations build
     * nlist=10 centroids (deterministic init: the 10 lowest vec_ids), every
     * vector is assigned to its nearest cell, and each query probes its
@@ -1215,6 +1242,7 @@ object SimOps extends OpFamily {
     "sim_hybrid_rrf_ivf" -> (hybridRrfIvf _),
     "dedup_semantic" -> (semanticDedup _),
     "sim_knn_exact" -> (knnExact _),
+    "sim_range_search" -> (rangeSearch _),
     "sim_kmeans" -> (kmeansProfile _),
     "sim_knn_ivf_quantized" -> (knnIvfQuantized _),
     "sim_knn_ivf_lloyd" -> (knnIvfLloyd _),
@@ -1963,6 +1991,14 @@ object SimOps extends OpFamily {
            UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
            UNION ALL SELECT * FROM s5)
          ORDER BY qid, step""",
+    "sim_range_search" ->
+      """SELECT qid, nid, cos FROM (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+               CAST(n.embedding AS DOUBLE[])) AS cos
+           FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+           WHERE q.vec_id < 10)
+         WHERE cos >= 0.35 ORDER BY qid, cos DESC, nid""",
     "sim_knn_exact" ->
       """SELECT qid, rank, nid, cos FROM (
            SELECT q.vec_id AS qid, n.vec_id AS nid,
