@@ -1316,6 +1316,27 @@ object Graft {
       .orderBy(col("component"), col("pos"))
   }
 
+  /** Nearest-centroid confusion matrix over any (id, label, vector)
+    * frame: full-dimension integer-micro-unit label centroids, cosine
+    * assignment with deterministic tie-breaks, (label, pred_label, n)
+    * counts. The embedding-quality eval: diagonal-heavy = labels are
+    * recoverable from geometry.
+    */
+  def centroidConfusion(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame =
+    graft.operators.SimOps.centroidClassifyOn(df.sparkSession,
+      df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        transform(col(vecCol), _.cast("double")).as("v")))
+
+  /** χ² independence statistic + Cramér's V for any two categorical
+    * columns: the full contingency grid (zero cells included), exact
+    * micro-unit cell sums, one-row summary (n, n_a, n_b, chi2_units,
+    * cramers_v). A single-category axis yields inf/NaN (nothing to
+    * associate).
+    */
+  def chi2(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    graft.operators.AggOps.chi2On(df, aCol, bCol)
+
   /** Pairwise Pearson correlation matrix over the named numeric columns
     * in ONE aggregate pass (all moment sums together, DECIMAL-exact
     * accumulation): one (ma, mb, n, r) row per unordered pair — the

@@ -695,6 +695,52 @@ object AggOps extends OpFamily {
           .as("entropy_bits"))
       .orderBy(col("grp"))
 
+  /** χ² TEST OF INDEPENDENCE + CRAMÉR'S V for the lang × source
+    * contingency table — the categorical-association screen a corpus
+    * profile runs next to [[entropyBySource]]: does a source determine
+    * its language mix (V → 1) or are the two independent (V → 0)?
+    * The full r×c grid is materialized (unobserved cells count with
+    * o = 0 — dropping them understates χ²), each cell's (o−e)²/e
+    * quantizes to exact micro-units before the order-independent BIGINT
+    * sum, and V = √(χ²/(n·min(r−1,c−1))) is one double expression over
+    * exact longs. A single-category axis has no association to measure
+    * (division by zero → engine-consistent inf/NaN).
+    *
+    * Scale shape: one (a, b) count aggregate compresses the data to the
+    * contingency grid; the marginals and the grid cross-join are
+    * dimension-sized (broadcast). Headroom: cell units stay exact while
+    * (o−e)²/e·10⁶ < 2⁶³ — past ~10¹² rows per cell, drop the 10⁶
+    * quantizer a decade.
+    */
+  def chi2LangSource(s: SparkSession, d: String): DataFrame =
+    chi2On(Tables.documents(s, d), "lang", "source")
+
+  private[graft] def chi2On(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // four consumers: marginals ×2, total, grid
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    ra.crossJoin(broadcast(cb))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", (col("ra") * col("cb")).cast("double") / col("n"))
+      .withColumn("u",
+        floor((col("o") - col("e")) * (col("o") - col("e")) / col("e")
+          * 1e6).cast("long"))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("a")).as("n_a"),
+        countDistinct(col("b")).as("n_b"),
+        sum(col("u")).as("chi2_units"))
+      .select(col("n"), col("n_a"), col("n_b"), col("chi2_units"),
+        sqrt(col("chi2_units").cast("double") / 1e6
+          / (col("n") * least(col("n_a") - 1, col("n_b") - 1)))
+          .as("cramers_v"))
+  }
+
   /** ROBUST OUTLIER STATS (median / MAD / modified z-score) per event
     * type — the outlier rule that survives what [[zscoreOutliers]]'s
     * mean/stddev rule cannot: a single extreme value inflates the stddev
@@ -840,6 +886,7 @@ object AggOps extends OpFamily {
     "agg_benford" -> (benfordProfile _),
     "agg_gini" -> (giniRevenue _),
     "agg_entropy" -> (entropyBySource _),
+    "agg_chi2" -> (chi2LangSource _),
     "agg_overlap_matrix" -> (overlapMatrix _),
     "agg_mad_outliers" -> (madOutliers _),
     "agg_copurchase_lift" -> (copurchaseLift _),
@@ -1139,6 +1186,32 @@ object AggOps extends OpFamily {
            log2(sum(n)) - sum(CAST(n AS DOUBLE) * log2(n)) / sum(n)
              AS entropy_bits
          FROM c GROUP BY source ORDER BY source""",
+    "agg_chi2" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+             CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY a, b),
+         ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra
+           FROM cells GROUP BY a),
+         cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb
+           FROM cells GROUP BY b),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         grid AS (SELECT ra.a, cb.b, ra.ra, cb.cb,
+             coalesce(cells.o, 0) AS o
+           FROM ra CROSS JOIN cb
+           LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+         u AS (SELECT g.a, g.b, g.o, tot.n,
+             CAST(g.ra * g.cb AS DOUBLE) / tot.n AS e
+           FROM grid g CROSS JOIN tot),
+         agg AS (SELECT max(n) AS n,
+             CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT b) AS BIGINT) AS n_b,
+             CAST(sum(CAST(floor((o - e) * (o - e) / e * 1e6) AS BIGINT))
+               AS BIGINT) AS chi2_units
+           FROM u)
+         SELECT n, n_a, n_b, chi2_units,
+           sqrt(CAST(chi2_units AS DOUBLE) / 1e6
+             / (n * least(n_a - 1, n_b - 1))) AS cramers_v
+         FROM agg""",
     "agg_mad_outliers" ->
       """WITH u AS (SELECT event_type, event_id,
              CAST(floor(value * 1e6) AS BIGINT) AS v FROM events),

@@ -523,6 +523,56 @@ object SimOps extends OpFamily {
         (col("sum_micro").cast("double") / col("n") / 1e6).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** NEAREST-CENTROID CLASSIFIER + CONFUSION MATRIX — the embedding-
+    * quality eval a labeling/clustering pipeline runs: full-dimension
+    * per-label centroids (integer micro-unit means, the
+    * [[labelCentroids]] discipline — order-independent, so DuckDB
+    * rebuilds the identical doubles), every vector assigned to its
+    * nearest centroid by cosine, confusion counts per (true, predicted)
+    * pair. A diagonal-heavy matrix says labels are recoverable from
+    * geometry; uniform rows say the labels carry no embedding signal.
+    *
+    * Scale shape: the centroid table is labels×dim (a broadcast
+    * literal-sized dimension at any corpus size); classification is one
+    * narrow corpus pass against it plus a vec-partitioned argmax window
+    * — the same cost envelope as one ANN probe, no corpus self-join.
+    */
+  def centroidClassify(s: SparkSession, d: String): DataFrame =
+    centroidClassifyOn(s, Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v")))
+
+  /** The classifier core over any (vec_id, label, v: array&lt;double&gt;)
+    * frame — [[graft.api.Graft.centroidConfusion]]. */
+  private[graft] def centroidClassifyOn(s: SparkSession,
+      e0: DataFrame): DataFrame = {
+    val e = e0
+      .localCheckpoint() // two consumers: centroid build + classification
+    val cents = e
+      .select(col("label").as("clabel"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * 1e6).cast("long")).as("su"))
+      .groupBy(col("clabel"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos").as("pos"),
+          (col("su").cast("double") / col("n") / 1e6).as("c")))),
+        x => x.getField("c")).as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cos"), col("clabel"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cos", NativeExprs.dot(s, col("v"), col("cv"))
+        / (sqrt(NativeExprs.dot(s, col("v"), col("v")))
+          * sqrt(NativeExprs.dot(s, col("cv"), col("cv")))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("label"), col("clabel").as("pred_label"), col("n"))
+      .orderBy(col("label"), col("pred_label"))
+  }
+
   /** TOP PRINCIPAL COMPONENT by power iteration — the spectral summary
     * embedding pipelines read before whitening / dimension dropping:
     * which direction carries the corpus's variance (uncentered Gram
@@ -1258,6 +1308,7 @@ object SimOps extends OpFamily {
     "sim_incremental_assign" -> (incrementalAssign _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
+    "sim_centroid_classify" -> (centroidClassify _),
     "sim_embedding_bins" -> (embeddingBins _),
     "sim_top_component" -> (topComponent _),
     "sim_pca2" -> (pca2 _),
@@ -2057,6 +2108,28 @@ object SimOps extends OpFamily {
            FROM x)
          SELECT pos, bucket, count(*) AS n, min(x) AS lo, max(x) AS hi
          FROM b GROUP BY pos, bucket ORDER BY pos, bucket""",
+    "sim_centroid_classify" ->
+      """WITH cents AS (SELECT label AS clabel, pos,
+             count(*) AS n,
+             CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS BIGINT) AS su
+           FROM (SELECT label, i - 1 AS pos,
+               CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, unnest(range(1, 65)) AS t(i))
+           GROUP BY clabel, pos),
+         cv AS (SELECT clabel,
+             list(CAST(su AS DOUBLE) / n / 1e6 ORDER BY pos) AS cv
+           FROM cents GROUP BY clabel),
+         sc AS (SELECT e.vec_id, e.label, c.clabel,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+               AS cos
+           FROM embeddings e CROSS JOIN cv c),
+         p AS (SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, clabel) AS rn
+           FROM sc)
+         SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n
+         FROM p WHERE rn = 1
+         GROUP BY label, pred_label ORDER BY label, pred_label""",
     "sim_label_centroids" ->
       """SELECT label, pos, count(*) AS n,
            CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)

@@ -444,6 +444,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(reg.length === 64 && math.abs(nrm - 1.0) < 1e-4, s"norm=$nrm")
   }
 
+  test("chi2: hand-computed units on a 2x2 table; perfect association " +
+      "needs the zero cells to reach V = 1") {
+    import spark.implicits._
+    // balanced 2×2 with association: e = 15 everywhere, each cell
+    // contributes floor(25/15·1e6) = 1666666 units
+    val t = (Seq.fill(20)(("x", "p")) ++ Seq.fill(10)(("x", "q"))
+      ++ Seq.fill(10)(("y", "p")) ++ Seq.fill(20)(("y", "q")))
+      .toDF("a", "b")
+    val r = graft.api.Graft.chi2(t, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((60L, 2L, 2L, 4L * 1666666L)))
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 1e-5)
+    // diagonal-only table: the two UNOBSERVED cells carry half the χ² —
+    // dropping them would read V ≈ 0.707 instead of exactly 1
+    val diag = (Seq.fill(30)(("x", "p")) ++ Seq.fill(30)(("y", "q")))
+      .toDF("a", "b")
+    val d = graft.api.Graft.chi2(diag, "a", "b").collect().head
+    assert(d.getLong(3) === 60000000L && d.getDouble(4) === 1.0)
+  }
+
+  test("centroid confusion: separable labels classify onto the diagonal") {
+    import spark.implicits._
+    val e = Seq((1L, 1, Seq(1.0, 0.0)), (2L, 1, Seq(0.9, 0.1)),
+      (3L, 2, Seq(0.0, 1.0)), (4L, 2, Seq(0.1, 0.9)))
+      .toDF("vid", "lbl", "v")
+    val got = graft.api.Graft.centroidConfusion(e, "vid", "lbl", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, 1, 2L), (2, 2, 2L)))
+  }
+
   test("lexical df-cap: a corpus-wide hot term changes nothing vs " +
       "stripping it, and its postings are never candidates") {
     import spark.implicits._
