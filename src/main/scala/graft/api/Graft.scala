@@ -514,6 +514,18 @@ object Graft {
         col(valueCol).as("value")), halfLifeDays)
       .withColumnRenamed("event_type", keyCol)
 
+  /** Expected remaining events before the per-key sequence ends, per
+    * starting state: t = 1 + P_live·t iterated `rounds` times in exact
+    * integer micro-units over the observed transition matrix with the
+    * sequence end as the absorbing state. Returns (event_type,
+    * exp_steps_units) by descending expectation.
+    */
+  def markovAbsorption(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, seqCol: String, rounds: Int = 8): DataFrame =
+    graft.operators.EventOps.markovAbsorptionOn(
+      df.select(col(keyCol).as("user_id"), col(typeCol).as("event_type"),
+        col(tsCol).as("ts"), col(seqCol).as("event_id")), rounds)
+
   // ----------------------------------------------------------------- text
 
   /** Per-document quality features + composite score. */

@@ -271,6 +271,52 @@ object EventOps extends OpFamily {
       .orderBy(desc("stat_units"), col("event_type"))
   }
 
+  /** EXPECTED STEPS TO SESSION END per starting state — the absorption
+    * analysis that completes the [[markovStationary]] pair: with
+    * '(end)' as the absorbing state (each user's last event transitions
+    * to it), how many more events does a user emit on average from each
+    * state? t = 1 + P·t restricted to live states, iterated `rounds`
+    * times from 0 — the bounded partial sum Σ_{k≤rounds} P_live^k, the
+    * same honest bounded-round contract as PageRank (absorption
+    * probability per step is high here, so 8 rounds sit within
+    * micro-units of the fixpoint). Integer micro-unit mass pushes
+    * (`cnt·t DIV tot`), exact in both engines.
+    *
+    * Scale shape: identical to [[markovStationary]] — one user window
+    * for pair counts, then `rounds` joins over the |types|²
+    * dimension-sized matrix.
+    */
+  def markovAbsorption(s: SparkSession, d: String): DataFrame =
+    markovAbsorptionOn(ev(s, d), rounds = 8)
+
+  private[graft] def markovAbsorptionOn(events: DataFrame,
+      rounds: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .withColumn("next_type",
+        coalesce(lead(col("event_type"), 1).over(w), lit("(end)")))
+      .groupBy(col("event_type").as("from"), col("next_type").as("to"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = trans.groupBy(col("from")).agg(sum(col("cnt")).as("tot"))
+    val wd = trans.filter(col("to") =!= "(end)")
+      .join(tot, Seq("from")).localCheckpoint() // |types|² live edges
+    val states = tot.select(col("from").as("state")).localCheckpoint()
+    var t = states.withColumn("units", lit(0L))
+    for (_ <- 1 to rounds) {
+      val push = wd.join(t, wd("to") === t("state"))
+        .select(col("from"), expr("(cnt * units) DIV tot").as("c"))
+        .groupBy(col("from")).agg(sum(col("c")).as("pushed"))
+      t = states.join(push, states("state") === push("from"), "left")
+        .select(col("state"),
+          (lit(1000000L) + coalesce(col("pushed"), lit(0L))).as("units"))
+        .localCheckpoint() // keep the loop plan flat (|types| rows)
+    }
+    t.select(col("state").as("event_type"),
+        col("units").as("exp_steps_units"))
+      .orderBy(desc("exp_steps_units"), col("event_type"))
+  }
+
   /** TIME-DECAYED ENGAGEMENT SCORE per event type — the freshness-
     * weighted counter every ranking/trending feature store keeps: each
     * event's value contributes halved for every `halfLifeDays`-day step
@@ -619,7 +665,18 @@ object EventOps extends OpFamily {
     "ev_stickiness" -> (stickiness _),
     "ev_transitions" -> (transitions _),
     "ev_markov_stationary" -> (markovStationary _),
+    "ev_markov_absorption" -> (markovAbsorption _),
     "ev_decay_score" -> (decayScore _))
+
+  /** one unrolled absorption round: tₖ = 1e6 + P_live·tₖ₋₁ in units. */
+  private def mabIter(k: Int): String =
+    s"""t$k AS (SELECT st.state,
+         CAST(1000000 AS BIGINT) + coalesce(p.pushed, 0) AS units
+       FROM st LEFT JOIN (
+         SELECT wd.f, CAST(sum((wd.cnt * t.units) // wd.tot) AS BIGINT)
+           AS pushed
+         FROM wd JOIN t${k - 1} t ON wd.t = t.state GROUP BY wd.f) p
+         ON st.state = p.f)"""
 
   /** one unrolled stationary-distribution power round (integer units). */
   private def mkvIter(k: Int): String =
@@ -955,6 +1012,22 @@ object EventOps extends OpFamily {
          ${(1 to 4).map(mkvIter).mkString(",\n         ")}
          SELECT state AS event_type, units AS stat_units FROM r4
          ORDER BY stat_units DESC, event_type""",
+    "ev_markov_absorption" ->
+      s"""WITH nx AS (SELECT event_type AS f,
+             coalesce(lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id), '(end)') AS t
+           FROM events),
+         tr AS (SELECT f, t, CAST(count(*) AS BIGINT) AS cnt
+           FROM nx GROUP BY f, t),
+         tot AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS tot
+           FROM tr GROUP BY f),
+         wd AS (SELECT tr.f, tr.t, tr.cnt, tot.tot
+           FROM tr JOIN tot ON tr.f = tot.f WHERE tr.t <> '(end)'),
+         st AS (SELECT f AS state FROM tot),
+         t0 AS (SELECT state, CAST(0 AS BIGINT) AS units FROM st),
+         ${(1 to 8).map(mabIter).mkString(",\n         ")}
+         SELECT state AS event_type, units AS exp_steps_units FROM t8
+         ORDER BY exp_steps_units DESC, event_type""",
     "ev_decay_score" ->
       """WITH ref AS (SELECT max(ts) AS ref FROM events),
          x AS (SELECT event_type,

@@ -116,6 +116,19 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("B" -> 1138888L, "A" -> 861110L))
   }
 
+  test("markov absorption: expected remaining events on a 2-state chain") {
+    // single user A→B→(end): from B one more event (itself), from A two.
+    // t₀=0; round 1: t_B=1e6 (no live out-edges), t_A=1e6+0; round 2:
+    // t_A=1e6+(1·1e6)//1=2e6 — stable thereafter (8 rounds run)
+    val e = events(Seq(
+      (1L, 1L, "A", "2024-01-01 10:00:00"),
+      (2L, 1L, "B", "2024-01-01 10:01:00")))
+    val got = graft.api.Graft.markovAbsorption(
+      e, "user_id", "event_type", "ts", "event_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === Seq("A" -> 2000000L, "B" -> 1000000L))
+  }
+
   test("decay score halves milli-unit mass per half-life step, exactly") {
     // newest event anchors age 0; with a 1-day half-life: same-day event
     // decays ×1, a 1-day-old ×1/2, a 3-day-old ×1/8 (floored)
