@@ -248,6 +248,56 @@ object IoOps extends OpFamily {
     * At 100 TB swap countDistinct for approx_count_distinct per column —
     * same single-scan shape, constant memory.
     */
+  /** SMALL-FILE COMPACTION — the table-maintenance job every long-lived
+    * 100 TB lake runs (streaming ingest and fine-grained partitioning
+    * leave thousands of KB-sized files; scan cost and NameNode/listing
+    * pressure grow with file COUNT, not bytes): fragment lineitem into a
+    * flag-partitioned store with 32 files per partition, then compact
+    * each partition to ⌈rows/4096⌉ files via round-robin repartition.
+    * The report reads the COMPACTED store and counts actual files with
+    * `input_file_name()` — and the DuckDB oracle computes ⌈n/4096⌉ from
+    * the raw table, so the hash check proves the rewrite hit its
+    * planned file count EXACTLY (repartition(n) with n ≤ rows leaves no
+    * empty part), not just that rows survived.
+    *
+    * Scale shape: the per-partition row counts driving the plan are a
+    * bounded dimension collect (3 flags); each rewrite is one shuffle
+    * of that partition. Real lakes drive the same loop from partition
+    * stats; the target here is rows (deterministic for the oracle) —
+    * production uses bytes via the same arithmetic.
+    */
+  def compact(s: SparkSession, d: String): DataFrame = {
+    val target = 4096L
+    val fragPath = layoutPath(d, "lineitem_frag")
+    writeOnce(fragPath) {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+          col("l_quantity"))
+        .repartition(32, col("l_orderkey"))
+        .write.mode("overwrite").partitionBy("flag").parquet(fragPath)
+    }
+    val src = s.read.parquet(fragPath)
+    val plan = src.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))) // 3 flags
+    val outPath = layoutPath(d, "lineitem_compacted")
+    plan.foreach { case (flag, n) =>
+      val part = s"$outPath/flag=$flag"
+      writeOnce(part) {
+        src.filter(col("flag") === flag).drop("flag")
+          .repartition(((n + target - 1) / target).toInt)
+          .write.mode("overwrite").parquet(part)
+      }
+    }
+    s.read.parquet(outPath)
+      // materialize the (nondeterministic-classed) file name BEFORE the
+      // aggregate — Spark rejects it inline in countDistinct
+      .withColumn("fname", input_file_name())
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("fname")).as("n_files"))
+      .orderBy(col("flag"))
+  }
+
   def profileEvents(s: SparkSession, d: String): DataFrame =
     profileOn(Tables.events(s, d), Seq("event_id", "ts", "user_id",
       "event_type", "value", "props"))
@@ -307,9 +357,14 @@ object IoOps extends OpFamily {
     "io_orc_roundtrip" -> (orcRoundtrip _),
     "io_generate" -> (generate _),
     "io_partitioned_roundtrip" -> (partitionedRoundtrip _),
+    "io_compact" -> (compact _),
     "io_bucketed_join" -> (bucketedJoin _))
 
   val oracle = Map(
+    "io_compact" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(ceil(count(*) / 4096.0) AS BIGINT) AS n_files
+         FROM lineitem GROUP BY flag ORDER BY flag""",
     // ts profiles through CAST(ts AS TIMESTAMP): the nanos→micros
     // truncation DuckDB applies is the same `ts DIV 1000` Tables.events
     // applies on the Spark side
