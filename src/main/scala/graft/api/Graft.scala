@@ -468,6 +468,16 @@ object Graft {
       df.select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
         col(tsCol).as("ts")), steps)
 
+  /** User-lifetime survival curve over any (key, ts) event frame:
+    * lifetime = whole days between a key's first and last event,
+    * S(t) = share of keys with lifetime ≥ t at every observed lifetime.
+    * Returns (lifetime_days, n_users_at_least, survival_permille).
+    */
+  def survivalCurve(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    graft.operators.EventOps.survivalOn(
+      df.select(col(keyCol).as("user_id"), col(tsCol).as("ts")))
+
   /** Weekly cohort retention triangle over any event frame: cohort =
     * week of each user's first event (integer days since `epoch`),
     * offset = whole weeks since that first day. Returns (cohort_week,

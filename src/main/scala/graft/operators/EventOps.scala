@@ -355,6 +355,42 @@ object EventOps extends OpFamily {
       .orderBy(desc("decay_units"), col("event_type"))
   }
 
+  /** USER LIFETIME SURVIVAL CURVE — the retention read one level above
+    * the cohort triangle: S(t) = share of users still active t days
+    * after their first event, evaluated at every OBSERVED lifetime
+    * (lifetime = whole days between a user's first and last event; the
+    * Kaplan–Meier-style step curve without censoring, since the fixture
+    * window closes). All integral: day floors, exact counts, per-mille
+    * floor division.
+    *
+    * Scale shape: one user-keyed min/max aggregate compresses events to
+    * a per-user lifetime, then everything runs on the lifetime
+    * HISTOGRAM — bounded by the number of distinct whole-day lifetimes
+    * (the data's calendar span, ~10³ rows per decade), so the ≥-join
+    * that builds the tail-cumulative is a bounded broadcast theta join,
+    * never a window over an unpartitioned sort.
+    */
+  def survival(s: SparkSession, d: String): DataFrame =
+    survivalOn(ev(s, d))
+
+  private[graft] def survivalOn(events: DataFrame): DataFrame = {
+    val lt = events.groupBy(col("user_id"))
+      .agg(expr("(unix_micros(max(ts)) - unix_micros(min(ts)))" +
+        " DIV 86400000000").as("lt"))
+    val byLt = lt.groupBy(col("lt")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // tiny histogram, three consumers
+    val tot = byLt.agg(sum(col("n")).as("t"))
+    byLt.select(col("lt").as("lifetime_days"))
+      .join(broadcast(byLt.select(col("lt").as("l2"), col("n"))),
+        col("l2") >= col("lifetime_days"))
+      .groupBy(col("lifetime_days"))
+      .agg(sum(col("n")).as("n_users_at_least"))
+      .crossJoin(broadcast(tot))
+      .select(col("lifetime_days"), col("n_users_at_least"),
+        expr("(n_users_at_least * 1000) DIV t").as("survival_permille"))
+      .orderBy(col("lifetime_days"))
+  }
+
   /** DAU/MAU STICKINESS per calendar month — the engagement ratio every
     * growth dashboard tracks (what share of a month's users show up on an
     * average day). Kept INTEGRAL end-to-end: per-month day count, summed
@@ -666,7 +702,8 @@ object EventOps extends OpFamily {
     "ev_transitions" -> (transitions _),
     "ev_markov_stationary" -> (markovStationary _),
     "ev_markov_absorption" -> (markovAbsorption _),
-    "ev_decay_score" -> (decayScore _))
+    "ev_decay_score" -> (decayScore _),
+    "ev_survival" -> (survival _))
 
   /** one unrolled absorption round: tₖ = 1e6 + P_live·tₖ₋₁ in units. */
   private def mabIter(k: Int): String =
@@ -1028,6 +1065,20 @@ object EventOps extends OpFamily {
          ${(1 to 8).map(mabIter).mkString(",\n         ")}
          SELECT state AS event_type, units AS exp_steps_units FROM t8
          ORDER BY exp_steps_units DESC, event_type""",
+    "ev_survival" ->
+      """WITH lt AS (SELECT user_id,
+             (epoch_us(max(CAST(ts AS TIMESTAMP)))
+               - epoch_us(min(CAST(ts AS TIMESTAMP)))) // 86400000000 AS lt
+           FROM events GROUP BY user_id),
+         b AS (SELECT lt, CAST(count(*) AS BIGINT) AS n
+           FROM lt GROUP BY lt),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM b)
+         SELECT a.lt AS lifetime_days,
+           CAST(sum(b2.n) AS BIGINT) AS n_users_at_least,
+           (CAST(sum(b2.n) AS BIGINT) * 1000) // min(tot.t)
+             AS survival_permille
+         FROM b a JOIN b b2 ON b2.lt >= a.lt CROSS JOIN tot
+         GROUP BY a.lt ORDER BY a.lt""",
     "ev_decay_score" ->
       """WITH ref AS (SELECT max(ts) AS ref FROM events),
          x AS (SELECT event_type,

@@ -129,6 +129,20 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("A" -> 2000000L, "B" -> 1000000L))
   }
 
+  test("survival curve: tail-cumulative shares at observed lifetimes") {
+    // users 1,2 live 0 whole days; user 3 lives 2 days →
+    // S(0) = 3/3 = 1000‰, S(2) = 1/3 = 333‰ (floor)
+    val e = events(Seq(
+      (1L, 1L, "A", "2024-01-01 10:00:00"),
+      (2L, 2L, "A", "2024-01-02 09:00:00"),
+      (3L, 2L, "A", "2024-01-02 10:00:00"),
+      (4L, 3L, "A", "2024-01-01 00:00:00"),
+      (5L, 3L, "A", "2024-01-03 00:00:00")))
+    val got = graft.api.Graft.survivalCurve(e, "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 3L, 1000L), (2L, 1L, 333L)))
+  }
+
   test("decay score halves milli-unit mass per half-life step, exactly") {
     // newest event anchors age 0; with a 1-day half-life: same-day event
     // decays ×1, a 1-day-old ×1/2, a 3-day-old ×1/8 (floored)

@@ -361,6 +361,24 @@ class GraphSpec extends AnyFunSuite {
       maxViaDegree = 1).count() === 0L)
   }
 
+  test("link prediction hub cap bounds pair generation: a 500-supplier " +
+      "hub contributes nothing; a cap-boundary customer contributes " +
+      "exactly C(64,2)") {
+    import TestSpark.spark.implicits._
+    // hub customer "h" touches 500 suppliers (would alone emit ~125k
+    // pairs); customer "c" touches exactly 64 (the inclusive cap) — the
+    // only pairs that may exist are c's C(64,2) = 2016
+    val inc = ((0 until 500).map(i => ("h", s"s$i"))
+      ++ (0 until 64).map(i => ("c", s"s$i"))).toDF("cust", "supp")
+    val scored = graft.api.Graft.linkPrediction(inc, "cust", "supp",
+      maxViaDegree = 64, k = 5000)
+    assert(scored.count() === 64L * 63 / 2,
+      "pair volume must be exactly the capped customer's C(64,2)")
+    // every surviving pair rode the single shared capped customer
+    val one = scored.collect()
+    assert(one.forall(_.getAs[Long]("cn") === 1L))
+  }
+
   test("degree profile reflects the bipartite skew (suppliers ≫ customers)") {
     val prof = GraphOps.degreeProfile(spark, sf).collect()
       .map(r => r.getAs[String]("kind") -> r).toMap
