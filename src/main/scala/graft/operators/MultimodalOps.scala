@@ -282,6 +282,43 @@ object MultimodalOps extends OpFamily {
     audioEnergyOn(s, wavs, window = 256)
   }
 
+  /** REGISTERED image path — the PPM twin of [[audioEnergy]]: binary P6
+    * images synthesized in-engine (ASCII header as a plan-time hex
+    * constant, RGB bytes hex-assembled per pixel from a deterministic
+    * formula) run through the REAL PNM parser's header walk + channel
+    * accumulation, while the oracle recomputes the per-channel sums
+    * straight from the pixel formula — the hash match certifies the
+    * whole encode→parse→sum path against pure arithmetic, the image
+    * analogue of the audio check.
+    */
+  def imageChannelSums(s: SparkSession, d: String): DataFrame = {
+    val (w, h) = (24, 16)
+    val n = w * h
+    val headerHex = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      .map(b => f"$b%02x").mkString
+    def ch(mul: Int, step: Int) =
+      s"lpad(hex((asset_id * $mul + p * $step) % 256), 2, '0')"
+    val dataHex = s"""array_join(transform(sequence(0, ${n - 1}),
+        p -> concat(${ch(7, 3)}, ${ch(11, 5)}, ${ch(13, 7)})), '')"""
+    val ppms = Tables.nation(s, d)
+      .filter(col("n_nationkey") < 6)
+      .select(col("n_nationkey").cast("long").as("asset_id"))
+      .withColumn("payload",
+        unhex(concat(lit(headerHex), expr(dataHex))))
+    import s.implicits._
+    import graft.functions.MediaCodecs
+    ppms.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodecs.decodePnm(bytes).map(p =>
+            (id, p.width.toLong, p.height.toLong, p.sumR, p.sumG, p.sumB))
+        }
+      }
+      .toDF("asset_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("asset_id"))
+  }
+
   /** Canonical 44-byte PCM16 mono WAV header (8 kHz) as a hex literal —
     * plan-time constant; only the RIFF/data sizes depend on nSamples.
     */
@@ -310,9 +347,24 @@ object MultimodalOps extends OpFamily {
     "mm_resize_stub" -> (resizeStub _),
     "mm_decode_agg" -> (decodeAgg _),
     "mm_audio_energy" -> (audioEnergy _),
+    "mm_image_channel_sums" -> (imageChannelSums _),
     "mm_frame_sample" -> (frameSample _))
 
   val oracle = Map(
+    "mm_image_channel_sums" ->
+      """WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS asset_id
+             FROM nation WHERE n_nationkey < 6),
+         px AS (SELECT asset_id,
+             (asset_id * 7 + p * 3) % 256 AS r,
+             (asset_id * 11 + p * 5) % 256 AS g,
+             (asset_id * 13 + p * 7) % 256 AS b
+           FROM a, unnest(range(0, 384)) AS t(p))
+         SELECT asset_id, CAST(24 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+         FROM px GROUP BY asset_id ORDER BY asset_id""",
     "mm_audio_energy" ->
       """WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS asset_id
              FROM nation WHERE n_nationkey < 6),
