@@ -469,6 +469,47 @@ object TextOps extends OpFamily {
       .orderBy(col("grp"))
   }
 
+  /** TOP COLLOCATIONS BY PMI — the corpus-level phrase miner (Church &
+    * Hanks 1990): word pairs that co-occur far above chance,
+    * pmi = ln(p(ab) / (p(a)·p(b))), with a count floor of 3 (PMI's
+    * known rare-pair bias). Complements [[bigramFluency]], which scores
+    * DOCUMENTS by conditional frequency; this RANKS PHRASES for
+    * tokenizer-merge / stop-phrase / NER-ish lexicon work.
+    *
+    * Replay: pmi evaluates as ONE ln over one double expression with a
+    * fixed multiplication order — ln((c_ab·T_u·T_u)/(T_b·c_a·c_b)) —
+    * then micro-quantizes; both engines run the identical IEEE chain
+    * (the [[unigramXentOn]] ln-quantization precedent). Counts are
+    * vocabulary-bounded equi-joins; no driver vocab.
+    */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val g = docs.select(toks.as("w"))
+      .select(explode(expr("""transform(sequence(1, size(w) - 1),
+          i -> struct(concat(element_at(w, i), ' ', element_at(w, i + 1))
+            AS bg, element_at(w, i) AS a, element_at(w, i + 1) AS b))"""))
+        .as("x"))
+      .select(col("x.bg"), col("x.a"), col("x.b"))
+      .localCheckpoint() // bigram stream: counted + totaled
+    val uni = docs.select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint() // joined twice + totaled
+    val cbg = g.groupBy(col("bg"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val tots = cbg.agg(sum(col("c_ab")).as("t_bi"))
+      .crossJoin(uni.agg(sum(col("cu")).as("t_uni")))
+    cbg.filter(col("c_ab") >= 3)
+      .join(uni.select(col("t").as("a"), col("cu").as("c_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("cu").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(tots))
+      .withColumn("pmi_micro",
+        expr("""CAST(floor(ln((CAST(c_ab AS DOUBLE) * t_uni * t_uni)
+            / (CAST(t_bi AS DOUBLE) * c_a * c_b)) * 1e6) AS BIGINT)"""))
+      .select(col("bg").as("bigram"), col("c_ab"), col("pmi_micro"))
+      .orderBy(desc("pmi_micro"), col("bigram"))
+      .limit(20)
+  }
+
   def unigramXent(s: SparkSession, d: String): DataFrame =
     unigramXentOn(Tables.documents(s, d))
       .orderBy(desc("xent_nats"), col("doc_id"))
@@ -780,6 +821,7 @@ object TextOps extends OpFamily {
     "text_rarity" -> (rarityScore _),
     "text_unigram_xent" -> (unigramXent _),
     "text_zipf_slope" -> (zipfSlope _),
+    "text_collocations" -> (collocations _),
     "text_ngram_top" -> (ngramTop _),
     "text_tfidf_top" -> (tfidfTop _),
     "text_bm25_top" -> (bm25Top _),
@@ -868,6 +910,29 @@ object TextOps extends OpFamily {
          SELECT doc_id, n_tokens, nll_units,
            CAST(nll_units AS DOUBLE) / n_tokens / 1e6 AS xent_nats
          FROM sc ORDER BY xent_nats DESC, doc_id LIMIT 15""",
+    "text_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT w[i] || ' ' || w[i+1] AS bg, w[i] AS a,
+             w[i+1] AS b
+           FROM w, unnest(range(1, len(w))) AS u(i)),
+         uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cu
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents) GROUP BY t),
+         cbg AS (SELECT bg, a, b, CAST(count(*) AS BIGINT) AS c_ab
+           FROM g GROUP BY bg, a, b),
+         tots AS (SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM cbg)
+             AS t_bi,
+           (SELECT CAST(sum(cu) AS BIGINT) FROM uni) AS t_uni)
+         SELECT bg AS bigram, c_ab,
+           CAST(floor(ln((CAST(c_ab AS DOUBLE) * t_uni * t_uni)
+             / (CAST(t_bi AS DOUBLE) * ua.cu * ub.cu)) * 1e6) AS BIGINT)
+             AS pmi_micro
+         FROM cbg
+           JOIN uni ua ON cbg.a = ua.t
+           JOIN uni ub ON cbg.b = ub.t
+           CROSS JOIN tots
+         WHERE c_ab >= 3
+         ORDER BY pmi_micro DESC, bigram LIMIT 20""",
     "text_zipf_slope" ->
       """WITH tc AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS cnt
            FROM (SELECT source AS grp,
