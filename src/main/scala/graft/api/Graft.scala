@@ -1350,6 +1350,15 @@ object Graft {
       df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
         transform(col(vecCol), _.cast("double")).as("v")))
 
+  /** Welch two-sample t statistic comparing `valCol` means between the
+    * two named groups of `grpCol` (unequal variances allowed). Exact
+    * milli-unit moment sums; returns one row (n1, n2, mean1, mean2,
+    * t_stat).
+    */
+  def ttest(df: DataFrame, grpCol: String, valCol: String,
+      group1: String, group2: String): DataFrame =
+    graft.operators.AggOps.ttestOn(df, grpCol, valCol, group1, group2)
+
   /** χ² independence statistic + Cramér's V for any two categorical
     * columns: the full contingency grid (zero cells included), exact
     * micro-unit cell sums, one-row summary (n, n_a, n_b, chi2_units,

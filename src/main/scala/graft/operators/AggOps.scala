@@ -695,6 +695,47 @@ object AggOps extends OpFamily {
           .as("entropy_bits"))
       .orderBy(col("grp"))
 
+  /** WELCH TWO-SAMPLE t — the A/B comparison read: do purchase and view
+    * events carry different mean values, without assuming equal
+    * variances? Moments accumulate EXACTLY (milli-unit BIGINT Σv and
+    * Σv²; headroom note: Σv² stays under 2⁶³ to ~10⁹ rows at this value
+    * range — lift to decimal(38,0) past that), then the t statistic and
+    * Welch–Satterthwaite df evaluate as one double expression chain
+    * over the six exact integers — identical IEEE ops in both engines,
+    * the [[chi2On]] discipline. One two-group aggregate; nothing
+    * shuffles but six numbers.
+    */
+  def ttestPurchaseView(s: SparkSession, d: String): DataFrame =
+    ttestOn(Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view")),
+      "event_type", "value", "purchase", "view")
+
+  private[graft] def ttestOn(df: DataFrame, grpCol: String,
+      valCol: String, g1: String, g2: String): DataFrame = {
+    val m = df.filter(col(grpCol).isin(g1, g2))
+      .select(col(grpCol).as("g"),
+        floor(col(valCol) * 1000).cast("long").as("vu"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("vu")).as("s1"),
+        sum(col("vu") * col("vu")).as("s2"))
+    val a = m.filter(col("g") === g1)
+      .select(col("n").as("n1"), col("s1").as("sa1"), col("s2").as("sa2"))
+    val b = m.filter(col("g") === g2)
+      .select(col("n").as("n2"), col("s1").as("sb1"), col("s2").as("sb2"))
+    a.crossJoin(b).selectExpr(
+      "n1", "n2",
+      "CAST(sa1 AS DOUBLE) / n1 / 1000 AS mean1",
+      "CAST(sb1 AS DOUBLE) / n2 / 1000 AS mean2",
+      """(CAST(sa1 AS DOUBLE) / n1 / 1000 - CAST(sb1 AS DOUBLE) / n2 / 1000)
+         / sqrt(((CAST(sa2 AS DOUBLE) / 1e6
+             - (CAST(sa1 AS DOUBLE) / n1 / 1000)
+               * (CAST(sa1 AS DOUBLE) / 1000)) / (n1 - 1)) / n1
+           + ((CAST(sb2 AS DOUBLE) / 1e6
+             - (CAST(sb1 AS DOUBLE) / n2 / 1000)
+               * (CAST(sb1 AS DOUBLE) / 1000)) / (n2 - 1)) / n2)
+         AS t_stat""")
+  }
+
   /** χ² TEST OF INDEPENDENCE + CRAMÉR'S V for the lang × source
     * contingency table — the categorical-association screen a corpus
     * profile runs next to [[entropyBySource]]: does a source determine
@@ -887,6 +928,7 @@ object AggOps extends OpFamily {
     "agg_gini" -> (giniRevenue _),
     "agg_entropy" -> (entropyBySource _),
     "agg_chi2" -> (chi2LangSource _),
+    "agg_ttest" -> (ttestPurchaseView _),
     "agg_overlap_matrix" -> (overlapMatrix _),
     "agg_mad_outliers" -> (madOutliers _),
     "agg_copurchase_lift" -> (copurchaseLift _),
@@ -1186,6 +1228,31 @@ object AggOps extends OpFamily {
            log2(sum(n)) - sum(CAST(n AS DOUBLE) * log2(n)) / sum(n)
              AS entropy_bits
          FROM c GROUP BY source ORDER BY source""",
+    "agg_ttest" ->
+      """WITH m AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+               AS s1,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)
+               * CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s2
+           FROM events WHERE event_type IN ('purchase', 'view')
+           GROUP BY event_type),
+         a AS (SELECT n AS n1, s1 AS sa1, s2 AS sa2 FROM m
+           WHERE g = 'purchase'),
+         b AS (SELECT n AS n2, s1 AS sb1, s2 AS sb2 FROM m
+           WHERE g = 'view')
+         SELECT n1, n2,
+           CAST(sa1 AS DOUBLE) / n1 / 1000 AS mean1,
+           CAST(sb1 AS DOUBLE) / n2 / 1000 AS mean2,
+           (CAST(sa1 AS DOUBLE) / n1 / 1000
+             - CAST(sb1 AS DOUBLE) / n2 / 1000)
+           / sqrt(((CAST(sa2 AS DOUBLE) / 1e6
+               - (CAST(sa1 AS DOUBLE) / n1 / 1000)
+                 * (CAST(sa1 AS DOUBLE) / 1000)) / (n1 - 1)) / n1
+             + ((CAST(sb2 AS DOUBLE) / 1e6
+               - (CAST(sb1 AS DOUBLE) / n2 / 1000)
+                 * (CAST(sb1 AS DOUBLE) / 1000)) / (n2 - 1)) / n2)
+           AS t_stat
+         FROM a CROSS JOIN b""",
     "agg_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b,
              CAST(count(*) AS BIGINT) AS o

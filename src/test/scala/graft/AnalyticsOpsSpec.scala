@@ -464,6 +464,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(d.getLong(3) === 60000000L && d.getDouble(4) === 1.0)
   }
 
+  test("welch t: exact moments give t = 2 on a hand-built contrast") {
+    import spark.implicits._
+    // g1 = {2, 4}: mean 3, s²/n = 1; g2 = {1, 1, 1}: zero variance —
+    // t = (3 − 1)/√1 = 2 exactly (every intermediate is IEEE-exact)
+    val df = Seq(("x", 2.0), ("x", 4.0), ("y", 1.0), ("y", 1.0),
+      ("y", 1.0)).toDF("g", "v")
+    val r = graft.api.Graft.ttest(df, "g", "v", "x", "y").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 3L)))
+    assert(r.getDouble(2) === 3.0 && r.getDouble(3) === 1.0)
+    assert(r.getDouble(4) === 2.0)
+  }
+
   test("centroid confusion: separable labels classify onto the diagonal") {
     import spark.implicits._
     val e = Seq((1L, 1, Seq(1.0, 0.0)), (2L, 1, Seq(0.9, 0.1)),
