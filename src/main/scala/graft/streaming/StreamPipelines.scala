@@ -289,6 +289,78 @@ object StreamPipelines {
         org.apache.spark.sql.streaming.OutputMode.Append())(
         org.apache.spark.sql.Encoders.product[(String, Long, Long)])
 
+  /** Streaming GAP SESSIONIZER on EVENT-TIME TIMERS — the
+    * transformWithState feature none of the other processors exercise:
+    * instead of waiting for a user's NEXT event to notice their session
+    * ended (the gap-split-on-arrival shape, which never closes the last
+    * session of a churned user), each key arms a timer at
+    * session_end + gap and the WATERMARK closes the session when it
+    * passes that point — the streaming twin of the batch
+    * `session_window` aggregate, with the same late-data discipline.
+    * Within a batch, rows sort by event time and split on gap
+    * directly; across batches the open session lives in one ValueState
+    * triple and exactly one armed timer (re-armed per batch; stale
+    * timers deleted). Emits (key, session_start_ms, session_end_ms,
+    * n_events) when a session CLOSES — by gap on arrival or by timer on
+    * watermark — so output is append-mode clean. State: three longs +
+    * one timer per key with an open session, O(active keys).
+    */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("open",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val ts = rows.map(_._2.getTime).toArray.sorted
+      var (start, end, n) =
+        if (st.exists()) st.get() else (-1L, -1L, 0L)
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      ts.foreach { t =>
+        if (start < 0) { start = t; end = t; n = 1 }
+        else if (t - end <= gapMs) { end = math.max(end, t); n += 1 }
+        else { out += ((key, start, end, n)); start = t; end = t; n = 1 }
+      }
+      st.update((start, end, n))
+      // exactly one armed timer per key: the open session's deadline
+      getHandle.listTimers().foreach(e =>
+        getHandle.deleteTimer(e.asInstanceOf[Long]))
+      getHandle.registerTimer(end + gapMs)
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] =
+      if (st.exists()) {
+        val (s, e, n) = st.get()
+        st.clear()
+        Iterator((key, s, e, n))
+      } else Iterator.empty
+  }
+
+  /** [[SessionProcessor]] over a WATERMARKED (key, event_time) stream
+    * (callers apply `.withWatermark` on the time column first — event-
+    * time timers fire off that watermark).
+    */
+  def sessionStream(
+      events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] =
+    events.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)])
+
   /** Streaming CUSUM drift detector (Page 1954, tabular form) — the
     * change-point monitor a data pipeline hangs on its quality metrics
     * (token counts, dup rates, per-source volumes): per key, the

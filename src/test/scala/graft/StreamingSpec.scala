@@ -301,6 +301,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("timer sessionizer: the watermark closes idle sessions; " +
+      "in-batch gaps split on arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = graft.streaming.StreamPipelines.sessionStream(
+      mem.toDS().withWatermark("_2", "10 seconds"), gapMs = 15000L)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF("k", "s_ms", "e_ms", "n")
+        .writeStream.format("memory").queryName("t_sess")
+        .outputMode("append").start()
+      // user 1: two events 5 s apart (one session); user 4: two events
+      // 10 MINUTES apart in the same batch — the first closes on arrival
+      mem.addData((1L, t("2024-01-01 10:00:00")),
+        (1L, t("2024-01-01 10:00:05")),
+        (4L, t("2024-01-01 10:00:00")), (4L, t("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // a far-future event advances the watermark past every armed
+      // timer; one more batch lets the timers fire
+      mem.addData((3L, t("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      mem.addData((3L, t("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("t_sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      q.stop()
+      def ms(s: String) = t(s).getTime
+      // user 1's idle session closed BY TIMER (no second arrival did it);
+      // user 4's first session closed by the in-batch gap, its second by
+      // timer once the watermark passed; user 3's last session stays open
+      assert(rows === Set(
+        (1L, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:00:05"), 2L),
+        (4L, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:00:00"), 1L),
+        (4L, ms("2024-01-01 10:10:00"), ms("2024-01-01 10:10:00"), 1L),
+        (3L, ms("2024-01-01 11:00:00"), ms("2024-01-01 11:00:00"), 1L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming CUSUM integrates sustained drift across batches and " +
       "resets after the alarm") {
     implicit val sqlCtx = spark.sqlContext
