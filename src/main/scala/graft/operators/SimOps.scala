@@ -544,12 +544,10 @@ object SimOps extends OpFamily {
 
   /** The classifier core over any (vec_id, label, v: array&lt;double&gt;)
     * frame — [[graft.api.Graft.centroidConfusion]]. */
-  private[graft] def centroidClassifyOn(s: SparkSession,
-      e0: DataFrame): DataFrame = {
-    val e = e0
-      .localCheckpoint() // two consumers: centroid build + classification
-    val cents = e
-      .select(col("label").as("clabel"),
+  /** (clabel, cv): full-dimension micro-unit mean vector per label —
+    * shared by the classifier and the label-outlier screen. */
+  private def labelCentroidVectors(e: DataFrame): DataFrame =
+    e.select(col("label").as("clabel"),
         posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("clabel"), col("pos"))
       .agg(count(lit(1)).as("n"),
@@ -559,6 +557,12 @@ object SimOps extends OpFamily {
         array_sort(collect_list(struct(col("pos").as("pos"),
           (col("su").cast("double") / col("n") / 1e6).as("c")))),
         x => x.getField("c")).as("cv"))
+
+  private[graft] def centroidClassifyOn(s: SparkSession,
+      e0: DataFrame): DataFrame = {
+    val e = e0
+      .localCheckpoint() // two consumers: centroid build + classification
+    val cents = labelCentroidVectors(e)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(desc("cos"), col("clabel"))
     e.crossJoin(broadcast(cents))
@@ -571,6 +575,28 @@ object SimOps extends OpFamily {
       .agg(count(lit(1)).as("n"))
       .select(col("label"), col("clabel").as("pred_label"), col("n"))
       .orderBy(col("label"), col("pred_label"))
+  }
+
+  /** LABEL-NOISE SCREEN — the 20 vectors LEAST similar to their own
+    * label's centroid (lowest cosine): the mislabeled/garbage-embedding
+    * candidates a curation pass reviews first. Same centroid table and
+    * replay contract as [[centroidClassify]]; one corpus pass joined to
+    * the broadcast label-centroid dimension, global bottom-20 via
+    * TakeOrderedAndProject.
+    */
+  def labelOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // centroid build + scoring
+    e.join(broadcast(labelCentroidVectors(e)),
+        col("label") === col("clabel"))
+      .withColumn("cos", NativeExprs.dot(s, col("v"), col("cv"))
+        / (sqrt(NativeExprs.dot(s, col("v"), col("v")))
+          * sqrt(NativeExprs.dot(s, col("cv"), col("cv")))))
+      .select(col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("cos"), col("vec_id"))
+      .limit(20)
   }
 
   /** TOP PRINCIPAL COMPONENT by power iteration — the spectral summary
@@ -1309,6 +1335,7 @@ object SimOps extends OpFamily {
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_classify" -> (centroidClassify _),
+    "sim_label_outliers" -> (labelOutliers _),
     "sim_embedding_bins" -> (embeddingBins _),
     "sim_top_component" -> (topComponent _),
     "sim_pca2" -> (pca2 _),
@@ -2108,6 +2135,22 @@ object SimOps extends OpFamily {
            FROM x)
          SELECT pos, bucket, count(*) AS n, min(x) AS lo, max(x) AS hi
          FROM b GROUP BY pos, bucket ORDER BY pos, bucket""",
+    "sim_label_outliers" ->
+      """WITH cents AS (SELECT label AS clabel, pos,
+             count(*) AS n,
+             CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS BIGINT) AS su
+           FROM (SELECT label, i - 1 AS pos,
+               CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, unnest(range(1, 65)) AS t(i))
+           GROUP BY clabel, pos),
+         cv AS (SELECT clabel,
+             list(CAST(su AS DOUBLE) / n / 1e6 ORDER BY pos) AS cv
+           FROM cents GROUP BY clabel)
+         SELECT e.vec_id, e.label,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+             AS cos
+         FROM embeddings e JOIN cv c ON e.label = c.clabel
+         ORDER BY cos, vec_id LIMIT 20""",
     "sim_centroid_classify" ->
       """WITH cents AS (SELECT label AS clabel, pos,
              count(*) AS n,
