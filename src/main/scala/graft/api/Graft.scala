@@ -225,6 +225,34 @@ object Graft {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** Radius similarity search: every corpus vector within cosine ≥
+    * `minCos` of each query (the faiss range_search shape). Queries are
+    * broadcast; the corpus streams once. Returns (qid, nid, cos).
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, minCos: Double = 0.35): DataFrame = {
+    val s = corpus.sparkSession
+    def normed(df: DataFrame, pid: String, pv: String, pn: String) =
+      df.select(col(id).as(pid), col(vec).as(pv),
+        sqrt(NativeExprs.dot(s, col(vec), col(vec))).as(pn))
+    normed(corpus, "nid", "nv", "nn")
+      .crossJoin(broadcast(normed(queries, "qid", "qv", "qn")))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos",
+        NativeExprs.dot(s, col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .filter(col("cos") >= minCos)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
+  /** Vectors least similar to their own label's centroid — the
+    * label-noise review list. Returns the bottom-k (id, label, cos).
+    */
+  def labelOutliers(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, k: Int = 20): DataFrame =
+    graft.operators.SimOps.labelOutliersOn(df.sparkSession,
+      df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        transform(col(vecCol), _.cast("double")).as("v")), k)
+
   /** MMR diversified top-k: greedy re-rank of each query's
     * `shortlist`-sized cosine shortlist maximizing λ·relevance −
     * (1−λ)·max-similarity-to-picked. Returns (qid, step, nid, mmr);
@@ -707,6 +735,16 @@ object Graft {
     graft.operators.TextOps.unigramXentOn(
       df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnRenamed("doc_id", id)
+
+  /** Top-k collocations by PMI over any text column: word pairs
+    * co-occurring above chance (count ≥ minCount against the rare-pair
+    * bias), micro-quantized for exact ranking. Returns (bigram, c_ab,
+    * pmi_micro).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 3,
+      k: Int = 20): DataFrame =
+    graft.operators.TextOps.collocationsOn(
+      df.select(col(textCol).as("text")), minCount, k)
 
   /** Zipf rank–frequency slope per group over any (group, text) frame:
     * log-log OLS over each group's top-`topK` term frequencies, with

@@ -584,11 +584,14 @@ object SimOps extends OpFamily {
     * the broadcast label-centroid dimension, global bottom-20 via
     * TakeOrderedAndProject.
     */
-  def labelOutliers(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  def labelOutliers(s: SparkSession, d: String): DataFrame =
+    labelOutliersOn(s, Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), _.cast("double")).as("v"))
-      .localCheckpoint() // centroid build + scoring
+        transform(col("embedding"), _.cast("double")).as("v")), k = 20)
+
+  private[graft] def labelOutliersOn(s: SparkSession, e0: DataFrame,
+      k: Int): DataFrame = {
+    val e = e0.localCheckpoint() // centroid build + scoring
     e.join(broadcast(labelCentroidVectors(e)),
         col("label") === col("clabel"))
       .withColumn("cos", NativeExprs.dot(s, col("v"), col("cv"))
@@ -596,7 +599,7 @@ object SimOps extends OpFamily {
           * sqrt(NativeExprs.dot(s, col("cv"), col("cv")))))
       .select(col("vec_id"), col("label"), col("cos"))
       .orderBy(col("cos"), col("vec_id"))
-      .limit(20)
+      .limit(k)
   }
 
   /** TOP PRINCIPAL COMPONENT by power iteration — the spectral summary

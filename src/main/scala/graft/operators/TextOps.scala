@@ -482,8 +482,11 @@ object TextOps extends OpFamily {
     * (the [[unigramXentOn]] ln-quantization precedent). Counts are
     * vocabulary-bounded equi-joins; no driver vocab.
     */
-  def collocations(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def collocations(s: SparkSession, d: String): DataFrame =
+    collocationsOn(Tables.documents(s, d), minCount = 3, k = 20)
+
+  private[graft] def collocationsOn(docs: DataFrame, minCount: Long,
+      k: Int): DataFrame = {
     val g = docs.select(toks.as("w"))
       .select(explode(expr("""transform(sequence(1, size(w) - 1),
           i -> struct(concat(element_at(w, i), ' ', element_at(w, i + 1))
@@ -498,7 +501,7 @@ object TextOps extends OpFamily {
       .agg(count(lit(1)).as("c_ab"))
     val tots = cbg.agg(sum(col("c_ab")).as("t_bi"))
       .crossJoin(uni.agg(sum(col("cu")).as("t_uni")))
-    cbg.filter(col("c_ab") >= 3)
+    cbg.filter(col("c_ab") >= minCount)
       .join(uni.select(col("t").as("a"), col("cu").as("c_a")), Seq("a"))
       .join(uni.select(col("t").as("b"), col("cu").as("c_b")), Seq("b"))
       .crossJoin(broadcast(tots))
@@ -507,7 +510,7 @@ object TextOps extends OpFamily {
             / (CAST(t_bi AS DOUBLE) * c_a * c_b)) * 1e6) AS BIGINT)"""))
       .select(col("bg").as("bigram"), col("c_ab"), col("pmi_micro"))
       .orderBy(desc("pmi_micro"), col("bigram"))
-      .limit(20)
+      .limit(k)
   }
 
   def unigramXent(s: SparkSession, d: String): DataFrame =

@@ -302,6 +302,25 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3)
   }
 
+  test("rangeSearch, labelOutliers, collocations API shapes") {
+    // rangeSearch: only the near-duplicate direction clears the radius
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.99, 0.1)),
+      (2L, Seq(0.0, 1.0))).toDF("vid", "v")
+    val rs = Graft.rangeSearch(vecs, vecs.filter(col("vid") === 0L),
+      "vid", "v", minCos = 0.9).collect()
+    assert(rs.map(_.getLong(1)).toSeq === Seq(1L))
+    // labelOutliers: the point opposite its label-mates scores lowest
+    val lab = Seq((1L, 1, Seq(1.0, 0.0)), (2L, 1, Seq(0.9, 0.1)),
+      (3L, 1, Seq(-1.0, 0.0))).toDF("vid", "lbl", "v")
+    val lo = Graft.labelOutliers(lab, "vid", "lbl", "v", k = 1).collect()
+    assert(lo.head.getLong(0) === 3L && lo.head.getDouble(2) < 0)
+    // collocations: the repeated pair dominates by PMI
+    val docs = Seq(Tuple1("new york new york new york a b c d e f"))
+      .toDF("body")
+    val c = Graft.collocations(docs, "body", minCount = 3, k = 1).collect()
+    assert(c.head.getString(0) === "new york" && c.head.getLong(1) === 3L)
+  }
+
   test("redact masks digits and id-like tokens with counts") {
     val rows = Seq((1L, "user42 paid 100 dollars"), (2L, "clean text"))
       .toDF("my_id", "body")
