@@ -268,7 +268,11 @@ object IoOps extends OpFamily {
     */
   def compact(s: SparkSession, d: String): DataFrame = {
     val target = 4096L
-    val fragPath = layoutPath(d, "lineitem_frag")
+    // content-addressed on the lineitem fingerprint (not just the path,
+    // like the older io_* layouts): a regenerated fixture invalidates
+    // the fragment/compacted stores instead of serving stale rows
+    val fragPath =
+      ArtifactCache.dir(s, d, "lineitem", "graft_io", "compact_frag@r1")
     writeOnce(fragPath) {
       Tables.lineitem(s, d)
         .select(col("l_returnflag").as("flag"), col("l_orderkey"),
@@ -279,7 +283,8 @@ object IoOps extends OpFamily {
     val src = s.read.parquet(fragPath)
     val plan = src.groupBy(col("flag")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))) // 3 flags
-    val outPath = layoutPath(d, "lineitem_compacted")
+    val outPath =
+      ArtifactCache.dir(s, d, "lineitem", "graft_io", "compact_out@r1")
     plan.foreach { case (flag, n) =>
       val part = s"$outPath/flag=$flag"
       writeOnce(part) {
