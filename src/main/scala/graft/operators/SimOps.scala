@@ -1146,8 +1146,6 @@ object SimOps extends OpFamily {
     val en = withNorm(s, corpus, "ne", "nn")
     val q = withNorm(s, queries, "qe", "qn")
     val wC = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
-    // shortlist scan runs once; the greedy loop and the pair grid both
-    // re-read it ⇒ pin (per-query bounded: ≤ shortlist rows per query)
     val cand = en.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
       .withColumn("cos", cosPair(s, "qe", "qn", "ne", "nn"))
@@ -1155,7 +1153,17 @@ object SimOps extends OpFamily {
       .filter(col("rank") <= shortlist)
       .select(col("qid"), col("nid"), col("cos"), col("rank"),
         col("ne"), col("nn"))
-      .localCheckpoint()
+    mmrGreedy(s, cand, k, lam)
+  }
+
+  /** The greedy MMR core over ANY pinned candidate frame (qid, nid,
+    * cos, rank, ne, nn) — shared by the exact-shortlist and
+    * IVF-shortlist entry points. */
+  private def mmrGreedy(s: SparkSession, cand0: DataFrame, k: Int,
+      lam: Double): DataFrame = {
+    // shortlist scan runs once; the greedy loop and the pair grid both
+    // re-read it ⇒ pin (per-query bounded: ≤ shortlist rows per query)
+    val cand = cand0.localCheckpoint()
     val pairs = cand.select(col("qid"), col("nid").as("cnid"),
         col("ne").as("av"), col("nn").as("an"))
       .join(cand.select(col("qid"), col("nid").as("snid"),
@@ -1187,6 +1195,39 @@ object SimOps extends OpFamily {
       selected = sel.select(col("qid"), col("nid"))
     }
     sel.orderBy(col("qid"), col("step"))
+  }
+
+  /** [[mmrRerank]] over the PERSISTED IVF index — the production
+    * composition stated in that scaladoc, made a registered query: the
+    * shortlist comes from probing nprobe=2 cells of the content-
+    * addressed index (touch ~nprobe/nlist of the corpus) instead of an
+    * exact scan, then the same greedy diversification runs on the
+    * per-query bounded candidates. Oracle replays the Lloyd chain, the
+    * cell probe, the 12-deep shortlist AND all five greedy steps.
+    */
+  def mmrRerankIvf(s: SparkSession, d: String): DataFrame = {
+    val (cells, centroids) = lloydCells(s, d)
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(desc("c_sim"), col("cid"))
+    val probes = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosPair(s, "qv", "qn", "centroid", "cn"))
+      .withColumn("c_rank", row_number().over(wProbe))
+      .filter(col("c_rank") <= 2)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos"), col("nid"))
+    val cand = cells.select(col("vec_id").as("nid"), col("cid"),
+        col("v").as("ne"), col("vn").as("nn"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosPair(s, "qv", "qn", "ne", "nn"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 12)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"),
+        col("ne"), col("nn"))
+    mmrGreedy(s, cand, k = 5, lam = 0.7)
   }
 
   /** IVF-PQ (the faiss-style composition, both halves PERSISTED): the
@@ -1331,6 +1372,7 @@ object SimOps extends OpFamily {
     "sim_knn_ivf_pq" -> (knnIvfPq _),
     "sim_knn_pq_rerank" -> (knnPqRerank _),
     "sim_mmr_rerank" -> (mmrRerank _),
+    "sim_mmr_rerank_ivf" -> (mmrRerankIvf _),
     "sim_recall_report" -> (recallReport _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
@@ -1356,14 +1398,14 @@ object SimOps extends OpFamily {
     s"""m$t AS (SELECT p.qid, p.cnid, max(p.sim) AS msim
          FROM p JOIN sel${t - 1} s ON p.qid = s.qid AND p.snid = s.nid
          GROUP BY p.qid, p.cnid),
-       c$t AS (SELECT c.qid, c.nid,
+       mc$t AS (SELECT c.qid, c.nid,
            ${MmrLam} * c.cos - ${1.0 - MmrLam} * m.msim AS mmr
          FROM cand c JOIN m$t m ON c.qid = m.qid AND c.nid = m.cnid
          WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s2
            WHERE s2.qid = c.qid AND s2.nid = c.nid)),
        s$t AS (SELECT qid, $t AS step, nid, mmr FROM (
            SELECT qid, nid, mmr, row_number() OVER (PARTITION BY qid
-             ORDER BY mmr DESC, nid) AS rn FROM c$t) WHERE rn = 1),
+             ORDER BY mmr DESC, nid) AS rn FROM mc$t) WHERE rn = 1),
        sel$t AS (SELECT qid, nid FROM sel${t - 1}
                  UNION ALL SELECT qid, nid FROM s$t)"""
 
@@ -1513,6 +1555,42 @@ object SimOps extends OpFamily {
           FROM probes p JOIN cells n ON n.cid = p.cid
           WHERE n.vec_id <> p.qid)
         WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  /** [[ivfOracleSql]]'s probe + 12-deep shortlist feeding the shared
+    * [[mmrStep]] greedy chain — the replay of [[mmrRerankIvf]]. */
+  private val mmrIvfOracleSql: String = {
+    s"""WITH $lloydCtes,
+          probes AS (SELECT qid, qv, cid FROM (
+            SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cid)
+                AS rn
+            FROM (SELECT vec_id, v FROM cells WHERE vec_id < 10) q
+            CROSS JOIN c3 c) WHERE rn <= 2),
+          cand AS (SELECT qid, nid, cos, rank FROM (
+            SELECT p.qid, n.vec_id AS nid,
+              list_cosine_similarity(p.qv, n.v) AS cos,
+              row_number() OVER (PARTITION BY p.qid
+                ORDER BY list_cosine_similarity(p.qv, n.v) DESC, n.vec_id)
+                AS rank
+            FROM probes p JOIN cells n ON n.cid = p.cid
+            WHERE n.vec_id <> p.qid)
+          WHERE rank <= 12),
+          p AS (SELECT a.qid, a.nid AS cnid, b.nid AS snid,
+              list_cosine_similarity(ea.v, eb.v) AS sim
+            FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+            JOIN cells ea ON ea.vec_id = a.nid
+            JOIN cells eb ON eb.vec_id = b.nid),
+          s1 AS (SELECT qid, 1 AS step, nid, cos AS mmr
+            FROM cand WHERE rank = 1),
+          sel1 AS (SELECT qid, nid FROM s1),
+          ${(2 to 5).map(mmrStep).mkString(",\n          ")}
+          SELECT qid, step, nid, mmr FROM (
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+            UNION ALL SELECT * FROM s5)
+          ORDER BY qid, step"""
   }
 
   /** DuckDB replay of the incremental ingest: the same Lloyd CTE chain
@@ -1991,6 +2069,7 @@ object SimOps extends OpFamily {
            coalesce(t.n_dropped, 0) AS n_dropped
          FROM sizes s LEFT JOIN stats t USING (cid) ORDER BY s.cid""",
     "sim_knn_ivf" -> ivfOracleSql,
+    "sim_mmr_rerank_ivf" -> mmrIvfOracleSql,
     "sim_knn_pq" -> pqOracleSql,
     "sim_knn_ivf_pq" -> ivfPqOracleSql,
     "sim_knn_pq_rerank" -> pqRerankOracleSql,
