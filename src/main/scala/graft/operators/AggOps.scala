@@ -718,6 +718,8 @@ object AggOps extends OpFamily {
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("vu")).as("s1"),
         sum(col("vu") * col("vu")).as("s2"))
+      .localCheckpoint() // two consumers (the per-group filters) —
+      // without this each side re-scans and re-aggregates the input
     val a = m.filter(col("g") === g1)
       .select(col("n").as("n1"), col("s1").as("sa1"), col("s2").as("sa2"))
     val b = m.filter(col("g") === g2)

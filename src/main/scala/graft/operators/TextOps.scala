@@ -493,12 +493,12 @@ object TextOps extends OpFamily {
             AS bg, element_at(w, i) AS a, element_at(w, i + 1) AS b))"""))
         .as("x"))
       .select(col("x.bg"), col("x.a"), col("x.b"))
-      .localCheckpoint() // bigram stream: counted + totaled
     val uni = docs.select(explode(toks).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cu"))
       .localCheckpoint() // joined twice + totaled
     val cbg = g.groupBy(col("bg"), col("a"), col("b"))
       .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint() // two consumers: the total + the scored join
     val tots = cbg.agg(sum(col("c_ab")).as("t_bi"))
       .crossJoin(uni.agg(sum(col("cu")).as("t_uni")))
     cbg.filter(col("c_ab") >= minCount)
