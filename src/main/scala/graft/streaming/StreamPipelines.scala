@@ -289,6 +289,30 @@ object StreamPipelines {
         org.apache.spark.sql.streaming.OutputMode.Append())(
         org.apache.spark.sql.Encoders.product[(String, Long, Long)])
 
+  /** LEGACY-API stateful running count — `flatMapGroupsWithState`, the
+    * pre-transformWithState surface (SURVEY §2.9 names both): one long
+    * of state per key, each batch emits the key's updated cumulative
+    * count. Kept alongside the five transformWithState processors so a
+    * user porting existing flatMapGroupsWithState code has a working
+    * reference on THIS engine; new code should prefer
+    * transformWithState (typed multi-state, timers, TTL).
+    */
+  def runningCountsLegacy(
+      events: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: Long, rows: Iterator[(Long, String)],
+            state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((key, n))
+        })(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.product[(Long, Long)])
+  }
+
   /** Streaming GAP SESSIONIZER on EVENT-TIME TIMERS — the
     * transformWithState feature none of the other processors exercise:
     * instead of waiting for a user's NEXT event to notice their session

@@ -301,6 +301,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("legacy flatMapGroupsWithState running counts accumulate " +
+      "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamPipelines
+      .runningCountsLegacy(mem.toDS())
+    val q = out.toDF("k", "n")
+      .writeStream.format("memory").queryName("t_legacy")
+      .outputMode("append").start()
+    mem.addData((1L, "a"), (1L, "b"), (2L, "c"))
+    q.processAllAvailable()
+    mem.addData((1L, "d"))
+    q.processAllAvailable()
+    val rows = spark.table("t_legacy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(rows === Set((1L, 2L), (2L, 1L), (1L, 3L)))
+  }
+
   test("timer sessionizer: the watermark closes idle sessions; " +
       "in-batch gaps split on arrival") {
     implicit val sqlCtx = spark.sqlContext
