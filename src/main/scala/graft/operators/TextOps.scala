@@ -101,6 +101,19 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX — [[langId]] evaluated against the
+    * corpus's own lang column (the text twin of
+    * [[SimOps.centroidClassify]]): (lang, pred_lang, n). Diagonal mass
+    * = the heuristic works on this corpus; a hot off-diagonal cell says
+    * which marker lexicon needs words. Same per-doc scoring, one extra
+    * bounded rollup.
+    */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame =
+    langId(s, d)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
   /** Quality scoring: lexical-diversity + stopword-density + length-derived
     * features combined into one deterministic double score.
     */
@@ -819,6 +832,7 @@ object TextOps extends OpFamily {
     "text_stopword_by_source" -> (stopwordBySource _),
     "text_token_stats" -> (tokenStats _),
     "text_langid" -> (langId _),
+    "text_langid_confusion" -> (langIdConfusion _),
     "text_quality" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
     "text_rarity" -> (rarityScore _),
@@ -830,6 +844,25 @@ object TextOps extends OpFamily {
     "text_bm25_top" -> (bm25Top _),
     "text_bm25_search" -> (bm25Search _),
     "text_source_divergence" -> (sourceDivergence _))
+
+  /** The langid scoring chain (lex → per-doc marker hits → arg-best),
+    * shared by the per-doc listing and the confusion rollup. */
+  private val langidCtes =
+    """lex(word, marker_lang) AS (VALUES
+           ('the','en'),('a','en'),('of','en'),
+           ('el','es'),('la','es'),('los','es'),
+           ('der','de'),('die','de'),('das','de'),
+           ('le','fr'),('les','fr'),('et','fr'),
+           ('de','zh')),
+         tokens AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+                    FROM documents),
+         scores AS (SELECT doc_id, marker_lang, count(*) AS hits
+                    FROM tokens JOIN lex USING (word)
+                    GROUP BY doc_id, marker_lang),
+         best AS (SELECT doc_id, marker_lang, hits FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY hits DESC, marker_lang) AS rn FROM scores)
+           WHERE rn = 1)"""
 
   val oracle = Map(
     "text_source_divergence" ->
@@ -1099,26 +1132,19 @@ object TextOps extends OpFamily {
              / len(string_split(text, ' ')) AS avg_token_len
          FROM documents ORDER BY doc_id""",
     "text_langid" ->
-      """WITH lex(word, marker_lang) AS (VALUES
-           ('the','en'),('a','en'),('of','en'),
-           ('el','es'),('la','es'),('los','es'),
-           ('der','de'),('die','de'),('das','de'),
-           ('le','fr'),('les','fr'),('et','fr'),
-           ('de','zh')),
-         tokens AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
-                    FROM documents),
-         scores AS (SELECT doc_id, marker_lang, count(*) AS hits
-                    FROM tokens JOIN lex USING (word)
-                    GROUP BY doc_id, marker_lang),
-         best AS (SELECT doc_id, marker_lang, hits FROM (
-             SELECT *, row_number() OVER (PARTITION BY doc_id
-               ORDER BY hits DESC, marker_lang) AS rn FROM scores)
-           WHERE rn = 1)
+      s"""WITH $langidCtes
          SELECT d.doc_id, d.lang,
            coalesce(b.marker_lang, 'und') AS pred_lang,
            coalesce(b.hits, 0) AS marker_hits
          FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
          ORDER BY d.doc_id""",
+    "text_langid_confusion" ->
+      s"""WITH $langidCtes,
+         pred AS (SELECT d.lang,
+             coalesce(b.marker_lang, 'und') AS pred_lang
+           FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id)
+         SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
     "text_quality" ->
       """SELECT doc_id, n_tokens, type_token_ratio, stopword_ratio,
            chars_per_token,
