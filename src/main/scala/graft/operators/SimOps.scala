@@ -602,6 +602,44 @@ object SimOps extends OpFamily {
       .limit(k)
   }
 
+  /** CLUSTER TOPIC LABELS — what each IVF cell is ABOUT: top-3 tf-idf
+    * terms over the documents of each cell's member vectors (doc_id =
+    * vec_id, the corpus↔embedding link [[hybridRrf]] already rides).
+    * The interpretability step between clustering and curation: cells
+    * stop being opaque ids and become "the cell about X". Scoring is
+    * the integral [[TextOps.rarityScore]] discipline — tf_cell ·
+    * floor(ln(N/df)·1e6) as exact BIGINTs — so ranks replay through the
+    * full Lloyd chain. Reads the PERSISTED index (cells are a
+    * re-attach); term tables are vocabulary-bounded; one cid-partitioned
+    * top-3 window.
+    */
+  def clusterTerms(s: SparkSession, d: String): DataFrame = {
+    val (cells, _) = lloydCells(s, d)
+    val toksT = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.toks).as("term"))
+      .localCheckpoint() // consumed by df + the cell join
+    val dfc = toksT.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("dfc"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tfc = toksT
+      .join(cells.select(col("vec_id").as("doc_id"), col("cid")),
+        Seq("doc_id"))
+      .groupBy(col("cid"), col("term"))
+      .agg(count(lit(1)).as("tf_cell"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(desc("score_units"), col("term"))
+    tfc.join(dfc, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_units", col("tf_cell") *
+        floor(log(col("n_docs").cast("double") / col("dfc")) * 1e6)
+          .cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("cid"), col("rnk"), col("term"), col("tf_cell"),
+        col("score_units"))
+      .orderBy(col("cid"), col("rnk"))
+  }
+
   /** TOP PRINCIPAL COMPONENT by power iteration — the spectral summary
     * embedding pipelines read before whitening / dimension dropping:
     * which direction carries the corpus's variance (uncentered Gram
@@ -1381,6 +1419,7 @@ object SimOps extends OpFamily {
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_classify" -> (centroidClassify _),
     "sim_label_outliers" -> (labelOutliers _),
+    "sim_cluster_terms" -> (clusterTerms _),
     "sim_embedding_bins" -> (embeddingBins _),
     "sim_top_component" -> (topComponent _),
     "sim_pca2" -> (pca2 _),
@@ -1555,6 +1594,31 @@ object SimOps extends OpFamily {
           FROM probes p JOIN cells n ON n.cid = p.cid
           WHERE n.vec_id <> p.qid)
         WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  /** Lloyd chain → cell membership → integral tf-idf top-3 per cell —
+    * the replay of [[clusterTerms]]. */
+  private val clusterTermsOracleSql: String = {
+    s"""WITH $lloydCtes,
+          t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+          dfc AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)
+              AS dfc
+            FROM t GROUP BY term),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents),
+          tfc AS (SELECT c.cid, t.term, CAST(count(*) AS BIGINT)
+              AS tf_cell
+            FROM t JOIN cells c ON t.doc_id = c.vec_id
+            GROUP BY c.cid, t.term),
+          sc AS (SELECT tfc.cid, tfc.term, tfc.tf_cell,
+              tfc.tf_cell * CAST(floor(ln(CAST(nd.n_docs AS DOUBLE)
+                / dfc.dfc) * 1e6) AS BIGINT) AS score_units
+            FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN nd)
+        SELECT cid, rnk, term, tf_cell, score_units FROM (
+          SELECT *, row_number() OVER (PARTITION BY cid
+            ORDER BY score_units DESC, term) AS rnk FROM sc)
+        WHERE rnk <= 3 ORDER BY cid, rnk"""
   }
 
   /** [[ivfOracleSql]]'s probe + 12-deep shortlist feeding the shared
@@ -2070,6 +2134,7 @@ object SimOps extends OpFamily {
          FROM sizes s LEFT JOIN stats t USING (cid) ORDER BY s.cid""",
     "sim_knn_ivf" -> ivfOracleSql,
     "sim_mmr_rerank_ivf" -> mmrIvfOracleSql,
+    "sim_cluster_terms" -> clusterTermsOracleSql,
     "sim_knn_pq" -> pqOracleSql,
     "sim_knn_ivf_pq" -> ivfPqOracleSql,
     "sim_knn_pq_rerank" -> pqRerankOracleSql,
