@@ -736,6 +736,16 @@ object Graft {
       df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnRenamed("doc_id", id)
 
+  /** Learn the top-k BPE merges from any text column: one corpus pass
+    * builds the word-frequency table, then k rounds of most-frequent-
+    * adjacent-pair merging run on the vocabulary-bounded frame
+    * (deterministic tie-breaks). Returns (merge_rank, left, right,
+    * pair_count) — the merge list a tokenizer trainer ships.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    graft.operators.TextOps.bpeMergesOn(df.sparkSession,
+      df.select(explode(split(col(textCol), " ")).as("word")), k)
+
   /** Top-k collocations by PMI over any text column: word pairs
     * co-occurring above chance (count ≥ minCount against the rare-pair
     * bias), micro-quantized for exact ranking. Returns (bigram, c_ab,

@@ -101,6 +101,74 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE MERGE LEARNING (Sennrich et al. 2016) — the tokenizer-training
+    * step itself, distributed: k rounds of "count adjacent symbol pairs
+    * over the word-frequency table, merge the most frequent pair
+    * everywhere" (ties break lexicographically, so the merge list is
+    * deterministic). The ONE corpus-sized pass builds the (word, count)
+    * table; every round after runs on that VOCABULARY-bounded frame —
+    * at 100 TB the corpus scan is unchanged and the loop cost is
+    * O(vocab · word-length) per round regardless of token volume (the
+    * same compression trick as the hourly-grid analytics). Merge
+    * application is a per-row left fold (`aggregate`): non-overlapping
+    * left-to-right replacement, the standard BPE pass. The argmax pair
+    * is an O(1) driver artifact per round (bounded-collect class).
+    *
+    * Rows-only registered check (the sequential fold is not
+    * SQL-expressible in DuckDB's lambda dialect); determinism and the
+    * classic hug/pug/pun hand example are pinned in LlmOpsSpec.
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesOn(s, Tables.documents(s, d).select(toks.as("w"))
+      .select(explode(col("w")).as("word")), k = 8)
+
+  private[graft] def bpeMergesOn(s: SparkSession, words: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    def sq(x: String) = x.replace("'", "''")
+    // the one corpus-sized pass: everything after runs on the vocab table
+    var vocab = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select(col("s"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val top = vocab
+        // 1-token words carry no pairs — and sequence(1, 0) would count
+        // DOWN (Spark's reverse-sequence default), indexing off the array
+        .filter(size(col("s")) >= 2)
+        .select(explode(expr("""transform(sequence(1, size(s) - 1),
+            i -> struct(element_at(s, i) AS pa,
+              element_at(s, i + 1) AS pb))""")).as("p"), col("cnt"))
+        .groupBy(col("p.pa"), col("p.pb"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), col("pa"), col("pb"))
+        .limit(1).collect() // O(1) driver artifact: the round's argmax
+      if (top.isEmpty) done = true
+      else {
+        val (pa, pb, n) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r, pa, pb, n))
+        vocab = vocab.withColumn("s", expr(
+          s"""aggregate(s, CAST(array() AS ARRAY<STRING>),
+             (acc, x) -> CASE WHEN size(acc) > 0
+                 AND element_at(acc, -1) = '${sq(pa)}'
+                 AND x = '${sq(pb)}'
+               THEN concat(slice(acc, 1, size(acc) - 1),
+                 array('${sq(pa)}${sq(pb)}'))
+               ELSE concat(acc, array(x)) END)"""))
+          .localCheckpoint() // vocab-bounded; keeps the loop plan flat
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "left", "right", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
   /** LANGUAGE-ID CONFUSION MATRIX — [[langId]] evaluated against the
     * corpus's own lang column (the text twin of
     * [[SimOps.centroidClassify]]): (lang, pred_lang, n). Diagonal mass
@@ -833,6 +901,7 @@ object TextOps extends OpFamily {
     "text_token_stats" -> (tokenStats _),
     "text_langid" -> (langId _),
     "text_langid_confusion" -> (langIdConfusion _),
+    "text_bpe_merges" -> (bpeMerges _),
     "text_quality" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
     "text_rarity" -> (rarityScore _),

@@ -409,6 +409,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 2120262L), (0L, 3L, 2631087L)))
   }
 
+  test("BPE merges replay the classic hug/pug/pun hand example, " +
+      "deterministically") {
+    import TestSpark.spark.implicits._
+    // word frequencies hug×10 pug×5 pun×12 bun×4 hugs×5 — the canonical
+    // walkthrough: (u,g)=20 → 'ug'; then (u,n)=16 → 'un'; then
+    // (h,ug)=15 → 'hug'
+    val words = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug")
+      ++ Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+    val docs = Seq(Tuple1(words.mkString(" "))).toDF("body")
+    val got = graft.api.Graft.bpeMerges(docs, "body", k = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "u", "g", 20L), (2, "u", "n", 16L),
+      (3, "h", "ug", 15L)))
+    // bit-deterministic across runs (driver argmax + integral counts)
+    val again = graft.api.Graft.bpeMerges(docs, "body", k = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("zipf slope: hand-quantized OLS on a skewed group, exact 0 on uniform") {
     import TestSpark.spark.implicits._
     // group g: a×4, b×2, c×1 → ranked points (ln1,ln4),(ln2,ln2),(ln3,0);
