@@ -746,6 +746,15 @@ object Graft {
     graft.operators.TextOps.bpeMergesOn(df.sparkSession,
       df.select(explode(split(col(textCol), " ")).as("word")), k)
 
+  /** Encode a text column with a learned merge list ([[bpeMerges]]
+    * output order): each word decomposes to characters and the merges
+    * replay left-to-right in rank order, entirely row-local. Adds
+    * `bpe_tokens` and `n_bpe_tokens` columns.
+    */
+  def bpeTokenize(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    graft.operators.TextOps.bpeApplyOn(df, textCol, merges)
+
   /** Top-k collocations by PMI over any text column: word pairs
     * co-occurring above chance (count ≥ minCount against the rare-pair
     * bias), micro-quantized for exact ranking. Returns (bigram, c_ab,

@@ -169,6 +169,33 @@ object TextOps extends OpFamily {
       .orderBy(col("merge_rank"))
   }
 
+  /** Apply a learned merge list ([[bpeMergesOn]]'s output order) to a
+    * text column: every whitespace word decomposes to characters and
+    * each merge replays left-to-right in rank order — the ENCODE side
+    * of the tokenizer, row-local (merges ride the plan as literals; no
+    * shuffle at all). Adds `bpe_tokens` (array) and `n_bpe_tokens`.
+    */
+  private[graft] def bpeApplyOn(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    def sq(x: String) = x.replace("'", "''")
+    val chars = docs.withColumn("bpe_tokens", expr(
+      s"""transform(split($textCol, ' '),
+         w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))"""))
+    val merged = merges.foldLeft(chars) { case (df, (pa, pb)) =>
+      df.withColumn("bpe_tokens", expr(
+        s"""transform(bpe_tokens, seq ->
+           aggregate(seq, CAST(array() AS ARRAY<STRING>),
+             (acc, x) -> CASE WHEN size(acc) > 0
+                 AND element_at(acc, -1) = '${sq(pa)}'
+                 AND x = '${sq(pb)}'
+               THEN concat(slice(acc, 1, size(acc) - 1),
+                 array('${sq(pa)}${sq(pb)}'))
+               ELSE concat(acc, array(x)) END))"""))
+    }
+    merged.withColumn("bpe_tokens", flatten(col("bpe_tokens")))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+  }
+
   /** LANGUAGE-ID CONFUSION MATRIX — [[langId]] evaluated against the
     * corpus's own lang column (the text twin of
     * [[SimOps.centroidClassify]]): (lang, pred_lang, n). Diagonal mass

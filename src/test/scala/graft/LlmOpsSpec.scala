@@ -428,6 +428,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("bpeTokenize encodes with the learned merges in rank order") {
+    import TestSpark.spark.implicits._
+    // merges [u+g, u+n, h+ug]: 'hugs' → h,u,g,s → h,ug,s → hug,s;
+    // 'pun' → p,un; 'bug' → b,ug — and train/encode round-trip composes
+    val docs = Seq((1L, "hugs pun bug")).toDF("id", "body")
+    val out = graft.api.Graft.bpeTokenize(docs, "body",
+      Seq(("u", "g"), ("u", "n"), ("h", "ug"))).collect().head
+    assert(out.getAs[Seq[String]]("bpe_tokens")
+      === Seq("hug", "s", "p", "un", "b", "ug"))
+    assert(out.getAs[Int]("n_bpe_tokens") === 6)
+  }
+
   test("zipf slope: hand-quantized OLS on a skewed group, exact 0 on uniform") {
     import TestSpark.spark.implicits._
     // group g: a×4, b×2, c×1 → ranked points (ln1,ln4),(ln2,ln2),(ln3,0);
