@@ -355,6 +355,30 @@ object EventOps extends OpFamily {
       .orderBy(desc("decay_units"), col("event_type"))
   }
 
+  /** SEASONALITY GRID — event volume by (ISO day-of-week, hour-of-day)
+    * with exact per-mille shares: the load-shape read capacity planning
+    * and anomaly baselining start from (a CUSUM/EWMA alarm during the
+    * Monday-9am peak means something different than at 3am Sunday).
+    * Day-of-week alignment is the cross-engine trap: Spark's dayofweek
+    * is Sunday=1 while DuckDB's is Sunday=0 — both sides therefore use
+    * the ISO convention (Mon=1..Sun=7; Spark `weekday(ts)+1`, DuckDB
+    * `isodow`). One map-side-partial aggregate to a ≤168-row grid.
+    */
+  def seasonality(s: SparkSession, d: String): DataFrame =
+    seasonalityOn(ev(s, d))
+
+  private[graft] def seasonalityOn(events: DataFrame): DataFrame = {
+    val grid = events
+      .groupBy(expr("weekday(ts) + 1").as("isodow"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // tiny grid: share denominator + output
+    grid.crossJoin(broadcast(grid.agg(sum(col("n")).as("t"))))
+      .select(col("isodow"), col("hod"), col("n"),
+        expr("(n * 1000) DIV t").as("share_permille"))
+      .orderBy(col("isodow"), col("hod"))
+  }
+
   /** USER LIFETIME SURVIVAL CURVE — the retention read one level above
     * the cohort triangle: S(t) = share of users still active t days
     * after their first event, evaluated at every OBSERVED lifetime
@@ -703,7 +727,8 @@ object EventOps extends OpFamily {
     "ev_markov_stationary" -> (markovStationary _),
     "ev_markov_absorption" -> (markovAbsorption _),
     "ev_decay_score" -> (decayScore _),
-    "ev_survival" -> (survival _))
+    "ev_survival" -> (survival _),
+    "ev_seasonality" -> (seasonality _))
 
   /** one unrolled absorption round: tₖ = 1e6 + P_live·tₖ₋₁ in units. */
   private def mabIter(k: Int): String =
@@ -1065,6 +1090,14 @@ object EventOps extends OpFamily {
          ${(1 to 8).map(mabIter).mkString(",\n         ")}
          SELECT state AS event_type, units AS exp_steps_units FROM t8
          ORDER BY exp_steps_units DESC, event_type""",
+    "ev_seasonality" ->
+      """WITH g AS (SELECT isodow(CAST(ts AS TIMESTAMP)) AS isodow,
+             hour(CAST(ts AS TIMESTAMP)) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY isodow, hod),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g)
+         SELECT isodow, hod, n, (n * 1000) // t.t AS share_permille
+         FROM g CROSS JOIN t ORDER BY isodow, hod""",
     "ev_survival" ->
       """WITH lt AS (SELECT user_id,
              (epoch_us(max(CAST(ts AS TIMESTAMP)))
