@@ -1407,6 +1407,14 @@ object Graft {
       df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
         transform(col(vecCol), _.cast("double")).as("v")))
 
+  /** k-anonymity risk profile over any quasi-identifier column set:
+    * one row with n_rows, n_groups, min_group, groups and rows below
+    * k, and the at-risk per-mille — the pre-sharing governance screen.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      k: Int = 5): DataFrame =
+    graft.operators.AggOps.kAnonymityOn(df, quasiCols, k)
+
   /** Welch two-sample t statistic comparing `valCol` means between the
     * two named groups of `grpCol` (unequal variances allowed). Exact
     * milli-unit moment sums; returns one row (n1, n2, mean1, mean2,

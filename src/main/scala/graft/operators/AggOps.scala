@@ -695,6 +695,35 @@ object AggOps extends OpFamily {
           .as("entropy_bits"))
       .orderBy(col("grp"))
 
+  /** k-ANONYMITY PROFILE — the re-identification risk screen a
+    * governance pass runs before sharing a table: group rows by the
+    * quasi-identifier columns and report how much of the population
+    * hides in groups smaller than k (a row in a size-1 group is
+    * effectively named by its quasi-identifiers). Exact counts and
+    * per-mille floor division throughout; one map-side-partial
+    * aggregate to the quasi-identifier grid, then a one-row rollup.
+    */
+  def kAnonymityCustomer(s: SparkSession, d: String): DataFrame =
+    kAnonymityOn(Tables.customer(s, d),
+      Seq("c_nationkey", "c_mktsegment"), k = 5)
+
+  private[graft] def kAnonymityOn(df: DataFrame, quasi: Seq[String],
+      k: Int): DataFrame = {
+    val groups = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    groups.agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("n")).as("min_group"),
+        sum(when(col("n") < k, lit(1L)).otherwise(lit(0L)))
+          .as("n_groups_below_k"),
+        sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
+          .as("rows_at_risk"))
+      .select(col("n_rows"), col("n_groups"), col("min_group"),
+        col("n_groups_below_k"), col("rows_at_risk"),
+        expr("(rows_at_risk * 1000) DIV n_rows").as("risk_permille"))
+  }
+
   /** WELCH TWO-SAMPLE t — the A/B comparison read: do purchase and view
     * events carry different mean values, without assuming equal
     * variances? Moments accumulate EXACTLY (milli-unit BIGINT Σv and
@@ -931,6 +960,7 @@ object AggOps extends OpFamily {
     "agg_entropy" -> (entropyBySource _),
     "agg_chi2" -> (chi2LangSource _),
     "agg_ttest" -> (ttestPurchaseView _),
+    "agg_k_anonymity" -> (kAnonymityCustomer _),
     "agg_overlap_matrix" -> (overlapMatrix _),
     "agg_mad_outliers" -> (madOutliers _),
     "agg_copurchase_lift" -> (copurchaseLift _),
@@ -1230,6 +1260,21 @@ object AggOps extends OpFamily {
            log2(sum(n)) - sum(CAST(n AS DOUBLE) * log2(n)) / sum(n)
              AS entropy_bits
          FROM c GROUP BY source ORDER BY source""",
+    "agg_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n
+           FROM customer GROUP BY c_nationkey, c_mktsegment),
+         s AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(n) AS BIGINT) AS min_group,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_below_k,
+             CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk
+           FROM g)
+         SELECT n_rows, n_groups, min_group, n_groups_below_k,
+           rows_at_risk, (rows_at_risk * 1000) // n_rows AS risk_permille
+         FROM s""",
     "agg_ttest" ->
       """WITH m AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)

@@ -464,6 +464,17 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(d.getLong(3) === 60000000L && d.getDouble(4) === 1.0)
   }
 
+  test("k-anonymity: singletons are counted into the at-risk share") {
+    import spark.implicits._
+    // groups: (a,x)×4, (a,y)×1, (b,x)×5 → below k=5: two groups, 5 rows
+    val rows = (Seq.fill(4)(("a", "x")) ++ Seq(("a", "y"))
+      ++ Seq.fill(5)(("b", "x"))).toDF("q1", "q2")
+    val r = graft.api.Graft.kAnonymity(rows, Seq("q1", "q2"), k = 5)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((10L, 3L, 1L, 2L, 5L, 500L)))
+  }
+
   test("welch t: exact moments give t = 2 on a hand-built contrast") {
     import spark.implicits._
     // g1 = {2, 4}: mean 3, s²/n = 1; g2 = {1, 1, 1}: zero variance —
