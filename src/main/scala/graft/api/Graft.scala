@@ -1407,6 +1407,14 @@ object Graft {
       df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
         transform(col(vecCol), _.cast("double")).as("v")))
 
+  /** Data-contract expectations over any frame: each (name, SQL
+    * predicate) rule evaluates in ONE shared scan; returns (rule,
+    * n_checked, n_violations, pass) — the ingestion gate report.
+    */
+  def expectations(df: DataFrame,
+      rules: Seq[(String, String)]): DataFrame =
+    graft.operators.IoOps.expectationsOn(df, rules)
+
   /** k-anonymity risk profile over any quasi-identifier column set:
     * one row with n_rows, n_groups, min_group, groups and rows below
     * k, and the at-risk per-mille — the pre-sharing governance screen.

@@ -303,6 +303,50 @@ object IoOps extends OpFamily {
       .orderBy(col("flag"))
   }
 
+  /** DATA-CONTRACT EXPECTATIONS — the rule-table check an ingestion
+    * gate runs before promoting a batch (the great-expectations
+    * pattern, engine-native): each rule is one boolean SQL predicate
+    * evaluated over the table in ONE shared scan (all rules aggregate
+    * together — conditional counts, no per-rule pass), reporting
+    * checked/violation counts and a pass verdict. Rules that would
+    * page someone: quantity and discount domains, ship-before-receipt
+    * ordering, key positivity.
+    */
+  private val ExpectationRules: Seq[(String, String)] = Seq(
+    "quantity_in_1_50" -> "l_quantity >= 1 AND l_quantity <= 50",
+    "discount_in_0_01" -> "l_discount >= 0.0 AND l_discount <= 0.1",
+    "tax_nonneg" -> "l_tax >= 0.0",
+    "price_positive" -> "l_extendedprice > 0.0",
+    "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+    "shipdate_not_null" -> "l_shipdate IS NOT NULL",
+    "orderkey_positive" -> "l_orderkey > 0")
+
+  def expectations(s: SparkSession, d: String): DataFrame =
+    expectationsOn(Tables.lineitem(s, d), ExpectationRules)
+
+  /** The generic rule evaluator behind [[expectations]] and
+    * [[graft.api.Graft.expectations]]: (rule, n_checked, n_violations,
+    * pass) per predicate, all rules in one aggregate over one scan.
+    */
+  private[graft] def expectationsOn(df: DataFrame,
+      rules: Seq[(String, String)]): DataFrame = {
+    val aggs = rules.flatMap { case (name, pred) =>
+      Seq(count(lit(1)).as(s"__c_$name"),
+        sum(when(expr(pred), lit(0L)).otherwise(lit(1L)))
+          .as(s"__v_$name"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col(s"__c_$name").as("n_checked"),
+        col(s"__v_$name").as("n_violations"),
+        (col(s"__v_$name") === 0L).as("pass"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_checked"), col("r.n_violations"),
+        col("r.pass"))
+      .orderBy(col("rule"))
+  }
+
   def profileEvents(s: SparkSession, d: String): DataFrame =
     profileOn(Tables.events(s, d), Seq("event_id", "ts", "user_id",
       "event_type", "value", "props"))
@@ -363,9 +407,20 @@ object IoOps extends OpFamily {
     "io_generate" -> (generate _),
     "io_partitioned_roundtrip" -> (partitionedRoundtrip _),
     "io_compact" -> (compact _),
+    "io_expectations" -> (expectations _),
     "io_bucketed_join" -> (bucketedJoin _))
 
   val oracle = Map(
+    "io_expectations" ->
+      ExpectationRules.map { case (name, pred) =>
+        s"""SELECT '$name' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+            CAST(sum(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_violations,
+            CAST(sum(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) = 0
+              AS pass
+          FROM lineitem"""
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY rule"),
     "io_compact" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(ceil(count(*) / 4096.0) AS BIGINT) AS n_files

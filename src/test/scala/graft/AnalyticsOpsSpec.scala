@@ -464,6 +464,17 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(d.getLong(3) === 60000000L && d.getDouble(4) === 1.0)
   }
 
+  test("expectations: violations counted per rule in one scan") {
+    import spark.implicits._
+    val rows = Seq((1L, 10.0), (2L, -3.0), (3L, 0.0)).toDF("id", "v")
+    val got = graft.api.Graft.expectations(rows, Seq(
+      "v_nonneg" -> "v >= 0.0", "id_positive" -> "id > 0")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got === Map("v_nonneg" -> ((3L, 1L, false)),
+      "id_positive" -> ((3L, 0L, true))))
+  }
+
   test("k-anonymity: singletons are counted into the at-risk share") {
     import spark.implicits._
     // groups: (a,x)×4, (a,y)×1, (b,x)×5 → below k=5: two groups, 5 rows
