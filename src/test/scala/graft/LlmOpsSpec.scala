@@ -428,6 +428,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("BPE merges are partition-invariant: a reshuffled corpus learns " +
+      "the identical merge list") {
+    import TestSpark.spark.implicits._
+    val words = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug")
+      ++ Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .toDF("word")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.bpeMergesOn(TestSpark.spark, df, k = 3)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // integral counts + driver argmax with total tie-order ⇒ the layout
+    // of the input across partitions must not be observable
+    assert(run(words.repartition(7)) === run(words.coalesce(1)))
+  }
+
   test("bpeTokenize encodes with the learned merges in rank order") {
     import TestSpark.spark.implicits._
     // merges [u+g, u+n, h+ug]: 'hugs' → h,u,g,s → h,ug,s → hug,s;
