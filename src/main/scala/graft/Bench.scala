@@ -86,8 +86,15 @@ object Bench {
     // warm build-once/probe-many indexes (IVF, pair table, component) is not
     // comparable to one that built them — surface the counts so readers can
     // tell which run they are looking at (r10 advice).
-    val cache = s""""artifact_cache":{"hits":${operators.ArtifactCache.hits.get()},"builds":${operators.ArtifactCache.builds.get()}}"""
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},$errPart,$cache,"queries":$qs,"sf":"$sfDir"}"""
+    val builds = operators.ArtifactCache.builds.get()
+    val cache = s""""artifact_cache":{"hits":${operators.ArtifactCache.hits.get()},"builds":$builds}"""
+    // Labeled mode, so a reader never reverse-engineers warm-vs-cold from
+    // the builds counter (r12 advice): builds=0 means every persisted
+    // artifact was re-attached from a pre-existing /tmp/graft_* store.
+    val mode =
+      if (reps > 1) "steady"
+      else if (builds == 0) "warm_store" else "true_cold"
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","mode":"$mode","n_queries":${results.size},$errPart,$cache,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for the driver's tail-scrape: also persist the line to a
     // file that survives any stdout wrapping/truncation.

@@ -541,16 +541,23 @@ object GraphOps extends OpFamily {
     * coefficient is one double division of two exact longs, so the value
     * is engine-exact.
     */
-  /** Undirected (a < b) similarity edges over [[dupCorpus]], re-attached
-    * from the content-addressed pair index ([[DedupOps.cachedPairs]]) —
-    * built once, shared by [[triangleCensus]], [[clusteringCoeff]] and
-    * [[kTruss]]; a parquet re-read replaces the old per-query
-    * similarity-join + localCheckpoint.
+  /** Full (a < b, jaccard) near-dup pair table over [[dupCorpus]],
+    * re-attached from the content-addressed pair index
+    * ([[DedupOps.cachedPairs]]) — built once, probed by every consumer:
+    * the three graph analytics here AND the flagship corpus pipeline
+    * ([[PipelineOps]]), which semi-joins it to its exact-dedup survivor
+    * set instead of re-running the similarity join per invocation.
     */
-  private def dupEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def dupGraphPairs(s: SparkSession, d: String): DataFrame =
     DedupOps.cachedPairs(s, d, "dupgraph_tau30")(
       DedupOps.blockedJaccardPairs(dupCorpus(s, d)))
-      .select(col("a"), col("b"))
+
+  /** Undirected (a < b) similarity edges over [[dupCorpus]] — the
+    * [[dupGraphPairs]] artifact with the jaccard weight dropped; shared
+    * by [[triangleCensus]], [[clusteringCoeff]] and [[kTruss]].
+    */
+  private def dupEdges(s: SparkSession, d: String): DataFrame =
+    dupGraphPairs(s, d).select(col("a"), col("b"))
 
   def triangleCensus(s: SparkSession, d: String): DataFrame = {
     val und = dupEdges(s, d)

@@ -227,6 +227,31 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(inline === first)
   }
 
+  test("pipeline probe equals inline build: full-corpus pairs semi-joined " +
+      "to a survivor subset on both endpoints == blockedJaccardPairs(subset)") {
+    // the PipelineOps near-dedup stage's reuse argument, as a property:
+    // J(a,b) >= tau depends only on the two docs' shingle sets and their
+    // shared block attributes, so restricting the FULL pair table to
+    // pairs with both endpoints in any subset is row-for-row (including
+    // the jaccard value) what the inline build over that subset returns.
+    Seq(headerCorpus, mutationCorpus).foreach { corpus =>
+      val survivors = corpus.filter(col("doc_id") % 3 =!= 0)
+      val full = DedupOps.blockedJaccardPairs(corpus)
+      val ids = survivors.select(col("doc_id"))
+      val probed = full
+        .join(ids.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"), col("jaccard")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val inline = DedupOps.blockedJaccardPairs(survivors)
+        .select(col("a"), col("b"), col("jaccard")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(inline.nonEmpty, "subset must retain at least one true pair")
+      assert(probed === inline,
+        s"missing=${(inline -- probed).take(5)} extra=${(probed -- inline).take(5)}")
+    }
+  }
+
   test("candidate count is far below n(n-1)/2 on a single hot block") {
     val corpus = headerCorpus
     val n = corpus.count()
