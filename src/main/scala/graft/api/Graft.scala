@@ -340,6 +340,22 @@ object Graft {
       coalesce(element_at(typedLit(keepPerMille), col(stratumCol)),
         lit(defaultPerMille)))
 
+  /** Deterministic reservoir sample of EXACTLY k rows per group (vs
+    * [[sampleByStratum]]'s rate-based thinning): the bottom-k by a
+    * seeded affine priority mod 2³¹−1 — the associative form of the
+    * classic sequential reservoir ([[graft.functions.ReservoirK]]; a
+    * coin-flip Algorithm R would depend on partition order, which Spark
+    * does not contract). O(k) state per (group, partition), map-side
+    * combined; a different `seed` draws a different (still
+    * deterministic) sample. `idCol` must be unique per row (the total
+    * tiebreak). Returns (groupCols..., h, id); groups with fewer than k
+    * rows return all of them.
+    */
+  def reservoirSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int, seed: Long = 0L): DataFrame =
+    graft.operators.ReduceOps.reservoirOn(df, groupCols, col(idCol), k,
+      seed)
+
   /** The END-TO-END corpus pipeline over any (id, text, stratum) frame —
     * the five-stage composition PipelineOps proves against a DuckDB
     * oracle, parameterized for application data: token-count quality

@@ -558,23 +558,31 @@ object DedupOps extends OpFamily {
       NativeExprs.simhash63(docs.sparkSession,
         transform(split(col("text"), " "), t => xxhash64(t))).as("simhash"))
 
-  /** SimHash near-dup pairs (hamming ≤ 6, high-precision band) within lang
-    * blocks. On this corpus's tiny shared vocabulary simhash separates
-    * weakly (frequency profiles are all similar), so the cut is tight;
-    * identical texts are always hamming 0 (property-tested).
+  /** SimHash near-dup pairs (hamming ≤ 6, high-precision band) within
+    * (lang, source) blocks — the SAME blocking contract as the exact
+    * reference table, so a detection crossing source can never be a
+    * guaranteed-false positive anymore (r12's lang-only blocking
+    * measured 71‰ precision at sf0.1; every cross-source hit was wrong
+    * by contract). On this corpus's tiny shared vocabulary simhash
+    * separates weakly (frequency profiles are all similar), so the cut
+    * is tight; identical texts are always hamming 0 (property-tested).
+    * [[recallReport]] documents the measured trade.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
-    cachedPairs(s, d, "simhash_h6")(simhashPairsBuild(s, d))
+    cachedPairs(s, d, "simhash_ls_h6")(simhashPairsBuild(s, d))
       .orderBy(col("a"), col("b"))
 
   private def simhashPairsBuild(s: SparkSession, d: String): DataFrame = {
     val corpus = withNearDupes(s, d)
     val sigs = simhashSigs(corpus)
-      .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(corpus.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
       .localCheckpoint() // materialize signatures once before pairing
-    val a = sigs.select(col("doc_id").as("a"), col("simhash").as("ha"), col("lang"))
-    val b = sigs.select(col("doc_id").as("b"), col("simhash").as("hb"), col("lang"))
-    a.join(b, Seq("lang"))
+    val a = sigs.select(col("doc_id").as("a"), col("simhash").as("ha"),
+      col("lang"), col("source"))
+    val b = sigs.select(col("doc_id").as("b"), col("simhash").as("hb"),
+      col("lang"), col("source"))
+    a.join(b, Seq("lang", "source"))
       .filter(col("a") < col("b"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= 6)
@@ -591,19 +599,27 @@ object DedupOps extends OpFamily {
     * all-pairs within blocks, which is the shape that survives when a
     * blocking key (lang, source) no longer bounds block size at corpus
     * scale. Final hamming is exact-verified on the ORIGINAL signature.
+    * The registered query additionally verify-filters pairs to equal
+    * (lang, source) — candidate GENERATION stays block-free (the scale
+    * story), but a detection the blocked exact reference excludes by
+    * contract is dropped at the verify stage (r13 precision fix,
+    * measured in [[recallReport]]).
     * Rows-only (xxhash64-based signatures are not SQL-replayable); the
     * candidate-subset and planted-dupe properties are scalatest-verified.
     */
   def simhashSorted(s: SparkSession, d: String): DataFrame =
-    cachedPairs(s, d, "simhash_sorted_h6")(
-      simhashSortedOn(withNearDupes(s, d)))
+    cachedPairs(s, d, "simhash_sorted_ls_h6")(
+      simhashSortedOn(withNearDupes(s, d),
+        blockCols = Seq("lang", "source")))
       .orderBy(col("a"), col("b"))
 
   /** [[simhashSorted]] core over any (doc_id, text) DataFrame — the
-    * [[graft.api.Graft.simhashNearDupPairs]] entry point.
+    * [[graft.api.Graft.simhashNearDupPairs]] entry point. `blockCols`
+    * (attributes of `corpus`) verify-filter emitted pairs to
+    * equal-valued groups; generation is unaffected.
     */
   private[graft] def simhashSortedOn(corpus: DataFrame,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, blockCols: Seq[String] = Nil): DataFrame = {
     val sigs = simhashSigs(corpus).localCheckpoint()
     val mask63 = (1L << 63) - 1
     val rotated = (0 to 3).map { p =>
@@ -624,7 +640,7 @@ object DedupOps extends OpFamily {
         lead(col("doc_id"), k).over(w).as("nid"),
         lead(col("simhash"), k).over(w).as("nsig")))
     }
-    withLeads
+    val pairs = withLeads
       .withColumn("nb",
         explode(array((1 to 4).map(k => col(s"n$k")): _*)))
       .filter(col("nb.nid").isNotNull)
@@ -633,7 +649,23 @@ object DedupOps extends OpFamily {
         expr("bit_count(simhash ^ nb.nsig)").as("hamming"))
       .filter(col("a") < col("b") && col("hamming") <= maxHamming)
       .distinct()
-      .orderBy(col("a"), col("b"))
+    // verify-stage block filter: two bounded joins against the (tiny
+    // relative to candidates) per-doc attribute projection — never part
+    // of candidate generation, so the sort-neighborhood scale shape is
+    // untouched
+    val blocked =
+      if (blockCols.isEmpty) pairs
+      else {
+        val attrs = corpus.select(col("doc_id") +: blockCols.map(col): _*)
+        def side(idCol: String) = blockCols.foldLeft(
+          attrs.withColumnRenamed("doc_id", idCol))((df, c) =>
+          df.withColumnRenamed(c, s"${c}_$idCol"))
+        pairs.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
+          .filter(blockCols.map(c => col(s"${c}_a") === col(s"${c}_b"))
+            .reduce(_ && _))
+          .select(col("a"), col("b"), col("hamming"))
+      }
+    blocked.orderBy(col("a"), col("b"))
   }
 
   /** MinHash near-dup via spark-mllib's MinHashLSH (the packaged

@@ -325,11 +325,12 @@ object EventOps extends OpFamily {
     * oracle-checked query).
     *
     * Exactness: value quantizes to integer milli-units, the decay is
-    * `(vu·1000) DIV 2^steps` with the shift capped at 62 — integral ops
-    * on NON-NEGATIVE values (truncating DIV ≡ floor ≡ DuckDB `//`; the
-    * [[graft.api.Graft.ewma]] non-negativity contract), so both engines
-    * agree bit-for-bit. Mass beyond ~40 half-lives floors to zero —
-    * deliberately: that is what a decay counter is FOR.
+    * an ARITHMETIC RIGHT SHIFT `(vu·1000) >> steps` capped at 62 —
+    * shiftright floors for BOTH signs (≡ DuckDB's floor-dividing `//`
+    * by 2^steps), so negative event values are first-class and both
+    * engines agree bit-for-bit with no value-sign contract. Mass beyond
+    * ~40 half-lives floors to zero — deliberately: that is what a decay
+    * counter is FOR.
     *
     * Scale shape: one broadcast 1-row max, one narrow per-row
     * projection, one bounded groupBy — linear, no window, no shuffle
@@ -346,8 +347,8 @@ object EventOps extends OpFamily {
       .withColumn("hl", expr("(unix_micros(ref) - unix_micros(ts)) DIV " +
         s"${86400000000L * halfLifeDays}"))
       .withColumn("vu", floor(col("value") * 1000).cast("long"))
-      .withColumn("du", expr("(vu * 1000) DIV " +
-        "shiftleft(CAST(1 AS BIGINT), CAST(least(hl, 62) AS INT))"))
+      .withColumn("du",
+        expr("shiftright(vu * 1000, CAST(least(hl, 62) AS INT))"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("vu")).as("raw_units"),

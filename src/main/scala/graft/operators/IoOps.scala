@@ -330,6 +330,10 @@ object IoOps extends OpFamily {
     */
   private[graft] def expectationsOn(df: DataFrame,
       rules: Seq[(String, String)]): DataFrame = {
+    // aggs.head below would otherwise throw a bare
+    // UnsupportedOperationException on Seq.empty — fail with the contract
+    require(rules.nonEmpty,
+      "expectations: at least one (name, predicate) rule is required")
     val aggs = rules.flatMap { case (name, pred) =>
       Seq(count(lit(1)).as(s"__c_$name"),
         sum(when(expr(pred), lit(0L)).otherwise(lit(1L)))

@@ -158,8 +158,57 @@ object ReduceOps extends OpFamily {
       .orderBy(col("l_returnflag"))
   }
 
+  /** RESERVOIR SAMPLE PER GROUP via [[graft.functions.ReservoirK]] —
+    * the classic MR uniform-sample-per-key idiom as an ASSOCIATIVE
+    * typed Aggregator: k = 5 lineitems per returnflag, priority
+    * h = (((id + seed) mod P)·A + B) mod P with the fixed
+    * (A, B, P) = (1103515245, 12345, 2³¹−1) affine family and
+    * id = 8·orderkey + linenumber (unique: linenumber ∈ 1..7). The
+    * same affine hash replays in the oracle as a window bottom-k —
+    * identical rows — but the WINDOW sorts each whole group where the
+    * Aggregator ships one k-sized buffer per (group, partition): the
+    * map-side-combine shape that survives 10¹⁰-row groups.
+    */
+  def reservoirSample(s: SparkSession, d: String): DataFrame =
+    reservoirOn(Tables.lineitem(s, d), Seq("l_returnflag"),
+      col("l_orderkey").cast("long") * 8L + col("l_linenumber"),
+      k = 5, seed = 0L)
+      .orderBy(col("l_returnflag"), col("h"), col("id"))
+
+  /** Affine-priority constants shared with the oracle SQL: the classic
+    * LCG multiplier mod the Mersenne prime 2³¹−1. The multiplier must be
+    * LARGE — with a small A the map id → (id·A + B) mod P is MONOTONE
+    * until id ≈ P/A and "bottom-k" degenerates to "k smallest ids" (the
+    * first draft's A = 10⁶+3 did exactly that; caught by the golden
+    * spec). A ≈ 1.1·10⁹ wraps from id = 2 on. Intermediate products
+    * stay ≤ (P−1)·A < 2⁶² so 64-bit arithmetic never wraps in either
+    * engine.
+    */
+  private val ResA = 1103515245L
+  private val ResB = 12345L
+  private val ResP = 2147483647L
+
+  /** The generic core behind [[reservoirSample]] and
+    * [[graft.api.Graft.reservoirSample]]: deterministic uniform k-sample
+    * per group of any (unique) long id expression. Returns
+    * (groupCols..., h, id) — the sampled ids with their priorities.
+    */
+  private[graft] def reservoirOn(df: DataFrame, groupCols: Seq[String],
+      id: org.apache.spark.sql.Column, k: Int, seed: Long): DataFrame = {
+    val res = udaf(new graft.functions.ReservoirK(k))
+    df.select(groupCols.map(col) :+ id.cast("long").as("id"): _*)
+      .withColumn("h",
+        (((col("id") + lit(seed)) % ResP) * ResA + ResB) % ResP)
+      .groupBy(groupCols.map(col): _*)
+      .agg(res(col("h"), col("id")).as("sample"))
+      .select(groupCols.map(col) :+ explode(col("sample")).as("x"): _*)
+      .select(groupCols.map(col) :+ col("x._1").as("h")
+        :+ col("x._2").as("id"): _*)
+  }
+
   val queries = Map(
     "reduce_kll_quantiles" -> (kllQuantiles _),
+    "reduce_reservoir_sample" -> (reservoirSample _),
     "reduce_weighted_avg" -> (weightedAvg _),
     "reduce_mr_wordcount" -> (mrWordcount _),
     "reduce_cogroup" -> (cogroupClickPurchase _),
@@ -180,6 +229,19 @@ object ReduceOps extends OpFamily {
              THEN event_id END), -1) AS BIGINT) AS first_purchase_id
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY user_id ORDER BY user_id""",
+    "reduce_reservoir_sample" ->
+      """WITH t AS (SELECT l_returnflag,
+           CAST(l_orderkey AS BIGINT) * 8 + l_linenumber AS id
+         FROM lineitem),
+         p AS (SELECT l_returnflag, id,
+           ((id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+         FROM t)
+         SELECT l_returnflag, h, id FROM (
+           SELECT l_returnflag, h, id,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY h, id) AS rn
+           FROM p) WHERE rn <= 5
+         ORDER BY l_returnflag, h, id""",
     "reduce_weighted_avg" ->
       """SELECT l_returnflag,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *

@@ -978,39 +978,61 @@ object SimOps extends OpFamily {
     */
   /** PRODUCT-QUANTIZATION ANN (PQ/ADC — Jégou et al. 2011, public):
     * the memory-compression scale path. Every 64-dim vector encodes as
-    * m = 4 small codes (its nearest of nlist = 16 sub-centroids per
-    * 16-dim subspace, each codebook a bit-replayable [[lloydCellsOn]]
-    * run on the sliced vectors), and search scans CODES with a
-    * per-query asymmetric-distance LUT: approx cos(q, x) =
+    * m = [[PqM]] small codes (its nearest of nlist = [[PqNlist]]
+    * sub-centroids per [[PqSubDim]]-dim subspace, each codebook a
+    * bit-replayable [[lloydCellsOn]] run on the sliced vectors), and
+    * search scans CODES with a per-query asymmetric-distance LUT:
+    * approx cos(q, x) =
     * Σ_j dot(q_j, c_{j,code_j}) / (|q|·|x̂|) — the EXACT cosine between
     * q and x's reconstruction x̂, so scores are bounded in [−1, 1] and
     * every stage (codes, LUTs, ranks) replays in the oracle. At 100 TB
-    * the corpus side reads m bytes per vector instead of 4·dim — the
-    * difference between scanning embeddings and scanning ~1/64th of
-    * the bytes — with the LUT just m·nlist dots per query; exact
-    * re-rank of the top-k is the [[knnIvfQuantized]] composition.
-    * Fidelity is MEASURED, not assumed: [[recallReport]] prices these
-    * 16-centroid codebooks at ~240-340 permille recall@5 on the
-    * fixture's geometry — production deployments raise m/nlist and
-    * exact-re-rank the shortlist, which is why the report ships as a
-    * first-class query.
+    * the corpus side reads m one-byte codes per vector instead of
+    * 4·dim float bytes — the difference between scanning embeddings
+    * and scanning 1/16th of the bytes — with the LUT just m·nlist dots
+    * per query; exact re-rank of the top-k is the [[knnIvfQuantized]]
+    * composition.
+    * Fidelity is MEASURED, not assumed: [[recallReport]] prices the
+    * codebooks on the fixture's own geometry. The r12 report measured
+    * the original m=4/nlist=16 toy codebooks at 240-340‰ recall@5 and
+    * named the quantization grain as the binding constraint; r13 is the
+    * tuning round that report was built for. An offline sweep over
+    * (m, nlist, rounds) showed extra Lloyd rounds are worth ~20‰ while
+    * grain dominates, landing on the PUBLISHED production shape —
+    * m = 16 subspaces × 256 centroids (8-bit codes, the classic
+    * PQ16 FAISS config) — which measures 540‰ raw ADC and 960‰ after
+    * the k=[[PqShort]] exact re-rank at sf0.1 (was 240‰/420‰).
     */
+  /** PQ family knobs, shared by the searches AND every oracle replay
+    * (the SQL generators interpolate these, so Scala and DuckDB can
+    * never drift): m subspaces of subDim dims, nlist sub-centroids per
+    * codebook, exact-re-rank shortlist depth.
+    */
+  private[graft] val PqM = 16
+  private[graft] val PqSubDim = 64 / PqM
+  private[graft] val PqNlist = 256
+  private[graft] val PqShort = 50
+  private val PqTag = s"pq_m${PqM}_sub${PqSubDim}_nlist${PqNlist}@r1"
+
+  /** Re-attach (or batch-build once) the persisted PQ index — code
+    * table + one codebook per subspace (the lloydCells discipline):
+    * searches re-attach and run the LUT probe only, never the build.
+    */
+  private def pqIndex(s: SparkSession, d: String,
+      e: DataFrame): Map[String, DataFrame] =
+    ArtifactCache.readOrBuildAll(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf", PqTag),
+      "codes" +: (0 until PqM).map(j => s"cent$j"))(
+      pqIndexTables(s, e.localCheckpoint(), m = PqM, subDim = PqSubDim,
+        nlist = PqNlist))
+
   def knnPq(s: SparkSession, d: String): DataFrame = {
-    // the codebooks and code table are the persisted index (the
-    // lloydCells discipline): searches re-attach and run the LUT probe
-    // only — the build is a batch job, never per-query work
-    val names = "codes" +: (0 until 4).map(j => s"cent$j")
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
-    val parts = ArtifactCache.readOrBuildAll(s,
-      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
-        "pq_m4_sub16_nlist16@r1"), names)(
-      pqIndexTables(s, e.localCheckpoint(), m = 4, subDim = 16,
-        nlist = 16))
+    val parts = pqIndex(s, d, e)
     knnPqProbe(s, e, parts("codes"),
-      (0 until 4).map(j => parts(s"cent$j")), col("vec_id") < 10,
-      m = 4, subDim = 16, k = 5)
+      (0 until PqM).map(j => parts(s"cent$j")), col("vec_id") < 10,
+      m = PqM, subDim = PqSubDim, k = 5)
   }
 
   /** The PQ index build over any (vec_id, v: array<double>) frame with
@@ -1104,26 +1126,24 @@ object SimOps extends OpFamily {
 
   /** PQ SHORTLIST + EXACT RE-RANK — the production answer to the
     * recall price [[recallReport]] measures on raw ADC ranks: the PQ
-    * codes produce a k=25 shortlist (still reading only m code ints
-    * per corpus vector), and only the 25 survivors per query get their
-    * RAW vectors read for an exact-cosine re-rank to top-5. At 100 TB
-    * this touches 25 raw vectors per query instead of the corpus — the
-    * two-stage read path every deployed PQ system runs — and the
-    * recall recovery is itself measured by the report's pq_rerank leg.
+    * codes produce a k=[[PqShort]] shortlist (still reading only m
+    * code ints per corpus vector), and only those survivors per query
+    * get their RAW vectors read for an exact-cosine re-rank to top-5.
+    * At 100 TB this touches [[PqShort]] raw vectors per query instead
+    * of the corpus — the two-stage read path every deployed PQ system
+    * runs — and the recall recovery is itself measured by the report's
+    * pq_rerank leg (the r12 report priced the 25-deep shortlist over
+    * toy codebooks at 420‰; the r13 tuning — [[PqShort]] = 50 over the
+    * PQ16×256 codebooks — measures 960‰ at sf0.1).
     */
   def knnPqRerank(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
-    val names = "codes" +: (0 until 4).map(j => s"cent$j")
-    val parts = ArtifactCache.readOrBuildAll(s,
-      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
-        "pq_m4_sub16_nlist16@r1"), names)(
-      pqIndexTables(s, e.localCheckpoint(), m = 4, subDim = 16,
-        nlist = 16))
+    val parts = pqIndex(s, d, e)
     val shortlist = knnPqProbe(s, e, parts("codes"),
-        (0 until 4).map(j => parts(s"cent$j")), col("vec_id") < 10,
-        m = 4, subDim = 16, k = 25)
+        (0 until PqM).map(j => parts(s"cent$j")), col("vec_id") < 10,
+        m = PqM, subDim = PqSubDim, k = PqShort)
       .select(col("qid"), col("nid"))
     val en = withNorm(s, e, "v", "vn")
     val wR = Window.partitionBy(col("qid"))
@@ -1284,12 +1304,7 @@ object SimOps extends OpFamily {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
-    val names = "codes" +: (0 until 4).map(j => s"cent$j")
-    val parts = ArtifactCache.readOrBuildAll(s,
-      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
-        "pq_m4_sub16_nlist16@r1"), names)(
-      pqIndexTables(s, e.localCheckpoint(), m = 4, subDim = 16,
-        nlist = 16))
+    val parts = pqIndex(s, d, e)
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(desc("c_sim"), col("cid"))
     val probes = cells.filter(col("vec_id") < 10)
@@ -1303,11 +1318,11 @@ object SimOps extends OpFamily {
     val base = cells.select(col("vec_id").as("nid"), col("cid"))
       .join(broadcast(probes), Seq("cid"))
       .join(parts("codes").select((col("vec_id").as("nid") +:
-        (0 until 4).map(j => col(s"c$j"))): _*), Seq("nid"))
+        (0 until PqM).map(j => col(s"c$j"))): _*), Seq("nid"))
       .select((col("qid") +: col("nid") +:
-        (0 until 4).map(j => col(s"c$j"))): _*)
-    pqAdcRank(s, e, base, (0 until 4).map(j => parts(s"cent$j")),
-      col("vec_id") < 10, m = 4, subDim = 16, k = 5)
+        (0 until PqM).map(j => col(s"c$j"))): _*)
+    pqAdcRank(s, e, base, (0 until PqM).map(j => parts(s"cent$j")),
+      col("vec_id") < 10, m = PqM, subDim = PqSubDim, k = 5)
   }
 
   def knnIvfQuantized(s: SparkSession, d: String): DataFrame = {
@@ -1507,53 +1522,88 @@ object SimOps extends OpFamily {
           GROUP BY cid, i) GROUP BY cid)"""
 
   /** One subspace's Lloyd replay for the PQ oracle: slice dims
-    * [j·16+1, (j+1)·16], seed from the 16 lowest vec_ids, 3 rounds —
-    * the [[lloydCtes]] chain with per-subspace table names.
+    * [j·subDim+1, (j+1)·subDim], seed from the [[PqNlist]] lowest
+    * vec_ids, 3 rounds — the [[lloydCtes]] chain with per-subspace
+    * table names, generated from the SAME knobs the engine reads.
     */
   private def pqSubCtes(j: Int): String = {
     def a(n: String, c: String) = assignCteIn(s"$n$j", s"$c$j", s"v$j")
-    def cc(n: String, ag: String) = centroidCteIn(s"$n$j", s"$ag$j", 16)
-    s"""v$j AS (SELECT vec_id, v[${j * 16 + 1}:${(j + 1) * 16}] AS v
+    def cc(n: String, ag: String) =
+      centroidCteIn(s"$n$j", s"$ag$j", PqSubDim)
+    s"""v$j AS (SELECT vec_id,
+              v[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}] AS v
             FROM v),
           c0$j AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid
-            FROM v$j WHERE vec_id < 16),
+            FROM v$j WHERE vec_id < $PqNlist),
           ${a("a1", "c0")}, ${cc("c1", "a1")},
           ${a("a2", "c1")}, ${cc("c2", "a2")},
           ${a("a3", "c2")}, ${cc("c3", "a3")},
           ${a("cells", "c3")}"""
   }
 
-  /** DuckDB replay of the PQ/ADC search: 4 per-subspace Lloyd chains →
-    * codes; per-query LUT dots against the final sub-codebooks; the
-    * ADC score is the exact cosine against the reconstruction —
-    * mirror of [[knnPq]] term for term.
+  /** Shared PQ-oracle fragments, all generated from [[PqM]]: the
+    * subspace chains, per-query LUTs, the code table, the LUT joins
+    * (parameterized on which alias carries qid and c0..c_{m−1}) and
+    * the ADC score expression. One definition feeds all four PQ-family
+    * oracles, so a knob change can never half-update the replays.
     */
-  private val pqOracleSql: String = {
-    val luts = (0 until 4).map(j =>
-      s"""lut$j AS (SELECT q.vec_id AS qid, c.cid,
+  private def pqChainsCte: String =
+    (0 until PqM).map(pqSubCtes).mkString(",\n          ")
+
+  private def pqLutsCte: String = (0 until PqM).map(j =>
+    s"""lut$j AS (SELECT q.vec_id AS qid, c.cid,
               list_dot_product(q.v, c.centroid) AS d,
               list_dot_product(c.centroid, c.centroid) AS nn
             FROM (SELECT vec_id, v FROM v$j WHERE vec_id < 10) q
             CROSS JOIN c3$j c)""").mkString(",\n          ")
-    val lutJoins = (0 until 4).map(j =>
-      s"JOIN lut$j ON lut$j.qid = q.qid AND lut$j.cid = x.c$j")
+
+  private def pqCodesCte(name: String): String =
+    s"""$name AS (SELECT cells0.vec_id,
+              ${(0 until PqM).map(j => s"cells$j.cid AS c$j")
+                .mkString(", ")}
+            FROM cells0
+            ${(1 until PqM).map(j => s"JOIN cells$j USING (vec_id)")
+              .mkString(" ")})"""
+
+  private def pqLutJoins(qidSrc: String, codeSrc: String): String =
+    (0 until PqM).map(j =>
+      s"JOIN lut$j ON lut$j.qid = $qidSrc.qid AND lut$j.cid = $codeSrc.c$j")
       .mkString("\n           ")
+
+  private def pqAdcExpr: String =
+    s"""(${(0 until PqM).map(j => s"lut$j.d").mkString(" + ")})
+                    / (q.qn * sqrt(${(0 until PqM).map(j => s"lut$j.nn")
+                      .mkString(" + ")}))"""
+
+  /** Force every CTE in a PQ-family oracle to `AS MATERIALIZED`:
+    * DuckDB 1.0 inlines plain CTEs per reference, and with [[PqM]] = 8
+    * subspace chains (~84 CTEs, 8-way LUT joins) the inlined plan
+    * explodes — sim_knn_pq went from unbounded (>5 min at sf0.001) to
+    * 2 s materialized. Results are identical; only evaluation strategy
+    * changes. Applied to the PQ family only — the other Lloyd-chain
+    * oracles plan fine at 1 chain.
+    */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
+  /** DuckDB replay of the PQ/ADC search: [[PqM]] per-subspace Lloyd
+    * chains → codes; per-query LUT dots against the final
+    * sub-codebooks; the ADC score is the exact cosine against the
+    * reconstruction — mirror of [[knnPq]] term for term.
+    */
+  private val pqOracleSql: String = {
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings),
-          ${(0 until 4).map(pqSubCtes).mkString(",\n          ")},
-          codes AS (SELECT cells0.vec_id, cells0.cid AS c0,
-              cells1.cid AS c1, cells2.cid AS c2, cells3.cid AS c3
-            FROM cells0 JOIN cells1 USING (vec_id)
-            JOIN cells2 USING (vec_id) JOIN cells3 USING (vec_id)),
-          $luts,
+          $pqChainsCte,
+          ${pqCodesCte("codes")},
+          $pqLutsCte,
           q AS (SELECT vec_id AS qid, sqrt(list_dot_product(v, v)) AS qn
             FROM v WHERE vec_id < 10),
           score AS (SELECT q.qid, x.vec_id AS nid,
-              (lut0.d + lut1.d + lut2.d + lut3.d)
-                / (q.qn * sqrt(lut0.nn + lut1.nn + lut2.nn + lut3.nn))
+              $pqAdcExpr
                 AS cos_adc
             FROM codes x CROSS JOIN q
-           $lutJoins
+           ${pqLutJoins("q", "x")}
             WHERE x.vec_id <> q.qid)
         SELECT qid, rank, nid, cos_adc FROM (
           SELECT qid, nid, cos_adc,
@@ -1699,22 +1749,10 @@ object SimOps extends OpFamily {
     * score ranks only probed-cell candidates — mirror of [[knnIvfPq]].
     */
   private val ivfPqOracleSql: String = {
-    val luts = (0 until 4).map(j =>
-      s"""lut$j AS (SELECT q.vec_id AS qid, c.cid,
-              list_dot_product(q.v, c.centroid) AS d,
-              list_dot_product(c.centroid, c.centroid) AS nn
-            FROM (SELECT vec_id, v FROM v$j WHERE vec_id < 10) q
-            CROSS JOIN c3$j c)""").mkString(",\n          ")
-    val lutJoins = (0 until 4).map(j =>
-      s"JOIN lut$j ON lut$j.qid = b.qid AND lut$j.cid = x.c$j")
-      .mkString("\n           ")
     s"""WITH $lloydCtes,
-          ${(0 until 4).map(pqSubCtes).mkString(",\n          ")},
-          pqcodes AS (SELECT cells0.vec_id, cells0.cid AS c0,
-              cells1.cid AS c1, cells2.cid AS c2, cells3.cid AS c3
-            FROM cells0 JOIN cells1 USING (vec_id)
-            JOIN cells2 USING (vec_id) JOIN cells3 USING (vec_id)),
-          $luts,
+          $pqChainsCte,
+          ${pqCodesCte("pqcodes")},
+          $pqLutsCte,
           probes AS (SELECT qid, cid FROM (
               SELECT q.vec_id AS qid, c.cid,
                 row_number() OVER (PARTITION BY q.vec_id
@@ -1728,12 +1766,11 @@ object SimOps extends OpFamily {
             FROM probes p JOIN cells n ON n.cid = p.cid
             WHERE n.vec_id <> p.qid),
           score AS (SELECT b.qid, b.nid,
-              (lut0.d + lut1.d + lut2.d + lut3.d)
-                / (q.qn * sqrt(lut0.nn + lut1.nn + lut2.nn + lut3.nn))
+              $pqAdcExpr
                 AS cos_adc
             FROM b JOIN pqcodes x ON x.vec_id = b.nid
             JOIN q ON q.qid = b.qid
-           $lutJoins)
+           ${pqLutJoins("b", "x")})
         SELECT qid, rank, nid, cos_adc FROM (
           SELECT qid, nid, cos_adc,
             row_number() OVER (PARTITION BY qid
@@ -1743,42 +1780,28 @@ object SimOps extends OpFamily {
   }
 
   /** DuckDB replay of the PQ shortlist + exact re-rank: the PQ chains
-    * produce the k=25 ADC shortlist, then the raw vectors re-rank —
-    * mirror of [[knnPqRerank]].
+    * produce the k=[[PqShort]] ADC shortlist, then the raw vectors
+    * re-rank — mirror of [[knnPqRerank]].
     */
   private val pqRerankOracleSql: String = {
-    val luts = (0 until 4).map(j =>
-      s"""lut$j AS (SELECT q.vec_id AS qid, c.cid,
-              list_dot_product(q.v, c.centroid) AS d,
-              list_dot_product(c.centroid, c.centroid) AS nn
-            FROM (SELECT vec_id, v FROM v$j WHERE vec_id < 10) q
-            CROSS JOIN c3$j c)""").mkString(",\n          ")
-    val lutJoins = (0 until 4).map(j =>
-      s"JOIN lut$j ON lut$j.qid = b.qid AND lut$j.cid = b.c$j")
-      .mkString("\n           ")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings),
-          ${(0 until 4).map(pqSubCtes).mkString(",\n          ")},
-          pqcodes AS (SELECT cells0.vec_id, cells0.cid AS c0,
-              cells1.cid AS c1, cells2.cid AS c2, cells3.cid AS c3
-            FROM cells0 JOIN cells1 USING (vec_id)
-            JOIN cells2 USING (vec_id) JOIN cells3 USING (vec_id)),
-          $luts,
+          $pqChainsCte,
+          ${pqCodesCte("pqcodes")},
+          $pqLutsCte,
           q AS (SELECT vec_id AS qid, v AS qv,
               sqrt(list_dot_product(v, v)) AS qn
             FROM v WHERE vec_id < 10),
           pqall AS (SELECT q.qid, x.vec_id AS nid,
-              x.c0, x.c1, x.c2, x.c3
+              ${(0 until PqM).map(j => s"x.c$j").mkString(", ")}
             FROM pqcodes x CROSS JOIN q WHERE x.vec_id <> q.qid),
           short AS (SELECT qid, nid FROM (
               SELECT b.qid, b.nid,
                 row_number() OVER (PARTITION BY b.qid ORDER BY
-                  (lut0.d + lut1.d + lut2.d + lut3.d)
-                    / (q.qn * sqrt(lut0.nn + lut1.nn + lut2.nn
-                        + lut3.nn)) DESC, b.nid) AS rank
+                  $pqAdcExpr DESC, b.nid) AS rank
               FROM pqall b
               JOIN q ON q.qid = b.qid
-             $lutJoins) WHERE rank <= 25)
+             ${pqLutJoins("b", "b")}) WHERE rank <= $PqShort)
         SELECT qid, rank, nid, cos FROM (
           SELECT s.qid, s.nid,
             list_cosine_similarity(q.qv, n.v) AS cos,
@@ -1822,34 +1845,21 @@ object SimOps extends OpFamily {
     * with exact per method.
     */
   private val recallOracleSql: String = {
-    val luts = (0 until 4).map(j =>
-      s"""lut$j AS (SELECT q.vec_id AS qid, c.cid,
-              list_dot_product(q.v, c.centroid) AS d,
-              list_dot_product(c.centroid, c.centroid) AS nn
-            FROM (SELECT vec_id, v FROM v$j WHERE vec_id < 10) q
-            CROSS JOIN c3$j c)""").mkString(",\n          ")
-    def lutJoins(codeSrc: String) = (0 until 4).map(j =>
-      s"JOIN lut$j ON lut$j.qid = b.qid AND lut$j.cid = $codeSrc.c$j")
-      .mkString("\n           ")
-    // codeSrc: the alias carrying c0..c3 — the joined code table ("x")
-    // for the routed leg, the candidate row itself ("b") for brute-code
+    // codeSrc: the alias carrying c0..c_{m−1} — the joined code table
+    // ("x") for the routed leg, the candidate row itself ("b") for
+    // brute-code
     def adcRank(fromB: String, codeJoin: String, codeSrc: String) =
       s"""SELECT qid, nid FROM (
               SELECT b.qid, b.nid,
                 row_number() OVER (PARTITION BY b.qid ORDER BY
-                  (lut0.d + lut1.d + lut2.d + lut3.d)
-                    / (q.qn * sqrt(lut0.nn + lut1.nn + lut2.nn
-                        + lut3.nn)) DESC, b.nid) AS rank
+                  $pqAdcExpr DESC, b.nid) AS rank
               FROM $fromB b $codeJoin
               JOIN q ON q.qid = b.qid
-             ${lutJoins(codeSrc)}) WHERE rank <= 5"""
+             ${pqLutJoins("b", codeSrc)}) WHERE rank <= 5"""
     s"""WITH $lloydCtes,
-          ${(0 until 4).map(pqSubCtes).mkString(",\n          ")},
-          pqcodes AS (SELECT cells0.vec_id, cells0.cid AS c0,
-              cells1.cid AS c1, cells2.cid AS c2, cells3.cid AS c3
-            FROM cells0 JOIN cells1 USING (vec_id)
-            JOIN cells2 USING (vec_id) JOIN cells3 USING (vec_id)),
-          $luts,
+          $pqChainsCte,
+          ${pqCodesCte("pqcodes")},
+          $pqLutsCte,
           q AS (SELECT vec_id AS qid, v AS qv,
               sqrt(list_dot_product(v, v)) AS qn
             FROM v WHERE vec_id < 10),
@@ -1881,11 +1891,11 @@ object SimOps extends OpFamily {
           ivfpq AS (${adcRank("cand",
               "JOIN pqcodes x ON x.vec_id = b.nid", "x")}),
           pqall AS (SELECT q.qid, x.vec_id AS nid,
-              x.c0, x.c1, x.c2, x.c3
+              ${(0 until PqM).map(j => s"x.c$j").mkString(", ")}
             FROM pqcodes x CROSS JOIN q WHERE x.vec_id <> q.qid),
           pq AS (${adcRank("pqall", "", "b")}),
           short AS (${adcRank("pqall", "", "b")
-            .replace("WHERE rank <= 5", "WHERE rank <= 25")}),
+            .replace("WHERE rank <= 5", s"WHERE rank <= $PqShort")}),
           pqrr AS (SELECT qid, nid FROM (
               SELECT s.qid, s.nid,
                 row_number() OVER (PARTITION BY s.qid
@@ -2135,10 +2145,10 @@ object SimOps extends OpFamily {
     "sim_knn_ivf" -> ivfOracleSql,
     "sim_mmr_rerank_ivf" -> mmrIvfOracleSql,
     "sim_cluster_terms" -> clusterTermsOracleSql,
-    "sim_knn_pq" -> pqOracleSql,
-    "sim_knn_ivf_pq" -> ivfPqOracleSql,
-    "sim_knn_pq_rerank" -> pqRerankOracleSql,
-    "sim_recall_report" -> recallOracleSql,
+    "sim_knn_pq" -> materializeCtes(pqOracleSql),
+    "sim_knn_ivf_pq" -> materializeCtes(ivfPqOracleSql),
+    "sim_knn_pq_rerank" -> materializeCtes(pqRerankOracleSql),
+    "sim_recall_report" -> materializeCtes(recallOracleSql),
     "sim_incremental_assign" -> incrementalAssignOracleSql,
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_kmeans" ->

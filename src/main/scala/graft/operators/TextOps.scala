@@ -126,8 +126,13 @@ object TextOps extends OpFamily {
       k: Int): DataFrame = {
     import s.implicits._
     def sq(x: String) = x.replace("'", "''")
-    // the one corpus-sized pass: everything after runs on the vocab table
-    var vocab = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // the one corpus-sized pass: everything after runs on the vocab table.
+    // Empty words (consecutive/trailing spaces under a plain-space split)
+    // would decompose via sequence(1, 0) — which DESCENDS — to ["", ""],
+    // pass the pair filter, and inject bogus ("","") counts that can
+    // steal a merge rank; drop them here.
+    var vocab = words.filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("s", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .select(col("s"), col("cnt"))
@@ -178,8 +183,11 @@ object TextOps extends OpFamily {
   private[graft] def bpeApplyOn(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     def sq(x: String) = x.replace("'", "''")
+    // filter(length >= 1): an empty word (repeated/trailing spaces) would
+    // decompose via descending sequence(1, 0) to ["", ""] and inflate
+    // n_bpe_tokens by two phantom tokens — mirror of the vocab-side guard
     val chars = docs.withColumn("bpe_tokens", expr(
-      s"""transform(split($textCol, ' '),
+      s"""transform(filter(split($textCol, ' '), w -> length(w) >= 1),
          w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))"""))
     val merged = merges.foldLeft(chars) { case (df, (pa, pb)) =>
       df.withColumn("bpe_tokens", expr(
@@ -595,7 +603,11 @@ object TextOps extends OpFamily {
 
   private[graft] def collocationsOn(docs: DataFrame, minCount: Long,
       k: Int): DataFrame = {
+    // size(w) >= 2 guard: sequence(1, size-1) with end ≤ 0 DESCENDS
+    // ([1, 0]) and element_at(w, 0) throws — the shinglesN trap. The
+    // oracle's range(1, len(w)) is empty for such docs; match it.
     val g = docs.select(toks.as("w"))
+      .filter(size(col("w")) >= 2)
       .select(explode(expr("""transform(sequence(1, size(w) - 1),
           i -> struct(concat(element_at(w, i), ' ', element_at(w, i + 1))
             AS bg, element_at(w, i) AS a, element_at(w, i + 1) AS b))"""))

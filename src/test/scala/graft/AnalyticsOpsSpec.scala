@@ -473,6 +473,11 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     assert(got === Map("v_nonneg" -> ((3L, 1L, false)),
       "id_positive" -> ((3L, 0L, true))))
+    // empty rule list: a clear contract error, not aggs.head blowing up
+    val err = intercept[IllegalArgumentException] {
+      graft.api.Graft.expectations(rows, Seq.empty)
+    }
+    assert(err.getMessage.contains("at least one"))
   }
 
   test("k-anonymity: singletons are counted into the at-risk share") {

@@ -162,6 +162,23 @@ class EventOpsSpec extends AnyFunSuite {
       ("B", 1L, 8007L, 1000875L)))
   }
 
+  test("decay score FLOORS negative values (arithmetic shift ≡ DuckDB " +
+      "//), no non-negativity contract") {
+    // refund-style negative mass: -2.5 → vu -2500 (exact in IEEE);
+    // 6 half-life days ⇒ shiftright(-2500000, 6) = floor(-39062.5)
+    // = -39063 — truncating DIV would give -39062 and diverge from the
+    // oracle's floor-dividing //
+    val e = events(Seq(
+      (1L, 1L, "C", "2024-01-07 00:00:00"), // the age-0 anchor
+      (2L, 1L, "C", "2024-01-01 00:00:00"))) // age 6 days
+      .withColumn("value",
+        when(col("event_id") === 2L, -2.5).otherwise(0.0))
+    val got = graft.api.Graft.decayScore(
+      e, "event_type", "ts", "value", halfLifeDays = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("C", 2L, -2500L, -39063L)))
+  }
+
   test("session funnel resets at the session boundary; in-session counts") {
     val e = events(Seq(
       // user 1: signup and view in ONE session (1 min apart)

@@ -314,9 +314,11 @@ class GraftApiSpec extends AnyFunSuite {
       (3L, 1, Seq(-1.0, 0.0))).toDF("vid", "lbl", "v")
     val lo = Graft.labelOutliers(lab, "vid", "lbl", "v", k = 1).collect()
     assert(lo.head.getLong(0) === 3L && lo.head.getDouble(2) < 0)
-    // collocations: the repeated pair dominates by PMI
-    val docs = Seq(Tuple1("new york new york new york a b c d e f"))
-      .toDF("body")
+    // collocations: the repeated pair dominates by PMI — and empty /
+    // single-word docs are skipped, not a descending-sequence crash
+    // (sequence(1, 0) → element_at(w, 0) without the size guard)
+    val docs = Seq(Tuple1("new york new york new york a b c d e f"),
+      Tuple1(""), Tuple1("solo")).toDF("body")
     val c = Graft.collocations(docs, "body", minCount = 3, k = 1).collect()
     assert(c.head.getString(0) === "new york" && c.head.getLong(1) === 3L)
   }

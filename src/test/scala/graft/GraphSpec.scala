@@ -109,6 +109,31 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_nodes")).forall(_ >= 1L))
   }
 
+  test("hyperANF: exact N(t) sequence and effective diameter on a path " +
+      "(HLL coupon mode is exact at these cardinalities)") {
+    import spark.implicits._
+    // path 1-2-3-4-5: N(0)=5, N(1)=2+3·3... balls per node by radius:
+    // t=1 (2,3,3,3,2)=13; t=2 (3,4,5,4,3)=19; t=3 (4,5,5,5,4)=23;
+    // t=4 (5,5,5,5,5)=25 fixpoint. Effective diameter: smallest t with
+    // N(t) ≥ 0.9·25 = 22.5 → t=3 (the true one is 4; 90% reach is the
+    // published definition)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.hyperAnfOn(spark, edges, maxT = 10, lgK = 12)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.map(x => (x._1, x._2)).toSeq ===
+      Seq((0, 5L), (1, 13L), (2, 19L), (3, 23L), (4, 25L), (5, 25L)))
+    assert(got.filter(_._4).map(_._1).toSeq === Seq(3))
+    // monotone non-decreasing reach (sketch union can only grow)
+    assert(got.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    // deterministic across runs (DataSketches hashing is seeded-fixed)
+    val again = GraphOps.hyperAnfOn(spark, edges, maxT = 10, lgK = 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(again.toSeq === got.map(x => (x._1, x._2)).toSeq)
+  }
+
   test("weighted sssp relaxation matches hand-computed shortest paths") {
     import spark.implicits._
     // cheapest path to node 2 takes MORE hops than the direct edge

@@ -455,6 +455,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.getAs[Int]("n_bpe_tokens") === 6)
   }
 
+  test("BPE ignores empty words from repeated/trailing spaces: no " +
+      "phantom ('','') pair in training, no phantom tokens in encode") {
+    import TestSpark.spark.implicits._
+    // a plain-space split of this body yields empty words at the double
+    // space and the trailing space; unguarded they decompose via the
+    // DESCENDING sequence(1, 0) to ["", ""] — stealing a merge rank in
+    // training and inflating n_bpe_tokens by 2 per empty word in encode
+    val docs = Seq((1L, "ab  ab ab ")).toDF("id", "body")
+    val merges = graft.api.Graft.bpeMerges(docs, "body", k = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(("a", "b", 3L)),
+      s"expected the single real pair; got ${merges.toSeq}")
+    val enc = graft.api.Graft.bpeTokenize(docs, "body", Seq(("a", "b")))
+      .collect().head
+    assert(enc.getAs[Seq[String]]("bpe_tokens") === Seq("ab", "ab", "ab"))
+    assert(enc.getAs[Int]("n_bpe_tokens") === 3)
+  }
+
   test("zipf slope: hand-quantized OLS on a skewed group, exact 0 on uniform") {
     import TestSpark.spark.implicits._
     // group g: a×4, b×2, c×1 → ranked points (ln1,ln4),(ln2,ln2),(ln3,0);

@@ -174,4 +174,37 @@ class MapReduceSpec extends AnyFunSuite {
       .collect().toMap
     assert(hist === Map(2L -> 1L, 3L -> 2L, 4L -> 1L)) // d=2; a,b=3; c=4
   }
+
+  test("reservoir sample: golden hand-computed bottom-k, exact-k per " +
+      "group, partition-invariant, short groups whole") {
+    // priorities replay by hand: h(id) = (id·1103515245 + 12345) mod
+    // (2³¹−1) — large multiplier, so priorities wrap (NOT monotone in id)
+    def h(id: Long): Long = ((id % 2147483647L) * 1103515245L + 12345L) %
+      2147483647L
+    val rows = (1L to 100L).map(i => (if (i % 2 == 0) "even" else "odd", i))
+      .toDF("g", "id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.api.Graft.reservoirSample(df, Seq("g"), "id", k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2))
+    val got = run(rows)
+    // golden: the 3 smallest priorities among each parity class
+    def expect(g: String, ids: Seq[Long]) =
+      ids.map(i => (h(i), i)).sorted.take(3).map { case (p, i) => (g, p, i) }
+    val want = (expect("even", (2L to 100L by 2)) ++
+      expect("odd", (1L to 99L by 2))).sortBy(x => (x._1, x._2))
+    assert(got.toSeq === want)
+    // partition layout is not observable (associative merge)
+    assert(run(rows.repartition(13)).toSeq === got.toSeq)
+    // a group smaller than k returns every row
+    val tiny = Seq(("g", 7L), ("g", 8L)).toDF("g", "id")
+    assert(graft.api.Graft.reservoirSample(tiny, Seq("g"), "id", k = 5)
+      .count() === 2L)
+    // a different seed draws a different sample (same sizes)
+    val other = graft.api.Graft
+      .reservoirSample(rows, Seq("g"), "id", k = 3, seed = 42L)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(other.length === 6)
+    assert(other.toSet != got.map(x => (x._1, x._3)).toSet)
+  }
 }
