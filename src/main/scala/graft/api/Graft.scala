@@ -163,6 +163,23 @@ object Graft {
       k, maxRounds, requireFixpoint = true)
       .withColumnRenamed("src", "node")
 
+  /** HyperANF approximate neighborhood function over an undirected
+    * graph (both-directions symmetry contract, like [[kCore]]): one row
+    * per hop t with the estimated total reach N(t) = Σ_v |ball(v, t)|,
+    * its per-mille ratio to the final reach, and the 90%-effective-
+    * diameter flag (Boldi–Rosa–Vigna 2011). Per-node HLL sketch state
+    * (2^lgK registers each), one algebraic sketch-union round per hop,
+    * early stop on estimate fixpoint, `maxT` as the safety cap. A
+    * radius-t reach ratio needs percent-level accuracy: lgK = 9
+    * (±4.6%) is the profiled sweet spot; raise it for count-grade
+    * estimates.
+    */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxT: Int = 12, lgK: Int = 9): DataFrame =
+    graft.operators.GraphOps.hyperAnfOn(edges.sparkSession,
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      maxT, lgK)
+
   /** k-truss of an undirected graph: the edges participating in ≥ k−2
     * triangles after iterative support peeling (fixpoint early exit;
     * hitting `maxRounds` before the fixpoint throws rather than returning

@@ -1087,35 +1087,59 @@ object SimOps extends OpFamily {
 
   /** The shared ADC rank core: `base` carries (qid, nid, c0..c_{m−1})
     * candidate pairs from any candidate generator; each pair scores by
-    * the reconstruction cosine via the per-query broadcast LUTs, and
-    * the top-k per query survive (self-pairs excluded).
+    * the reconstruction cosine via per-query LUTs, and the top-k per
+    * query survive (self-pairs excluded).
+    *
+    * Plan shape (r13): the LUTs ride as ONE broadcast row per query —
+    * m cid-keyed maps of (d, nn) — so scoring is a single broadcast
+    * hash join + per-row map lookups, not m chained per-subspace
+    * joins: at m = 16 the chained form paid 16 broadcast-build jobs
+    * and a 17-join codegen plan (~3.2 s steady at sf0.1, profiled);
+    * this form is 2 small jobs + one join regardless of m. The score
+    * arithmetic is the IDENTICAL fixed-order chain d₀+…+d_{m−1} over
+    * identical doubles, so every PQ oracle replays bit-for-bit
+    * (strict-checked at 3 SFs). Maps (not position-indexed arrays)
+    * because Lloyd cells can empty ⇒ cid gaps.
     */
   private[graft] def pqAdcRank(s: SparkSession, e: DataFrame,
       base: DataFrame, cents: Seq[DataFrame],
       queryPred: org.apache.spark.sql.Column, m: Int, subDim: Int,
       k: Int): DataFrame = {
-    // per-query LUT for subspace j: dot(q_j, centroid) and |centroid|²
-    // per cid — m·nlist rows per query, always broadcast
-    val luts = (0 until m).map { j =>
-      e.filter(queryPred)
-        .select(col("vec_id").as("qid"),
-          slice(col("v"), j * subDim + 1, subDim).as("qv"))
-        .crossJoin(broadcast(cents(j)))
-        .select(col("qid"), col("cid").as(s"c$j"),
-          NativeExprs.dot(s, col("qv"), col("centroid")).as(s"d$j"),
-          NativeExprs.dot(s, col("centroid"), col("centroid"))
-            .as(s"nn$j"))
-    }
+    // all m codebooks in one tagged frame: (j, cid, centroid)
+    val centsAll = cents.zipWithIndex.map { case (c, j) =>
+      c.select(lit(j).as("j"), col("cid"), col("centroid"))
+    }.reduce(_.unionByName(_))
+    // every (query, subspace) slice: (qid, j, qv)
+    val qsub = e.filter(queryPred)
+      .select(col("vec_id").as("qid"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            slice(col("v"), j * subDim + 1, subDim).as("qv"))): _*))
+          .as("x"))
+      .select(col("qid"), col("x.j").as("j"), col("x.qv").as("qv"))
+    // one LUT row per (query, subspace, cid), then ONE broadcast row
+    // per query: m maps cid → (d, nn)
+    def lutMapAgg(j: Int) =
+      map_from_entries(array_sort(collect_list(
+        when(col("j") === j, struct(col("cid"),
+          struct(col("d"), col("nn"))))))).as(s"m$j")
+    val lutWide = qsub.join(broadcast(centsAll), Seq("j"))
+      .select(col("qid"), col("j"), col("cid"),
+        NativeExprs.dot(s, col("qv"), col("centroid")).as("d"),
+        NativeExprs.dot(s, col("centroid"), col("centroid")).as("nn"))
+      .groupBy(col("qid"))
+      .agg(lutMapAgg(0), (1 until m).map(lutMapAgg): _*)
     val qn = withNorm(s, e.filter(queryPred), "v", "qn")
       .select(col("vec_id").as("qid"), col("qn"))
-    val joined = luts.zipWithIndex.foldLeft(base) {
-      case (acc, (lut, j)) => acc.join(broadcast(lut), Seq("qid", s"c$j"))
-    }
-    val dSum = (1 until m).foldLeft(col("d0"))((a, j) => a + col(s"d$j"))
-    val nnSum = (1 until m).foldLeft(col("nn0"))((a, j) => a + col(s"nn$j"))
+    def lu(j: Int) = element_at(col(s"m$j"), col(s"c$j"))
+    val dSum = (1 until m).foldLeft(lu(0).getField("d"))(
+      (a, j) => a + lu(j).getField("d"))
+    val nnSum = (1 until m).foldLeft(lu(0).getField("nn"))(
+      (a, j) => a + lu(j).getField("nn"))
     val wR = Window.partitionBy(col("qid"))
       .orderBy(desc("cos_adc"), col("nid"))
-    joined.join(broadcast(qn), Seq("qid"))
+    base.join(broadcast(lutWide), Seq("qid"))
+      .join(broadcast(qn), Seq("qid"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("cos_adc", dSum / (col("qn") * sqrt(nnSum)))
       .withColumn("rank", row_number().over(wR))
