@@ -338,4 +338,34 @@ class PropertySpec extends AnyFunSuite {
     val s1 = xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
     assert(s1.levels.forall(_.length <= 512 + 1))
   }
+
+  test("ReservoirK: EXACT bottom-k under every merge tree, buffer bound, " +
+      "zero identity") {
+    import graft.functions.ReservoirK
+    val rnd = new scala.util.Random(7)
+    val k = 16
+    val agg = new ReservoirK(k)
+    val n = 5000
+    // pseudorandom (priority, id) stream with duplicate priorities to
+    // exercise the id tiebreak
+    val xs = Array.fill(n)((rnd.nextInt(500).toLong, rnd.nextLong()))
+    val want = xs.toVector.sorted.take(k)
+    // unlike KLL's error budget, the reservoir's merge law is EXACT:
+    // any split + merge order yields exactly the global bottom-k
+    Seq(1, n / 7, n / 3, n / 2, n - 1).foreach { cut =>
+      val (l, r) = xs.splitAt(cut)
+      val sl = l.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      val sr = r.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      assert(agg.finish(agg.merge(sl, sr)) === want, s"cut=$cut")
+      assert(agg.finish(agg.merge(sr, sl)) === want, s"swap cut=$cut")
+      // zero is a merge identity
+      assert(agg.finish(agg.merge(agg.zero, sl)) === agg.finish(sl))
+      // the running buffer never exceeds the 2k trim bound
+      assert(sl.items.length < 2 * k && sr.items.length < 2 * k)
+    }
+    // a 5-way merge tree (the shuffle's real shape) is also exact
+    val parts = xs.grouped(n / 5 + 1).map(
+      _.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))).toSeq
+    assert(agg.finish(parts.reduce(agg.merge)) === want)
+  }
 }
