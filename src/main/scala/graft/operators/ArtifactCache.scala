@@ -90,7 +90,26 @@ private[graft] object ArtifactCache {
     * prefix tables). `build` is by-name: a fully-cached attach never
     * constructs the build plans at all.
     */
+  /** [[readOrBuildAll]]'s existence half only: guarantee every named
+    * sub-table is committed, building once if any is missing, WITHOUT
+    * constructing per-part readers. For a many-part artifact the caller
+    * can then attach all same-schema parts in ONE multi-path
+    * `read.parquet` — per-part reads each cost a small schema/listing
+    * job, and at 17 parts (the PQ16 index) those jobs were the probe's
+    * dominant fixed cost (25 jobs/probe profiled, ~15 of them reads).
+    */
+  def ensureAll(s: SparkSession, path: String, names: Seq[String])(
+      build: => Seq[(String, DataFrame)]): Unit = {
+    readOrBuildAllInner(s, path, names, attach = false)(build)
+    ()
+  }
+
   def readOrBuildAll(s: SparkSession, path: String, names: Seq[String])(
+      build: => Seq[(String, DataFrame)]): Map[String, DataFrame] =
+    readOrBuildAllInner(s, path, names, attach = true)(build)
+
+  private def readOrBuildAllInner(s: SparkSession, path: String,
+      names: Seq[String], attach: Boolean)(
       build: => Seq[(String, DataFrame)]): Map[String, DataFrame] = {
     def sub(n: String) = if (n.isEmpty) path else s"$path/$n"
     val p = new Path(path)
@@ -107,7 +126,8 @@ private[graft] object ArtifactCache {
         df.write.mode("overwrite").parquet(sub(n))
       }
     } else hits.incrementAndGet()
-    names.map(n => n -> s.read.parquet(sub(n))).toMap
+    if (attach) names.map(n => n -> s.read.parquet(sub(n))).toMap
+    else Map.empty
   }
 
   private def fs(s: SparkSession, p: Path): FileSystem =

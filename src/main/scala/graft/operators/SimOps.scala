@@ -1014,24 +1014,34 @@ object SimOps extends OpFamily {
   private val PqTag = s"pq_m${PqM}_sub${PqSubDim}_nlist${PqNlist}@r1"
 
   /** Re-attach (or batch-build once) the persisted PQ index — code
-    * table + one codebook per subspace (the lloydCells discipline):
-    * searches re-attach and run the LUT probe only, never the build.
+    * table + the m codebooks as ONE subspace-tagged frame (j, cid,
+    * centroid): searches re-attach and run the LUT probe only, never
+    * the build. The codebooks attach via a single multi-path read with
+    * `j` recovered from the file path — 17 per-part reads cost ~15
+    * small schema/listing jobs, which profiling showed were the probe's
+    * dominant fixed cost.
     */
   private def pqIndex(s: SparkSession, d: String,
-      e: DataFrame): Map[String, DataFrame] =
-    ArtifactCache.readOrBuildAll(s,
-      ArtifactCache.dir(s, d, "embeddings", "graft_ivf", PqTag),
+      e: DataFrame): (DataFrame, DataFrame) = {
+    val dir = ArtifactCache.dir(s, d, "embeddings", "graft_ivf", PqTag)
+    ArtifactCache.ensureAll(s, dir,
       "codes" +: (0 until PqM).map(j => s"cent$j"))(
       pqIndexTables(s, e.localCheckpoint(), m = PqM, subDim = PqSubDim,
         nlist = PqNlist))
+    val codes = s.read.parquet(s"$dir/codes")
+    val centsAll = s.read
+      .parquet((0 until PqM).map(j => s"$dir/cent$j"): _*)
+      .withColumn("j",
+        regexp_extract(input_file_name(), "cent(\\d+)/", 1).cast("int"))
+    (codes, centsAll)
+  }
 
   def knnPq(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
-    val parts = pqIndex(s, d, e)
-    knnPqProbe(s, e, parts("codes"),
-      (0 until PqM).map(j => parts(s"cent$j")), col("vec_id") < 10,
+    val (codes, centsAll) = pqIndex(s, d, e)
+    knnPqProbe(s, e, codes, centsAll, col("vec_id") < 10,
       m = PqM, subDim = PqSubDim, k = 5)
   }
 
@@ -1062,16 +1072,24 @@ object SimOps extends OpFamily {
       nlist: Int, k: Int): DataFrame = {
     val e = e0.localCheckpoint() // m subspace builds + query norms
     val parts = pqIndexTables(s, e, m, subDim, nlist).toMap
-    knnPqProbe(s, e, parts("codes"),
-      (0 until m).map(j => parts(s"cent$j")), queryPred, m, subDim, k)
+    knnPqProbe(s, e, parts("codes"), tagCents(parts, m), queryPred, m,
+      subDim, k)
   }
+
+  /** Ad-hoc (non-artifact) path: tag the m built codebooks into the
+    * (j, cid, centroid) frame [[pqAdcRank]] consumes.
+    */
+  private def tagCents(parts: Map[String, DataFrame], m: Int): DataFrame =
+    (0 until m).map(j => parts(s"cent$j")
+      .select(lit(j).as("j"), col("cid"), col("centroid")))
+      .reduce(_.unionByName(_))
 
   /** The ADC probe over a prebuilt PQ index: queries (rows of `e`
     * matching `queryPred`, self-matches excluded) rank the code table
     * by reconstruction cosine via per-query LUTs.
     */
   private[graft] def knnPqProbe(s: SparkSession, e: DataFrame,
-      codes: DataFrame, cents: Seq[DataFrame],
+      codes: DataFrame, centsAll: DataFrame,
       queryPred: org.apache.spark.sql.Column, m: Int, subDim: Int,
       k: Int): DataFrame = {
     // brute scan of the code table: every (query, code-row) pair — the
@@ -1082,7 +1100,7 @@ object SimOps extends OpFamily {
         (0 until m).map(j => col(s"c$j"))): _*)
       .crossJoin(broadcast(
         e.filter(queryPred).select(col("vec_id").as("qid"))))
-    pqAdcRank(s, e, base, cents, queryPred, m, subDim, k)
+    pqAdcRank(s, e, base, centsAll, queryPred, m, subDim, k)
   }
 
   /** The shared ADC rank core: `base` carries (qid, nid, c0..c_{m−1})
@@ -1102,13 +1120,10 @@ object SimOps extends OpFamily {
     * because Lloyd cells can empty ⇒ cid gaps.
     */
   private[graft] def pqAdcRank(s: SparkSession, e: DataFrame,
-      base: DataFrame, cents: Seq[DataFrame],
+      base: DataFrame, centsAll: DataFrame,
       queryPred: org.apache.spark.sql.Column, m: Int, subDim: Int,
       k: Int): DataFrame = {
-    // all m codebooks in one tagged frame: (j, cid, centroid)
-    val centsAll = cents.zipWithIndex.map { case (c, j) =>
-      c.select(lit(j).as("j"), col("cid"), col("centroid"))
-    }.reduce(_.unionByName(_))
+    // centsAll: all m codebooks in one tagged frame (j, cid, centroid)
     // every (query, subspace) slice: (qid, j, qv)
     val qsub = e.filter(queryPred)
       .select(col("vec_id").as("qid"),
@@ -1164,10 +1179,9 @@ object SimOps extends OpFamily {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
-    val parts = pqIndex(s, d, e)
-    val shortlist = knnPqProbe(s, e, parts("codes"),
-        (0 until PqM).map(j => parts(s"cent$j")), col("vec_id") < 10,
-        m = PqM, subDim = PqSubDim, k = PqShort)
+    val (codes, centsAll) = pqIndex(s, d, e)
+    val shortlist = knnPqProbe(s, e, codes, centsAll,
+        col("vec_id") < 10, m = PqM, subDim = PqSubDim, k = PqShort)
       .select(col("qid"), col("nid"))
     val en = withNorm(s, e, "v", "vn")
     val wR = Window.partitionBy(col("qid"))
@@ -1328,7 +1342,7 @@ object SimOps extends OpFamily {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
-    val parts = pqIndex(s, d, e)
+    val (pqCodes, centsAll) = pqIndex(s, d, e)
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(desc("c_sim"), col("cid"))
     val probes = cells.filter(col("vec_id") < 10)
@@ -1341,11 +1355,11 @@ object SimOps extends OpFamily {
       .select(col("qid"), col("cid"))
     val base = cells.select(col("vec_id").as("nid"), col("cid"))
       .join(broadcast(probes), Seq("cid"))
-      .join(parts("codes").select((col("vec_id").as("nid") +:
+      .join(pqCodes.select((col("vec_id").as("nid") +:
         (0 until PqM).map(j => col(s"c$j"))): _*), Seq("nid"))
       .select((col("qid") +: col("nid") +:
         (0 until PqM).map(j => col(s"c$j"))): _*)
-    pqAdcRank(s, e, base, (0 until PqM).map(j => parts(s"cent$j")),
+    pqAdcRank(s, e, base, centsAll,
       col("vec_id") < 10, m = PqM, subDim = PqSubDim, k = 5)
   }
 
