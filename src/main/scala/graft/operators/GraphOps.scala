@@ -377,8 +377,12 @@ object GraphOps extends OpFamily {
       .withColumnRenamed("src", "node")
       .observe(obs0, reach)
       .localCheckpoint()
+    // sum() over an empty node set observes null — surface the contract
+    // instead of an NPE (and the ratio division below needs nFinal > 0)
+    val n0 = Option(obs0.get("np")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(n0 > 0L, "hyperAnf: the edge frame has no nodes")
     val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
-    counts += ((0, obs0.get("np").asInstanceOf[Long]))
+    counts += ((0, n0))
     var t = 0
     var fixed = false
     while (t < maxT && !fixed) {

@@ -195,13 +195,19 @@ object ReduceOps extends OpFamily {
     */
   private[graft] def reservoirOn(df: DataFrame, groupCols: Seq[String],
       id: org.apache.spark.sql.Column, k: Int, seed: Long): DataFrame = {
+    // internal working names are __-prefixed so a caller's group column
+    // legitimately named "id" or "h" cannot collide mid-plan; the
+    // OUTPUT columns keep the documented (h, id) names
+    require(!groupCols.contains("h") && !groupCols.contains("id"),
+      "reservoirSample: group columns may not be named 'h' or 'id' " +
+        "(reserved for the output sample columns)")
     val res = udaf(new graft.functions.ReservoirK(k))
-    df.select(groupCols.map(col) :+ id.cast("long").as("id"): _*)
-      .withColumn("h",
-        (((col("id") + lit(seed)) % ResP) * ResA + ResB) % ResP)
+    df.select(groupCols.map(col) :+ id.cast("long").as("__res_id"): _*)
+      .withColumn("__res_h",
+        (((col("__res_id") + lit(seed)) % ResP) * ResA + ResB) % ResP)
       .groupBy(groupCols.map(col): _*)
-      .agg(res(col("h"), col("id")).as("sample"))
-      .select(groupCols.map(col) :+ explode(col("sample")).as("x"): _*)
+      .agg(res(col("__res_h"), col("__res_id")).as("__res_sample"))
+      .select(groupCols.map(col) :+ explode(col("__res_sample")).as("x"): _*)
       .select(groupCols.map(col) :+ col("x._1").as("h")
         :+ col("x._2").as("id"): _*)
   }
