@@ -1465,6 +1465,38 @@ object Graft {
       group1: String, group2: String): DataFrame =
     graft.operators.AggOps.ttestOn(df, grpCol, valCol, group1, group2)
 
+  /** l-diversity risk profile — the sensitive-attribute sibling of
+    * [[kAnonymity]]: per quasi-identifier group, how many DISTINCT
+    * values of `sensitive` appear; one row with n_rows, n_groups,
+    * min_l, groups/rows below l, at-risk per-mille, and the rows in
+    * >90%-homogeneous groups (the homogeneity-attack exposure).
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitive: Column, l: Int = 3): DataFrame =
+    graft.operators.AggOps.lDiversityOn(df, quasiCols, sensitive, l)
+
+  /** Mann–Whitney U comparing `valCol` distributions between the two
+    * named groups of `grpCol` — the rank-based, distribution-free
+    * sibling of [[ttest]]. Exact integer rank algebra on milli-unit
+    * values with average-rank tie handling; returns one row (n_a, n_b,
+    * r2_a = doubled rank-sum, tie_sum, u2_a/u2_b = doubled U, z_value
+    * under the tie-corrected normal approximation). Rows must carry a
+    * unique `idCol` for the total-order tiebreak.
+    */
+  def mannWhitney(df: DataFrame, grpCol: String, valCol: String,
+      group1: String, group2: String, idCol: String): DataFrame =
+    graft.operators.AggOps.mannWhitneyOn(df, grpCol, valCol,
+      group1, group2, idCol)
+
+  /** Lag-k autocorrelation of the hourly event-count series of any
+    * timestamped frame (`tsCol` is read as `ts`): gap-filled dense
+    * spine, exact integer moments, one row per lag with (lag, n_hours,
+    * n_terms, num, den, acf) — the seasonality screen.
+    */
+  def autocorr(df: DataFrame, lags: Seq[Int] = Seq(1, 2, 3, 6, 12, 24))
+      : DataFrame =
+    graft.operators.StreamOps.autocorrOn(df, lags)
+
   /** χ² independence statistic + Cramér's V for any two categorical
     * columns: the full contingency grid (zero cells included), exact
     * micro-unit cell sums, one-row summary (n, n_a, n_b, chi2_units,

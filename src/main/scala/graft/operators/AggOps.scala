@@ -724,6 +724,105 @@ object AggOps extends OpFamily {
         expr("(rows_at_risk * 1000) DIV n_rows").as("risk_permille"))
   }
 
+  /** L-DIVERSITY — the sibling privacy read to [[kAnonymityCustomer]]:
+    * k-anonymity bounds group SIZE, but a size-50 group whose sensitive
+    * attribute is constant still discloses it for all 50 members.
+    * Per quasi-identifier group, count DISTINCT sensitive values
+    * (distinct-l; the sensitive attribute here is the account-balance
+    * band, width 2000) and roll up how much of the population sits in
+    * groups below l. Exact counts and per-mille floor division, same
+    * one-pass grid→rollup shape as k-anonymity: the (quasi × sensitive)
+    * cell grid aggregates with map-side partials, then two bounded
+    * re-aggregations — nothing after the first combine scales with rows.
+    */
+  def lDiversityCustomer(s: SparkSession, d: String): DataFrame =
+    lDiversityOn(Tables.customer(s, d),
+      Seq("c_nationkey", "c_mktsegment"),
+      expr("CAST(floor(c_acctbal / 2000) AS BIGINT)"), l = 4)
+
+  private[graft] def lDiversityOn(df: DataFrame, quasi: Seq[String],
+      sensitive: org.apache.spark.sql.Column, l: Int): DataFrame = {
+    val cells = df
+      .groupBy((quasi.map(col) :+ sensitive.as("sv")): _*)
+      .agg(count(lit(1)).as("n"))
+    val groups = cells.groupBy(quasi.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        max(col("n")).as("top_sv"))
+    groups.agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("l_distinct")).as("min_l"),
+        sum(when(col("l_distinct") < l, lit(1L)).otherwise(lit(0L)))
+          .as("n_groups_below_l"),
+        sum(when(col("l_distinct") < l, col("n")).otherwise(lit(0L)))
+          .as("rows_at_risk"),
+        // homogeneity exposure: rows in groups where ONE sensitive value
+        // covers > 90% of members (the classic homogeneity attack even
+        // when l is nominally met)
+        sum(when(col("top_sv") * 10 > col("n") * 9, col("n"))
+          .otherwise(lit(0L))).as("rows_homogeneous"))
+      .select(col("n_rows"), col("n_groups"), col("min_l"),
+        col("n_groups_below_l"), col("rows_at_risk"),
+        expr("(rows_at_risk * 1000) DIV n_rows").as("risk_permille"),
+        col("rows_homogeneous"))
+  }
+
+  /** MANN–WHITNEY U — the rank-based (distribution-free) sibling of
+    * [[ttestPurchaseView]] over the same purchase-vs-view frame: are
+    * purchase values stochastically larger than view values, with no
+    * normality assumption? Values quantize to milli-unit BIGINTs (the
+    * tie grid both engines share), ranks come from
+    * [[WindowOps.withExactGlobalRank]] — a RANGE partition on (value,
+    * event_id) plus per-partition row_number with broadcast offsets, so
+    * parallelism scales with data size and no unpartitioned Window ever
+    * exists — and all rank algebra stays in integers:
+    * for each distinct value v, the doubled average rank of its tie
+    * block is `minrank(v) + maxrank(v)`, so the doubled rank-sum is
+    * `r2_a = Σ_v cntA(v)·(minr+maxr)` and the doubled U statistic is
+    * `u2_a = r2_a − nA(nA+1)` — EXACT BIGINTs a DuckDB window replay
+    * reproduces bit-for-bit. Only the final normal-approximation z
+    * (with the standard tie correction Σ(t³−t)) evaluates in doubles,
+    * as one textually-mirrored IEEE chain over five exact integers.
+    * Headroom: the integer algebra holds to nA·nB < 2⁶² ⇒ ~2·10⁹ rows
+    * per side; past that lift u2/r2 to decimal(38,0).
+    */
+  def mannWhitneyPurchaseView(s: SparkSession, d: String): DataFrame =
+    mannWhitneyOn(Tables.events(s, d), "event_type", "value",
+      "purchase", "view", "event_id")
+
+  private[graft] def mannWhitneyOn(df: DataFrame, grpCol: String,
+      valCol: String, g1: String, g2: String, idCol: String): DataFrame = {
+    val f = df.filter(col(grpCol).isin(g1, g2))
+      .select(col(grpCol).as("g"),
+        floor(col(valCol) * 1000).cast("long").as("vu"),
+        col(idCol).as("tie"))
+    val (ranked, _) =
+      WindowOps.withExactGlobalRank(f, Seq(col("vu"), col("tie")))
+    val perVal = ranked.groupBy(col("vu"))
+      .agg(min(col("r")).as("minr"), max(col("r")).as("maxr"),
+        count(lit(1)).as("t"),
+        sum(when(col("g") === g1, lit(1L)).otherwise(lit(0L))).as("ta"))
+    perVal.agg(
+        sum(col("ta")).as("n_a"),
+        sum(col("t") - col("ta")).as("n_b"),
+        sum(col("ta") * (col("minr") + col("maxr"))).as("r2_a"),
+        sum(when(col("t") > lit(1L),
+          col("t") * col("t") * col("t") - col("t"))
+          .otherwise(lit(0L))).as("tie_sum"))
+      .selectExpr(
+        "n_a", "n_b", "r2_a", "tie_sum",
+        "r2_a - n_a * (n_a + 1) AS u2_a",
+        "2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b",
+        """(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
+             - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+           / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+               * (CAST(n_a + n_b + 1 AS DOUBLE)
+                  - CAST(tie_sum AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE)
+                       * CAST(n_a + n_b - 1 AS DOUBLE)))) AS z_value""")
+  }
+
   /** WELCH TWO-SAMPLE t — the A/B comparison read: do purchase and view
     * events carry different mean values, without assuming equal
     * variances? Moments accumulate EXACTLY (milli-unit BIGINT Σv and
@@ -960,7 +1059,9 @@ object AggOps extends OpFamily {
     "agg_entropy" -> (entropyBySource _),
     "agg_chi2" -> (chi2LangSource _),
     "agg_ttest" -> (ttestPurchaseView _),
+    "agg_mannwhitney" -> (mannWhitneyPurchaseView _),
     "agg_k_anonymity" -> (kAnonymityCustomer _),
+    "agg_l_diversity" -> (lDiversityCustomer _),
     "agg_overlap_matrix" -> (overlapMatrix _),
     "agg_mad_outliers" -> (madOutliers _),
     "agg_copurchase_lift" -> (copurchaseLift _),
@@ -1260,6 +1361,60 @@ object AggOps extends OpFamily {
            log2(sum(n)) - sum(CAST(n AS DOUBLE) * log2(n)) / sum(n)
              AS entropy_bits
          FROM c GROUP BY source ORDER BY source""",
+    "agg_l_diversity" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS sv,
+             CAST(count(*) AS BIGINT) AS n
+           FROM customer GROUP BY c_nationkey, c_mktsegment, sv),
+         g AS (SELECT c_nationkey, c_mktsegment,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             CAST(max(n) AS BIGINT) AS top_sv
+           FROM cells GROUP BY c_nationkey, c_mktsegment),
+         s AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(l_distinct) AS BIGINT) AS min_l,
+             CAST(sum(CASE WHEN l_distinct < 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_below_l,
+             CAST(sum(CASE WHEN l_distinct < 4 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+             CAST(sum(CASE WHEN top_sv * 10 > n * 9 THEN n ELSE 0 END)
+               AS BIGINT) AS rows_homogeneous
+           FROM g)
+         SELECT n_rows, n_groups, min_l, n_groups_below_l, rows_at_risk,
+           (rows_at_risk * 1000) // n_rows AS risk_permille,
+           rows_homogeneous
+         FROM s""",
+    "agg_mannwhitney" ->
+      """WITH f AS (SELECT event_type AS g,
+             CAST(floor(value * 1000) AS BIGINT) AS vu, event_id AS tie
+           FROM events WHERE event_type IN ('purchase', 'view')),
+         ranked AS (SELECT g, vu,
+             CAST(row_number() OVER (ORDER BY vu, tie) AS BIGINT) AS r
+           FROM f),
+         pv AS (SELECT vu, CAST(min(r) AS BIGINT) AS minr,
+             CAST(max(r) AS BIGINT) AS maxr,
+             CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ta
+           FROM ranked GROUP BY vu),
+         s AS (SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+             CAST(sum(t - ta) AS BIGINT) AS n_b,
+             CAST(sum(ta * (minr + maxr)) AS BIGINT) AS r2_a,
+             CAST(sum(CASE WHEN t > 1 THEN t * t * t - t ELSE 0 END)
+               AS BIGINT) AS tie_sum
+           FROM pv)
+         SELECT n_a, n_b, r2_a, tie_sum,
+           r2_a - n_a * (n_a + 1) AS u2_a,
+           2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+           (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+           / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+               * (CAST(n_a + n_b + 1 AS DOUBLE)
+                  - CAST(tie_sum AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE)
+                       * CAST(n_a + n_b - 1 AS DOUBLE)))) AS z_value
+         FROM s""",
     "agg_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
              CAST(count(*) AS BIGINT) AS n

@@ -91,6 +91,67 @@ object StreamOps extends OpFamily {
       .orderBy(col("hour"))
   }
 
+  /** LAG-k AUTOCORRELATION of the gap-filled hourly event-count series —
+    * the seasonality read (a daily cycle shows as a peak at lag 24).
+    * The [[gapFill]] spine makes the series DENSE and unit-spaced, so
+    * every lag is one equi-join on the integer hour index, never a
+    * window. All moments stay in integers: with n hours and count sum
+    * S, the n-scaled centered term `c_t = n·x_t − S` is an exact
+    * BIGINT, so ACF numerator Σ c_t·c_{t−k} and denominator Σ c_t² are
+    * exact and the single final division is the only IEEE op — the
+    * DuckDB replay is bit-identical. Headroom: |c| ≤ n·max(x), so the
+    * sums hold to n³·max(x)² < 2⁶³ — a decade-long hourly series
+    * (n ≈ 10⁵) with ~10⁴ events/hour; past that lift c to
+    * decimal(38,0).
+    *
+    * Scale shape: the heavy work is ONE count-per-hour aggregate over
+    * the raw events (map-side partials); everything after operates on
+    * the span-bounded series (localCheckpoint'd — three consumers:
+    * lag lhs, lag rhs, denominator), with the 1-row moment frame
+    * broadcast. Lags multiply the series by |lags| via explode —
+    * generated distributed, never a driver loop.
+    */
+  def autocorr(s: SparkSession, d: String): DataFrame =
+    autocorrOn(Tables.events(s, d), Seq(1, 2, 3, 6, 12, 24))
+
+  private[graft] def autocorrOn(events: DataFrame,
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"autocorr lags must be >= 1: $lags")
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("w.start").as("h"), col("x"))
+    val spine = hourly
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(expr(
+        "sequence(h0, h1, INTERVAL 1 HOUR)")).as("h"))
+    val series = spine.join(hourly, Seq("h"), "left_outer")
+      .select(expr("CAST(unix_timestamp(h) AS BIGINT) DIV 3600").as("t"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // two consumers: the moment row + centering
+    val m = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val c = series.crossJoin(broadcast(m)) // 1-row moment frame
+      .select(col("t"), (col("n") * col("x") - col("sx")).as("c"))
+      .localCheckpoint() // three consumers: lhs, rhs, denominator
+    val lhs = c
+      .select(col("t"), col("c").as("ca"),
+        explode(array(lags.map(lit(_)): _*)).as("lag"))
+      .select(col("lag"), (col("t") - col("lag")).as("tp"), col("ca"))
+    val rhs = c.select(col("t").as("tp"), col("c").as("cb"))
+    val num = lhs.join(rhs, Seq("tp"))
+      .groupBy(col("lag"))
+      .agg(sum(col("ca") * col("cb")).as("num"),
+        count(lit(1)).as("n_terms"))
+    val den = c.agg(sum(col("c") * col("c")).as("den"),
+      count(lit(1)).as("n_hours"))
+    num.crossJoin(broadcast(den)) // 1-row denominator frame
+      .select(col("lag").cast("long").as("lag"), col("n_hours"),
+        col("n_terms"), col("num"), col("den"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
   def sliding(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -337,6 +398,7 @@ object StreamOps extends OpFamily {
     "stream_cusum" -> (cusumScan _),
     "stream_holt" -> (holt _),
     "stream_gapfill" -> (gapFill _),
+    "stream_autocorr" -> (autocorr _),
     "stream_ohlc" -> (ohlc _),
     "stream_sliding_distinct" -> (slidingDistinct _),
     "stream_sliding" -> (sliding _),
@@ -400,6 +462,32 @@ object StreamOps extends OpFamily {
            coalesce(sum_v, 0.0) AS sum_v
          FROM spine LEFT JOIN hourly ON spine.h = hourly.h
          ORDER BY hour""",
+    "stream_autocorr" ->
+      """WITH hourly AS (
+           SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY h),
+         spine AS (SELECT unnest(generate_series(
+             (SELECT min(h) FROM hourly), (SELECT max(h) FROM hourly),
+             INTERVAL '1 hour')) AS h),
+         series AS (SELECT
+             CAST(floor(epoch(spine.h)) AS BIGINT) // 3600 AS t,
+             coalesce(x, 0) AS x
+           FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx FROM series),
+         c AS (SELECT t, n * x - sx AS c FROM series, m),
+         lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+         num AS (SELECT lag,
+             CAST(sum(a.c * b.c) AS BIGINT) AS num,
+             CAST(count(*) AS BIGINT) AS n_terms
+           FROM lags CROSS JOIN c a JOIN c b ON b.t = a.t - lags.lag
+           GROUP BY lag),
+         den AS (SELECT CAST(sum(c * c) AS BIGINT) AS den,
+             CAST(count(*) AS BIGINT) AS n_hours FROM c)
+         SELECT CAST(lag AS BIGINT) AS lag, n_hours, n_terms, num, den,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+         FROM num, den ORDER BY lag""",
     "stream_sliding_distinct" ->
       """SELECT w_start, count(DISTINCT user_id) AS n_users
          FROM (SELECT unnest([

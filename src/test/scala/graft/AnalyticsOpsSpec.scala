@@ -503,6 +503,74 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 2.0)
   }
 
+  test("l-diversity: homogeneous and low-l groups roll into the risk row") {
+    import spark.implicits._
+    // group a: sensitive {1,1,2} → l=2 (below 3, not homogeneous: 2/3);
+    // group b: {1,2,3} → l=3 (safe); group c: {5}×10 → l=1, 100%
+    // homogeneous. Below l=3: a+c = 13 of 16 rows → 812‰.
+    val rows = (Seq(("a", 1L), ("a", 1L), ("a", 2L),
+      ("b", 1L), ("b", 2L), ("b", 3L))
+      ++ Seq.fill(10)(("c", 5L))).toDF("q", "sv")
+    val r = graft.api.Graft.lDiversity(rows, Seq("q"), col("sv"), l = 3)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+      === ((16L, 3L, 1L, 2L, 13L, 812L, 10L)))
+  }
+
+  test("mann-whitney: disjoint samples give U = 0 and z = -sqrt(3)") {
+    import spark.implicits._
+    // A = {1,2,3} all below B = {4,5}: R_A = 1+2+3 → doubled 12,
+    // U_A = 0, U_B = n_a·n_b = 6; no ties.
+    val df = Seq(("A", 1.0, 1L), ("A", 2.0, 2L), ("A", 3.0, 3L),
+      ("B", 4.0, 4L), ("B", 5.0, 5L)).toDF("g", "v", "id")
+    val r = graft.api.Graft.mannWhitney(df, "g", "v", "A", "B", "id")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((3L, 2L, 12L, 0L, 0L, 12L)))
+    val zExp = (0.0 / 2 - 3.0 * 2.0 / 2) /
+      math.sqrt(3.0 * 2.0 / 12 * (6.0 - 0.0 / (5.0 * 4.0)))
+    assert(r.getDouble(6) === zExp)
+  }
+
+  test("mann-whitney: a tie block carries half-unit average ranks") {
+    import spark.implicits._
+    // sorted 1, 2, 2, 3 → the tied 2s average rank 2.5; R_A = 1 + 2.5
+    // (doubled 7), U_A = 0.5 (doubled 1), tie_sum = 2³−2 = 6.
+    val df = Seq(("A", 1.0, 1L), ("A", 2.0, 2L),
+      ("B", 2.0, 3L), ("B", 3.0, 4L)).toDF("g", "v", "id")
+    val r = graft.api.Graft.mannWhitney(df, "g", "v", "A", "B", "id")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((2L, 2L, 7L, 6L, 1L, 7L)))
+  }
+
+  test("autocorr: alternating hourly counts give acf(1) = -0.75, acf(2) = 0.5") {
+    import spark.implicits._
+    // hourly counts [2,1,2,1]: c = 4x−6 = [2,−2,2,−2], den = 16;
+    // lag1 num = −12, lag2 num = 8
+    val ts = Seq("00:00", "00:30", "01:00", "02:00", "02:30", "03:00")
+      .map(t => s"2024-05-01 $t:00")
+    val df = ts.toDF("raw").select(to_timestamp(col("raw")).as("ts"))
+    val out = graft.api.Graft.autocorr(df, Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(out === Array((1L, -12L, 16L, -0.75), (2L, 8L, 16L, 0.5)))
+  }
+
+  test("autocorr: an empty hour gap-fills to zero before centering") {
+    import spark.implicits._
+    // counts [2,0,2] (hour 1 absent): c = 3x−4 = [2,−4,2], den = 24,
+    // lag1 num = −16 → acf = −2/3
+    val ts = Seq("00:00", "00:30", "02:00", "02:30")
+      .map(t => s"2024-05-01 $t:00")
+    val df = ts.toDF("raw").select(to_timestamp(col("raw")).as("ts"))
+    val r = graft.api.Graft.autocorr(df, Seq(1)).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((3L, 2L, -16L, 24L)))
+    assert(r.getDouble(5) === -16.0 / 24.0)
+  }
+
   test("centroid confusion: separable labels classify onto the diagonal") {
     import spark.implicits._
     val e = Seq((1L, 1, Seq(1.0, 0.0)), (2L, 1, Seq(0.9, 0.1)),
