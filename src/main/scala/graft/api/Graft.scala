@@ -1497,6 +1497,18 @@ object Graft {
       : DataFrame =
     graft.operators.StreamOps.autocorrOn(df, lags)
 
+  /** Perceptual-hash image near-dup over any (id, PNM payload) frame:
+    * each payload runs through the real PNM decoder into an 8×8
+    * average-hash, candidates block on shared 16-bit hash bands (banded
+    * LSH — never all-pairs), and surviving pairs report their 64-bit
+    * hamming distance ≤ `maxHamming` as (a, b, hamming). Undecodable
+    * payloads are skipped.
+    */
+  def imageNearDup(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String, maxHamming: Int = 6): DataFrame =
+    graft.operators.MultimodalOps.phashPairsOn(spark, df, idCol,
+      payloadCol, maxHamming)
+
   /** χ² independence statistic + Cramér's V for any two categorical
     * columns: the full contingency grid (zero cells included), exact
     * micro-unit cell sums, one-row summary (n, n_a, n_b, chi2_units,

@@ -268,7 +268,24 @@ object MediaCodecs {
     * runs) then read width·height raw pixels. Truncated pixel data or
     * maxval > 255 (two-byte samples) → None.
     */
-  def decodePnm(b: Array[Byte]): Option[PnmInfo] = {
+  def decodePnm(b: Array[Byte]): Option[PnmInfo] =
+    pnmHeader(b).map { case (kind, w, h, mx, off) =>
+      val ch = if (kind == "ppm") 3 else 1
+      val need = w.toLong * h * ch
+      val sums = Array(0L, 0L, 0L)
+      var p = 0L
+      while (p < need) {
+        sums((p % ch).toInt) += (b(off + p.toInt) & 0xff)
+        p += 1
+      }
+      PnmInfo(kind, w, h, mx, sums(0), sums(1), sums(2))
+    }
+
+  /** The shared PNM header walk: (kind, width, height, maxval,
+    * pixel-data offset), with the pixel payload verified complete.
+    */
+  private def pnmHeader(b: Array[Byte])
+      : Option[(String, Int, Int, Int, Int)] = {
     if (sniff(b) != "pnm") return None
     val kind = if (b(1) == '6'.toByte) "ppm" else "pgm"
     var i = 2
@@ -300,14 +317,51 @@ object MediaCodecs {
       ch = if (kind == "ppm") 3 else 1
       need = w.toLong * h * ch
       if i + need <= b.length
-    } yield {
-      val sums = Array(0L, 0L, 0L)
-      var p = 0L
-      while (p < need) {
-        sums((p % ch).toInt) += (b(i + p.toInt) & 0xff)
+    } yield (kind, w, h, mx, i)
+  }
+
+  /** AVERAGE-HASH (aHash) of a PNM image over a grid×grid cell lattice,
+    * returned as `grid²/16` 16-bit band values (grid must be a multiple
+    * of 4 so bands pack exactly) — the banding the LSH near-dup join
+    * blocks on. Integer-exact everywhere so an analytic replay (e.g. a
+    * SQL oracle computing the same cells from a pixel formula) is
+    * bit-identical:
+    *  - luma(p) = r+g+b for PPM, the sample value for PGM (the bit rule
+    *    is scale-invariant, so no /3 normalization is needed);
+    *  - pixel (x, y) maps to cell ((x·grid) div W, (y·grid) div H) — the
+    *    floor lattice, exact for any W, H;
+    *  - cell bit = 1 iff cellSum·nPixels > totalSum·cellPixels (strict;
+    *    the division-free form of "cell mean above image mean");
+    *  - cell k = cy·grid+cx contributes bit (k mod 16) of band
+    *    (k div 16).
+    */
+  def pnmAHashBands(b: Array[Byte], grid: Int = 8): Option[Array[Long]] = {
+    require(grid >= 4 && grid % 4 == 0, s"grid must be a multiple of 4: $grid")
+    pnmHeader(b).map { case (kind, w, h, _, off) =>
+      val ch = if (kind == "ppm") 3 else 1
+      val cellSum = new Array[Long](grid * grid)
+      val cellN = new Array[Long](grid * grid)
+      var tot = 0L
+      var p = 0
+      val n = w * h
+      while (p < n) {
+        var l = 0
+        var c = 0
+        while (c < ch) { l += b(off + p * ch + c) & 0xff; c += 1 }
+        val cx = (p % w) * grid / w
+        val cy = (p / w) * grid / h
+        val k = cy * grid + cx
+        cellSum(k) += l; cellN(k) += 1; tot += l
         p += 1
       }
-      PnmInfo(kind, w, h, mx, sums(0), sums(1), sums(2))
+      val bands = new Array[Long](grid * grid / 16)
+      var k = 0
+      while (k < grid * grid) {
+        if (cellSum(k) * n > tot * cellN(k))
+          bands(k / 16) |= 1L << (k % 16)
+        k += 1
+      }
+      bands
     }
   }
 }

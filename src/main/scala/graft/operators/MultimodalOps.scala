@@ -319,6 +319,92 @@ object MultimodalOps extends OpFamily {
       .orderBy(col("asset_id"))
   }
 
+  /** PERCEPTUAL-HASH IMAGE NEAR-DUP — the image twin of the text
+    * MinHash pipeline, end-to-end oracle-checked: synthesize two P6
+    * variants per nation (the odd variant perturbs luma by +30 on every
+    * 29th pixel — a sparse "re-encode" that leaves the 8×8 average-hash
+    * within a few bits), run each payload through the REAL PNM decoder's
+    * [[graft.functions.MediaCodecs.pnmAHashBands]] (header walk + cell
+    * lattice + division-free mean threshold, all integer-exact), then
+    * find near-dups by the standard banded-LSH shape: candidates must
+    * share at least one of the four 16-bit hash bands (an equi-join on
+    * (band, value) — NEVER all-pairs), and only candidates pay the
+    * 64-bit hamming distance (`bit_count(xor)` per band, codegen'd
+    * built-ins). The DuckDB oracle recomputes the same bands straight
+    * from the pixel formula and replays the same band join — the hash
+    * match certifies encode→parse→hash→block→distance against pure
+    * arithmetic.
+    *
+    * Scale: hashes are 4 small ints per asset; the band join is the
+    * same blocked candidate generation as minhash-LSH (candidates
+    * bounded by band-bucket sizes, skew-bounded since a 16-bit band has
+    * 65k buckets); at 100 TB the decode is a narrow per-partition pass
+    * and everything downstream moves (id, 4×int) rows only. Threshold
+    * hamming ≤ 6: measured on this corpus true variant pairs land at
+    * 0–3 and the closest false candidate at 9.
+    */
+  def phashNearDup(s: SparkSession, d: String): DataFrame = {
+    val (w, h) = (24, 16)
+    val n = w * h
+    val headerHex = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      .map(b => f"$b%02x").mkString
+    def ch(mul: Int, step: Int) =
+      s"lpad(hex((base * $mul + p * $step + " +
+        s"(CASE WHEN v = 1 AND p % 29 = 0 THEN 30 ELSE 0 END)) % 256), 2, '0')"
+    val dataHex = s"""array_join(transform(sequence(0, ${n - 1}),
+        p -> concat(${ch(7, 3)}, ${ch(11, 5)}, ${ch(13, 7)})), '')"""
+    val ppms = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("base"))
+      .select(col("base"), explode(array(lit(0L), lit(1L))).as("v"))
+      .select((col("base") * 2 + col("v")).as("asset_id"),
+        col("base"), col("v"))
+      .withColumn("payload",
+        unhex(concat(lit(headerHex), expr(dataHex))))
+    phashPairsOn(s, ppms, "asset_id", "payload", maxHamming = 6)
+  }
+
+  /** The [[phashNearDup]] core over ANY (id, PNM payload) frame — the
+    * [[graft.api.Graft.imageNearDup]] entry: decode → 8×8 aHash bands →
+    * banded candidate join → hamming ≤ `maxHamming` pairs (a, b,
+    * hamming). Undecodable payloads drop out at the hash stage.
+    */
+  private[graft] def phashPairsOn(s: SparkSession, df: DataFrame,
+      idCol: String, payloadCol: String, maxHamming: Int): DataFrame = {
+    import s.implicits._
+    import graft.functions.MediaCodecs
+    val hashes = df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodecs.pnmAHashBands(bytes).map(bs =>
+            (id, bs(0), bs(1), bs(2), bs(3)))
+        }
+      }
+      .toDF("asset_id", "h0", "h1", "h2", "h3")
+      .localCheckpoint() // two consumers: both sides of the band join
+    def banded(side: String) = hashes
+      .select(col("asset_id").as(side),
+        col("h0").as(s"${side}0"), col("h1").as(s"${side}1"),
+        col("h2").as(s"${side}2"), col("h3").as(s"${side}3"),
+        explode(array(
+          struct(lit(0).as("bi"), col("h0").as("bv")),
+          struct(lit(1).as("bi"), col("h1").as("bv")),
+          struct(lit(2).as("bi"), col("h2").as("bv")),
+          struct(lit(3).as("bi"), col("h3").as("bv")))).as("e"))
+      .select(col(side), col(s"${side}0"), col(s"${side}1"),
+        col(s"${side}2"), col(s"${side}3"),
+        col("e.bi").as("bi"), col("e.bv").as("bv"))
+    banded("a").join(banded("b"), Seq("bi", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)") +
+          expr("bit_count(a2 ^ b2) + bit_count(a3 ^ b3)"))
+          .cast("long").as("hamming"))
+      .distinct() // a pair may collide on several bands
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Canonical 44-byte PCM16 mono WAV header (8 kHz) as a hex literal —
     * plan-time constant; only the RIFF/data sizes depend on nSamples.
     */
@@ -348,9 +434,49 @@ object MultimodalOps extends OpFamily {
     "mm_decode_agg" -> (decodeAgg _),
     "mm_audio_energy" -> (audioEnergy _),
     "mm_image_channel_sums" -> (imageChannelSums _),
+    "mm_phash_pairs" -> (phashNearDup _),
     "mm_frame_sample" -> (frameSample _))
 
   val oracle = Map(
+    "mm_phash_pairs" ->
+      """WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS base FROM nation),
+         assets AS (SELECT base, v, base * 2 + v AS asset_id
+           FROM a, unnest([0, 1]) AS t(v)),
+         px AS (SELECT asset_id, p % 24 AS x, p // 24 AS y,
+             ((base * 7 + p * 3 + d) % 256) + ((base * 11 + p * 5 + d) % 256)
+               + ((base * 13 + p * 7 + d) % 256) AS l
+           FROM (SELECT asset_id, base, p,
+               CASE WHEN v = 1 AND p % 29 = 0 THEN 30 ELSE 0 END AS d
+             FROM assets, unnest(range(0, 384)) AS t(p))),
+         cells AS (SELECT asset_id, (y * 8) // 16 AS cy, (x * 8) // 24 AS cx,
+             CAST(sum(l) AS BIGINT) AS cs, CAST(count(*) AS BIGINT) AS cn
+           FROM px GROUP BY asset_id, cy, cx),
+         tot AS (SELECT asset_id, CAST(sum(cs) AS BIGINT) AS ts,
+             CAST(sum(cn) AS BIGINT) AS tn
+           FROM cells GROUP BY asset_id),
+         bands AS (SELECT c.asset_id, (cy * 8 + cx) // 16 AS bi,
+             CAST(sum(CASE WHEN cs * tn > ts * cn
+               THEN 1 << ((cy * 8 + cx) % 16) ELSE 0 END) AS BIGINT) AS bv
+           FROM cells c JOIN tot t ON c.asset_id = t.asset_id
+           GROUP BY c.asset_id, bi),
+         h AS (SELECT asset_id,
+             CAST(max(CASE WHEN bi = 0 THEN bv END) AS BIGINT) AS h0,
+             CAST(max(CASE WHEN bi = 1 THEN bv END) AS BIGINT) AS h1,
+             CAST(max(CASE WHEN bi = 2 THEN bv END) AS BIGINT) AS h2,
+             CAST(max(CASE WHEN bi = 3 THEN bv END) AS BIGINT) AS h3
+           FROM bands GROUP BY asset_id),
+         cand AS (SELECT DISTINCT la.asset_id AS a, lb.asset_id AS b
+           FROM bands la JOIN bands lb
+             ON la.bi = lb.bi AND la.bv = lb.bv
+               AND la.asset_id < lb.asset_id),
+         d AS (SELECT a, b,
+             bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
+               + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3))
+               AS hamming
+           FROM cand JOIN h ha ON cand.a = ha.asset_id
+             JOIN h hb ON cand.b = hb.asset_id)
+         SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM d
+         WHERE hamming <= 6 ORDER BY a, b""",
     "mm_image_channel_sums" ->
       """WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS asset_id
              FROM nation WHERE n_nationkey < 6),

@@ -251,6 +251,58 @@ class MediaCodecSpec extends AnyFunSuite {
       (1L, 1L, 169L, 2L, math.sqrt(169.0 / 2)))) // 5² + 12²
   }
 
+  test("aHash bands: a half-bright PGM sets exactly the bright columns") {
+    // 8×8 PGM, left half 0 / right half 200: one pixel per cell, mean
+    // 100 → bits set for x ∈ 4..7 in every row. Each 16-bit band packs
+    // two rows → positions 4-7 and 12-15 → 0xF0F0 in all four bands.
+    val px = (0 until 64).map(p => if (p % 8 >= 4) 200 else 0)
+    val bands = MediaCodecs.pnmAHashBands(pnm("P5", 8, 8, px)).get
+    assert(bands.toSeq === Seq.fill(4)(0xF0F0L))
+    // brightening corner pixel (0,0) to 255 flips exactly bit 0 of
+    // band 0: 255·64 > (6400+255)·1
+    val px2 = 255 +: px.tail
+    val bands2 = MediaCodecs.pnmAHashBands(pnm("P5", 8, 8, px2)).get
+    assert(bands2.toSeq === Seq(0xF0F1L, 0xF0F0L, 0xF0F0L, 0xF0F0L))
+    assert(bands.zip(bands2)
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum === 1)
+  }
+
+  test("aHash bands: PPM luma is the channel sum; grid 4 packs one band") {
+    // 4×4 P6, all pixels (10,10,10) except (1,1) = (200,200,200):
+    // grid 4 → one pixel per cell, only cell k = 1·4+1 = 5 above mean
+    val px = (0 until 16).flatMap(p =>
+      if (p == 5) Seq(200, 200, 200) else Seq(10, 10, 10))
+    val bands = MediaCodecs.pnmAHashBands(pnm("P6", 4, 4, px), grid = 4).get
+    assert(bands.toSeq === Seq(1L << 5))
+  }
+
+  test("phash pair pipeline: identical payloads pair at hamming 0, " +
+      "garbage is skipped") {
+    import TestSpark.spark.implicits._
+    val img = (0 until 64).map(p => if (p % 8 >= 4) 200 else 0)
+    val other = (0 until 64).map(p => if (p % 8 < 4) 200 else 0)
+    val rows = Seq(
+      (1L, pnm("P5", 8, 8, img)), (2L, pnm("P5", 8, 8, img)),
+      (3L, pnm("P5", 8, 8, other)),
+      (4L, "not an image".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val got = graft.api.Graft.imageNearDup(TestSpark.spark, rows,
+      "id", "payload").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 2L, 0L)))
+  }
+
+  test("registered phash query: variant pairs land within the threshold " +
+      "and nothing else") {
+    val rows = graft.operators.MultimodalOps
+      .phashNearDup(TestSpark.spark, "/root/testdata/sf0.001").collect()
+    // one pair per nation: (2k, 2k+1), measured hamming 0–3
+    assert(rows.length === 25)
+    assert(rows.forall(r => r.getLong(1) === r.getLong(0) + 1
+      && r.getLong(0) % 2 === 0))
+    assert(rows.forall(r => r.getLong(2) <= 3))
+  }
+
   test("registered audio-energy query: in-engine WAV synthesis decodes to " +
       "the 256/256/88 window grid with the formula's exact energies") {
     val rows = graft.operators.MultimodalOps
