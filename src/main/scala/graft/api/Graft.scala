@@ -1488,6 +1488,16 @@ object Graft {
     graft.operators.AggOps.mannWhitneyOn(df, grpCol, valCol,
       group1, group2, idCol)
 
+  /** Kruskal–Wallis H across ALL groups of `grpCol` — the k-group
+    * extension of [[mannWhitney]] with the same exact integer rank
+    * algebra; the cross-group Σ R²/n term folds left-to-right over the
+    * group-sorted list so the float reduction is deterministic. One row
+    * (n, k, tie_sum, h_value, h_corrected).
+    */
+  def kruskalWallis(df: DataFrame, grpCol: String, valCol: String,
+      idCol: String): DataFrame =
+    graft.operators.AggOps.kruskalWallisOn(df, grpCol, valCol, idCol)
+
   /** Lag-k autocorrelation of the hourly event-count series of any
     * timestamped frame (`tsCol` is read as `ts`): gap-filled dense
     * spine, exact integer moments, one row per lag with (lag, n_hours,

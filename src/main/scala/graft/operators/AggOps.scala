@@ -823,6 +823,65 @@ object AggOps extends OpFamily {
                        * CAST(n_a + n_b - 1 AS DOUBLE)))) AS z_value""")
   }
 
+  /** KRUSKAL–WALLIS H — the k-group extension of [[mannWhitneyOn]]
+    * across ALL event types at once: do the five value distributions
+    * differ anywhere, rank-based, no normality assumption? Shares the
+    * exact-integer rank machinery (range-partitioned global rank,
+    * doubled tie-block rank sums `r2_g`, Σ(t³−t) tie term). The one new
+    * numeric hazard is the cross-group float sum Σ R_g²/n_g — R_g² can
+    * pass 2⁶³ so it must be a double, and k summation orders would
+    * diverge between engines. Both sides therefore fold the per-group
+    * terms LEFT-TO-RIGHT over the group-name-sorted list (Spark
+    * `aggregate(array_sort(...))`, DuckDB `list_reduce(list(... ORDER
+    * BY g))` — a 0.0-seeded IEEE left fold is bit-identical to a
+    * first-element-seeded one), so the k-row reduction is deterministic
+    * and bit-equal. Output: one row (n, k, tie_sum, h_value,
+    * h_corrected), h_corrected = H / (1 − Σ(t³−t)/(n³−n)).
+    */
+  def kruskalWallisEventTypes(s: SparkSession, d: String): DataFrame =
+    kruskalWallisOn(Tables.events(s, d), "event_type", "value", "event_id")
+
+  private[graft] def kruskalWallisOn(df: DataFrame, grpCol: String,
+      valCol: String, idCol: String): DataFrame = {
+    val f = df.select(col(grpCol).as("g"),
+      floor(col(valCol) * 1000).cast("long").as("vu"),
+      col(idCol).as("tie"))
+    val (ranked0, _) =
+      WindowOps.withExactGlobalRank(f, Seq(col("vu"), col("tie")))
+    val ranked = ranked0.localCheckpoint() // two consumers: tie blocks
+      // (per-value) + per-(value, group) counts
+    val perVal = ranked.groupBy(col("vu"))
+      .agg(min(col("r")).as("minr"), max(col("r")).as("maxr"),
+        count(lit(1)).as("t"))
+      .localCheckpoint() // two consumers: group join + tie rollup
+    val perGrpVal = ranked.groupBy(col("vu"), col("g"))
+      .agg(count(lit(1)).as("tg"))
+    val grp = perGrpVal.join(perVal, Seq("vu"))
+      .groupBy(col("g"))
+      .agg(sum(col("tg")).as("n_g"),
+        sum(col("tg") * (col("minr") + col("maxr"))).as("r2_g"))
+    val ties = perVal.agg(
+      sum(when(col("t") > lit(1L),
+        col("t") * col("t") * col("t") - col("t"))
+        .otherwise(lit(0L))).as("tie_sum"))
+    grp.agg(
+        collect_list(struct(col("g"), col("n_g"), col("r2_g"))).as("gs"),
+        sum(col("n_g")).as("n"), count(lit(1)).as("k"))
+      .crossJoin(broadcast(ties)) // 1-row tie frame
+      .selectExpr("n", "k", "tie_sum",
+        """aggregate(array_sort(gs), CAST(0 AS DOUBLE),
+             (acc, x) -> acc
+               + (CAST(x.r2_g AS DOUBLE) / 2) * (CAST(x.r2_g AS DOUBLE) / 2)
+                 / CAST(x.n_g AS DOUBLE)) AS q""")
+      .selectExpr("n", "k", "tie_sum",
+        """12 * q / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+           - 3 * CAST(n + 1 AS DOUBLE) AS h_value""")
+      .selectExpr("n", "k", "tie_sum", "h_value",
+        """h_value / (1 - CAST(tie_sum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE))) AS h_corrected""")
+  }
+
   /** WELCH TWO-SAMPLE t — the A/B comparison read: do purchase and view
     * events carry different mean values, without assuming equal
     * variances? Moments accumulate EXACTLY (milli-unit BIGINT Σv and
@@ -1060,6 +1119,7 @@ object AggOps extends OpFamily {
     "agg_chi2" -> (chi2LangSource _),
     "agg_ttest" -> (ttestPurchaseView _),
     "agg_mannwhitney" -> (mannWhitneyPurchaseView _),
+    "agg_kruskal_wallis" -> (kruskalWallisEventTypes _),
     "agg_k_anonymity" -> (kAnonymityCustomer _),
     "agg_l_diversity" -> (lDiversityCustomer _),
     "agg_overlap_matrix" -> (overlapMatrix _),
@@ -1385,6 +1445,42 @@ object AggOps extends OpFamily {
            (rows_at_risk * 1000) // n_rows AS risk_permille,
            rows_homogeneous
          FROM s""",
+    "agg_kruskal_wallis" ->
+      """WITH f AS (SELECT event_type AS g,
+             CAST(floor(value * 1000) AS BIGINT) AS vu, event_id AS tie
+           FROM events),
+         ranked AS (SELECT g, vu,
+             CAST(row_number() OVER (ORDER BY vu, tie) AS BIGINT) AS r
+           FROM f),
+         pv AS (SELECT vu, CAST(min(r) AS BIGINT) AS minr,
+             CAST(max(r) AS BIGINT) AS maxr,
+             CAST(count(*) AS BIGINT) AS t
+           FROM ranked GROUP BY vu),
+         pg AS (SELECT vu, g, CAST(count(*) AS BIGINT) AS tg
+           FROM ranked GROUP BY vu, g),
+         grp AS (SELECT g, CAST(sum(tg) AS BIGINT) AS n_g,
+             CAST(sum(tg * (minr + maxr)) AS BIGINT) AS r2_g
+           FROM pg JOIN pv USING (vu) GROUP BY g),
+         ties AS (SELECT
+             CAST(sum(CASE WHEN t > 1 THEN t * t * t - t ELSE 0 END)
+               AS BIGINT) AS tie_sum
+           FROM pv),
+         s AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             list_reduce(CAST(list(
+               (CAST(r2_g AS DOUBLE) / 2) * (CAST(r2_g AS DOUBLE) / 2)
+                 / CAST(n_g AS DOUBLE) ORDER BY g) AS DOUBLE[]),
+               (acc, x) -> acc + x) AS q
+           FROM grp),
+         h AS (SELECT n, k, tie_sum,
+             12 * q / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+               - 3 * CAST(n + 1 AS DOUBLE) AS h_value
+           FROM s, ties)
+         SELECT n, k, tie_sum, h_value,
+           h_value / (1 - CAST(tie_sum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE))) AS h_corrected
+         FROM h""",
     "agg_mannwhitney" ->
       """WITH f AS (SELECT event_type AS g,
              CAST(floor(value * 1000) AS BIGINT) AS vu, event_id AS tie

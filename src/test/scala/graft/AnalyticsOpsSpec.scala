@@ -545,6 +545,35 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       r.getLong(4), r.getLong(5)) === ((2L, 2L, 7L, 6L, 1L, 7L)))
   }
 
+  test("kruskal-wallis: two clean groups give H = 2.4 via exact rank sums") {
+    import spark.implicits._
+    // A = {1,2}, B = {3,4}: ranks 1..4, R_A = 3, R_B = 7 → doubled 6/14;
+    // Q = 9/2 + 49/2 = 29, H = 12·29/20 − 15 = 2.4, no ties
+    val df = Seq(("A", 1.0, 1L), ("A", 2.0, 2L),
+      ("B", 3.0, 3L), ("B", 4.0, 4L)).toDF("g", "v", "id")
+    val r = graft.api.Graft.kruskalWallis(df, "g", "v", "id")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 0L)))
+    val q = (6.0 / 2) * (6.0 / 2) / 2.0 + (14.0 / 2) * (14.0 / 2) / 2.0
+    val hExp = 12 * q / (4.0 * 5.0) - 3 * 5.0
+    assert(r.getDouble(3) === hExp)
+    assert(r.getDouble(4) === hExp) // tie_sum 0 → correction is /1
+  }
+
+  test("kruskal-wallis: a tie block feeds the correction term") {
+    import spark.implicits._
+    // A = {1,1}, B = {2}: tie block doubled rank 3 → r2_A = 6, r2_B = 6;
+    // Q = 4.5 + 9 = 13.5, H = 12·13.5/12 − 12 = 1.5; tie_sum = 6 →
+    // H / (1 − 6/24) = 2.0
+    val df = Seq(("A", 1.0, 1L), ("A", 1.0, 2L), ("B", 2.0, 3L))
+      .toDF("g", "v", "id")
+    val r = graft.api.Graft.kruskalWallis(df, "g", "v", "id")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 6L)))
+    assert(r.getDouble(3) === 1.5)
+    assert(r.getDouble(4) === 2.0)
+  }
+
   test("autocorr: alternating hourly counts give acf(1) = -0.75, acf(2) = 0.5") {
     import spark.implicits._
     // hourly counts [2,1,2,1]: c = 4x−6 = [2,−2,2,−2], den = 16;
