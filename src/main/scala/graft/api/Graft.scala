@@ -1498,6 +1498,15 @@ object Graft {
       idCol: String): DataFrame =
     graft.operators.AggOps.kruskalWallisOn(df, grpCol, valCol, idCol)
 
+  /** Spearman rank correlation between two numeric columns: exact
+    * doubled average ranks (milli-unit value blocks, BIGINT moments),
+    * Pearson over the ranks with decimal-exact covariance products;
+    * one row (n, six moment sums, rho). Rows need a unique `idCol`.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      idCol: String): DataFrame =
+    graft.operators.AggOps.spearmanOn(df, xCol, yCol, idCol)
+
   /** Lag-k autocorrelation of the hourly event-count series of any
     * timestamped frame (`tsCol` is read as `ts`): gap-filled dense
     * spine, exact integer moments, one row per lag with (lag, n_hours,

@@ -823,6 +823,60 @@ object AggOps extends OpFamily {
                        * CAST(n_a + n_b - 1 AS DOUBLE)))) AS z_value""")
   }
 
+  /** SPEARMAN RANK CORRELATION between quantity and extended price over
+    * lineitem — the rank-based sibling of [[corrQtyPrice]]: monotone
+    * association, insensitive to the price column's heavy tail. Both
+    * columns rank through the [[WindowOps.withExactGlobalRank]] pipeline
+    * with average-rank ties kept DOUBLED (a row's doubled rank is
+    * `minr + maxr` of its tie block — exact BIGINTs), and ρ is Pearson
+    * over the doubled ranks (the doubling cancels). The five moment
+    * sums stay in BIGINT (Σrx·ry ≤ 4n³ ⇒ exact to n ≈ 1.3·10⁶ rows;
+    * lift the sums to decimal(38,0) past that), the covariance products
+    * n·Σxy − Σx·Σy evaluate in decimal(38,0) (Spark) / HUGEINT (DuckDB)
+    * — the same 10²⁴-magnitude integers either way — and only the final
+    * ρ division is IEEE. Output: one row (n, sum_rx, sum_ry, sum_rxx,
+    * sum_ryy, sum_rxy, rho).
+    */
+  def spearmanQtyPrice(s: SparkSession, d: String): DataFrame =
+    spearmanOn(Tables.lineitem(s, d)
+      .withColumn("rowkey",
+        col("l_orderkey") * 10 + col("l_linenumber")),
+      "l_quantity", "l_extendedprice", "rowkey")
+
+  private[graft] def spearmanOn(df: DataFrame, xCol: String,
+      yCol: String, idCol: String): DataFrame = {
+    // doubled average ranks of one column: (rowkey, r2) — rank blocks
+    // come from min/max row_number per distinct milli-unit value
+    def r2Of(vCol: String, out: String): DataFrame = {
+      val f = df.select(col(idCol).as("rowkey"),
+        floor(col(vCol) * 1000).cast("long").as("vu"))
+      val (ranked0, _) =
+        WindowOps.withExactGlobalRank(f, Seq(col("vu"), col("rowkey")))
+      val ranked = ranked0.localCheckpoint() // two consumers: blocks +
+        // the per-row join back
+      val blocks = ranked.groupBy(col("vu"))
+        .agg((min(col("r")) + max(col("r"))).as(out))
+      ranked.join(blocks, Seq("vu")).select(col("rowkey"), col(out))
+    }
+    r2Of(xCol, "rx").join(r2Of(yCol, "ry"), Seq("rowkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sum_rx"), sum(col("ry")).as("sum_ry"),
+        sum(col("rx") * col("rx")).as("sum_rxx"),
+        sum(col("ry") * col("ry")).as("sum_ryy"),
+        sum(col("rx") * col("ry")).as("sum_rxy"))
+      .selectExpr("n", "sum_rx", "sum_ry", "sum_rxx", "sum_ryy",
+        "sum_rxy",
+        """CAST(CAST(n AS DECIMAL(38,0)) * CAST(sum_rxy AS DECIMAL(38,0))
+             - CAST(sum_rx AS DECIMAL(38,0)) * CAST(sum_ry AS DECIMAL(38,0))
+             AS DOUBLE)
+           / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * CAST(sum_rxx AS DECIMAL(38,0))
+               - CAST(sum_rx AS DECIMAL(38,0)) * CAST(sum_rx AS DECIMAL(38,0))
+               AS DOUBLE)
+             * CAST(CAST(n AS DECIMAL(38,0)) * CAST(sum_ryy AS DECIMAL(38,0))
+               - CAST(sum_ry AS DECIMAL(38,0)) * CAST(sum_ry AS DECIMAL(38,0))
+               AS DOUBLE)) AS rho""")
+  }
+
   /** KRUSKAL–WALLIS H — the k-group extension of [[mannWhitneyOn]]
     * across ALL event types at once: do the five value distributions
     * differ anywhere, rank-based, no normality assumption? Shares the
@@ -1120,6 +1174,7 @@ object AggOps extends OpFamily {
     "agg_ttest" -> (ttestPurchaseView _),
     "agg_mannwhitney" -> (mannWhitneyPurchaseView _),
     "agg_kruskal_wallis" -> (kruskalWallisEventTypes _),
+    "agg_spearman" -> (spearmanQtyPrice _),
     "agg_k_anonymity" -> (kAnonymityCustomer _),
     "agg_l_diversity" -> (lDiversityCustomer _),
     "agg_overlap_matrix" -> (overlapMatrix _),
@@ -1445,6 +1500,41 @@ object AggOps extends OpFamily {
            (rows_at_risk * 1000) // n_rows AS risk_permille,
            rows_homogeneous
          FROM s""",
+    "agg_spearman" ->
+      """WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS rowkey,
+             CAST(floor(l_quantity * 1000) AS BIGINT) AS xu,
+             CAST(floor(l_extendedprice * 1000) AS BIGINT) AS yu
+           FROM lineitem),
+         rkx AS (SELECT rowkey, xu,
+             CAST(row_number() OVER (ORDER BY xu, rowkey) AS BIGINT) AS r
+           FROM base),
+         bx AS (SELECT xu, CAST(min(r) + max(r) AS BIGINT) AS rx
+           FROM rkx GROUP BY xu),
+         px AS (SELECT rowkey, rx FROM rkx JOIN bx USING (xu)),
+         rky AS (SELECT rowkey, yu,
+             CAST(row_number() OVER (ORDER BY yu, rowkey) AS BIGINT) AS r
+           FROM base),
+         by_ AS (SELECT yu, CAST(min(r) + max(r) AS BIGINT) AS ry
+           FROM rky GROUP BY yu),
+         py AS (SELECT rowkey, ry FROM rky JOIN by_ USING (yu)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sum_rx,
+             CAST(sum(ry) AS BIGINT) AS sum_ry,
+             CAST(sum(rx * rx) AS BIGINT) AS sum_rxx,
+             CAST(sum(ry * ry) AS BIGINT) AS sum_ryy,
+             CAST(sum(rx * ry) AS BIGINT) AS sum_rxy
+           FROM px JOIN py USING (rowkey))
+         SELECT n, sum_rx, sum_ry, sum_rxx, sum_ryy, sum_rxy,
+           CAST(CAST(n AS HUGEINT) * CAST(sum_rxy AS HUGEINT)
+             - CAST(sum_rx AS HUGEINT) * CAST(sum_ry AS HUGEINT)
+             AS DOUBLE)
+           / sqrt(CAST(CAST(n AS HUGEINT) * CAST(sum_rxx AS HUGEINT)
+               - CAST(sum_rx AS HUGEINT) * CAST(sum_rx AS HUGEINT)
+               AS DOUBLE)
+             * CAST(CAST(n AS HUGEINT) * CAST(sum_ryy AS HUGEINT)
+               - CAST(sum_ry AS HUGEINT) * CAST(sum_ry AS HUGEINT)
+               AS DOUBLE)) AS rho
+         FROM m""",
     "agg_kruskal_wallis" ->
       """WITH f AS (SELECT event_type AS g,
              CAST(floor(value * 1000) AS BIGINT) AS vu, event_id AS tie

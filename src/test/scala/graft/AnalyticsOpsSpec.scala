@@ -545,6 +545,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       r.getLong(4), r.getLong(5)) === ((2L, 2L, 7L, 6L, 1L, 7L)))
   }
 
+  test("spearman: a perfect monotone pair gives rho = 1") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, 90.0))
+      .toDF("id", "x", "y")
+    val r = graft.api.Graft.spearman(df, "x", "y", "id").collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(6) === 1.0)
+  }
+
+  test("spearman: an x tie block lands on the hand-computed rho") {
+    import spark.implicits._
+    // x = {1,1,2} → doubled ranks {3,3,6}; y = {1,2,3} → {2,4,6};
+    // moments: sx=12 sy=12 sxx=54 syy=56 sxy=54 →
+    // rho = 18/sqrt(18·24) = √3/2
+    val df = Seq((1L, 1.0, 1.0), (2L, 1.0, 2.0), (3L, 2.0, 3.0))
+      .toDF("id", "x", "y")
+    val r = graft.api.Graft.spearman(df, "x", "y", "id").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((12L, 12L, 54L, 56L, 54L)))
+    assert(r.getDouble(6) === 18.0 / math.sqrt(18.0 * 24.0))
+  }
+
   test("kruskal-wallis: two clean groups give H = 2.4 via exact rank sums") {
     import spark.implicits._
     // A = {1,2}, B = {3,4}: ranks 1..4, R_A = 3, R_B = 7 → doubled 6/14;
