@@ -1498,6 +1498,17 @@ object Graft {
       idCol: String): DataFrame =
     graft.operators.AggOps.kruskalWallisOn(df, grpCol, valCol, idCol)
 
+  /** Poisson-bootstrap percentile confidence interval for the mean of
+    * `valCol`: B replicates, each weighting every row by a
+    * deterministic hash-derived Poisson(1) draw (one map-side pass, no
+    * resample shuffle), CI = 2.5/97.5 order statistics of the replicate
+    * means. One row (n, b_reps, mean_v, ci_lo, ci_hi); replayable
+    * bit-identically in any engine.
+    */
+  def bootstrapCi(df: DataFrame, valCol: String, idCol: String,
+      bReps: Int = 200): DataFrame =
+    graft.operators.AggOps.bootstrapCiOn(df, valCol, idCol, bReps)
+
   /** Spearman rank correlation between two numeric columns: exact
     * doubled average ranks (milli-unit value blocks, BIGINT moments),
     * Pearson over the ranks with decimal-exact covariance products;

@@ -823,6 +823,95 @@ object AggOps extends OpFamily {
                        * CAST(n_a + n_b - 1 AS DOUBLE)))) AS z_value""")
   }
 
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the mean purchase value —
+    * the published way to bootstrap at scale (each replicate draws a
+    * per-row Poisson(1) weight instead of a multinomial resample, so
+    * the whole thing is one map-side pass, no collect, no per-replicate
+    * shuffle of the data). Everything is deterministic and
+    * engine-portable:
+    *  - the per-(row, replicate) uniform comes from the
+    *    [[FilterOps.sampleHash]] wrap-safe multiplicative idiom,
+    *    h = ((id+7919)·(2b+1) mod P)·1103515245 mod P over the Mersenne
+    *    prime P = 2³¹−1 (the (2b+1) factor makes the stride per
+    *    replicate a large pseudo-random jump — an ADDITIVE b term would
+    *    leave replicates nearly identical); every product stays under
+    *    2⁶³;
+    *  - the Poisson(1) inverse CDF thresholds are Scala-computed IEEE
+    *    constants interpolated into both engines' SQL (the chi2/ttest
+    *    constant-interpolation idiom), capped at weight 7
+    *    (P(X>7|λ=1) ≈ 10⁻⁵);
+    *  - replicate means are exact milli-unit BIGINT sums with one final
+    *    double division; the CI bounds are order statistics of the
+    *    B-row mean frame, ranked by a bounded broadcast theta join
+    *    (B ≤ hundreds — never a global window).
+    * Output: one row (n, b_reps, mean_v, ci_lo, ci_hi) — the 2.5/97.5
+    * percentile bootstrap band.
+    */
+  /** Poisson(1) CDF: cum_k = e^-1 · Σ_{j≤k} 1/j! — IEEE constants
+    * computed ONCE here and interpolated into both engines' SQL text
+    * (shortest-round-trip decimal literals parse back to the same
+    * doubles in Spark and DuckDB).
+    */
+  private[graft] lazy val poissonCums: Array[Double] = {
+    val e1 = math.exp(-1.0)
+    val arr = new Array[Double](7)
+    var f = 1.0
+    var c = 0.0
+    for (k <- 0 to 6) {
+      if (k > 0) f *= k
+      c += e1 / f
+      arr(k) = c
+    }
+    arr
+  }
+
+  def bootstrapCiPurchase(s: SparkSession, d: String): DataFrame =
+    bootstrapCiOn(Tables.events(s, d)
+      .filter(col("event_type") === "purchase"),
+      "value", "event_id", bReps = 200)
+
+  private[graft] def bootstrapCiOn(df: DataFrame, valCol: String,
+      idCol: String, bReps: Int): DataFrame = {
+    require(bReps >= 4, s"bootstrapCi needs >= 4 replicates: $bReps")
+    val loRank = math.max(1, (0.025 * bReps).toInt)
+    val hiRank = bReps + 1 - loRank
+    val P = 2147483647L // 2^31 - 1
+    val cums = poissonCums
+    val uExpr = s"CAST(pmod(pmod((id + 7919) * (2 * b + 1), $P) " +
+      s"* 1103515245, $P) AS DOUBLE) / $P"
+    val wExpr = (0 to 6).map(k =>
+      s"WHEN u < ${cums(k)} THEN $k").mkString(
+      "CASE ", " ", " ELSE 7 END")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      floor(col(valCol) * 1000).cast("long").as("vu"))
+      .localCheckpoint() // two consumers: full-sample moments + replicas
+    val means = base
+      .select(col("id"), col("vu"),
+        explode(expr(s"sequence(1, $bReps)")).as("b"))
+      .withColumn("u", expr(uExpr))
+      .withColumn("w", expr(wExpr).cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("vu")).as("sw"), sum(col("w")).as("cw"))
+      .selectExpr("b",
+        "CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 AS m")
+      .localCheckpoint() // two consumers: both sides of the theta rank
+    val rhs = means.select(col("b").as("b2"), col("m").as("m2"))
+    val ranks = means.join(broadcast(rhs),
+        col("m2") < col("m") ||
+          (col("m2") === col("m") && col("b2") <= col("b")))
+      .groupBy(col("b"), col("m"))
+      .agg(count(lit(1)).as("r"))
+    val lo = ranks.filter(col("r") === loRank)
+      .select(col("m").as("ci_lo"))
+    val hi = ranks.filter(col("r") === hiRank)
+      .select(col("m").as("ci_hi"))
+    base.agg(count(lit(1)).as("n"), sum(col("vu")).as("sv"))
+      .selectExpr("n", s"CAST($bReps AS BIGINT) AS b_reps",
+        "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 1000 AS mean_v")
+      .crossJoin(broadcast(lo)) // 1-row order statistics
+      .crossJoin(broadcast(hi))
+  }
+
   /** SPEARMAN RANK CORRELATION between quantity and extended price over
     * lineitem — the rank-based sibling of [[corrQtyPrice]]: monotone
     * association, insensitive to the price column's heavy tail. Both
@@ -1175,6 +1264,7 @@ object AggOps extends OpFamily {
     "agg_mannwhitney" -> (mannWhitneyPurchaseView _),
     "agg_kruskal_wallis" -> (kruskalWallisEventTypes _),
     "agg_spearman" -> (spearmanQtyPrice _),
+    "agg_bootstrap_ci" -> (bootstrapCiPurchase _),
     "agg_k_anonymity" -> (kAnonymityCustomer _),
     "agg_l_diversity" -> (lDiversityCustomer _),
     "agg_overlap_matrix" -> (overlapMatrix _),
@@ -1500,6 +1590,39 @@ object AggOps extends OpFamily {
            (rows_at_risk * 1000) // n_rows AS risk_permille,
            rows_homogeneous
          FROM s""",
+    "agg_bootstrap_ci" -> {
+      val wCase = (0 to 6).map(k =>
+        s"WHEN u < ${poissonCums(k)} THEN $k").mkString(
+        "CASE ", " ", " ELSE 7 END")
+      s"""WITH base AS (SELECT event_id AS id,
+             CAST(floor(value * 1000) AS BIGINT) AS vu
+           FROM events WHERE event_type = 'purchase'),
+         rep AS (SELECT id, vu, b,
+             CAST(((id + 7919) * (2 * b + 1) % 2147483647)
+               * 1103515245 % 2147483647 AS DOUBLE) / 2147483647 AS u
+           FROM base, unnest(range(1, 201)) AS t(b)),
+         means AS (SELECT b,
+             CAST(sum(w * vu) AS BIGINT) AS sw,
+             CAST(sum(w) AS BIGINT) AS cw
+           FROM (SELECT id, vu, b, CAST($wCase AS BIGINT) AS w FROM rep)
+           GROUP BY b),
+         mm AS (SELECT b,
+             CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 AS m
+           FROM means),
+         ranks AS (SELECT a.b, a.m, CAST(count(*) AS BIGINT) AS r
+           FROM mm a JOIN mm c
+             ON c.m < a.m OR (c.m = a.m AND c.b <= a.b)
+           GROUP BY a.b, a.m),
+         lo AS (SELECT m AS ci_lo FROM ranks WHERE r = 5),
+         hi AS (SELECT m AS ci_hi FROM ranks WHERE r = 196),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vu) AS BIGINT) AS sv
+           FROM base)
+         SELECT n, CAST(200 AS BIGINT) AS b_reps,
+           CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 1000 AS mean_v,
+           ci_lo, ci_hi
+         FROM s, lo, hi"""
+    },
     "agg_spearman" ->
       """WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS rowkey,
              CAST(floor(l_quantity * 1000) AS BIGINT) AS xu,

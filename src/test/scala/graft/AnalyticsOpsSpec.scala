@@ -545,6 +545,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       r.getLong(4), r.getLong(5)) === ((2L, 2L, 7L, 6L, 1L, 7L)))
   }
 
+  test("bootstrap CI: a constant column collapses the band to the mean") {
+    import spark.implicits._
+    // every replicate mean of a constant series is the constant, so
+    // ci_lo = mean_v = ci_hi exactly (weights cancel)
+    val df = (1L to 10L).map(i => (i, 2.0)).toDF("id", "v")
+    val r = graft.api.Graft.bootstrapCi(df, "v", "id", bReps = 8)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((10L, 8L)))
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      === ((2.0, 2.0, 2.0)))
+  }
+
+  test("bootstrap CI: replicate means replay the hash formula exactly") {
+    import spark.implicits._
+    val vals = Seq((1L, 1.0), (2L, 2.0), (3L, 4.0), (4L, 8.0))
+    val bReps = 4
+    val df = vals.toDF("id", "v")
+    val r = graft.api.Graft.bootstrapCi(df, "v", "id", bReps = bReps)
+      .collect().head
+    // driver-side replay of the exact per-(row, replicate) draw
+    val P = 2147483647L
+    val cums = graft.operators.AggOps.poissonCums
+    def w(id: Long, b: Long): Long = {
+      val u = (((id + 7919) * (2 * b + 1) % P) * 1103515245L % P)
+        .toDouble / P
+      val k = cums.indexWhere(u < _)
+      if (k < 0) 7L else k.toLong
+    }
+    val means = (1 to bReps).map { b =>
+      val sw = vals.map { case (id, v) =>
+        w(id, b) * math.floor(v * 1000).toLong }.sum
+      val cw = vals.map { case (id, _) => w(id, b) }.sum
+      sw.toDouble / cw.toDouble / 1000
+    }
+    // bReps = 4 → lo rank 1 (min), hi rank 4 (max)
+    assert(r.getDouble(3) === means.min)
+    assert(r.getDouble(4) === means.max)
+    val meanFull = vals.map { case (_, v) =>
+      math.floor(v * 1000).toLong }.sum.toDouble / vals.length / 1000
+    assert(r.getDouble(2) === meanFull)
+  }
+
   test("spearman: a perfect monotone pair gives rho = 1") {
     import spark.implicits._
     val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, 90.0))
