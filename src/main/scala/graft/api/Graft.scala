@@ -1509,6 +1509,28 @@ object Graft {
       bReps: Int = 200): DataFrame =
     graft.operators.AggOps.bootstrapCiOn(df, valCol, idCol, bReps)
 
+  /** Exact trimmed + winsorized mean of `valCol`: drop (trimmed) or
+    * clamp (winsorized) the k = floor(n·trim‰/1000) most extreme values
+    * per tail. No global sort — four exact order statistics via
+    * range-partition rank selection plus one conditional-sum pass, all
+    * in milli-unit BIGINT arithmetic. One row
+    * (n, k, mean_v, trimmed_mean, winsorized_mean).
+    */
+  def trimmedMean(df: DataFrame, valCol: String,
+      trimPerMille: Int = 100): DataFrame =
+    graft.operators.AggOps.trimmedMeanOn(df, valCol, trimPerMille)
+
+  /** 2-D skyline (Pareto front): rows not dominated on
+    * (minimize `minCol`, maximize `maxCol`) — no other row is at most
+    * as expensive AND at least as good with one strict inequality.
+    * Bucket-pruned prefix-max plan (no all-pairs join, no global
+    * window); `minCol` is quantized to integer cents. Returns
+    * (idCol, price_cents, size_v) ordered along the frontier.
+    */
+  def skyline(df: DataFrame, idCol: String, minCol: String,
+      maxCol: String, buckets: Int = 256): DataFrame =
+    graft.operators.CoreOps.skylineOn(df, idCol, minCol, maxCol, buckets)
+
   /** Spearman rank correlation between two numeric columns: exact
     * doubled average ranks (milli-unit value blocks, BIGINT moments),
     * Pearson over the ranks with decimal-exact covariance products;

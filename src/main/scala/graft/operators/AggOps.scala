@@ -912,6 +912,90 @@ object AggOps extends OpFamily {
       .crossJoin(broadcast(hi))
   }
 
+  /** EXACT TRIMMED + WINSORIZED MEAN (Tukey's robust means) of the
+    * purchase value — drop (trimmed) or clamp (winsorized) the k most
+    * extreme values on each tail, k = floor(n·trim‰/1000). The point at
+    * scale: NEITHER requires sorting the data. Both reduce to four
+    * exact order statistics (ranks k, k+1, n−k, n−k+1) plus one
+    * conditional-sum pass:
+    *   sum(bottom k) = sum(v < t_k) + (k − count(v < t_k))·t_k
+    * (the tie-splitting identity — values equal to the k-th order
+    * statistic contribute exactly the deficit), symmetrically for the
+    * top tail; winsorized adds k copies of the clamp values t_{k+1} and
+    * t_{n−k}. The order statistics come from the [[Graft.exactQuantiles]]
+    * machinery: range-partition by value, per-partition counts to the
+    * driver (#partitions rows — bounded), row_number INSIDE the one or
+    * two partitions that straddle a target rank. Everything else is
+    * milli-unit BIGINT arithmetic; the only doubles are the three final
+    * divisions, in the same IEEE order in both engines.
+    */
+  def trimmedMeanPurchase(s: SparkSession, d: String): DataFrame =
+    trimmedMeanOn(Tables.events(s, d)
+      .filter(col("event_type") === "purchase"), "value",
+      trimPerMille = 100)
+
+  private[graft] def trimmedMeanOn(df: DataFrame, valCol: String,
+      trimPerMille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimPerMille >= 0 && trimPerMille < 500,
+      s"trim must be in [0, 500) per mille: $trimPerMille")
+    val base = df.select(floor(col(valCol) * 1000).cast("long").as("vu"))
+      .repartitionByRange(col("vu"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // three consumers: counts, rank pick, sums
+    val perPart = base.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = perPart.map(_._2).sum
+    require(n > 0, "trimmedMean needs a non-empty input")
+    val k = trimPerMille.toLong * n / 1000
+    if (k == 0) { // nothing to trim: all three means coincide
+      base.agg(count(lit(1)).as("n"), sum(col("vu")).as("tot"))
+        .selectExpr("n", "CAST(0 AS BIGINT) AS k",
+          "CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 1000 AS mean_v",
+          "CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 1000 AS trimmed_mean",
+          "CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 1000" +
+            " AS winsorized_mean")
+    } else {
+      val targets = Seq(k, k + 1, n - k, n - k + 1).distinct
+      val offsets = perPart.map(_._1)
+        .zip(perPart.map(_._2).scanLeft(0L)(_ + _)).toMap
+      val wanted = perPart.filter { case (pid, c) =>
+        val off = offsets(pid)
+        targets.exists(r => r > off && r <= off + c)
+      }.map(_._1)
+      val offCol = wanted.foldLeft(lit(0L)) { case (acc, pid) =>
+        when(col("pid") === pid, lit(offsets(pid))).otherwise(acc)
+      }
+      val w = Window.partitionBy(col("pid")).orderBy(col("vu"))
+      val thr = base.filter(col("pid")
+          .isin(wanted.toIndexedSeq.map(x => x: Any): _*))
+        .withColumn("r", row_number().over(w).cast("long") + offCol)
+        .agg(max(when(col("r") === k, col("vu"))).as("tlo"),
+          max(when(col("r") === k + 1, col("vu"))).as("tlo1"),
+          max(when(col("r") === n - k, col("vu"))).as("thi"),
+          max(when(col("r") === n - k + 1, col("vu"))).as("thi1"))
+      base.crossJoin(broadcast(thr)) // 1-row threshold frame
+        .agg(count(lit(1)).as("n"), sum(col("vu")).as("tot"),
+          sum(when(col("vu") < col("tlo"), 1L).otherwise(0L)).as("cnt_lo"),
+          sum(when(col("vu") < col("tlo"), col("vu")).otherwise(0L))
+            .as("sum_lo"),
+          sum(when(col("vu") > col("thi1"), 1L).otherwise(0L)).as("cnt_hi"),
+          sum(when(col("vu") > col("thi1"), col("vu")).otherwise(0L))
+            .as("sum_hi"),
+          max(col("tlo")).as("tlo"), max(col("tlo1")).as("tlo1"),
+          max(col("thi")).as("thi"), max(col("thi1")).as("thi1"))
+        .selectExpr("n", s"CAST($k AS BIGINT) AS k",
+          "CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 1000 AS mean_v",
+          s"""CAST(tot - (sum_lo + ($k - cnt_lo) * tlo)
+                      - (sum_hi + ($k - cnt_hi) * thi1) AS DOUBLE)
+              / CAST(n - 2 * $k AS DOUBLE) / 1000 AS trimmed_mean""",
+          s"""CAST(tot - (sum_lo + ($k - cnt_lo) * tlo)
+                      - (sum_hi + ($k - cnt_hi) * thi1)
+                      + $k * tlo1 + $k * thi AS DOUBLE)
+              / CAST(n AS DOUBLE) / 1000 AS winsorized_mean""")
+    }
+  }
+
   /** SPEARMAN RANK CORRELATION between quantity and extended price over
     * lineitem — the rank-based sibling of [[corrQtyPrice]]: monotone
     * association, insensitive to the price column's heavy tail. Both
@@ -1265,6 +1349,7 @@ object AggOps extends OpFamily {
     "agg_kruskal_wallis" -> (kruskalWallisEventTypes _),
     "agg_spearman" -> (spearmanQtyPrice _),
     "agg_bootstrap_ci" -> (bootstrapCiPurchase _),
+    "agg_trimmed_mean" -> (trimmedMeanPurchase _),
     "agg_k_anonymity" -> (kAnonymityCustomer _),
     "agg_l_diversity" -> (lDiversityCustomer _),
     "agg_overlap_matrix" -> (overlapMatrix _),
@@ -1623,6 +1708,43 @@ object AggOps extends OpFamily {
            ci_lo, ci_hi
          FROM s, lo, hi"""
     },
+    "agg_trimmed_mean" ->
+      """WITH v AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vu
+             FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vu) AS BIGINT) AS tot FROM v),
+         kk AS (SELECT n, tot, n * 100 // 1000 AS k FROM s),
+         r AS (SELECT vu, row_number() OVER (ORDER BY vu) AS pos FROM v),
+         th AS (SELECT
+             max(CASE WHEN pos = k THEN vu END) AS tlo,
+             max(CASE WHEN pos = k + 1 THEN vu END) AS tlo1,
+             max(CASE WHEN pos = n - k THEN vu END) AS thi,
+             max(CASE WHEN pos = n - k + 1 THEN vu END) AS thi1
+           FROM r, kk),
+         c AS (SELECT
+             CAST(sum(CASE WHEN vu < tlo THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_lo,
+             CAST(sum(CASE WHEN vu < tlo THEN vu ELSE 0 END) AS BIGINT)
+               AS sum_lo,
+             CAST(sum(CASE WHEN vu > thi1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_hi,
+             CAST(sum(CASE WHEN vu > thi1 THEN vu ELSE 0 END) AS BIGINT)
+               AS sum_hi
+           FROM v, th)
+         SELECT n, k,
+           CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 1000 AS mean_v,
+           CASE WHEN k = 0
+             THEN CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 1000
+             ELSE CAST(tot - (sum_lo + (k - cnt_lo) * tlo)
+                           - (sum_hi + (k - cnt_hi) * thi1) AS DOUBLE)
+                  / CAST(n - 2 * k AS DOUBLE) / 1000 END AS trimmed_mean,
+           CASE WHEN k = 0
+             THEN CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 1000
+             ELSE CAST(tot - (sum_lo + (k - cnt_lo) * tlo)
+                           - (sum_hi + (k - cnt_hi) * thi1)
+                           + k * tlo1 + k * thi AS DOUBLE)
+                  / CAST(n AS DOUBLE) / 1000 END AS winsorized_mean
+         FROM kk, th, c""",
     "agg_spearman" ->
       """WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS rowkey,
              CAST(floor(l_quantity * 1000) AS BIGINT) AS xu,

@@ -122,7 +122,69 @@ object CoreOps extends OpFamily {
       .orderBy(col("key"))
   }
 
+  /** SKYLINE (Pareto front, Börzsönyi et al. ICDE 2001): the parts no
+    * other part beats on BOTH axes — minimize retail price, maximize
+    * size ("cheapest for at least this size"). A row is dominated iff
+    * some row is no worse on both axes and strictly better on one.
+    *
+    * Scale shape (the reason this isn't the textbook O(n²) self-join):
+    * for the 2-D case the skyline is exactly the rows whose y exceeds
+    * the max y of every STRICTLY cheaper row — a prefix-max along the
+    * price order. A single global window would compute it but cannot
+    * distribute (PlanGuard bans unpartitioned windows for that reason),
+    * so the prefix-max is split into three bounded pieces:
+    *   1. bucket the price axis into `buckets` fixed-width cells
+    *      (integer cents arithmetic — no float bucket edges);
+    *   2. per-bucket max y (B-row aggregate), strict-predecessor
+    *      prefix-max via a broadcast theta join on the B-row frame
+    *      (B² pairs, driver-bounded);
+    *   3. WITHIN each bucket a partitioned window
+    *      (RANGE UNBOUNDED..−1 over cents — peers excluded, so equal
+    *      prices never "dominate" through the frame) supplies the
+    *      intra-bucket strict prefix; an equal-price partition max
+    *      handles same-price domination.
+    * Survivor ⇔ y = max(y | same price) AND y > max(prefix, in-bucket).
+    * Every shuffle is keyed (bucket / price), every join broadcast; at
+    * 100 TB the only all-pairs work is B², a constant. Duplicate
+    * (price, size) points are mutually non-dominating and both kept —
+    * the oracle's window formulation agrees by construction.
+    */
+  def skylinePart(s: SparkSession, d: String): DataFrame =
+    skylineOn(Tables.part(s, d), "p_partkey", "p_retailprice", "p_size")
+
+  private[graft] def skylineOn(df: DataFrame, idCol: String,
+      minCol: String, maxCol: String, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"skyline needs >= 1 bucket: $buckets")
+    val base = df.select(col(idCol).as("id"),
+      floor(col(minCol) * 100).cast("long").as("xu"),
+      col(maxCol).cast("long").as("y"))
+    val mm = base.agg(min(col("xu")).as("x0"), max(col("xu")).as("x1"))
+    val b = base.crossJoin(broadcast(mm)) // 1-row axis extent
+      .withColumn("bk",
+        expr(s"((xu - x0) * $buckets) DIV (x1 - x0 + 1)"))
+      .drop("x0", "x1")
+    val bmax = b.groupBy(col("bk")).agg(max(col("y")).as("bmy"))
+    val pre = bmax // strict-predecessor running max over <= B rows
+      .join(broadcast(bmax.select(col("bk").as("bk2"), col("bmy").as("bmy2"))),
+        col("bk2") < col("bk"), "left")
+      .groupBy(col("bk")).agg(max(col("bmy2")).as("pmax"))
+    val wB = Window.partitionBy(col("bk")).orderBy(col("xu"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wX = Window.partitionBy(col("xu"))
+    b.join(broadcast(pre), Seq("bk"))
+      .withColumn("m1", max(col("y")).over(wB))
+      .withColumn("mx", max(col("y")).over(wX))
+      .filter(col("y") === col("mx") &&
+        col("y") > coalesce(greatest(col("m1"), col("pmax")),
+          lit(Long.MinValue)))
+      .select(col("id").as(idCol), col("xu").as("price_cents"),
+        col("y").as("size_v"))
+      .orderBy(col("price_cents"), col(idCol))
+  }
+
   val queries = Map(
+    "core_skyline" -> (skylinePart _),
     "core_upsert" -> (upsert _),
     "core_shared_scan" -> (sharedScanMultiOutput _),
     "core_map_project" -> (mapProject _),
@@ -132,6 +194,19 @@ object CoreOps extends OpFamily {
     "core_limit" -> (limitHead _))
 
   val oracle = Map(
+    "core_skyline" ->
+      """WITH b AS (SELECT p_partkey,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS xu,
+             CAST(p_size AS BIGINT) AS y
+           FROM part),
+         w AS (SELECT p_partkey, xu, y,
+             max(y) OVER (ORDER BY xu
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+             max(y) OVER (PARTITION BY xu) AS mx
+           FROM b)
+         SELECT p_partkey, xu AS price_cents, y AS size_v FROM w
+         WHERE y = mx AND y > coalesce(m1, -9223372036854775807 - 1)
+         ORDER BY price_cents, p_partkey""",
     "core_upsert" ->
       """WITH base AS (
            SELECT c_custkey AS key, c_acctbal AS bal,

@@ -587,6 +587,39 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === meanFull)
   }
 
+  test("trimmed mean: hand-computed asymmetric tails, k = 1") {
+    import spark.implicits._
+    val vals = Seq(0.0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 30, 1000.0)
+    val df = vals.map(v => Tuple1(v)).toDF("v")
+    val r = graft.api.Graft.trimmedMean(df, "v", trimPerMille = 100)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((12L, 1L)))
+    assert(r.getDouble(2) === 1084000.0 / 12 / 1000) // same IEEE chain
+    assert(r.getDouble(3) === 8.4) // mid ranks 2..11: 84 / 10
+    assert(r.getDouble(4) === 116.0 / 12) // (84 + 2 + 30) / 12
+  }
+
+  test("trimmed mean: ties at the cut split exactly") {
+    import spark.implicits._
+    val df = Seq(1.0, 1, 1, 5, 6, 7, 8, 9, 9, 9).map(Tuple1(_)).toDF("v")
+    val r = graft.api.Graft.trimmedMean(df, "v", trimPerMille = 100)
+      .collect().head
+    // k=1: one of the three 1s and one of the three 9s drop
+    assert(r.getLong(1) === 1L)
+    assert(r.getDouble(3) === 46.0 / 8)
+    assert(r.getDouble(4) === 5.6) // (46 + 1 + 9) / 10
+  }
+
+  test("trimmed mean: k = 0 collapses all three means") {
+    import spark.implicits._
+    val df = Seq(1.0, 2, 3, 4, 100).map(Tuple1(_)).toDF("v")
+    val r = graft.api.Graft.trimmedMean(df, "v", trimPerMille = 100)
+      .collect().head
+    assert(r.getLong(1) === 0L)
+    assert(r.getDouble(2) === 22.0 && r.getDouble(3) === 22.0 &&
+      r.getDouble(4) === 22.0)
+  }
+
   test("spearman: a perfect monotone pair gives rho = 1") {
     import spark.implicits._
     val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, 90.0))

@@ -923,4 +923,41 @@ class GraftApiSpec extends AnyFunSuite {
     assert(byId(100L).head._2 !== byId(101L).head._2,
       "orthogonal ingests must home to different cells")
   }
+
+  test("skyline: hand-computed Pareto front, ties and duplicates") {
+    // minimize x, maximize y; prices in whole units so cents are exact
+    val pts = Seq(
+      (1L, 1.0, 1L), // frontier
+      (2L, 2.0, 3L), // frontier
+      (3L, 3.0, 2L), // dominated by id 2 (cheaper, bigger)
+      (4L, 4.0, 5L), // frontier
+      (5L, 1.0, 0L)  // same price as id 1, strictly smaller y → dominated
+    ).toDF("pid", "price", "sz")
+    val got = Graft.skyline(pts, "pid", "price", "sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 100L, 1L), (2L, 200L, 3L),
+      (4L, 400L, 5L)))
+    // duplicate points are mutually non-dominating: both stay
+    val dup = Seq((1L, 1.0, 2L), (2L, 1.0, 2L), (3L, 2.0, 1L))
+      .toDF("pid", "price", "sz")
+    val got2 = Graft.skyline(dup, "pid", "price", "sz")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 === Set(1L, 2L))
+  }
+
+  test("skyline: result is invariant to the bucket count") {
+    // frontier staircase (price and size both increase) + dominated noise
+    val pts = ((1L to 20L).map(i => (i, i.toDouble, i)) ++
+      (21L to 40L).map(i => (i, (i - 20).toDouble, 0L))).toDF(
+      "pid", "price", "sz")
+    val ref = Graft.skyline(pts, "pid", "price", "sz", buckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // bucket 1 = pure window path; the staircase dominates every noise row
+    assert(ref.map(_._1) === (1L to 20L))
+    for (b <- Seq(2, 7, 64, 1024)) {
+      val got = Graft.skyline(pts, "pid", "price", "sz", buckets = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === ref, s"buckets=$b must not change the skyline")
+    }
+  }
 }
