@@ -1509,6 +1509,23 @@ object Graft {
       bReps: Int = 200): DataFrame =
     graft.operators.AggOps.bootstrapCiOn(df, valCol, idCol, bReps)
 
+  /** Contrastive hard-negative triplet mining: for each anchor row
+    * (rows matching `anchorPred` — keep the batch broadcast-small),
+    * emit its exact top-1 neighbor as the positive and the
+    * highest-ranked top-`k` shortlist entry at least `margin` cosine
+    * below the positive as the hard negative (NULL when the shortlist
+    * has none — deepen k). Returns
+    * (qid, pos_id, pos_cos, neg_id, neg_cos, gap).
+    */
+  def mineTriplets(df: DataFrame, idCol: String, vecCol: String,
+      anchorPred: Column, k: Int = 20, margin: Double = 0.05): DataFrame = {
+    val s = df.sparkSession
+    val withNrm = df.withColumn("nrm",
+      sqrt(graft.functions.NativeExprs.dot(s, col(vecCol), col(vecCol))))
+    graft.operators.SimOps.tripletsOn(s, withNrm, idCol, vecCol,
+      anchorPred, k, margin)
+  }
+
   /** Exact trimmed + winsorized mean of `valCol`: drop (trimmed) or
     * clamp (winsorized) the k = floor(n·trim‰/1000) most extreme values
     * per tail. No global sort — four exact order statistics via

@@ -1448,7 +1448,68 @@ object SimOps extends OpFamily {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** HARD-NEGATIVE TRIPLET MINING — the contrastive-training data step
+    * (DPR / sentence-encoder fine-tuning): for each anchor, emit
+    * (anchor, positive, hard negative) where the positive is the exact
+    * top-1 neighbor and the hard negative is the HIGHEST-ranked
+    * shortlist entry at least `margin` cosine BELOW the positive — close
+    * enough to be informative, far enough to not be a false negative
+    * (the standard margin heuristic; negatives drawn uniformly are too
+    * easy, negatives above the margin are usually unlabeled positives).
+    * Anchors without a qualifying negative in the top-`k` shortlist emit
+    * NULL negative columns (the caller's re-mine-with-deeper-k signal).
+    *
+    * Scale: identical shape to [[knnExact]] — broadcast the bounded
+    * anchor batch, one narrow corpus pass, per-anchor windows; at 100 TB
+    * swap the shortlist source for the persisted IVF probe
+    * ([[mmrRerankIvf]] precedent) without touching the mining logic.
+    * Every cosine and the margin subtraction run the same IEEE chain in
+    * both engines, so the oracle hash-matches.
+    */
+  def tripletMining(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm",
+        sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
+    tripletsOn(s,
+      e.select(col("vec_id"), col("embedding"), col("nrm")),
+      "vec_id", "embedding", col("vec_id") < 10, k = 20, margin = 0.05)
+  }
+
+  /** Generic miner: `emb` must carry (idCol, vecCol, nrm). */
+  private[graft] def tripletsOn(s: SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, anchorPred: org.apache.spark.sql.Column,
+      k: Int, margin: Double): DataFrame = {
+    val q = emb.filter(anchorPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
+    val shortlist = emb
+      .select(col(idCol).as("nid"), col(vecCol).as("ne"), col("nrm"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos",
+        NativeExprs.dot(s, col("qe"), col("ne")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rank"))
+      .localCheckpoint() // two consumers: positive pick + negative band
+    val pos = shortlist.filter(col("rank") === 1)
+      .select(col("qid"), col("nid").as("pos_id"), col("cos").as("pos_cos"))
+    val band = shortlist.join(broadcast(pos), Seq("qid"))
+      .filter(col("cos") < col("pos_cos") - margin)
+    val neg = band
+      .join(band.groupBy(col("qid")).agg(min(col("rank")).as("rank")),
+        Seq("qid", "rank")) // highest-ranked below the margin
+      .select(col("qid"), col("nid").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("qid"), "left")
+      .select(col("qid"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("gap"))
+      .orderBy(col("qid"))
+  }
+
   val queries = Map(
+    "sim_triplets" -> (tripletMining _),
     "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_hybrid_rrf_ivf" -> (hybridRrfIvf _),
     "dedup_semantic" -> (semanticDedup _),
@@ -2272,6 +2333,29 @@ object SimOps extends OpFamily {
            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
            WHERE q.vec_id < 10)
          WHERE cos >= 0.35 ORDER BY qid, cos DESC, nid""",
+    "sim_triplets" ->
+      """WITH r AS (
+           SELECT q.vec_id AS qid, n.vec_id AS nid,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+               CAST(n.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(n.embedding AS DOUBLE[])) DESC, n.vec_id) AS rank
+           FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+           WHERE q.vec_id < 10),
+         s AS (SELECT * FROM r WHERE rank <= 20),
+         p AS (SELECT qid, nid AS pos_id, cos AS pos_cos
+           FROM s WHERE rank = 1),
+         nc AS (SELECT s.qid, s.nid, s.cos, s.rank
+           FROM s JOIN p ON s.qid = p.qid
+           WHERE s.cos < p.pos_cos - 0.05),
+         nm AS (SELECT qid, min(rank) AS rank FROM nc GROUP BY qid),
+         ng AS (SELECT nc.qid, nc.nid AS neg_id, nc.cos AS neg_cos
+           FROM nc JOIN nm ON nc.qid = nm.qid AND nc.rank = nm.rank)
+         SELECT p.qid, pos_id, pos_cos, neg_id, neg_cos,
+           pos_cos - neg_cos AS gap
+         FROM p LEFT JOIN ng ON p.qid = ng.qid
+         ORDER BY p.qid""",
     "sim_knn_exact" ->
       """SELECT qid, rank, nid, cos FROM (
            SELECT q.vec_id AS qid, n.vec_id AS nid,

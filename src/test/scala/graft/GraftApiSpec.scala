@@ -924,6 +924,27 @@ class GraftApiSpec extends AnyFunSuite {
       "orthogonal ingests must home to different cells")
   }
 
+  test("mineTriplets: positive is top-1, negative respects the margin") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // anchor
+      (1L, Array(2.0f, 0.0f)),   // cos 1.0 → positive
+      (2L, Array(1.0f, 0.1f)),   // cos ≈ 0.995 — inside the margin, skipped
+      (3L, Array(1.0f, 0.5f)),   // cos ≈ 0.894 → first below 0.95 → negative
+      (4L, Array(0.0f, 1.0f))    // cos 0 — ranked after id 3
+    ).toDF("vid", "emb")
+    val r = Graft.mineTriplets(emb, "vid", "emb",
+        anchorPred = col("vid") === 0L).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 1L, "positive must be the exact top-1")
+    assert(r.head.getLong(3) === 3L,
+      "negative must be the hardest below pos_cos - margin")
+    assert(r.head.getDouble(5) > 0.05, "gap exceeds the margin")
+    // no qualifying negative within k → NULL negative columns
+    val r2 = Graft.mineTriplets(emb.filter(col("vid") <= 2), "vid", "emb",
+        anchorPred = col("vid") === 0L).collect()
+    assert(r2.length === 1 && r2.head.isNullAt(3) && r2.head.isNullAt(5))
+  }
+
   test("skyline: hand-computed Pareto front, ties and duplicates") {
     // minimize x, maximize y; prices in whole units so cents are exact
     val pts = Seq(
