@@ -1526,6 +1526,25 @@ object Graft {
       anchorPred, k, margin)
   }
 
+  /** Deterministic MLM-style token masking over (doc_id, lang, text)
+    * rows: token i of doc d is replaced by '<m>' iff a wrap-safe
+    * multiplicative hash of (d, i) lands under `ratePerMille`. The same
+    * input always yields the same corruption — reproducible masked
+    * pre-training data. Returns
+    * (doc_id, lang, n_tokens, n_masked, masked_text).
+    */
+  def mlmMask(docs: DataFrame, ratePerMille: Int = 150): DataFrame =
+    graft.operators.TextOps.mlmMaskOn(docs, ratePerMille)
+
+  /** Hill tail-index estimate of `valCol`'s upper tail:
+    * α̂ = k / Σ ln(x_(i)/x_(k+1)) over the k largest positive values.
+    * Bounded top-(k+1) selection, micro-quantized ln sum (engine-
+    * replayable). One row (k_tail, ref_milli, alpha_hill). Contract:
+    * more than k positive values.
+    */
+  def hillTailIndex(df: DataFrame, valCol: String, k: Int = 200): DataFrame =
+    graft.operators.AggOps.hillTailOn(df, valCol, k)
+
   /** Exact trimmed + winsorized mean of `valCol`: drop (trimmed) or
     * clamp (winsorized) the k = floor(n·trim‰/1000) most extreme values
     * per tail. No global sort — four exact order statistics via

@@ -912,6 +912,40 @@ object AggOps extends OpFamily {
       .crossJoin(broadcast(hi))
   }
 
+  /** HILL TAIL-INDEX ESTIMATOR (Hill 1975) for the extended-price upper
+    * tail: α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)) over the k largest
+    * values — the standard heavy-tail exponent read (α ≈ 1 Zipf-like,
+    * α large = thin tail; complements [[zipf slope]] which fits ranks,
+    * not magnitudes). Scale shape: the ONLY data-sized work is a
+    * TakeOrdered top-(k+1) (bounded k rows to one partition — the same
+    * contract as every top-k in the registry); the ln sum runs on k+1
+    * rows. Exactness: values are milli-unit BIGINTs, each ln ratio is
+    * micro-quantized (floor(ln·1e6), the unigram-xent idiom) and summed
+    * as BIGINT — summation-order-free, so DuckDB replays the hash.
+    * Rows tied with the reference value x_(k+1) contribute ln(1) = 0,
+    * so the k-vs-k+1 bookkeeping needs no tie-breaking at all.
+    * Contract: more than k positive values.
+    */
+  def hillTailPrice(s: SparkSession, d: String): DataFrame =
+    hillTailOn(Tables.lineitem(s, d), "l_extendedprice", k = 200)
+
+  private[graft] def hillTailOn(df: DataFrame, valCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"hillTail needs k >= 1: $k")
+    val top = df.select(floor(col(valCol) * 1000).cast("long").as("vu"))
+      .filter(col("vu") > 0)
+      .orderBy(desc("vu")).limit(k + 1)
+      .localCheckpoint() // k+1 rows; two consumers: ref min + ln sum
+    val ref = top.agg(min(col("vu")).as("vref"))
+    top.crossJoin(broadcast(ref))
+      .agg(sum(floor(log(col("vu").cast("double")
+          / col("vref").cast("double")) * 1e6).cast("long")).as("qsum"),
+        max(col("vref")).as("ref_milli"))
+      .selectExpr(s"CAST($k AS BIGINT) AS k_tail", "ref_milli",
+        s"CAST($k AS DOUBLE) / (CAST(qsum AS DOUBLE) / 1000000)" +
+          " AS alpha_hill")
+  }
+
   /** EXACT TRIMMED + WINSORIZED MEAN (Tukey's robust means) of the
     * purchase value — drop (trimmed) or clamp (winsorized) the k most
     * extreme values on each tail, k = floor(n·trim‰/1000). The point at
@@ -1350,6 +1384,7 @@ object AggOps extends OpFamily {
     "agg_spearman" -> (spearmanQtyPrice _),
     "agg_bootstrap_ci" -> (bootstrapCiPurchase _),
     "agg_trimmed_mean" -> (trimmedMeanPurchase _),
+    "agg_tail_index" -> (hillTailPrice _),
     "agg_k_anonymity" -> (kAnonymityCustomer _),
     "agg_l_diversity" -> (lDiversityCustomer _),
     "agg_overlap_matrix" -> (overlapMatrix _),
@@ -1708,6 +1743,20 @@ object AggOps extends OpFamily {
            ci_lo, ci_hi
          FROM s, lo, hi"""
     },
+    "agg_tail_index" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 1000) AS BIGINT)
+               AS vu
+             FROM lineitem),
+         t AS (SELECT vu FROM v WHERE vu > 0 ORDER BY vu DESC LIMIT 201),
+         r AS (SELECT min(vu) AS vref FROM t),
+         q AS (SELECT CAST(sum(CAST(floor(
+               ln(CAST(vu AS DOUBLE) / CAST(vref AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS BIGINT) AS qsum
+           FROM t, r)
+         SELECT CAST(200 AS BIGINT) AS k_tail, vref AS ref_milli,
+           CAST(200 AS DOUBLE) / (CAST(qsum AS DOUBLE) / 1000000)
+             AS alpha_hill
+         FROM q, r""",
     "agg_trimmed_mean" ->
       """WITH v AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vu
              FROM events WHERE event_type = 'purchase'),

@@ -926,7 +926,47 @@ object TextOps extends OpFamily {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** MLM-STYLE DETERMINISTIC TOKEN MASKING — the training-data
+    * augmentation step (BERT masking / denoising corruption), made
+    * reproducible: token i of doc d is masked iff
+    * h(d, i) mod 1000 < rate‰, with h the wrap-safe multiplicative
+    * hash over P = 2³¹−1 (the sampleHash / bootstrap idiom — the large
+    * second multiplier keeps the priority non-monotone in (d, i)).
+    * The same (doc, seed) always yields the same corruption, across
+    * re-runs, backfills and engines — which is what makes masked
+    * pre-training data auditable. Pure expression pipeline (two
+    * `transform`s + `aggregate`, no explode, no shuffle until the
+    * final order) — the whole map stays in whole-stage codegen.
+    * 1-based positions to match DuckDB's range(1, n+1).
+    */
+  def mlmMask(s: SparkSession, d: String): DataFrame =
+    mlmMaskOn(Tables.documents(s, d), ratePerMille = 150)
+
+  private[graft] def mlmMaskOn(docs: DataFrame,
+      ratePerMille: Int): DataFrame = {
+    require(ratePerMille >= 0 && ratePerMille <= 1000,
+      s"mask rate is per mille: $ratePerMille")
+    val P = 2147483647L
+    val cond = s"pmod(pmod(doc_id * 131071 + CAST(i AS BIGINT), $P)" +
+      s" * 1103515245, $P) % 1000 < $ratePerMille"
+    docs.select(col("doc_id"), col("lang"), toks.as("w"))
+      // size 0 can't happen under split-on-space (worst case [""]) but
+      // sequence(1, 0) DESCENDS — guard the trap anyway
+      .filter(size(col("w")) >= 1)
+      .withColumn("n_masked",
+        expr(s"""aggregate(transform(sequence(1, size(w)),
+            i -> IF($cond, 1L, 0L)), 0L, (a, x) -> a + x)"""))
+      .withColumn("masked_text",
+        expr(s"""array_join(transform(sequence(1, size(w)),
+            i -> IF($cond, '<m>', element_at(w, i))), ' ')"""))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).cast("long").as("n_tokens"),
+        col("n_masked"), col("masked_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries = Map(
+    "text_mlm_mask" -> (mlmMask _),
     "text_bigram_fluency" -> (bigramFluency _),
     "text_repeated_spans" -> (repeatedSpans _),
     "text_chunks" -> (chunkWindows _),
@@ -1153,6 +1193,19 @@ object TextOps extends OpFamily {
                    AS n_tokens
                  FROM documents))
          GROUP BY source, bin ORDER BY source, bin""",
+    "text_mlm_mask" ->
+      """SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(range(1, len(w) + 1), i ->
+             ((doc_id * 131071 + i) % 2147483647) * 1103515245
+               % 2147483647 % 1000 < 150)) AS BIGINT) AS n_masked,
+           array_to_string(list_transform(range(1, len(w) + 1), i ->
+             CASE WHEN ((doc_id * 131071 + i) % 2147483647) * 1103515245
+               % 2147483647 % 1000 < 150
+             THEN '<m>' ELSE w[i] END), ' ') AS masked_text
+         FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents)
+         WHERE len(w) >= 1
+         ORDER BY doc_id""",
     "text_redact" ->
       """SELECT doc_id,
            len(regexp_extract_all(text, '[a-z]+[0-9]+[a-z0-9]*')) AS n_idlike,

@@ -587,6 +587,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === meanFull)
   }
 
+  test("hill tail index: exact replay of the quantized ln sum") {
+    import spark.implicits._
+    val vals = Seq(8.0, 4.0, 2.0, 1.0, 0.5, 0.25)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val r = graft.api.Graft.hillTailIndex(df, "v", k = 3)
+      .collect().head
+    // driver replay: top-4 milli values, ref = min, micro-quantized lns
+    val vus = vals.map(v => math.floor(v * 1000).toLong).sorted.reverse
+      .take(4)
+    val vref = vus.min
+    val qsum = vus.map(vu =>
+      math.floor(math.log(vu.toDouble / vref.toDouble) * 1e6).toLong).sum
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === vref)
+    assert(r.getDouble(2) === 3.0 / (qsum.toDouble / 1000000))
+  }
+
   test("trimmed mean: hand-computed asymmetric tails, k = 1") {
     import spark.implicits._
     val vals = Seq(0.0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 30, 1000.0)

@@ -503,4 +503,36 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(sorted.toSeq === full.take(sorted.length).toSeq)
   }
+
+  test("mlm mask: deterministic, replayable, and rate-faithful") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+      (8L, "de", "one two three")
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.api.Graft.mlmMask(docs, ratePerMille = 300)
+      .collect()
+    // driver replay of the hash decision per (doc, 1-based position)
+    val P = 2147483647L
+    def masked(d: Long, i: Long): Boolean =
+      ((d * 131071 + i) % P) * 1103515245L % P % 1000 < 300
+    for (r <- out) {
+      val d = r.getLong(0)
+      val words = docs.filter(col("doc_id") === d)
+        .collect().head.getString(2).split(" ")
+      val expect = words.zipWithIndex.map { case (w, ix) =>
+        if (masked(d, ix + 1L)) "<m>" else w }
+      assert(r.getLong(2) === words.length.toLong)
+      assert(r.getLong(3) === expect.count(_ == "<m>").toLong)
+      assert(r.getString(4) === expect.mkString(" "))
+    }
+    // same input twice → identical corruption
+    val again = graft.api.Graft.mlmMask(docs, ratePerMille = 300).collect()
+    assert(out.map(_.getString(4)).toSeq === again.map(_.getString(4)).toSeq)
+    // rate 0 masks nothing; rate 1000 masks everything
+    val none = graft.api.Graft.mlmMask(docs, 0).collect()
+    assert(none.forall(_.getLong(3) == 0L))
+    val all = graft.api.Graft.mlmMask(docs, 1000).collect()
+    assert(all.forall(r => r.getLong(3) === r.getLong(2)))
+  }
 }
