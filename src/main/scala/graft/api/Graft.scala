@@ -1526,6 +1526,23 @@ object Graft {
       anchorPred, k, margin)
   }
 
+  /** Leakage-safe train/valid/test split: near-duplicate documents land
+    * in the SAME split — the split key is the connected-component root
+    * of `pairs` (any (a, b) near-dup edge frame, e.g. from
+    * [[nearDuplicatePairs]]), hashed with the deterministic
+    * multiplicative idiom. Docs in no pair are singleton clusters.
+    * Returns per-doc (idCol, root, split); zero cross-split pairs by
+    * construction.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a", bCol: String = "b", trainPerMille: Int = 800,
+      validPerMille: Int = 100): DataFrame = {
+    val clusters = graft.operators.DedupOps
+      .clusterPairsOn(pairs, aCol, bCol)
+    graft.operators.DedupOps.leakageSafeSplitOn(docs, idCol, clusters,
+      trainPerMille, validPerMille)
+  }
+
   /** Deterministic MLM-style token masking over (doc_id, lang, text)
     * rows: token i of doc d is replaced by '<m>' iff a wrap-safe
     * multiplicative hash of (d, i) lands under `ratePerMille`. The same

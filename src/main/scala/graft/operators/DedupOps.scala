@@ -945,7 +945,50 @@ object DedupOps extends OpFamily {
       .orderBy(col("a"), col("b"))
   }
 
+  /** LEAKAGE-SAFE TRAIN/VALID/TEST SPLIT — the decontamination rule a
+    * training pipeline must honor: near-duplicate documents MUST land
+    * in the same split, or the eval set silently overlaps the training
+    * set and benchmark numbers inflate. A per-document hash split
+    * (filter_split_assign) violates this whenever a near-dup pair
+    * straddles the cut; here the split key is the near-dup CLUSTER root
+    * ([[nearDupClusters]] connected components), so an entire dup
+    * cluster moves as one unit — zero cross-split pairs by
+    * construction (asserted mechanically in scalatest). The hash is the
+    * [[graft.api.Graft.sampleByStratum]] wrap-safe multiplicative
+    * idiom; same corpus → same split, across engines and re-runs.
+    * Output: per-split document and cluster counts.
+    */
+  def leakfreeSplit(s: SparkSession, d: String): DataFrame =
+    leakageSafeSplitOn(withNearDupes(s, d).select(col("doc_id")),
+      "doc_id", nearDupClusters(s, d))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("root")).as("n_clusters"))
+      .orderBy(col("split"))
+
+  /** Per-doc assignment core: `clusters` is a (doc_id, cluster_id)
+    * frame (docs absent from it are their own singleton cluster).
+    */
+  private[graft] def leakageSafeSplitOn(docs: DataFrame, idCol: String,
+      clusters: DataFrame, trainPerMille: Int = 800,
+      validPerMille: Int = 100): DataFrame = {
+    require(trainPerMille >= 0 && validPerMille >= 0 &&
+      trainPerMille + validPerMille <= 1000,
+      s"split shares are per mille: $trainPerMille/$validPerMille")
+    val r = pmod(pmod(col("root"), lit(1000)) * lit(761L), lit(1000))
+    docs
+      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("root", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(r < trainPerMille, "train")
+          .when(r < trainPerMille + validPerMille, "valid")
+          .otherwise("test"))
+      .select(col(idCol), col("root"), col("split"))
+  }
+
   val queries = Map(
+    "dedup_leakfree_split" -> (leakfreeSplit _),
     "dedup_exact_groups" -> (exactDupGroups _),
     "dedup_keep_first" -> (keepFirst _),
     "dedup_near_jaccard" -> (nearJaccard _),
@@ -1053,6 +1096,21 @@ object DedupOps extends OpFamily {
       s"""WITH RECURSIVE $clusterCtes
          SELECT x AS doc_id, min(y) AS cluster_id FROM reach
          GROUP BY x ORDER BY doc_id""",
+    "dedup_leakfree_split" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         clusters AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach
+           GROUP BY x),
+         lab AS (SELECT c.doc_id,
+             coalesce(cl.cluster_id, c.doc_id) AS root
+           FROM corpus c LEFT JOIN clusters cl USING (doc_id)),
+         sp AS (SELECT doc_id, root,
+             CASE WHEN (root % 1000) * 761 % 1000 < 800 THEN 'train'
+                  WHEN (root % 1000) * 761 % 1000 < 900 THEN 'valid'
+                  ELSE 'test' END AS split
+           FROM lab)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT root) AS BIGINT) AS n_clusters
+         FROM sp GROUP BY split ORDER BY split""",
     "dedup_survivors" ->
       s"""WITH RECURSIVE $clusterCtes,
          clusters AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach

@@ -504,6 +504,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sorted.toSeq === full.take(sorted.length).toSeq)
   }
 
+  test("leakage-safe split: clusters move whole, no cross-split pair") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(Tuple1(_)).toDF("doc_id")
+    // two chains {1,2,3} and {10,11}, plus a long path {20..25}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L)).toDF("a", "b")
+    val out = graft.api.Graft.leakageSafeSplit(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 40)
+    val byId = out.map(t => t._1 -> t).toMap
+    // every member of a cluster shares the root's split
+    for (grp <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L), (20L to 25L).toSeq)) {
+      assert(grp.map(byId(_)._3).distinct.size === 1,
+        s"cluster $grp must land in one split")
+      assert(grp.map(byId(_)._2).distinct === Seq(grp.min))
+    }
+    // no pair crosses splits — the defining property
+    val splits = out.map(t => t._1 -> t._3).toMap
+    val crossing = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 25L))
+      .count { case (a, b) => splits(a) != splits(b) }
+    assert(crossing === 0)
+    // singletons use their own id as root
+    assert(byId(40L)._2 === 40L)
+    // deterministic across invocations
+    val again = graft.api.Graft.leakageSafeSplit(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(again === out.map(t => (t._1, t._3)).toSet)
+  }
+
   test("mlm mask: deterministic, replayable, and rate-faithful") {
     import spark.implicits._
     val docs = Seq(
