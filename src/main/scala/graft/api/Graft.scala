@@ -1573,6 +1573,18 @@ object Graft {
       trimPerMille: Int = 100): DataFrame =
     graft.operators.AggOps.trimmedMeanOn(df, valCol, trimPerMille)
 
+  /** A/B uplift readout: difference of group means (grpA − grpB) with a
+    * paired Poisson-bootstrap 2.5/97.5 percentile band (replicate b
+    * draws the same hash stream in both groups). One row
+    * (n_a, n_b, mean_a, mean_b, uplift, ci_lo, ci_hi); significant at
+    * ~5% when the band excludes zero.
+    */
+  def abBootstrap(df: DataFrame, grpCol: String, valCol: String,
+      idCol: String, grpA: String, grpB: String,
+      bReps: Int = 200): DataFrame =
+    graft.operators.AggOps.abBootstrapOn(df, grpCol, valCol, idCol,
+      grpA, grpB, bReps)
+
   /** 2-D skyline (Pareto front): rows not dominated on
     * (minimize `minCol`, maximize `maxCol`) — no other row is at most
     * as expensive AND at least as good with one strict inequality.

@@ -870,18 +870,25 @@ object AggOps extends OpFamily {
       .filter(col("event_type") === "purchase"),
       "value", "event_id", bReps = 200)
 
+  private val BootP = 2147483647L // 2^31 - 1
+  /** Per-(row, replicate) uniform and Poisson(1) weight SQL text shared
+    * by the bootstrap family — identical strings in every consumer so
+    * the plans (and the interpolated oracle constants) can never drift.
+    */
+  private def bootUExpr: String =
+    s"CAST(pmod(pmod((id + 7919) * (2 * b + 1), $BootP) " +
+      s"* 1103515245, $BootP) AS DOUBLE) / $BootP"
+  private def bootWExpr: String = (0 to 6).map(k =>
+    s"WHEN u < ${poissonCums(k)} THEN $k").mkString(
+    "CASE ", " ", " ELSE 7 END")
+
   private[graft] def bootstrapCiOn(df: DataFrame, valCol: String,
       idCol: String, bReps: Int): DataFrame = {
     require(bReps >= 4, s"bootstrapCi needs >= 4 replicates: $bReps")
     val loRank = math.max(1, (0.025 * bReps).toInt)
     val hiRank = bReps + 1 - loRank
-    val P = 2147483647L // 2^31 - 1
-    val cums = poissonCums
-    val uExpr = s"CAST(pmod(pmod((id + 7919) * (2 * b + 1), $P) " +
-      s"* 1103515245, $P) AS DOUBLE) / $P"
-    val wExpr = (0 to 6).map(k =>
-      s"WHEN u < ${cums(k)} THEN $k").mkString(
-      "CASE ", " ", " ELSE 7 END")
+    val uExpr = bootUExpr
+    val wExpr = bootWExpr
     val base = df.select(col(idCol).cast("long").as("id"),
       floor(col(valCol) * 1000).cast("long").as("vu"))
       .localCheckpoint() // two consumers: full-sample moments + replicas
@@ -908,6 +915,72 @@ object AggOps extends OpFamily {
     base.agg(count(lit(1)).as("n"), sum(col("vu")).as("sv"))
       .selectExpr("n", s"CAST($bReps AS BIGINT) AS b_reps",
         "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 1000 AS mean_v")
+      .crossJoin(broadcast(lo)) // 1-row order statistics
+      .crossJoin(broadcast(hi))
+  }
+
+  /** A/B UPLIFT WITH A PAIRED-BOOTSTRAP CONFIDENCE BAND — the
+    * experiment readout: difference of group means (A − B) plus a
+    * 2.5/97.5 percentile interval from PAIRED Poisson-bootstrap
+    * replicates (replicate b draws the same hash stream in both groups,
+    * so the B diffs are a bootstrap of the difference, not two
+    * independent CIs eyeballed against each other — the classic A/B
+    * mistake). Same deterministic machinery as [[bootstrapCiOn]]
+    * (shared weight SQL text): one map-side weighted pass, B-row mean
+    * frames, bounded broadcast theta rank over the diffs. Output one
+    * row (n_a, n_b, mean_a, mean_b, uplift, ci_lo, ci_hi); the test is
+    * significant at ~5% when the CI excludes zero.
+    */
+  def abBootstrapPurchaseClick(s: SparkSession, d: String): DataFrame =
+    abBootstrapOn(Tables.events(s, d), "event_type", "value", "event_id",
+      grpA = "purchase", grpB = "click", bReps = 200)
+
+  private[graft] def abBootstrapOn(df: DataFrame, grpCol: String,
+      valCol: String, idCol: String, grpA: String, grpB: String,
+      bReps: Int): DataFrame = {
+    require(bReps >= 4, s"abBootstrap needs >= 4 replicates: $bReps")
+    val loRank = math.max(1, (0.025 * bReps).toInt)
+    val hiRank = bReps + 1 - loRank
+    val base = df.filter(col(grpCol).isin(grpA, grpB))
+      .select(col(grpCol).as("g"), col(idCol).cast("long").as("id"),
+        floor(col(valCol) * 1000).cast("long").as("vu"))
+      .localCheckpoint() // two consumers: group moments + replicates
+    val means = base
+      .select(col("g"), col("id"), col("vu"),
+        explode(expr(s"sequence(1, $bReps)")).as("b"))
+      .withColumn("u", expr(bootUExpr))
+      .withColumn("w", expr(bootWExpr).cast("long"))
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("w") * col("vu")).as("sw"), sum(col("w")).as("cw"))
+      .selectExpr("g", "b",
+        "CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 AS m")
+    val diffs = means.filter(col("g") === grpA)
+      .select(col("b"), col("m").as("ma"))
+      .join(means.filter(col("g") === grpB)
+        .select(col("b"), col("m").as("mb")), Seq("b"))
+      .select(col("b"), (col("ma") - col("mb")).as("m"))
+      .localCheckpoint() // two consumers: both sides of the theta rank
+    val rhs = diffs.select(col("b").as("b2"), col("m").as("m2"))
+    val ranks = diffs.join(broadcast(rhs),
+        col("m2") < col("m") ||
+          (col("m2") === col("m") && col("b2") <= col("b")))
+      .groupBy(col("b"), col("m"))
+      .agg(count(lit(1)).as("r"))
+    val lo = ranks.filter(col("r") === loRank)
+      .select(col("m").as("ci_lo"))
+    val hi = ranks.filter(col("r") === hiRank)
+      .select(col("m").as("ci_hi"))
+    base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("vu")).as("sv"))
+      .agg(sum(when(col("g") === grpA, col("n"))).as("n_a"),
+        sum(when(col("g") === grpB, col("n"))).as("n_b"),
+        sum(when(col("g") === grpA, col("sv"))).as("sa"),
+        sum(when(col("g") === grpB, col("sv"))).as("sb"))
+      .selectExpr("n_a", "n_b",
+        "CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000 AS mean_a",
+        "CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000 AS mean_b",
+        """CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000
+           - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000 AS uplift""")
       .crossJoin(broadcast(lo)) // 1-row order statistics
       .crossJoin(broadcast(hi))
   }
@@ -1385,6 +1458,7 @@ object AggOps extends OpFamily {
     "agg_bootstrap_ci" -> (bootstrapCiPurchase _),
     "agg_trimmed_mean" -> (trimmedMeanPurchase _),
     "agg_tail_index" -> (hillTailPrice _),
+    "agg_ab_bootstrap" -> (abBootstrapPurchaseClick _),
     "agg_k_anonymity" -> (kAnonymityCustomer _),
     "agg_l_diversity" -> (lDiversityCustomer _),
     "agg_overlap_matrix" -> (overlapMatrix _),
@@ -1740,6 +1814,52 @@ object AggOps extends OpFamily {
            FROM base)
          SELECT n, CAST(200 AS BIGINT) AS b_reps,
            CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 1000 AS mean_v,
+           ci_lo, ci_hi
+         FROM s, lo, hi"""
+    },
+    "agg_ab_bootstrap" -> {
+      val wCase = (0 to 6).map(k =>
+        s"WHEN u < ${poissonCums(k)} THEN $k").mkString(
+        "CASE ", " ", " ELSE 7 END")
+      s"""WITH base AS (SELECT event_type AS g, event_id AS id,
+             CAST(floor(value * 1000) AS BIGINT) AS vu
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         rep AS (SELECT g, id, vu, b,
+             CAST(((id + 7919) * (2 * b + 1) % 2147483647)
+               * 1103515245 % 2147483647 AS DOUBLE) / 2147483647 AS u
+           FROM base, unnest(range(1, 201)) AS t(b)),
+         means AS (SELECT g, b,
+             CAST(sum(w * vu) AS BIGINT) AS sw,
+             CAST(sum(w) AS BIGINT) AS cw
+           FROM (SELECT g, id, vu, b, CAST($wCase AS BIGINT) AS w FROM rep)
+           GROUP BY g, b),
+         mm AS (SELECT g, b,
+             CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 AS m
+           FROM means),
+         d AS (SELECT a.b, a.m - c.m AS m
+           FROM mm a JOIN mm c ON a.b = c.b
+           WHERE a.g = 'purchase' AND c.g = 'click'),
+         ranks AS (SELECT a.b, a.m, CAST(count(*) AS BIGINT) AS r
+           FROM d a JOIN d c
+             ON c.m < a.m OR (c.m = a.m AND c.b <= a.b)
+           GROUP BY a.b, a.m),
+         lo AS (SELECT m AS ci_lo FROM ranks WHERE r = 5),
+         hi AS (SELECT m AS ci_hi FROM ranks WHERE r = 196),
+         s AS (SELECT
+             CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN g = 'purchase' THEN vu ELSE 0 END)
+               AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN g = 'click' THEN vu ELSE 0 END)
+               AS BIGINT) AS sb
+           FROM base)
+         SELECT n_a, n_b,
+           CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000 AS mean_a,
+           CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000 AS mean_b,
+           CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000
+             - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000 AS uplift,
            ci_lo, ci_hi
          FROM s, lo, hi"""
     },

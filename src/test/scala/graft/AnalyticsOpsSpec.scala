@@ -637,6 +637,39 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       r.getDouble(4) === 22.0)
   }
 
+  test("ab bootstrap: paired replicate diffs replay the hash exactly") {
+    import spark.implicits._
+    val rows = Seq((1L, "A", 2.0), (2L, "A", 4.0), (3L, "A", 6.0),
+      (4L, "B", 1.0), (5L, "B", 3.0))
+    val bReps = 4
+    val df = rows.toDF("id", "g", "v")
+    val r = graft.api.Graft.abBootstrap(df, "g", "v", "id", "A", "B",
+      bReps = bReps).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 12000.0 / 3 / 1000)
+    assert(r.getDouble(3) === 4000.0 / 2 / 1000)
+    assert(r.getDouble(4) === 12000.0 / 3 / 1000 - 4000.0 / 2 / 1000)
+    val P = 2147483647L
+    val cums = graft.operators.AggOps.poissonCums
+    def w(id: Long, b: Long): Long = {
+      val u = (((id + 7919) * (2 * b + 1) % P) * 1103515245L % P)
+        .toDouble / P
+      val k = cums.indexWhere(u < _)
+      if (k < 0) 7L else k.toLong
+    }
+    def gm(ids: Seq[(Long, Double)], b: Long): Double = {
+      val sw = ids.map { case (id, v) =>
+        w(id, b) * math.floor(v * 1000).toLong }.sum
+      val cw = ids.map { case (id, _) => w(id, b) }.sum
+      sw.toDouble / cw.toDouble / 1000
+    }
+    val a = rows.filter(_._2 == "A").map(t => (t._1, t._3))
+    val bb = rows.filter(_._2 == "B").map(t => (t._1, t._3))
+    val diffs = (1 to bReps).map(b => gm(a, b) - gm(bb, b))
+    assert(r.getDouble(5) === diffs.min) // bReps=4 → lo rank 1
+    assert(r.getDouble(6) === diffs.max)
+  }
+
   test("spearman: a perfect monotone pair gives rho = 1") {
     import spark.implicits._
     val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, 90.0))
