@@ -1573,6 +1573,16 @@ object Graft {
       trimPerMille: Int = 100): DataFrame =
     graft.operators.AggOps.trimmedMeanOn(df, valCol, trimPerMille)
 
+  /** Per-group OLS trend of `valCol` vs `tsCol` in value-units per day:
+    * one aggregation pass computing five integer moments per group
+    * (t in minutes since the group's first event, v in milli-units),
+    * then a single double expression — engine-replayable. Groups with
+    * fewer than two distinct minutes yield a NULL slope.
+    */
+  def trend(df: DataFrame, grpCol: String, tsCol: String,
+      valCol: String): DataFrame =
+    graft.operators.EventOps.trendOn(df, grpCol, tsCol, valCol)
+
   /** A/B uplift readout: difference of group means (grpA − grpB) with a
     * paired Poisson-bootstrap 2.5/97.5 percentile band (replicate b
     * draws the same hash stream in both groups). One row

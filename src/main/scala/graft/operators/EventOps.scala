@@ -709,7 +709,55 @@ object EventOps extends OpFamily {
       .orderBy(col("campaign"))
   }
 
+  /** PER-GROUP OLS TREND — the "is this metric drifting" readout: least-
+    * squares slope of value vs event time within each event_type, in
+    * value-units per day. The whole regression is FOUR integer moments
+    * per group (n, Σt, Σv, Σt², Σtv) from one aggregation pass — the
+    * textbook one-MR-job regression; no sort, no window, no iteration.
+    * Exactness bounds picked so every moment fits BIGINT at 100 TB-ish
+    * group sizes: t is MINUTES since the group's first event (re-based
+    * via a broadcast min join — t ≤ ~10⁵ for a quarter of data, so
+    * Σt² ≤ 10¹⁵ per 10⁵ rows), v is milli-units. The slope is then one
+    * double expression over bit-equal integer moments — identical IEEE
+    * chain in both engines. Groups need ≥ 2 distinct minutes (else the
+    * denominator is 0 and the slope NULL — kept, not crashed).
+    */
+  def trendByType(s: SparkSession, d: String): DataFrame =
+    trendOn(ev(s, d), "event_type", "ts", "value")
+
+  private[graft] def trendOn(df: DataFrame, grpCol: String,
+      tsCol: String, valCol: String): DataFrame = {
+    val base = df.select(col(grpCol).as("event_type"),
+      col(tsCol).as("ts"), floor(col(valCol) * 1000).cast("long").as("vu"))
+    val t0 = base.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("ts0"))
+    base.join(broadcast(t0), Seq("event_type"))
+      .withColumn("t",
+        expr("(unix_micros(ts) - unix_micros(ts0)) DIV 60000000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("t")).as("st"), sum(col("vu")).as("sv"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("vu")).as("stv"))
+      // cast BEFORE multiplying: st·sv can pass 2⁶³; the double chain
+      // over bit-equal integer moments is identical in both engines.
+      // The CASE guards one-minute groups (denominator 0 → NULL slope;
+      // ANSI Spark would otherwise throw DIVIDE_BY_ZERO).
+      .withColumn("numer", expr(
+        """CAST(n_events AS DOUBLE) * CAST(stv AS DOUBLE)
+           - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE)"""))
+      .withColumn("denom", expr(
+        """CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)"""))
+      .selectExpr(s"event_type AS `$grpCol`", "n_events",
+        """CASE WHEN denom = 0 THEN NULL
+           ELSE numer / denom * 1440 / 1000 END AS slope_per_day""",
+        "CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE) / 1000 AS mean_v")
+      .orderBy(col(grpCol))
+  }
+
   val queries = Map(
+    "ev_trend" -> (trendByType _),
     "ev_attribution" -> (attribution _),
     "ev_attribution_first" -> (attributionFirst _),
     "ev_attribution_linear" -> (attributionLinear _),
@@ -748,6 +796,34 @@ object EventOps extends OpFamily {
        FROM wd JOIN r${k - 1} r ON wd.f = r.state GROUP BY wd.t)"""
 
   val oracle = Map(
+    "ev_trend" ->
+      """WITH base AS (SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+             CAST(floor(value * 1000) AS BIGINT) AS vu
+           FROM events),
+         t0 AS (SELECT event_type, min(tus) AS t0 FROM base
+           GROUP BY event_type),
+         m AS (SELECT b.event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum((b.tus - t0.t0) // 60000000) AS BIGINT) AS st,
+             CAST(sum(b.vu) AS BIGINT) AS sv,
+             CAST(sum(((b.tus - t0.t0) // 60000000)
+               * ((b.tus - t0.t0) // 60000000)) AS BIGINT) AS stt,
+             CAST(sum(((b.tus - t0.t0) // 60000000) * b.vu) AS BIGINT)
+               AS stv
+           FROM base b JOIN t0 USING (event_type)
+           GROUP BY b.event_type)
+         SELECT event_type, n_events,
+           CASE WHEN CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) = 0
+             THEN NULL
+             ELSE (CAST(n_events AS DOUBLE) * CAST(stv AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                  / (CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                  * 1440 / 1000 END AS slope_per_day,
+           CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE) / 1000 AS mean_v
+         FROM m ORDER BY event_type""",
     "ev_attribution" ->
       """WITH ev AS (
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -203,4 +203,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert(ns.sliding(2).forall(p => p(0) >= p(1)),
       s"funnel not monotone: ${ns.mkString(",")}")
   }
+
+  test("trend: exact slope on a hand-built line, NULL on a point mass") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val df = Seq(
+      ("a", ts(0), 1.0), ("a", ts(60), 2.0), ("a", ts(120), 3.0),
+      ("b", ts(5), 9.0), ("b", ts(5), 1.0) // one minute only → NULL slope
+    ).toDF("g", "t", "v")
+    val out = graft.api.Graft.trend(df, "g", "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // moments: st=180 sv=6000 stt=18000 stv=480000, n=3
+    val slope = (3.0 * 480000 - 180.0 * 6000) /
+      (3.0 * 18000 - 180.0 * 180) * 1440 / 1000
+    assert(out("a").getLong(1) === 3L)
+    assert(out("a").getDouble(2) === slope) // ≈ 24 value-units/day
+    assert(out("a").getDouble(3) === 6000.0 / 3 / 1000)
+    assert(out("b").isNullAt(2), "degenerate group keeps a NULL slope")
+  }
 }
