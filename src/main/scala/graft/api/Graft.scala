@@ -1573,6 +1573,17 @@ object Graft {
       trimPerMille: Int = 100): DataFrame =
     graft.operators.AggOps.trimmedMeanOn(df, valCol, trimPerMille)
 
+  /** Shard-growth rebalance report: fraction of rows that move when the
+    * shard count grows `nBefore` → `nAfter`, under naive modulo
+    * placement vs a consistent-hashing ring with `vnodes` virtual nodes
+    * per shard. Two rows (strategy, n_docs, n_moved, moved_permille);
+    * the ring compiles to a static expression — no join.
+    */
+  def shardRebalance(df: DataFrame, idCol: String, nBefore: Int = 16,
+      nAfter: Int = 17, vnodes: Int = 8): DataFrame =
+    graft.operators.IoOps.shardRebalanceOn(df, idCol, nBefore, nAfter,
+      vnodes)
+
   /** Per-group OLS trend of `valCol` vs `tsCol` in value-units per day:
     * one aggregation pass computing five integer moments per group
     * (t in minutes since the group's first event, v in milli-units),

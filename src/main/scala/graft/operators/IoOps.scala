@@ -400,7 +400,62 @@ object IoOps extends OpFamily {
       .orderBy(col("etype"))
   }
 
+  /** CONSISTENT-HASHING SHARD REBALANCE REPORT (Karger et al. 1997) —
+    * what happens to data placement when the shard count grows 16 → 17:
+    * under naive modulo placement virtually every row moves
+    * (expected (n−1)/n ≈ 941‰); under a hash ring with virtual nodes
+    * only the arcs the new node's vnodes steal move (expected
+    * 1/n ≈ 59‰), and every moved row moves TO the new shard — the
+    * property that makes shard growth an incremental copy instead of a
+    * full reshuffle at 100 TB.
+    *
+    * Scale shape: the ring is a DRIVER-KNOWN constant structure
+    * (shards × vnodes ≈ 10² positions), so placement compiles into a
+    * static sorted-boundary CASE expression — zero joins, one narrow
+    * pass over the ids, pure codegen. The same Scala-computed ring
+    * constants are interpolated into the DuckDB oracle (the
+    * constant-interpolation idiom), so the report hash-matches.
+    */
+  def shardRebalance(s: SparkSession, d: String): DataFrame =
+    shardRebalanceOn(Tables.documents(s, d).select(col("doc_id")),
+      "doc_id", nBefore = 16, nAfter = 17, vnodes = 8)
+
+  /** Sorted ring positions for shards 1..n with `v` virtual nodes each:
+    * pos = wrap-safe multiplicative hash of (shard, replica). */
+  private[graft] def ringCase(n: Int, v: Int): String = {
+    val P = 2147483647L
+    val ring = for { sh <- 1 to n; r <- 1 to v }
+      yield (((sh.toLong * 7919 + r.toLong * 104729) % P)
+        * 1103515245L % P, sh)
+    require(ring.map(_._1).distinct.size == ring.size,
+      "vnode position collision; change the vnode salt primes")
+    val sorted = ring.sortBy(_._1)
+    // first vnode clockwise from p; past the last boundary wraps to the
+    // smallest-position vnode
+    sorted.map { case (pos, sh) => s"WHEN p <= $pos THEN $sh" }
+      .mkString("CASE ", " ", s" ELSE ${sorted.head._2} END")
+  }
+
+  private[graft] def shardRebalanceOn(df: DataFrame, idCol: String,
+      nBefore: Int, nAfter: Int, vnodes: Int): DataFrame = {
+    val P = 2147483647L
+    df.select(expr(s"($idCol % $P) * 1103515245 % $P").as("p"))
+      .withColumn("mod_moved",
+        (col("p") % nBefore =!= col("p") % nAfter).cast("long"))
+      .withColumn("ring_moved",
+        (expr(ringCase(nBefore, vnodes)) =!=
+          expr(ringCase(nAfter, vnodes))).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("mod_moved")).as("mm"),
+        sum(col("ring_moved")).as("rm"))
+      .selectExpr("""stack(2, 'mod', n, mm, 'ring', n, rm)
+          AS (strategy, n_docs, n_moved)""")
+      .selectExpr("strategy", "n_docs", "n_moved",
+        "n_moved * 1000 DIV n_docs AS moved_permille")
+      .orderBy(col("strategy"))
+  }
+
   val queries = Map(
+    "io_shard_rebalance" -> (shardRebalance _),
     "io_profile" -> (profileEvents _),
     "io_schema_evolution" -> (schemaEvolution _),
     "io_zorder_roundtrip" -> (zorderRoundtrip _),
@@ -415,6 +470,23 @@ object IoOps extends OpFamily {
     "io_bucketed_join" -> (bucketedJoin _))
 
   val oracle = Map(
+    "io_shard_rebalance" ->
+      s"""WITH b AS (SELECT (doc_id % 2147483647) * 1103515245
+               % 2147483647 AS p
+           FROM documents),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN p % 16 <> p % 17 THEN 1 ELSE 0 END)
+               AS BIGINT) AS mm,
+             CAST(sum(CASE WHEN (${ringCase(16, 8)})
+                 <> (${ringCase(17, 8)}) THEN 1 ELSE 0 END)
+               AS BIGINT) AS rm
+           FROM b)
+         SELECT strategy, n_docs, n_moved,
+           n_moved * 1000 // n_docs AS moved_permille
+         FROM (SELECT 'mod' AS strategy, n AS n_docs, mm AS n_moved FROM m
+               UNION ALL
+               SELECT 'ring', n, rm FROM m)
+         ORDER BY strategy""",
     "io_expectations" ->
       ExpectationRules.map { case (name, pred) =>
         s"""SELECT '$name' AS rule, CAST(count(*) AS BIGINT) AS n_checked,

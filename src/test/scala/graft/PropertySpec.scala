@@ -368,4 +368,29 @@ class PropertySpec extends AnyFunSuite {
       _.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))).toSeq
     assert(agg.finish(parts.reduce(agg.merge)) === want)
   }
+
+  test("shard rebalance: ring moves only onto the new shard, mod churns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ids = (1L to 5000L).map(Tuple1(_)).toDF("id")
+    // per-id placement under both rings — the defining consistent-hash
+    // property: a row that moves when shard 17 joins moves TO shard 17
+    val placed = ids
+      .withColumn("p", expr("(id % 2147483647) * 1103515245 % 2147483647"))
+      .withColumn("s16", expr(graft.operators.IoOps.ringCase(16, 8)))
+      .withColumn("s17", expr(graft.operators.IoOps.ringCase(17, 8)))
+      .collect().map(r => (r.getInt(2), r.getInt(3)))
+    val moved = placed.filter { case (a, b) => a != b }
+    assert(moved.nonEmpty, "the new shard must steal some arcs")
+    assert(moved.forall(_._2 == 17),
+      "every ring-moved row must land on the new shard")
+    // the report: ring churn is a small fraction of mod churn
+    val rep = graft.api.Graft.shardRebalance(ids, "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep("mod")._1 === 5000L)
+    assert(rep("ring")._2 === moved.length.toLong)
+    assert(rep("mod")._3 > 800L, "mod placement churns nearly everything")
+    assert(rep("ring")._3 < 200L, "ring churn stays near 1/n")
+  }
 }
