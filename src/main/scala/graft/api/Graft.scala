@@ -1573,6 +1573,24 @@ object Graft {
       trimPerMille: Int = 100): DataFrame =
     graft.operators.AggOps.trimmedMeanOn(df, valCol, trimPerMille)
 
+  /** Max drawdown per group over a signed delta series: running sum,
+    * running peak, max(peak − cum). `orderCols` must totally order each
+    * group; `deltaCol` is an integer (e.g. milli-unit) net flow.
+    * Returns (grpCol, n_events, max_drawdown_milli, final_milli) —
+    * all-integer, no float drift.
+    */
+  def maxDrawdown(df: DataFrame, grpCol: String, orderCols: Seq[String],
+      deltaCol: String): DataFrame =
+    graft.operators.WindowOps.drawdownOn(df, grpCol, orderCols, deltaCol)
+
+  /** Mutual information I(X;Y) in nats between two categorical columns:
+    * one pass for the cell counts, margins from the bounded cell table,
+    * micro-quantized ln terms (engine-replayable). One row
+    * (n, n_cells, mi_nats).
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    graft.operators.AggOps.mutualInfoOn(df, xCol, yCol)
+
   /** Shard-growth rebalance report: fraction of rows that move when the
     * shard count grows `nBefore` → `nAfter`, under naive modulo
     * placement vs a consistent-hashing ring with `vnodes` virtual nodes

@@ -985,6 +985,43 @@ object AggOps extends OpFamily {
       .crossJoin(broadcast(hi))
   }
 
+  /** MUTUAL INFORMATION between event type and ISO day-of-week — the
+    * generic categorical-association readout (how much does knowing the
+    * weekday tell you about what users do), the aggregate sibling of
+    * the chi-square test: I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) in
+    * nats. One corpus pass builds the (x, y) cell counts; margins and
+    * the total come from the CELL table (bounded: |types|·7 rows), not
+    * from rescans. Each cell's ln runs once over one fixed-order double
+    * ratio of BIGINT products and is micro-quantized before the
+    * count-weighted BIGINT sum — order-free, engine-replayable (the
+    * collocations-PMI idiom). Day alignment: Spark weekday(ts)+1 ≡
+    * DuckDB isodow (the ev_seasonality trap).
+    */
+  def mutualInfoTypeDow(s: SparkSession, d: String): DataFrame =
+    mutualInfoOn(Tables.events(s, d)
+      .select(col("event_type"), expr("weekday(ts) + 1").as("dow")),
+      "event_type", "dow")
+
+  private[graft] def mutualInfoOn(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df
+      .select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // four consumers: margins ×2, total, cells
+    val cx = cells.groupBy(col("x")).agg(sum(col("c")).as("ca"))
+    val cy = cells.groupBy(col("y")).agg(sum(col("c")).as("cb"))
+    val t = cells.agg(sum(col("c")).as("tt"))
+    cells.join(broadcast(cx), Seq("x")).join(broadcast(cy), Seq("y"))
+      .crossJoin(broadcast(t))
+      .withColumn("qln",
+        floor(log(expr("CAST(c * tt AS DOUBLE) / CAST(ca * cb AS DOUBLE)"))
+          * 1e6).cast("long"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("c") * col("qln")).as("qsum"))
+      .selectExpr("n", "n_cells",
+        "CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000 AS mi_nats")
+  }
+
   /** HILL TAIL-INDEX ESTIMATOR (Hill 1975) for the extended-price upper
     * tail: α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)) over the k largest
     * values — the standard heavy-tail exponent read (α ≈ 1 Zipf-like,
@@ -1459,6 +1496,7 @@ object AggOps extends OpFamily {
     "agg_trimmed_mean" -> (trimmedMeanPurchase _),
     "agg_tail_index" -> (hillTailPrice _),
     "agg_ab_bootstrap" -> (abBootstrapPurchaseClick _),
+    "agg_mutual_info" -> (mutualInfoTypeDow _),
     "agg_k_anonymity" -> (kAnonymityCustomer _),
     "agg_l_diversity" -> (lDiversityCustomer _),
     "agg_overlap_matrix" -> (overlapMatrix _),
@@ -1817,6 +1855,27 @@ object AggOps extends OpFamily {
            ci_lo, ci_hi
          FROM s, lo, hi"""
     },
+    "agg_mutual_info" ->
+      """WITH b AS (SELECT event_type AS x,
+             isodow(CAST(ts AS TIMESTAMP)) AS y
+           FROM events),
+         cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY x, y),
+         cx AS (SELECT x, CAST(sum(c) AS BIGINT) AS ca FROM cells
+           GROUP BY x),
+         cy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cb FROM cells
+           GROUP BY y),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cells),
+         q AS (SELECT cells.c,
+             CAST(floor(ln(CAST(cells.c * t.tt AS DOUBLE)
+               / CAST(cx.ca * cy.cb AS DOUBLE)) * 1000000) AS BIGINT)
+               AS qln
+           FROM cells JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN t)
+         SELECT CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(CAST(sum(c * qln) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 1000000 AS mi_nats
+         FROM q""",
     "agg_ab_bootstrap" -> {
       val wCase = (0 to 6).map(k =>
         s"WHEN u < ${poissonCums(k)} THEN $k").mkString(

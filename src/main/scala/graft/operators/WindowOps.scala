@@ -351,7 +351,41 @@ object WindowOps extends OpFamily {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** MAX DRAWDOWN per user — the peak-to-trough risk readout, over the
+    * signed net-flow series (+value on purchase, −value otherwise):
+    * cum_i = running sum, peak_i = running max(cum), drawdown =
+    * max(peak − cum). Two stacked per-user windows after ONE shuffle on
+    * user_id (the second window reuses the first's partitioning — no
+    * extra exchange), ordered by (ts, event_id) for a total per-user
+    * order. All-BIGINT milli-unit arithmetic: no float anywhere, the
+    * strictest hash-compare class.
+    */
+  def maxDrawdown(s: SparkSession, d: String): DataFrame =
+    drawdownOn(Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase",
+            floor(col("value") * 1000).cast("long"))
+          .otherwise(-floor(col("value") * 1000).cast("long")).as("dv")),
+      "user_id", Seq("ts", "event_id"), "dv")
+
+  /** Generic core: `orderCols` must totally order each group. */
+  private[graft] def drawdownOn(df: DataFrame, grpCol: String,
+      orderCols: Seq[String], deltaCol: String): DataFrame = {
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum(col(deltaCol)).over(w))
+      .withColumn("peak", max(col("cum")).over(w))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("peak") - col("cum")).as("max_drawdown_milli"),
+        // the final cum IS the group total — order-free, unlike last()
+        sum(col(deltaCol)).as("final_milli"))
+      .orderBy(col(grpCol))
+  }
+
   val queries = Map(
+    "win_drawdown" -> (maxDrawdown _),
     "win_topk_per_group" -> (topkPerGroup _),
     "win_group_median" -> (groupMedian _),
     "win_group_quantiles" -> (groupQuantiles _),
@@ -364,6 +398,24 @@ object WindowOps extends OpFamily {
     "win_first_last" -> (firstLast _))
 
   val oracle = Map(
+    "win_drawdown" ->
+      """WITH f AS (SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(value * 1000) AS BIGINT)
+               ELSE -CAST(floor(value * 1000) AS BIGINT) END AS dv
+           FROM events),
+         c AS (SELECT user_id, ts, event_id, dv,
+             sum(dv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM f),
+         p AS (SELECT user_id, dv, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM c)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(peak - cum) AS BIGINT) AS max_drawdown_milli,
+           CAST(sum(dv) AS BIGINT) AS final_milli
+         FROM p GROUP BY user_id ORDER BY user_id""",
     "win_percent_rank" ->
       """SELECT event_type, event_id, value, pr, cd FROM (
            SELECT event_type, event_id, value,

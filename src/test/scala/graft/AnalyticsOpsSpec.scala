@@ -587,6 +587,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === meanFull)
   }
 
+  test("max drawdown: hand-traced peak-to-trough on a signed series") {
+    import spark.implicits._
+    val df = Seq(("u", 1L, 5L), ("u", 2L, -3L), ("u", 3L, 1L),
+      ("u", 4L, -4L), ("u", 5L, 10L), ("v", 1L, 2L), ("v", 2L, 3L))
+      .toDF("g", "t", "dv")
+    val out = graft.api.Graft.maxDrawdown(df, "g", Seq("t"), "dv")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // u: cum 5,2,3,-1,9; peak 5,5,5,5,9; dd 0,3,2,6,0
+    assert(out("u") === ((5L, 6L, 9L)))
+    // v only climbs: zero drawdown
+    assert(out("v") === ((2L, 0L, 5L)))
+  }
+
+  test("mutual info: ln2 when X determines Y, exactly 0 when independent") {
+    import spark.implicits._
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val r1 = graft.api.Graft.mutualInfo(dep, "x", "y").collect().head
+    assert((r1.getLong(0), r1.getLong(1)) === ((4L, 2L)))
+    assert(r1.getDouble(2) === 693147.0 * 4 / 4 / 1000000) // ⌊ln2·1e6⌋
+    val ind = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
+      .toDF("x", "y")
+    val r2 = graft.api.Graft.mutualInfo(ind, "x", "y").collect().head
+    assert(r2.getDouble(2) === 0.0)
+  }
+
   test("hill tail index: exact replay of the quantized ln sum") {
     import spark.implicits._
     val vals = Seq(8.0, 4.0, 2.0, 1.0, 0.5, 0.25)
