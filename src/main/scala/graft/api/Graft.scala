@@ -1543,6 +1543,16 @@ object Graft {
       trainPerMille, validPerMille)
   }
 
+  /** T5-style span corruption over (doc_id, lang, text) rows: contiguous
+    * 3-token blocks are masked by a deterministic (doc, block) hash,
+    * each masked block collapses to one '<x>' sentinel in the corrupted
+    * text, and the dropped tokens become the reconstruction target.
+    * Returns (doc_id, lang, n_tokens, n_spans, n_masked,
+    * corrupted_text, targets_text).
+    */
+  def spanCorrupt(docs: DataFrame, ratePerMille: Int = 150): DataFrame =
+    graft.operators.TextOps.spanCorruptOn(docs, ratePerMille)
+
   /** Deterministic MLM-style token masking over (doc_id, lang, text)
     * rows: token i of doc d is replaced by '<m>' iff a wrap-safe
     * multiplicative hash of (d, i) lands under `ratePerMille`. The same

@@ -965,7 +965,57 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** T5-STYLE SPAN CORRUPTION — the denoising-objective sibling of
+    * [[mlmMask]]: tokens are masked in CONTIGUOUS 3-token blocks (block
+    * b of doc d masked iff the (d, b) hash lands under the rate), the
+    * corrupted text collapses each masked block to ONE sentinel '<x>',
+    * and the dropped tokens are emitted as the reconstruction target —
+    * the (inputs, targets) pair a span-corruption pretraining batch
+    * feeds the model. Deterministic: same corpus → same corruption,
+    * across engines (hash + thresholds interpolated into the oracle).
+    * Pure expression pipeline (transform/filter/aggregate over the
+    * token array, no explode). Contract note: empty tokens inside a
+    * masked block are indistinguishable from the collapse marker and
+    * are dropped — identical behavior in both engines.
+    */
+  def spanCorrupt(s: SparkSession, d: String): DataFrame =
+    spanCorruptOn(Tables.documents(s, d), ratePerMille = 150)
+
+  private[graft] def spanCorruptOn(docs: DataFrame,
+      ratePerMille: Int): DataFrame = {
+    require(ratePerMille >= 0 && ratePerMille <= 1000,
+      s"corruption rate is per mille: $ratePerMille")
+    val P = 2147483647L
+    // masked(block) for the block containing 1-based token i
+    def m(b: String) =
+      s"pmod(pmod(doc_id * 524287 + CAST($b AS BIGINT), $P)" +
+        s" * 1103515245, $P) % 1000 < $ratePerMille"
+    val mi = m("(i - 1) DIV 3")
+    docs.select(col("doc_id"), col("lang"), toks.as("w"))
+      .filter(size(col("w")) >= 1) // sequence(1, 0) descends — guard
+      .withColumn("n_masked",
+        expr(s"""aggregate(transform(sequence(1, size(w)),
+            i -> IF($mi, 1L, 0L)), 0L, (a, x) -> a + x)"""))
+      .withColumn("n_spans",
+        expr(s"""aggregate(transform(sequence(0, (size(w) - 1) DIV 3),
+            b -> IF(${m("b")}, 1L, 0L)), 0L, (a, x) -> a + x)"""))
+      .withColumn("corrupted_text",
+        expr(s"""array_join(filter(transform(sequence(1, size(w)),
+            i -> CASE WHEN NOT ($mi) THEN element_at(w, i)
+                      WHEN pmod(i - 1, 3) = 0 THEN '<x>'
+                      ELSE '' END), t -> t != ''), ' ')"""))
+      .withColumn("targets_text",
+        expr(s"""array_join(filter(transform(sequence(1, size(w)),
+            i -> IF($mi, element_at(w, i), '')), t -> t != ''), ' ')"""))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).cast("long").as("n_tokens"),
+        col("n_spans"), col("n_masked"),
+        col("corrupted_text"), col("targets_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries = Map(
+    "text_span_corrupt" -> (spanCorrupt _),
     "text_mlm_mask" -> (mlmMask _),
     "text_bigram_fluency" -> (bigramFluency _),
     "text_repeated_spans" -> (repeatedSpans _),
@@ -1193,6 +1243,30 @@ object TextOps extends OpFamily {
                    AS n_tokens
                  FROM documents))
          GROUP BY source, bin ORDER BY source, bin""",
+    "text_span_corrupt" -> {
+      def m(b: String) =
+        s"((doc_id * 524287 + ($b)) % 2147483647)" +
+          s" * 1103515245 % 2147483647 % 1000 < 150"
+      val mi = m("(i - 1) // 3")
+      s"""SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(range(0, (len(w) - 1) // 3 + 1),
+             b -> ${m("b")})) AS BIGINT) AS n_spans,
+           CAST(len(list_filter(range(1, len(w) + 1), i -> $mi))
+             AS BIGINT) AS n_masked,
+           array_to_string(list_filter(
+             list_transform(range(1, len(w) + 1), i ->
+               CASE WHEN NOT ($mi) THEN w[i]
+                    WHEN (i - 1) % 3 = 0 THEN '<x>'
+                    ELSE '' END), t -> t != ''), ' ') AS corrupted_text,
+           coalesce(array_to_string(list_filter(
+             list_transform(range(1, len(w) + 1), i ->
+               CASE WHEN $mi THEN w[i] ELSE '' END), t -> t != ''), ' '),
+             '') AS targets_text
+         FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents)
+         WHERE len(w) >= 1
+         ORDER BY doc_id"""
+    },
     "text_mlm_mask" ->
       """SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
            CAST(len(list_filter(range(1, len(w) + 1), i ->

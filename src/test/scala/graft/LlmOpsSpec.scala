@@ -533,6 +533,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again === out.map(t => (t._1, t._3)).toSet)
   }
 
+  test("span corruption: blocks collapse to one sentinel, targets " +
+      "reconstruct") {
+    import spark.implicits._
+    val docs = Seq((4L, "en",
+      "a b c d e f g h i j k")).toDF("doc_id", "lang", "text") // 11 toks
+    val out = graft.api.Graft.spanCorrupt(docs, ratePerMille = 400)
+      .collect().head
+    // driver replay of the (doc, block) decision
+    val P = 2147483647L
+    def masked(d: Long, b: Long): Boolean =
+      ((d * 524287 + b) % P) * 1103515245L % P % 1000 < 400
+    val words = "a b c d e f g h i j k".split(" ")
+    val blocks = words.indices.map(ix => ix / 3)
+    val corrupted = words.indices.flatMap { ix =>
+      if (!masked(4L, blocks(ix))) Some(words(ix))
+      else if (ix % 3 == 0) Some("<x>") else None
+    }.mkString(" ")
+    val targets = words.indices
+      .filter(ix => masked(4L, blocks(ix))).map(words).mkString(" ")
+    val nSpans = (0L to (words.length - 1) / 3)
+      .count(masked(4L, _)).toLong
+    assert(out.getLong(2) === 11L)
+    assert(out.getLong(3) === nSpans)
+    assert(out.getString(5) === corrupted)
+    assert(out.getString(6) === targets)
+    assert(nSpans > 0, "fixture must actually mask at this rate")
+    // corrupted + targets account for every original token:
+    // each masked block contributes 3 (or a tail remainder) to targets
+    assert(out.getLong(4) === targets.split(" ").length.toLong)
+    // rate 0 is the identity
+    val id0 = graft.api.Graft.spanCorrupt(docs, 0).collect().head
+    assert(id0.getString(5) === "a b c d e f g h i j k")
+    assert(id0.getLong(3) === 0L && id0.getLong(4) === 0L)
+  }
+
   test("mlm mask: deterministic, replayable, and rate-faithful") {
     import spark.implicits._
     val docs = Seq(
