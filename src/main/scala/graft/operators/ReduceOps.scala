@@ -158,6 +158,51 @@ object ReduceOps extends OpFamily {
       .orderBy(col("l_returnflag"))
   }
 
+  /** KLL ACCURACY REPORT — the measured-instrument pattern
+    * (sim_recall_report / dedup_recall_report precedent) for the sketch
+    * family: per (returnflag, percentile), the KLL estimate next to the
+    * EXACT order statistic and the relative error in permille. This is
+    * the number a rollout tunes k against — "is k=512 enough for p99 on
+    * this distribution" is an empirical question, and this query is its
+    * answer. The exact side pays one per-group sort (the instrument's
+    * cost — run it on a sample at 100 TB; the sketch side is the
+    * production path). Sketch estimates are partition-order-dependent →
+    * rows-only query; the error BOUND is pinned in scalatest.
+    */
+  def kllAccuracy(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = kllQuantiles(s, d)
+      .selectExpr("l_returnflag",
+        """stack(3, CAST(50 AS BIGINT), p50_est,
+                    CAST(90 AS BIGINT), p90_est,
+                    CAST(99 AS BIGINT), p99_est) AS (pct, est_v)""")
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("r", row_number().over(w).cast("long"))
+    val counts = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val exact = base.join(broadcast(counts), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("r"), col("n"),
+        col("l_extendedprice").as("exact_v"))
+      .selectExpr("l_returnflag", "exact_v",
+        """CASE WHEN r = (n * 50 + 99) DIV 100 THEN CAST(50 AS BIGINT)
+                WHEN r = (n * 90 + 99) DIV 100 THEN CAST(90 AS BIGINT)
+                WHEN r = (n * 99 + 99) DIV 100 THEN CAST(99 AS BIGINT)
+           END AS pct""")
+      .filter(col("pct").isNotNull)
+    est.join(exact, Seq("l_returnflag", "pct"))
+      .withColumn("err_permille",
+        floor(abs(col("est_v") - col("exact_v")) * 1000 / col("exact_v"))
+          .cast("long"))
+      .select(col("l_returnflag"), col("pct"), col("est_v"),
+        col("exact_v"), col("err_permille"))
+      .orderBy(col("l_returnflag"), col("pct"))
+  }
+
   /** RESERVOIR SAMPLE PER GROUP via [[graft.functions.ReservoirK]] —
     * the classic MR uniform-sample-per-key idiom as an ASSOCIATIVE
     * typed Aggregator: k = 5 lineitems per returnflag, priority
@@ -214,6 +259,7 @@ object ReduceOps extends OpFamily {
 
   val queries = Map(
     "reduce_kll_quantiles" -> (kllQuantiles _),
+    "reduce_kll_accuracy" -> (kllAccuracy _),
     "reduce_reservoir_sample" -> (reservoirSample _),
     "reduce_weighted_avg" -> (weightedAvg _),
     "reduce_mr_wordcount" -> (mrWordcount _),

@@ -369,6 +369,19 @@ class PropertySpec extends AnyFunSuite {
     assert(agg.finish(parts.reduce(agg.merge)) === want)
   }
 
+  test("kll accuracy report: every cell within 10 permille of exact") {
+    val rows = graft.operators.ReduceOps.kllAccuracy(spark, sf).collect()
+    assert(rows.length === 9, "3 flags x 3 percentiles")
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length
+      === 9)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(3) > 0)
+      assert(r.getLong(4) <= 10L,
+        s"KLL ${r.getString(0)}/p${r.getLong(1)} off by " +
+          s"${r.getLong(4)} permille")
+    }
+  }
+
   test("shard rebalance: ring moves only onto the new shard, mod churns") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
