@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   * are exactly the shapes that do not survive a 100× scale-up, caught
   * by measurement instead of plan-reading.
   *
-  * Usage: ScalingAudit [sfSmall] [sfBig]; SPARK_GRAFT_REPS (default 3).
+  * Usage: ScalingAudit [sfSmall] [sfBig] [query ...] (no names = all);
+  * SPARK_GRAFT_REPS (default 3).
   * Prints one line per query sorted by descending ratio, then a
   * summary; exits 0 always (an instrument, not a gate).
   */
@@ -45,7 +46,10 @@ object ScalingAudit {
         .foreach(_.unpersist(blocking = false))
       ts.min
     }
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = args.drop(2).toSet
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       val tS = time(fn, small)
       val tB = time(fn, big)
       (name, tS, tB, tB / tS)
