@@ -1612,6 +1612,16 @@ object Graft {
     graft.operators.IoOps.shardRebalanceOn(df, idCol, nBefore, nAfter,
       vnodes)
 
+  /** Burstiness B = (σ−μ)/(σ+μ) of inter-arrival gaps (minutes) within
+    * each (grpCol, subjCol) stream, reported per grpCol: −1 periodic,
+    * ≈ 0 Poisson, → 1 heavy-tailed bursts. One partitioned window +
+    * one aggregate; engine-replayable moments.
+    */
+  def burstiness(df: DataFrame, grpCol: String, subjCol: String,
+      tsCol: String, idCol: String): DataFrame =
+    graft.operators.EventOps.burstinessOn(df, grpCol, subjCol, tsCol,
+      idCol)
+
   /** Per-group OLS trend of `valCol` vs `tsCol` in value-units per day:
     * one aggregation pass computing five integer moments per group
     * (t in minutes since the group's first event, v in milli-units),

@@ -709,6 +709,48 @@ object EventOps extends OpFamily {
       .orderBy(col("campaign"))
   }
 
+  /** BURSTINESS (Goh–Barabási 2008) of each event type's per-user
+    * inter-arrival process: B = (σ−μ)/(σ+μ) over the gap distribution —
+    * B = −1 for a perfectly periodic stream, ≈ 0 for Poisson, → 1 for
+    * heavy-tailed bursts. The operational read: bursty types need
+    * admission buffering sized to peaks, periodic ones to the mean.
+    * Gaps are per (user, type) lag deltas in MINUTES (bounds every
+    * moment: gap ≤ ~10⁵ for a quarter of data, Σgap² fits BIGINT) from
+    * ONE partitioned window; per-type moments in one aggregate; σ, μ
+    * and B are double expressions over bit-equal integer moments with
+    * the n·Σg² product cast to DOUBLE before multiplying (the ev_trend
+    * overflow rule). Zero-variance streams read B = −1 (periodic); the
+    * all-gaps-zero degenerate (σ = μ = 0) emits NULL rather than 0/0.
+    */
+  def burstinessByType(s: SparkSession, d: String): DataFrame =
+    burstinessOn(ev(s, d), "event_type", "user_id", "ts", "event_id")
+
+  /** Generic core: gaps within (grpCol, subjCol), moments per grpCol. */
+  private[graft] def burstinessOn(df: DataFrame, grpCol: String,
+      subjCol: String, tsCol: String, idCol: String): DataFrame = {
+    df.select(col(grpCol).as("event_type"), col(subjCol).as("subj"),
+        col(tsCol).as("ts"), col(idCol).as("tid"))
+      .withColumn("gap",
+        expr("(unix_micros(ts) - unix_micros(lag(ts) OVER " +
+          "(PARTITION BY subj, event_type ORDER BY ts, tid)))" +
+          " DIV 60000000"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sgg"))
+      .withColumn("varn", expr( // n²·Var = n·Σg² − (Σg)², in doubles
+        """CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)"""))
+      .selectExpr(s"event_type AS `$grpCol`", "n_gaps",
+        "CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_min",
+        """CASE WHEN varn <= 0 AND sg = 0 THEN NULL
+                WHEN varn < 0 THEN NULL
+           ELSE (sqrt(varn) - CAST(sg AS DOUBLE))
+                / (sqrt(varn) + CAST(sg AS DOUBLE)) END AS burstiness""")
+      .orderBy(col(grpCol))
+  }
+
   /** PER-GROUP OLS TREND — the "is this metric drifting" readout: least-
     * squares slope of value vs event time within each event_type, in
     * value-units per day. The whole regression is FOUR integer moments
@@ -758,6 +800,7 @@ object EventOps extends OpFamily {
 
   val queries = Map(
     "ev_trend" -> (trendByType _),
+    "ev_burstiness" -> (burstinessByType _),
     "ev_attribution" -> (attribution _),
     "ev_attribution_first" -> (attributionFirst _),
     "ev_attribution_linear" -> (attributionLinear _),
@@ -796,6 +839,30 @@ object EventOps extends OpFamily {
        FROM wd JOIN r${k - 1} r ON wd.f = r.state GROUP BY wd.t)"""
 
   val oracle = Map(
+    "ev_burstiness" ->
+      """WITH g AS (SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                (PARTITION BY user_id, event_type
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id))
+             // 60000000 AS gap
+           FROM events),
+         m AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             CAST(sum(gap * gap) AS BIGINT) AS sgg
+           FROM g WHERE gap IS NOT NULL GROUP BY event_type),
+         v AS (SELECT event_type, n_gaps, sg,
+             CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+             - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) AS varn
+           FROM m)
+         SELECT event_type, n_gaps,
+           CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_min,
+           CASE WHEN varn <= 0 AND sg = 0 THEN NULL
+                WHEN varn < 0 THEN NULL
+           ELSE (sqrt(varn) - CAST(sg AS DOUBLE))
+                / (sqrt(varn) + CAST(sg AS DOUBLE)) END AS burstiness
+         FROM v ORDER BY event_type""",
     "ev_trend" ->
       """WITH base AS (SELECT event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) AS tus,

@@ -204,6 +204,30 @@ class EventOpsSpec extends AnyFunSuite {
       s"funnel not monotone: ${ns.mkString(",")}")
   }
 
+  test("burstiness: -1 for periodic, positive for bursty, exact moments") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val df = (
+      // periodic: gaps 10,10,10 → sigma 0 → B = -1
+      (0 to 3).map(i => ("tick", "u1", ts(i * 10L), i.toLong)) ++
+      // bursty: gaps 1,1,1,100
+      Seq(0L, 1, 2, 3, 103).zipWithIndex.map { case (m, i) =>
+        ("burst", "u2", ts(m), 10L + i) }
+    ).toDF("g", "subj", "t", "id")
+    val out = graft.api.Graft.burstiness(df, "g", "subj", "t", "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("tick").getLong(1) === 3L)
+    assert(out("tick").getDouble(3) === -1.0)
+    val b = out("burst")
+    assert(b.getLong(1) === 4L)
+    // replay: gaps 1,1,1,100 → n=4 sg=103 sgg=10003
+    val varn = 4.0 * 10003 - 103.0 * 103
+    val want = (math.sqrt(varn) - 103.0) / (math.sqrt(varn) + 103.0)
+    assert(b.getDouble(3) === want)
+    assert(b.getDouble(3) > 0.2, "bursty stream must read bursty")
+  }
+
   test("trend: exact slope on a hand-built line, NULL on a point mass") {
     import spark.implicits._
     import java.sql.Timestamp
