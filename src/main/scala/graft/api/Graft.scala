@@ -1526,6 +1526,20 @@ object Graft {
       anchorPred, k, margin)
   }
 
+  /** Copy-provenance pairs: the `k` document pairs sharing the most
+    * distinct 3-gram shingles, counting only grams with corpus
+    * frequency 2..`maxFreq` (the hub cap bounds candidates). Returns
+    * (a, b, n_shared) — the "who copied whom" lineage read.
+    */
+  def copyPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxFreq: Long = 8, k: Int = 20): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      array_sort(array_distinct(transform(
+        graft.operators.TextOps.shingles3(split(col(textCol), " ")),
+        xxhash64(_)))).as("sh"))
+    graft.operators.DedupOps.copyPairsOnShingles(sh, maxFreq, k)
+  }
+
   /** Leakage-safe train/valid/test split: near-duplicate documents land
     * in the SAME split — the split key is the connected-component root
     * of `pairs` (any (a, b) near-dup edge frame, e.g. from

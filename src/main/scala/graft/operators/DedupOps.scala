@@ -987,7 +987,41 @@ object DedupOps extends OpFamily {
       .select(col(idCol), col("root"), col("split"))
   }
 
+  /** COPY-PROVENANCE PAIRS — "who copied whom": the doc pairs sharing
+    * the most distinct 3-gram shingles, counting only DISCRIMINATIVE
+    * grams (corpus frequency 2..8 — singletons can't pair, higher
+    * frequencies are boilerplate hubs whose pair fan-out is quadratic
+    * in the hub size; the cap IS the candidate bound, the same
+    * rare-feature principle as the prefix filter). Complements
+    * [[nearDupClusters]] (symmetric Jaccard) and repeated_spans
+    * (per-doc islands): this ranks PAIRS by shared evidence mass, the
+    * lineage/provenance read. Shingles ride [[blockShingles]]'s hashed
+    * arrays (64-bit xxhash64 — the same hash-vs-string-oracle parity
+    * the whole dedup family is hash-green on); top 20 by
+    * (n_shared, a, b) via TakeOrderedAndProject.
+    */
+  def copyPairs(s: SparkSession, d: String): DataFrame =
+    copyPairsOnShingles(blockShingles(withNearDupes(s, d)),
+      maxFreq = 8, k = 20)
+
+  /** Core over any (doc_id, sh: array of distinct shingle keys) frame. */
+  private[graft] def copyPairsOnShingles(sh: DataFrame, maxFreq: Long,
+      k: Int): DataFrame = {
+    val g = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = g.join(
+      g.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(2L, maxFreq)), Seq("g"))
+    rare.select(col("g"), col("doc_id").as("a"))
+      .join(rare.select(col("g"), col("doc_id").as("b")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(desc("n_shared"), col("a"), col("b"))
+      .limit(k)
+  }
+
   val queries = Map(
+    "dedup_copy_pairs" -> (copyPairs _),
     "dedup_leakfree_split" -> (leakfreeSplit _),
     "dedup_exact_groups" -> (exactDupGroups _),
     "dedup_keep_first" -> (keepFirst _),
@@ -1096,6 +1130,22 @@ object DedupOps extends OpFamily {
       s"""WITH RECURSIVE $clusterCtes
          SELECT x AS doc_id, min(y) AS cluster_id FROM reach
          GROUP BY x ORDER BY doc_id""",
+    "dedup_copy_pairs" ->
+      s"""WITH corpus AS ($planted),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
+         g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         freq AS (SELECT g, count(*) AS cnt FROM g GROUP BY g),
+         rare AS (SELECT g.doc_id, g.g FROM g JOIN freq USING (g)
+           WHERE cnt BETWEEN 2 AND 8),
+         p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT a, b, n_shared FROM p
+         ORDER BY n_shared DESC, a, b LIMIT 20""",
     "dedup_leakfree_split" ->
       s"""WITH RECURSIVE $clusterCtes,
          clusters AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach

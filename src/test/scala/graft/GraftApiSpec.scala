@@ -924,6 +924,26 @@ class GraftApiSpec extends AnyFunSuite {
       "orthogonal ingests must home to different cells")
   }
 
+  test("copyPairs: the shared-span pair tops the list, hubs are capped") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "intro words alpha beta gamma delta epsilon zeta eta closing"),
+      (3L, "completely different tokens one two three four five six"),
+      (4L, "another unrelated document seven eight nine ten eleven")
+    ).toDF("my_id", "body")
+    val out = Graft.copyPairs(corpus, "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1 and 2 share the 7-token run "alpha..eta" → 5 shared 3-grams
+    assert(out.head === ((1L, 2L, 5L)))
+    assert(out.length === 1, "unrelated docs must not pair")
+    // a gram above maxFreq is a hub and contributes nothing
+    val hub = Seq(
+      (1L, "x y z junk1"), (2L, "x y z junk2"), (3L, "x y z junk3"))
+      .toDF("my_id", "body")
+    assert(Graft.copyPairs(hub, "my_id", "body", maxFreq = 2)
+      .collect().isEmpty)
+  }
+
   test("mineTriplets: positive is top-1, negative respects the margin") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),   // anchor
