@@ -654,6 +654,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 5.6) // (46 + 1 + 9) / 10
   }
 
+  test("trimmed mean: equals the sort-based definition on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicate-heavy values stress the tie-splitting identity
+    val vals = (1 to 257).map(_ => (rnd.nextInt(30) + 1) / 2.0)
+    val r = graft.api.Graft.trimmedMean(vals.map(Tuple1(_)).toDF("v"),
+      "v", trimPerMille = 150).collect().head
+    val vus = vals.map(v => math.floor(v * 1000).toLong).sorted
+    val n = vus.length
+    val k = (150L * n / 1000).toInt
+    assert(r.getLong(1) === k.toLong)
+    val mid = vus.slice(k, n - k)
+    assert(r.getDouble(3) ===
+      mid.sum.toDouble / mid.length / 1000, "trimmed")
+    val wins = vus.take(k).map(_ => vus(k)) ++ mid ++
+      vus.takeRight(k).map(_ => vus(n - k - 1))
+    assert(r.getDouble(4) === wins.sum.toDouble / n / 1000, "winsorized")
+  }
+
   test("trimmed mean: k = 0 collapses all three means") {
     import spark.implicits._
     val df = Seq(1.0, 2, 3, 4, 100).map(Tuple1(_)).toDF("v")

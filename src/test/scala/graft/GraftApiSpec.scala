@@ -986,6 +986,21 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got2 === Set(1L, 2L))
   }
 
+  test("skyline: equals the brute-force dominance filter on random data") {
+    val rnd = new scala.util.Random(42)
+    // clustered values force duplicate prices, duplicate points, ties
+    val pts = (1L to 300L).map(i =>
+      (i, (rnd.nextInt(40) + 1).toDouble, rnd.nextInt(25).toLong))
+    val got = Graft.skyline(pts.toDF("pid", "price", "sz"),
+        "pid", "price", "sz")
+      .collect().map(_.getLong(0)).toSet
+    val brute = pts.filter { case (_, px, py) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx <= px && qy >= py && (qx < px || qy > py) }
+    }.map(_._1).toSet
+    assert(got === brute)
+  }
+
   test("skyline: result is invariant to the bucket count") {
     // frontier staircase (price and size both increase) + dominated noise
     val pts = ((1L to 20L).map(i => (i, i.toDouble, i)) ++

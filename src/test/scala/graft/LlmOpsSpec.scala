@@ -504,6 +504,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sorted.toSeq === full.take(sorted.length).toSeq)
   }
 
+  test("leakage-safe split: zero cross-split pairs on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 400L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = (1 to 250).map { _ =>
+      val a = rnd.nextInt(400) + 1L; val b = rnd.nextInt(400) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toDF("a", "b")
+    val splits = graft.api.Graft.leakageSafeSplit(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val crossing = pairs.collect().count(r =>
+      splits(r.getLong(0)) != splits(r.getLong(1)))
+    assert(crossing === 0, s"$crossing random pairs crossed splits")
+    assert(splits.values.toSet.size >= 2, "400 docs must span >= 2 splits")
+  }
+
   test("leakage-safe split: clusters move whole, no cross-split pair") {
     import spark.implicits._
     val docs = (1L to 40L).map(Tuple1(_)).toDF("doc_id")
