@@ -839,6 +839,19 @@ object Graft {
         col(valueCol).as("value")))
       .withColumnRenamed("event_type", keyCol)
 
+  /** One-step-ahead backtest of [[holt]]'s hourly forecasts after a
+    * 24-hour warm-up: per key, micro-unit absolute-error sums for Holt
+    * and the persistence baseline, plus skill_permille =
+    * 1000·(1 − MAE_holt/MAE_naive) (floor). Positive = the smoother
+    * beats "next hour equals this hour".
+    */
+  def holtBacktest(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.StreamOps.holtBacktestOn(
+      df.select(col(keyCol).as("event_type"), col(tsCol).as("ts"),
+        col(valueCol).as("value")))
+      .withColumnRenamed("event_type", keyCol)
+
   /** Hours whose raw sum deviates from the PRIOR hour's EWMA baseline by
     * ≥ thresholdPermille (integral rule over [[ewma]]'s series — the
     * baseline excludes the hour under test). Returns (key, w_start,

@@ -267,6 +267,37 @@ object StreamOps extends OpFamily {
         (col("z.lb_arr.l") + col("z.lb_arr.b")).as("forecast_units"))
       .orderBy(col("event_type"), col("w_start"))
 
+  /** HOLT FORECAST BACKTEST — the measured instrument for the
+    * forecasting family (kll/sim/dedup-report pattern): one-step-ahead
+    * evaluation of [[holtOn]]'s hourly forecasts against what actually
+    * arrived, per event type, after a 24-hour warm-up. The score is
+    * SKILL vs the persistence baseline (forecast = last actual) in
+    * permille: 1000·(1 − MAE_holt/MAE_naive), positive = the smoother
+    * beats "tomorrow equals today", ≤ 0 = it adds nothing — the
+    * go/no-go a capacity planner actually reads. All-integer: errors
+    * are micro-unit BIGINT sums, the skill a floor division.
+    */
+  def holtBacktest(s: SparkSession, d: String): DataFrame =
+    holtBacktestOn(Tables.events(s, d))
+
+  private[graft] def holtBacktestOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("w_start"))
+    holtOn(events)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_fc", lag(col("forecast_units"), 1).over(w))
+      .withColumn("prev_act", lag(col("sum_units"), 1).over(w))
+      .filter(col("rn") > 24)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_evals"),
+        sum(abs(col("sum_units") - col("prev_fc"))).as("holt_abs_units"),
+        sum(abs(col("sum_units") - col("prev_act"))).as("naive_abs_units"))
+      .withColumn("skill_permille",
+        when(col("naive_abs_units") > 0,
+          lit(1000L) - expr("holt_abs_units * 1000 DIV naive_abs_units")))
+      .orderBy(col("event_type"))
+  }
+
   /** BATCH CUSUM SCAN — the event-time twin of the streaming
     * [[graft.streaming.StreamPipelines.CusumProcessor]]: per event type,
     * detect a sustained level shift in the hourly sum series. The first
@@ -397,6 +428,7 @@ object StreamOps extends OpFamily {
     "stream_anomaly" -> (anomaly _),
     "stream_cusum" -> (cusumScan _),
     "stream_holt" -> (holt _),
+    "stream_holt_backtest" -> (holtBacktest _),
     "stream_gapfill" -> (gapFill _),
     "stream_autocorr" -> (autocorr _),
     "stream_ohlc" -> (ohlc _),
@@ -518,6 +550,43 @@ object StreamOps extends OpFamily {
          SELECT event_type, w_start, sum_units, l AS level_units,
            b AS trend_units, l + b AS forecast_units
          FROM e ORDER BY event_type, w_start""",
+    "stream_holt_backtest" ->
+      """WITH RECURSIVE h AS (
+           SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+             CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS sum_units
+           FROM events GROUP BY 1, 2),
+         hr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY w_start) AS rn FROM h),
+         e AS (
+           SELECT event_type, w_start, sum_units, rn,
+             sum_units AS l, CAST(0 AS BIGINT) AS b
+           FROM hr WHERE rn = 1
+           UNION ALL
+           SELECT hr.event_type, hr.w_start, hr.sum_units, hr.rn,
+             (hr.sum_units + 3 * (e.l + e.b)) >> 2,
+             (((hr.sum_units + 3 * (e.l + e.b)) >> 2) - e.l + 3 * e.b) >> 2
+           FROM hr JOIN e ON hr.event_type = e.event_type
+             AND hr.rn = e.rn + 1),
+         x AS (SELECT event_type, rn, sum_units,
+             lag(l + b) OVER (PARTITION BY event_type ORDER BY rn)
+               AS prev_fc,
+             lag(sum_units) OVER (PARTITION BY event_type ORDER BY rn)
+               AS prev_act
+           FROM e),
+         m AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_evals,
+             CAST(sum(abs(sum_units - prev_fc)) AS BIGINT)
+               AS holt_abs_units,
+             CAST(sum(abs(sum_units - prev_act)) AS BIGINT)
+               AS naive_abs_units
+           FROM x WHERE rn > 24 GROUP BY event_type)
+         SELECT event_type, n_evals, holt_abs_units, naive_abs_units,
+           CASE WHEN naive_abs_units > 0
+             THEN 1000 - holt_abs_units * 1000 // naive_abs_units
+           END AS skill_permille
+         FROM m ORDER BY event_type""",
     "stream_ewma" ->
       """WITH RECURSIVE h AS (
            SELECT event_type,

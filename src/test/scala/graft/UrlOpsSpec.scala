@@ -111,6 +111,36 @@ class UrlOpsSpec extends AnyFunSuite {
       (657L, -79L, 578L)))
   }
 
+  test("Graft.holtBacktest: exact replay on a ramp; Holt beats naive") {
+    import java.sql.Timestamp
+    // 40 hourly points climbing 1/hour → micro-sums 1e6, 2e6, ...
+    // (integral values: i.toDouble·1e6 is IEEE-exact, i·1e-6·1e6 is NOT);
+    // after warm-up Holt has learned the slope, persistence always errs
+    val pts = (1 to 40).map(i => ("a",
+      new Timestamp(1767225600000L + i * 3600000L), i.toDouble))
+      .toDF("sensor", "at", "reading")
+    val out = Graft.holtBacktest(pts, "sensor", "at", "reading")
+      .collect().head
+    // driver replay of the shift-fold
+    val sums = (1 to 40).map(_ * 1000000L)
+    val lb = sums.tail.foldLeft(Vector((sums.head, 0L))) { (acc, x) =>
+      val (pl, pb) = acc.last
+      val l = (x + 3 * (pl + pb)) >> 2
+      acc :+ ((l, (l - pl + 3 * pb) >> 2))
+    }
+    val evalIdx = 25 to 40 // 1-based rn > 24
+    val holtAbs = evalIdx.map(t =>
+      math.abs(sums(t - 1) - (lb(t - 2)._1 + lb(t - 2)._2))).sum
+    val naiveAbs = evalIdx.map(t => math.abs(sums(t - 1) - sums(t - 2))).sum
+    assert(out.getAs[Long]("n_evals") === 16L)
+    assert(out.getAs[Long]("holt_abs_units") === holtAbs)
+    assert(out.getAs[Long]("naive_abs_units") === naiveAbs)
+    assert(out.getAs[Long]("skill_permille") ===
+      1000L - holtAbs * 1000L / naiveAbs)
+    assert(out.getAs[Long]("skill_permille") > 0L,
+      "Holt must beat persistence on a clean ramp")
+  }
+
   test("normalization is idempotent") {
     for (u <- Seq(
       "HTTPS://A.Example.COM:443/a/?utm_medium=m&z=9&a=1#f",
