@@ -68,12 +68,23 @@ private[graft] object ArtifactCache {
     * `graft_ivf`); `tag` must carry its recipe revision (`...@rN`).
     */
   def dir(s: SparkSession, d: String, sourceTable: String, store: String,
-      tag: String): String = {
-    val src = new Path(s"$d/$sourceTable.parquet")
-    val st = fs(s, src).getFileStatus(src)
+      tag: String): String =
+    dirMulti(s, d, Seq(sourceTable), store, tag)
+
+  /** Multi-source variant for artifacts that are pure functions of MORE
+    * than one fixture table (the hyperANF report derives its edge frame
+    * from orders⋈lineitem): every source's (length, modificationTime)
+    * lands in the address, so regenerating ANY input invalidates.
+    */
+  def dirMulti(s: SparkSession, d: String, sourceTables: Seq[String],
+      store: String, tag: String): String = {
+    val fp = sourceTables.map { t =>
+      val src = new Path(s"$d/$t.parquet")
+      val st = fs(s, src).getFileStatus(src)
+      s"${st.getLen}_${st.getModificationTime}"
+    }.mkString("_")
     val key = d.replaceAll("[^A-Za-z0-9.]", "_")
-    s"$root/$store/${FormatVersion}_${key}_${st.getLen}_" +
-      s"${st.getModificationTime}/$tag"
+    s"$root/$store/${FormatVersion}_${key}_$fp/$tag"
   }
 
   /** Re-attach the artifact at `path`, running `build` first only if no

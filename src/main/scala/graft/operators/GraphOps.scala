@@ -360,8 +360,24 @@ object GraphOps extends OpFamily {
     // sketch per edge-partition dst through the shuffle, so register
     // bytes are THE round cost — and a reach ratio needs percent-level
     // accuracy, not count-distinct precision (profiled 8× cheaper than
-    // lgK = 12 at identical effective-diameter output on sf0.1)
-    hyperAnfOn(s, custSuppEdges(s, d), maxT = 12, lgK = 9)
+    // lgK = 12 at identical effective-diameter output on sf0.1).
+    //
+    // BUILD-ONCE ARTIFACT (the cachedPairs discipline): the N(t) report
+    // is a pure function of the fixed edge set — DataSketches hashing is
+    // seed-fixed and register unions are order-free max-merges, so the
+    // report is deterministic (GraphSpec pins this) and as
+    // content-addressable as the IVF/pair tables. The 5-round
+    // sketch-union build is the batch job; every later invocation
+    // re-attaches a ≤(maxT+1)-row parquet. Keyed on BOTH source tables
+    // the edge frame derives from (orders⋈lineitem), so a regenerated
+    // fixture invalidates either way; ints/longs/bools round-trip
+    // parquet exactly, and the report re-sorts on t because a parquet
+    // attach does not preserve write order.
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dirMulti(s, d, Seq("orders", "lineitem"),
+        "graft_graph", "hyperanf_t12_lgk9@r1"))(
+      hyperAnfOn(s, custSuppEdges(s, d), maxT = 12, lgK = 9))
+      .orderBy(col("t"))
 
   private[graft] def hyperAnfOn(s: SparkSession, edges0: DataFrame,
       maxT: Int, lgK: Int): DataFrame = {
