@@ -1511,6 +1511,30 @@ object Graft {
       idCol: String): DataFrame =
     graft.operators.AggOps.kruskalWallisOn(df, grpCol, valCol, idCol)
 
+  /** Benjamini–Hochberg FDR screen over every (g1, g2) cell of the
+    * frame: Welch z of each cell's mean `valCol` against the rest of
+    * the data (exact milli-unit moments, one corpus pass), two-sided
+    * p by the Abramowitz–Stegun normal-CDF polynomial, then the BH
+    * step-up at rate q = `qPerMille`/1000 across all m cells. Returns
+    * one row per cell (g1, g2, n, mean_v, z_value, p_value, p_rank,
+    * bh_crit, significant) — `significant` already carries the
+    * step-up rule (every rank ≤ the last passing rank rejects).
+    */
+  def bhFdr(df: DataFrame, g1Col: String, g2Col: String, valCol: String,
+      qPerMille: Int = 50): DataFrame =
+    graft.operators.AggOps.bhFdrOn(df, g1Col, g2Col, valCol, qPerMille)
+
+  /** Local Outlier Factor (Breunig et al. 2000) over an embedding
+    * frame (vec_id, label, embedding): exactly-k cosine neighborhoods
+    * with deterministic tie-breaks, integer-unit reachability sums,
+    * top-`topN` rows by LOF descending (vec_id, label, k_dist,
+    * lrd_units, lof). LOF ≈ 1 is locally dense; ≫ 1 flags isolated
+    * vectors a curation pass should inspect.
+    */
+  def lofOutliers(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, k: Int = 10, topN: Int = 20): DataFrame =
+    graft.operators.SimOps.lofOn(spark, embeddings, k, topN)
+
   /** Poisson-bootstrap percentile confidence interval for the mean of
     * `valCol`: B replicates, each weighting every row by a
     * deterministic hash-derived Poisson(1) draw (one map-side pass, no

@@ -814,13 +814,24 @@ object AggOps extends OpFamily {
         "n_a", "n_b", "r2_a", "tie_sum",
         "r2_a - n_a * (n_a + 1) AS u2_a",
         "2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b",
-        """(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
+        // degenerate-input guard (trendOn discipline): with n < 2 the
+        // tie-correction divides by 0, and with ONE global tie block the
+        // variance is exactly 0 — ANSI Spark would throw DIVIDE_BY_ZERO
+        // where the statistic is simply undefined. NULL, mirrored in the
+        // oracle; the CASE branches keep the healthy-path IEEE chain
+        // byte-identical to before.
+        """CASE WHEN n_a + n_b < 2 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+             * (CAST(n_a + n_b + 1 AS DOUBLE)
+                - CAST(tie_sum AS DOUBLE)
+                  / (CAST(n_a + n_b AS DOUBLE)
+                     * CAST(n_a + n_b - 1 AS DOUBLE))) END AS var_u""")
+      .selectExpr(
+        "n_a", "n_b", "r2_a", "tie_sum", "u2_a", "u2_b",
+        """CASE WHEN var_u IS NULL OR var_u = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
-           / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
-               * (CAST(n_a + n_b + 1 AS DOUBLE)
-                  - CAST(tie_sum AS DOUBLE)
-                    / (CAST(n_a + n_b AS DOUBLE)
-                       * CAST(n_a + n_b - 1 AS DOUBLE)))) AS z_value""")
+           / sqrt(var_u) END AS z_value""")
   }
 
   /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the mean purchase value —
@@ -899,8 +910,13 @@ object AggOps extends OpFamily {
       .withColumn("w", expr(wExpr).cast("long"))
       .groupBy(col("b"))
       .agg(sum(col("w") * col("vu")).as("sw"), sum(col("w")).as("cw"))
+      // all-zero-weight replicate (P ≈ e^−n, real for tiny inputs via
+      // the public API): 0/0 throws under ANSI — NULL instead, mirrored
+      // in the oracle; a NULL mean drops out of the theta rank in both
+      // engines by three-valued logic, identically.
       .selectExpr("b",
-        "CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 AS m")
+        """CASE WHEN cw = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 END AS m""")
       .localCheckpoint() // two consumers: both sides of the theta rank
     val rhs = means.select(col("b").as("b2"), col("m").as("m2"))
     val ranks = means.join(broadcast(rhs),
@@ -952,8 +968,12 @@ object AggOps extends OpFamily {
       .withColumn("w", expr(bootWExpr).cast("long"))
       .groupBy(col("g"), col("b"))
       .agg(sum(col("w") * col("vu")).as("sw"), sum(col("w")).as("cw"))
+      // same all-zero-weight guard as bootstrapCiOn; a NULL group mean
+      // also NULLs that replicate's diff, which then drops from the
+      // theta rank in both engines identically.
       .selectExpr("g", "b",
-        "CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 AS m")
+        """CASE WHEN cw = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 END AS m""")
     val diffs = means.filter(col("g") === grpA)
       .select(col("b"), col("m").as("ma"))
       .join(means.filter(col("g") === grpB)
@@ -1046,6 +1066,14 @@ object AggOps extends OpFamily {
       .filter(col("vu") > 0)
       .orderBy(desc("vu")).limit(k + 1)
       .localCheckpoint() // k+1 rows; two consumers: ref min + ln sum
+    // contract enforcement (trimmedMeanOn discipline): with ≤ k positive
+    // values the limit silently under-fills and alpha would be computed
+    // from the wrong number of ln terms while still REPORTING k — a
+    // wrong answer. The frame is already a bounded checkpoint, so the
+    // count is k+1 rows max and costs nothing.
+    val got = top.count()
+    require(got > k,
+      s"hillTail needs more than k=$k positive values, got $got")
     val ref = top.agg(min(col("vu")).as("vref"))
     top.crossJoin(broadcast(ref))
       .agg(sum(floor(log(col("vu").cast("double")
@@ -1247,10 +1275,18 @@ object AggOps extends OpFamily {
       .selectExpr("n", "k", "tie_sum",
         """12 * q / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
            - 3 * CAST(n + 1 AS DOUBLE) AS h_value""")
+      // degenerate-input guard (trendOn discipline): n < 2 makes n³−n = 0
+      // (0/0 under ANSI), and ONE global tie block makes the correction
+      // factor exactly 0 — both are "statistic undefined", so NULL,
+      // mirrored in the oracle. Healthy-path IEEE chain unchanged.
       .selectExpr("n", "k", "tie_sum", "h_value",
-        """h_value / (1 - CAST(tie_sum AS DOUBLE)
+        """CASE WHEN n < 2 THEN CAST(NULL AS DOUBLE)
+           ELSE 1 - CAST(tie_sum AS DOUBLE)
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                - CAST(n AS DOUBLE))) AS h_corrected""")
+                - CAST(n AS DOUBLE)) END AS corr_f""")
+      .selectExpr("n", "k", "tie_sum", "h_value",
+        """CASE WHEN corr_f IS NULL OR corr_f = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE h_value / corr_f END AS h_corrected""")
   }
 
   /** WELCH TWO-SAMPLE t — the A/B comparison read: do purchase and view
@@ -1483,7 +1519,128 @@ object AggOps extends OpFamily {
       .orderBy(col("digit"))
   }
 
+  /** 1/√(2π) — computed ONCE and interpolated into both engines' SQL
+    * text (the [[poissonCums]] constant-interpolation idiom). */
+  private[graft] lazy val invSqrt2Pi: Double = 1.0 / math.sqrt(2 * math.Pi)
+
+  /** BENJAMINI–HOCHBERG FDR screen over the 35 (event_type × ISO
+    * weekday) cells: which cells' mean value differs from the rest of
+    * the stream, CONTROLLING the false-discovery rate across all 35
+    * simultaneous comparisons — the multiple-testing correction an
+    * experimentation platform must apply before alerting on "cell X
+    * looks different" (at α = 0.05, ~2 of 35 null cells would cross an
+    * uncorrected threshold by chance alone).
+    *
+    * Engine shape, all bounded after ONE corpus pass:
+    *  - per-cell exact moments (n, Σvu, Σvu²) in milli-unit BIGINTs via
+    *    one map-side-combining aggregate (35 rows out; headroom note:
+    *    Σvu² stays under 2⁶³ to ~10⁹ rows at this value range — the
+    *    [[ttestOn]] bound); the REST of each test is the total-minus-
+    *    cell complement, so 35 Welch tests cost zero extra passes;
+    *  - Welch z per cell over the six exact integers — the [[ttestOn]]
+    *    IEEE chain textually mirrored in the oracle, with the
+    *    degenerate-variance NULL guard ([[mannWhitneyOn]] discipline);
+    *  - two-sided p = 2(1−Φ(|z|)) by the Abramowitz–Stegun 26.2.17
+    *    polynomial (|ε| < 7.5e-8; exp may drift a ulp between libms —
+    *    driver-tolerated like fn_math), with 1/√(2π) interpolated as a
+    *    Scala-computed IEEE constant;
+    *  - BH step-up on the 35-row frame: rank by |z| DESC (≡ p ASC but
+    *    BIT-EXACT in both engines — z is pure arithmetic + one sqrt,
+    *    both correctly rounded; p's libm exp never decides the order)
+    *    via the bounded broadcast theta join (never a global window),
+    *    crit_i = i·q/m, and significant ⇔ rank ≤ max{i : p_i ≤ crit_i}
+    *    (the step-up rule: everything below the LAST passing rank is
+    *    rejected, even interior ranks whose own p missed).
+    * At 100 TB: one linear scan, then 35-row algebra — nothing scales
+    * with data but the first aggregate.
+    */
+  def bhFdrTypeDow(s: SparkSession, d: String): DataFrame =
+    bhFdrOn(Tables.events(s, d)
+      .select(col("event_type"), expr("weekday(ts) + 1").as("dow"),
+        col("value")),
+      "event_type", "dow", "value", qPerMille = 50)
+      .withColumnRenamed("g1", "event_type")
+      .withColumnRenamed("g2", "dow")
+
+  private[graft] def bhFdrOn(df: DataFrame, g1Col: String, g2Col: String,
+      valCol: String, qPerMille: Int): DataFrame = {
+    require(qPerMille > 0 && qPerMille < 1000,
+      s"bhFdr q must be in (0, 1000) per mille: $qPerMille")
+    val cells = df.select(col(g1Col).as("g1"), col(g2Col).as("g2"),
+        floor(col(valCol) * 1000).cast("long").as("vu"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n"), sum(col("vu")).as("s1"),
+        sum(col("vu") * col("vu")).as("s2"))
+      .localCheckpoint() // three consumers: totals + tests + rank RHS
+    val tot = cells.agg(sum(col("n")).as("tn"), sum(col("s1")).as("ts1"),
+      sum(col("s2")).as("ts2"), count(lit(1)).as("m"))
+    val qf = qPerMille / 1000.0 // exact in both engines (50/1000 = 0.05)
+    val tested = cells.crossJoin(broadcast(tot)) // 1-row totals frame
+      .selectExpr("g1", "g2", "n", "m",
+        "tn - n AS nr", "ts1 - s1 AS r1", "ts2 - s2 AS r2", "s1", "s2")
+      .selectExpr("g1", "g2", "n", "m",
+        "CAST(s1 AS DOUBLE) / n / 1000 AS mean_v",
+        // Welch z over exact integer moments — the ttestOn chain with
+        // the cell's complement as the second sample; NULL-guarded for
+        // degenerate cells (n < 2 or zero pooled variance)
+        """CASE WHEN n < 2 OR nr < 2 THEN CAST(NULL AS DOUBLE)
+           ELSE ((CAST(s2 AS DOUBLE) / 1e6
+               - (CAST(s1 AS DOUBLE) / n / 1000)
+                 * (CAST(s1 AS DOUBLE) / 1000)) / (n - 1)) / n
+             + ((CAST(r2 AS DOUBLE) / 1e6
+               - (CAST(r1 AS DOUBLE) / nr / 1000)
+                 * (CAST(r1 AS DOUBLE) / 1000)) / (nr - 1)) / nr
+           END AS se2""",
+        """CAST(s1 AS DOUBLE) / n / 1000
+           - CAST(r1 AS DOUBLE) / nr / 1000 AS diff""")
+      .selectExpr("g1", "g2", "n", "m", "mean_v",
+        """CASE WHEN se2 IS NULL OR se2 <= 0 THEN CAST(NULL AS DOUBLE)
+           ELSE diff / sqrt(se2) END AS z_value""")
+      .selectExpr("g1", "g2", "n", "m", "mean_v", "z_value",
+        // two-sided p by Abramowitz–Stegun 26.2.17 (Horner, fixed order)
+        s"""CASE WHEN z_value IS NULL THEN CAST(NULL AS DOUBLE)
+            ELSE 2 * (exp(-(abs(z_value) * abs(z_value)) / 2)
+                * $invSqrt2Pi)
+              * (1 / (1 + 0.2316419 * abs(z_value)))
+              * (0.319381530 + (1 / (1 + 0.2316419 * abs(z_value)))
+                * (-0.356563782 + (1 / (1 + 0.2316419 * abs(z_value)))
+                  * (1.781477937 + (1 / (1 + 0.2316419 * abs(z_value)))
+                    * (-1.821255978 + (1 / (1 + 0.2316419 * abs(z_value)))
+                      * 1.330274429)))) END AS p_value""")
+      .localCheckpoint() // two consumers: both sides of the theta rank
+    // bounded broadcast theta rank on |z| DESC (m ≤ dozens of rows)
+    val rhs = tested.filter(col("z_value").isNotNull)
+      .select(col("g1").as("h1"), col("g2").as("h2"),
+        abs(col("z_value")).as("za2"))
+    val ranked = tested
+      .join(broadcast(rhs),
+        col("z_value").isNotNull &&
+          (col("za2") > abs(col("z_value")) ||
+            (col("za2") === abs(col("z_value")) &&
+              (col("h1") < col("g1") ||
+                (col("h1") === col("g1") && col("h2") <= col("g2"))))),
+        "left")
+      .groupBy(col("g1"), col("g2"), col("n"), col("m"), col("mean_v"),
+        col("z_value"), col("p_value"))
+      .agg(count(col("za2")).as("rcnt"))
+      .selectExpr("g1", "g2", "n", "m", "mean_v", "z_value", "p_value",
+        "CASE WHEN z_value IS NULL THEN CAST(NULL AS BIGINT) " +
+          "ELSE rcnt END AS p_rank")
+      .withColumn("bh_crit",
+        expr(s"CAST(p_rank AS DOUBLE) * $qf / m"))
+      .localCheckpoint() // two consumers: step-up scan + output rows
+    val kstar = ranked
+      .agg(max(when(col("p_value") <= col("bh_crit"), col("p_rank")))
+        .as("k_star"))
+    ranked.crossJoin(broadcast(kstar)) // 1-row step-up frame
+      .selectExpr("g1", "g2", "n", "mean_v", "z_value", "p_value",
+        "p_rank", "bh_crit",
+        """coalesce(p_rank <= k_star, false) AS significant""")
+      .orderBy(asc_nulls_last("p_rank"), col("g1"), col("g2"))
+  }
+
   val queries = Map(
+    "agg_bh_fdr" -> (bhFdrTypeDow _),
     "agg_benford" -> (benfordProfile _),
     "agg_gini" -> (giniRevenue _),
     "agg_entropy" -> (entropyBySource _),
@@ -1530,6 +1687,71 @@ object AggOps extends OpFamily {
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
+    "agg_bh_fdr" -> {
+      val asP = // A-S 26.2.17 two-sided p, shared Horner text
+        s"""2 * (exp(-(abs(z_value) * abs(z_value)) / 2) * $invSqrt2Pi)
+              * (1 / (1 + 0.2316419 * abs(z_value)))
+              * (0.319381530 + (1 / (1 + 0.2316419 * abs(z_value)))
+                * (-0.356563782 + (1 / (1 + 0.2316419 * abs(z_value)))
+                  * (1.781477937 + (1 / (1 + 0.2316419 * abs(z_value)))
+                    * (-1.821255978 + (1 / (1 + 0.2316419 * abs(z_value)))
+                      * 1.330274429))))"""
+      s"""WITH b AS (SELECT event_type AS g1,
+             isodow(CAST(ts AS TIMESTAMP)) AS g2,
+             CAST(floor(value * 1000) AS BIGINT) AS vu
+           FROM events),
+         cells AS (SELECT g1, g2, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vu) AS BIGINT) AS s1,
+             CAST(sum(vu * vu) AS BIGINT) AS s2
+           FROM b GROUP BY g1, g2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(s1) AS BIGINT) AS ts1,
+             CAST(sum(s2) AS BIGINT) AS ts2,
+             CAST(count(*) AS BIGINT) AS m FROM cells),
+         t1 AS (SELECT g1, g2, n, m, tn - n AS nr, ts1 - s1 AS r1,
+             ts2 - s2 AS r2, s1, s2
+           FROM cells CROSS JOIN tot),
+         t2 AS (SELECT g1, g2, n, m,
+             CAST(s1 AS DOUBLE) / n / 1000 AS mean_v,
+             CASE WHEN n < 2 OR nr < 2 THEN CAST(NULL AS DOUBLE)
+             ELSE ((CAST(s2 AS DOUBLE) / 1e6
+                 - (CAST(s1 AS DOUBLE) / n / 1000)
+                   * (CAST(s1 AS DOUBLE) / 1000)) / (n - 1)) / n
+               + ((CAST(r2 AS DOUBLE) / 1e6
+                 - (CAST(r1 AS DOUBLE) / nr / 1000)
+                   * (CAST(r1 AS DOUBLE) / 1000)) / (nr - 1)) / nr
+             END AS se2,
+             CAST(s1 AS DOUBLE) / n / 1000
+               - CAST(r1 AS DOUBLE) / nr / 1000 AS diff
+           FROM t1),
+         t3 AS (SELECT g1, g2, n, m, mean_v,
+             CASE WHEN se2 IS NULL OR se2 <= 0 THEN CAST(NULL AS DOUBLE)
+             ELSE diff / sqrt(se2) END AS z_value FROM t2),
+         t4 AS (SELECT g1, g2, n, m, mean_v, z_value,
+             CASE WHEN z_value IS NULL THEN CAST(NULL AS DOUBLE)
+             ELSE $asP END AS p_value
+           FROM t3),
+         ranked AS (SELECT a.g1, a.g2, a.n, a.m, a.mean_v, a.z_value,
+             a.p_value,
+             CASE WHEN a.z_value IS NULL THEN CAST(NULL AS BIGINT)
+             ELSE CAST(count(c.za2) AS BIGINT) END AS p_rank
+           FROM t4 a LEFT JOIN (SELECT g1 AS h1, g2 AS h2,
+               abs(z_value) AS za2 FROM t4 WHERE z_value IS NOT NULL) c
+             ON a.z_value IS NOT NULL AND (c.za2 > abs(a.z_value)
+               OR (c.za2 = abs(a.z_value) AND (c.h1 < a.g1
+                 OR (c.h1 = a.g1 AND c.h2 <= a.g2))))
+           GROUP BY a.g1, a.g2, a.n, a.m, a.mean_v, a.z_value, a.p_value),
+         r2 AS (SELECT g1, g2, n, m, mean_v, z_value, p_value, p_rank,
+             CAST(p_rank AS DOUBLE) * ${50 / 1000.0} / m AS bh_crit
+           FROM ranked),
+         ks AS (SELECT max(CASE WHEN p_value <= bh_crit THEN p_rank END)
+             AS k_star FROM r2)
+         SELECT g1 AS event_type, g2 AS dow, n, mean_v, z_value, p_value,
+           p_rank, bh_crit,
+           coalesce(p_rank <= k_star, false) AS significant
+         FROM r2 CROSS JOIN ks
+         ORDER BY p_rank NULLS LAST, g1, g2"""
+    },
     "agg_copurchase_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
              FROM lineitem),
@@ -1839,7 +2061,8 @@ object AggOps extends OpFamily {
            FROM (SELECT id, vu, b, CAST($wCase AS BIGINT) AS w FROM rep)
            GROUP BY b),
          mm AS (SELECT b,
-             CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 AS m
+             CASE WHEN cw = 0 THEN CAST(NULL AS DOUBLE)
+             ELSE CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 END AS m
            FROM means),
          ranks AS (SELECT a.b, a.m, CAST(count(*) AS BIGINT) AS r
            FROM mm a JOIN mm c
@@ -1893,7 +2116,8 @@ object AggOps extends OpFamily {
            FROM (SELECT g, id, vu, b, CAST($wCase AS BIGINT) AS w FROM rep)
            GROUP BY g, b),
          mm AS (SELECT g, b,
-             CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 AS m
+             CASE WHEN cw = 0 THEN CAST(NULL AS DOUBLE)
+             ELSE CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) / 1000 END AS m
            FROM means),
          d AS (SELECT a.b, a.m - c.m AS m
            FROM mm a JOIN mm c ON a.b = c.b
@@ -2038,12 +2262,17 @@ object AggOps extends OpFamily {
          h AS (SELECT n, k, tie_sum,
              12 * q / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
                - 3 * CAST(n + 1 AS DOUBLE) AS h_value
-           FROM s, ties)
+           FROM s, ties),
+         h2 AS (SELECT n, k, tie_sum, h_value,
+             CASE WHEN n < 2 THEN CAST(NULL AS DOUBLE)
+             ELSE 1 - CAST(tie_sum AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(n AS DOUBLE)) END AS corr_f
+           FROM h)
          SELECT n, k, tie_sum, h_value,
-           h_value / (1 - CAST(tie_sum AS DOUBLE)
-             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                - CAST(n AS DOUBLE))) AS h_corrected
-         FROM h""",
+           CASE WHEN corr_f IS NULL OR corr_f = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE h_value / corr_f END AS h_corrected
+         FROM h2""",
     "agg_mannwhitney" ->
       """WITH f AS (SELECT event_type AS g,
              CAST(floor(value * 1000) AS BIGINT) AS vu, event_id AS tie
@@ -2062,18 +2291,23 @@ object AggOps extends OpFamily {
              CAST(sum(ta * (minr + maxr)) AS BIGINT) AS r2_a,
              CAST(sum(CASE WHEN t > 1 THEN t * t * t - t ELSE 0 END)
                AS BIGINT) AS tie_sum
-           FROM pv)
-         SELECT n_a, n_b, r2_a, tie_sum,
-           r2_a - n_a * (n_a + 1) AS u2_a,
-           2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
-           (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
-              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
-           / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+           FROM pv),
+         s2 AS (SELECT n_a, n_b, r2_a, tie_sum,
+             CASE WHEN n_a + n_b < 2 THEN CAST(NULL AS DOUBLE)
+             ELSE CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
                * (CAST(n_a + n_b + 1 AS DOUBLE)
                   - CAST(tie_sum AS DOUBLE)
                     / (CAST(n_a + n_b AS DOUBLE)
-                       * CAST(n_a + n_b - 1 AS DOUBLE)))) AS z_value
-         FROM s""",
+                       * CAST(n_a + n_b - 1 AS DOUBLE))) END AS var_u
+           FROM s)
+         SELECT n_a, n_b, r2_a, tie_sum,
+           r2_a - n_a * (n_a + 1) AS u2_a,
+           2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+           CASE WHEN var_u IS NULL OR var_u = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+           / sqrt(var_u) END AS z_value
+         FROM s2""",
     "agg_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
              CAST(count(*) AS BIGINT) AS n

@@ -1113,18 +1113,28 @@ object DedupOps extends OpFamily {
              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
          ORDER BY a, b""",
     "dedup_containment" ->
+      // r14 replay-cost fix: the old form was an all-pairs n² double
+      // list_intersect (694 s alone at sf0.1). This inverted-index join
+      // computes the SAME |a∩b| (shingle lists are distinct, so the
+      // per-pair match count IS the intersection size) and the same
+      // containment division; pairs with zero shared shingles can never
+      // reach 0.8, so dropping them changes nothing. Strict-checked
+      // identical at all three SFs.
       s"""WITH corpus AS ($planted),
-         sh AS (SELECT doc_id, lang, source,
+         sh AS (SELECT doc_id,
              list_distinct(list_transform(range(1, len(w) - 1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
-                 FROM corpus))
-         SELECT a.doc_id AS a, b.doc_id AS b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
-             AS containment
-         FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
-             >= 0.8
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM corpus)),
+         sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+         g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(count(*) AS BIGINT) AS inter
+           FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT p.a, p.b, CAST(p.inter AS DOUBLE) / sa.n AS containment
+         FROM p JOIN sz sa ON p.a = sa.doc_id
+         WHERE CAST(p.inter AS DOUBLE) / sa.n >= 0.8
          ORDER BY a, b""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes

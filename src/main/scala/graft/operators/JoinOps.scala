@@ -547,10 +547,25 @@ object JoinOps extends OpFamily {
          WHERE prev IS NOT NULL OR nxt IS NOT NULL
          ORDER BY event_id""",
     "join_edit_distance" ->
-      """SELECT a.c_custkey AS a, b.c_custkey AS b,
-           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-         WHERE levenshtein(a.c_name, b.c_name) <= 1
+      // r14 replay-cost fix: the old all-pairs form ran levenshtein
+      // TWICE over n²/2 pairs (142 s at sf0.1). This mirrors the
+      // ENGINE's own FastSS candidate scheme (ed ≤ 1 ⟺ the two
+      // deletion neighborhoods intersect — a candidate SUPERSET), then
+      // the same exact levenshtein verify — output identical by the
+      // prefilter-exactness argument, strict-checked at all three SFs.
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+         keys AS (
+           SELECT id, s, s AS k FROM c
+           UNION ALL
+           SELECT id, s, substr(s, 1, i - 1) || substr(s, i + 1) AS k
+           FROM c, unnest(range(1, len(s) + 1)) AS t(i)),
+         cand AS (SELECT DISTINCT a.id AS ia, a.s AS sa,
+             b.id AS ib, b.s AS sb
+           FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id)
+         SELECT ia AS a, ib AS b,
+           CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+         FROM cand
+         WHERE levenshtein(sa, sb) <= 1
          ORDER BY a, b""",
     "join_edit_distance3" ->
       """SELECT a.s_suppkey AS a, b.s_suppkey AS b,

@@ -88,6 +88,92 @@ object SimOps extends OpFamily {
       .orderBy(col("qid"), desc("cos"), col("nid"))
   }
 
+  /** LOCAL OUTLIER FACTOR (Breunig et al., SIGMOD 2000) over the
+    * embedding corpus — the kNN-DENSITY outlier screen that catches what
+    * [[labelOutliers]]' centroid distances cannot: a vector can sit
+    * close to its label centroid yet in a locally sparse pocket (or far
+    * from every centroid yet inside a dense off-center cluster). LOF(p)
+    * compares p's local reachability density against its neighbors' —
+    * ≈1 means "as dense as the neighborhood", ≫1 flags the isolated
+    * points a curation pass should inspect (mislabeled/OOD embeddings).
+    *
+    * Exactness (the oracle hash-checks ALL of it): distances are
+    * 1 − cosine via the codegen'd [[NativeExprs.FloatDotProduct]]
+    * (bit-equal to DuckDB's list_cosine_similarity); the exactly-k
+    * neighborhood uses the deterministic (dist, nid) tie-break — the
+    * documented exactly-k LOF variant, so both engines pick identical
+    * neighbor SETS; reachability sums and lrd values are quantized to
+    * integer units (floor·1e9 / floor·1e6 BIGINTs) BEFORE the per-point
+    * sums, so no cross-engine float-summation-order drift exists — the
+    * only doubles are bit-exact products and three final divisions in
+    * one textually-mirrored chain.
+    *
+    * Scale shape: the fixture corpus is broadcastable, so the kNN stage
+    * is one broadcast-NLJ pass + a PARTITIONED rank window (qid), then
+    * everything downstream is k-bounded joins on ≤ n·k rows. At 100 TB
+    * the n² pair stage swaps for the persisted IVF shortlist
+    * ([[knnIvf]]'s cells, same downstream algebra) with recall measured
+    * by the [[recallReport]] instrument — the exact variant here IS the
+    * correctness gate for that algebra.
+    */
+  def lofOutliers(s: SparkSession, d: String): DataFrame =
+    lofOn(s, Tables.embeddings(s, d), k = 10, topN = 20)
+
+  private[graft] def lofOn(s: SparkSession, emb: DataFrame, k: Int,
+      topN: Int): DataFrame = {
+    require(k >= 1, s"lof needs k >= 1: $k")
+    val e = emb
+      .withColumn("nrm",
+        sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
+      .localCheckpoint() // three consumers: two pair sides + label join
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("nrm").as("qn"))
+    val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      col("nrm").as("nn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    val knn = q.join(broadcast(n), col("qid") =!= col("nid"))
+      .withColumn("dist", lit(1.0) -
+        NativeExprs.dot(s, col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .select(col("qid"), col("nid"), col("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("dist"))
+      .localCheckpoint() // three consumers: kdist + reach + lrd-of-nbr
+    val kd = knn.groupBy(col("qid"))
+      .agg(max(col("dist")).as("kdist"), count(lit(1)).as("kn"))
+      .localCheckpoint() // two consumers: reach (as the NEIGHBOR's
+      // k-distance) + the srd/lrd spine
+    val reach = knn
+      .join(kd.select(col("qid").as("nid"), col("kdist").as("kdist_o")),
+        Seq("nid"))
+      .select(col("qid"),
+        floor(greatest(col("kdist_o"), col("dist")) * lit(1e9))
+          .cast("long").as("ru"))
+    val lrd = reach.groupBy(col("qid")).agg(sum(col("ru")).as("srd"))
+      .join(kd, Seq("qid"))
+      // all-duplicate neighborhoods (srd = 0) have undefined density →
+      // NULL, the mannWhitneyOn degenerate-guard discipline
+      .selectExpr("qid", "kn", "kdist", "srd",
+        """CASE WHEN srd = 0 THEN CAST(NULL AS BIGINT)
+           ELSE CAST(floor(CAST(kn AS DOUBLE) * 1e9
+             / CAST(srd AS DOUBLE) * 1000000) AS BIGINT) END AS lu""")
+      .localCheckpoint() // two consumers: own-lrd join + neighbor sum
+    val slu = knn
+      .join(lrd.select(col("qid").as("nid"), col("lu").as("lu_o")),
+        Seq("nid"))
+      .groupBy(col("qid")).agg(sum(col("lu_o")).as("slu"))
+    slu.join(lrd, Seq("qid"))
+      .join(e.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+      .selectExpr("qid AS vec_id", "label", "kdist AS k_dist",
+        "lu AS lrd_units",
+        """CASE WHEN lu IS NULL THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(slu AS DOUBLE) / kn / CAST(lu AS DOUBLE)
+           END AS lof""")
+      .orderBy(desc_nulls_last("lof"), col("vec_id"))
+      .limit(topN)
+  }
+
   /** IVF ANN with k-means coarse quantization: Lloyd iterations build
     * nlist=10 centroids (deterministic init: the 10 lowest vec_ids), every
     * vector is assigned to its nearest cell, and each query probes its
@@ -1533,6 +1619,7 @@ object SimOps extends OpFamily {
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_classify" -> (centroidClassify _),
     "sim_label_outliers" -> (labelOutliers _),
+    "sim_lof_outliers" -> (lofOutliers _),
     "sim_cluster_terms" -> (clusterTerms _),
     "sim_embedding_bins" -> (embeddingBins _),
     "sim_top_component" -> (topComponent _),
@@ -2242,7 +2329,11 @@ object SimOps extends OpFamily {
            coalesce(t.n_dropped, 0) AS n_dropped
          FROM sizes s LEFT JOIN stats t USING (cid) ORDER BY s.cid""",
     "sim_knn_ivf" -> ivfOracleSql,
-    "sim_mmr_rerank_ivf" -> mmrIvfOracleSql,
+    // r14 replay-cost fix: the 5 sequential MMR steps each re-reference
+    // `p`/`cand` (behind the Lloyd chain) — plain-CTE inlining
+    // re-evaluated the chain per step (312 s at sf0.1); materialized it
+    // replays in seconds, results identical (the PQ-family lesson).
+    "sim_mmr_rerank_ivf" -> materializeCtes(mmrIvfOracleSql),
     "sim_cluster_terms" -> clusterTermsOracleSql,
     "sim_knn_pq" -> materializeCtes(pqOracleSql),
     "sim_knn_ivf_pq" -> materializeCtes(ivfPqOracleSql),
@@ -2367,6 +2458,42 @@ object SimOps extends OpFamily {
            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
            WHERE q.vec_id < 10)
          WHERE rank <= 5 ORDER BY qid, rank""",
+    // full-corpus kNN (exactly-k, (dist, nid) tie-break) → integer-unit
+    // reachability/lrd — term-for-term mirror of [[lofOn]]; the n² pair
+    // stage is fine at oracle SF (the engine's scale path swaps it for
+    // the IVF shortlist, same downstream algebra)
+    "sim_lof_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pairs AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+             1 - list_cosine_similarity(q.v, n.v) AS dist
+           FROM e q JOIN e n ON q.vec_id <> n.vec_id),
+         knn AS (SELECT qid, nid, dist FROM (
+             SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid
+               ORDER BY dist, nid) AS rank FROM pairs)
+           WHERE rank <= 10),
+         kd AS (SELECT qid, max(dist) AS kdist,
+             CAST(count(*) AS BIGINT) AS kn
+           FROM knn GROUP BY qid),
+         reach AS (SELECT k.qid,
+             CAST(floor(greatest(o.kdist, k.dist) * 1e9) AS BIGINT) AS ru
+           FROM knn k JOIN kd o ON k.nid = o.qid),
+         lrd AS (SELECT s.qid, kd.kn, kd.kdist,
+             CASE WHEN s.srd = 0 THEN CAST(NULL AS BIGINT)
+             ELSE CAST(floor(CAST(kd.kn AS DOUBLE) * 1e9
+               / CAST(s.srd AS DOUBLE) * 1000000) AS BIGINT) END AS lu
+           FROM (SELECT qid, CAST(sum(ru) AS BIGINT) AS srd FROM reach
+                 GROUP BY qid) s
+           JOIN kd ON s.qid = kd.qid),
+         slu AS (SELECT k.qid, CAST(sum(l.lu) AS BIGINT) AS slu
+           FROM knn k JOIN lrd l ON k.nid = l.qid GROUP BY k.qid)
+         SELECT e.vec_id, e.label, l.kdist AS k_dist, l.lu AS lrd_units,
+           CASE WHEN l.lu IS NULL THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(s.slu AS DOUBLE) / l.kn / CAST(l.lu AS DOUBLE)
+           END AS lof
+         FROM slu s JOIN lrd l ON s.qid = l.qid
+         JOIN e ON e.vec_id = s.qid
+         ORDER BY lof DESC NULLS LAST, vec_id LIMIT 20""",
     "sim_top_component" ->
       s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
@@ -2374,7 +2501,11 @@ object SimOps extends OpFamily {
            FROM unnest(range(1, 65)) AS t(i)),
          ${powerCte(1, "p0")}, ${powerCte(2, "v1")}, ${powerCte(3, "v2")}
          SELECT pos, c AS loading FROM v3 ORDER BY pos""",
-    "sim_pca2" ->
+    // r14 replay-cost fix: `vdef` (the deflated corpus) is referenced by
+    // all three second-component power CTEs — plain-CTE inlining
+    // re-evaluated the first power chain under each (76 s at sf0.1);
+    // materialized, identical results.
+    "sim_pca2" -> materializeCtes(
       s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
          p0 AS (SELECT i - 1 AS pos, CAST(1.0 AS DOUBLE) AS c
@@ -2390,7 +2521,7 @@ object SimOps extends OpFamily {
          ${powerCteV(1, "p0", "vdef", "d")},
          ${powerCteV(2, "vd1", "vdef", "d")},
          ${powerCteV(3, "vd2", "vdef", "d")}
-         SELECT pos, c AS loading FROM vd3 ORDER BY pos""",
+         SELECT pos, c AS loading FROM vd3 ORDER BY pos"""),
     "sim_spectral_profile" ->
       s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),

@@ -587,6 +587,158 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === meanFull)
   }
 
+  test("mann-whitney: one global tie block gives NULL z, not a throw") {
+    import spark.implicits._
+    // every value identical → tie correction makes the variance exactly
+    // 0; before the guard this was an ANSI 0/0 DIVIDE_BY_ZERO crash.
+    // Integer algebra stays exact: ranks 1..4 one block, ta=2 → r2_a=10,
+    // u2_a = 10 − 2·3 = 4, tie_sum = 4³−4 = 60.
+    val df = Seq(("A", 1.0, 1L), ("A", 1.0, 2L),
+      ("B", 1.0, 3L), ("B", 1.0, 4L)).toDF("g", "v", "id")
+    val r = graft.api.Graft.mannWhitney(df, "g", "v", "A", "B", "id")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((2L, 2L, 10L, 60L, 4L, 4L)))
+    assert(r.isNullAt(6))
+  }
+
+  test("kruskal-wallis: one global tie block gives NULL correction") {
+    import spark.implicits._
+    // all values equal → Σ(t³−t) = n³−n, correction factor exactly 0
+    // (h_value itself is 0 here; h/0 was the ANSI crash).
+    val df = Seq(("a", 1.0, 1L), ("a", 1.0, 2L), ("b", 1.0, 3L))
+      .toDF("g", "v", "id")
+    val r = graft.api.Graft.kruskalWallis(df, "g", "v", "id")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2))
+      === ((3L, 2L, 24L)))
+    assert(r.getDouble(3) === 0.0)
+    assert(r.isNullAt(4))
+  }
+
+  test("hill tail index: <= k positive values is a contract error") {
+    import spark.implicits._
+    // 3 positive values with k = 3 under-fills the k+1 frame; the old
+    // behavior reported alpha from the wrong number of ln terms while
+    // still labeling it k_tail = 3 — a silent wrong answer.
+    val df = Seq(1.0, 2.0, 4.0).map(Tuple1(_)).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Graft.hillTailIndex(df, "v", k = 3)
+    }
+    assert(e.getMessage.contains("more than k=3"))
+  }
+
+  test("bootstrap CI: an all-zero-weight replicate is NULL, not a throw") {
+    import spark.implicits._
+    // single-row input: each replicate's weight sum is ONE Poisson(1)
+    // draw, so any w=0 replicate hits the cw=0 guard (previously an
+    // ANSI 0/0 throw). Driver-replay the deterministic hash stream to
+    // know which outcome to expect.
+    val P = 2147483647L
+    val cums = graft.operators.AggOps.poissonCums
+    def w(id: Long, b: Long): Long = {
+      val u = (((id + 7919) * (2 * b + 1) % P) * 1103515245L % P)
+        .toDouble / P
+      val k = cums.indexWhere(u < _)
+      if (k < 0) 7L else k.toLong
+    }
+    val bReps = 8
+    val zeroes = (1 to bReps).count(b => w(1L, b.toLong) == 0L)
+    assert(zeroes > 0, "fixture must contain a zero-weight replicate")
+    val df = Seq((1L, 2.0)).toDF("id", "v")
+    val out = graft.api.Graft.bootstrapCi(df, "v", "id", bReps = bReps)
+      .collect()
+    // hiRank = bReps cannot exist among the bReps − zeroes non-NULL
+    // means, so the order-statistic frame is empty and the output is 0
+    // rows — deterministic, mirrored by the oracle, and NOT a crash.
+    assert(out.isEmpty)
+  }
+
+  test("BH-FDR: driver-side replay of the whole pipeline bit-for-bit") {
+    import spark.implicits._
+    // seeded random 3×3 cells, two planted shifts — the brute-force
+    // cross-check pattern: replicate moments → Welch z → A-S p → theta
+    // rank → step-up in plain Scala (same JVM libm, so doubles are
+    // bit-equal) and compare every column of every row.
+    val rng = new scala.util.Random(11)
+    val rows = for {
+      g1 <- Seq("a", "b", "c"); g2 <- Seq(1, 2, 3); _ <- 1 to 30
+    } yield {
+      val base = 50.0 + rng.nextDouble() * 10
+      val shift = if (g1 == "a" && g2 == 1) 40.0
+        else if (g1 == "b" && g2 == 2) -30.0 else 0.0
+      (g1, g2, base + shift)
+    }
+    val df = rows.toDF("g1", "g2", "v")
+    val got = graft.api.Graft.bhFdr(df, "g1", "g2", "v", qPerMille = 50)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7), r.getBoolean(8))).toMap
+    // replay
+    val cells = rows.groupBy(r => (r._1, r._2)).map { case (kk, rs) =>
+      val vu = rs.map(r => math.floor(r._3 * 1000).toLong)
+      kk -> ((vu.size.toLong, vu.sum, vu.map(u => u * u).sum))
+    }
+    val m = cells.size
+    val (tn, ts1, ts2) = cells.values
+      .foldLeft((0L, 0L, 0L)) { case ((a, b, c), (x, y, z)) =>
+        (a + x, b + y, c + z) }
+    val zByCell = cells.map { case (kk, (n, s1, s2)) =>
+      val (nr, r1, r2) = (tn - n, ts1 - s1, ts2 - s2)
+      val se2 = ((s2.toDouble / 1e6 - (s1.toDouble / n / 1000)
+          * (s1.toDouble / 1000)) / (n - 1)) / n +
+        ((r2.toDouble / 1e6 - (r1.toDouble / nr / 1000)
+          * (r1.toDouble / 1000)) / (nr - 1)) / nr
+      val diff = s1.toDouble / n / 1000 - r1.toDouble / nr / 1000
+      kk -> (n, s1.toDouble / n / 1000,
+        if (se2 <= 0) None else Some(diff / math.sqrt(se2)))
+    }
+    val inv = graft.operators.AggOps.invSqrt2Pi
+    def pOf(z: Double): Double = {
+      val t = 1 / (1 + 0.2316419 * math.abs(z))
+      2 * (math.exp(-(math.abs(z) * math.abs(z)) / 2) * inv) * t *
+        (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+          t * (-1.821255978 + t * 1.330274429))))
+    }
+    val ranked = zByCell.collect { case (kk, (_, _, Some(z))) => (kk, z) }
+    def rankOf(kk: (String, Int), z: Double): Long = ranked.count {
+      case (k2, z2) => math.abs(z2) > math.abs(z) ||
+        (math.abs(z2) == math.abs(z) &&
+          (k2._1 < kk._1 || (k2._1 == kk._1 && k2._2 <= kk._2)))
+    }.toLong
+    val withRank = ranked.map { case (kk, z) =>
+      (kk, z, pOf(z), rankOf(kk, z)) }
+    val kStar = withRank.collect {
+      case (_, _, p, r) if p <= r.toDouble * 0.05 / m => r
+    }.maxOption.getOrElse(0L)
+    withRank.foreach { case (kk, z, p, r) =>
+      val (n, meanV, zv, pv, pr, crit, sig) = got(kk)
+      assert(zv === z, s"z mismatch at $kk")
+      // p goes through exp(): codegen'd java.lang.Math.exp vs the
+      // replay's can differ in the last ulp (the same drift the driver
+      // hash tolerates vs DuckDB's libm) — z/rank/significance stay
+      // bit-exact because ordering runs on |z|, never on p
+      assert(math.abs(pv - p) <= 4 * Math.ulp(p), s"p mismatch at $kk")
+      assert(pr === r && crit === r.toDouble * 0.05 / m)
+      assert(sig === (r <= kStar), s"step-up mismatch at $kk")
+      assert(n === zByCell(kk)._1 && meanV === zByCell(kk)._2)
+    }
+    // the two planted shifts must be the top-2 discoveries
+    assert(got(("a", 1))._7 && got(("b", 2))._7)
+    assert(Set(got(("a", 1))._5, got(("b", 2))._5) === Set(1L, 2L))
+  }
+
+  test("BH-FDR: constant data gives NULL z everywhere, nothing significant") {
+    import spark.implicits._
+    val df = (for { g1 <- Seq("a", "b"); g2 <- Seq(1, 2); i <- 1 to 5 }
+      yield (g1, g2, 7.0)).toDF("g1", "g2", "v")
+    val out = graft.api.Graft.bhFdr(df, "g1", "g2", "v").collect()
+    assert(out.length === 4)
+    assert(out.forall(r => r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6)
+      && !r.getBoolean(8)))
+  }
+
   test("max drawdown: hand-traced peak-to-trough on a signed series") {
     import spark.implicits._
     val df = Seq(("u", 1L, 5L), ("u", 2L, -3L), ("u", 3L, 1L),

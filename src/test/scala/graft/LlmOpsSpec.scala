@@ -20,6 +20,53 @@ class LlmOpsSpec extends AnyFunSuite {
     (planted, expected)
   }
 
+  test("LOF: driver-side brute-force replay matches the engine bit-for-bit") {
+    import spark.implicits._
+    // seeded random corpus, k=3, ALL rows returned — replicate the
+    // exact quantized algebra (left-to-right double dots, (dist, nid)
+    // tie-break, floor·1e9 reachability, floor·1e6 lrd) in plain Scala
+    // and demand bit equality on every column.
+    val rng = new scala.util.Random(7)
+    val nV = 40; val dim = 8; val k = 3
+    val vecs = Array.fill(nV)(Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i % 4, v.toSeq) }.toSeq
+      .toDF("vec_id", "label", "embedding")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = vecs.map(v => math.sqrt(dot(v, v)))
+    def dst(i: Int, j: Int): Double =
+      1.0 - dot(vecs(i), vecs(j)) / (nrm(i) * nrm(j))
+    val knn = (0 until nV).map { q =>
+      (0 until nV).filter(_ != q).map(n => (dst(q, n), n))
+        .sortBy { case (dd, n) => (dd, n) }.take(k)
+    }
+    val kdist = knn.map(_.map(_._1).max)
+    val srd = (0 until nV).map { q =>
+      knn(q).map { case (dd, n) =>
+        math.floor(math.max(kdist(n), dd) * 1e9).toLong }.sum
+    }
+    val lu = srd.map(s0 =>
+      math.floor(k.toDouble * 1e9 / s0.toDouble * 1000000).toLong)
+    val lof = (0 until nV).map { q =>
+      val slu = knn(q).map { case (_, n) => lu(n) }.sum
+      slu.toDouble / k / lu(q).toDouble
+    }
+    val want = (0 until nV)
+      .map(q => (q.toLong, q % 4, kdist(q), lu(q), lof(q)))
+      .sortBy { case (id, _, _, _, l) => (-l, id) }
+    val got = graft.api.Graft.lofOutliers(spark, df, k = 3, topN = 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === want)
+    // semantic sanity: every LOF is positive and most mass sits near 1
+    assert(lof.forall(_ > 0))
+  }
+
   test("dedup recall report: control row reads 1000/1000, permilles bounded, " +
       "and the minhash leg's recall matches its pair query") {
     val rows = DedupOps.recallReport(spark, sf).collect()
