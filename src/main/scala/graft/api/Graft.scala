@@ -1524,6 +1524,18 @@ object Graft {
       qPerMille: Int = 50): DataFrame =
     graft.operators.AggOps.bhFdrOn(df, g1Col, g2Col, valCol, qPerMille)
 
+  /** CUPED variance-reduced A/B uplift (Deng et al., WSDM 2013): per
+    * `userCol` pre/post milli-unit sums (rows matching the SQL predicate
+    * `preExpr` are the pre-period), deterministic residue-class arm
+    * assignment, pooled θ = cov(X,Y)/var(X) from exact moments, and the
+    * adjusted uplift (meanY_A − meanY_B) − θ(meanX_A − meanX_B). One
+    * row (n, n_a, n_b, theta, rho2_permille, uplift_raw, uplift_cuped);
+    * rho2_permille is the expected variance-reduction share.
+    */
+  def cuped(df: DataFrame, userCol: String, valCol: String,
+      preExpr: String): DataFrame =
+    graft.operators.AggOps.cupedOn(df, userCol, valCol, preExpr)
+
   /** Local Outlier Factor (Breunig et al. 2000) over an embedding
     * frame (vec_id, label, embedding): exactly-k cosine neighborhoods
     * with deterministic tie-breaks, integer-unit reachability sums,

@@ -1639,7 +1639,95 @@ object AggOps extends OpFamily {
       .orderBy(asc_nulls_last("p_rank"), col("g1"), col("g2"))
   }
 
+  /** CUPED VARIANCE-REDUCED A/B UPLIFT (Deng, Xu, Kohavi, Walker —
+    * WSDM 2013, public): adjust each user's experiment-period metric by
+    * their PRE-period metric, Y_adj = Y − θ(X − X̄), θ = cov(X,Y)/var(X)
+    * pooled across arms — the industry-standard way to shrink an A/B
+    * readout's variance with data the experiment didn't touch. Here the
+    * fixture's first half-month is the pre-period, the second half the
+    * experiment, and arms are the deterministic residue-class hash of
+    * user_id (the [[FilterOps.sampleHash]] idiom, so assignment replays
+    * in any engine).
+    *
+    * Engine shape: one events pass → per-user (x, y) milli-unit BIGINT
+    * sums (map-side combine), then ONE global aggregate producing the
+    * pooled moments AND both arms' conditional moments together — a
+    * 1-row frame; θ, uplifts and the variance-reduction ratio are
+    * double chains over the exact integers (moment products cast to
+    * DOUBLE BEFORE multiplying — the OLS overflow discipline; per-user
+    * x·y products stay integral: |x|,|y| < 2³¹ ⇒ products < 2⁶² to
+    * ~50k events/user at this value range). Degenerate var(X) = 0 →
+    * NULL θ (the trendOn guard). At 100 TB: two linear aggregates,
+    * nothing else.
+    */
+  def cupedUplift(s: SparkSession, d: String): DataFrame =
+    cupedOn(Tables.events(s, d)
+      .filter(col("event_type") === "purchase"), "user_id", "value",
+      preExpr = "day(ts) <= 15")
+
+  private[graft] def cupedOn(df: DataFrame, userCol: String,
+      valCol: String, preExpr: String): DataFrame = {
+    val users = df.select(col(userCol).cast("long").as("u"),
+        floor(col(valCol) * 1000).cast("long").as("vu"),
+        expr(preExpr).as("pre"))
+      .groupBy(col("u"))
+      .agg(sum(when(col("pre"), col("vu")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("vu")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(pmod(pmod(col("u"), lit(1000)) * lit(761L), lit(1000)) < 500,
+          lit("A")).otherwise(lit("B")))
+    users.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("x")).otherwise(0L)).as("sxa"),
+        sum(when(col("arm") === "A", col("y")).otherwise(0L)).as("sya"))
+      .selectExpr("n", "n_a", "n - n_a AS n_b",
+        "sx", "sy", "sxx", "sxy", "syy", "sxa", "sya",
+        "sx - sxa AS sxb", "sy - sya AS syb")
+      // θ and ρ² from exact moments; every moment CAST to DOUBLE before
+      // any product (n·Sxx etc. pass 2⁶³ long before the sums do)
+      .selectExpr("n", "n_a", "n_b", "sxa", "sya", "sxb", "syb",
+        """CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+           THEN CAST(NULL AS DOUBLE)
+           ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS theta""",
+        """CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+             OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+           THEN CAST(NULL AS BIGINT)
+           ELSE CAST(floor(1000
+             * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             AS BIGINT) END AS rho2_permille""")
+      .selectExpr("n", "n_a", "n_b", "theta", "rho2_permille",
+        // empty-arm guard (the r14 ADVICE lesson: ANSI throws on 0/0)
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(sya AS DOUBLE) / n_a / 1000
+             - CAST(syb AS DOUBLE) / n_b / 1000 END AS uplift_raw""",
+        """CASE WHEN theta IS NULL OR n_a = 0 OR n_b = 0
+           THEN CAST(NULL AS DOUBLE)
+           ELSE (CAST(sya AS DOUBLE) / n_a / 1000
+             - CAST(syb AS DOUBLE) / n_b / 1000)
+             - theta * (CAST(sxa AS DOUBLE) / n_a / 1000
+               - CAST(sxb AS DOUBLE) / n_b / 1000) END AS uplift_cuped""")
+  }
+
   val queries = Map(
+    "agg_cuped" -> (cupedUplift _),
     "agg_bh_fdr" -> (bhFdrTypeDow _),
     "agg_benford" -> (benfordProfile _),
     "agg_gini" -> (giniRevenue _),
@@ -1687,6 +1775,68 @@ object AggOps extends OpFamily {
     "agg_inverted_index" -> (invertedIndex _))
 
   val oracle = Map(
+    "agg_cuped" ->
+      """WITH users AS (SELECT user_id AS u,
+             CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+               THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(sum(CASE WHEN NOT day(CAST(ts AS TIMESTAMP)) <= 15
+               THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         ua AS (SELECT u, x, y,
+             CASE WHEN (u % 1000) * 761 % 1000 < 500 THEN 'A' ELSE 'B' END
+               AS arm
+           FROM users),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT)
+               AS sxa,
+             CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT)
+               AS sya
+           FROM ua),
+         m2 AS (SELECT n, n_a, n - n_a AS n_b, sx, sy, sxx, sxy, syy,
+             sxa, sya, sx - sxa AS sxb, sy - sya AS syb FROM m),
+         m3 AS (SELECT n, n_a, n_b, sxa, sya, sxb, syb,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+             THEN CAST(NULL AS DOUBLE)
+             ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS theta,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                 OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+             THEN CAST(NULL AS BIGINT)
+             ELSE CAST(floor(1000
+               * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+               AS BIGINT) END AS rho2_permille
+           FROM m2)
+         SELECT n, n_a, n_b, theta, rho2_permille,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(sya AS DOUBLE) / n_a / 1000
+             - CAST(syb AS DOUBLE) / n_b / 1000 END AS uplift_raw,
+           CASE WHEN theta IS NULL OR n_a = 0 OR n_b = 0
+           THEN CAST(NULL AS DOUBLE)
+           ELSE (CAST(sya AS DOUBLE) / n_a / 1000
+             - CAST(syb AS DOUBLE) / n_b / 1000)
+             - theta * (CAST(sxa AS DOUBLE) / n_a / 1000
+               - CAST(sxb AS DOUBLE) / n_b / 1000) END AS uplift_cuped
+         FROM m3""",
     "agg_bh_fdr" -> {
       val asP = // A-S 26.2.17 two-sided p, shared Horner text
         s"""2 * (exp(-(abs(z_value) * abs(z_value)) / 2) * $invSqrt2Pi)

@@ -117,17 +117,34 @@ object JoinOps extends OpFamily {
   }
 
   /** Theta join: same-brand part pairs with strictly larger size — equi on
-    * the brand key (shuffled) plus a residual range predicate, so no global
-    * cross product even at scale; the blowup is bounded per brand group.
+    * the brand key plus a residual range predicate.
+    *
+    * r14 SCALE FIX (the sf0.1→sf0.3 ScalingAudit decade caught the old
+    * row-level form at 43× time for 3× data): the query only needs
+    * per-brand AGGREGATES of the pair set, so materializing the
+    * O(n²/brand) pairs was pure waste — 360M joined rows at sf0.3 for a
+    * 5-row answer, a genuine 100 TB killer. The theta join now runs
+    * over the (brand, size, count) HISTOGRAM (p_size has ≤ 50 distinct
+    * values, so each side is ≤ |brands|·50 rows NO MATTER the data
+    * size) and weights by the count product: n_pairs = Σ c₁·c₂ over
+    * size₁ < size₂ — identical output, and the only data-sized work is
+    * one map-side-combining aggregate. Post-fix decade ratio: ~1×.
+    * The pattern generalizes: aggregate-over-theta-pairs should theta-
+    * join the pre-aggregated key histogram whenever the residual
+    * predicate only reads grouped columns.
     */
   def thetaJoinParts(s: SparkSession, d: String): DataFrame = {
-    val p1 = Tables.part(s, d).select(col("p_partkey").as("k1"),
-      col("p_brand").as("brand"), col("p_size").as("size1"))
-    val p2 = Tables.part(s, d).select(col("p_partkey").as("k2"),
-      col("p_brand").as("brand2"), col("p_size").as("size2"))
-    p1.join(p2, col("brand") === col("brand2") && col("size1") < col("size2"))
+    val h = Tables.part(s, d)
+      .groupBy(col("p_brand").as("brand"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // two consumers: both sides of the theta join
+    val h2 = h.select(col("brand").as("brand2"), col("size").as("size2"),
+      col("c").as("c2"))
+    h.join(h2,
+        col("brand") === col("brand2") && col("size") < col("size2"))
       .groupBy(col("brand"))
-      .agg(count(lit(1)).as("n_pairs"), max(col("size2") - col("size1")).as("max_gap"))
+      .agg(sum(col("c") * col("c2")).as("n_pairs"),
+        max(col("size2") - col("size")).as("max_gap"))
       .orderBy(col("brand"))
   }
 
@@ -647,11 +664,15 @@ object JoinOps extends OpFamily {
       """SELECT r_name, n_name FROM region CROSS JOIN nation
          ORDER BY r_name, n_name""",
     "join_theta" ->
-      """SELECT p1.p_brand AS brand, count(*) AS n_pairs,
-         max(p2.p_size - p1.p_size) AS max_gap
-         FROM part p1 JOIN part p2
-           ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
-         GROUP BY brand ORDER BY brand""",
+      // histogram-weighted form (r14 scale fix) — same result as the
+      // row-level pair join, strict-checked at all three SFs
+      """WITH h AS (SELECT p_brand AS brand, p_size AS size,
+             CAST(count(*) AS BIGINT) AS c
+           FROM part GROUP BY 1, 2)
+         SELECT a.brand, CAST(sum(a.c * b.c) AS BIGINT) AS n_pairs,
+           max(b.size - a.size) AS max_gap
+         FROM h a JOIN h b ON a.brand = b.brand AND a.size < b.size
+         GROUP BY a.brand ORDER BY a.brand""",
     "join_range_bands" ->
       """SELECT band, count(*) AS n, min(value) AS min_v,
          max(value) AS max_v

@@ -729,6 +729,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(Set(got(("a", 1))._5, got(("b", 2))._5) === Set(1L, 2L))
   }
 
+  test("CUPED: driver-side replay of theta and both uplifts bit-for-bit") {
+    import spark.implicits._
+    // seeded users with correlated pre/post metrics and a planted
+    // treatment lift; replay the exact moment algebra in Scala
+    val rng = new scala.util.Random(13)
+    val rows = (0L until 60L).flatMap { u =>
+      val base = 10.0 + rng.nextDouble() * 20
+      val isA = (u % 1000) * 761 % 1000 < 500
+      Seq((u, base + rng.nextDouble(), true),
+        (u, base + rng.nextDouble() + (if (isA) 3.0 else 0.0), false))
+    }
+    val df = rows.map { case (u, v, pre) => (u, v, pre) }
+      .toDF("u", "v", "pre")
+    val got = graft.api.Graft.cuped(df, "u", "v", "pre").collect().head
+    // replay
+    val users = rows.groupBy(_._1).map { case (u, rs) =>
+      val x = rs.filter(_._3).map(r => math.floor(r._2 * 1000).toLong).sum
+      val y = rs.filter(!_._3).map(r => math.floor(r._2 * 1000).toLong).sum
+      (u, x, y, (u % 1000) * 761 % 1000 < 500)
+    }.toSeq
+    val n = users.size.toLong
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxx = users.map(r => r._2 * r._2).sum
+    val sxy = users.map(r => r._2 * r._3).sum
+    val na = users.count(_._4).toLong; val nb = n - na
+    val sxa = users.filter(_._4).map(_._2).sum
+    val sya = users.filter(_._4).map(_._3).sum
+    val (sxb, syb) = (sx - sxa, sy - sya)
+    val theta = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val upRaw = sya.toDouble / na / 1000 - syb.toDouble / nb / 1000
+    val upCuped = (sya.toDouble / na / 1000 - syb.toDouble / nb / 1000) -
+      theta * (sxa.toDouble / na / 1000 - sxb.toDouble / nb / 1000)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2))
+      === ((n, na, nb)))
+    assert(got.getDouble(3) === theta)
+    assert(got.getDouble(5) === upRaw)
+    assert(got.getDouble(6) === upCuped)
+    // the planted +3.0 lift on arm A must survive adjustment
+    assert(upCuped > 1.0 && got.getLong(4) >= 0L)
+  }
+
   test("BH-FDR: constant data gives NULL z everywhere, nothing significant") {
     import spark.implicits._
     val df = (for { g1 <- Seq("a", "b"); g2 <- Seq(1, 2); i <- 1 to 5 }
