@@ -1524,6 +1524,33 @@ object Graft {
       qPerMille: Int = 50): DataFrame =
     graft.operators.AggOps.bhFdrOn(df, g1Col, g2Col, valCol, qPerMille)
 
+  /** Sequence entropy rate: per from-state conditional next-event
+    * entropy H(next | from) in nats over per-`userCol` consecutive
+    * pairs (ordered by `tsCol`, ties by `idCol`), plus each state's
+    * contribution (from-state share × H) — the rows sum to the
+    * first-order entropy rate of the journey process. Low ⇒
+    * predictable/funnel-like; high ⇒ exploratory.
+    */
+  def sequenceEntropy(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame =
+    graft.operators.EventOps.sequenceEntropyOn(
+      df.select(col(userCol).as("user_id"), col(typeCol).as("event_type"),
+        col(tsCol).as("ts"), col(idCol).as("event_id")))
+
+  /** t-closeness (Li et al., ICDE 2007) — the third privacy leg after
+    * [[kAnonymity]]/[[lDiversity]]: per quasi-identifier group, the
+    * Earth-Mover's Distance between the group's ORDERED sensitive
+    * distribution and the global one (normalized cumulative-difference
+    * form), on an exact integer grid. Returns the `topN` worst groups
+    * (quasi cols, n_rows, m_bands, t_value, above at
+    * t > tPerMille/1000) — the skewness-attack review queue.
+    */
+  def tCloseness(df: DataFrame, quasi: Seq[String],
+      sensitive: org.apache.spark.sql.Column, tPerMille: Int = 200,
+      topN: Int = 15): DataFrame =
+    graft.operators.AggOps.tClosenessOn(df, quasi, sensitive, tPerMille,
+      topN)
+
   /** CUPED variance-reduced A/B uplift (Deng et al., WSDM 2013): per
     * `userCol` pre/post milli-unit sums (rows matching the SQL predicate
     * `preExpr` are the pre-period), deterministic residue-class arm

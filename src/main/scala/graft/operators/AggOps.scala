@@ -768,6 +768,74 @@ object AggOps extends OpFamily {
         col("rows_homogeneous"))
   }
 
+  /** T-CLOSENESS (Li, Li, Venkatasubramanian, ICDE 2007) — the third
+    * leg of the privacy trio: l-diversity counts distinct sensitive
+    * values, but a group whose balance-band DISTRIBUTION is skewed far
+    * from the population's still leaks (the skewness attack — "this
+    * quasi-group is mostly top-band"). t is the Earth-Mover's Distance
+    * between each group's sensitive distribution and the global one;
+    * for an ORDERED sensitive attribute over m bands,
+    * EMD = (1/(m−1))·Σᵢ |Σ_{j≤i} (q_j − p_j)| — the normalized
+    * cumulative-difference sum.
+    *
+    * Exactness: probability differences go to the common denominator
+    * n_g·n — diff_int = cnt_{g,j}·n − cnt_j·n_g, an exact BIGINT (the
+    * gini/chi2 integer-grid stance; headroom: cnt·n < 2⁶³ to ~3·10⁹
+    * rows) — so the cumulative sums and |·| are integral, and only the
+    * final normalization is one mirrored double chain. Engine shape:
+    * one (quasi × band) cell aggregate off ONE corpus pass; the zero
+    * cells every cumsum needs come from a groups × bands grid —
+    * BROADCAST cross join of two already-aggregated bounded frames
+    * (m ≤ dozens of bands), never a row-level product; the cumsum is a
+    * window PARTITIONED by group (PlanGuard-clean). Output: the 15
+    * worst groups (quasi keys, n, m_bands, t_value, above flag at
+    * t > 0.2) — the review queue a governance pass works through.
+    */
+  def tClosenessCustomer(s: SparkSession, d: String): DataFrame =
+    tClosenessOn(Tables.customer(s, d),
+      Seq("c_nationkey", "c_mktsegment"),
+      expr("CAST(floor(c_acctbal / 2000) AS BIGINT)"),
+      tPerMille = 200, topN = 15)
+
+  private[graft] def tClosenessOn(df: DataFrame, quasi: Seq[String],
+      sensitive: org.apache.spark.sql.Column, tPerMille: Int,
+      topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .groupBy((quasi.map(col) :+ sensitive.as("sv")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // four consumers: groups, bands, global, grid
+    val groups = cells.groupBy(quasi.map(col): _*)
+      .agg(sum(col("cnt")).as("ng"))
+    val bands = cells.select(col("sv")).distinct()
+    val glob = cells.groupBy(col("sv")).agg(sum(col("cnt")).as("cnt_all"))
+    val tot = glob.agg(sum(col("cnt_all")).as("n_total"))
+    val w = Window.partitionBy(quasi.map(col): _*).orderBy(col("sv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = groups
+      .crossJoin(broadcast(bands)) // bounded band set, zero cells matter
+      .join(cells, quasi :+ "sv", "left")
+      .join(broadcast(glob), Seq("sv"))
+      .crossJoin(broadcast(tot)) // 1-row total
+      .select((quasi.map(col) :+ col("ng") :+ col("sv") :+
+        (coalesce(col("cnt"), lit(0L)) * col("n_total")
+          - col("cnt_all") * col("ng")).as("diff")): _*)
+      .withColumn("cum", sum(col("diff")).over(w))
+    grid.groupBy((quasi.map(col) :+ col("ng")): _*)
+      .agg(sum(abs(col("cum"))).as("t_units"), count(lit(1)).as("m"))
+      .crossJoin(broadcast(tot))
+      .selectExpr((quasi :+ "ng AS n_rows" :+ "m AS m_bands" :+
+        // m = 1 band ⇒ EMD undefined (and 0/0): NULL, trendOn discipline
+        """CASE WHEN m < 2 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(t_units AS DOUBLE)
+           / (CAST(ng AS DOUBLE) * CAST(n_total AS DOUBLE))
+           / (m - 1) END AS t_value"""): _*)
+      .withColumn("above",
+        coalesce(col("t_value") > tPerMille / 1000.0, lit(false)))
+      .orderBy((desc_nulls_last("t_value") +: quasi.map(col)): _*)
+      .limit(topN)
+  }
+
   /** MANN–WHITNEY U — the rank-based (distribution-free) sibling of
     * [[ttestPurchaseView]] over the same purchase-vs-view frame: are
     * purchase values stochastically larger than view values, with no
@@ -1744,6 +1812,7 @@ object AggOps extends OpFamily {
     "agg_mutual_info" -> (mutualInfoTypeDow _),
     "agg_k_anonymity" -> (kAnonymityCustomer _),
     "agg_l_diversity" -> (lDiversityCustomer _),
+    "agg_t_closeness" -> (tClosenessCustomer _),
     "agg_overlap_matrix" -> (overlapMatrix _),
     "agg_mad_outliers" -> (madOutliers _),
     "agg_copurchase_lift" -> (copurchaseLift _),
@@ -2458,6 +2527,47 @@ object AggOps extends OpFamily {
               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
            / sqrt(var_u) END AS z_value
          FROM s2""",
+    "agg_t_closeness" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS sv,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM customer GROUP BY c_nationkey, c_mktsegment, sv),
+         groups AS (SELECT c_nationkey, c_mktsegment,
+             CAST(sum(cnt) AS BIGINT) AS ng
+           FROM cells GROUP BY c_nationkey, c_mktsegment),
+         bands AS (SELECT DISTINCT sv FROM cells),
+         popdist AS (SELECT sv, CAST(sum(cnt) AS BIGINT) AS cnt_all
+           FROM cells GROUP BY sv),
+         tot AS (SELECT CAST(sum(cnt_all) AS BIGINT) AS n_total
+           FROM popdist),
+         grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.ng, b.sv,
+             coalesce(c.cnt, 0) * t.n_total - gl.cnt_all * g.ng AS diff
+           FROM groups g CROSS JOIN bands b
+           LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+             AND c.c_mktsegment = g.c_mktsegment AND c.sv = b.sv
+           JOIN popdist gl ON gl.sv = b.sv
+           CROSS JOIN tot t),
+         cum AS (SELECT c_nationkey, c_mktsegment, ng, sv,
+             CAST(sum(diff) OVER (PARTITION BY c_nationkey, c_mktsegment
+               ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) AS cum
+           FROM grid),
+         tg AS (SELECT c_nationkey, c_mktsegment, ng,
+             CAST(sum(abs(cum)) AS BIGINT) AS t_units,
+             CAST(count(*) AS BIGINT) AS m
+           FROM cum GROUP BY c_nationkey, c_mktsegment, ng)
+         SELECT c_nationkey, c_mktsegment, ng AS n_rows, m AS m_bands,
+           CASE WHEN m < 2 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(t_units AS DOUBLE)
+           / (CAST(ng AS DOUBLE) * CAST(n_total AS DOUBLE))
+           / (m - 1) END AS t_value,
+           coalesce(CASE WHEN m < 2 THEN CAST(NULL AS DOUBLE)
+             ELSE CAST(t_units AS DOUBLE)
+             / (CAST(ng AS DOUBLE) * CAST(n_total AS DOUBLE))
+             / (m - 1) END > 0.2, false) AS above
+         FROM tg CROSS JOIN tot
+         ORDER BY t_value DESC NULLS LAST, c_nationkey, c_mktsegment
+         LIMIT 15""",
     "agg_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
              CAST(count(*) AS BIGINT) AS n

@@ -220,6 +220,54 @@ object EventOps extends OpFamily {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** SEQUENCE ENTROPY RATE — how PREDICTABLE user journeys are, the
+    * information-theoretic companion to [[transitions]]: per from-state
+    * the conditional next-event entropy H(next | from) in nats, plus
+    * each state's contribution (empirical from-state share × H) whose
+    * sum over rows is the first-order entropy rate of the behavior
+    * process. Low entropy ⇒ journeys are rule-like (prefetchable,
+    * cacheable, funnel-shaped); a high-entropy state is where the
+    * product loses the narrative. Last events per user drop (no '(end)'
+    * state — the [[markovStationary]] chain convention).
+    *
+    * Exactness: the only transcendental is ln(n_ft / tot_f) — computed
+    * once per matrix CELL over one double ratio of exact BIGINTs and
+    * micro-quantized BEFORE the count-weighted sum (the
+    * [[AggOps.mutualInfoOn]] idiom), so per-state sums are exact
+    * integers and the two final divisions are mirrored chains. Engine
+    * shape: one user-partitioned window pass → |types|² cells;
+    * everything after is dimension-sized.
+    */
+  def sequenceEntropy(s: SparkSession, d: String): DataFrame =
+    sequenceEntropyOn(ev(s, d))
+
+  private[graft] def sequenceEntropyOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // two consumers: per-from totals + cells
+    val fromTot = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_next"))
+    val tAll = pairs.agg(sum(col("n")).as("t_all"))
+    pairs.join(fromTot, Seq("event_type"))
+      .withColumn("qln",
+        floor(log(col("n").cast("double") / col("tot").cast("double"))
+          * 1e6).cast("long"))
+      .groupBy(col("event_type"), col("tot"), col("n_next"))
+      .agg(sum(col("n") * col("qln")).as("wsum"))
+      .crossJoin(broadcast(tAll)) // 1-row grand total
+      .selectExpr("event_type", "tot AS n_trans", "n_next",
+        "-(CAST(wsum AS DOUBLE) / CAST(tot AS DOUBLE)) / 1000000" +
+          " AS h_cond_nats",
+        "-(CAST(wsum AS DOUBLE) / CAST(t_all AS DOUBLE)) / 1000000" +
+          " AS contrib_nats")
+      .orderBy(col("event_type"))
+  }
+
   /** STATIONARY DISTRIBUTION of the user-behavior Markov chain — where
     * the [[transitions]] matrix says user attention settles if the
     * observed dynamics keep running (THE summary a growth team reads off
@@ -816,6 +864,7 @@ object EventOps extends OpFamily {
     "ev_paths_topk" -> (pathsTopk _),
     "ev_stickiness" -> (stickiness _),
     "ev_transitions" -> (transitions _),
+    "ev_sequence_entropy" -> (sequenceEntropy _),
     "ev_markov_stationary" -> (markovStationary _),
     "ev_markov_absorption" -> (markovAbsorption _),
     "ev_decay_score" -> (decayScore _),
@@ -1202,6 +1251,31 @@ object EventOps extends OpFamily {
            FROM events)
          GROUP BY event_type, next_type
          ORDER BY event_type, next_type""",
+    "ev_sequence_entropy" ->
+      """WITH nx AS (SELECT event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         pairs AS (SELECT event_type, next_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM nx WHERE next_type IS NOT NULL
+           GROUP BY event_type, next_type),
+         ft AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n_next
+           FROM pairs GROUP BY event_type),
+         ta AS (SELECT CAST(sum(n) AS BIGINT) AS t_all FROM pairs),
+         q AS (SELECT p.event_type, ft.tot, ft.n_next,
+             CAST(sum(p.n * CAST(floor(ln(CAST(p.n AS DOUBLE)
+               / CAST(ft.tot AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT)
+               AS wsum
+           FROM pairs p JOIN ft ON p.event_type = ft.event_type
+           GROUP BY p.event_type, ft.tot, ft.n_next)
+         SELECT event_type, tot AS n_trans, n_next,
+           -(CAST(wsum AS DOUBLE) / CAST(tot AS DOUBLE)) / 1000000
+             AS h_cond_nats,
+           -(CAST(wsum AS DOUBLE) / CAST(t_all AS DOUBLE)) / 1000000
+             AS contrib_nats
+         FROM q CROSS JOIN ta ORDER BY event_type""",
     "ev_markov_stationary" ->
       s"""WITH nx AS (SELECT event_type AS f,
              lead(event_type, 1) OVER (PARTITION BY user_id

@@ -140,6 +140,20 @@ object SimOps extends OpFamily {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("dist"))
       .localCheckpoint() // three consumers: kdist + reach + lrd-of-nbr
+    lofFromKnn(knn)
+      .join(e.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+      .selectExpr("qid AS vec_id", "label", "k_dist", "lrd_units", "lof")
+      .orderBy(desc_nulls_last("lof"), col("vec_id"))
+      .limit(topN)
+  }
+
+  /** The LOF algebra downstream of ANY (qid, nid, dist) k-neighborhood
+    * frame — shared by the exact ([[lofOn]]) and IVF-shortlist
+    * ([[lofIvf]]) variants so the two differ ONLY in candidate
+    * generation. Returns one row per qid: (qid, k_dist, lrd_units,
+    * lof); integer-unit sums keep it engine-replayable (see [[lofOn]]).
+    */
+  private def lofFromKnn(knn: DataFrame): DataFrame = {
     val kd = knn.groupBy(col("qid"))
       .agg(max(col("dist")).as("kdist"), count(lit(1)).as("kn"))
       .localCheckpoint() // two consumers: reach (as the NEIGHBOR's
@@ -164,12 +178,55 @@ object SimOps extends OpFamily {
         Seq("nid"))
       .groupBy(col("qid")).agg(sum(col("lu_o")).as("slu"))
     slu.join(lrd, Seq("qid"))
-      .join(e.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
-      .selectExpr("qid AS vec_id", "label", "kdist AS k_dist",
-        "lu AS lrd_units",
+      .selectExpr("qid", "kdist AS k_dist", "lu AS lrd_units",
         """CASE WHEN lu IS NULL THEN CAST(NULL AS DOUBLE)
            ELSE CAST(slu AS DOUBLE) / kn / CAST(lu AS DOUBLE)
            END AS lof""")
+  }
+
+  /** IVF-SHORTLIST LOF — the 100 TB path for [[lofOutliers]]: every
+    * point's candidate neighborhood comes from its nprobe=2 nearest IVF
+    * cells (the SAME persisted bit-replayable Lloyd index every other
+    * IVF consumer re-attaches), so the pair stage reads ~nprobe/nlist
+    * of the corpus per point instead of all of it, and the LOF algebra
+    * downstream is [[lofFromKnn]] — IDENTICAL to the exact variant.
+    * Because cell assignment, probe routing and tie-breaks are all
+    * deterministic integer/micro-unit constructs, this variant is
+    * fully oracle-checked too (the [[knnIvf]] precedent) — a shortlist
+    * approximation with an EXACT replay, so any recall gap vs
+    * [[lofOutliers]] is measured (LlmOpsSpec overlap property), never
+    * hidden. At scale: nlist grows ~√n, per-point candidates stay
+    * ~n·nprobe/nlist, and the index is the batch job.
+    */
+  def lofIvf(s: SparkSession, d: String): DataFrame = lofIvf(s, d, 20)
+
+  private[graft] def lofIvf(s: SparkSession, d: String,
+      topN: Int): DataFrame = {
+    val (cells, centroids) = lloydCells(s, d)
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(desc("c_sim"), col("cid"))
+    val probes = cells
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosPair(s, "qv", "qn", "centroid", "cn"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val wK = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    val knn = probes
+      .join(cells.select(col("cid"), col("vec_id").as("nid"),
+        col("v").as("nv"), col("vn").as("nn")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dist", lit(1.0) - cosPair(s, "qv", "qn", "nv", "nn"))
+      .select(col("qid"), col("nid"), col("dist"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("nid"), col("dist"))
+      .localCheckpoint() // three consumers inside lofFromKnn
+    lofFromKnn(knn)
+      .join(Tables.embeddings(s, d).select(col("vec_id").as("qid"),
+        col("label")), Seq("qid"))
+      .selectExpr("qid AS vec_id", "label", "k_dist", "lrd_units", "lof")
       .orderBy(desc_nulls_last("lof"), col("vec_id"))
       .limit(topN)
   }
@@ -1620,6 +1677,8 @@ object SimOps extends OpFamily {
     "sim_centroid_classify" -> (centroidClassify _),
     "sim_label_outliers" -> (labelOutliers _),
     "sim_lof_outliers" -> (lofOutliers _),
+    "sim_lof_ivf" ->
+      ((s: SparkSession, d: String) => lofIvf(s, d)),
     "sim_cluster_terms" -> (clusterTerms _),
     "sim_embedding_bins" -> (embeddingBins _),
     "sim_top_component" -> (topComponent _),
@@ -1811,6 +1870,50 @@ object SimOps extends OpFamily {
           ${assignCte("a2", "c1")}, ${centroidCte("c2", "a2")},
           ${assignCte("a3", "c2")}, ${centroidCte("c3", "a3")},
           ${assignCte("cells", "c3")}"""
+
+  /** DuckDB replay of the IVF-shortlist LOF: the Lloyd chain, every
+    * point's nprobe=2 probe routing, shortlist kNN within probed cells,
+    * then the [[lofFromKnn]] integer-unit algebra — term for term. */
+  private val lofIvfOracleSql: String = {
+    s"""WITH $lloydCtes,
+          probes AS (SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cid)
+                AS rn
+            FROM cells q CROSS JOIN c3 c) WHERE rn <= 2),
+          pairs AS (SELECT p.qid, n.vec_id AS nid,
+              1 - list_cosine_similarity(q.v, n.v) AS dist
+            FROM probes p JOIN cells q ON q.vec_id = p.qid
+            JOIN cells n ON n.cid = p.cid
+            WHERE n.vec_id <> p.qid),
+          knn AS (SELECT qid, nid, dist FROM (
+              SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid
+                ORDER BY dist, nid) AS rank FROM pairs)
+            WHERE rank <= 10),
+          kd AS (SELECT qid, max(dist) AS kdist,
+              CAST(count(*) AS BIGINT) AS kn
+            FROM knn GROUP BY qid),
+          reach AS (SELECT k.qid,
+              CAST(floor(greatest(o.kdist, k.dist) * 1e9) AS BIGINT) AS ru
+            FROM knn k JOIN kd o ON k.nid = o.qid),
+          lrd AS (SELECT s.qid, kd.kn, kd.kdist,
+              CASE WHEN s.srd = 0 THEN CAST(NULL AS BIGINT)
+              ELSE CAST(floor(CAST(kd.kn AS DOUBLE) * 1e9
+                / CAST(s.srd AS DOUBLE) * 1000000) AS BIGINT) END AS lu
+            FROM (SELECT qid, CAST(sum(ru) AS BIGINT) AS srd FROM reach
+                  GROUP BY qid) s
+            JOIN kd ON s.qid = kd.qid),
+          slu AS (SELECT k.qid, CAST(sum(l.lu) AS BIGINT) AS slu
+            FROM knn k JOIN lrd l ON k.nid = l.qid GROUP BY k.qid)
+          SELECT e.vec_id, e.label, l.kdist AS k_dist, l.lu AS lrd_units,
+            CASE WHEN l.lu IS NULL THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(s.slu AS DOUBLE) / l.kn / CAST(l.lu AS DOUBLE)
+            END AS lof
+          FROM slu s JOIN lrd l ON s.qid = l.qid
+          JOIN embeddings e ON e.vec_id = s.qid
+          ORDER BY lof DESC NULLS LAST, vec_id LIMIT 20"""
+  }
 
   private val ivfOracleSql: String = {
     s"""WITH $lloydCtes,
@@ -2334,6 +2437,7 @@ object SimOps extends OpFamily {
     // re-evaluated the chain per step (312 s at sf0.1); materialized it
     // replays in seconds, results identical (the PQ-family lesson).
     "sim_mmr_rerank_ivf" -> materializeCtes(mmrIvfOracleSql),
+    "sim_lof_ivf" -> materializeCtes(lofIvfOracleSql),
     "sim_cluster_terms" -> clusterTermsOracleSql,
     "sim_knn_pq" -> materializeCtes(pqOracleSql),
     "sim_knn_ivf_pq" -> materializeCtes(ivfPqOracleSql),

@@ -729,6 +729,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(Set(got(("a", 1))._5, got(("b", 2))._5) === Set(1L, 2L))
   }
 
+  test("t-closeness: hand-computed EMD on a two-band fixture") {
+    import spark.implicits._
+    // global bands 3/3 (50/50 over n = 6); groups a (all band 0) and b
+    // (all band 1) are maximally skewed, c mirrors the population.
+    // Integer grid diff = cnt·n − cnt_all·ng: a → (6, −6), cums (6, 0),
+    // t_units 6, t = 6/(2·6)/(2−1) = 0.5; c → (0, 0) ⇒ t = 0.
+    val df = Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L),
+      ("c", 0L), ("c", 1L)).toDF("q", "sv")
+    val out = graft.api.Graft.tCloseness(df, Seq("q"), col("sv"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out("a") === ((2L, 2L, 0.5, true)))
+    assert(out("b") === ((2L, 2L, 0.5, true)))
+    assert(out("c") === ((2L, 2L, 0.0, false)))
+  }
+
   test("CUPED: driver-side replay of theta and both uplifts bit-for-bit") {
     import spark.implicits._
     // seeded users with correlated pre/post metrics and a planted

@@ -17,6 +17,32 @@ class EventOpsSpec extends AnyFunSuite {
       .select(col("event_id"), col("user_id"), col("event_type"),
         to_timestamp(col("tss")).as("ts"), lit(1.0).as("value"))
 
+  test("sequence entropy: deterministic state reads 0, mixed state " +
+      "replays the quantized ln sum") {
+    // u1: a→b→a→b, u2: a→a. Pairs: (a,b)=2, (a,a)=1, (b,a)=1.
+    // From b every move goes to a ⇒ H(b) = 0 exactly (ln 1 = 0).
+    // From a: −(2·⌊ln(2/3)·1e6⌋ + 1·⌊ln(1/3)·1e6⌋)/3/1e6, replayed
+    // here with the same JVM libm and quantization.
+    val df = events(Seq(
+      (1L, 1L, "a", "2024-01-01 00:00:01"),
+      (2L, 1L, "b", "2024-01-01 00:00:02"),
+      (3L, 1L, "a", "2024-01-01 00:00:03"),
+      (4L, 1L, "b", "2024-01-01 00:00:04"),
+      (5L, 2L, "a", "2024-01-01 00:00:01"),
+      (6L, 2L, "a", "2024-01-01 00:00:02")))
+    val out = graft.operators.EventOps.sequenceEntropyOn(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val wsumA = 2 * math.floor(math.log(2.0 / 3.0) * 1e6).toLong +
+      1 * math.floor(math.log(1.0 / 3.0) * 1e6).toLong
+    val hA = -(wsumA.toDouble / 3.0) / 1000000
+    assert(out("b") === ((1L, 1L, 0.0, 0.0)))
+    assert(out("a")._1 === 3L && out("a")._2 === 2L)
+    assert(out("a")._3 === hA)
+    assert(out("a")._4 === -(wsumA.toDouble / 4.0) / 1000000)
+  }
+
   test("funnel counts only strictly-ordered step sequences") {
     val e = events(Seq(
       // user 1: full ordered funnel

@@ -67,6 +67,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lof.forall(_ > 0))
   }
 
+  test("IVF-shortlist LOF: scores deviate mildly from exact, deterministic") {
+    // the shortlist truncates each point's candidate pool to its 2
+    // probed cells; on this corpus the measured full-corpus score
+    // perturbation is max ≈ 0.051 / mean ≈ 0.0075 — the spec pins
+    // generous ceilings so a broken shortlist (empty cells, wrong
+    // routing) fails loudly while honest jitter passes.
+    val exact = SimOps.lofOn(spark,
+        Tables.embeddings(spark, sf), k = 10, topN = 1000000)
+      .collect().filter(!_.isNullAt(4))
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    def run() = SimOps.lofIvf(spark, sf, topN = 1000000).collect()
+      .filter(!_.isNullAt(4)).map(r => (r.getLong(0), r.getDouble(4)))
+    val ivf = run()
+    assert(run().toSeq === ivf.toSeq, "shortlist LOF must be deterministic")
+    assert(ivf.length === exact.size)
+    val devs = ivf.map { case (id, l) => math.abs(l - exact(id)) }
+    val (mx, mean) = (devs.max, devs.sum / devs.size)
+    info(f"shortlist-vs-exact LOF deviation: max $mx%.4f mean $mean%.4f " +
+      s"over ${devs.length} points")
+    assert(mx <= 0.15, f"max deviation $mx%.4f")
+    assert(mean <= 0.03, f"mean deviation $mean%.4f")
+  }
+
   test("dedup recall report: control row reads 1000/1000, permilles bounded, " +
       "and the minhash leg's recall matches its pair query") {
     val rows = DedupOps.recallReport(spark, sf).collect()
