@@ -1148,8 +1148,11 @@ object AggOps extends OpFamily {
           / col("vref").cast("double")) * 1e6).cast("long")).as("qsum"),
         max(col("vref")).as("ref_milli"))
       .selectExpr(s"CAST($k AS BIGINT) AS k_tail", "ref_milli",
-        s"CAST($k AS DOUBLE) / (CAST(qsum AS DOUBLE) / 1000000)" +
-          " AS alpha_hill")
+        // all-equal tail (every ln term 0) ⇒ alpha undefined: NULL,
+        // not an ANSI 0-division throw (the r14 ADVICE discipline)
+        s"""CASE WHEN qsum = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST($k AS DOUBLE) / (CAST(qsum AS DOUBLE) / 1000000)
+            END AS alpha_hill""")
   }
 
   /** EXACT TRIMMED + WINSORIZED MEAN (Tukey's robust means) of the
@@ -2376,8 +2379,9 @@ object AggOps extends OpFamily {
                AS BIGINT)) AS BIGINT) AS qsum
            FROM t, r)
          SELECT CAST(200 AS BIGINT) AS k_tail, vref AS ref_milli,
-           CAST(200 AS DOUBLE) / (CAST(qsum AS DOUBLE) / 1000000)
-             AS alpha_hill
+           CASE WHEN qsum = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(200 AS DOUBLE) / (CAST(qsum AS DOUBLE) / 1000000)
+           END AS alpha_hill
          FROM q, r""",
     "agg_trimmed_mean" ->
       """WITH v AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vu

@@ -628,6 +628,16 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("more than k=3"))
   }
 
+  test("hill tail index: an all-equal tail gives NULL alpha, not a throw") {
+    import spark.implicits._
+    // every ln(v/vref) term is exactly 0 → qsum = 0; alpha is undefined
+    // (a constant has no tail exponent) — previously an ANSI 0-division
+    val df = Seq.fill(6)(2.0).map(Tuple1(_)).toDF("v")
+    val r = graft.api.Graft.hillTailIndex(df, "v", k = 3).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2000L)))
+    assert(r.isNullAt(2))
+  }
+
   test("bootstrap CI: an all-zero-weight replicate is NULL, not a throw") {
     import spark.implicits._
     // single-row input: each replicate's weight sum is ONE Poisson(1)
