@@ -756,6 +756,34 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("c") === ((2L, 2L, 0.0, false)))
   }
 
+  test("t-closeness: seeded random data matches an O(groups·bands) replay") {
+    import spark.implicits._
+    // brute-force cross-check (the r13 close discipline): random
+    // (group, band) rows; replay the integer EMD grid in plain Scala
+    // and demand bit equality on every t_value
+    val rng = new scala.util.Random(17)
+    val rows = Seq.fill(400)((s"g${rng.nextInt(6)}", rng.nextInt(5).toLong))
+    val df = rows.toDF("q", "sv")
+    val got = graft.api.Graft.tCloseness(df, Seq("q"), col("sv"),
+        topN = 100).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val n = rows.size.toLong
+    val bands = rows.map(_._2).distinct.sorted
+    val m = bands.size
+    val globC = rows.groupBy(_._2).map { case (b, rs) =>
+      b -> rs.size.toLong }
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val ng = rs.size.toLong
+      val cnt = rs.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+      val diffs = bands.map(b =>
+        cnt.getOrElse(b, 0L) * n - globC(b) * ng)
+      val tUnits = diffs.scanLeft(0L)(_ + _).tail.map(math.abs).sum
+      val t = tUnits.toDouble / (ng.toDouble * n.toDouble) / (m - 1)
+      assert(got(g)._1 === ng)
+      assert(got(g)._2 === t, s"t mismatch for group $g")
+    }
+  }
+
   test("CUPED: driver-side replay of theta and both uplifts bit-for-bit") {
     import spark.implicits._
     // seeded users with correlated pre/post metrics and a planted

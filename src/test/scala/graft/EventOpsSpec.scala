@@ -43,6 +43,42 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out("a")._4 === -(wsumA.toDouble / 4.0) / 1000000)
   }
 
+  test("sequence entropy: seeded random journeys match the cell replay") {
+    // brute-force cross-check: random per-user sequences; replay the
+    // micro-quantized ln cells in plain Scala (same JVM libm) and
+    // demand bit equality per from-state
+    val rng = new scala.util.Random(23)
+    val types = Array("a", "b", "c", "d")
+    val rows = (1L to 40L).flatMap { u =>
+      (1 to 1 + rng.nextInt(8)).map { i =>
+        (u * 100 + i, u, types(rng.nextInt(4)),
+          f"2024-01-01 00:00:${i}%02d")
+      }
+    }
+    val df = events(rows)
+    val got = graft.operators.EventOps.sequenceEntropyOn(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // replay: consecutive pairs per user in (ts, event_id) order
+    val pairs = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val seq = rs.sortBy(r => (r._4, r._1)).map(_._3)
+      seq.zip(seq.drop(1))
+    }
+    val tAll = pairs.size.toLong
+    pairs.groupBy(_._1).foreach { case (f, ps) =>
+      val tot = ps.size.toLong
+      val cells = ps.groupBy(_._2).map { case (_, xs) => xs.size.toLong }
+      val wsum = cells.map(nft => nft *
+        math.floor(math.log(nft.toDouble / tot.toDouble) * 1e6).toLong)
+        .sum
+      assert(got(f)._1 === tot && got(f)._2 === cells.size.toLong)
+      assert(got(f)._3 === -(wsum.toDouble / tot.toDouble) / 1000000,
+        s"h mismatch for state $f")
+      assert(got(f)._4 === -(wsum.toDouble / tAll.toDouble) / 1000000)
+    }
+  }
+
   test("funnel counts only strictly-ordered step sequences") {
     val e = events(Seq(
       // user 1: full ordered funnel
