@@ -65,7 +65,7 @@ object ScalingAudit {
     def sfOf(p: String): Option[Double] =
       "sf([0-9]+\\.?[0-9]*)".r.findAllMatchIn(p).toSeq.lastOption
         .map(_.group(1).toDouble)
-    val dataRatio = (for { a <- sfOf(small); b <- sfOf(big) if a > 0 }
+    val dataRatio = (for { a <- sfOf(small); b <- sfOf(big) if a > 0 && b > 0 }
       yield b / a).getOrElse(10.0)
     val only = args.drop(2).toSet
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)

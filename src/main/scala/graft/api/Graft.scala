@@ -998,13 +998,79 @@ object Graft {
     * survivorship. Returns (cid, n_members, n_dup_pairs, n_dropped).
     * Ids must be DENSE from 0 (the nlist lowest seed the clusters);
     * remap sparse ids with [[withGlobalRank]] first. nlist is the scale
-    * knob: grow it with the corpus so cells stay bounded.
+    * knob: grow it with the corpus so cells stay bounded — the default
+    * `nlist = 0` derives ⌈√n⌉ from the corpus count (one eager count
+    * action; the published IVF sizing rule, which keeps cells AND the
+    * centroid table both ~√n so intra-cell pair work stays bounded at
+    * any corpus size).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 10, threshold: Double = 0.35): DataFrame =
-    graft.operators.SimOps.semanticDedupOn(df.sparkSession,
-      df.select(col(idCol).as("vec_id"),
-        transform(col(vecCol), _.cast("double")).as("v")), nlist, threshold)
+      nlist: Int = 0, threshold: Double = 0.35): DataFrame = {
+    val shaped = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    graft.operators.SimOps.semanticDedupOn(df.sparkSession, shaped,
+      resolveNlist(nlist, shaped), threshold)
+  }
+
+  /** `nlist = 0` → the ⌈√n⌉ default policy (one eager metadata-cheap
+    * count action at plan-build time); any positive value passes
+    * through. See [[graft.operators.SimOps.sqrtNlist]] for why √n is
+    * what bounds IVF candidate growth at 100 TB.
+    */
+  private def resolveNlist(nlist: Int, shaped: DataFrame): Int = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = sqrt(n) default): $nlist")
+    if (nlist > 0) nlist
+    else graft.operators.SimOps.sqrtNlist(shaped.count())
+  }
+
+  /** IVF (k-means cell) approximate nearest-neighbor search over an
+    * embedding column — the production-scale kNN path: the corpus is
+    * Lloyd-clustered into `nlist` cells, each query row (rows matching
+    * `queryPred` over the internal `vec_id` column — keep the batch
+    * broadcast-small) probes its `nprobe` nearest centroids and ranks
+    * by exact cosine ONLY within probed cells, so a search reads
+    * ~nprobe/nlist of the corpus. `nlist = 0` (default) derives ⌈√n⌉
+    * from the corpus count — the sizing rule that keeps per-query
+    * candidates ~nprobe·√n as data grows. Ids must be DENSE from 0
+    * (the nlist lowest seed the clusters); remap sparse ids with
+    * [[withGlobalRank]] first. Returns (qid, rank, nid, cos).
+    */
+  def knnIvf(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, nlist: Int = 0, nprobe: Int = 2,
+      k: Int = 5): DataFrame = {
+    val s = df.sparkSession
+    val shaped = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val (cells, centroids) = graft.operators.SimOps.lloydCellsOn(s,
+      shaped, resolveNlist(nlist, shaped))
+    graft.operators.SimOps.knnIvfOn(s, cells, centroids, queryPred,
+      nprobe, k)
+  }
+
+  /** [[lofOutliers]] on the IVF shortlist — the 100 TB LOF path: every
+    * point's candidate neighborhood comes from its `nprobe` nearest
+    * k-means cells instead of the full corpus, and the downstream LOF
+    * algebra is IDENTICAL to the exact variant (so any recall gap is a
+    * candidate-coverage property, measurable against [[lofOutliers]]).
+    * `nlist = 0` (default) derives ⌈√n⌉ from the corpus count, which
+    * bounds per-point candidates at ~nprobe·√n. Ids must be DENSE from
+    * 0; frame shape (vec_id, label, embedding) like [[lofOutliers]].
+    * Returns top-`topN` (vec_id, label, k_dist, lrd_units, lof).
+    */
+  def lofIvf(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, k: Int = 10, nlist: Int = 0,
+      nprobe: Int = 2, topN: Int = 20): DataFrame = {
+    val shaped = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val index = graft.operators.SimOps.lloydCellsOn(spark, shaped,
+      resolveNlist(nlist, shaped))
+    graft.operators.SimOps.lofIvfCells(spark, index, k, nprobe)
+      .join(embeddings.select(col("vec_id").as("qid"), col("label")),
+        Seq("qid"))
+      .selectExpr("qid AS vec_id", "label", "k_dist", "lrd_units", "lof")
+      .orderBy(desc_nulls_last("lof"), col("vec_id"))
+      .limit(topN)
+  }
 
   /** Product-quantization ANN search (PQ/ADC): vectors encode as `m`
     * sub-centroid codes (k-means per `subDim`-wide subspace — the
@@ -1657,7 +1723,11 @@ object Graft {
     * α̂ = k / Σ ln(x_(i)/x_(k+1)) over the k largest positive values.
     * Bounded top-(k+1) selection, micro-quantized ln sum (engine-
     * replayable). One row (k_tail, ref_milli, alpha_hill). Contract:
-    * more than k positive values.
+    * more than k positive values — CHECKED EAGERLY: this call runs a
+    * bounded count action and throws IllegalArgumentException during
+    * DataFrame construction when the contract fails, unlike the
+    * lazy plan-building of the other Graft entries (an estimator over
+    * too few tail points would silently return garbage otherwise).
     */
   def hillTailIndex(df: DataFrame, valCol: String, k: Int = 200): DataFrame =
     graft.operators.AggOps.hillTailOn(df, valCol, k)

@@ -1621,7 +1621,13 @@ object AggOps extends OpFamily {
     *    via the bounded broadcast theta join (never a global window),
     *    crit_i = i·q/m, and significant ⇔ rank ≤ max{i : p_i ≤ crit_i}
     *    (the step-up rule: everything below the LAST passing rank is
-    *    rejected, even interior ranks whose own p missed).
+    *    rejected, even interior ranks whose own p missed). m counts ALL
+    *    cells INCLUDING degenerate ones (n < 2 / zero variance, z NULL,
+    *    never ranked) — a deliberate deviation from textbook BH over
+    *    only-testable hypotheses: the denominator stays the size of the
+    *    comparison family the analyst actually launched, which is
+    *    strictly CONSERVATIVE (smaller crit_i, never anti-conservative)
+    *    and is mirrored term-for-term in the oracle.
     * At 100 TB: one linear scan, then 35-row algebra — nothing scales
     * with data but the first aggregate.
     */

@@ -127,12 +127,27 @@ object SimOps extends OpFamily {
         sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
       .localCheckpoint() // three consumers: two pair sides + label join
+    lofFromKnn(exactKnnDist(s, e, k))
+      .join(e.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+      .selectExpr("qid AS vec_id", "label", "k_dist", "lrd_units", "lof")
+      .orderBy(desc_nulls_last("lof"), col("vec_id"))
+      .limit(topN)
+  }
+
+  /** The exact full-corpus (qid, nid, dist) k-neighborhood stage shared
+    * by [[lofOn]] and the [[ivfNlistReport]] instrument: broadcast-NLJ
+    * pairs (the documented n² oracle-exact bound — the production twin
+    * is the IVF shortlist), (dist, nid)-tie-broken exactly-k window.
+    * `e` must carry (vec_id, embedding, nrm).
+    */
+  private def exactKnnDist(s: SparkSession, e: DataFrame,
+      k: Int): DataFrame = {
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       col("nrm").as("qn"))
     val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       col("nrm").as("nn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
-    val knn = q.join(broadcast(n), col("qid") =!= col("nid"))
+    q.join(broadcast(n), col("qid") =!= col("nid"))
       .withColumn("dist", lit(1.0) -
         NativeExprs.dot(s, col("qe"), col("ne")) / (col("qn") * col("nn")))
       .select(col("qid"), col("nid"), col("dist"))
@@ -140,11 +155,6 @@ object SimOps extends OpFamily {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("dist"))
       .localCheckpoint() // three consumers: kdist + reach + lrd-of-nbr
-    lofFromKnn(knn)
-      .join(e.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
-      .selectExpr("qid AS vec_id", "label", "k_dist", "lrd_units", "lof")
-      .orderBy(desc_nulls_last("lof"), col("vec_id"))
-      .limit(topN)
   }
 
   /** The LOF algebra downstream of ANY (qid, nid, dist) k-neighborhood
@@ -152,6 +162,17 @@ object SimOps extends OpFamily {
     * ([[lofIvf]]) variants so the two differ ONLY in candidate
     * generation. Returns one row per qid: (qid, k_dist, lrd_units,
     * lof); integer-unit sums keep it engine-replayable (see [[lofOn]]).
+    *
+    * Neighbor-coverage contract: reachability and neighbor-lrd sums
+    * join INNER on the neighbor id, so a neighbor that itself has no
+    * kNN rows (possible only in shortlist variants when a point's
+    * probed cells contain no other member — never in the exact
+    * variant, where every point with ≥1 peer has a neighborhood) is
+    * EXCLUDED from srd/slu while lof still divides by the full kn.
+    * Deterministic, mirrored term-for-term in the DuckDB oracles (so
+    * it can never hash-diverge), and a definitional choice shared with
+    * the reference LOF-on-shortlist literature: a density estimate
+    * from a degenerate singleton cell would be worse than omission.
     */
   private def lofFromKnn(knn: DataFrame): DataFrame = {
     val kd = knn.groupBy(col("qid"))
@@ -201,8 +222,40 @@ object SimOps extends OpFamily {
   def lofIvf(s: SparkSession, d: String): DataFrame = lofIvf(s, d, 20)
 
   private[graft] def lofIvf(s: SparkSession, d: String,
-      topN: Int): DataFrame = {
-    val (cells, centroids) = lloydCells(s, d)
+      topN: Int): DataFrame =
+    lofIvfCells(s, lloydCells(s, d), k = 10, nprobe = 2)
+      .join(Tables.embeddings(s, d).select(col("vec_id").as("qid"),
+        col("label")), Seq("qid"))
+      .selectExpr("qid AS vec_id", "label", "k_dist", "lrd_units", "lof")
+      .orderBy(desc_nulls_last("lof"), col("vec_id"))
+      .limit(topN)
+
+  /** [[lofIvf]] with the √n nlist policy ([[sqrtNlist]]) — the
+    * registered scale-knob evidence for the LOF shortlist: identical
+    * k=10/nprobe=2/topN=20 algebra, ⌈√n⌉-cell index (own per-nlist
+    * artifact), so the per-point candidate shortlist is ~nprobe·√n
+    * instead of ~n/5 and the decade ratio returns to ~linear (the
+    * pinned-nlist twin measured 3.20×@3× data). Fully oracle-checked —
+    * same replay with the seed count as ceil(sqrt(count(*))).
+    */
+  def lofIvfScaled(s: SparkSession, d: String): DataFrame =
+    lofIvfCells(s, lloydCells(s, d, scaledNlist(s, d)), k = 10, nprobe = 2)
+      .join(Tables.embeddings(s, d).select(col("vec_id").as("qid"),
+        col("label")), Seq("qid"))
+      .selectExpr("qid AS vec_id", "label", "k_dist", "lrd_units", "lof")
+      .orderBy(desc_nulls_last("lof"), col("vec_id"))
+      .limit(20)
+
+  /** The IVF-shortlist LOF core over ANY prebuilt (cells, centroids)
+    * index: every point probes its `nprobe` nearest cells, takes its
+    * exactly-`k` (dist, nid)-tie-broken neighborhood within them, and
+    * the [[lofFromKnn]] algebra runs unchanged. Returns the full
+    * (qid, k_dist, lrd_units, lof) frame — callers attach labels /
+    * topN. Also the [[graft.api.Graft.lofIvf]] core.
+    */
+  private[graft] def lofIvfCells(s: SparkSession,
+      index: (DataFrame, DataFrame), k: Int, nprobe: Int): DataFrame = {
+    val (cells, centroids) = index
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(desc("c_sim"), col("cid"))
     val probes = cells
@@ -210,7 +263,7 @@ object SimOps extends OpFamily {
       .crossJoin(broadcast(centroids))
       .withColumn("c_sim", cosPair(s, "qv", "qn", "centroid", "cn"))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("cid"))
     val wK = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
     val knn = probes
@@ -220,15 +273,10 @@ object SimOps extends OpFamily {
       .withColumn("dist", lit(1.0) - cosPair(s, "qv", "qn", "nv", "nn"))
       .select(col("qid"), col("nid"), col("dist"))
       .withColumn("rank", row_number().over(wK))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("dist"))
       .localCheckpoint() // three consumers inside lofFromKnn
     lofFromKnn(knn)
-      .join(Tables.embeddings(s, d).select(col("vec_id").as("qid"),
-        col("label")), Seq("qid"))
-      .selectExpr("qid AS vec_id", "label", "k_dist", "lrd_units", "lof")
-      .orderBy(desc_nulls_last("lof"), col("vec_id"))
-      .limit(topN)
   }
 
   /** IVF ANN with k-means coarse quantization: Lloyd iterations build
@@ -247,17 +295,41 @@ object SimOps extends OpFamily {
     * so DuckDB replays them bit-for-bit), returning the final
     * (cells = every vector labeled with its nearest cid, centroids).
     */
-  private[graft] def lloydCells(s: SparkSession,
-      d: String): (DataFrame, DataFrame) = {
+  private[graft] def lloydCells(s: SparkSession, d: String,
+      nlist: Int = 10): (DataFrame, DataFrame) = {
     val parts = ArtifactCache.readOrBuildAll(s,
-        ivfIndexPath(s, d, nlist = 10), Seq("cells", "centroids")) {
+        ivfIndexPath(s, d, nlist), Seq("cells", "centroids")) {
       val (cells, centroids) = lloydCellsOn(s, Tables.embeddings(s, d)
         .select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("v")), nlist = 10)
+          transform(col("embedding"), _.cast("double")).as("v")), nlist)
       Seq("cells" -> cells, "centroids" -> centroids)
     }
     (parts("cells"), parts("centroids"))
   }
+
+  /** The √n nlist DEFAULT POLICY — the published IVF sizing rule (FAISS
+    * guidelines: nlist ≈ √n .. 4√n): cells hold ~√n members, so a
+    * probe reads ~nprobe·√n candidates and BOTH the centroid table and
+    * the per-point shortlist grow as √n instead of one of them growing
+    * linearly. This is what bounds candidate growth at 100 TB — with
+    * nlist FIXED, per-point shortlists grow linearly in n (measured:
+    * sim_lof_ivf at pinned nlist=10 scales 3.20×@3× data; the
+    * √n-scaled twin sim_lof_ivf_scaled is the registered evidence that
+    * the policy restores ~linear cost). Exposed through every public
+    * IVF entry ([[graft.api.Graft.knnIvf]], [[graft.api.Graft.lofIvf]],
+    * [[graft.api.Graft.semanticDedup]]) as the `nlist = 0` default.
+    */
+  private[graft] def sqrtNlist(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** ⌈√n⌉ of the fixture corpus — ONE metadata-cheap count action at
+    * plan-build time (parquet row-count footers; at 100 TB still a
+    * footer read, and the index build it keys is a batch job anyway).
+    * DuckDB replays it as `ceil(sqrt(count(*)))` — both engines compute
+    * the same correctly-rounded sqrt of the same exact integer.
+    */
+  private def scaledNlist(s: SparkSession, d: String): Int =
+    sqrtNlist(Tables.embeddings(s, d).count())
 
   /** Content-addressed on-disk IVF index — build once, probe many. Every
     * consumer of the 10-cell fixture index (sim_knn_ivf, sim_kmeans,
@@ -386,14 +458,90 @@ object SimOps extends OpFamily {
 
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val (cells, centroids) = lloydCells(s, d)
+    knnIvfOn(s, cells, centroids, col("vec_id") < 10, nprobe = 2, k = 5)
+  }
+
+  /** NLIST SWEEP REPORT — the measured tuning instrument the √n default
+    * policy ([[sqrtNlist]]) is chosen against, in the
+    * [[recallReport]]/[[DedupOps]] dedup_recall_report pattern: one row
+    * per nlist ∈ {10, 20, 40} with (a) recall@5 of the IVF search vs
+    * [[knnExact]] on the query batch and (b) the FULL-CORPUS deviation
+    * of the IVF-shortlist LOF vs exact LOF (max and summed |Δlof| in
+    * micro-units over points where both are defined). Reading it: as
+    * nlist grows, per-point candidates shrink (~nprobe·n/nlist) — the
+    * scale win — while recall/deviation degrade only if probed cells
+    * stop covering true neighborhoods; the sweep shows WHERE that cliff
+    * is for this corpus geometry, so a rollout tunes nlist against
+    * numbers, not folklore. Each index is the persisted per-nlist
+    * artifact every other consumer shares. Contains [[knnExact]]'s and
+    * the exact LOF's documented n² instrument bound — this is the
+    * measurement twin, not the production path.
+    */
+  def ivfNlistReport(s: SparkSession, d: String): DataFrame = {
+    val exactK = knnExact(s, d).select(col("qid"), col("nid"))
+      .localCheckpoint() // joined per nlist + counted once
+    val nExact = exactK.agg(count(lit(1)).as("n_exact"))
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm",
+        sqrt(NativeExprs.dot(s, col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint() // two pair sides of the exact kNN
+    val exactLof = lofFromKnn(exactKnnDist(s, e, 10))
+      .select(col("qid"), col("lof").as("lof_e"))
+      .localCheckpoint() // joined per nlist
+    Seq(10, 20, 40).map { nlist =>
+      val index = lloydCells(s, d, nlist)
+      val hits = knnIvfOn(s, index._1, index._2, col("vec_id") < 10,
+          nprobe = 2, k = 5)
+        .select(col("qid"), col("nid"))
+        .join(exactK, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("knn_hits"))
+      val devQ = floor(abs(col("lof_i") - col("lof_e")) * 1e6).cast("long")
+      val dev = lofIvfCells(s, index, k = 10, nprobe = 2)
+        .select(col("qid"), col("lof").as("lof_i"))
+        .join(exactLof, Seq("qid"))
+        .filter(col("lof_i").isNotNull && col("lof_e").isNotNull)
+        .agg(count(lit(1)).as("lof_n_both"),
+          max(devQ).as("lof_max_dev_units"),
+          sum(devQ).as("lof_sum_dev_units"))
+      hits.crossJoin(broadcast(nExact)).crossJoin(broadcast(dev))
+        .select(lit(nlist).as("nlist"), col("knn_hits"), col("n_exact"),
+          expr("knn_hits * 1000 div n_exact").as("knn_recall_permille"),
+          col("lof_n_both"), col("lof_max_dev_units"),
+          col("lof_sum_dev_units"))
+    }.reduce(_ unionByName _).orderBy(col("nlist"))
+  }
+
+  /** [[knnIvf]] with the √n nlist policy ([[sqrtNlist]]) instead of the
+    * pinned fixture nlist=10 — the registered evidence that the scale
+    * knob WORKS: same queries, same nprobe=2/k=5, but the index carries
+    * ⌈√n⌉ cells (23 at sf0.01, 45 at sf0.1, 78 at sf0.3), so per-query
+    * candidates stay ~nprobe·√n as data grows instead of ~nprobe·n/10.
+    * Its own per-nlist artifact (`nlist_45@r1`, ...); fully
+    * oracle-checked — the seed count replays as ceil(sqrt(count(*))).
+    */
+  def knnIvfScaled(s: SparkSession, d: String): DataFrame = {
+    val (cells, centroids) = lloydCells(s, d, scaledNlist(s, d))
+    knnIvfOn(s, cells, centroids, col("vec_id") < 10, nprobe = 2, k = 5)
+  }
+
+  /** The IVF probe core over ANY prebuilt (cells, centroids) index:
+    * queries = cell rows matching `queryPred`, routed to their `nprobe`
+    * nearest centroids, exact cosine rank within probed cells, top-`k`.
+    * Query batches are broadcast (bounded by contract); also the
+    * [[graft.api.Graft.knnIvf]] core.
+    */
+  private[graft] def knnIvfOn(s: SparkSession, cells: DataFrame,
+      centroids: DataFrame, queryPred: org.apache.spark.sql.Column,
+      nprobe: Int, k: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(desc("c_sim"), col("cid"))
-    val probes = cells.filter(col("vec_id") < 10)
+    val probes = cells.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
       .crossJoin(broadcast(centroids))
       .withColumn("c_sim", cosPair(s, "qv", "qn", "centroid", "cn"))
       .withColumn("c_rank", row_number().over(wProbe))
-      .filter(col("c_rank") <= 2)
+      .filter(col("c_rank") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("cid"))
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(desc("cos"), col("nid"))
@@ -403,7 +551,7 @@ object SimOps extends OpFamily {
       .filter(col("nid") =!= col("qid"))
       .withColumn("cos", cosPair(s, "qv", "qn", "nv", "nn"))
       .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rank"))
   }
@@ -1669,8 +1817,11 @@ object SimOps extends OpFamily {
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_mmr_rerank_ivf" -> (mmrRerankIvf _),
     "sim_recall_report" -> (recallReport _),
+    "sim_ivf_nlist_report" -> (ivfNlistReport _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
+    "sim_knn_ivf_scaled" -> (knnIvfScaled _),
+    "sim_lof_ivf_scaled" -> (lofIvfScaled _),
     "sim_incremental_assign" -> (incrementalAssign _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
@@ -1828,7 +1979,7 @@ object SimOps extends OpFamily {
     * changes. Applied to the PQ family only — the other Lloyd-chain
     * oracles plan fine at 1 chain.
     */
-  private def materializeCtes(sql: String): String =
+  private[graft] def materializeCtes(sql: String): String =
     sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
 
   /** DuckDB replay of the PQ/ADC search: [[PqM]] per-subspace Lloyd
@@ -1858,24 +2009,72 @@ object SimOps extends OpFamily {
         WHERE rank <= 5 ORDER BY qid, rank"""
   }
 
-  /** The shared 3-round Lloyd CTE chain: v → c0 (seed) → a1/c1 → a2/c2 →
-    * a3/c3 → cells; the replay core of [[lloydCells]].
+  /** One suffixed 3-round Lloyd chain over the shared `v` table:
+    * c0$sfx (seeded by `vec_id < seed`) → a1/c1 → a2/c2 → a3/c3 →
+    * cells$sfx. `seed` is any SQL expression — a literal nlist or the
+    * √n scalar subquery [[sqrtSeedSql]].
     */
-  private val lloydCtes: String =
+  private def lloydChainSfx(sfx: String, seed: String): String =
+    s"""c0$sfx AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid
+            FROM v WHERE vec_id < $seed),
+          ${assignCteIn(s"a1$sfx", s"c0$sfx", "v")},
+          ${centroidCteIn(s"c1$sfx", s"a1$sfx", 64)},
+          ${assignCteIn(s"a2$sfx", s"c1$sfx", "v")},
+          ${centroidCteIn(s"c2$sfx", s"a2$sfx", 64)},
+          ${assignCteIn(s"a3$sfx", s"c2$sfx", "v")},
+          ${centroidCteIn(s"c3$sfx", s"a3$sfx", 64)},
+          ${assignCteIn(s"cells$sfx", s"c3$sfx", "v")}"""
+
+  /** The √n seed expression of [[scaledNlist]]: ceil(sqrt(count)) of
+    * the same exact integer both engines count — the same
+    * correctly-rounded IEEE sqrt, so seeds can never diverge. */
+  private val sqrtSeedSql =
+    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v)"
+
+  /** The shared 3-round Lloyd CTE chain: v → c0 (seed) → a1/c1 → a2/c2 →
+    * a3/c3 → cells; the replay core of [[lloydCells]], parameterized on
+    * the seed count ([[lloydChainSfx]]).
+    */
+  private def lloydCtesSeed(seed: String): String =
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings),
-          c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid
-            FROM v WHERE vec_id < 10),
-          ${assignCte("a1", "c0")}, ${centroidCte("c1", "a1")},
-          ${assignCte("a2", "c1")}, ${centroidCte("c2", "a2")},
-          ${assignCte("a3", "c2")}, ${centroidCte("c3", "a3")},
-          ${assignCte("cells", "c3")}"""
+          ${lloydChainSfx("", seed)}"""
 
-  /** DuckDB replay of the IVF-shortlist LOF: the Lloyd chain, every
-    * point's nprobe=2 probe routing, shortlist kNN within probed cells,
-    * then the [[lofFromKnn]] integer-unit algebra — term for term. */
-  private val lofIvfOracleSql: String = {
-    s"""WITH $lloydCtes,
+  private val lloydCtes: String = lloydCtesSeed("10")
+
+  /** The [[lofFromKnn]] integer-unit algebra as a suffixed CTE chain
+    * over any (qid, nid, dist) k-neighborhood CTE — ends in
+    * lof$sfx(qid, lof). Shared by the lofIvf / scaled / nlist-report
+    * replays so the algebra exists once on the oracle side too.
+    */
+  private def lofAlgebraSfx(sfx: String, knnName: String): String =
+    s"""kd$sfx AS (SELECT qid, max(dist) AS kdist,
+              CAST(count(*) AS BIGINT) AS kn
+            FROM $knnName GROUP BY qid),
+          reach$sfx AS (SELECT k.qid,
+              CAST(floor(greatest(o.kdist, k.dist) * 1e9) AS BIGINT) AS ru
+            FROM $knnName k JOIN kd$sfx o ON k.nid = o.qid),
+          lrd$sfx AS (SELECT s.qid, kd.kn, kd.kdist,
+              CASE WHEN s.srd = 0 THEN CAST(NULL AS BIGINT)
+              ELSE CAST(floor(CAST(kd.kn AS DOUBLE) * 1e9
+                / CAST(s.srd AS DOUBLE) * 1000000) AS BIGINT) END AS lu
+            FROM (SELECT qid, CAST(sum(ru) AS BIGINT) AS srd
+                  FROM reach$sfx GROUP BY qid) s
+            JOIN kd$sfx kd ON s.qid = kd.qid),
+          slu$sfx AS (SELECT k.qid, CAST(sum(l.lu) AS BIGINT) AS slu
+            FROM $knnName k JOIN lrd$sfx l ON k.nid = l.qid GROUP BY k.qid),
+          lof$sfx AS (SELECT l.qid, l.kdist, l.lu, l.kn,
+              CASE WHEN l.lu IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(s.slu AS DOUBLE) / l.kn / CAST(l.lu AS DOUBLE)
+              END AS lof
+            FROM slu$sfx s JOIN lrd$sfx l ON s.qid = l.qid)"""
+
+  /** DuckDB replay of the IVF-shortlist LOF: the Lloyd chain (seeded by
+    * `seed` cells), every point's nprobe=2 probe routing, shortlist kNN
+    * within probed cells, then the [[lofFromKnn]] integer-unit algebra
+    * ([[lofAlgebraSfx]]) — term for term. */
+  private def lofIvfOracleSeeded(seed: String): String = {
+    s"""WITH ${lloydCtesSeed(seed)},
           probes AS (SELECT qid, cid FROM (
             SELECT q.vec_id AS qid, c.cid,
               row_number() OVER (PARTITION BY q.vec_id
@@ -1891,32 +2090,17 @@ object SimOps extends OpFamily {
               SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid
                 ORDER BY dist, nid) AS rank FROM pairs)
             WHERE rank <= 10),
-          kd AS (SELECT qid, max(dist) AS kdist,
-              CAST(count(*) AS BIGINT) AS kn
-            FROM knn GROUP BY qid),
-          reach AS (SELECT k.qid,
-              CAST(floor(greatest(o.kdist, k.dist) * 1e9) AS BIGINT) AS ru
-            FROM knn k JOIN kd o ON k.nid = o.qid),
-          lrd AS (SELECT s.qid, kd.kn, kd.kdist,
-              CASE WHEN s.srd = 0 THEN CAST(NULL AS BIGINT)
-              ELSE CAST(floor(CAST(kd.kn AS DOUBLE) * 1e9
-                / CAST(s.srd AS DOUBLE) * 1000000) AS BIGINT) END AS lu
-            FROM (SELECT qid, CAST(sum(ru) AS BIGINT) AS srd FROM reach
-                  GROUP BY qid) s
-            JOIN kd ON s.qid = kd.qid),
-          slu AS (SELECT k.qid, CAST(sum(l.lu) AS BIGINT) AS slu
-            FROM knn k JOIN lrd l ON k.nid = l.qid GROUP BY k.qid)
-          SELECT e.vec_id, e.label, l.kdist AS k_dist, l.lu AS lrd_units,
-            CASE WHEN l.lu IS NULL THEN CAST(NULL AS DOUBLE)
-            ELSE CAST(s.slu AS DOUBLE) / l.kn / CAST(l.lu AS DOUBLE)
-            END AS lof
-          FROM slu s JOIN lrd l ON s.qid = l.qid
-          JOIN embeddings e ON e.vec_id = s.qid
+          ${lofAlgebraSfx("", "knn")}
+          SELECT e.vec_id, e.label, f.kdist AS k_dist, f.lu AS lrd_units,
+            f.lof
+          FROM lof f JOIN embeddings e ON e.vec_id = f.qid
           ORDER BY lof DESC NULLS LAST, vec_id LIMIT 20"""
   }
 
-  private val ivfOracleSql: String = {
-    s"""WITH $lloydCtes,
+  private val lofIvfOracleSql: String = lofIvfOracleSeeded("10")
+
+  private def ivfOracleSeeded(seed: String): String = {
+    s"""WITH ${lloydCtesSeed(seed)},
           probes AS (SELECT qid, qv, cid FROM (
             SELECT q.vec_id AS qid, q.v AS qv, c.cid,
               row_number() OVER (PARTITION BY q.vec_id
@@ -1933,6 +2117,85 @@ object SimOps extends OpFamily {
           FROM probes p JOIN cells n ON n.cid = p.cid
           WHERE n.vec_id <> p.qid)
         WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  private val ivfOracleSql: String = ivfOracleSeeded("10")
+
+  /** One nlist's replay block for the [[ivfNlistReport]] oracle: the
+    * suffixed Lloyd chain, all-point probe routing, the shortlist LOF,
+    * the query-batch IVF top-5, and the one-row (hits, deviation)
+    * aggregates — mirrors the engine's per-nlist loop body.
+    */
+  private def nlistBlockCtes(nlist: Int): String = {
+    val x = s"_$nlist"
+    s"""${lloydChainSfx(x, nlist.toString)},
+          probes$x AS (SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cid)
+                AS rn
+            FROM cells$x q CROSS JOIN c3$x c) WHERE rn <= 2),
+          ipairs$x AS (SELECT p.qid, n.vec_id AS nid,
+              1 - list_cosine_similarity(q.v, n.v) AS dist
+            FROM probes$x p JOIN cells$x q ON q.vec_id = p.qid
+            JOIN cells$x n ON n.cid = p.cid
+            WHERE n.vec_id <> p.qid),
+          iknn$x AS (SELECT qid, nid, dist FROM (
+              SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid
+                ORDER BY dist, nid) AS rank FROM ipairs$x)
+            WHERE rank <= 10),
+          ${lofAlgebraSfx(x, s"iknn$x")},
+          ik$x AS (SELECT qid, nid FROM (
+              SELECT p.qid, n.vec_id AS nid,
+                row_number() OVER (PARTITION BY p.qid
+                  ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id)
+                  AS rank
+              FROM (SELECT qid, cid FROM probes$x WHERE qid < 10) p
+              JOIN cells$x n ON n.cid = p.cid
+              JOIN v q ON q.vec_id = p.qid
+              WHERE n.vec_id <> p.qid) WHERE rank <= 5),
+          hits$x AS (SELECT CAST(count(*) AS BIGINT) AS knn_hits
+            FROM ik$x k JOIN xk ON xk.qid = k.qid AND xk.nid = k.nid),
+          dev$x AS (SELECT CAST(count(*) AS BIGINT) AS lof_n_both,
+              max(CAST(floor(abs(i.lof - e.lof) * 1e6) AS BIGINT))
+                AS lof_max_dev_units,
+              CAST(sum(CAST(floor(abs(i.lof - e.lof) * 1e6) AS BIGINT))
+                AS BIGINT) AS lof_sum_dev_units
+            FROM lof$x i JOIN lof_x e ON i.qid = e.qid
+            WHERE i.lof IS NOT NULL AND e.lof IS NOT NULL),
+          row$x AS (SELECT CAST($nlist AS INT) AS nlist, h.knn_hits,
+              t.n_exact, h.knn_hits * 1000 // t.n_exact
+                AS knn_recall_permille,
+              d.lof_n_both, d.lof_max_dev_units, d.lof_sum_dev_units
+            FROM hits$x h CROSS JOIN xtot t CROSS JOIN dev$x d)"""
+  }
+
+  /** DuckDB replay of [[ivfNlistReport]]: exact top-5 + exact
+    * full-corpus LOF once, then one [[nlistBlockCtes]] per swept nlist.
+    */
+  private val nlistReportOracleSql: String = {
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+          q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+          xk AS (SELECT qid, nid FROM (
+              SELECT q.qid, n.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_cosine_similarity(q.qv, n.v) DESC,
+                    n.vec_id) AS rank
+              FROM q CROSS JOIN v n WHERE n.vec_id <> q.qid)
+            WHERE rank <= 5),
+          xtot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM xk),
+          xpairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+              1 - list_cosine_similarity(a.v, b.v) AS dist
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+          knn_x AS (SELECT qid, nid, dist FROM (
+              SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid
+                ORDER BY dist, nid) AS rank FROM xpairs)
+            WHERE rank <= 10),
+          ${lofAlgebraSfx("_x", "knn_x")},
+          ${Seq(10, 20, 40).map(nlistBlockCtes).mkString(",\n          ")}
+        SELECT * FROM row_10 UNION ALL SELECT * FROM row_20
+        UNION ALL SELECT * FROM row_40 ORDER BY nlist"""
   }
 
   /** Lloyd chain → cell membership → integral tf-idf top-3 per cell —
@@ -2432,6 +2695,9 @@ object SimOps extends OpFamily {
            coalesce(t.n_dropped, 0) AS n_dropped
          FROM sizes s LEFT JOIN stats t USING (cid) ORDER BY s.cid""",
     "sim_knn_ivf" -> ivfOracleSql,
+    "sim_knn_ivf_scaled" -> ivfOracleSeeded(sqrtSeedSql),
+    "sim_lof_ivf_scaled" -> materializeCtes(lofIvfOracleSeeded(sqrtSeedSql)),
+    "sim_ivf_nlist_report" -> materializeCtes(nlistReportOracleSql),
     // r14 replay-cost fix: the 5 sequential MMR steps each re-reference
     // `p`/`cand` (behind the Lloyd chain) — plain-CTE inlining
     // re-evaluated the chain per step (312 s at sf0.1); materialized it

@@ -123,7 +123,19 @@ object TextOps extends OpFamily {
       .select(explode(col("w")).as("word")), k = 8)
 
   private[graft] def bpeMergesOn(s: SparkSession, words: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame = bpeLearnOn(s, words, k)._1
+
+  /** The BPE learning loop, returning BOTH the merge list frame AND the
+    * final vocabulary state (s = each distinct word's token list after
+    * all merges, cnt = corpus frequency) — the vocab half is what the
+    * ENCODE-side [[bpeApplyStats]] joins the corpus against: the fold
+    * runs once per DISTINCT word (vocab-bounded), never once per corpus
+    * token — the same compression trick as the learning loop itself,
+    * and the shape that makes corpus-wide tokenization a hash join at
+    * 100 TB.
+    */
+  private[graft] def bpeLearnOn(s: SparkSession, words: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     def sq(x: String) = x.replace("'", "''")
     // the one corpus-sized pass: everything after runs on the vocab table.
@@ -169,9 +181,9 @@ object TextOps extends OpFamily {
         r += 1
       }
     }
-    merges.result()
+    (merges.result()
       .toDF("merge_rank", "left", "right", "pair_count")
-      .orderBy(col("merge_rank"))
+      .orderBy(col("merge_rank")), vocab)
   }
 
   /** Apply a learned merge list ([[bpeMergesOn]]'s output order) to a
@@ -203,6 +215,103 @@ object TextOps extends OpFamily {
     merged.withColumn("bpe_tokens", flatten(col("bpe_tokens")))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
   }
+
+  /** BPE END-TO-END TOKENIZATION STATS — the single most common
+    * LLM-pipeline operation, registered as one query: learn the 8-merge
+    * table from the corpus ([[bpeLearnOn]]), tokenize EVERY document
+    * with it, and report per-lang (n_docs, n_words, n_chars,
+    * n_bpe_tokens, compression_permille). Engine shape — the 100 TB
+    * design, not the row-local fold: the merge fold runs once per
+    * DISTINCT word (the final learning-loop vocab state IS the word →
+    * token-list map), and the corpus pass is explode + one broadcast
+    * hash join against that lexicon — tokenizing 10¹² tokens costs a
+    * scan + a map-side join, with the fold cost fixed at
+    * O(vocab·|word|·k) regardless of corpus size.
+    * [[bpeApplyOn]] (the row-local encode) is property-pinned equal to
+    * this vocab-join path in LlmOpsSpec, so both tokenizer surfaces
+    * share one correctness gate. Fully oracle-checked: DuckDB replays
+    * the 8 learning rounds AND the greedy non-overlapping left-to-right
+    * merge application via run-parity windows (consecutive match runs
+    * keep even offsets — overlap exists only for self-pairs like
+    * ('a','a') on 'aaa'), validated against an independent reference
+    * implementation before landing. Docs with zero words (empty text)
+    * drop — the join-semantics contract, mirrored in the oracle.
+    */
+  def bpeApplyStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(toks.as("w"))
+      .select(explode(col("w")).as("word"))
+    val (_, vocab) = bpeLearnOn(s, words, k = 8)
+    val lex = vocab.select(concat_ws("", col("s")).as("word"),
+      size(col("s")).cast("long").as("n_tok"))
+    docs.select(col("doc_id"), col("lang"), explode(expr(
+        "filter(split(text, ' '), w -> length(w) >= 1)")).as("word"))
+      .join(broadcast(lex), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+      .withColumn("compression_permille",
+        expr("n_bpe_tokens * 1000 div n_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** One BPE learning round as DuckDB CTEs (the [[bpeApplyStats]]
+    * replay): pair counts over the vocab state, the (n DESC, pa, pb)
+    * argmax, match positions, run-parity greedy selection (within each
+    * consecutive run of match positions keep even offsets — exactly the
+    * left-to-right non-overlapping fold), list rebuild. All chained
+    * CTEs get AS MATERIALIZED by the caller — 8 rounds × 3 back-refs
+    * would otherwise inline 3⁸ plan copies (the r13 lesson).
+    */
+  private def bpeRoundCte(r: Int): String = {
+    val p = s"v${r - 1}"
+    s"""pc$r AS (SELECT s[i] AS pa, s[i + 1] AS pb,
+           CAST(sum(cnt) AS BIGINT) AS n
+         FROM $p, unnest(range(1, len(s))) AS t(i)
+         WHERE len(s) >= 2 GROUP BY pa, pb),
+       mg$r AS (SELECT pa, pb FROM pc$r ORDER BY n DESC, pa, pb LIMIT 1),
+       m$r AS (SELECT v.w, t.i AS p
+         FROM $p v, unnest(range(1, len(v.s))) AS t(i), mg$r g
+         WHERE v.s[i] = g.pa AND v.s[i + 1] = g.pb),
+       k$r AS (SELECT w, p FROM (
+           SELECT w, p, min(p) OVER (PARTITION BY w, g) AS rs
+           FROM (SELECT w, p, p - row_number()
+               OVER (PARTITION BY w ORDER BY p) AS g FROM m$r))
+         WHERE (p - rs) % 2 = 0),
+       v$r AS (SELECT x.w, any_value(x.cnt) AS cnt,
+           list(CASE WHEN k.p IS NOT NULL THEN x.sym || x.nxt
+                ELSE x.sym END ORDER BY x.q) AS s
+         FROM (SELECT v.w, v.cnt, t.i AS q, v.s[i] AS sym,
+                 v.s[i + 1] AS nxt
+               FROM $p v, unnest(range(1, len(v.s) + 1)) AS t(i)) x
+         LEFT JOIN k$r k ON k.w = x.w AND k.p = x.q
+         LEFT JOIN k$r kp ON kp.w = x.w AND kp.p = x.q - 1
+         WHERE kp.p IS NULL
+         GROUP BY x.w)"""
+  }
+
+  private[graft] def bpeApplyOracleSql: String = SimOps.materializeCtes(
+    s"""WITH v0 AS (SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt,
+           list_transform(range(1, length(word) + 1), i -> word[i]) AS s
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         WHERE length(word) >= 1 GROUP BY word),
+       ${(1 to 8).map(bpeRoundCte).mkString(",\n       ")},
+       lex AS (SELECT w AS word, CAST(len(s) AS BIGINT) AS n_tok FROM v8),
+       dw AS (SELECT d.doc_id, d.lang, t.word
+         FROM documents d, unnest(string_split(d.text, ' ')) AS t(word)
+         WHERE length(t.word) >= 1),
+       agg AS (SELECT dw.lang,
+           CAST(count(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+           CAST(sum(l.n_tok) AS BIGINT) AS n_bpe_tokens
+         FROM dw JOIN lex l ON l.word = dw.word GROUP BY dw.lang)
+       SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens,
+         n_bpe_tokens * 1000 // n_chars AS compression_permille
+       FROM agg ORDER BY lang""")
 
   /** LANGUAGE-ID CONFUSION MATRIX — [[langId]] evaluated against the
     * corpus's own lang column (the text twin of
@@ -1031,6 +1140,7 @@ object TextOps extends OpFamily {
     "text_langid" -> (langId _),
     "text_langid_confusion" -> (langIdConfusion _),
     "text_bpe_merges" -> (bpeMerges _),
+    "text_bpe_apply" -> (bpeApplyStats _),
     "text_quality" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
     "text_rarity" -> (rarityScore _),
@@ -1063,6 +1173,7 @@ object TextOps extends OpFamily {
            WHERE rn = 1)"""
 
   val oracle = Map(
+    "text_bpe_apply" -> bpeApplyOracleSql,
     "text_source_divergence" ->
       """WITH t AS (SELECT source AS grp,
              unnest(string_split(text, ' ')) AS term FROM documents),

@@ -90,6 +90,124 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mean <= 0.03, f"mean deviation $mean%.4f")
   }
 
+  test("sqrtNlist policy: ceil(sqrt(n)), floor 1") {
+    assert(SimOps.sqrtNlist(0) === 1)
+    assert(SimOps.sqrtNlist(1) === 1)
+    assert(SimOps.sqrtNlist(2) === 2)
+    assert(SimOps.sqrtNlist(100) === 10)
+    assert(SimOps.sqrtNlist(101) === 11)
+    assert(SimOps.sqrtNlist(500) === 23) // the fixture corpus at sf0.001
+    assert(SimOps.sqrtNlist(2000) === 45) // ... at sf0.1
+  }
+
+  test("scaled IVF twins: √n index keeps recall and LOF deviation bounded") {
+    // sim_knn_ivf_scaled: same queries/k as exact, ≥60% top-5 recall on
+    // this corpus even with 23 cells (measured 940‰ at nlist=10,
+    // 880‰ at nlist=40 on sf0.1)
+    val exact = SimOps.knnExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val scaled = SimOps.knnIvfScaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(scaled.length === exact.size)
+    val rec = scaled.count(exact.contains) * 1000 / exact.size
+    info(s"sim_knn_ivf_scaled recall@5: $rec permille")
+    assert(rec >= 600, s"scaled-IVF recall collapsed: $rec permille")
+    // sim_lof_ivf_scaled: deterministic and inside the same generous
+    // deviation ceiling the pinned-nlist shortlist is held to
+    val ex = SimOps.lofOn(spark, Tables.embeddings(spark, sf),
+        k = 10, topN = 1000000)
+      .collect().filter(!_.isNullAt(4))
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val devs = SimOps.lofIvfCells(spark,
+        SimOps.lloydCells(spark, sf, SimOps.sqrtNlist(500)),
+        k = 10, nprobe = 2)
+      .collect().filter(!_.isNullAt(3))
+      .map(r => math.abs(r.getDouble(3) - ex(r.getLong(0))))
+    // ≥95% coverage: a √n cell could in principle be a singleton, but a
+    // broken index (mass NULLs) must fail loudly
+    assert(devs.length * 100 >= ex.size * 95)
+    val (mx, mean) = (devs.max, devs.sum / devs.size)
+    info(f"√n-shortlist LOF deviation: max $mx%.4f mean $mean%.4f")
+    assert(mx <= 0.2, f"max deviation $mx%.4f")
+    assert(mean <= 0.03, f"mean deviation $mean%.4f")
+  }
+
+  test("ivfNlistReport cross-checks its own legs and stays bounded") {
+    val rows = SimOps.ivfNlistReport(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(10, 20, 40))
+    // independent replay of the nlist=10 row's knn_hits from the two
+    // registered queries it claims to intersect
+    val exact = SimOps.knnExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf10 = SimOps.knnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val want10 = ivf10.count(exact.contains).toLong
+    val r10 = rows.find(_.getInt(0) === 10).get
+    assert(r10.getLong(1) === want10)
+    assert(r10.getLong(2) === exact.size.toLong)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2)) // hits ≤ exact
+      val rec = r.getLong(3)
+      assert(rec >= 0 && rec <= 1000)
+      assert(r.getLong(4) > 0) // lof_n_both
+      assert(r.getLong(5) >= 0 && r.getLong(6) >= 0)
+      // mean deviation in micro-units stays under the 0.03 spec bound
+      assert(r.getLong(6) / r.getLong(4) <= 30000,
+        s"nlist=${r.getInt(0)} mean dev ${r.getLong(6) / r.getLong(4)}u")
+    }
+  }
+
+  test("Graft.knnIvf public API: √n default equals brute force on a " +
+      "separable corpus, pinned nlist equals the registered query") {
+    import spark.implicits._
+    // four tight clusters: every query's exact top-k sits in its own
+    // cluster, and the home cell is always probed → ANN ≡ exact
+    val rng = new scala.util.Random(11)
+    val centers = Array.tabulate(4, 8)((c, j) =>
+      math.sin(c * 31.0 + j * 3.0))
+    val vecs = Array.tabulate(36) { i =>
+      val c = i % 4
+      centers(c).map(x => (x + rng.nextGaussian() * 0.01).toFloat)
+    }
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq.toDF("id", "vec")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = vecs.map(v => math.sqrt(dot(v, v)))
+    val want = (0 until 3).flatMap { q =>
+      (0 until 36).filter(_ != q)
+        .map(n => (dot(vecs(q), vecs(n)) / (nrm(q) * nrm(n)), n))
+        .sortBy { case (c, n) => (-c, n) }.take(3).zipWithIndex
+        .map { case ((_, n), r) => (q.toLong, r + 1, n.toLong) }
+    }
+    val got = graft.api.Graft.knnIvf(df, "id", "vec",
+        col("vec_id") < 3, k = 3) // nlist defaults to ⌈√36⌉ = 6
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === want)
+    // pinned nlist=10 on the fixture corpus ≡ the registered sim_knn_ivf
+    val pub = graft.api.Graft.knnIvf(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", col("vec_id") < 10, nlist = 10)
+      .collect().map(_.toSeq)
+    val reg = SimOps.knnIvf(spark, sf).collect().map(_.toSeq)
+    assert(pub.toSeq === reg.toSeq)
+  }
+
+  test("Graft.lofIvf public API: pinned nlist equals the registered " +
+      "sim_lof_ivf; √n default equals sim_lof_ivf_scaled") {
+    val emb = Tables.embeddings(spark, sf)
+    val pinned = graft.api.Graft.lofIvf(spark, emb, nlist = 10)
+      .collect().map(_.toSeq)
+    assert(pinned.toSeq === SimOps.lofIvf(spark, sf).collect()
+      .map(_.toSeq).toSeq)
+    val scaled = graft.api.Graft.lofIvf(spark, emb)
+      .collect().map(_.toSeq)
+    assert(scaled.toSeq === SimOps.lofIvfScaled(spark, sf).collect()
+      .map(_.toSeq).toSeq)
+  }
+
   test("dedup recall report: control row reads 1000/1000, permilles bounded, " +
       "and the minhash leg's recall matches its pair query") {
     val rows = DedupOps.recallReport(spark, sf).collect()
@@ -541,6 +659,33 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().head
     assert(enc.getAs[Seq[String]]("bpe_tokens") === Seq("ab", "ab", "ab"))
     assert(enc.getAs[Int]("n_bpe_tokens") === 3)
+  }
+
+  test("bpeApplyStats vocab-join tokenization equals the row-local fold") {
+    import graft.operators.TextOps
+    // the registered query tokenizes via vocab-join; bpeApplyOn folds
+    // per row. Same learned merges → identical per-lang token totals.
+    val docs = Tables.documents(spark, sf)
+    val words = docs.selectExpr("explode(split(text, ' ')) AS word")
+    val (mergesDf, _) = TextOps.bpeLearnOn(spark, words, k = 8)
+    val merges = mergesDf.collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val rowLocal = TextOps.bpeApplyOn(docs, "text", merges)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_bpe_tokens").cast("long")).as("n_bpe_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = TextOps.bpeApplyStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(stats.map(s => s._1 -> s._5).toMap === rowLocal)
+    stats.foreach { case (lang, nDocs, nWords, nChars, nBpe, comp) =>
+      assert(nDocs > 0 && nWords >= nDocs)
+      // BPE starts from characters: tokens per word in [1, wordLen]
+      assert(nBpe >= nWords && nBpe <= nChars,
+        s"$lang: $nBpe tokens outside [$nWords, $nChars]")
+      assert(comp === nBpe * 1000 / nChars)
+      assert(comp <= 1000)
+    }
   }
 
   test("zipf slope: hand-quantized OLS on a skewed group, exact 0 on uniform") {
