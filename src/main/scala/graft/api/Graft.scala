@@ -769,6 +769,42 @@ object Graft {
       df.select(col(id).as("doc_id"), col(text).as("text")))
       .withColumnRenamed("doc_id", id)
 
+  /** Per-doc BIGRAM log-perplexity under the corpus's own first-order
+    * LM — the fluency quality filter one level above
+    * [[unigramCrossEntropy]]: each doc's mean negative log MLE
+    * conditional ln p(w_i | w_{i-1}) in nats. High = improbable
+    * word-to-word transitions (garbled/boilerplate/wrong-language
+    * docs). Docs with < 2 tokens carry no bigram and drop. Returns
+    * (id, n_bigrams, nll_units, xent_nats), nll in integral micro-nats.
+    */
+  def bigramPerplexity(df: DataFrame, id: String, text: String): DataFrame =
+    graft.operators.TextOps.docPerplexityOn(
+      df.select(col(id).as("doc_id"), lit("").as("lang"),
+        col(text).as("text")))
+      .drop("lang").withColumnRenamed("doc_id", id)
+
+  /** Dedup THRESHOLD SENSITIVITY sweep over any scored near-dup pair
+    * frame (`aCol`, `bCol`, `simCol` in [0,1]) and a doc frame for
+    * token accounting: one row per τ (per-mille) with the pair count
+    * at or above τ, docs linked, connected components, and the docs
+    * and tokens keep-min survivorship would drop. The instrument a
+    * curation rollout tunes its cutoff against — τ too low merges
+    * distinct docs (tokens_dropped explodes), τ too high leaves
+    * near-dups unlinked. Pairs are filtered once per τ from the same
+    * frame (build the expensive pair table once); each τ runs the
+    * O(log d) star-contraction CC on a shrinking subgraph.
+    */
+  def dedupThresholdReport(pairs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, aCol: String = "a",
+      bCol: String = "b", simCol: String = "jaccard",
+      tausPermille: Seq[Int] = Seq(300, 450, 600, 750, 900)): DataFrame =
+    graft.operators.DedupOps.thresholdReportOn(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"),
+        col(simCol).as("jaccard")),
+      docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tok")),
+      tausPermille)
+
   /** Learn the top-k BPE merges from any text column: one corpus pass
     * builds the word-frequency table, then k rounds of most-frequent-
     * adjacent-pair merging run on the vocabulary-bounded frame

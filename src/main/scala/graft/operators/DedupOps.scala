@@ -746,6 +746,62 @@ object DedupOps extends OpFamily {
       .orderBy(col("method"))
   }
 
+  /** DEDUP THRESHOLD SENSITIVITY REPORT — the curation-tuning instrument
+    * for the Jaccard cutoff (the [[recallReport]] discipline applied to
+    * the τ knob): one row per τ ∈ {300, 450, 600, 750, 900}‰ with the
+    * pair count above τ, how many docs those pairs link, the connected
+    * components they form, and — the number a data owner actually tunes
+    * against — how many docs and how many TOKENS keep-min survivorship
+    * would drop at that cutoff. Reading it: τ too low merges distinct
+    * docs into mega-clusters (tokens_dropped explodes), τ too high
+    * leaves planted near-dups unlinked; the elbow is corpus-specific
+    * and this makes it measured. Scale shape: the τ=0.3 pair table is
+    * the persisted [[cachedPairs]] artifact (built once, prefix-filtered
+    * candidates); each τ re-filters THE SAME pair frame (higher τ ⊆
+    * τ=0.3 by containment) and runs the O(log d) star-contraction CC on
+    * a pair set that only shrinks with τ — no similarity join ever
+    * reruns. Fully oracle-checked: jaccard doubles are bit-identical
+    * across engines (the dedup_near_jaccard precedent), so the τ
+    * comparisons can never disagree, and DuckDB replays each τ's
+    * components via per-τ recursive-CTE closures.
+    */
+  def thresholdReport(s: SparkSession, d: String): DataFrame =
+    thresholdReportOn(
+      cachedPairs(s, d, "neardup_tau30")(
+        blockedJaccardPairs(withNearDupes(s, d))),
+      withNearDupes(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+      Seq(300, 450, 600, 750, 900))
+
+  /** The sweep core over any (a, b, jaccard) pair frame and a
+    * (doc_id, n_tok) token-count frame — also the
+    * [[graft.api.Graft.dedupThresholdReport]] core. */
+  private[graft] def thresholdReportOn(pairDf: DataFrame, tokDf: DataFrame,
+      taus: Seq[Int]): DataFrame = {
+    require(taus.nonEmpty, "thresholdReport needs at least one tau")
+    val pairs = pairDf.select(col("a"), col("b"), col("jaccard"))
+      .localCheckpoint() // re-filtered once per τ
+    val toks = tokDf.localCheckpoint() // joined once per τ
+    taus.map { tau =>
+      val p = pairs.filter(col("jaccard") >= tau / 1000.0)
+        .select(col("a"), col("b"))
+      val np = p.agg(count(lit(1)).as("n_pairs"))
+      val dropped = when(col("cluster_id") =!= col("doc_id"), true)
+      clusterPairsOn(p)
+        .join(toks, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs_linked"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          coalesce(sum(when(dropped, 1L)), lit(0L)).as("n_dropped"),
+          coalesce(sum(when(dropped, col("n_tok"))), lit(0L))
+            .as("tokens_dropped"))
+        .crossJoin(broadcast(np))
+        .select(lit(tau).as("tau_permille"), col("n_pairs"),
+          col("n_docs_linked"), col("n_clusters"), col("n_dropped"),
+          col("tokens_dropped"))
+    }.reduce(_ unionByName _).orderBy(col("tau_permille"))
+  }
+
   /** Near-dup CLUSTERING: connected components over the blocked-jaccard
     * pair graph (label propagation to fixpoint — each node takes the min
     * label among itself and its neighbors; iterate until no change, with
@@ -1029,6 +1085,7 @@ object DedupOps extends OpFamily {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_containment" -> (containmentPairs _),
     "dedup_clusters" -> (nearDupClusters _),
+    "dedup_threshold_report" -> (thresholdReport _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_minhash_mllib" -> (minhashMllib _),
@@ -1069,7 +1126,59 @@ object DedupOps extends OpFamily {
          UNION
          SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x)"""
 
+  /** One τ's replay block for the [[thresholdReport]] oracle: the τ
+    * pair filter over the shared jaccard-valued `jp` table, its own
+    * recursive closure, components, and the one-row stats frame.
+    */
+  private def tauBlockCtes(tau: Int): String = {
+    val drop = "c.cluster_id <> c.doc_id"
+    s"""p$tau AS (SELECT a, b FROM jp WHERE j >= ${tau / 1000.0}),
+       sym$tau(x, y) AS (SELECT a, b FROM p$tau
+         UNION SELECT b, a FROM p$tau
+         UNION SELECT a, a FROM p$tau UNION SELECT b, b FROM p$tau),
+       reach$tau(x, y) AS (
+         SELECT x, y FROM sym$tau
+         UNION
+         SELECT r.x, s.y FROM reach$tau r JOIN sym$tau s ON r.y = s.x),
+       cl$tau AS (SELECT x AS doc_id, min(y) AS cluster_id
+         FROM reach$tau GROUP BY x),
+       st$tau AS (SELECT CAST($tau AS INT) AS tau_permille,
+           (SELECT CAST(count(*) AS BIGINT) FROM p$tau) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_docs_linked,
+           CAST(count(DISTINCT c.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(coalesce(sum(CASE WHEN $drop THEN 1 END), 0) AS BIGINT)
+             AS n_dropped,
+           CAST(coalesce(sum(CASE WHEN $drop THEN t.n_tok END), 0)
+             AS BIGINT) AS tokens_dropped
+         FROM cl$tau c JOIN toks t USING (doc_id))"""
+  }
+
+  private val thresholdReportOracleSql: String = {
+    val taus = Seq(300, 450, 600, 750, 900)
+    s"""WITH RECURSIVE corpus AS ($planted),
+       sh AS (SELECT doc_id, lang, source,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+               FROM corpus)),
+       jp AS (SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+       toks AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         FROM corpus),
+       ${taus.map(tauBlockCtes).mkString(",\n       ")}
+       ${taus.map(t => s"SELECT * FROM st$t")
+        .mkString("\n       UNION ALL ")}
+       ORDER BY tau_permille"""
+  }
+
   val oracle = Map(
+    "dedup_threshold_report" -> thresholdReportOracleSql,
     "dedup_exact_groups" ->
       """SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
            count(*) AS n, min(doc_id) AS keep_id, max(doc_id) AS dup_id

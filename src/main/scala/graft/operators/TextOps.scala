@@ -742,6 +742,57 @@ object TextOps extends OpFamily {
       .limit(k)
   }
 
+  /** PER-DOC BIGRAM LM PERPLEXITY — the fluency QUALITY FILTER
+    * ([[bigramFluency]] scores bigram CELLS; this scores every DOC): a
+    * first-order LM is estimated from the corpus itself (MLE
+    * conditionals p(b|a) = c(a,b)/c(a·) over within-doc adjacent token
+    * pairs — no smoothing needed: every scored bigram contributed to
+    * the counts, so c(a,b) ≥ 1), and each doc's score is its mean
+    * negative log conditional in nats (log-perplexity). High xent =
+    * improbable word-to-word transitions = the boilerplate/garbled/
+    * wrong-language docs a curation pass reviews first; the worst 15
+    * surface. Docs with < 2 tokens carry no bigram and drop (mirrored
+    * join semantics in the oracle).
+    *
+    * Exactness: the only transcendental is ln(c(a·)/c(a,b)) — computed
+    * once per DISTINCT bigram over a ratio of exact BIGINTs and
+    * micro-quantized BEFORE the per-doc sum (the [[unigramXentOn]] /
+    * [[graft.operators.EventOps.sequenceEntropyOn]] idiom), so per-doc
+    * sums are exact integers and the final division is one mirrored
+    * chain. Engine shape: one corpus pass → bigram stream, LM joins on
+    * the DISTINCT-bigram table (vocabulary-bounded), one corpus-sized
+    * hash join back. At 100 TB: two linear scans + bounded-LM joins.
+    */
+  def docPerplexity(s: SparkSession, d: String): DataFrame =
+    docPerplexityOn(Tables.documents(s, d))
+      .orderBy(desc("xent_nats"), col("doc_id"))
+      .limit(15)
+
+  private[graft] def docPerplexityOn(docs: DataFrame): DataFrame = {
+    // bigram stream has three consumers (c(a,b), c(a·), scoring) ⇒
+    // materialize once
+    val bg = docs
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+           i -> struct(element_at(w, i) AS pa,
+             element_at(w, i + 1) AS pb))""")).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.pa"), col("p.pb"))
+      .localCheckpoint()
+    val nab = bg.groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
+    val na = bg.groupBy(col("pa")).agg(count(lit(1)).as("na"))
+    val lm = nab.join(na, Seq("pa"))
+      .select(col("pa"), col("pb"),
+        floor(log(col("na").cast("double") / col("nab").cast("double"))
+          * 1e6).cast("long").as("qln"))
+    bg.join(lm, Seq("pa", "pb"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qln")).as("nll_units"))
+      .withColumn("xent_nats",
+        col("nll_units").cast("double") / col("n_bigrams") / 1e6)
+  }
+
   def unigramXent(s: SparkSession, d: String): DataFrame =
     unigramXentOn(Tables.documents(s, d))
       .orderBy(desc("xent_nats"), col("doc_id"))
@@ -1141,6 +1192,7 @@ object TextOps extends OpFamily {
     "text_langid_confusion" -> (langIdConfusion _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_apply" -> (bpeApplyStats _),
+    "text_doc_perplexity" -> (docPerplexity _),
     "text_quality" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
     "text_rarity" -> (rarityScore _),
@@ -1174,6 +1226,27 @@ object TextOps extends OpFamily {
 
   val oracle = Map(
     "text_bpe_apply" -> bpeApplyOracleSql,
+    "text_doc_perplexity" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+             FROM documents),
+         bg AS (SELECT doc_id, lang, w[i] AS pa, w[i + 1] AS pb
+           FROM w, unnest(range(1, len(w))) AS t(i)
+           WHERE len(w) >= 2),
+         nab AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS nab
+           FROM bg GROUP BY pa, pb),
+         na AS (SELECT pa, CAST(count(*) AS BIGINT) AS na
+           FROM bg GROUP BY pa),
+         lm AS (SELECT pa, pb,
+             CAST(floor(ln(CAST(na AS DOUBLE) / CAST(nab AS DOUBLE))
+               * 1e6) AS BIGINT) AS qln
+           FROM nab JOIN na USING (pa)),
+         sc AS (SELECT doc_id, lang,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(qln) AS BIGINT) AS nll_units
+           FROM bg JOIN lm USING (pa, pb) GROUP BY doc_id, lang)
+         SELECT doc_id, lang, n_bigrams, nll_units,
+           CAST(nll_units AS DOUBLE) / n_bigrams / 1e6 AS xent_nats
+         FROM sc ORDER BY xent_nats DESC, doc_id LIMIT 15""",
     "text_source_divergence" ->
       """WITH t AS (SELECT source AS grp,
              unnest(string_split(text, ' ')) AS term FROM documents),

@@ -688,6 +688,53 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("docPerplexity: hand-computed micro-nat units on a two-doc corpus") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // bigrams: A → (x,y),(y,x),(x,y); B → (x,z)
+    // c(x,·)=3, c(y,·)=1; qln(x,y)=floor(ln(3/2)e6)=405465, qln(y,x)=0,
+    // qln(x,z)=floor(ln 3 · e6)=1098612
+    val docs = Seq((1L, "en", "x y x y"), (2L, "en", "x z"),
+      (3L, "en", "solo")) // < 2 tokens → drops
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.docPerplexityOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((3L, 810930L, 810930.0 / 3 / 1e6)))
+    assert(got(2L) === ((1L, 1098612L, 1098612.0 / 1 / 1e6)))
+    // public API shape
+    val pub = graft.api.Graft.bigramPerplexity(
+      docs.toDF("id", "l", "body"), "id", "body").collect()
+    assert(pub.map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("dedup threshold report: hand-computed sweep + fixture monotonicity") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val pairs = Seq((1L, 2L, 0.95), (2L, 3L, 0.5), (4L, 5L, 0.31))
+      .toDF("a", "b", "jaccard")
+    val toks = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("doc_id", "n_tok")
+    val got = DedupOps.thresholdReportOn(pairs, toks, Seq(300, 600, 900))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // τ=300: {1,2,3} + {4,5} → dropped 2,3,5 (tokens 100)
+    assert(got(300) === ((3L, 5L, 2L, 3L, 100L)))
+    // τ=600 and τ=900: only (1,2) survives → drop doc 2 (20 tokens)
+    assert(got(600) === ((1L, 2L, 1L, 1L, 20L)))
+    assert(got(900) === ((1L, 2L, 1L, 1L, 20L)))
+    // fixture: every count is monotone non-increasing in τ
+    val fix = DedupOps.thresholdReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .sortBy(_._1)
+    fix.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3 && hi._4 <= lo._4,
+        s"non-monotone sweep: $lo -> $hi")
+    }
+  }
+
   test("zipf slope: hand-quantized OLS on a skewed group, exact 0 on uniform") {
     import TestSpark.spark.implicits._
     // group g: a×4, b×2, c×1 → ranked points (ln1,ln4),(ln2,ln2),(ln3,0);
