@@ -1139,14 +1139,16 @@ object Graft {
     * (new_id, home_cid, rank, nid, cos).
     */
   def incrementalAnnAssign(index: DataFrame, incoming: DataFrame,
-      idCol: String, vecCol: String, nlist: Int = 10, nprobe: Int = 2,
+      idCol: String, vecCol: String, nlist: Int = 0, nprobe: Int = 2,
       k: Int = 3): DataFrame = {
     val s = index.sparkSession
     def shaped(df: DataFrame): DataFrame =
       df.select(col(idCol).as("vec_id"),
         transform(col(vecCol), _.cast("double")).as("v"))
-    val (cells, centroids) =
-      graft.operators.SimOps.lloydCellsOn(s, shaped(index), nlist)
+    val shapedIndex = shaped(index)
+    // nlist = 0 → ⌈√n_index⌉, the same sizing policy as knnIvf/lofIvf
+    val (cells, centroids) = graft.operators.SimOps.lloydCellsOn(s,
+      shapedIndex, resolveNlist(nlist, shapedIndex))
     graft.operators.SimOps.incrementalAssignOn(s, cells, centroids,
       shaped(incoming), nprobe, k)
   }
