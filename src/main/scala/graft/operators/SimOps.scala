@@ -525,6 +525,34 @@ object SimOps extends OpFamily {
     knnIvfOn(s, cells, centroids, col("vec_id") < 10, nprobe = 2, k = 5)
   }
 
+  /** NPROBE SWEEP REPORT — the second IVF tuning knob, measured at the
+    * √n-default nlist ([[ivfNlistReport]] covers the first): recall@5
+    * of the IVF search vs [[knnExact]] for nprobe ∈ {1, 2, 4}. Reading
+    * it: per-query cost is ~nprobe·n/nlist candidates, linear in
+    * nprobe, so this is the recall-per-dollar curve a rollout sets its
+    * probe budget against. One probe routing is computed (rank ≤ 4)
+    * and each row re-ranks within its rank-≤ nprobe prefix — the
+    * engine's per-nprobe searches are equal to prefix-filtering the
+    * widest routing because centroid ranks are deterministic.
+    * Contains [[knnExact]]'s documented instrument bound.
+    */
+  def ivfNprobeReport(s: SparkSession, d: String): DataFrame = {
+    val exactK = knnExact(s, d).select(col("qid"), col("nid"))
+      .localCheckpoint() // joined per nprobe + counted once
+    val nExact = exactK.agg(count(lit(1)).as("n_exact"))
+    val index = lloydCells(s, d, scaledNlist(s, d))
+    Seq(1, 2, 4).map { np =>
+      val hits = knnIvfOn(s, index._1, index._2, col("vec_id") < 10,
+          nprobe = np, k = 5)
+        .select(col("qid"), col("nid"))
+        .join(exactK, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("knn_hits"))
+      hits.crossJoin(broadcast(nExact))
+        .select(lit(np).as("nprobe"), col("knn_hits"), col("n_exact"),
+          expr("knn_hits * 1000 div n_exact").as("recall_permille"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
   /** The IVF probe core over ANY prebuilt (cells, centroids) index:
     * queries = cell rows matching `queryPred`, routed to their `nprobe`
     * nearest centroids, exact cosine rank within probed cells, top-`k`.
@@ -1818,6 +1846,7 @@ object SimOps extends OpFamily {
     "sim_mmr_rerank_ivf" -> (mmrRerankIvf _),
     "sim_recall_report" -> (recallReport _),
     "sim_ivf_nlist_report" -> (ivfNlistReport _),
+    "sim_ivf_nprobe_report" -> (ivfNprobeReport _),
     "sim_top_pairs_sql" -> (topPairsSql _),
     "sim_knn_ivf" -> (knnIvf _),
     "sim_knn_ivf_scaled" -> (knnIvfScaled _),
@@ -2168,6 +2197,48 @@ object SimOps extends OpFamily {
                 AS knn_recall_permille,
               d.lof_n_both, d.lof_max_dev_units, d.lof_sum_dev_units
             FROM hits$x h CROSS JOIN xtot t CROSS JOIN dev$x d)"""
+  }
+
+  /** DuckDB replay of [[ivfNprobeReport]]: the √n Lloyd chain, ONE
+    * rank-≤4 probe routing, per-nprobe prefix re-rank + recall rows.
+    */
+  private val nprobeReportOracleSql: String = {
+    def block(np: Int) =
+      s"""ik_$np AS (SELECT qid, nid FROM (
+              SELECT p.qid, n.vec_id AS nid,
+                row_number() OVER (PARTITION BY p.qid
+                  ORDER BY list_cosine_similarity(q.qv, n.v) DESC,
+                    n.vec_id) AS rank
+              FROM (SELECT qid, cid FROM probes WHERE rn <= $np) p
+              JOIN cells n ON n.cid = p.cid
+              JOIN q ON q.qid = p.qid
+              WHERE n.vec_id <> p.qid) WHERE rank <= 5),
+          hits_$np AS (SELECT CAST(count(*) AS BIGINT) AS knn_hits
+            FROM ik_$np k JOIN xk ON xk.qid = k.qid AND xk.nid = k.nid),
+          row_$np AS (SELECT CAST($np AS INT) AS nprobe, h.knn_hits,
+              t.n_exact, h.knn_hits * 1000 // t.n_exact
+                AS recall_permille
+            FROM hits_$np h CROSS JOIN xtot t)"""
+    s"""WITH ${lloydCtesSeed(sqrtSeedSql)},
+          q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+          xk AS (SELECT qid, nid FROM (
+              SELECT q.qid, n.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_cosine_similarity(q.qv, n.v) DESC,
+                    n.vec_id) AS rank
+              FROM q CROSS JOIN v n WHERE n.vec_id <> q.qid)
+            WHERE rank <= 5),
+          xtot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM xk),
+          probes AS (SELECT qid, cid, rn FROM (
+              SELECT c2.vec_id AS qid, c.cid,
+                row_number() OVER (PARTITION BY c2.vec_id
+                  ORDER BY list_cosine_similarity(c2.v, c.centroid) DESC,
+                    c.cid) AS rn
+              FROM (SELECT vec_id, v FROM cells WHERE vec_id < 10) c2
+              CROSS JOIN c3 c) WHERE rn <= 4),
+          ${Seq(1, 2, 4).map(block).mkString(",\n          ")}
+        SELECT * FROM row_1 UNION ALL SELECT * FROM row_2
+        UNION ALL SELECT * FROM row_4 ORDER BY nprobe"""
   }
 
   /** DuckDB replay of [[ivfNlistReport]]: exact top-5 + exact
@@ -2698,6 +2769,7 @@ object SimOps extends OpFamily {
     "sim_knn_ivf_scaled" -> ivfOracleSeeded(sqrtSeedSql),
     "sim_lof_ivf_scaled" -> materializeCtes(lofIvfOracleSeeded(sqrtSeedSql)),
     "sim_ivf_nlist_report" -> materializeCtes(nlistReportOracleSql),
+    "sim_ivf_nprobe_report" -> materializeCtes(nprobeReportOracleSql),
     // r14 replay-cost fix: the 5 sequential MMR steps each re-reference
     // `p`/`cand` (behind the Lloyd chain) — plain-CTE inlining
     // re-evaluated the chain per step (312 s at sf0.1); materialized it

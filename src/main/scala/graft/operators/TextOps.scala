@@ -257,6 +257,62 @@ object TextOps extends OpFamily {
       .orderBy(col("lang"))
   }
 
+  /** BPE HOLDOUT GENERALIZATION REPORT — the tokenizer-eval instrument
+    * [[bpeApplyStats]] cannot be (its vocab is closed over the corpus it
+    * learned from): merges learn on the EVEN doc_ids and tokenize the
+    * ODD docs, so unseen words exist and the merge table must
+    * GENERALIZE — BPE's defining property. Unseen words are NOT
+    * char-fallback'd: the learned merges apply to them exactly as a
+    * real tokenizer would (the transfer-apply fold runs on the
+    * holdout's DISTINCT-word vocab — still corpus-size-independent).
+    * Per-lang: (n_docs, n_words, n_unseen_words, n_chars,
+    * n_bpe_tokens, oov_permille, compression_permille) — oov tells you
+    * whether the train split covers the lang's lexicon; holdout
+    * compression vs [[bpeApplyStats]]' in-sample compression is the
+    * generalization gap. Fully oracle-checked: DuckDB replays the 8
+    * learning rounds on the train vocab AND 8 transfer-apply rounds on
+    * the holdout vocab (the same run-parity machinery, merge source
+    * swapped to the train side).
+    */
+  def bpeHoldout(s: SparkSession, d: String): DataFrame =
+    bpeHoldoutOn(s, Tables.documents(s, d))
+
+  /** The split/learn/transfer-apply core over any (doc_id, lang, text)
+    * frame — even ids train, odd ids hold out. */
+  private[graft] def bpeHoldoutOn(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val holdout = docs.filter(col("doc_id") % 2 === 1)
+    val (mergesDf, trainVocab) = bpeLearnOn(s,
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(toks.as("w")).select(explode(col("w")).as("word")), k = 8)
+    // the k-row merge table is a bounded driver artifact (k = 8)
+    val merges = mergesDf.collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val hlex = bpeApplyOn(
+      holdout.select(explode(expr(
+          "filter(split(text, ' '), w -> length(w) >= 1)")).as("word"))
+        .distinct(), "word", merges)
+      .select(col("word"), col("n_bpe_tokens").cast("long").as("n_tok"))
+    val tseen = trainVocab
+      .select(concat_ws("", col("s")).as("word"), lit(1).as("seen"))
+    holdout.select(col("doc_id"), col("lang"), explode(expr(
+        "filter(split(text, ' '), w -> length(w) >= 1)")).as("word"))
+      .join(broadcast(hlex), Seq("word"))
+      .join(broadcast(tseen), Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        coalesce(sum(when(col("seen").isNull, 1L)), lit(0L))
+          .as("n_unseen_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+      .withColumn("oov_permille",
+        expr("n_unseen_words * 1000 div n_words"))
+      .withColumn("compression_permille",
+        expr("n_bpe_tokens * 1000 div n_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** One BPE learning round as DuckDB CTEs (the [[bpeApplyStats]]
     * replay): pair counts over the vocab state, the (n DESC, pa, pb)
     * argmax, match positions, run-parity greedy selection (within each
@@ -265,6 +321,32 @@ object TextOps extends OpFamily {
     * CTEs get AS MATERIALIZED by the caller — 8 rounds × 3 back-refs
     * would otherwise inline 3⁸ plan copies (the r13 lesson).
     */
+  /** Apply ONE fixed merge (the 1-row CTE `mg`) to every word of vocab
+    * state `prev` → state `next`: match positions, run-parity greedy
+    * selection, list rebuild. Shared by the learning rounds (mg = the
+    * round's own argmax) and the holdout TRANSFER-apply rounds (mg =
+    * the train-side merge — BPE's generalization to unseen words).
+    */
+  private def bpeApplyCte(prev: String, next: String, mg: String): String =
+    s"""m_$next AS (SELECT v.w, t.i AS p
+         FROM $prev v, unnest(range(1, len(v.s))) AS t(i), $mg g
+         WHERE v.s[i] = g.pa AND v.s[i + 1] = g.pb),
+       k_$next AS (SELECT w, p FROM (
+           SELECT w, p, min(p) OVER (PARTITION BY w, g) AS rs
+           FROM (SELECT w, p, p - row_number()
+               OVER (PARTITION BY w ORDER BY p) AS g FROM m_$next))
+         WHERE (p - rs) % 2 = 0),
+       $next AS (SELECT x.w, any_value(x.cnt) AS cnt,
+           list(CASE WHEN k.p IS NOT NULL THEN x.sym || x.nxt
+                ELSE x.sym END ORDER BY x.q) AS s
+         FROM (SELECT v.w, v.cnt, t.i AS q, v.s[i] AS sym,
+                 v.s[i + 1] AS nxt
+               FROM $prev v, unnest(range(1, len(v.s) + 1)) AS t(i)) x
+         LEFT JOIN k_$next k ON k.w = x.w AND k.p = x.q
+         LEFT JOIN k_$next kp ON kp.w = x.w AND kp.p = x.q - 1
+         WHERE kp.p IS NULL
+         GROUP BY x.w)"""
+
   private def bpeRoundCte(r: Int): String = {
     val p = s"v${r - 1}"
     s"""pc$r AS (SELECT s[i] AS pa, s[i + 1] AS pb,
@@ -272,24 +354,7 @@ object TextOps extends OpFamily {
          FROM $p, unnest(range(1, len(s))) AS t(i)
          WHERE len(s) >= 2 GROUP BY pa, pb),
        mg$r AS (SELECT pa, pb FROM pc$r ORDER BY n DESC, pa, pb LIMIT 1),
-       m$r AS (SELECT v.w, t.i AS p
-         FROM $p v, unnest(range(1, len(v.s))) AS t(i), mg$r g
-         WHERE v.s[i] = g.pa AND v.s[i + 1] = g.pb),
-       k$r AS (SELECT w, p FROM (
-           SELECT w, p, min(p) OVER (PARTITION BY w, g) AS rs
-           FROM (SELECT w, p, p - row_number()
-               OVER (PARTITION BY w ORDER BY p) AS g FROM m$r))
-         WHERE (p - rs) % 2 = 0),
-       v$r AS (SELECT x.w, any_value(x.cnt) AS cnt,
-           list(CASE WHEN k.p IS NOT NULL THEN x.sym || x.nxt
-                ELSE x.sym END ORDER BY x.q) AS s
-         FROM (SELECT v.w, v.cnt, t.i AS q, v.s[i] AS sym,
-                 v.s[i + 1] AS nxt
-               FROM $p v, unnest(range(1, len(v.s) + 1)) AS t(i)) x
-         LEFT JOIN k$r k ON k.w = x.w AND k.p = x.q
-         LEFT JOIN k$r kp ON kp.w = x.w AND kp.p = x.q - 1
-         WHERE kp.p IS NULL
-         GROUP BY x.w)"""
+       ${bpeApplyCte(p, s"v$r", s"mg$r")}"""
   }
 
   private[graft] def bpeApplyOracleSql: String = SimOps.materializeCtes(
@@ -310,6 +375,40 @@ object TextOps extends OpFamily {
            CAST(sum(l.n_tok) AS BIGINT) AS n_bpe_tokens
          FROM dw JOIN lex l ON l.word = dw.word GROUP BY dw.lang)
        SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens,
+         n_bpe_tokens * 1000 // n_chars AS compression_permille
+       FROM agg ORDER BY lang""")
+
+  private[graft] def bpeHoldoutOracleSql: String = SimOps.materializeCtes(
+    s"""WITH v0 AS (SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt,
+           list_transform(range(1, length(word) + 1), i -> word[i]) AS s
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id % 2 = 0)
+         WHERE length(word) >= 1 GROUP BY word),
+       ${(1 to 8).map(bpeRoundCte).mkString(",\n       ")},
+       h0 AS (SELECT word AS w, CAST(1 AS BIGINT) AS cnt,
+           list_transform(range(1, length(word) + 1), i -> word[i]) AS s
+         FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id % 2 = 1)
+         WHERE length(word) >= 1),
+       ${(1 to 8).map(r => bpeApplyCte(s"h${r - 1}", s"h$r", s"mg$r"))
+        .mkString(",\n       ")},
+       hlex AS (SELECT w AS word, CAST(len(s) AS BIGINT) AS n_tok FROM h8),
+       tseen AS (SELECT w AS word FROM v8),
+       dw AS (SELECT d.doc_id, d.lang, t.word
+         FROM documents d, unnest(string_split(d.text, ' ')) AS t(word)
+         WHERE d.doc_id % 2 = 1 AND length(t.word) >= 1),
+       agg AS (SELECT dw.lang,
+           CAST(count(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(coalesce(sum(CASE WHEN ts.word IS NULL THEN 1 END), 0)
+             AS BIGINT) AS n_unseen_words,
+           CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+           CAST(sum(h.n_tok) AS BIGINT) AS n_bpe_tokens
+         FROM dw JOIN hlex h ON h.word = dw.word
+         LEFT JOIN tseen ts ON ts.word = dw.word
+         GROUP BY dw.lang)
+       SELECT lang, n_docs, n_words, n_unseen_words, n_chars,
+         n_bpe_tokens, n_unseen_words * 1000 // n_words AS oov_permille,
          n_bpe_tokens * 1000 // n_chars AS compression_permille
        FROM agg ORDER BY lang""")
 
@@ -1192,6 +1291,7 @@ object TextOps extends OpFamily {
     "text_langid_confusion" -> (langIdConfusion _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_apply" -> (bpeApplyStats _),
+    "text_bpe_holdout" -> (bpeHoldout _),
     "text_doc_perplexity" -> (docPerplexity _),
     "text_quality" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
@@ -1226,6 +1326,7 @@ object TextOps extends OpFamily {
 
   val oracle = Map(
     "text_bpe_apply" -> bpeApplyOracleSql,
+    "text_bpe_holdout" -> bpeHoldoutOracleSql,
     "text_doc_perplexity" ->
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
              FROM documents),

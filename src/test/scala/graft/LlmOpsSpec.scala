@@ -688,6 +688,56 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfNprobeReport: recall monotone in nprobe; nprobe=2 row equals " +
+      "the scaled-query overlap") {
+    val rows = SimOps.ivfNprobeReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4))
+    // more probed cells can only widen the candidate set → recall is
+    // monotone non-decreasing in nprobe
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 >= lo._2, s"recall dropped with more probes: $lo -> $hi")
+    }
+    // independent replay: sim_knn_ivf_scaled IS (√n nlist, nprobe=2, k=5)
+    val exact = SimOps.knnExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want2 = SimOps.knnIvfScaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).count(exact.contains).toLong
+    assert(rows.find(_._1 == 2).get._2 === want2)
+    rows.foreach { case (_, hits, nEx, rec) =>
+      assert(hits <= nEx && rec >= 0 && rec <= 1000)
+      assert(nEx === exact.size.toLong)
+    }
+  }
+
+  test("bpeHoldout: unseen words get the learned merges applied, seen " +
+      "words tokenize exactly as in the train vocab") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // train (even ids) words: hug×4, pun, bun. Merge derivation by hand:
+    // r1 pairs (h,u):4 (u,g):4 (u,n):2 (p,u):1 (b,u):1 → tie → lex →
+    // (h,u); r2 (hu,g):4; r3 (u,n):2; r4 tie@1 → (b,un); r5 (p,un);
+    // r6 no pairs → learning stops at 5 merges (k=8 requested — the
+    // empty-argmax early stop, mirrored by empty mg CTEs in the oracle)
+    val docs = Seq(
+      (0L, "en", "hug hug hug pun"),
+      (2L, "en", "hug bun"),
+      (1L, "en", "hug hugs gug"),
+      (3L, "en", "pun zz")).toDF("doc_id", "lang", "text")
+    val got = TextOps.bpeHoldoutOn(spark, docs).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(1) === 2L) // n_docs
+    assert(r.getLong(2) === 5L) // words: hug hugs gug pun zz
+    // unseen: hugs, gug, zz (hug and pun are in the train vocab)
+    assert(r.getLong(3) === 3L)
+    assert(r.getLong(4) === 15L) // chars: 3+4+3+3+2
+    // transfer-apply: hug→[hug]=1, hugs→[hug,s]=2 (UNSEEN word
+    // compressed by the learned merges — not char fallback), gug→3
+    // ((u,g) was never learned; (h,u) won its tie), pun→[pun]=1, zz→2
+    assert(r.getLong(5) === 9L)
+  }
+
   test("docPerplexity: hand-computed micro-nat units on a two-doc corpus") {
     import spark.implicits._
     import graft.operators.TextOps
