@@ -1083,6 +1083,32 @@ object Graft {
       nprobe, k)
   }
 
+  /** IVF RECALL SWEEP on YOUR corpus — the sizing instrument behind the
+    * ⌈√n⌉ default: for each candidate `nlist`, Lloyd-build an index and
+    * measure top-`k` recall vs the exact search for the `queryPred`
+    * batch. `nlists` empty (default) sweeps {⌈√n⌉/2, ⌈√n⌉, 2⌈√n⌉} —
+    * bracketing the policy, so the output directly answers "is √n on
+    * the flat part of MY corpus's recall curve". Per-query search cost
+    * is ~nprobe·n/nlist candidates; pick the largest nlist whose recall
+    * still meets the application floor. Ids must be DENSE from 0.
+    * Returns (nlist, knn_hits, n_exact, recall_permille).
+    */
+  def ivfRecallSweep(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, nlists: Seq[Int] = Nil, nprobe: Int = 2,
+      k: Int = 5): DataFrame = {
+    val s = df.sparkSession
+    val shaped = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val swept =
+      if (nlists.nonEmpty) nlists
+      else {
+        val r = graft.operators.SimOps.sqrtNlist(shaped.count())
+        Seq(math.max(1, r / 2), r, 2 * r).distinct
+      }
+    graft.operators.SimOps.ivfRecallSweepOn(s, shaped, queryPred, swept,
+      nprobe, k)
+  }
+
   /** [[lofOutliers]] on the IVF shortlist — the 100 TB LOF path: every
     * point's candidate neighborhood comes from its `nprobe` nearest
     * k-means cells instead of the full corpus, and the downstream LOF

@@ -553,6 +553,42 @@ object SimOps extends OpFamily {
     }.reduce(_ unionByName _).orderBy(col("nprobe"))
   }
 
+  /** The generic recall sweep behind [[graft.api.Graft.ivfRecallSweep]]:
+    * exact top-k once for the query batch, then one Lloyd index + IVF
+    * search per candidate nlist, each scored against it. `e0` must be
+    * (vec_id, v: array&lt;double&gt;) with dense ids (Lloyd seeding).
+    */
+  private[graft] def ivfRecallSweepOn(s: SparkSession, e0: DataFrame,
+      queryPred: org.apache.spark.sql.Column, nlists: Seq[Int],
+      nprobe: Int, k: Int): DataFrame = {
+    require(nlists.nonEmpty, "ivfRecallSweep needs at least one nlist")
+    val e = withNorm(s, e0, "v", "vn")
+      .localCheckpoint() // consumed by the exact pass + every index build
+    val q = e.filter(queryPred).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("vn").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
+    val exact = e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("vn").as("nn"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosPair(s, "qv", "qn", "nv", "nn"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"))
+      .localCheckpoint() // joined per nlist + counted once
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    nlists.map { nl =>
+      val (cells, centroids) = lloydCellsOn(s, e0, nl)
+      val hits = knnIvfOn(s, cells, centroids, queryPred, nprobe, k)
+        .select(col("qid"), col("nid"))
+        .join(exact, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("knn_hits"))
+      hits.crossJoin(broadcast(nExact))
+        .select(lit(nl).as("nlist"), col("knn_hits"), col("n_exact"),
+          expr("knn_hits * 1000 div n_exact").as("recall_permille"))
+    }.reduce(_ unionByName _).orderBy(col("nlist"))
+  }
+
   /** The IVF probe core over ANY prebuilt (cells, centroids) index:
     * queries = cell rows matching `queryPred`, routed to their `nprobe`
     * nearest centroids, exact cosine rank within probed cells, top-`k`.

@@ -710,6 +710,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Graft.ivfRecallSweep: explicit nlists reproduce the registered " +
+      "nlist report's knn columns; default sweep brackets sqrt(n)") {
+    val emb = Tables.embeddings(spark, sf)
+    val swept = graft.api.Graft.ivfRecallSweep(emb, "vec_id", "embedding",
+        col("vec_id") < 10, nlists = Seq(10, 20, 40))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val report = SimOps.ivfNlistReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(swept.toSeq === report.toSeq)
+    // default sweep: {⌈√500⌉/2, ⌈√500⌉, 2⌈√500⌉} = {11, 23, 46}
+    val dflt = graft.api.Graft.ivfRecallSweep(emb, "vec_id", "embedding",
+      col("vec_id") < 10).collect().map(_.getInt(0))
+    assert(dflt.toSeq === Seq(11, 23, 46))
+  }
+
   test("bpeHoldout: unseen words get the learned merges applied, seen " +
       "words tokenize exactly as in the train vocab") {
     import spark.implicits._
