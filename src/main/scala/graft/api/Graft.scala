@@ -783,6 +783,19 @@ object Graft {
         col(text).as("text")))
       .drop("lang").withColumnRenamed("doc_id", id)
 
+  /** Quality filter FUNNEL over any (id, text) corpus: the ordered
+    * rule chain (too_short → low_diversity → token_dominance →
+    * low_fluency) with first-failing-rule attribution — per rule
+    * (rule_rank, rule, n_failed, n_remaining), so the rows answer
+    * "which gate costs how much corpus" without double counting.
+    * Every comparison runs in exact integers; the fluency rule is the
+    * [[bigramPerplexity]] LM at 3.45 nats.
+    */
+  def qualityFunnel(df: DataFrame, id: String, text: String): DataFrame =
+    graft.operators.TextOps.qualityFunnelOn(df.sparkSession,
+      df.select(col(id).as("doc_id"), lit("").as("lang"),
+        col(text).as("text")))
+
   /** Dedup THRESHOLD SENSITIVITY sweep over any scored near-dup pair
     * frame (`aCol`, `bCol`, `simCol` in [0,1]) and a doc frame for
     * token accounting: one row per τ (per-mille) with the pair count

@@ -892,6 +892,72 @@ object TextOps extends OpFamily {
         col("nll_units").cast("double") / col("n_bigrams") / 1e6)
   }
 
+  /** QUALITY FILTER FUNNEL — the curation ACCOUNTING deliverable the
+    * per-signal scorers ([[tokenStats]], [[docPerplexity]], ...) feed:
+    * an ordered rule chain with FIRST-FAILING-RULE attribution (a doc
+    * failing rules 2 and 4 is billed to rule 2 — the standard funnel
+    * semantics, so the rows answer "which gate costs me how much
+    * corpus" without double counting). Rules, cheap → expensive, every
+    * comparison in exact integers (never a float threshold that could
+    * ulp-flip between engines):
+    *   1 too_short        n_tokens < 15
+    *   2 low_diversity    1000·n_distinct < 310·n_tokens
+    *   3 token_dominance  1000·max_token_count > 200·n_tokens
+    *   4 low_fluency      nll_units > 3 450 000·n_bigrams
+    *                      (bigram xent > 3.45 nats under the corpus LM
+    *                      — the [[docPerplexity]] machinery; docs with
+    *                      no bigram row pass, they were rule-1 fodder)
+    * Output: (rule_rank, rule, n_failed, n_remaining) — n_remaining
+    * after the last row is the kept corpus. Engine shape: one token
+    * pass → per-doc counts, the bigram LM pass, a 4-row rules frame;
+    * the cumulative sum runs as the bounded broadcast theta join
+    * (never a global window). Thresholds are calibrated to this
+    * corpus's measured p5/p95 bands (BASELINE §r15) so every rule
+    * fires — the funnel is an instrument, not a tautology.
+    */
+  def qualityFunnel(s: SparkSession, d: String): DataFrame =
+    qualityFunnelOn(s, Tables.documents(s, d))
+
+  private[graft] def qualityFunnelOn(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val perDoc = docs.select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_dist"),
+        max(col("c")).as("mx"))
+    val flags = perDoc
+      .join(docPerplexityOn(docs)
+        .select(col("doc_id"), col("n_bigrams"), col("nll_units")),
+        Seq("doc_id"), "left")
+      .select(expr("""CASE WHEN n_tok < 15 THEN 1
+          WHEN n_dist * 1000 < 310 * n_tok THEN 2
+          WHEN mx * 1000 > 200 * n_tok THEN 3
+          WHEN nll_units IS NOT NULL
+            AND nll_units > 3450000 * n_bigrams THEN 4
+          ELSE 0 END AS first_fail"""))
+      .localCheckpoint() // two consumers: per-rule counts + the total
+    val byRule = flags.groupBy(col("first_fail")).agg(count(lit(1)).as("n"))
+    val rb = Seq((1, "too_short"), (2, "low_diversity"),
+        (3, "token_dominance"), (4, "low_fluency"))
+      .toDF("rule_rank", "rule")
+      .join(byRule.withColumnRenamed("first_fail", "rule_rank"),
+        Seq("rule_rank"), "left")
+      .select(col("rule_rank"), col("rule"),
+        coalesce(col("n"), lit(0L)).as("n_failed"))
+      .localCheckpoint() // both sides of the 4-row cumulative theta join
+    val tot = flags.agg(count(lit(1)).as("t_docs"))
+    rb.as("a")
+      .join(broadcast(rb.select(col("rule_rank").as("brank"),
+        col("n_failed").as("bn"))), col("brank") <= col("rule_rank"))
+      .groupBy(col("rule_rank"), col("rule"), col("n_failed"))
+      .agg(sum(col("bn")).as("cumfail"))
+      .crossJoin(broadcast(tot))
+      .select(col("rule_rank"), col("rule"), col("n_failed"),
+        (col("t_docs") - col("cumfail")).as("n_remaining"))
+      .orderBy(col("rule_rank"))
+  }
+
   def unigramXent(s: SparkSession, d: String): DataFrame =
     unigramXentOn(Tables.documents(s, d))
       .orderBy(desc("xent_nats"), col("doc_id"))
@@ -1293,6 +1359,7 @@ object TextOps extends OpFamily {
     "text_bpe_apply" -> (bpeApplyStats _),
     "text_bpe_holdout" -> (bpeHoldout _),
     "text_doc_perplexity" -> (docPerplexity _),
+    "text_quality_funnel" -> (qualityFunnel _),
     "text_quality" -> (qualityScore _),
     "text_fingerprint" -> (fingerprint _),
     "text_rarity" -> (rarityScore _),
@@ -1327,6 +1394,53 @@ object TextOps extends OpFamily {
   val oracle = Map(
     "text_bpe_apply" -> bpeApplyOracleSql,
     "text_bpe_holdout" -> bpeHoldoutOracleSql,
+    "text_quality_funnel" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+         c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+           FROM t GROUP BY doc_id, w),
+         m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+             CAST(count(*) AS BIGINT) AS n_dist,
+             CAST(max(c) AS BIGINT) AS mx
+           FROM c GROUP BY doc_id),
+         w2 AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         bg AS (SELECT doc_id, w[i] AS pa, w[i + 1] AS pb
+           FROM w2, unnest(range(1, len(w))) AS t(i)
+           WHERE len(w) >= 2),
+         nab AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS nab
+           FROM bg GROUP BY pa, pb),
+         na AS (SELECT pa, CAST(count(*) AS BIGINT) AS na
+           FROM bg GROUP BY pa),
+         lm AS (SELECT pa, pb,
+             CAST(floor(ln(CAST(na AS DOUBLE) / CAST(nab AS DOUBLE))
+               * 1e6) AS BIGINT) AS qln
+           FROM nab JOIN na USING (pa)),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(qln) AS BIGINT) AS nll_units
+           FROM bg JOIN lm USING (pa, pb) GROUP BY doc_id),
+         f AS (SELECT CASE WHEN m.n_tok < 15 THEN 1
+               WHEN m.n_dist * 1000 < 310 * m.n_tok THEN 2
+               WHEN m.mx * 1000 > 200 * m.n_tok THEN 3
+               WHEN sc.nll_units IS NOT NULL
+                 AND sc.nll_units > 3450000 * sc.n_bigrams THEN 4
+               ELSE 0 END AS first_fail
+           FROM m LEFT JOIN sc ON sc.doc_id = m.doc_id),
+         br AS (SELECT first_fail, CAST(count(*) AS BIGINT) AS n
+           FROM f GROUP BY first_fail),
+         rules(rule_rank, rule) AS (VALUES (1, 'too_short'),
+           (2, 'low_diversity'), (3, 'token_dominance'),
+           (4, 'low_fluency')),
+         rb AS (SELECT r.rule_rank, r.rule,
+             CAST(coalesce(b.n, 0) AS BIGINT) AS n_failed
+           FROM rules r LEFT JOIN br b ON b.first_fail = r.rule_rank),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS t_docs FROM f)
+         SELECT a.rule_rank, a.rule, a.n_failed,
+           CAST(t.t_docs - sum(b.n_failed) AS BIGINT) AS n_remaining
+         FROM rb a JOIN rb b ON b.rule_rank <= a.rule_rank
+         CROSS JOIN tot t
+         GROUP BY a.rule_rank, a.rule, a.n_failed, t.t_docs
+         ORDER BY a.rule_rank""",
     "text_doc_perplexity" ->
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
              FROM documents),

@@ -754,6 +754,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) === 9L)
   }
 
+  test("qualityFunnel: first-fail attribution on a hand corpus, one doc " +
+      "per rule, overlap billed to the earlier rule") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "en", "a b c"), // 3 tokens → rule 1
+      // 20 tokens, 4 distinct (ALSO dominance-failing → must bill rule 2)
+      (2L, "en", (Seq.fill(17)("x") ++ Seq("y", "z", "w")).mkString(" ")),
+      // 20 tokens, 16 distinct, 'm'×5 → share 25% → rule 3
+      (3L, "en", (Seq.fill(5)("m") ++
+        "a b c d e f g h i j k l n o p".split(" ")).mkString(" ")),
+      // two disjoint-vocab normal docs → every bigram unique → xent 0
+      (4L, "en", (1 to 20).map(i => s"d$i").mkString(" ")),
+      (5L, "en", (1 to 20).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.qualityFunnelOn(spark, docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "too_short", 1L, 4L),
+      (2, "low_diversity", 1L, 3L),
+      (3, "token_dominance", 1L, 2L),
+      (4, "low_fluency", 0L, 2L)))
+    // fixture invariants: remaining monotone, total conserved
+    val fix = TextOps.qualityFunnel(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    fix.map(_._2).sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+  }
+
   test("docPerplexity: hand-computed micro-nat units on a two-doc corpus") {
     import spark.implicits._
     import graft.operators.TextOps
