@@ -754,6 +754,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) === 9L)
   }
 
+  test("ivfRecallSweep completeness invariant: nprobe >= nlist probes " +
+      "every cell, so recall is exactly 1000 permille") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.api.Graft.ivfRecallSweep(emb, "vec_id", "embedding",
+        col("vec_id") < 10, nlists = Seq(5, 10), nprobe = 10, k = 5)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"nlist=${r.getInt(0)}: ${r.getLong(1)} of ${r.getLong(2)} hits")
+      assert(r.getLong(3) === 1000L)
+    }
+  }
+
+  test("thresholdReportOn equals a driver union-find replay on a seeded " +
+      "random scored pair set") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val rng = new scala.util.Random(13)
+    val pairs = Seq.fill(120)((rng.nextInt(40).toLong,
+        rng.nextInt(40).toLong, rng.nextDouble()))
+      .filter(p => p._1 != p._2)
+    val toks = (0L until 40L).map(i => (i, i % 7 + 1))
+    val got = DedupOps.thresholdReportOn(
+        pairs.toDF("a", "b", "jaccard"),
+        toks.toDF("doc_id", "n_tok"), Seq(250, 500, 750))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val tokMap = toks.toMap
+    Seq(250, 500, 750).foreach { tau =>
+      val p = pairs.filter(_._3 >= tau / 1000.0)
+      val nodes = p.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(
+        nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      p.foreach { case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val byRoot = nodes.groupBy(find)
+      val dropped = byRoot.values.flatMap(m => m.filter(_ != m.min)).toSeq
+      val want = (p.size.toLong, nodes.size.toLong, byRoot.size.toLong,
+        dropped.size.toLong, dropped.map(tokMap).sum)
+      assert(got(tau) === want, s"tau=$tau")
+    }
+  }
+
   test("qualityFunnel: first-fail attribution on a hand corpus, one doc " +
       "per rule, overlap billed to the earlier rule") {
     import spark.implicits._
