@@ -30,6 +30,17 @@ object Bench {
       .config(Tables.NanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Self-identifying contention (r15 verdict: a driver run that
+    // overlapped the builder's close gates read 6× on two join anchors
+    // and cost a round of adjudication): sample the 1-minute loadavg
+    // BEFORE any query runs — a load_hint far above ~0 means the box
+    // was already busy and anchors should be re-measured isolated.
+    val loadHint =
+      try {
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")),
+          java.nio.charset.StandardCharsets.UTF_8).split(" ")(0)
+      } catch { case _: Throwable => "-1" }
     // one throwaway job so JVM/codegen warm-up isn't billed to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
     // SPARK_GRAFT_REPS>1 = steady-state mode (min of N reps, amortizing
@@ -94,7 +105,8 @@ object Bench {
     val mode =
       if (reps > 1) "steady"
       else if (builds == 0) "warm_store" else "true_cold"
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","mode":"$mode","n_queries":${results.size},$errPart,$cache,"queries":$qs,"sf":"$sfDir"}"""
+    // reps rides along so a reader knows each query's time is best-of-N
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","mode":"$mode","reps":$reps,"load_hint":$loadHint,"n_queries":${results.size},$errPart,$cache,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for the driver's tail-scrape: also persist the line to a
     // file that survives any stdout wrapping/truncation.

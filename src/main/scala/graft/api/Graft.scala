@@ -806,6 +806,11 @@ object Graft {
     * near-dups unlinked. Pairs are filtered once per τ from the same
     * frame (build the expensive pair table once); each τ runs the
     * O(log d) star-contraction CC on a shrinking subgraph.
+    *
+    * Contract: `docs` should cover every id appearing in `pairs`. Ids
+    * missing from `docs` still count in n_docs_linked / n_clusters /
+    * n_dropped (left join inside) but contribute 0 tokens — they stay
+    * visible in the counts rather than silently vanishing.
     */
   def dedupThresholdReport(pairs: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, aCol: String = "a",
@@ -1129,19 +1134,24 @@ object Graft {
     * candidate-coverage property, measurable against [[lofOutliers]]).
     * `nlist = 0` (default) derives ⌈√n⌉ from the corpus count, which
     * bounds per-point candidates at ~nprobe·√n. Ids must be DENSE from
-    * 0; frame shape (vec_id, label, embedding) like [[lofOutliers]].
+    * 0; `idCol`/`vecCol`/`labelCol` name the id, embedding and label
+    * columns (defaults match the fixture's (vec_id, label, embedding)
+    * shape) — the session derives from the frame, for parity with
+    * [[knnIvf]]/[[semanticDedup]]/[[ivfRecallSweep]] (r15 advice).
     * Returns top-`topN` (vec_id, label, k_dist, lrd_units, lof).
     */
-  def lofIvf(spark: org.apache.spark.sql.SparkSession,
-      embeddings: DataFrame, k: Int = 10, nlist: Int = 0,
-      nprobe: Int = 2, topN: Int = 20): DataFrame = {
-    val shaped = embeddings.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
+  def lofIvf(embeddings: DataFrame, k: Int = 10, nlist: Int = 0,
+      nprobe: Int = 2, topN: Int = 20, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val spark = embeddings.sparkSession
+    val shaped = embeddings.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
     val index = graft.operators.SimOps.lloydCellsOn(spark, shaped,
       resolveNlist(nlist, shaped))
     graft.operators.SimOps.lofIvfCells(spark, index, k, nprobe)
-      .join(embeddings.select(col("vec_id").as("qid"), col("label")),
-        Seq("qid"))
+      .join(embeddings.select(col(idCol).as("qid"),
+        col(labelCol).as("label")), Seq("qid"))
       .selectExpr("qid AS vec_id", "label", "k_dist", "lrd_units", "lof")
       .orderBy(desc_nulls_last("lof"), col("vec_id"))
       .limit(topN)

@@ -776,7 +776,15 @@ object DedupOps extends OpFamily {
 
   /** The sweep core over any (a, b, jaccard) pair frame and a
     * (doc_id, n_tok) token-count frame — also the
-    * [[graft.api.Graft.dedupThresholdReport]] core. */
+    * [[graft.api.Graft.dedupThresholdReport]] core.
+    *
+    * Contract: every doc id appearing in `pairDf` should have a row in
+    * `tokDf`. Ids missing from `tokDf` still COUNT (left join below, so
+    * n_docs_linked/n_clusters/n_dropped see them) but contribute 0 to
+    * tokens_dropped — visible rather than silently vanishing (r15
+    * advice; an inner join here let a caller's under-covering docs frame
+    * shrink the cluster counts while n_pairs still counted the pairs).
+    */
   private[graft] def thresholdReportOn(pairDf: DataFrame, tokDf: DataFrame,
       taus: Seq[Int]): DataFrame = {
     require(taus.nonEmpty, "thresholdReport needs at least one tau")
@@ -789,7 +797,8 @@ object DedupOps extends OpFamily {
       val np = p.agg(count(lit(1)).as("n_pairs"))
       val dropped = when(col("cluster_id") =!= col("doc_id"), true)
       clusterPairsOn(p)
-        .join(toks, Seq("doc_id"))
+        .join(toks, Seq("doc_id"), "left_outer")
+        .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
         .agg(count(lit(1)).as("n_docs_linked"),
           countDistinct(col("cluster_id")).as("n_clusters"),
           coalesce(sum(when(dropped, 1L)), lit(0L)).as("n_dropped"),

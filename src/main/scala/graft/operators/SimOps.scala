@@ -564,6 +564,10 @@ object SimOps extends OpFamily {
     require(nlists.nonEmpty, "ivfRecallSweep needs at least one nlist")
     val e = withNorm(s, e0, "v", "vn")
       .localCheckpoint() // consumed by the exact pass + every index build
+    // every per-nlist Lloyd build reads the checkpointed frame, not the
+    // caller's e0 — otherwise the upstream lineage (an arbitrary user
+    // plan) recomputes once per swept nlist (r15 advice)
+    val eIdx = e.select(col("vec_id"), col("v"))
     val q = e.filter(queryPred).select(col("vec_id").as("qid"),
       col("v").as("qv"), col("vn").as("qn"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
@@ -578,7 +582,7 @@ object SimOps extends OpFamily {
       .localCheckpoint() // joined per nlist + counted once
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     nlists.map { nl =>
-      val (cells, centroids) = lloydCellsOn(s, e0, nl)
+      val (cells, centroids) = lloydCellsOn(s, eIdx, nl)
       val hits = knnIvfOn(s, cells, centroids, queryPred, nprobe, k)
         .select(col("qid"), col("nid"))
         .join(exact, Seq("qid", "nid"))

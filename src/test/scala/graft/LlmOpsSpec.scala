@@ -198,14 +198,21 @@ class LlmOpsSpec extends AnyFunSuite {
   test("Graft.lofIvf public API: pinned nlist equals the registered " +
       "sim_lof_ivf; √n default equals sim_lof_ivf_scaled") {
     val emb = Tables.embeddings(spark, sf)
-    val pinned = graft.api.Graft.lofIvf(spark, emb, nlist = 10)
+    val pinned = graft.api.Graft.lofIvf(emb, nlist = 10)
       .collect().map(_.toSeq)
     assert(pinned.toSeq === SimOps.lofIvf(spark, sf).collect()
       .map(_.toSeq).toSeq)
-    val scaled = graft.api.Graft.lofIvf(spark, emb)
+    val scaled = graft.api.Graft.lofIvf(emb)
       .collect().map(_.toSeq)
     assert(scaled.toSeq === SimOps.lofIvfScaled(spark, sf).collect()
       .map(_.toSeq).toSeq)
+    // column-name parameters (r15 advice): renamed frame, same result
+    val renamed = graft.api.Graft.lofIvf(
+      emb.select(col("vec_id").as("id"), col("label").as("cat"),
+        col("embedding").as("vec")),
+      nlist = 10, idCol = "id", vecCol = "vec", labelCol = "cat")
+      .collect().map(_.toSeq)
+    assert(renamed.toSeq === pinned.toSeq)
   }
 
   test("dedup recall report: control row reads 1000/1000, permilles bounded, " +
