@@ -218,6 +218,91 @@ object Graft {
         col(wCol).as("w")),
       maxHops)
 
+  /** Landmark-approximated HARMONIC centrality over any SYMMETRIC edge
+    * frame (every undirected edge in both directions; `src` must cover
+    * all nodes): (node, harm_units = Σ_landmarks 10⁶ DIV d(l, node),
+    * n_lm = landmarks reaching the node within `maxHops`). Landmarks
+    * are the `nLandmarks` smallest node ids — deterministic, replayable.
+    * The estimator of the full harmonic is harm_units · n / nLandmarks
+    * (uniform-from-V inflation; [[harmonicLandmarkSweep]] measures what
+    * quality each landmark count buys on YOUR graph). `nLandmarks` and
+    * `maxHops` are THE accuracy/cost knobs at scale — the engine packs
+    * landmarks into one 64-bit BFS bitmask, so frontier traffic is
+    * |nodes|-sized for any count up to 64 and cost is O(maxHops·|E|).
+    * Defaults = the registered graph_harmonic fixture constants.
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst",
+      nLandmarks: Int = graft.operators.GraphOps.HarmonicLandmarks,
+      maxHops: Int = graft.operators.GraphOps.HarmonicMaxHops): DataFrame =
+    graft.operators.GraphOps.harmonicFrom(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      nLandmarks, maxHops)
+
+  /** Landmark-approximated BETWEENNESS centrality (Brandes–Pich pivot
+    * sampling, hop-bounded) over any SYMMETRIC edge frame: (node,
+    * betw_units = Σ_landmark-sources δ in micro-units, betw_est_units =
+    * the n/L-inflated unbiased estimate of the full hop-bounded
+    * betweenness). Landmark sources are the `nLandmarks` smallest node
+    * ids; `maxDepth` bounds path length (k-bounded betweenness — also
+    * what keeps σ·(10⁶+δ) inside long range). Cost is
+    * O(nLandmarks · maxDepth · |E|) — 2·depth bounded join rounds, no
+    * node² state; [[betweennessLandmarkSweep]] measures the
+    * landmark-count/quality tradeoff. Defaults = the registered
+    * graph_betweenness fixture constants.
+    */
+  def betweennessCentrality(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst",
+      nLandmarks: Int = graft.operators.GraphOps.BetwLandmarks,
+      maxDepth: Int = graft.operators.GraphOps.BetwMaxDepth): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val n = e.select(col("src")).distinct().agg(
+      count(lit(1)).as("n_nodes"))
+    require(nLandmarks >= 1, s"nLandmarks must be >= 1: $nLandmarks")
+    graft.operators.GraphOps.betweennessFrom(e, nLandmarks, maxDepth)
+      .crossJoin(broadcast(n))
+      .select(col("node"), col("betw_units"),
+        expr(s"(betw_units * n_nodes) DIV least($nLandmarks, n_nodes)")
+          .as("betw_est_units"))
+  }
+
+  /** ESTIMATE-vs-EXACT landmark sweep for [[betweennessCentrality]] on
+    * YOUR graph: one all-sources Brandes pass (the exact hop-bounded
+    * baseline — O(n·m), run it on a bounded slice of the graph), read
+    * back per landmark count L ∈ `ls`. One row per L: (n_landmarks,
+    * n_nodes, top20_overlap, err_units_top20, exact_units_top20,
+    * err_permille) — pick the smallest L whose error meets your floor.
+    */
+  def betweennessLandmarkSweep(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst",
+      ls: Seq[Int] = graft.operators.GraphOps.SweepLandmarks,
+      maxDepth: Int = graft.operators.GraphOps.BetwMaxDepth): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    val deltas = graft.operators.GraphOps.brandesDeltas(e,
+      nodes.select(col("node").as("lm")), maxDepth)
+      .select(col("lm"), col("node"), col("du").as("cu"))
+    graft.operators.GraphOps.landmarkReportFrom(deltas, nodes, ls)
+  }
+
+  /** [[betweennessLandmarkSweep]]'s harmonic twin: exact all-sources
+    * hop-bounded harmonic vs the L-landmark estimate, from one
+    * multi-source BFS pass. Same report shape and reading.
+    */
+  def harmonicLandmarkSweep(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst",
+      ls: Seq[Int] = graft.operators.GraphOps.SweepLandmarks,
+      maxHops: Int = graft.operators.GraphOps.HarmonicMaxHops): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    val contrib = graft.operators.GraphOps.bfsDistancesFrom(e,
+      nodes.select(col("node").as("lm")), maxHops)
+      .select(col("lm"), col("node"), expr("1000000L DIV dist").as("cu"))
+    graft.operators.GraphOps.landmarkReportFrom(contrib, nodes, ls)
+  }
+
   // ----------------------------------------------------------- similarity
 
   /** Exact top-k cosine neighbors of `queries` (id + float/double array

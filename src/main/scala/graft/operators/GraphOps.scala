@@ -1117,6 +1117,22 @@ object GraphOps extends OpFamily {
     val lms = edges.select(col("src").as("node")).distinct()
       .orderBy(col("node")).limit(nLandmarks)
       .select(col("node").as("lm"))
+    brandesDeltas(edges, lms, depth)
+      .groupBy(col("node"))
+      .agg(sum(col("du")).as("betw_units"))
+  }
+
+  /** Per-source Brandes dependencies over any symmetric edge frame and
+    * any source frame `lms` (one `lm` column): (lm, node, du) rows in
+    * micro-units, one per (source, interior node) with node on ≥1
+    * counted shortest path from lm — the un-summed inner state of
+    * [[betweennessFrom]], exposed so the landmark sweep can aggregate
+    * the SAME pass per landmark-count knob (and, with lms = all nodes,
+    * read the exact hop-bounded betweenness from the identical rows).
+    * `edges` must already be materialized (checkpointed) by the caller.
+    */
+  private[graft] def brandesDeltas(edges: DataFrame, lms: DataFrame,
+      depth: Int): DataFrame = {
     // forward pass: levels(h) = (lm, node, sigma) of nodes FIRST reached
     // at hop h from lm, σ = number of shortest lm→node paths (sum of
     // predecessor σ — correct exactly because the anti-join restricts to
@@ -1161,15 +1177,179 @@ object GraphOps extends OpFamily {
         .select(col("lm"), col("node"), coalesce(col("du"), lit(0L)).as("du"))
       (h - 1, delta)
     }.toMap
-    // betweenness = δ summed over sources, interior levels 1..depth−1
-    // only: level 0 is the source (excluded by Brandes' definition) and
-    // horizon-level δ is identically 0 under the hop bound. A node can
-    // be interior for one source and horizon for another — each source's
-    // row set is keyed (lm, node) at that source's unique level
+    // interior levels 1..depth−1 only: level 0 is the source (excluded
+    // by Brandes' definition) and horizon-level δ is identically 0 under
+    // the hop bound. A node can be interior for one source and horizon
+    // for another — each source's row set is keyed (lm, node) at that
+    // source's unique level
     (1 until depth).map(inner).reduceOption(_ unionByName _)
       .getOrElse(delta.limit(0))
-      .groupBy(col("node"))
-      .agg(sum(col("du")).as("betw_units"))
+  }
+
+  /** Multi-source BFS first-reach distances over any symmetric edge
+    * frame: (lm, node, dist ∈ [1, maxHops]) for every node reached from
+    * source lm within the hop bound — the row-encoded sibling of
+    * [[harmonicFrom]]'s 64-landmark bitmask BFS, with no source-count
+    * cap (the landmark sweep runs it with lms = ALL nodes of a bounded
+    * graph to read the exact hop-bounded harmonic baseline). `edges`
+    * must already be materialized (checkpointed) by the caller.
+    */
+  private[graft] def bfsDistancesFrom(edges: DataFrame, lms: DataFrame,
+      maxHops: Int): DataFrame = {
+    var frontier = lms.select(col("lm"), col("lm").as("node"))
+      .localCheckpoint()
+    var seen = frontier
+    var out = Vector.empty[DataFrame]
+    (1 to maxHops).foreach { h =>
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+        .join(seen, Seq("lm", "node"), "left_anti")
+        .localCheckpoint()
+      out = out :+ next.select(col("lm"), col("node"), lit(h).as("dist"))
+      frontier = next
+      seen = seen.unionByName(next)
+    }
+    out.reduce(_ unionByName _)
+  }
+
+  /** The landmark-count grid both sweep instruments report — brackets
+    * the production defaults ([[BetwLandmarks]] = 4,
+    * [[HarmonicLandmarks]] = 8) by 2× in both directions out to 64 (the
+    * bitmask ceiling), so the estimate-quality curve's elbow is visible
+    * in one reading.
+    */
+  private[graft] val SweepLandmarks = Seq(2, 4, 8, 16, 32, 64)
+
+  /** ESTIMATE-vs-EXACT landmark sweep core: given per-source
+    * contributions (lm, node, cu — Brandes δ or inverse-distance units),
+    * report for each landmark count L how well the L-landmark estimate
+    * recovers the exact (all-sources) centrality. One row per L:
+    * (n_landmarks, n_nodes, top20_overlap, err_units_top20,
+    * exact_units_top20, err_permille).
+    *
+    * The whole sweep re-aggregates ONE materialized contribution pass —
+    * landmark sets are NESTED (the L smallest node ids ⊂ the 2L
+    * smallest), so the exact baseline (sum over ALL sources) and every
+    * estimate (sum over rk ≤ L, scaled by n DIV eff where eff =
+    * min(L, n) — the n/L inflation is the unbiased choice under
+    * uniform-from-V source sampling for BOTH estimators, and is what
+    * makes L ≥ n collapse to the exact value bit-for-bit, the property
+    * GraphSpec pins) read the same (lm, node, cu) rows: the
+    * sim_ivf_nlist_report / dedup_threshold_report persisted-artifact
+    * sweep shape, applied to graph estimator tuning. Integer micro-units
+    * throughout ⇒ the DuckDB oracle replays every row bit-for-bit
+    * (validated against an independent Python Brandes/BFS reference at
+    * two SFs before landing).
+    *
+    * Exact all-sources centrality is O(n·m) — that cost is the
+    * documented measurement-twin bound (the n² exact-kNN precedent):
+    * the INSTRUMENT runs on a bounded fixture graph, while the
+    * production estimators ([[betweennessFrom]], [[harmonicFrom]]) stay
+    * O(L·m) at any scale, with this report saying what quality each L
+    * buys.
+    */
+  private[graft] def landmarkReportFrom(contrib: DataFrame,
+      nodes: DataFrame, ls: Seq[Int]): DataFrame = {
+    require(ls.nonEmpty && ls == ls.sorted && ls.distinct == ls,
+      s"landmark grid must be ascending and distinct: $ls")
+    val c = contrib.localCheckpoint() // re-aggregated once per L + exact
+    // landmark ranks among the max(ls) smallest node ids: bounded set,
+    // ranked by triangular broadcast join (the harmonicFrom idiom — no
+    // unpartitioned window, no driver collect)
+    val lmsTop = nodes.orderBy(col("node")).limit(ls.max)
+      .select(col("node").as("lm")).localCheckpoint()
+    val lmr = lmsTop
+      .join(broadcast(lmsTop.select(col("lm").as("lm2"))),
+        col("lm2") <= col("lm"))
+      .groupBy(col("lm")).agg(count(lit(1)).as("rk"))
+      .localCheckpoint() // bounded ≤ 64 rows, filtered once per L
+    val nn = nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
+    val ext = c.groupBy(col("node")).agg(sum(col("cu")).as("exact_units"))
+      .orderBy(desc("exact_units"), col("node")).limit(20)
+      .localCheckpoint() // the exact top-20, compared against per L
+    ls.map { l =>
+      val lml = lmr.filter(col("rk") <= l).select(col("lm"))
+      val eff = lml.agg(count(lit(1)).as("eff"))
+      val est = c.join(broadcast(lml), Seq("lm"))
+        .groupBy(col("node")).agg(sum(col("cu")).as("su"))
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(eff))
+        .select(col("node"), expr("(su * n_nodes) DIV eff").as("est"))
+        .localCheckpoint() // node-sized; read by top-20, overlap AND err
+      val et = est.orderBy(desc("est"), col("node")).limit(20)
+        .select(col("node"))
+      val overlap = ext.join(et, Seq("node"))
+        .agg(count(lit(1)).as("top20_overlap"))
+      val err = ext
+        .join(est.select(col("node"), col("est")), Seq("node"), "left_outer")
+        .agg(
+          coalesce(sum(abs(coalesce(col("est"), lit(0L))
+            - col("exact_units"))), lit(0L)).as("err_units_top20"),
+          coalesce(sum(col("exact_units")), lit(0L))
+            .as("exact_units_top20"))
+      overlap.crossJoin(broadcast(err)).crossJoin(broadcast(nn))
+        .select(lit(l).cast("long").as("n_landmarks"), col("n_nodes"),
+          col("top20_overlap"), col("err_units_top20"),
+          col("exact_units_top20"),
+          when(col("exact_units_top20") === 0, lit(null).cast("long"))
+            .otherwise(expr("err_units_top20 * 1000 DIV exact_units_top20"))
+            .as("err_permille"))
+    }.reduce(_ unionByName _).orderBy(col("n_landmarks"))
+  }
+
+  /** The bounded SWEEP GRAPH both landmark instruments measure on: the
+    * nation-0 customers' interactions with the 100 lowest-keyed
+    * suppliers — a real skewed bipartite slice whose node count is
+    * fixture-bounded (~1/25 of customers + ≤100 suppliers), because the
+    * sweep's exact baseline is all-sources Brandes/BFS and must stay a
+    * bounded measurement twin at every SF. Same parity node encoding as
+    * [[custSuppEdges]].
+    */
+  private def sweepEdges(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d).filter(col("c_nationkey") === 0)
+        .select(col("c_custkey")), col("o_custkey") === col("c_custkey"))
+      .filter(col("l_suppkey") <= 100)
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    e0.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(e0.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** BETWEENNESS LANDMARK SWEEP — the measured answer to "how many
+    * Brandes pivots does MY graph need": estimate vs exact hop-bounded
+    * betweenness on the bounded sweep graph at L ∈ [[SweepLandmarks]].
+    * The r15 IVF-nlist pattern applied to the graph family's scale knob
+    * ([[BetwLandmarks]], now also the [[graft.api.Graft
+    * .betweennessCentrality]] default). One all-sources
+    * [[brandesDeltas]] pass (the exact baseline) is re-aggregated per L
+    * — landmark nesting makes every estimate a filter of the same rows.
+    */
+  def betwLandmarkReport(s: SparkSession, d: String): DataFrame = {
+    val edges = sweepEdges(s, d).localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val deltas = brandesDeltas(edges, nodes.select(col("node").as("lm")),
+      BetwMaxDepth)
+      .select(col("lm"), col("node"), col("du").as("cu"))
+    landmarkReportFrom(deltas, nodes, SweepLandmarks)
+  }
+
+  /** HARMONIC LANDMARK SWEEP — the [[betwLandmarkReport]] twin for the
+    * Eppstein–Wang inverse-distance estimator ([[HarmonicLandmarks]],
+    * the [[graft.api.Graft.harmonicCentrality]] default): estimate
+    * (scaled n DIV eff) vs exact all-sources harmonic at
+    * L ∈ [[SweepLandmarks]], from ONE [[bfsDistancesFrom]] pass.
+    */
+  def harmonicLandmarkReport(s: SparkSession, d: String): DataFrame = {
+    val edges = sweepEdges(s, d).localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val contrib = bfsDistancesFrom(edges, nodes.select(col("node").as("lm")),
+      HarmonicMaxHops)
+      .select(col("lm"), col("node"),
+        expr("1000000L DIV dist").as("cu"))
+    landmarkReportFrom(contrib, nodes, SweepLandmarks)
   }
 
   /** Per-kind degree profile of the customer–supplier graph: node count,
@@ -1291,6 +1471,8 @@ object GraphOps extends OpFamily {
     "graph_bfs_hops" -> (bfsHops _),
     "graph_harmonic" -> (harmonicCentrality _),
     "graph_betweenness" -> (betweennessCentrality _),
+    "graph_betw_landmark_report" -> (betwLandmarkReport _),
+    "graph_harmonic_landmark_report" -> (harmonicLandmarkReport _),
     "graph_sssp_cost" -> (ssspCost _),
     "graph_kcore" -> (kCore _),
     "graph_triangles" -> (triangleCensus _),
@@ -1395,6 +1577,53 @@ object GraphOps extends OpFamily {
          CAST(coalesce(c.du, 0) AS BIGINT) AS du
        FROM l${h - 1} l LEFT JOIN c${h - 1} c
          ON c.lm = l.lm AND c.node = l.node)"""
+
+  // sweep-graph prelude shared by both landmark-report oracles: bounded
+  // nation-0 × low-key-supplier slice, node universe, landmark ranks
+  private val sweepEdgesSql =
+    """e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         WHERE c_nationkey = 0 AND l_suppkey <= 100),
+       edges AS (SELECT c AS src, s AS dst FROM e0
+                 UNION ALL SELECT s, c FROM e0),
+       nodes AS (SELECT DISTINCT src AS lm FROM edges),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       lmr AS (SELECT lm, row_number() OVER (ORDER BY lm) AS rk
+               FROM nodes)"""
+
+  // per-L estimate/top-20/report rows over a `contrib`(lm, node, cu) CTE
+  // and the exact top-20 `ext` — mirrors [[landmarkReportFrom]]
+  private def lmReportSql: String = {
+    val perL = SweepLandmarks.map { l =>
+      s"""est$l AS (SELECT c.node,
+           CAST((sum(c.cu) * (SELECT n FROM nn))
+             // (SELECT count(*) FROM lmr WHERE rk <= $l) AS BIGINT) AS est
+         FROM contrib c JOIN lmr r USING (lm) WHERE r.rk <= $l
+         GROUP BY c.node),
+       et$l AS (SELECT node FROM est$l ORDER BY est DESC, node LIMIT 20),
+       row$l AS (SELECT CAST($l AS BIGINT) AS n_landmarks,
+         (SELECT n FROM nn) AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT) FROM ext JOIN et$l USING (node))
+           AS top20_overlap,
+         (SELECT CAST(coalesce(sum(abs(coalesce(e.est, 0)
+               - x.exact_units)), 0) AS BIGINT)
+           FROM ext x LEFT JOIN est$l e ON e.node = x.node)
+           AS err_units_top20,
+         (SELECT CAST(coalesce(sum(x.exact_units), 0) AS BIGINT)
+           FROM ext x) AS exact_units_top20)"""
+    }.mkString(",\n       ")
+    val rows = SweepLandmarks.map(l => s"SELECT * FROM row$l")
+      .mkString("\n           UNION ALL ")
+    s"""$perL,
+       allrows AS ($rows)
+       SELECT n_landmarks, n_nodes, top20_overlap, err_units_top20,
+         exact_units_top20,
+         CASE WHEN exact_units_top20 = 0 THEN NULL
+           ELSE err_units_top20 * 1000 // exact_units_top20
+         END AS err_permille
+       FROM allrows ORDER BY n_landmarks"""
+  }
 
   // weighted variant of [[prIter]]: contrib = (units · w) DIV tw
   private def prwIter(k: Int): String =
@@ -1653,6 +1882,47 @@ object GraphOps extends OpFamily {
            GROUP BY kind, entity_key
            ORDER BY betw_units DESC, kind, entity_key LIMIT 20)
          ORDER BY betw_units DESC, kind, entity_key""",
+    // estimate-vs-exact landmark sweeps: the all-sources pass (lms =
+    // every node of the bounded sweep graph) replays the same unrolled
+    // Brandes / recursive-BFS machinery as the production oracles; each
+    // L reads it back filtered to the L lowest-id landmarks. Validated
+    // against an independent Python Brandes/BFS reference at two SFs.
+    "graph_betw_landmark_report" -> SimOps.materializeCtes(
+      s"""WITH $sweepEdgesSql,
+         l0 AS (SELECT lm, lm AS node, CAST(1 AS BIGINT) AS sigma
+                FROM nodes),
+         a0 AS (SELECT lm, node FROM l0),
+         ${(1 to BetwMaxDepth).map(betwFwd).mkString(",\n         ")},
+         d$BetwMaxDepth AS (SELECT lm, node, CAST(0 AS BIGINT) AS du
+           FROM l$BetwMaxDepth),
+         ${(BetwMaxDepth to 1 by -1).map(betwBwd).mkString(",\n         ")},
+         contrib AS (${(1 until BetwMaxDepth)
+          .map(h => s"SELECT lm, node, du AS cu FROM d$h")
+          .mkString("\n           UNION ALL ")}),
+         ex AS (SELECT node, CAST(sum(cu) AS BIGINT) AS exact_units
+           FROM contrib GROUP BY node),
+         ext AS (SELECT node, exact_units FROM ex
+           ORDER BY exact_units DESC, node LIMIT 20),
+         $lmReportSql"""),
+    "graph_harmonic_landmark_report" ->
+      s"""WITH RECURSIVE ${SimOps.materializeCtes(sweepEdgesSql)},
+         walk(lm, node, d) AS (
+           SELECT lm, lm, 0 FROM nodes
+           UNION
+           SELECT w.lm, e.dst, w.d + 1
+           FROM walk w JOIN edges e ON e.src = w.node
+           WHERE w.d < $HarmonicMaxHops),
+         dist AS MATERIALIZED (SELECT lm, node, min(d) AS d FROM walk
+           GROUP BY lm, node),
+         contrib AS MATERIALIZED (SELECT lm, node,
+             CAST(1000000 // d AS BIGINT) AS cu
+           FROM dist WHERE d > 0),
+         ex AS MATERIALIZED (SELECT node,
+             CAST(sum(cu) AS BIGINT) AS exact_units
+           FROM contrib GROUP BY node),
+         ext AS MATERIALIZED (SELECT node, exact_units FROM ex
+           ORDER BY exact_units DESC, node LIMIT 20),
+         ${SimOps.materializeCtes(lmReportSql)}""",
     "graph_bfs_hops" ->
       s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
              l_suppkey * 2 + 1 AS s

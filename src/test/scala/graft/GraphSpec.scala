@@ -355,6 +355,60 @@ class GraphSpec extends AnyFunSuite {
     assert(got2 === Map(2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
   }
 
+  test("public centrality knobs: Graft.harmonic/betweennessCentrality " +
+      "equal the cores and the est column applies the n/L inflation") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val harmCore = GraphOps.harmonicFrom(edges, 2, 6).collect()
+      .map(_.toSeq).toSet
+    val harmApi = graft.api.Graft
+      .harmonicCentrality(edges, nLandmarks = 2, maxHops = 6).collect()
+      .map(_.toSeq).toSet
+    assert(harmApi === harmCore)
+    // renamed columns route through srcCol/dstCol
+    val renamed = graft.api.Graft.harmonicCentrality(
+      edges.select(col("src").as("a"), col("dst").as("b")),
+      srcCol = "a", dstCol = "b", nLandmarks = 2, maxHops = 6).collect()
+      .map(_.toSeq).toSet
+    assert(renamed === harmCore)
+    val betwCore = GraphOps.betweennessFrom(edges, 2, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val betwApi = graft.api.Graft
+      .betweennessCentrality(edges, nLandmarks = 2, maxDepth = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(betwApi.view.mapValues(_._1).toMap === betwCore)
+    // est = (units · n) DIV min(L, n): n = 5 nodes, L = 2
+    betwApi.foreach { case (_, (units, est)) =>
+      assert(est === units * 5L / 2L)
+    }
+  }
+
+  test("landmark sweep: L >= n collapses to the exact baseline (err 0, " +
+      "full top-20 overlap) and the L grid is ascending") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    Seq(
+      graft.api.Graft.betweennessLandmarkSweep(edges, ls = Seq(2, 8),
+        maxDepth = 4),
+      graft.api.Graft.harmonicLandmarkSweep(edges, ls = Seq(2, 8),
+        maxHops = 6)).foreach { rep =>
+      val rows = rep.collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 8L))
+      val all = rows.last // L = 8 > n = 5 ⇒ every node is a landmark
+      assert(all.getAs[Long]("n_nodes") === 5L)
+      assert(all.getAs[Long]("err_units_top20") === 0L)
+      assert(all.getAs[Long]("err_permille") === 0L)
+      // est ≡ exact ⇒ identical ranking ⇒ overlap = |exact top-20| = n
+      assert(all.getAs[Long]("top20_overlap") === 5L)
+      // the L = 2 estimate scores only landmark-observed paths: its
+      // error is measured, not asserted — but the exact mass is shared
+      assert(rows.head.getAs[Long]("exact_units_top20") ===
+        all.getAs[Long]("exact_units_top20"))
+    }
+  }
+
   test("assortativity: bipartite graph is strongly disassortative") {
     val row = GraphOps.assortativity(spark, sf).head()
     val r = row.getAs[Double]("assortativity")
