@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: BPE learn-wall vs merge count — the measured backing for
+  * the vocab-join design claim (per-round cost is vocab-bounded,
+  * independent of corpus size). For each k it runs a fresh
+  * [[graft.operators.TextOps.bpeLearnSnapshots]] learn on the sfDir
+  * corpus and prints wall, applied merge count (exhaustion shows as
+  * applied < k), per-round wall, and the token count after k merges.
+  * Usage: runMain graft.BpeAudit [sfDir] [k ...]   (default 8 64 256)
+  */
+object BpeAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ks = if (args.length > 1) args.tail.map(_.toInt).toSeq
+      else Seq(8, 64, 256)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val words = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(col("w")).as("word"))
+    ks.foreach { k =>
+      val t0 = System.nanoTime()
+      val (merges, snaps) =
+        operators.TextOps.bpeLearnSnapshots(spark, words, Seq(k))
+      val applied = merges.count()
+      val toks = snaps.head._2
+        .agg(sum(col("cnt") * size(col("s")))).head().getLong(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[bpe-audit] $sfDir k=$k%4d applied=$applied%4d " +
+        f"wall=$wall%7.2f s per_round=${wall / math.max(1L, applied)}%6.3f s " +
+        f"tokens_after=$toks%10d")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}

@@ -623,6 +623,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("BPE prefix consistency: merges at k=3 are the first 3 merges of " +
+      "a k=16 learn, snapshots match standalone learns, exhaustion is a " +
+      "fixpoint") {
+    import TestSpark.spark.implicits._
+    val spark = TestSpark.spark
+    val words = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug")
+      ++ Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .toDF("word")
+    def mseq(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    def vset(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Seq[String]]("s"), r.getAs[Long]("cnt"))).toSet
+    val (m16, snaps) = graft.operators.TextOps
+      .bpeLearnSnapshots(spark, words, Seq(3, 16))
+    val (m3, v3) = graft.operators.TextOps.bpeLearnOn(spark, words, 3)
+    // the k-sweep contract: one long learn serves every prefix
+    assert(mseq(m3) === mseq(m16).take(3))
+    assert(vset(snaps.head._2) === vset(v3))
+    // 5 distinct words exhaust their pairs well before 16 merges: the
+    // 16-snapshot is the learn's fixpoint, with every word one token
+    val applied = mseq(m16).size
+    assert(applied < 16)
+    assert(snaps.last._1 === 16)
+    val fix = vset(snaps.last._2)
+    assert(fix.forall(_._1.size == 1))
+    // and the registered-report aggregates read off those states:
+    // token count after 3 merges = sum(cnt * |s|) of the 3-snapshot
+    val tok3 = snaps.head._2
+      .agg(sum(col("cnt") * size(col("s")))).head().getLong(0)
+    // hug/pug/pun/bun/hugs after ug, un, hug: hug=1tok x10, pug=2 x5,
+    // pun=2 x12, bun=2 x4, hugs=2 x5 -> 10+10+24+8+10 = 62
+    assert(tok3 === 62L)
+  }
+
   test("BPE merges are partition-invariant: a reshuffled corpus learns " +
       "the identical merge list") {
     import TestSpark.spark.implicits._
