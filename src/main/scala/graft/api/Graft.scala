@@ -99,6 +99,41 @@ object Graft {
       shaped(index), shaped(incoming), threshold)
   }
 
+  /** [[incrementalNearDupPairs]] routed through the index's minhash LSH
+    * BAND BUCKETS — the probe shape a production pipeline runs against
+    * a PERSISTED band index (the minhash twin of
+    * [[incrementalAnnAssign]]): the batch computes only its own
+    * signatures and band keys and equi-joins the index's bucket table,
+    * so candidate cost is bounded by the batch's bucket postings. Band
+    * candidates union with the deterministic prefix candidates before
+    * ONE exact-verify pass, so the output is still EXACTLY the ≥
+    * `threshold` pair set (banding alone is probabilistic); same
+    * columns (new_id, matched_id, jaccard) and the same block-column
+    * semantics as [[incrementalNearDupPairs]]. This one-shot overload
+    * builds the index tables in-line; keep them persisted (the
+    * registered dedup_incremental_lsh shows the artifact discipline)
+    * when batches repeat against the same index.
+    */
+  def incrementalNearDupPairsLsh(index: DataFrame, incoming: DataFrame,
+      id: String, text: String, threshold: Double = 0.5,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    def shaped(df: DataFrame): DataFrame = {
+      val lang =
+        blockCols.headOption.map(col).getOrElse(lit("")).cast("string")
+      val source =
+        if (blockCols.size > 1)
+          concat_ws("\u0001", blockCols.tail.map(col): _*)
+        else lit("")
+      df.select(col(id).as("doc_id"), lang.as("lang"), source.as("source"),
+        col(text).as("text"))
+    }
+    val parts =
+      graft.operators.DedupOps.lshIndexTables(shaped(index), threshold).toMap
+    graft.operators.DedupOps.incrementalLshProbe(parts("shingles"),
+      parts("freq"), parts("prefix"), parts("buckets"), shaped(incoming),
+      threshold)
+  }
+
   /** Asymmetric CONTAINMENT pairs: every ordered pair (a, b) where at
     * least `threshold` of a's shingles appear in b — the quote/subset/
     * snippet detector symmetric Jaccard misses. Exact and complete via

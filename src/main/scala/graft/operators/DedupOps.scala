@@ -368,6 +368,29 @@ object DedupOps extends OpFamily {
       parts("prefix"), corpus.filter(col("doc_id") >= 2 * PlantBase), 0.3)
   }
 
+  /** INCREMENTAL NEAR-DEDUP THROUGH THE PERSISTED LSH BAND INDEX — the
+    * same ingest fixture as [[dedupIncremental]] at the stricter
+    * τ = 0.5, but candidates come from probing the index's PERSISTED
+    * minhash band-bucket artifact (built exactly once per corpus
+    * version, the write-once table a production pipeline keeps between
+    * daily batches), unioned with the deterministic prefix candidates
+    * that guarantee the output is EXACTLY the ≥ τ pair set
+    * ([[incrementalLshProbe]] for the superset-completeness argument).
+    * Scale shape: per batch, signature + band-key computation over the
+    * batch only, one equi-join against the bucket table on (band, key),
+    * one verify — nothing rescans or rebuilds the index side.
+    */
+  def dedupIncrementalLsh(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNearDupes(s, d)
+    val parts = ArtifactCache.readOrBuildAll(s,
+      ArtifactCache.dir(s, d, "documents", "graft_pairs",
+        "incr_lsh_index_tau50@r1"),
+      Seq("shingles", "freq", "prefix", "buckets"))(
+      lshIndexTables(corpus.filter(col("doc_id") < PlantBase), 0.5))
+    incrementalLshProbe(parts("shingles"), parts("freq"), parts("prefix"),
+      parts("buckets"), corpus.filter(col("doc_id") >= 2 * PlantBase), 0.5)
+  }
+
   /** The incremental core: (new_id, matched_id, jaccard) for every
     * incoming×index pair with J ≥ tau — NEVER any incoming×incoming or
     * index×index pair. Same prefix-filter theorem as
@@ -443,9 +466,18 @@ object DedupOps extends OpFamily {
   private[graft] def incrementalNearDupsProbe(shI: DataFrame,
       freq: DataFrame, prefixI: DataFrame, incoming: DataFrame,
       tau: Double): DataFrame = {
-    val sp = incoming.sparkSession
     val shN = blockShingles(incoming)
-    val cand = prefixKeysBy(shN, freq, tau)
+    incrVerify(incrPrefixCandidates(shN, freq, prefixI, tau), shN, shI, tau)
+  }
+
+  /** Candidate half of the incremental probe: batch prefix keys joined
+    * to index prefix keys within (lang, source) blocks, size-filtered —
+    * a guaranteed SUPERSET of the ≥ tau pairs (prefix-filter theorem
+    * under the index frequency order). Returns (new_id, matched_id).
+    */
+  private def incrPrefixCandidates(shN: DataFrame, freq: DataFrame,
+      prefixI: DataFrame, tau: Double): DataFrame =
+    prefixKeysBy(shN, freq, tau)
       .select(col("doc_id").as("new_id"), col("lang"), col("source"),
         col("pk"), col("n").as("nn"))
       .join(prefixI
@@ -455,11 +487,24 @@ object DedupOps extends OpFamily {
         greatest(col("nn"), col("ni")) * lit(tau) - lit(1e-6))
       .select(col("new_id"), col("matched_id"))
       .distinct()
+
+  /** Exact-verify half: merge-scan Jaccard of candidate (new_id,
+    * matched_id) pairs over the two shingle frames, ≥ tau kept. Block
+    * equality (lang, source) is enforced HERE, so candidate generators
+    * that do not pre-block (the LSH band probe) cannot leak cross-block
+    * pairs — a no-op for the already-blocked prefix candidates.
+    */
+  private def incrVerify(cand: DataFrame, shN: DataFrame, shI: DataFrame,
+      tau: Double): DataFrame = {
+    val sp = shN.sparkSession
     cand
-      .join(shN.select(col("doc_id").as("new_id"), col("sh").as("shn")),
-        Seq("new_id"))
-      .join(shI.select(col("doc_id").as("matched_id"), col("sh").as("shi")),
-        Seq("matched_id"))
+      .join(shN.select(col("doc_id").as("new_id"), col("lang"),
+        col("source"), col("sh").as("shn")), Seq("new_id"))
+      .join(shI.select(col("doc_id").as("matched_id"),
+        col("lang").as("lang_i"), col("source").as("source_i"),
+        col("sh").as("shi")), Seq("matched_id"))
+      .filter(col("lang") === col("lang_i")
+        && col("source") === col("source_i"))
       .withColumn("inter",
         NativeExprs.sortedIntersectCount(sp, col("shn"), col("shi")))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -467,6 +512,44 @@ object DedupOps extends OpFamily {
       .filter(col("jaccard") >= tau)
       .select(col("new_id"), col("matched_id"), col("jaccard"))
       .orderBy(col("new_id"), col("matched_id"))
+  }
+
+  /** Index-side tables of the LSH-BANDED incremental dedup index: the
+    * prefix trio of [[dedupIndexTables]] plus the minhash BAND-BUCKET
+    * table (doc_id, band, key) — the artifact a daily-ingest pipeline
+    * persists once and probes per batch ([[incrementalLshProbe]]).
+    */
+  private[graft] def lshIndexTables(index: DataFrame,
+      tau: Double): Seq[(String, DataFrame)] =
+    dedupIndexTables(index, tau) :+
+      ("buckets" -> bandBuckets(minhashSigs(shingleHashes(index))))
+
+  /** INCREMENTAL LSH-BAND PROBE — the minhash twin of
+    * incrementalAnnAssign: an ingest batch computes ONLY its own
+    * signatures and band keys, joins them against the index's PERSISTED
+    * bucket table (cost bounded by the batch's bucket postings,
+    * independent of corpus age), and exact-verifies the hits. Band
+    * candidates are unioned with the deterministic prefix candidates
+    * before the ONE verify pass: banding is probabilistic (a ≥ tau pair
+    * missing every band would silently vanish), so the prefix leg is
+    * what turns "probably all matches" into the exact ≥ tau pair set —
+    * the candidates-superset + exact-verify idiom that also makes the
+    * DuckDB oracle possible. The band leg's own recall is pinned in
+    * LlmOpsSpec (planted exact copies share every band by construction)
+    * and measured corpus-wide by dedup_recall_report's minhash row.
+    */
+  private[graft] def incrementalLshProbe(shI: DataFrame, freq: DataFrame,
+      prefixI: DataFrame, bucketsI: DataFrame, incoming: DataFrame,
+      tau: Double): DataFrame = {
+    val shN = blockShingles(incoming)
+    val candP = incrPrefixCandidates(shN, freq, prefixI, tau)
+    val candL = bandBuckets(minhashSigs(shingleHashes(incoming)))
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+      .join(bucketsI.select(col("doc_id").as("matched_id"), col("band"),
+        col("key")), Seq("band", "key"))
+      .select(col("new_id"), col("matched_id"))
+      .distinct()
+    incrVerify(candP.unionByName(candL).distinct(), shN, shI, tau)
   }
 
   /** doc_id + sorted distinct 31-bit shingle hashes (`hs`), one narrow
@@ -498,6 +581,24 @@ object DedupOps extends OpFamily {
         array((0 until NumPerm).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Per-doc LSH band buckets of a (doc_id, sig) minhash frame: one
+    * (doc_id, band, key) row per band, key = the band's signature rows
+    * joined as a string. Two docs sharing a (band, key) bucket are LSH
+    * candidates. sig elements are aggregate attributes, so element_at
+    * folds to a cheap reference (no recompute of the signature chain).
+    */
+  private[graft] def bandBuckets(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        concat_ws(",", (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), bIdx * RowsPerBand + r + 1)): _*).as("key"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
   /** MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
     * Probabilistic candidate generation → no SQL oracle (rows-only check);
     * the planted-dupe recall property is asserted in scalatest.
@@ -518,17 +619,7 @@ object DedupOps extends OpFamily {
     // plan is garbage-collected (ContextCleaner), so no persist lifecycle
     // leaks into the long-lived session
     val hashed = shingleHashes(corpus).localCheckpoint()
-    val sigs = minhashSigs(hashed)
-    // sig elements are aggregate attributes, so element_at here folds to a
-    // cheap reference (no recompute of the signature chain)
-    val bandCols = (0 until Bands).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-        concat_ws(",", (0 until RowsPerBand).map(r =>
-          element_at(col("sig"), bIdx * RowsPerBand + r + 1)): _*).as("key"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val buckets = bandBuckets(minhashSigs(hashed))
     val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -1092,6 +1183,7 @@ object DedupOps extends OpFamily {
     "dedup_keep_first" -> (keepFirst _),
     "dedup_near_jaccard" -> (nearJaccard _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_lsh" -> (dedupIncrementalLsh _),
     "dedup_containment" -> (containmentPairs _),
     "dedup_clusters" -> (nearDupClusters _),
     "dedup_threshold_report" -> (thresholdReport _),
@@ -1199,6 +1291,22 @@ object DedupOps extends OpFamily {
       """SELECT lang, source, min(doc_id) AS kept_id,
            count(*) - 1 AS n_dropped
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "dedup_incremental_lsh" ->
+      s"""WITH corpus AS ($planted),
+         sh AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM corpus))
+         SELECT n.doc_id AS new_id, i.doc_id AS matched_id,
+           CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.sh, i.sh))) AS jaccard
+         FROM sh n JOIN sh i
+           ON n.lang = i.lang AND n.source = i.source
+           AND n.doc_id >= 200000 AND i.doc_id < 100000
+         WHERE CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.5
+         ORDER BY new_id, matched_id""",
     "dedup_incremental" ->
       s"""WITH corpus AS ($planted),
          sh AS (SELECT doc_id, lang, source,

@@ -747,6 +747,28 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((900L, 100L)))
   }
 
+  test("incrementalNearDupPairsLsh equals the prefix-only probe on " +
+      "ad-hoc frames: the band leg adds candidates, never answers") {
+    val index = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (200L, "one two three four five six seven eight nine ten"))
+      .toDF("k", "t")
+    val incoming = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (901L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (902L, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+      .toDF("k", "t")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lsh = rows(
+      Graft.incrementalNearDupPairsLsh(index, incoming, "k", "t", 0.5))
+    val prefix = rows(
+      Graft.incrementalNearDupPairs(index, incoming, "k", "t", 0.5))
+    assert(lsh === prefix)
+    assert(lsh.map(p => (p._1, p._2)) === Seq((900L, 100L), (901L, 100L)))
+    assert(lsh.head._3 === 1.0) // the verbatim copy
+  }
+
   test("unigramCrossEntropy ranks rare-token docs above boilerplate") {
     val corpus = (Seq.fill(9)("common words repeated across the corpus")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) } :+

@@ -227,6 +227,52 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(inline === first)
   }
 
+  test("LSH-band incremental probe: persisted band artifact re-attaches, " +
+      "union output equals the prefix-only exact set, band leg is sound " +
+      "and catches every planted exact copy alone") {
+    import graft.operators.ArtifactCache
+    def run() = DedupOps.dedupIncrementalLsh(TestSpark.spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val first = run() // populates the artifact store if not already warm
+    val (h0, b0) = (ArtifactCache.hits.get(), ArtifactCache.builds.get())
+    val second = run()
+    assert(ArtifactCache.builds.get() === b0,
+      "second invocation must not rebuild the band index artifact")
+    assert(ArtifactCache.hits.get() === h0 + 1)
+    assert(second === first)
+    // completeness: band ∪ prefix candidates verify to EXACTLY the same
+    // pair set as the deterministic prefix-only probe
+    val corpus = DedupOps.withNearDupes(TestSpark.spark, TestSpark.sf)
+    val index = corpus.filter(col("doc_id") < 100000L)
+    val prefixOnly = DedupOps.incrementalNearDupsOn(index,
+        corpus.filter(col("doc_id") >= 200000L), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(prefixOnly === first)
+    // band-leg properties, measured with the prefix candidates removed:
+    // sound (verified subset of the true >= tau set) and exhaustive on
+    // EXACT copies (identical text => identical signature => every band
+    // collides)
+    // verbatim copies (+100000 of every 5th doc, the exact-dup fixture
+    // shape); the near-dup corpus itself plants only truncated re-crawls
+    val copies = index.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("lang"),
+        col("source"), col("text"))
+    val parts = DedupOps.lshIndexTables(index, 0.5).toMap
+    val bandOnly = DedupOps.incrementalLshProbe(parts("shingles"),
+        parts("freq"), parts("prefix").limit(0), parts("buckets"),
+        copies, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val truth = DedupOps.incrementalNearDupsOn(index, copies, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(bandOnly.map(_._1).toSet.subsetOf(truth.keySet),
+      "band hits must verify against the exact >= tau set")
+    val exactCopies = truth.filter(_._2 === 1.0).keySet
+    assert(exactCopies.nonEmpty, "fixture must plant verbatim copies")
+    assert(exactCopies.subsetOf(bandOnly.map(_._1).toSet),
+      "a verbatim copy shares all bands with its original")
+  }
+
   test("pipeline probe equals inline build: full-corpus pairs semi-joined " +
       "to a survivor subset on both endpoints == blockedJaccardPairs(subset)") {
     // the PipelineOps near-dedup stage's reuse argument, as a property:
