@@ -577,6 +577,27 @@ object Graft {
       .drop("__tok", "__st", "__rate")
   }
 
+  /** TARGET-SHARE MIXING REPORT over any frame — the reweighting step a
+    * pretraining rollout tunes: given per-stratum target TOKEN shares
+    * (per-mille), report each stratum's deterministic sampling rate and
+    * the achieved mix. The budget is the largest token mass servable
+    * WITHOUT upsampling (B = min_s ⌊1000·t_s/share_s⌋ — the binding
+    * stratum samples at ~full rate); selection is the shared wrap-safe
+    * multiplicative hash, so the mix replays across engines, re-runs
+    * and backfills ([[sampleByStratum]] residue-class caveat on
+    * `idCol`). One row per stratum: (lang = the stratum, total_tokens,
+    * target_permille, wanted_tokens, rate, n_kept, kept_tokens,
+    * achieved_permille). Strata absent from `targetsPermille` are
+    * dropped — a mixing config names every source it ships. All
+    * integer floor-division in 128-bit forms; the oracle-checked
+    * filter_mix_reweight query is this exact derivation.
+    */
+  def mixTargetReport(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String,
+      targetsPermille: Map[String, Long]): DataFrame =
+    graft.operators.FilterOps.mixReweightOn(df, idCol, textCol,
+      stratumCol, targetsPermille.toSeq.sortBy(_._1))
+
   /** Corpus-relative rarity score per document: mean inverse document
     * frequency over the document's tokens in integral per-mille units
     * (each token contributes (1000·n_docs) DIV df). High = rare/garbage

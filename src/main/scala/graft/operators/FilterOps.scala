@@ -117,6 +117,94 @@ object FilterOps extends OpFamily {
       .orderBy(col("lang"))
   }
 
+  /** The hand-set per-lang target token shares (per-mille, sum 1000)
+    * the REWEIGHTING report drives toward — the registered stand-in for
+    * a rollout's mixing config (en-heavy with a deliberate zh up-weight,
+    * so the fixture exercises both down- and up-weighting vs the raw
+    * corpus mix).
+    */
+  private[graft] val MixTargets: Seq[(String, Long)] =
+    Seq(("de", 150L), ("en", 400L), ("es", 150L), ("fr", 100L),
+      ("zh", 200L))
+
+  /** TARGET-SHARE REWEIGHTING REPORT — the mixing step every
+    * pretraining rollout tunes: given per-stratum target TOKEN shares
+    * (per-mille), emit each stratum's sampling rate and the achieved
+    * mix. The budget is the largest token mass servable WITHOUT
+    * upsampling: B = min_s ⌊1000·t_s / share_s⌋ (the binding stratum
+    * samples at ~1000‰); wanted_s = ⌊B·share_s/1000⌋; rate_s =
+    * min(1000, ⌊1000·wanted_s/t_s⌋), applied as the usual wrap-safe
+    * multiplicative residue-class filter so the mix replays identically
+    * in any engine and across backfills. achieved_permille is the
+    * realized share of kept tokens — the report's check column: it
+    * lands within one document of target for unstructured ids (the
+    * [[sampleHash]] residue-class caveat applies).
+    *
+    * Exactness: every derivation is integer floor-division, run in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) because 1000·t·share
+    * passes 2⁶³ at real corpus scale (10¹⁴ tokens); the oracle replays
+    * bit-for-bit. Strata missing from the target map are DROPPED
+    * (inner join) — a rollout config names every source it ships.
+    *
+    * Scale shape: one bounded groupBy → 5-row rate table broadcast
+    * back; two corpus scans, zero wide shuffles of the corpus.
+    */
+  def mixReweight(s: SparkSession, d: String): DataFrame =
+    mixReweightOn(Tables.documents(s, d), "doc_id", "text", "lang",
+      MixTargets)
+
+  /** The generic core behind [[mixReweight]] and
+    * [[graft.api.Graft.mixTargetReport]]: any frame, numeric-unique
+    * `idCol` (residue-class caveat), whitespace `textCol` tokens,
+    * string `stratumCol`, `targets` = (stratum, share-per-mille).
+    */
+  private[graft] def mixReweightOn(df: DataFrame, idCol: String,
+      textCol: String, stratumCol: String,
+      targets: Seq[(String, Long)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      s"target shares must be positive per-mille values: $targets")
+    val s = df.sparkSession
+    import s.implicits._
+    val tdf = broadcast(targets.toDF("lang", "target_permille"))
+    val docs = df.select(col(idCol).as("doc_id"),
+      col(stratumCol).cast("string").as("lang"),
+      size(split(col(textCol), " ")).cast("long").as("tok"))
+    val per = docs.groupBy(col("lang")).agg(sum(col("tok")).as("t"))
+      .join(tdf, Seq("lang"))
+    val budget = per.agg(
+      min(expr("(CAST(t AS DECIMAL(38,0)) * 1000) DIV target_permille"))
+        .as("b"))
+    val rates = per.crossJoin(broadcast(budget))
+      .withColumn("wanted_tokens", expr(
+        "CAST((CAST(b AS DECIMAL(38,0)) * target_permille) DIV 1000 AS BIGINT)"))
+      .withColumn("rate", least(lit(1000L), expr(
+        "CAST((CAST(wanted_tokens AS DECIMAL(38,0)) * 1000) DIV t AS BIGINT)")))
+      .select(col("lang"), col("t"), col("target_permille"),
+        col("wanted_tokens"), col("rate"))
+      .localCheckpoint() // 1 row per stratum; read by the filter AND the
+                         // report join — avoids re-scanning the corpus
+    val kept = docs
+      .join(broadcast(rates.select(col("lang"), col("rate"))), Seq("lang"))
+      .filter(pmod(pmod(col("doc_id"), lit(1000)) * lit(761L), lit(1000)) <
+        col("rate"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("kept_tokens"))
+      .localCheckpoint() // stratum-sized; read by the total AND the join
+    val tot = kept.agg(
+      coalesce(sum(col("kept_tokens")), lit(0L)).as("tot_kept"))
+    rates.join(kept, Seq("lang"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("t").as("total_tokens"),
+        col("target_permille"), col("wanted_tokens"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        when(col("tot_kept") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "coalesce(kept_tokens, 0L) * 1000 DIV tot_kept"))
+          .as("achieved_permille"))
+      .orderBy(col("lang"))
+  }
+
   /** TEMPERATURE-based source mixing (α = 0.5) — the step a training-data
     * pipeline runs after dedup to rebalance languages/sources: where
     * [[sampleStratified]] applies HAND-PICKED rates, here the per-stratum
@@ -279,6 +367,7 @@ object FilterOps extends OpFamily {
     "filter_bloom_semi_join" -> (bloomSemiJoin _),
     "filter_mix_temperature" -> (mixTemperature _),
     "filter_mix_token_budget" -> (mixTokenBudget _),
+    "filter_mix_reweight" -> (mixReweight _),
     "filter_split_assign" -> (splitAssign _),
     "filter_sample_seeded" -> (sampleSeeded _),
     "filter_sample_stratified" -> (sampleStratified _),
@@ -314,6 +403,42 @@ object FilterOps extends OpFamily {
          FROM documents d JOIN rates r USING (lang)
          WHERE ((d.doc_id % 1000) * 761) % 1000 < r.rate
          GROUP BY d.lang, r.rate ORDER BY d.lang""",
+    "filter_mix_reweight" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+         targets(lang, target_permille) AS (VALUES
+           ${MixTargets.map { case (l, p) =>
+             s"('$l', CAST($p AS BIGINT))" }.mkString(",\n           ")}),
+         per AS (SELECT t.lang, CAST(SUM(t.tok) AS BIGINT) AS t,
+             g.target_permille
+           FROM toks t JOIN targets g USING (lang)
+           GROUP BY t.lang, g.target_permille),
+         b AS (SELECT MIN(CAST(t AS HUGEINT) * 1000 // target_permille)
+             AS b FROM per),
+         rated AS (SELECT lang, t, target_permille, wanted_tokens,
+             least(1000, CAST(CAST(wanted_tokens AS HUGEINT) * 1000
+               // CAST(t AS HUGEINT) AS BIGINT)) AS rate
+           FROM (SELECT lang, t, target_permille,
+                   CAST((SELECT b FROM b) * target_permille // 1000
+                     AS BIGINT) AS wanted_tokens
+                 FROM per)),
+         kept AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(SUM(d.tok) AS BIGINT) AS kept_tokens
+           FROM toks d JOIN rated r USING (lang)
+           WHERE ((d.doc_id % 1000) * 761) % 1000 < r.rate
+           GROUP BY d.lang),
+         tot AS (SELECT CAST(coalesce(SUM(kept_tokens), 0) AS BIGINT)
+             AS tot_kept FROM kept)
+         SELECT r.lang, r.t AS total_tokens, r.target_permille,
+           r.wanted_tokens, r.rate,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CASE WHEN t.tot_kept = 0 THEN NULL
+             ELSE CAST(coalesce(k.kept_tokens, 0) AS BIGINT) * 1000
+               // t.tot_kept END AS achieved_permille
+         FROM rated r LEFT JOIN kept k USING (lang) CROSS JOIN tot t
+         ORDER BY r.lang""",
     "filter_mix_token_budget" ->
       """WITH toks AS (SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok

@@ -769,6 +769,32 @@ class GraftApiSpec extends AnyFunSuite {
     assert(lsh.head._3 === 1.0) // the verbatim copy
   }
 
+  test("mixTargetReport matches a full hand derivation on a two-stratum " +
+      "corpus: budget from the binding stratum, rates, achieved mix") {
+    // en: ids 0..9, 3 tokens each (t=30); zh: ids 10..14, 3 tokens each
+    // (t=15). Targets 500/500 ⇒ B = min(30·1000/500, 15·1000/500) = 30,
+    // wanted = 15 each; rate_en = 15000/30 = 500‰, rate_zh = 1000‰.
+    // Kept en ids under ((id%1000)·761)%1000 < 500: {0,3,4,7,8} → 15
+    // tokens; zh keeps all 5 → 15 tokens; achieved 500‰ / 500‰.
+    val corpus = ((0L to 9L).map(i => (i, "en", "a b c"))
+      ++ (10L to 14L).map(i => (i, "zh", "a b c")))
+      .toDF("id", "stratum", "body")
+    val rows = Graft.mixTargetReport(corpus, "id", "body", "stratum",
+      Map("en" -> 500L, "zh" -> 500L)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.toSeq === Seq(
+      ("en", 30L, 500L, 15L, 500L, 5L, 15L, 500L),
+      ("zh", 15L, 500L, 15L, 1000L, 5L, 15L, 500L)))
+    // a stratum not named in the config is dropped, and the budget
+    // re-binds to the remaining strata
+    val withExtra = corpus.union(
+      Seq((20L, "fr", "a b c d e f")).toDF("id", "stratum", "body"))
+    val dropped = Graft.mixTargetReport(withExtra, "id", "body", "stratum",
+      Map("en" -> 500L, "zh" -> 500L)).collect().map(_.getString(0))
+    assert(dropped.toSeq === Seq("en", "zh"))
+  }
+
   test("unigramCrossEntropy ranks rare-token docs above boilerplate") {
     val corpus = (Seq.fill(9)("common words repeated across the corpus")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
