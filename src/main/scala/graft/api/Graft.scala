@@ -253,6 +253,44 @@ object Graft {
         col(wCol).as("w")),
       maxHops)
 
+  /** PageRank over any SYMMETRIC edge frame (every undirected edge in
+    * both directions — no dangling-node mass correction needed), in
+    * integer micro-units (1.0 ≡ 10⁶): (node, rank_units) after `iters`
+    * damped rounds at damping `dampingPermille`/1000. The integral
+    * update (teleport + (d·Σ units DIV deg) DIV 1000) makes the result
+    * independent of partitioning and summation order — replayable
+    * bit-for-bit in any engine — where a float fixpoint would not be.
+    * Defaults (850, 5) are the registered graph_pagerank fixture; for
+    * run-to-convergence semantics see the registered
+    * graph_pagerank_converged's loud-failure contract. Cost: one edge
+    * checkpoint + `iters` (join + partial-agg) rounds composed into one
+    * job; no broadcast hints, so AQE picks per-round strategies at any
+    * scale.
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", dampingPermille: Long = 850L,
+      iters: Int = 5): DataFrame =
+    graft.operators.GraphOps.pageRankFrom(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      dampingPermille, iters)
+      .withColumnRenamed("units", "rank_units")
+
+  /** Synchronous label propagation over any SYMMETRIC edge frame:
+    * (node, lbl) community labels after `rounds` synchronous updates —
+    * each node takes the most frequent label among its neighbors, ties
+    * to the smallest label (deterministic, replayable; node ids must be
+    * in [0, 2³¹) — the argmax encoding guards and raises otherwise).
+    * The round count is THE resolution knob: more rounds merge
+    * communities along bridges; the registered graph_label_prop pins 3.
+    */
+  def labelPropagate(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst",
+      rounds: Int = graft.operators.GraphOps.LpaRounds): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    graft.operators.GraphOps.labelPropFrom(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), rounds)
+  }
+
   /** Landmark-approximated HARMONIC centrality over any SYMMETRIC edge
     * frame (every undirected edge in both directions; `src` must cover
     * all nodes): (node, harm_units = Σ_landmarks 10⁶ DIV d(l, node),

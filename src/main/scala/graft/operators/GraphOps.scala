@@ -61,39 +61,8 @@ object GraphOps extends OpFamily {
     * the damped sum in decimal(38,0); at the 100 TB design point
     * (≲10¹⁰ nodes) the fixed-point long has ≥ 10× headroom.
     */
-  def pageRank(s: SparkSession, d: String): DataFrame = {
-    // edge pipeline (scan⋈scan→distinct→symmetrize) runs ONCE (checkpoint);
-    // the degree table is a groupBy over the checkpointed edges — map-side
-    // partials make it skew-immune where a count-over-window on src would
-    // buffer a hub's whole edge list in one task — and the join back is
-    // AQE-skew-splittable. deg is a lazy re-scan of the checkpoint blocks
-    // (once inside the cache materialization, once for the rank init),
-    // never a re-run of the scan⋈scan pipeline. No broadcast hint
-    // anywhere: at billions of nodes an unconditional broadcast of a
-    // node-sized table would OOM the driver — let AQE pick the per-round
-    // strategy
-    val edges = custSuppEdges(s, d).localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, Seq("src")).persist()
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("units"))
-    (1 to 5).foreach { _ =>
-      // rounds COMPOSE into one lazy plan: each is a flat join + aggregate
-      // over the cached pre-partitioned edges, and Spark schedules the five
-      // agg stages inside ONE job (the r5 per-round localCheckpoint spent a
-      // job dispatch + block write per round for the same shuffles; the
-      // round plans are shape-identical so codegen compiles once)
-      ranks = withDeg.join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("units DIV deg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(expr("150000L + (85L * sum(contrib)) DIV 100L").as("units"))
-        .select(col("dst").as("node"), col("units"))
-    }
-    // one materialization of the composed loop — it must run BEFORE the
-    // unpersist below, or the five rounds would recompute the edge join
-    // uncached
-    ranks = ranks.localCheckpoint()
-    withDeg.unpersist()
-    ranks
+  def pageRank(s: SparkSession, d: String): DataFrame =
+    pageRankFrom(custSuppEdges(s, d), 850L, 5)
       .select(
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("kind"),
@@ -101,6 +70,57 @@ object GraphOps extends OpFamily {
         col("units").as("rank_units"))
       .orderBy(desc("rank_units"), col("kind"), col("entity_key"))
       .limit(20)
+
+  /** The damped-iteration core over any symmetric (src, dst) edge
+    * frame: (node, units) after `iters` rounds at damping
+    * `dampingPermille`/1000 — the knob surface of
+    * [[graft.api.Graft.pageRank]]; 850/5 is the registered fixture.
+    * Update: units' = (1000−d)·1000 + (d · Σ contrib) DIV 1000, all
+    * integral — at d = 850 this is floor-identical to the classic
+    * 150000 + (85·Σ) DIV 100 the DuckDB oracle replays (scaling a
+    * floor division's numerator AND denominator by 10 never changes
+    * the quotient).
+    *
+    * Plan shape: the edge pipeline runs ONCE (checkpoint); the degree
+    * table is a groupBy over the checkpointed edges — map-side partials
+    * make it skew-immune where a count-over-window on src would buffer
+    * a hub's whole edge list in one task — and the join back is
+    * AQE-skew-splittable. No broadcast hint anywhere: at billions of
+    * nodes an unconditional broadcast of a node-sized table would OOM
+    * the driver — let AQE pick the per-round strategy. Rounds COMPOSE
+    * into one lazy plan: each is a flat join + aggregate over the
+    * cached pre-partitioned edges scheduled inside ONE job (a per-round
+    * localCheckpoint spent a job dispatch + block write per round for
+    * the same shuffles; the round plans are shape-identical so codegen
+    * compiles once). Headroom: with ANSI off the damped sum silently
+    * wraps once a node can receive ~10¹⁴ micro-units (d·Σ at per-mille
+    * scale) — a hub absorbing the mass of ~10⁸ nodes; past that widen
+    * the sum to decimal(38,0).
+    */
+  private[graft] def pageRankFrom(edgeDf: DataFrame, dampingPermille: Long,
+      iters: Int): DataFrame = {
+    require(dampingPermille >= 0L && dampingPermille <= 1000L,
+      s"dampingPermille must be in [0, 1000]: $dampingPermille")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val edges = edgeDf.localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src")).persist()
+    val teleport = (1000L - dampingPermille) * 1000L
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("units"))
+    (1 to iters).foreach { _ =>
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("units DIV deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr(s"${teleport}L + (${dampingPermille}L * sum(contrib))"
+          + " DIV 1000L").as("units"))
+        .select(col("dst").as("node"), col("units"))
+    }
+    // one materialization of the composed loop — it must run BEFORE the
+    // unpersist below, or the rounds would recompute the edge join
+    // uncached
+    ranks = ranks.localCheckpoint()
+    withDeg.unpersist()
+    ranks
   }
 
   /** PERSONALIZED PageRank (damping 0.85, 5 rounds): teleport mass is

@@ -384,6 +384,33 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("public pageRank/labelPropagate knobs: API equals the cores at " +
+      "the fixture constants; damping 0 collapses to pure teleport") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val api = graft.api.Graft.pageRank(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val core = GraphOps.pageRankFrom(edges, 850L, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(api === core)
+    // damping 0: the update is teleport-only — every reached node holds
+    // exactly 10⁶ micro-units after any number of rounds
+    val tele = graft.api.Graft
+      .pageRank(edges, dampingPermille = 0L, iters = 3).collect()
+    assert(tele.nonEmpty && tele.forall(_.getLong(1) === 1000000L))
+    // damping 1000: no teleport — floors only ever LOSE mass
+    val full = graft.api.Graft
+      .pageRank(edges, dampingPermille = 1000L, iters = 3).collect()
+    assert(full.map(_.getLong(1)).sum <= 5L * 1000000L)
+    // labelPropagate ≡ the core at the same round count
+    val lpApi = graft.api.Graft.labelPropagate(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpCore = GraphOps.labelPropFrom(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpApi === lpCore)
+  }
+
   test("landmark sweep: L >= n collapses to the exact baseline (err 0, " +
       "full top-20 overlap) and the L grid is ascending") {
     import spark.implicits._
