@@ -975,6 +975,21 @@ object Graft {
       df.select(col(id).as("doc_id"), lit("").as("lang"),
         col(text).as("text")))
 
+  /** EXACT-SUBSTRING SCRUB (Lee et al.): remove every 5-gram span whose
+    * gram already occurred earlier in corpus order (idCol, position) —
+    * the FIRST occurrence of each duplicated substring survives, later
+    * copies are cut from the text. Returns one row per doc:
+    * (doc_id, n_tokens, n_kept, n_cut, kept_text); untouched docs pass
+    * through verbatim with n_cut = 0. First-occurrence selection is a
+    * partial-aggregable min per gram (no per-gram window), so a
+    * boilerplate gram repeated millions of times at 100 TB costs a
+    * combiner-side min, not a single-task sort.
+    */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.TextOps.spanScrubOn(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** Dedup THRESHOLD SENSITIVITY sweep over any scored near-dup pair
     * frame (`aCol`, `bCol`, `simCol` in [0,1]) and a doc frame for
     * token accounting: one row per τ (per-mille) with the pair count
@@ -1379,6 +1394,34 @@ object Graft {
       shapedIndex, resolveNlist(nlist, shapedIndex))
     graft.operators.SimOps.incrementalAssignOn(s, cells, centroids,
       shaped(incoming), nprobe, k)
+  }
+
+  /** EMBEDDING SNAPSHOT DRIFT REPORT — cluster the base corpus once
+    * (nlist cells; nlist = 0 → ⌈√n⌉, the standard sizing policy),
+    * assign the new snapshot to the same FROZEN centroids, and report
+    * per cell the population share of each snapshot in per-mille plus
+    * |Δ| (summing the drift column / 2 gives total variation distance).
+    * Frozen-centroid assignment is deliberate: re-clustering the union
+    * would conflate centroid motion with population motion — drift is
+    * measured against the old map (the PSI monitoring discipline).
+    * Cost: one Lloyd build on the base (persist it — the index is
+    * build-once) + one newer×centroids broadcast assign; never
+    * newer×newer or newer×base.
+    *
+    * Seeding contract as [[knnIvf]]: base ids should be dense from 0
+    * (the nlist lowest ids seed the clustering).
+    */
+  def embeddingDriftReport(base: DataFrame, newer: DataFrame,
+      idCol: String, vecCol: String, nlist: Int = 0): DataFrame = {
+    val s = base.sparkSession
+    def shaped(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+    val shapedBase = shaped(base)
+    val (cells, centroids) = graft.operators.SimOps.lloydCellsOn(s,
+      shapedBase, resolveNlist(nlist, shapedBase))
+    graft.operators.SimOps.driftReportOn(s, cells, centroids,
+      shaped(newer))
   }
 
   /** Reciprocal Rank Fusion (k=60 by default) over any number of rank

@@ -461,6 +461,79 @@ object SimOps extends OpFamily {
     knnIvfOn(s, cells, centroids, col("vec_id") < 10, nprobe = 2, k = 5)
   }
 
+  /** CORPUS SNAPSHOT DRIFT REPORT — the embedding-space monitoring
+    * instrument every continuously-ingesting pipeline runs between
+    * snapshots: cluster the BASE snapshot once (here: even vec_ids, 3
+    * Lloyd rounds seeded from the even ids < 20 → 10 cells), assign the
+    * NEW snapshot (odd vec_ids) to the same frozen centroids, and
+    * report per cell how the population share moved — n_base/n_new and
+    * both shares in per-mille (integer DIV, so the oracle replays
+    * exactly), plus |Δ| per cell (sum/2 over the column is the total
+    * variation distance a dashboard alerts on). A share collapsing to 0
+    * = a content family vanished; a cell inflating = new-crawl topic
+    * skew — the signal that retunes the mixing weights
+    * ([[FilterOps.mixReweightOn]]) before training sees the drift.
+    *
+    * Scale shape: the base index is the persisted build-once artifact
+    * (never rebuilt per report); the new snapshot pays ONE
+    * batch×centroids broadcast assign (no new×new, no new×base); the
+    * report itself is two counts. Frozen-centroid assignment is
+    * deliberate: re-clustering the union would conflate centroid motion
+    * with population motion — drift must be measured against the OLD
+    * map (PSI discipline from the monitoring literature).
+    */
+  def driftReport(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val parts = ArtifactCache.readOrBuildAll(s,
+        ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+          "nlist_20_even@r1"), Seq("cells", "centroids")) {
+      val (cells, centroids) =
+        lloydCellsOn(s, e.filter(col("vec_id") % 2 === 0), nlist = 20)
+      Seq("cells" -> cells, "centroids" -> centroids)
+    }
+    driftReportOn(s, parts("cells"), parts("centroids"),
+      e.filter(col("vec_id") % 2 =!= 0))
+  }
+
+  /** The report core over a prebuilt (cells, centroids) base index and
+    * any new-snapshot (vec_id, v) frame — also the
+    * [[graft.api.Graft.embeddingDriftReport]] core. The cid spine is the
+    * centroid table, so cells emptied by EITHER snapshot still report
+    * (share 0 is exactly the drift signal). */
+  private[graft] def driftReportOn(s: SparkSession, baseCells: DataFrame,
+      centroids: DataFrame, newer: DataFrame): DataFrame = {
+    val newCells = assignCellsOn(s, centroids, newer)
+    val b = baseCells.groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+    val n = newCells.groupBy(col("cid")).agg(count(lit(1)).as("n_new"))
+    val tb = baseCells.agg(count(lit(1)).as("tb"))
+    val tn = newCells.agg(count(lit(1)).as("tn"))
+    centroids.select(col("cid"))
+      .join(b, Seq("cid"), "left").join(n, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_base", "n_new"))
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(tn))
+      .select(col("cid"), col("n_base"), col("n_new"),
+        expr("n_base * 1000 DIV tb").as("base_permille"),
+        expr("n_new * 1000 DIV tn").as("new_permille"),
+        expr("abs(n_base * 1000 DIV tb - n_new * 1000 DIV tn)")
+          .as("drift_permille"))
+      .orderBy(col("cid"))
+  }
+
+  /** Nearest-frozen-centroid assignment of any (vec_id, v) frame — the
+    * assign step of [[lloydCellsOn]] factored over a prebuilt centroid
+    * table (ties → lowest cid, the same order the oracle replays). */
+  private[graft] def assignCellsOn(s: SparkSession, centroids: DataFrame,
+      e0: DataFrame): DataFrame = {
+    val e = withNorm(s, e0, "v", "vn")
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cid"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosPair(s, "v", "vn", "centroid", "cn"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"))
+  }
+
   /** NLIST SWEEP REPORT — the measured tuning instrument the √n default
     * policy ([[sqrtNlist]]) is chosen against, in the
     * [[recallReport]]/[[DedupOps]] dedup_recall_report pattern: one row
@@ -1892,6 +1965,7 @@ object SimOps extends OpFamily {
     "sim_knn_ivf_scaled" -> (knnIvfScaled _),
     "sim_lof_ivf_scaled" -> (lofIvfScaled _),
     "sim_incremental_assign" -> (incrementalAssign _),
+    "sim_drift_report" -> (driftReport _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_classify" -> (centroidClassify _),
@@ -2822,6 +2896,29 @@ object SimOps extends OpFamily {
     "sim_knn_pq_rerank" -> materializeCtes(pqRerankOracleSql),
     "sim_recall_report" -> materializeCtes(recallOracleSql),
     "sim_incremental_assign" -> incrementalAssignOracleSql,
+    "sim_drift_report" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 = 0),
+         ${lloydChainSfx("", "20")},
+         vnew AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 <> 0),
+         ${assignCteIn("newcells", "c3", "vnew")},
+         b AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base
+           FROM cells GROUP BY cid),
+         nn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new
+           FROM newcells GROUP BY cid),
+         spine AS (SELECT DISTINCT cid FROM c3),
+         tot AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM cells) AS tb,
+             (SELECT CAST(count(*) AS BIGINT) FROM newcells) AS tn)
+         SELECT spine.cid, coalesce(n_base, 0) AS n_base,
+           coalesce(n_new, 0) AS n_new,
+           coalesce(n_base, 0) * 1000 // tb AS base_permille,
+           coalesce(n_new, 0) * 1000 // tn AS new_permille,
+           abs(coalesce(n_base, 0) * 1000 // tb
+             - coalesce(n_new, 0) * 1000 // tn) AS drift_permille
+         FROM spine LEFT JOIN b USING (cid) LEFT JOIN nn USING (cid)
+         CROSS JOIN tot ORDER BY cid""",
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_kmeans" ->
       s"""WITH $lloydCtes

@@ -1158,6 +1158,59 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT-SUBSTRING SCRUB — the survivor-producing half of
+    * [[repeatedSpans]] (Lee et al.'s pipeline actually REMOVES the
+    * duplicated spans; the report alone is just the dry run): every
+    * 5-gram keeps exactly its FIRST occurrence in corpus order
+    * (doc_id, pos) and every later occurrence marks its token span
+    * [pos, pos+4] for cutting; a token survives iff no duplicate-gram
+    * span covers it. Output per doc: token counts before/after the cut
+    * and the rebuilt surviving text (docs with no duplicated grams, or
+    * < 5 tokens, pass through verbatim — the scrubber must not touch
+    * them).
+    *
+    * Scale shape: first-occurrence selection is min(struct(doc_id,pos))
+    * per gram — a partial-aggregable groupBy, NOT a per-gram window, so
+    * a pathologically common 5-gram (boilerplate headers at 100 TB)
+    * costs a combiner-side min instead of a single-task sort; span →
+    * token coverage is a bounded 5-element explode (linear, never a
+    * range join); the rebuild is one per-doc collect_list bounded by
+    * document length — the same bound [[spanCorrupt]] already carries.
+    * Swap the gram string for xxhash64(gram) at 100 TB to shrink both
+    * shuffles (the MinHash collision argument).
+    */
+  def spanScrub(s: SparkSession, d: String): DataFrame =
+    spanScrubOn(Tables.documents(s, d))
+
+  private[graft] def spanScrubOn(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      posexplode(shinglesN(toks, 5)).as(Seq("pos", "gram")))
+    // first corpus-order occurrence + total count per gram, one aggregate
+    val firstOcc = g.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first_occ"),
+        count(lit(1)).as("cnt"))
+    // non-first occurrences of duplicated grams → covered token positions
+    val covered = g.join(firstOcc.filter(col("cnt") >= 2), "gram")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first_occ"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 4)).as("tpos"))
+      .distinct()
+    val tok = docs.select(col("doc_id"), posexplode(toks).as(Seq("tpos", "tok")))
+    val kept = tok.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          _.getField("tok"))).as("kept_text"))
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Train/eval contamination check: eval docs (doc_id % 10 == 0) that
     * share at least one 5-gram with any train doc, with the count of
     * distinct leaked 5-grams — the standard benchmark-leakage sweep. The
@@ -1427,6 +1480,7 @@ object TextOps extends OpFamily {
     "text_mlm_mask" -> (mlmMask _),
     "text_bigram_fluency" -> (bigramFluency _),
     "text_repeated_spans" -> (repeatedSpans _),
+    "text_span_scrub" -> (spanScrub _),
     "text_chunks" -> (chunkWindows _),
     "text_contamination" -> (contamination _),
     "text_pack_bins" -> (packBins _),
@@ -1714,6 +1768,31 @@ object TextOps extends OpFamily {
            coalesce(spd.covered_tokens, 0) AS covered_tokens
          FROM documents d LEFT JOIN gc USING (doc_id)
          LEFT JOIN rc USING (doc_id) LEFT JOIN spd USING (doc_id)
+         ORDER BY doc_id""",
+    "text_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+               || ' ' || w[i+4] AS gram
+           FROM t, unnest(range(1, len(w) - 3)) AS u(i)),
+         d AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, row_number() OVER (PARTITION BY gram
+                 ORDER BY doc_id, pos) AS rn
+             FROM g) WHERE rn > 1),
+         cov AS (SELECT DISTINCT doc_id, pos + o AS tpos
+           FROM d, unnest(range(0, 5)) AS ofs(o)),
+         tok AS (SELECT doc_id, i AS tpos, w[i] AS tok
+           FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+         kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tpos) AS kept_text
+           FROM tok ANTI JOIN cov USING (doc_id, tpos)
+           GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           coalesce(n_kept, 0) AS n_kept,
+           CAST(len(w) AS BIGINT) - coalesce(n_kept, 0) AS n_cut,
+           coalesce(kept_text, '') AS kept_text
+         FROM t LEFT JOIN kept USING (doc_id)
          ORDER BY doc_id""",
     "text_pack_bins" ->
       """SELECT source, bin, count(*) AS n_docs,

@@ -1064,4 +1064,62 @@ class GraftApiSpec extends AnyFunSuite {
       assert(got === ref, s"buckets=$b must not change the skyline")
     }
   }
+
+  test("scrubRepeatedSpans: first occurrence survives, later copies cut") {
+    val corpus = Seq(
+      (0L, "a b c d e f"),          // first occurrence of both its grams
+      (1L, "x a b c d e y"),        // re-contains "a b c d e" → cut 5
+      (2L, "p q r"),                // < 5 tokens → verbatim
+      (3L, "a b c d e f g")         // two dup grams overlap → cut 0..5
+    ).toDF("id", "txt")
+    val got = Graft.scrubRepeatedSpans(corpus, "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(0L) === ((6L, 6L, 0L, "a b c d e f")), "first copy untouched")
+    assert(got(1L) === ((7L, 2L, 5L, "x y")), "later copy's span cut")
+    assert(got(2L) === ((3L, 3L, 0L, "p q r")), "short doc passes through")
+    // doc 3: "a b c d e"@0 and "b c d e f"@1 are both dups of doc 0's
+    // grams → covered 0..5 merge; only the tail token survives
+    assert(got(3L) === ((7L, 1L, 6L, "g")), "overlapping spans merge")
+  }
+
+  test("scrubRepeatedSpans: identity on a gram-unique corpus; counts add up") {
+    val corpus = Seq(
+      (10L, "one two three four five six"),
+      (11L, "seven eight nine ten eleven"),
+      (12L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("id", "txt")
+    val rows = Graft.scrubRepeatedSpans(corpus, "id", "txt").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1), "no dup grams → nothing cut")
+      assert(r.getLong(3) === 0L)
+      assert(r.getLong(1) + 0L === r.getLong(2) + r.getLong(3))
+    }
+    val back = rows.map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(back(10L) === "one two three four five six")
+  }
+
+  test("embeddingDriftReport: hand-shares on a two-cell corpus; zero on self") {
+    // dense base ids from 0; seeds (nlist=2) are ids 0 and 1 — one per cluster
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f))
+    ).toDF("vid", "emb")
+    val newer = Seq(
+      (100L, Seq(0.95f, 0.05f)),
+      (101L, Seq(0.05f, 0.95f)), (102L, Seq(0.1f, 0.9f)),
+      (103L, Seq(0.2f, 0.8f))
+    ).toDF("vid", "emb")
+    val got = Graft.embeddingDriftReport(base, newer, "vid", "emb",
+        nlist = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // base: {0,2} vs {1,3} → 500‰ each; new: 1 vs 3 → 250‰/750‰
+    assert(got(0) === ((2L, 1L, 500L, 250L, 250L)))
+    assert(got(1) === ((2L, 3L, 500L, 750L, 250L)))
+    val self = Graft.embeddingDriftReport(base, base, "vid", "emb",
+        nlist = 2).collect()
+    assert(self.forall(_.getLong(5) === 0L), "self-drift must be zero")
+  }
 }
