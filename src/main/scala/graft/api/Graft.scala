@@ -1396,6 +1396,23 @@ object Graft {
       shaped(incoming), nprobe, k)
   }
 
+  /** DETERMINISTIC EPOCH SHUFFLE — assign every row a pseudorandom
+    * training-order position for one epoch: returns the input columns
+    * plus (h, shard, pos), where h is a wrap-safe multiplicative hash
+    * of (idCol, epoch), shard = h mod nShards (the file a data loader
+    * reads), and pos is the row's rank within its shard. Seedless and
+    * replayable: a preempted trainer re-derives the identical order
+    * from (epoch, id) alone — no stored permutation, no rand() drift
+    * between attempts; bumping `epoch` reshuffles everything with zero
+    * state. One narrow hash pass + one window over nShards balanced
+    * partitions — the layout a 1000-executor epoch writer needs.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      nShards: Int = 1024): DataFrame =
+    graft.operators.IoOps.epochShuffleOn(
+      df.withColumn("__epoch", lit(epoch)), idCol, "__epoch", nShards)
+      .drop("__epoch")
+
   /** EMBEDDING SNAPSHOT DRIFT REPORT — cluster the base corpus once
     * (nlist cells; nlist = 0 → ⌈√n⌉, the standard sizing policy),
     * assign the new snapshot to the same FROZEN centroids, and report

@@ -454,7 +454,64 @@ object IoOps extends OpFamily {
       .orderBy(col("strategy"))
   }
 
+  /** DETERMINISTIC EPOCH SHUFFLE — the training-order producer: for
+    * each epoch, every doc gets a pseudorandom position from a wrap-safe
+    * multiplicative hash of (doc_id, epoch), a shard (hash mod
+    * nShards — the file a data loader reads), and a position within the
+    * shard. Deterministic and seedless-replayable: a preempted trainer
+    * re-derives the exact same order from (epoch, doc_id) alone — no
+    * stored permutation, no rand() drift between attempts; a new epoch
+    * changes ONLY the hash salt, reshuffling everything with zero state.
+    * The registered query exhibits two epochs and pins each (epoch,
+    * shard)'s FULL permutation in one number (Σ pos·doc_id — any swap,
+    * drop, or reorder changes it) plus the shard's first doc.
+    *
+    * Scale shape: the per-doc assignment is one narrow codegen
+    * expression; the per-shard position is a window partitioned by
+    * (epoch, shard) — nShards × epochs balanced partitions (hash mod is
+    * uniform), exactly how a 1000-executor writer lays out epoch files.
+    * A production run materializes ONE epoch per pass; the 2-epoch
+    * cross here only exhibits that orders differ across epochs.
+    */
+  def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    epochShuffleOn(
+      docs.crossJoin(broadcast(Seq(0, 1).toDF("epoch"))),
+      "doc_id", "epoch", nShards = 8)
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("pos") * col("doc_id")).as("perm_checksum"),
+        min(struct(col("h"), col("doc_id"))).as("m"))
+      .select(col("epoch"), col("shard"), col("n_docs"), col("n_tokens"),
+        col("perm_checksum"), col("m.doc_id").as("first_doc"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  /** The per-row assignment core over any frame carrying (idCol,
+    * epochCol) — also [[graft.api.Graft.epochShuffle]]'s core. Returns
+    * the input columns plus (h, shard, pos). Same residue-class caveat
+    * as the sampling family: adversarially-structured ids would need an
+    * xxhash64 swap (then the order is no longer SQL-replayable).
+    */
+  private[graft] def epochShuffleOn(df: DataFrame, idCol: String,
+      epochCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val P = 2147483647L
+    val h = pmod(pmod(col(idCol) * lit(2654435761L) +
+      col(epochCol) * lit(40503L), lit(P)) * lit(48271L), lit(P))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(epochCol), col("shard"))
+      .orderBy(col("h"), col(idCol))
+    df.withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   val queries = Map(
+    "io_epoch_shuffle" -> (epochShuffle _),
     "io_shard_rebalance" -> (shardRebalance _),
     "io_profile" -> (profileEvents _),
     "io_schema_evolution" -> (schemaEvolution _),
@@ -470,6 +527,23 @@ object IoOps extends OpFamily {
     "io_bucketed_join" -> (bucketedJoin _))
 
   val oracle = Map(
+    "io_epoch_shuffle" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         e AS (SELECT doc_id, n_tok, epoch,
+             ((doc_id * 2654435761 + epoch * 40503) % 2147483647)
+               * 48271 % 2147483647 AS h
+           FROM d, unnest([0, 1]) AS t(epoch)),
+         p AS (SELECT epoch, h % 8 AS shard, doc_id, n_tok, h,
+             CAST(row_number() OVER (PARTITION BY epoch, h % 8
+               ORDER BY h, doc_id) AS BIGINT) AS pos
+           FROM e)
+         SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(pos * doc_id) AS BIGINT) AS perm_checksum,
+           arg_min(doc_id, h * 2147483648 + doc_id) AS first_doc
+         FROM p GROUP BY epoch, shard ORDER BY epoch, shard""",
     "io_shard_rebalance" ->
       s"""WITH b AS (SELECT (doc_id % 2147483647) * 1103515245
                % 2147483647 AS p

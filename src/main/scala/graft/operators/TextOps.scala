@@ -1182,9 +1182,19 @@ object TextOps extends OpFamily {
   def spanScrub(s: SparkSession, d: String): DataFrame =
     spanScrubOn(Tables.documents(s, d))
 
-  private[graft] def spanScrubOn(docs: DataFrame): DataFrame = {
-    val g = docs.select(col("doc_id"),
+  /** `hashGrams = true` swaps the gram STRING for xxhash64(gram) as the
+    * dedup key — the 100 TB shuffle-width variant (8 bytes per key
+    * instead of the raw 5-gram; collision odds are the MinHash
+    * argument: ~n²/2⁶⁵ for n distinct grams). Result-identical on real
+    * corpora (t:GraftApiSpec pins equality on the fixture), but not
+    * SQL-replayable, so the REGISTERED query keeps the string key.
+    */
+  private[graft] def spanScrubOn(docs: DataFrame,
+      hashGrams: Boolean = false): DataFrame = {
+    val g0 = docs.select(col("doc_id"),
       posexplode(shinglesN(toks, 5)).as(Seq("pos", "gram")))
+    val g = if (hashGrams)
+      g0.withColumn("gram", xxhash64(col("gram"))) else g0
     // first corpus-order occurrence + total count per gram, one aggregate
     val firstOcc = g.groupBy(col("gram"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first_occ"),

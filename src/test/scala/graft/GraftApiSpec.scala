@@ -1122,4 +1122,47 @@ class GraftApiSpec extends AnyFunSuite {
         nlist = 2).collect()
     assert(self.forall(_.getLong(5) === 0L), "self-drift must be zero")
   }
+
+  test("epochShuffle: hand-replay of the hash, ranks, and shard balance") {
+    val ids = (0L until 64L).toDF("rid")
+    val got = Graft.epochShuffle(ids, "rid", epoch = 0, nShards = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val P = 2147483647L
+    def h(id: Long, ep: Long) = (id * 2654435761L + ep * 40503L) % P * 48271L % P
+    // every row's hash and shard replay by hand
+    (0L until 64L).foreach { id =>
+      assert(got(id)._1 === h(id, 0), s"hash mismatch at $id")
+      assert(got(id)._2 === h(id, 0) % 4, s"shard mismatch at $id")
+    }
+    // positions are the 1-based rank of h within the shard
+    val byShard = (0L until 64L).groupBy(id => h(id, 0) % 4)
+    byShard.foreach { case (shard, members) =>
+      val order = members.sortBy(id => (h(id, 0), id))
+      order.zipWithIndex.foreach { case (id, i) =>
+        assert(got(id)._3 === i + 1L, s"pos mismatch at $id in shard $shard")
+      }
+    }
+    // a different epoch produces a different global order
+    val e1 = Graft.epochShuffle(ids, "rid", epoch = 1, nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 64L).exists(id => e1(id) !== got(id)._1))
+    // determinism: a second run is byte-identical
+    val again = Graft.epochShuffle(ids, "rid", epoch = 0, nShards = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again === got)
+  }
+
+  test("spanScrub: xxhash64 gram keys give the identical scrub on the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val str = graft.operators.TextOps.spanScrubOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val hashed = graft.operators.TextOps.spanScrubOn(docs, hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(hashed === str, "hashed-key scrub must equal string-key scrub")
+  }
 }
