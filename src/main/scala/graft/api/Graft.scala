@@ -990,6 +990,20 @@ object Graft {
     graft.operators.TextOps.spanScrubOn(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** WINNOWING FINGERPRINTS (SIGMOD'03 MOSS): per-doc selected k-gram
+    * hashes — one row (doc_id, selpos, selh) per selected position,
+    * where each sliding window of 4 consecutive 3-gram hashes selects
+    * its rightmost minimum. Any ≥6-token substring two docs share
+    * yields at least one shared selh (the winnowing guarantee), at
+    * ~2/(w+1) selection density — join two corpora on selh for
+    * position-robust copy detection where whole-doc hashing flips on a
+    * single edit. Linear: one hash pass + one per-doc window.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.TextOps.winnowSelectOn(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** Dedup THRESHOLD SENSITIVITY sweep over any scored near-dup pair
     * frame (`aCol`, `bCol`, `simCol` in [0,1]) and a doc frame for
     * token accounting: one row per τ (per-mille) with the pair count

@@ -1221,6 +1221,79 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** WINNOWING FINGERPRINT (Schleimer, Wilkerson, Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03, public) —
+    * the position-robust document fingerprint exact-hash schemes lack:
+    * hash every word 3-gram, slide a window of [[WinnowW]] consecutive
+    * hashes, and select each window's RIGHTMOST minimal hash. The
+    * guarantee (their Thm. 1): any shared substring of ≥ w+k-1 tokens
+    * between two docs yields at least one SHARED selected hash, while
+    * only ~2/(w+1) of hashes are kept — the standard plagiarism /
+    * copy-detection fingerprint, insertion/deletion-robust where
+    * [[fingerprint]]'s whole-doc md5 flips on a single edit.
+    *
+    * Cross-engine exactness: the gram hash is the first 10 hex chars of
+    * md5 (40 bits, identical bytes in any engine); rightmost-min
+    * selection is encoded in ONE integer key = h·2²² + (2²²−1 − pos),
+    * so a plain windowed min() picks (min h, max pos) — no argmax
+    * window gymnastics, and DuckDB replays it with the same frame.
+    * Bound: ≤ 2²² (4.2M) grams per doc, far beyond any real document.
+    *
+    * Scale shape: one narrow hash pass, one per-doc window (ROWS
+    * BETWEEN CURRENT AND w−1 FOLLOWING), one distinct + aggregate —
+    * linear, partitioned by doc, no joins.
+    */
+  private[graft] val WinnowW = 4
+  private val WinnowPosCap = 1L << 22
+
+  /** Per-doc selected fingerprint hashes: (doc_id, selpos, selh) — one
+    * row per distinct selected position. Docs with fewer than
+    * [[WinnowW]] grams use one truncated window (frame end clips at the
+    * partition edge); docs with no 3-grams emit nothing.
+    */
+  private[graft] def winnowSelectOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"),
+        posexplode(shinglesN(toks, 3)).as(Seq("pos", "gram")))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(gram), 1, 10), 16, 10) AS BIGINT)"))
+      .withColumn("key", col("h") * lit(WinnowPosCap) +
+        (lit(WinnowPosCap - 1) - col("pos")))
+      .withColumn("m", count(lit(1)).over(wd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("selkey",
+        min(col("key")).over(wd.rowsBetween(0, WinnowW - 1)))
+      // only full windows start a selection (short docs: the pos-0
+      // window, clipped by the partition edge, covers every gram)
+      .filter(col("pos") <= greatest(col("m") - WinnowW, lit(0)))
+      .select(col("doc_id"),
+        (lit(WinnowPosCap - 1) - pmod(col("selkey"), lit(WinnowPosCap)))
+          .as("selpos"),
+        expr(s"selkey DIV $WinnowPosCap").as("selh"))
+      .distinct()
+  }
+
+  /** The registered per-doc rollup: gram count, selected-hash count,
+    * and the fingerprint pinned in two numbers (sum + min of selected
+    * hashes — any selection change moves the checksum). */
+  def winnowFp(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val agg = winnowSelectOn(docs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("selh")).as("fp_checksum"),
+        min(col("selh")).as("fp_min"))
+    docs.select(col("doc_id"),
+        greatest(size(toks) - 2, lit(0)).cast("long").as("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("fp_checksum"), lit(0L)).as("fp_checksum"),
+        coalesce(col("fp_min"), lit(0L)).as("fp_min"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Train/eval contamination check: eval docs (doc_id % 10 == 0) that
     * share at least one 5-gram with any train doc, with the count of
     * distinct leaked 5-grams — the standard benchmark-leakage sweep. The
@@ -1491,6 +1564,7 @@ object TextOps extends OpFamily {
     "text_bigram_fluency" -> (bigramFluency _),
     "text_repeated_spans" -> (repeatedSpans _),
     "text_span_scrub" -> (spanScrub _),
+    "text_winnow_fp" -> (winnowFp _),
     "text_chunks" -> (chunkWindows _),
     "text_contamination" -> (contamination _),
     "text_pack_bins" -> (packBins _),
@@ -1804,6 +1878,33 @@ object TextOps extends OpFamily {
            coalesce(kept_text, '') AS kept_text
          FROM t LEFT JOIN kept USING (doc_id)
          ORDER BY doc_id""",
+    "text_winnow_fp" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+               1, 10))::BIGINT AS h
+           FROM t, unnest(range(1, len(w) - 1)) AS u(i)),
+         k AS (SELECT doc_id, pos, h,
+             h * 4194304 + (4194303 - pos) AS key FROM g),
+         s AS (SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY doc_id) AS m,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+           FROM k),
+         sel AS (SELECT DISTINCT doc_id, selkey // 4194304 AS selh,
+             4194303 - (selkey % 4194304) AS selpos
+           FROM s WHERE pos <= greatest(m - 4, 0)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+             CAST(sum(selh) AS BIGINT) AS fp_checksum,
+             CAST(min(selh) AS BIGINT) AS fp_min
+           FROM sel GROUP BY doc_id)
+         SELECT t.doc_id,
+           CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_grams,
+           coalesce(n_selected, 0) AS n_selected,
+           coalesce(fp_checksum, 0) AS fp_checksum,
+           coalesce(fp_min, 0) AS fp_min
+         FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
     "text_pack_bins" ->
       """SELECT source, bin, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,

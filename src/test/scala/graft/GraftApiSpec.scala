@@ -1154,6 +1154,65 @@ class GraftApiSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("winnowFingerprints: guarantee holds — every full window is covered") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    val sel = Graft.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val nGrams = docs.collect().map(r => r.getLong(0) ->
+      math.max(r.getString(1).split(" ").length - 2, 0)).toMap
+    nGrams.foreach { case (id, m) =>
+      if (m == 0) assert(!sel.contains(id), s"doc $id has no grams")
+      else {
+        val ps = sel(id)
+        assert(ps.nonEmpty, s"doc $id must select at least one hash")
+        // coverage of every full window start ws ∈ [0, max(m-4, 0)]:
+        // first selection within the first window, gaps ≤ 4, last
+        // selection within the final window
+        assert(ps.head <= 3L, s"doc $id: first window uncovered")
+        ps.sliding(2).foreach {
+          case Vector(a, b) =>
+            assert(b - a <= 4L, s"doc $id: window gap $a→$b uncovered")
+          case _ =>
+        }
+        assert(ps.last >= math.max(m - 4, 0).toLong,
+          s"doc $id: last window uncovered")
+      }
+    }
+  }
+
+  test("winnowFingerprints: rightmost-min hand replay; copies fingerprint equal") {
+    // replicate the engine hash: first 10 hex chars of md5(gram) as int
+    def h10(gram: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(gram.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 10), 16)
+    }
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val toks = text.split(" ")
+    val grams = toks.sliding(3).map(_.mkString(" ")).toVector // m = 6
+    val hs = grams.map(h10)
+    // expected: for ws ∈ 0..2, rightmost argmin of hs[ws..ws+3]
+    val want = (0 to 2).map { ws =>
+      val win = (ws to ws + 3).map(p => (hs(p), p))
+      val mn = win.map(_._1).min
+      val p = win.filter(_._1 == mn).map(_._2).max
+      (p.toLong, hs(p))
+    }.toSet
+    val got = Graft.winnowFingerprints(
+        Seq((7L, text)).toDF("id", "txt"), "id", "txt")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "selection must be the rightmost window minimum")
+    // an exact copy under another id selects the identical fingerprint
+    val two = Graft.winnowFingerprints(
+        Seq((7L, text), (8L, text)).toDF("id", "txt"), "id", "txt")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    assert(two(7L) === two(8L), "identical text → identical fingerprints")
+  }
+
   test("spanScrub: xxhash64 gram keys give the identical scrub on the fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
