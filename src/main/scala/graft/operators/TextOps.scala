@@ -1294,6 +1294,33 @@ object TextOps extends OpFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** WINNOW-FINGERPRINT CONTAMINATION — the THINNED-INDEX twin of
+    * [[contamination]]: eval docs (doc_id % 10 == 0) that share at
+    * least one winnow-selected hash with any train doc, with the count
+    * of distinct shared hashes. The tradeoff vs the exact 5-gram sweep
+    * is honest and quantified: winnowing guarantees detection only for
+    * shared runs of ≥ w+k−1 = 6 tokens (one token longer than the
+    * exact check), but the index it joins is ~2/(w+1) = 40% the gram
+    * count BEFORE dedup — at 100 TB the contamination sweep's cost is
+    * the index build + shuffle, so this is the production sweep and
+    * the exact-gram one the high-recall audit. Same inverted-index
+    * shape: train side dedups hashes, equi-join on selh, never
+    * doc×doc.
+    */
+  def winnowOverlap(s: SparkSession, d: String): DataFrame =
+    winnowOverlapOn(Tables.documents(s, d))
+
+  private[graft] def winnowOverlapOn(docs: DataFrame): DataFrame = {
+    val sel = winnowSelectOn(docs).localCheckpoint()
+    val trainH = sel.filter(col("doc_id") % 10 =!= 0)
+      .select(col("selh")).distinct()
+    sel.filter(col("doc_id") % 10 === 0)
+      .join(trainH, Seq("selh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("selh")).as("n_shared_hashes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Train/eval contamination check: eval docs (doc_id % 10 == 0) that
     * share at least one 5-gram with any train doc, with the count of
     * distinct leaked 5-grams — the standard benchmark-leakage sweep. The
@@ -1565,6 +1592,7 @@ object TextOps extends OpFamily {
     "text_repeated_spans" -> (repeatedSpans _),
     "text_span_scrub" -> (spanScrub _),
     "text_winnow_fp" -> (winnowFp _),
+    "text_winnow_overlap" -> (winnowOverlap _),
     "text_chunks" -> (chunkWindows _),
     "text_contamination" -> (contamination _),
     "text_pack_bins" -> (packBins _),
@@ -1905,6 +1933,28 @@ object TextOps extends OpFamily {
            coalesce(fp_checksum, 0) AS fp_checksum,
            coalesce(fp_min, 0) AS fp_min
          FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+    "text_winnow_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+               1, 10))::BIGINT AS h
+           FROM t, unnest(range(1, len(w) - 1)) AS u(i)),
+         k AS (SELECT doc_id, pos, h,
+             h * 4194304 + (4194303 - pos) AS key FROM g),
+         s AS (SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY doc_id) AS m,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+           FROM k),
+         sel AS (SELECT DISTINCT doc_id, selkey // 4194304 AS selh
+           FROM s WHERE pos <= greatest(m - 4, 0)),
+         train AS (SELECT DISTINCT selh FROM sel WHERE doc_id % 10 <> 0)
+         SELECT doc_id,
+           CAST(count(DISTINCT selh) AS BIGINT) AS n_shared_hashes
+         FROM sel JOIN train USING (selh)
+         WHERE doc_id % 10 = 0
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_pack_bins" ->
       """SELECT source, bin, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,

@@ -1213,6 +1213,20 @@ class GraftApiSpec extends AnyFunSuite {
     assert(two(7L) === two(8L), "identical text → identical fingerprints")
   }
 
+  test("winnowOverlap: a shared 6-token run fires; disjoint eval doc is absent") {
+    val corpus = Seq(
+      (1L, "q w e r t y u i o p"),              // train
+      (3L, "m n b v c x z l k j"),              // train, disjoint
+      (10L, "pre1 pre2 q w e r t y post1"),     // eval: shares 6-run with 1
+      (20L, "aa bb cc dd ee ff gg hh")          // eval: shares nothing
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.winnowOverlapOn(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(10L), "6-token shared run must be detected")
+    assert(got(10L) >= 1L)
+    assert(!got.contains(20L), "disjoint eval doc must not appear")
+  }
+
   test("spanScrub: xxhash64 gram keys give the identical scrub on the fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
