@@ -636,6 +636,25 @@ object Graft {
     graft.operators.FilterOps.mixReweightOn(df, idCol, textCol,
       stratumCol, targetsPermille.toSeq.sortBy(_._1))
 
+  /** DATA-CONSTRAINED BUDGET PLANNER (water-filling under repeat caps):
+    * given a total training-token budget, per-stratum target shares
+    * (per-mille), and a maximum repeat factor (capPermille; 1500 =
+    * at most 1.5 epochs of any source), allocate the budget —
+    * proportionally each round among uncapped strata, capping
+    * overdrawn ones and redistributing their excess the next round.
+    * Returns per stratum: tokens, share, cap, allocated tokens,
+    * epochs_permille (1000 = one full pass), and whether the cap
+    * bound. Set `rounds` ≥ the number of strata for guaranteed
+    * convergence (each round caps at least one stratum or reaches the
+    * fixpoint). All integer floor division — deterministic and
+    * backfill-stable.
+    */
+  def budgetPlan(df: DataFrame, textCol: String, stratumCol: String,
+      targetsPermille: Map[String, Long], budget: Long,
+      capPermille: Int = 1500, rounds: Int = 8): DataFrame =
+    graft.operators.FilterOps.budgetPlanOn(df, textCol, stratumCol,
+      targetsPermille.toSeq.sortBy(_._1), budget, capPermille, rounds)
+
   /** Corpus-relative rarity score per document: mean inverse document
     * frequency over the document's tokens in integral per-mille units
     * (each token contributes (1000·n_docs) DIV df). High = rare/garbage
@@ -1409,6 +1428,20 @@ object Graft {
     graft.operators.SimOps.incrementalAssignOn(s, cells, centroids,
       shaped(incoming), nprobe, k)
   }
+
+  /** CORPUS SNAPSHOT DIFF (CDC between two crawl snapshots): classify
+    * every doc id as added / removed / changed / unchanged by comparing
+    * content fingerprints across the two frames — `changed + added` is
+    * the work an incremental re-embed/re-dedup pass must touch,
+    * `removed` the tombstone set the index must expire. Returns one row
+    * per id: (doc_id, status, tok_old, tok_new), token counts NULL on
+    * the absent side. One id equi-join + md5 compare — never
+    * content×content; precompute the fingerprint at ingest and the
+    * join moves id + 16 bytes per side.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.IoOps.snapshotDiffOn(oldSnap, newSnap, idCol, textCol)
 
   /** DETERMINISTIC EPOCH SHUFFLE — assign every row a pseudorandom
     * training-order position for one epoch: returns the input columns

@@ -205,6 +205,92 @@ object FilterOps extends OpFamily {
       .orderBy(col("lang"))
   }
 
+  /** DATA-CONSTRAINED BUDGET PLANNER — the question AFTER the mix is
+    * chosen (Muennighoff et al., "Scaling Data-Constrained Language
+    * Models", NeurIPS'23, public, motivates the repeat cap): given a
+    * total training-token budget, per-stratum target shares, and a
+    * maximum repeat factor per stratum (capPermille, e.g. 1500 = see
+    * each source at most 1.5 epochs), how many tokens does each source
+    * actually contribute? Proportional allocation would overdraw small
+    * sources, so the planner WATER-FILLS: each round allocates the
+    * remaining budget proportionally among uncapped strata, caps any
+    * stratum whose proposal exceeds tokens·cap, and redistributes the
+    * excess next round. Converges in ≤ #strata rounds (each round caps
+    * ≥ 1 stratum or reaches fixpoint). All integer floor division in
+    * DECIMAL(38,0)/HUGEINT — the oracle replays the rounds exactly.
+    *
+    * Output per stratum: tokens, target share, cap, allocated tokens,
+    * epochs_permille (1000 = one full pass; < 1000 = subsample), and
+    * whether the cap bound. At sf0.1 with budget = 1.5× corpus and
+    * cap 1500‰ the fixture cascades: zh+de cap in round 1, en+es in
+    * round 2, fr in round 3 — the 5-stratum worst case, measured.
+    *
+    * Scale shape: one bounded groupBy → a #strata-row frame; every
+    * round is one broadcast aggregate over that frame — corpus scanned
+    * ONCE regardless of rounds.
+    */
+  def budgetPlan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // one metadata-cheap aggregate action (the scaledNlist precedent):
+    // the budget knob is derived from the corpus so the planner's
+    // dynamics are scale-free across fixture SFs
+    val total = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).first().getLong(0)
+    budgetPlanOn(docs, "text", "lang", MixTargets,
+      budget = total * 3 / 2, capPermille = 1500, rounds = 3)
+  }
+
+  /** The water-filling core — also [[graft.api.Graft.budgetPlan]]'s.
+    * `targets` = (stratum, share-per-mille); strata missing from the
+    * map are dropped (inner join — a rollout config names every source
+    * it ships, the [[mixReweightOn]] contract).
+    */
+  private[graft] def budgetPlanOn(df: DataFrame, textCol: String,
+      stratumCol: String, targets: Seq[(String, Long)], budget: Long,
+      capPermille: Int, rounds: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(capPermille > 0, s"capPermille must be positive: $capPermille")
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      s"target shares must be positive per-mille values: $targets")
+    val s = df.sparkSession
+    import s.implicits._
+    val tdf = broadcast(targets.toDF("stratum", "target_permille"))
+    var cur = df.select(col(stratumCol).cast("string").as("stratum"),
+        size(split(col(textCol), " ")).cast("long").as("tok"))
+      .groupBy(col("stratum")).agg(sum(col("tok")).as("tokens"))
+      .join(tdf, Seq("stratum"))
+      .withColumn("cap_tokens", expr(s"CAST((CAST(tokens AS " +
+        s"DECIMAL(38,0)) * $capPermille) DIV 1000 AS BIGINT)"))
+      .withColumn("capped", lit(false))
+      .withColumn("alloc_tokens", lit(0L))
+      .localCheckpoint() // #strata rows; re-read every round
+    (1 to rounds).foreach { _ =>
+      val agg = cur.agg(
+        coalesce(sum(when(col("capped"), col("cap_tokens"))), lit(0L))
+          .as("used_b"),
+        coalesce(sum(when(!col("capped"), col("target_permille"))),
+          lit(0L)).as("wr"))
+      cur = cur.crossJoin(broadcast(agg))
+        .withColumn("prop", when(col("capped"), col("cap_tokens"))
+          .otherwise(expr(s"CAST((CAST(GREATEST($budget - used_b, 0) AS " +
+            "DECIMAL(38,0)) * target_permille) DIV wr AS BIGINT)")))
+        .withColumn("capped",
+          col("capped") || col("prop") > col("cap_tokens"))
+        .withColumn("alloc_tokens",
+          when(col("capped"), least(col("prop"), col("cap_tokens")))
+            .otherwise(col("prop")))
+        .drop("used_b", "wr", "prop")
+        .localCheckpoint()
+    }
+    cur.select(col("stratum"), col("tokens"), col("target_permille"),
+        col("cap_tokens"), col("alloc_tokens"),
+        expr("CAST((CAST(alloc_tokens AS DECIMAL(38,0)) * 1000) DIV " +
+          "tokens AS BIGINT)").as("epochs_permille"),
+        col("capped").cast("int").as("capped"))
+      .orderBy(col("stratum"))
+  }
+
   /** TEMPERATURE-based source mixing (α = 0.5) — the step a training-data
     * pipeline runs after dedup to rebalance languages/sources: where
     * [[sampleStratified]] applies HAND-PICKED rates, here the per-stratum
@@ -368,6 +454,7 @@ object FilterOps extends OpFamily {
     "filter_mix_temperature" -> (mixTemperature _),
     "filter_mix_token_budget" -> (mixTokenBudget _),
     "filter_mix_reweight" -> (mixReweight _),
+    "filter_budget_plan" -> (budgetPlan _),
     "filter_split_assign" -> (splitAssign _),
     "filter_sample_seeded" -> (sampleSeeded _),
     "filter_sample_stratified" -> (sampleStratified _),
@@ -403,6 +490,49 @@ object FilterOps extends OpFamily {
          FROM documents d JOIN rates r USING (lang)
          WHERE ((d.doc_id % 1000) * 761) % 1000 < r.rate
          GROUP BY d.lang, r.rate ORDER BY d.lang""",
+    "filter_budget_plan" -> {
+      // one water-filling round: rN from r(N-1) through the aN totals —
+      // mirror of the engine loop term for term
+      def round(n: Int): String = {
+        val p = n - 1
+        s"""a$n AS (SELECT
+             coalesce(SUM(CASE WHEN capped THEN cap END), 0) AS used_b,
+             coalesce(SUM(CASE WHEN NOT capped THEN share END), 0) AS wr
+           FROM r$p),
+         r$n AS (SELECT lang, tokens, share, cap,
+             capped OR prop > cap AS capped,
+             CASE WHEN capped OR prop > cap THEN least(prop, cap)
+                  ELSE prop END AS alloc
+           FROM (SELECT r$p.lang, r$p.tokens, r$p.share, r$p.cap,
+               r$p.capped,
+               CASE WHEN r$p.capped THEN r$p.cap
+                 ELSE CAST(CAST(greatest((SELECT budget FROM b) - used_b,
+                   0) AS HUGEINT) * r$p.share // wr AS BIGINT) END AS prop
+             FROM r$p, a$n))"""
+      }
+      s"""WITH toks AS (SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+         b AS (SELECT CAST(SUM(tok) AS BIGINT) * 3 // 2 AS budget
+           FROM toks),
+         targets(lang, share) AS (VALUES
+           ${MixTargets.map { case (l, p) =>
+             s"('$l', CAST($p AS BIGINT))" }.mkString(",\n           ")}),
+         r0 AS (SELECT t.lang, CAST(SUM(t.tok) AS BIGINT) AS tokens,
+             g.share,
+             CAST(CAST(SUM(t.tok) AS HUGEINT) * 1500 // 1000 AS BIGINT)
+               AS cap,
+             false AS capped, CAST(0 AS BIGINT) AS alloc
+           FROM toks t JOIN targets g USING (lang)
+           GROUP BY t.lang, g.share),
+         ${(1 to 3).map(round).mkString(",\n         ")}
+         SELECT lang AS stratum, tokens, share AS target_permille,
+           cap AS cap_tokens, alloc AS alloc_tokens,
+           CAST(CAST(alloc AS HUGEINT) * 1000 // tokens AS BIGINT)
+             AS epochs_permille,
+           CAST(capped AS INT) AS capped
+         FROM r3 ORDER BY stratum"""
+    },
     "filter_mix_reweight" ->
       s"""WITH toks AS (SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok

@@ -510,8 +510,62 @@ object IoOps extends OpFamily {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** CORPUS SNAPSHOT DIFF — the CDC report between two crawl
+    * snapshots: full outer join on the doc id, compare content
+    * fingerprints (md5 of the text — the [[graft.operators.TextOps]]
+    * fingerprint discipline), and classify every id as added / removed
+    * / changed / unchanged, rolled up with token accounting (old-side
+    * and new-side token sums per status). This is the number an
+    * incremental pipeline gates on: `changed + added` is the work a
+    * re-embed/re-dedup pass must touch, `removed` is the tombstone set
+    * the index must expire. The fixture derives both snapshots
+    * deterministically from the documents table (old = ids % 13 ≠ 0,
+    * new = ids % 11 ≠ 0 with text amended for ids % 7 = 0), so the
+    * oracle replays the whole diff.
+    *
+    * Scale shape: one equi-join on the id (shuffle both sides once),
+    * md5 compare per matched row, one bounded rollup — never content ×
+    * content; at 100 TB the fingerprint column would be precomputed at
+    * ingest and the join prunes to id + 16 bytes per side.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 13 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    snapshotDiffOn(oldSnap, newSnap, "doc_id", "text")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("tok_old")), lit(0L)).as("tokens_old"),
+        coalesce(sum(col("tok_new")), lit(0L)).as("tokens_new"))
+      .orderBy(col("status"))
+  }
+
+  /** The per-id classification core — also
+    * [[graft.api.Graft.snapshotDiff]]'s: returns (doc_id, status,
+    * tok_old, tok_new) with token counts NULL on the side the id is
+    * absent from. */
+  private[graft] def snapshotDiffOn(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def shaped(df: DataFrame, sfx: String): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as(s"fp_$sfx"),
+        size(split(col(textCol), " ")).cast("long").as(s"tok_$sfx"))
+    shaped(oldSnap, "old").join(shaped(newSnap, "new"), Seq("doc_id"),
+        "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("tok_old"), col("tok_new"))
+  }
+
   val queries = Map(
     "io_epoch_shuffle" -> (epochShuffle _),
+    "io_snapshot_diff" -> (snapshotDiff _),
     "io_shard_rebalance" -> (shardRebalance _),
     "io_profile" -> (profileEvents _),
     "io_schema_evolution" -> (schemaEvolution _),
@@ -527,6 +581,27 @@ object IoOps extends OpFamily {
     "io_bucketed_join" -> (bucketedJoin _))
 
   val oracle = Map(
+    "io_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents WHERE doc_id % 13 <> 0),
+         n AS (SELECT doc_id, md5(t) AS fp,
+             CAST(len(string_split(t, ' ')) AS BIGINT) AS tok
+           FROM (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                    ELSE text END AS t
+             FROM documents WHERE doc_id % 11 <> 0)),
+         c AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             o.tok AS tok_old, n.tok AS tok_new
+           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(tok_old), 0) AS BIGINT) AS tokens_old,
+           CAST(coalesce(sum(tok_new), 0) AS BIGINT) AS tokens_new
+         FROM c GROUP BY status ORDER BY status""",
     "io_epoch_shuffle" ->
       """WITH d AS (SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -1213,6 +1213,61 @@ class GraftApiSpec extends AnyFunSuite {
     assert(two(7L) === two(8L), "identical text → identical fingerprints")
   }
 
+  test("budgetPlan: water-filling hand derivation — cap, redistribute, converge") {
+    // stratum a: 10 tokens, share 800; stratum b: 1000 tokens, share 200
+    // budget 500, cap 1500‰ → caps 15 and 1500
+    // round 1: prop_a = 500*800/1000 = 400 > 15 → capped, alloc 15;
+    //          prop_b = 100 ≤ 1500 → alloc 100
+    // round 2: used 15, wr 200 → prop_b = 485*200/200 = 485 → alloc 485
+    // round 3: fixpoint (same totals) — full budget 15 + 485 = 500 placed
+    def doc(st: String, n: Int, id: Long) = (id, st, Seq.fill(n)("w").mkString(" "))
+    val corpus = (Seq(doc("a", 10, 1L)) ++
+      (0 until 10).map(i => doc("b", 100, 10L + i))).toDF("id", "src", "body")
+    val got = Graft.budgetPlan(corpus, "body", "src",
+        Map("a" -> 800L, "b" -> 200L), budget = 500L, capPermille = 1500,
+        rounds = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getInt(6))).toMap
+    assert(got("a") === ((10L, 15L, 15L, 1500L, 1)), "a caps at 1.5 epochs")
+    assert(got("b") === ((1000L, 1500L, 485L, 485L, 0)),
+      "b absorbs the redistributed excess")
+    // extra rounds are a no-op once converged
+    val more = Graft.budgetPlan(corpus, "body", "src",
+        Map("a" -> 800L, "b" -> 200L), budget = 500L, capPermille = 1500,
+        rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(more === Map("a" -> 15L, "b" -> 485L))
+  }
+
+  test("budgetPlan: all-capped leaves budget honestly unplaced") {
+    val corpus = (0 until 3).flatMap(s =>
+      (0 until 4).map(i => (s * 10L + i, s"s$s", Seq.fill(25)("t").mkString(" "))))
+      .toDF("id", "src", "body") // three strata of 100 tokens each
+    // budget 450, cap 1200‰ → caps 120; round 1 caps s0 (225) and s1
+    // (135); round 2 caps s2 (prop 210*200/200 = 210); total 360 < 450
+    val got = Graft.budgetPlan(corpus, "body", "src",
+        Map("s0" -> 500L, "s1" -> 300L, "s2" -> 200L), budget = 450L,
+        capPermille = 1200, rounds = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(4), r.getInt(6))).toMap
+    assert(got === Map("s0" -> ((120L, 1)), "s1" -> ((120L, 1)),
+      "s2" -> ((120L, 1))), "caps bind everywhere; 90 tokens unplaceable")
+  }
+
+  test("snapshotDiff: every status classified; token sides NULL when absent") {
+    val oldSnap = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
+      .toDF("id", "txt")
+    val newSnap = Seq((1L, "a b c"), (2L, "d e CHANGED"), (4L, "new doc"))
+      .toDF("id", "txt")
+    val got = Graft.snapshotDiff(oldSnap, newSnap, "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1L) === (("unchanged", Some(3L), Some(3L))))
+    assert(got(2L) === (("changed", Some(2L), Some(3L))))
+    assert(got(3L) === (("removed", Some(4L), None)))
+    assert(got(4L) === (("added", None, Some(2L))))
+  }
+
   test("winnowOverlap: a shared 6-token run fires; disjoint eval doc is absent") {
     val corpus = Seq(
       (1L, "q w e r t y u i o p"),              // train
