@@ -975,6 +975,52 @@ object TextOps extends OpFamily {
         col("nll_units").cast("double") / col("n_bigrams") / 1e6)
   }
 
+  /** QUALITY CUTOFF SWEEP — the tunable-threshold instrument the fixed
+    * funnel ([[qualityFunnel]]) is calibrated FROM (the
+    * [[graft.operators.DedupOps]] dedup_threshold_report discipline
+    * applied to the quality knob): one row per candidate fluency cutoff
+    * (mean bigram cross-entropy in micro-nats) with the docs and TOKENS
+    * a drop-above-cutoff policy would remove vs keep. Reading it:
+    * cutoff too low throws away clean long-tail text (tokens_dropped
+    * explodes), too high lets gibberish through; the elbow is
+    * corpus-specific and this makes it measured. Docs too short to
+    * score (< 2 tokens — no bigram row) PASS every cutoff, the funnel's
+    * rule-order semantics. Exactness: the drop test is the integer
+    * comparison nll_units > cutoff·n_bigrams (both sides exact int64 —
+    * never a float mean that could ulp-flip between engines).
+    *
+    * Scale shape: the corpus is scored ONCE (the [[docPerplexityOn]]
+    * LM pass); each cutoff is a re-aggregation of the same bounded
+    * per-doc score frame via one broadcast cross join — the
+    * build-once/probe-many sweep shape.
+    */
+  def qualityTradeoff(s: SparkSession, d: String): DataFrame =
+    qualityTradeoffOn(s, Tables.documents(s, d))
+
+  private[graft] def qualityTradeoffOn(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val scored = docs
+      .select(col("doc_id"), size(toks).cast("long").as("n_tok"))
+      .join(docPerplexityOn(docs)
+        .select(col("doc_id"), col("n_bigrams"), col("nll_units")),
+        Seq("doc_id"), "left")
+      .localCheckpoint() // scored once; re-read per cutoff
+    val cutoffs = Seq(3000000L, 3225000L, 3450000L, 3675000L, 3900000L)
+      .toDF("cutoff_micronats")
+    val dropped = col("nll_units").isNotNull &&
+      col("nll_units") > col("cutoff_micronats") * col("n_bigrams")
+    scored.crossJoin(broadcast(cutoffs))
+      .groupBy(col("cutoff_micronats"))
+      .agg(coalesce(sum(when(dropped, 1L)), lit(0L)).as("n_dropped"),
+        coalesce(sum(when(!dropped, 1L)), lit(0L)).as("n_kept"),
+        coalesce(sum(when(dropped, col("n_tok"))), lit(0L))
+          .as("tokens_dropped"),
+        coalesce(sum(when(!dropped, col("n_tok"))), lit(0L))
+          .as("tokens_kept"))
+      .orderBy(col("cutoff_micronats"))
+  }
+
   /** QUALITY FILTER FUNNEL — the curation ACCOUNTING deliverable the
     * per-signal scorers ([[tokenStats]], [[docPerplexity]], ...) feed:
     * an ordered rule chain with FIRST-FAILING-RULE attribution (a doc
@@ -1593,6 +1639,7 @@ object TextOps extends OpFamily {
     "text_span_scrub" -> (spanScrub _),
     "text_winnow_fp" -> (winnowFp _),
     "text_winnow_overlap" -> (winnowOverlap _),
+    "text_quality_tradeoff" -> (qualityTradeoff _),
     "text_chunks" -> (chunkWindows _),
     "text_contamination" -> (contamination _),
     "text_pack_bins" -> (packBins _),
@@ -1713,6 +1760,44 @@ object TextOps extends OpFamily {
          SELECT doc_id, lang, n_bigrams, nll_units,
            CAST(nll_units AS DOUBLE) / n_bigrams / 1e6 AS xent_nats
          FROM sc ORDER BY xent_nats DESC, doc_id LIMIT 15""",
+    "text_quality_tradeoff" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+             FROM documents),
+         bg AS (SELECT doc_id, w[i] AS pa, w[i + 1] AS pb
+           FROM w, unnest(range(1, len(w))) AS t(i)
+           WHERE len(w) >= 2),
+         nab AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS nab
+           FROM bg GROUP BY pa, pb),
+         na AS (SELECT pa, CAST(count(*) AS BIGINT) AS na
+           FROM bg GROUP BY pa),
+         lm AS (SELECT pa, pb,
+             CAST(floor(ln(CAST(na AS DOUBLE) / CAST(nab AS DOUBLE))
+               * 1e6) AS BIGINT) AS qln
+           FROM nab JOIN na USING (pa)),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(qln) AS BIGINT) AS nll_units
+           FROM bg JOIN lm USING (pa, pb) GROUP BY doc_id),
+         base AS (SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+             sc.n_bigrams, sc.nll_units
+           FROM documents d LEFT JOIN sc USING (doc_id)),
+         cut(cutoff_micronats) AS (VALUES (CAST(3000000 AS BIGINT)),
+           (3225000), (3450000), (3675000), (3900000))
+         SELECT cutoff_micronats,
+           CAST(coalesce(sum(CASE WHEN nll_units IS NOT NULL AND
+             nll_units > cutoff_micronats * n_bigrams THEN 1 END), 0)
+             AS BIGINT) AS n_dropped,
+           CAST(coalesce(sum(CASE WHEN nll_units IS NULL OR
+             nll_units <= cutoff_micronats * n_bigrams THEN 1 END), 0)
+             AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN nll_units IS NOT NULL AND
+             nll_units > cutoff_micronats * n_bigrams THEN n_tok END), 0)
+             AS BIGINT) AS tokens_dropped,
+           CAST(coalesce(sum(CASE WHEN nll_units IS NULL OR
+             nll_units <= cutoff_micronats * n_bigrams THEN n_tok END), 0)
+             AS BIGINT) AS tokens_kept
+         FROM base CROSS JOIN cut
+         GROUP BY cutoff_micronats ORDER BY cutoff_micronats""",
     "text_source_divergence" ->
       """WITH t AS (SELECT source AS grp,
              unnest(string_split(text, ' ')) AS term FROM documents),

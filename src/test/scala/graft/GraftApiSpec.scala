@@ -1254,6 +1254,31 @@ class GraftApiSpec extends AnyFunSuite {
       "s2" -> ((120L, 1))), "caps bind everywhere; 90 tokens unplaceable")
   }
 
+  test("qualityTradeoff: conservation, monotone in cutoff, short docs pass") {
+    val fx = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = graft.operators.TextOps.qualityTradeoffOn(spark, fx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nDocs = fx.count()
+    rows.foreach { case (_, nd, nk, td, tk) =>
+      assert(nd + nk === nDocs, "every doc classified exactly once")
+      assert(td >= 0 && tk >= 0)
+    }
+    // a stricter (lower) cutoff never drops FEWER docs
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2, s"drop count must fall as cutoff rises: $a $b")
+      case _ =>
+    }
+    // docs with < 2 tokens cannot be scored → pass every cutoff
+    import spark.implicits._
+    val tiny = Seq((1L, "en", "solo"), (2L, "en", "a b a b a b"))
+      .toDF("doc_id", "lang", "text")
+    val t = graft.operators.TextOps.qualityTradeoffOn(spark, tiny)
+      .collect()
+    assert(t.forall(_.getLong(2) >= 1L), "the 1-token doc is kept everywhere")
+  }
+
   test("snapshotDiff: every status classified; token sides NULL when absent") {
     val oldSnap = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
       .toDF("id", "txt")
