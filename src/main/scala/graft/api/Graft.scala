@@ -994,6 +994,21 @@ object Graft {
       df.select(col(id).as("doc_id"), lit("").as("lang"),
         col(text).as("text")))
 
+  /** QUALITY CUTOFF SWEEP over any corpus: per candidate fluency cutoff
+    * (mean bigram cross-entropy under the corpus's own LM, micro-nats),
+    * the docs and tokens a drop-above-cutoff policy removes vs keeps —
+    * the instrument that turns "pick a perplexity threshold" into a
+    * measured elbow. The corpus is LM-scored ONCE; each cutoff
+    * re-aggregates the same bounded per-doc frame. Docs with < 2 tokens
+    * cannot be scored and pass every cutoff. Integer-exact drop test.
+    */
+  def qualityTradeoff(df: DataFrame, idCol: String, textCol: String,
+      cutoffsMicronats: Seq[Long] =
+        graft.operators.TextOps.TradeoffCutoffs): DataFrame =
+    graft.operators.TextOps.qualityTradeoffOn(df.sparkSession,
+      df.select(col(idCol).as("doc_id"), lit("").as("lang"),
+        col(textCol).as("text")), cutoffsMicronats)
+
   /** EXACT-SUBSTRING SCRUB (Lee et al.): remove every 5-gram span whose
     * gram already occurred earlier in corpus order (idCol, position) —
     * the FIRST occurrence of each duplicated substring survives, later

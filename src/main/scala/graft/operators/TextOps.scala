@@ -997,8 +997,13 @@ object TextOps extends OpFamily {
   def qualityTradeoff(s: SparkSession, d: String): DataFrame =
     qualityTradeoffOn(s, Tables.documents(s, d))
 
-  private[graft] def qualityTradeoffOn(s: SparkSession,
-      docs: DataFrame): DataFrame = {
+  /** Registered grid: brackets the funnel's 3.45-nat rule. */
+  private[graft] val TradeoffCutoffs =
+    Seq(3000000L, 3225000L, 3450000L, 3675000L, 3900000L)
+
+  private[graft] def qualityTradeoffOn(s: SparkSession, docs: DataFrame,
+      cuts: Seq[Long] = TradeoffCutoffs): DataFrame = {
+    require(cuts.nonEmpty, "qualityTradeoff needs at least one cutoff")
     import s.implicits._
     val scored = docs
       .select(col("doc_id"), size(toks).cast("long").as("n_tok"))
@@ -1006,8 +1011,7 @@ object TextOps extends OpFamily {
         .select(col("doc_id"), col("n_bigrams"), col("nll_units")),
         Seq("doc_id"), "left")
       .localCheckpoint() // scored once; re-read per cutoff
-    val cutoffs = Seq(3000000L, 3225000L, 3450000L, 3675000L, 3900000L)
-      .toDF("cutoff_micronats")
+    val cutoffs = cuts.toDF("cutoff_micronats")
     val dropped = col("nll_units").isNotNull &&
       col("nll_units") > col("cutoff_micronats") * col("n_bigrams")
     scored.crossJoin(broadcast(cutoffs))

@@ -1277,6 +1277,15 @@ class GraftApiSpec extends AnyFunSuite {
     val t = graft.operators.TextOps.qualityTradeoffOn(spark, tiny)
       .collect()
     assert(t.forall(_.getLong(2) >= 1L), "the 1-token doc is kept everywhere")
+    // public API parity: renamed columns, custom grid
+    val pub = Graft.qualityTradeoff(
+        Seq((5L, "x y x y x y"), (6L, "q")).toDF("k", "body"), "k", "body",
+        cutoffsMicronats = Seq(0L, 10000000L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 5 scores 0 nats (all bigrams deterministic) → kept at cutoff 0;
+    // doc 6 is unscorable → kept everywhere
+    assert(pub(0L) === ((0L, 2L)), "zero-entropy doc survives even cutoff 0")
+    assert(pub(10000000L) === ((0L, 2L)))
   }
 
   test("snapshotDiff: every status classified; token sides NULL when absent") {
