@@ -1083,6 +1083,44 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got(3L) === ((7L, 1L, 6L, "g")), "overlapping spans merge")
   }
 
+  test("scrubRepeatedSpans: brute-force replay on random tiny-vocab corpora") {
+    // an independent reference implementation of the scrub contract:
+    // first corpus-order occurrence of every duplicated 5-gram keeps
+    // its span; later occurrences mark [pos, pos+4]; a token survives
+    // iff unmarked
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+      val occs = for {
+        (id, _) <- docs.sortBy(_._1)
+        w = toks(id); p <- 0 to w.length - 5
+      } yield (w.slice(p, p + 5).mkString(" "), id, p)
+      val first = occs.groupBy(_._1).map { case (g, os) =>
+        g -> os.map(o => (o._2, o._3)).min }
+      val counts = occs.groupBy(_._1).view.mapValues(_.size).toMap
+      val covered = occs.filter { case (g, id, p) =>
+        counts(g) >= 2 && first(g) != ((id, p)) }
+        .flatMap { case (_, id, p) => (p to p + 4).map(id -> _) }.toSet
+      docs.map { case (id, _) =>
+        val w = toks(id)
+        val kept = w.indices.filterNot(i => covered(id -> i)).map(w)
+        id -> (w.length.toLong, (w.length - kept.length).toLong,
+          kept.mkString(" "))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("a", "b", "c")
+    (1 to 5).foreach { trial =>
+      val docs = (0L until 12L).map(id =>
+        id -> Vector.fill(3 + rnd.nextInt(12))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val want = reference(docs)
+      val got = Graft.scrubRepeatedSpans(docs.toDF("id", "txt"), "id", "txt")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(3), r.getString(4))).toMap
+      assert(got === want, s"trial $trial diverged from the reference")
+    }
+  }
+
   test("scrubRepeatedSpans: identity on a gram-unique corpus; counts add up") {
     val corpus = Seq(
       (10L, "one two three four five six"),
