@@ -20,6 +20,18 @@ object Bench {
     "agg_wordcount",          // doc wordcount
     "sim_top_pairs")          // cosine pairs
 
+  /** The sweep-instrument queries (tuning-knob measurement twins, not
+    * production paths): their subtotal rides along as `instruments_s`
+    * so "net of instruments" is machine-readable instead of re-derived
+    * from BASELINE.md prose every round (r16 verdict #5). Membership
+    * rule: a query whose Scaladoc declares a documented instrument
+    * bound (exact n²/all-sources baseline) swept over a knob grid.
+    */
+  private val instruments = Seq(
+    "sim_ivf_nlist_report", "sim_ivf_nprobe_report",
+    "graph_betw_landmark_report", "graph_harmonic_landmark_report",
+    "dedup_threshold_report", "dedup_recall_report", "text_bpe_k_report")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -105,8 +117,10 @@ object Bench {
     val mode =
       if (reps > 1) "steady"
       else if (builds == 0) "warm_store" else "true_cold"
+    val instrumentsS = results.filter(r => instruments.contains(r._1))
+      .map(_._2).sum
     // reps rides along so a reader knows each query's time is best-of-N
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","mode":"$mode","reps":$reps,"load_hint":$loadHint,"n_queries":${results.size},$errPart,$cache,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","mode":"$mode","reps":$reps,"load_hint":$loadHint,"n_queries":${results.size},"instruments_s":${num(instrumentsS)},$errPart,$cache,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for the driver's tail-scrape: also persist the line to a
     // file that survives any stdout wrapping/truncation.

@@ -1346,31 +1346,43 @@ object GraphOps extends OpFamily {
     * .betweennessCentrality]] default). One all-sources
     * [[brandesDeltas]] pass (the exact baseline) is re-aggregated per L
     * — landmark nesting makes every estimate a filter of the same rows.
+    * The 6-row report is a content-addressed build-once artifact (the
+    * hyperANF shape: keyed on all three tables the sweep graph derives
+    * from, r16 verdict — the all-sources exact pass was ~5 s of every
+    * warm cycle); re-sorted on n_landmarks at attach.
     */
-  def betwLandmarkReport(s: SparkSession, d: String): DataFrame = {
-    val edges = sweepEdges(s, d).localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val deltas = brandesDeltas(edges, nodes.select(col("node").as("lm")),
-      BetwMaxDepth)
-      .select(col("lm"), col("node"), col("du").as("cu"))
-    landmarkReportFrom(deltas, nodes, SweepLandmarks)
-  }
+  def betwLandmarkReport(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dirMulti(s, d, Seq("orders", "lineitem", "customer"),
+        "graft_graph", "betw_landmark_report@r1")) {
+      val edges = sweepEdges(s, d).localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val deltas = brandesDeltas(edges, nodes.select(col("node").as("lm")),
+        BetwMaxDepth)
+        .select(col("lm"), col("node"), col("du").as("cu"))
+      landmarkReportFrom(deltas, nodes, SweepLandmarks)
+    }.orderBy(col("n_landmarks"))
 
   /** HARMONIC LANDMARK SWEEP — the [[betwLandmarkReport]] twin for the
     * Eppstein–Wang inverse-distance estimator ([[HarmonicLandmarks]],
     * the [[graft.api.Graft.harmonicCentrality]] default): estimate
     * (scaled n DIV eff) vs exact all-sources harmonic at
     * L ∈ [[SweepLandmarks]], from ONE [[bfsDistancesFrom]] pass.
+    * Build-once artifact like [[betwLandmarkReport]] (same keying and
+    * r16 rationale — the all-sources BFS was ~6.5 s/warm cycle).
     */
-  def harmonicLandmarkReport(s: SparkSession, d: String): DataFrame = {
-    val edges = sweepEdges(s, d).localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val contrib = bfsDistancesFrom(edges, nodes.select(col("node").as("lm")),
-      HarmonicMaxHops)
-      .select(col("lm"), col("node"),
-        expr("1000000L DIV dist").as("cu"))
-    landmarkReportFrom(contrib, nodes, SweepLandmarks)
-  }
+  def harmonicLandmarkReport(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dirMulti(s, d, Seq("orders", "lineitem", "customer"),
+        "graft_graph", "harmonic_landmark_report@r1")) {
+      val edges = sweepEdges(s, d).localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val contrib = bfsDistancesFrom(edges, nodes.select(col("node").as("lm")),
+        HarmonicMaxHops)
+        .select(col("lm"), col("node"),
+          expr("1000000L DIV dist").as("cu"))
+      landmarkReportFrom(contrib, nodes, SweepLandmarks)
+    }.orderBy(col("n_landmarks"))
 
   /** Per-kind degree profile of the customer–supplier graph: node count,
     * min/max degree, and mean degree as one double division of exact
