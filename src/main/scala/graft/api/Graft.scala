@@ -1468,12 +1468,23 @@ object Graft {
     * between attempts; bumping `epoch` reshuffles everything with zero
     * state. One narrow hash pass + one window over nShards balanced
     * partitions — the layout a 1000-executor epoch writer needs.
+    *
+    * The input must not already carry the output columns (h, shard,
+    * pos) or the internal __epoch — withColumn would silently
+    * overwrite caller data otherwise (r16 advice); rename or drop
+    * them first.
     */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
-      nShards: Int = 1024): DataFrame =
+      nShards: Int = 1024): DataFrame = {
+    val clashes = Seq("h", "shard", "pos", "__epoch")
+      .filter(df.columns.contains)
+    require(clashes.isEmpty,
+      s"epochShuffle writes columns (h, shard, pos); the input already " +
+        s"has ${clashes.mkString(", ")} — rename or drop before calling")
     graft.operators.IoOps.epochShuffleOn(
       df.withColumn("__epoch", lit(epoch)), idCol, "__epoch", nShards)
       .drop("__epoch")
+  }
 
   /** EMBEDDING SNAPSHOT DRIFT REPORT — cluster the base corpus once
     * (nlist cells; nlist = 0 → ⌈√n⌉, the standard sizing policy),

@@ -464,7 +464,10 @@ object IoOps extends OpFamily {
     * changes ONLY the hash salt, reshuffling everything with zero state.
     * The registered query exhibits two epochs and pins each (epoch,
     * shard)'s FULL permutation in one number (Σ pos·doc_id — any swap,
-    * drop, or reorder changes it) plus the shard's first doc.
+    * drop, or reorder changes it) plus the shard's first doc. (The
+    * DuckDB twin's arg_min key h·2³¹ + doc_id additionally assumes
+    * doc_id < 2³¹ — true of the fixture; the engine itself has no such
+    * bound.)
     *
     * Scale shape: the per-doc assignment is one narrow codegen
     * expression; the per-shard position is a window partitioned by
@@ -495,13 +498,23 @@ object IoOps extends OpFamily {
     * the input columns plus (h, shard, pos). Same residue-class caveat
     * as the sampling family: adversarially-structured ids would need an
     * xxhash64 swap (then the order is no longer SQL-replayable).
+    *
+    * The hash is h = (((id mod P)·2654435761 + (epoch mod P)·40503)
+    * mod P)·48271 mod P with P = 2³¹−1: reducing each input mod P
+    * BEFORE the multiply keeps every intermediate below 2⁶³ for the
+    * ENTIRE long range (residue < 2³¹ times constant < 2³² < 2⁶³), so
+    * no silent wrap for ids above ~3.47e9 or below 0 (r16 advice —
+    * the unreduced product wrapped there, diverging from this
+    * documented formula and from any non-wrapping SQL replay; the
+    * reduction changes nothing for ids already in [0, P)).
     */
   private[graft] def epochShuffleOn(df: DataFrame, idCol: String,
       epochCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val P = 2147483647L
-    val h = pmod(pmod(col(idCol) * lit(2654435761L) +
-      col(epochCol) * lit(40503L), lit(P)) * lit(48271L), lit(P))
+    val h = pmod(pmod(pmod(col(idCol), lit(P)) * lit(2654435761L) +
+      pmod(col(epochCol), lit(P)) * lit(40503L), lit(P)) * lit(48271L),
+      lit(P))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(epochCol), col("shard"))
       .orderBy(col("h"), col(idCol))
@@ -546,19 +559,26 @@ object IoOps extends OpFamily {
   /** The per-id classification core — also
     * [[graft.api.Graft.snapshotDiff]]'s: returns (doc_id, status,
     * tok_old, tok_new) with token counts NULL on the side the id is
-    * absent from. */
+    * absent from. Presence is judged from an explicit per-side flag,
+    * NOT from fingerprint nullness: a doc present on both sides with
+    * NULL text on one would otherwise masquerade as added/removed
+    * (r16 advice). A NULL text on a present side fingerprints as NULL
+    * and compares CHANGED against any non-null twin via the
+    * null-safe <=> below — text going null (or starting null) is a
+    * content change, not a membership change. */
   private[graft] def snapshotDiffOn(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     def shaped(df: DataFrame, sfx: String): DataFrame =
       df.select(col(idCol).as("doc_id"),
+        lit(true).as(s"in_$sfx"),
         md5(col(textCol)).as(s"fp_$sfx"),
         size(split(col(textCol), " ")).cast("long").as(s"tok_$sfx"))
     shaped(oldSnap, "old").join(shaped(newSnap, "new"), Seq("doc_id"),
         "full_outer")
       .select(col("doc_id"),
-        when(col("fp_old").isNull, lit("added"))
-          .when(col("fp_new").isNull, lit("removed"))
-          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(!(col("fp_old") <=> col("fp_new")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"),
         col("tok_old"), col("tok_new"))
   }

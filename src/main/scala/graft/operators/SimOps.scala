@@ -500,14 +500,19 @@ object SimOps extends OpFamily {
     * any new-snapshot (vec_id, v) frame — also the
     * [[graft.api.Graft.embeddingDriftReport]] core. The cid spine is the
     * centroid table, so cells emptied by EITHER snapshot still report
-    * (share 0 is exactly the drift signal). */
+    * (share 0 is exactly the drift signal). An EMPTY snapshot on either
+    * side is handled, not undefined: the divisor is greatest(total, 1)
+    * in both engines, so a first-run/empty-crawl report comes back with
+    * 0 shares on the empty side instead of NULL permilles here and a
+    * division-by-zero error in the SQL replay (r16 advice — the silent
+    * vs loud divergence on a plausible monitoring edge). */
   private[graft] def driftReportOn(s: SparkSession, baseCells: DataFrame,
       centroids: DataFrame, newer: DataFrame): DataFrame = {
     val newCells = assignCellsOn(s, centroids, newer)
     val b = baseCells.groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
     val n = newCells.groupBy(col("cid")).agg(count(lit(1)).as("n_new"))
-    val tb = baseCells.agg(count(lit(1)).as("tb"))
-    val tn = newCells.agg(count(lit(1)).as("tn"))
+    val tb = baseCells.agg(greatest(count(lit(1)), lit(1L)).as("tb"))
+    val tn = newCells.agg(greatest(count(lit(1)), lit(1L)).as("tn"))
     centroids.select(col("cid"))
       .join(b, Seq("cid"), "left").join(n, Seq("cid"), "left")
       .na.fill(0L, Seq("n_base", "n_new"))
@@ -2927,8 +2932,10 @@ object SimOps extends OpFamily {
            FROM newcells GROUP BY cid),
          spine AS (SELECT DISTINCT cid FROM c3),
          tot AS (SELECT
-             (SELECT CAST(count(*) AS BIGINT) FROM cells) AS tb,
-             (SELECT CAST(count(*) AS BIGINT) FROM newcells) AS tn)
+             (SELECT greatest(CAST(count(*) AS BIGINT), 1) FROM cells)
+               AS tb,
+             (SELECT greatest(CAST(count(*) AS BIGINT), 1) FROM newcells)
+               AS tn)
          SELECT spine.cid, coalesce(n_base, 0) AS n_base,
            coalesce(n_new, 0) AS n_new,
            coalesce(n_base, 0) * 1000 // tb AS base_permille,

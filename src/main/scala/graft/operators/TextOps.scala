@@ -1287,7 +1287,9 @@ object TextOps extends OpFamily {
     * selection is encoded in ONE integer key = h·2²² + (2²²−1 − pos),
     * so a plain windowed min() picks (min h, max pos) — no argmax
     * window gymnastics, and DuckDB replays it with the same frame.
-    * Bound: ≤ 2²² (4.2M) grams per doc, far beyond any real document.
+    * Bound: ≤ 2²² (4.2M) grams per doc, far beyond any real document —
+    * and enforced per row (a doc at the cap raises, never silently
+    * corrupts; see [[winnowSelectOn]]).
     *
     * Scale shape: one narrow hash pass, one per-doc window (ROWS
     * BETWEEN CURRENT AND w−1 FOLLOWING), one distinct + aggregate —
@@ -1299,7 +1301,13 @@ object TextOps extends OpFamily {
   /** Per-doc selected fingerprint hashes: (doc_id, selpos, selh) — one
     * row per distinct selected position. Docs with fewer than
     * [[WinnowW]] grams use one truncated window (frame end clips at the
-    * partition edge); docs with no 3-grams emit nothing.
+    * partition edge); docs with no 3-grams emit nothing. The documented
+    * ≤ 2²² grams/doc bound is ENFORCED per row (r16 advice): a doc at
+    * the cap raises through the key expression instead of letting the
+    * overflowing position component bleed into the hash bits and return
+    * silently corrupt fingerprints. The guard branch lives INSIDE the
+    * key column (not a droppable side column), so column pruning can
+    * never optimize the check away, and it stays whole-stage codegen.
     */
   private[graft] def winnowSelectOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1308,8 +1316,14 @@ object TextOps extends OpFamily {
         posexplode(shinglesN(toks, 3)).as(Seq("pos", "gram")))
       .withColumn("h",
         expr("CAST(conv(substr(md5(gram), 1, 10), 16, 10) AS BIGINT)"))
-      .withColumn("key", col("h") * lit(WinnowPosCap) +
-        (lit(WinnowPosCap - 1) - col("pos")))
+      .withColumn("key",
+        when(col("pos") < lit(WinnowPosCap),
+          col("h") * lit(WinnowPosCap) +
+            (lit(WinnowPosCap - 1) - col("pos")))
+          .otherwise(raise_error(concat(lit("winnow: doc "),
+            col("doc_id").cast("string"),
+            lit(s" has > $WinnowPosCap grams — beyond the documented " +
+              "fingerprint-key bound")))))
       .withColumn("m", count(lit(1)).over(wd.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("selkey",

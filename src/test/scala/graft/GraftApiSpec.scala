@@ -1159,6 +1159,15 @@ class GraftApiSpec extends AnyFunSuite {
     val self = Graft.embeddingDriftReport(base, base, "vid", "emb",
         nlist = 2).collect()
     assert(self.forall(_.getLong(5) === 0L), "self-drift must be zero")
+    // r16 advice: an EMPTY new snapshot (first run / empty crawl) must
+    // report 0 new shares, never NULL permilles or a division error
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vid", "emb")
+    val firstRun = Graft.embeddingDriftReport(base, empty, "vid", "emb",
+        nlist = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(firstRun(0) === ((0L, 0L, 500L)))
+    assert(firstRun(1) === ((0L, 0L, 500L)))
   }
 
   test("epochShuffle: hand-replay of the hash, ranks, and shard balance") {
@@ -1190,6 +1199,52 @@ class GraftApiSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again === got)
+  }
+
+  test("epochShuffle: wrap-safe hash for ids beyond 2^31 and below 0") {
+    // ids where the unreduced id*2654435761 product wraps Long (r16
+    // advice): the engine must match the DOCUMENTED split formula
+    // ((id mod P)*c1 + ep*c2) mod P * c3 mod P, not the wrapped value
+    val P = 2147483647L
+    def pm(x: Long) = ((x % P) + P) % P
+    def h(id: Long, ep: Long) =
+      (pm(id) * 2654435761L + pm(ep) * 40503L) % P * 48271L % P
+    val big = Seq(5_000_000_000L, Long.MaxValue - 7L, -42L, -5_000_000_000L,
+      Long.MinValue + 13L, 3_470_000_000L)
+    val got = Graft.epochShuffle(big.toDF("rid"), "rid", epoch = 3,
+        nShards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    big.foreach { id =>
+      assert(got(id)._1 === h(id, 3), s"hash mismatch at $id")
+      assert(got(id)._2 === h(id, 3) % 4, s"shard mismatch at $id")
+      assert(got(id)._1 >= 0 && got(id)._1 < P, s"hash out of [0,P) at $id")
+    }
+  }
+
+  test("epochShuffle: refuses inputs already carrying output columns") {
+    val clash = Seq((1L, 9L)).toDF("rid", "pos")
+    val e = intercept[IllegalArgumentException] {
+      Graft.epochShuffle(clash, "rid", epoch = 0, nShards = 2)
+    }
+    assert(e.getMessage.contains("pos"))
+  }
+
+  test("winnowFingerprints: a doc beyond the 2^22-gram key bound fails loudly") {
+    // r16 advice: the documented cap was unenforced — an oversized doc's
+    // position component bled into the hash bits and returned silently
+    // corrupt fingerprints. One doc with cap+1 grams must now raise.
+    val nTokens = (1 << 22) + 3 // n_grams = n_tokens - 2 = cap + 1
+    val sb = new StringBuilder(2 * nTokens)
+    (0 until nTokens).foreach(_ => sb.append("a "))
+    val oversized = Seq((7L, sb.result().trim)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Graft.winnowFingerprints(oversized, "doc_id", "text").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("winnow")),
+      s"expected the winnow cap error, got: ${messages(e).mkString(" | ")}")
   }
 
   test("winnowFingerprints: guarantee holds — every full window is covered") {
@@ -1338,6 +1393,21 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got(2L) === (("changed", Some(2L), Some(3L))))
     assert(got(3L) === (("removed", Some(4L), None)))
     assert(got(4L) === (("added", None, Some(2L))))
+  }
+
+  test("snapshotDiff: NULL text is a content change, never a membership change") {
+    // r16 advice: presence must come from the join sides, not from
+    // fingerprint nullness — a doc present on BOTH sides with NULL text
+    // on one was misclassified added/removed
+    val oldSnap = Seq((1L, "a b"), (2L, null: String), (3L, null: String))
+      .toDF("id", "txt")
+    val newSnap = Seq((1L, null: String), (2L, "x y z"), (3L, null: String))
+      .toDF("id", "txt")
+    val got = Graft.snapshotDiff(oldSnap, newSnap, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "changed", "text -> NULL is changed, not removed")
+    assert(got(2L) === "changed", "NULL -> text is changed, not added")
+    assert(got(3L) === "unchanged", "NULL on both sides is unchanged")
   }
 
   test("winnowOverlap: a shared 6-token run fires; disjoint eval doc is absent") {
