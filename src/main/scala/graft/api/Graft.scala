@@ -82,22 +82,10 @@ object Graft {
     */
   def incrementalNearDupPairs(index: DataFrame, incoming: DataFrame,
       id: String, text: String, threshold: Double = 0.3,
-      blockCols: Seq[String] = Nil): DataFrame = {
-    def shaped(df: DataFrame): DataFrame = {
-      val lang =
-        blockCols.headOption.map(col).getOrElse(lit("")).cast("string")
-      val source =
-        // \u0001-delimited like exactNearDuplicatePairs: distinct tuples
-        // ("a","bc")/("ab","c") must never collapse into one block key
-        if (blockCols.size > 1)
-          concat_ws("\u0001", blockCols.tail.map(col): _*)
-        else lit("")
-      df.select(col(id).as("doc_id"), lang.as("lang"), source.as("source"),
-        col(text).as("text"))
-    }
+      blockCols: Seq[String] = Nil): DataFrame =
     graft.operators.DedupOps.incrementalNearDupsOn(
-      shaped(index), shaped(incoming), threshold)
-  }
+      shapedCorpus(index, id, text, blockCols),
+      shapedCorpus(incoming, id, text, blockCols), threshold)
 
   /** [[incrementalNearDupPairs]] routed through the index's minhash LSH
     * BAND BUCKETS — the probe shape a production pipeline runs against
@@ -117,21 +105,112 @@ object Graft {
   def incrementalNearDupPairsLsh(index: DataFrame, incoming: DataFrame,
       id: String, text: String, threshold: Double = 0.5,
       blockCols: Seq[String] = Nil): DataFrame = {
-    def shaped(df: DataFrame): DataFrame = {
-      val lang =
-        blockCols.headOption.map(col).getOrElse(lit("")).cast("string")
-      val source =
-        if (blockCols.size > 1)
-          concat_ws("\u0001", blockCols.tail.map(col): _*)
-        else lit("")
-      df.select(col(id).as("doc_id"), lang.as("lang"), source.as("source"),
-        col(text).as("text"))
-    }
-    val parts =
-      graft.operators.DedupOps.lshIndexTables(shaped(index), threshold).toMap
+    val parts = graft.operators.DedupOps.lshIndexTables(
+      shapedCorpus(index, id, text, blockCols), threshold).toMap
     graft.operators.DedupOps.incrementalLshProbe(parts("shingles"),
-      parts("freq"), parts("prefix"), parts("buckets"), shaped(incoming),
-      threshold)
+      parts("freq"), parts("prefix"), parts("buckets"),
+      shapedCorpus(incoming, id, text, blockCols), threshold)
+  }
+
+  /** The (doc_id, lang, source, text) shape the DedupOps cores expect:
+    * first block column -> lang, the rest \u0001-joined -> source (the
+    * delimiter keeps distinct tuples ("a","bc")/("ab","c") from
+    * collapsing into one block key). */
+  private def shapedCorpus(df: DataFrame, id: String, text: String,
+      blockCols: Seq[String]): DataFrame = {
+    val lang = blockCols.headOption.map(col).getOrElse(lit("")).cast("string")
+    val source =
+      if (blockCols.size > 1) concat_ws("\u0001", blockCols.tail.map(col): _*)
+      else lit("")
+    df.select(col(id).as("doc_id"), lang.as("lang"), source.as("source"),
+      col(text).as("text"))
+  }
+
+  /** BUILD the persistent incremental near-dedup index over a corpus:
+    * the [[DedupIndex]] handle every later ingest batch probes
+    * ([[probeDedupIndex]]) and appends its survivors into
+    * ([[appendToDedupIndex]]) — the build-once / probe-and-grow-daily
+    * loop of a production dedup pipeline. Persist the handle's tables
+    * (plain parquet writes) between batches; reconstruct the handle
+    * from the re-read frames. `withLsh = true` additionally builds the
+    * minhash band-bucket table, routing probes through bucket postings
+    * (cheapest at scale) while keeping results exact. `blockCols`
+    * restrict pairing to equal-valued groups (fixed for the index's
+    * lifetime — they are part of its identity, so the handle carries
+    * them instead of trusting every call site to repeat them).
+    */
+  def buildDedupIndex(docs: DataFrame, id: String, text: String,
+      threshold: Double = 0.3, blockCols: Seq[String] = Nil,
+      withLsh: Boolean = false): DedupIndex = {
+    val shaped = shapedCorpus(docs, id, text, blockCols)
+    val parts =
+      if (withLsh) graft.operators.DedupOps.lshIndexTables(shaped, threshold)
+      else graft.operators.DedupOps.dedupIndexTables(shaped, threshold)
+    val m = parts.toMap
+    DedupIndex(m("shingles"), m("freq"), m("prefix"), m.get("buckets"),
+      threshold, blockCols)
+  }
+
+  /** PROBE an ingest batch against a [[DedupIndex]]: every incoming
+    * row's Jaccard-≥-threshold matches among the index's docs —
+    * (new_id, matched_id, jaccard), never any incoming×incoming or
+    * index×index pair, cost bounded by the batch's posting lists
+    * regardless of index age. Exact and complete: prefix candidates
+    * under the index's frozen frequency order (∪ band candidates when
+    * the index carries buckets) then merge-scan verify.
+    */
+  def probeDedupIndex(index: DedupIndex, incoming: DataFrame, id: String,
+      text: String): DataFrame = {
+    val shaped = shapedCorpus(incoming, id, text, index.blockCols)
+    index.buckets match {
+      case Some(b) => graft.operators.DedupOps.incrementalLshProbe(
+        index.shingles, index.freq, index.prefix, b, shaped, index.threshold)
+      case None => graft.operators.DedupOps.incrementalNearDupsProbe(
+        index.shingles, index.freq, index.prefix, shaped, index.threshold)
+    }
+  }
+
+  /** APPEND a batch's accepted docs (its dedup survivors) into the
+    * index — the LSM merge that closes the cross-batch blind spot: a
+    * frozen index checks day N only against the initial build, so two
+    * near-dups both arriving after it never see each other; an appended
+    * index checks day N against every survivor of days 1..N−1. Pure
+    * row merges (batch shingles, batch prefix keys under the index's
+    * FROZEN frequency order, batch band rows when present) — the
+    * existing index is never rescanned, and probes stay EXACT because
+    * the prefix theorem holds for any fixed shared order (frequency
+    * ordering is only the selectivity heuristic; see the operator-layer
+    * note at DedupOps.appendDedupIndexTables). Persist the returned
+    * handle's tables as a NEW index version (content-addressed, the
+    * registered dedup_index_append discipline) — never overwrite the
+    * old version in place under concurrent probes. Batch ids must be
+    * new (survivors are, by construction). Selectivity — not
+    * correctness — decays as the corpus drifts from the frozen order;
+    * [[compactDedupIndex]] restores it.
+    */
+  def appendToDedupIndex(index: DedupIndex, batchSurvivors: DataFrame,
+      id: String, text: String): DedupIndex = {
+    val shaped = shapedCorpus(batchSurvivors, id, text, index.blockCols)
+    val m = graft.operators.DedupOps.appendDedupIndexTables(
+      index.tables, shaped, index.threshold).toMap
+    index.copy(shingles = m("shingles"), freq = m("freq"),
+      prefix = m("prefix"), buckets = m.get("buckets"))
+  }
+
+  /** COMPACT a grown index: re-derive the frequency order and all
+    * prefix keys from the accumulated shingles table (append keeps it
+    * complete — compaction never needs original text), restoring the
+    * prefix selectivity that decayed while appends reused the frozen
+    * build-time order. Output probes identically (exactness is
+    * order-independent); run it on the LSM schedule — appended volume
+    * crossing a fraction of the base, or candidate-ratio growth in
+    * your probe metrics.
+    */
+  def compactDedupIndex(index: DedupIndex): DedupIndex = {
+    val m = graft.operators.DedupOps.compactDedupIndexTables(
+      index.tables, index.threshold).toMap
+    index.copy(shingles = m("shingles"), freq = m("freq"),
+      prefix = m("prefix"), buckets = m.get("buckets"))
   }
 
   /** Asymmetric CONTAINMENT pairs: every ordered pair (a, b) where at
@@ -2318,4 +2397,33 @@ object Graft {
     graft.operators.GraphOps.modularityOn(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
       labels.select(col(nodeCol).as("node"), col(labelCol).as("lbl")))
+}
+
+/** Handle for a persisted incremental near-dedup index — the tables an
+  * ingest pipeline keeps between batches ([[Graft.buildDedupIndex]]
+  * builds it, [[Graft.probeDedupIndex]] checks a batch against it,
+  * [[Graft.appendToDedupIndex]] folds the batch's survivors in,
+  * [[Graft.compactDedupIndex]] re-derives the order after drift):
+  *
+  *   - `shingles`: (doc_id, lang, source, sh) — every indexed doc's
+  *     sorted distinct shingle hashes (complete: compaction rebuilds
+  *     everything else from it);
+  *   - `freq`: (lang, source, h, f) — the FROZEN frequency table
+  *     defining the prefix order (part of the index's identity; append
+  *     reuses it, compaction re-derives it);
+  *   - `prefix`: (doc_id, lang, source, n, pk) — each doc's prefix keys
+  *     under that order;
+  *   - `buckets`: (doc_id, band, key) minhash band rows when built
+  *     `withLsh` (order-free, so append-exact).
+  *
+  * Persist the four frames as parquet between batches and rebuild the
+  * handle from the re-read frames; `threshold` and `blockCols` travel
+  * with it so every probe/append replays the build's parameters.
+  */
+final case class DedupIndex(shingles: DataFrame, freq: DataFrame,
+    prefix: DataFrame, buckets: Option[DataFrame], threshold: Double,
+    blockCols: Seq[String]) {
+  private[api] def tables: Map[String, DataFrame] =
+    Map("shingles" -> shingles, "freq" -> freq, "prefix" -> prefix) ++
+      buckets.map("buckets" -> _)
 }

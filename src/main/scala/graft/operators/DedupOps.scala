@@ -391,6 +391,49 @@ object DedupOps extends OpFamily {
       parts("buckets"), corpus.filter(col("doc_id") >= 2 * PlantBase), 0.5)
   }
 
+  /** DAY-N INGEST THROUGH AN APPENDED INDEX — the registered evidence
+    * that [[appendDedupIndexTables]] closes the cross-batch blind spot:
+    * the r15 incremental fixtures froze the index at the initial build
+    * (doc_id < PlantBase), so two near-dups BOTH arriving after that
+    * build could never see each other. Here day 0 builds the index from
+    * the originals EXCEPT the % 7 == 0 docs; day 1 ingests exactly
+    * those docs (probe → survivors → append, the production loop); day
+    * 2 ingests the planted truncations (id + 2·PlantBase), whose
+    * sources arrived on day 1 — after the initial build — and each
+    * still reports its ≥ τ match because the appended index carries the
+    * day-1 survivors. Output: day 2's (new_id, matched_id, jaccard).
+    *
+    * The appended index version is a content-addressed artifact (pure
+    * function of the corpus — day-1 survivorship replays
+    * deterministically), so warm runs pay only day 2's probe; the
+    * probe stays exact through the append (frozen-order argument at
+    * [[appendDedupIndexTables]]), which is what makes the full DuckDB
+    * replay possible: survivors = day-1 docs with no ≥ τ brute-force
+    * match, appended index = day 0 ∪ survivors, day-2 matches =
+    * brute-force ≥ τ against that union.
+    */
+  def dedupIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNearDupes(s, d)
+    val tau = 0.3
+    val parts1 = ArtifactCache.readOrBuildAll(s,
+      ArtifactCache.dir(s, d, "documents", "graft_pairs",
+        "incr_index_appended_tau30@r1"),
+      Seq("shingles", "freq", "prefix")) {
+      val day0 = corpus.filter(col("doc_id") < PlantBase
+        && col("doc_id") % 7 =!= 0)
+      val batch1 = corpus.filter(col("doc_id") < PlantBase
+        && col("doc_id") % 7 === 0)
+      val parts0 = dedupIndexTables(day0, tau).toMap
+      val matched1 = incrementalNearDupsProbe(parts0("shingles"),
+        parts0("freq"), parts0("prefix"), batch1, tau)
+        .select(col("new_id").as("doc_id")).distinct()
+      appendDedupIndexTables(parts0,
+        batch1.join(matched1, Seq("doc_id"), "left_anti"), tau)
+    }
+    incrementalNearDupsProbe(parts1("shingles"), parts1("freq"),
+      parts1("prefix"), corpus.filter(col("doc_id") >= 2 * PlantBase), tau)
+  }
+
   /** The incremental core: (new_id, matched_id, jaccard) for every
     * incoming×index pair with J ≥ tau — NEVER any incoming×incoming or
     * index×index pair. Same prefix-filter theorem as
@@ -427,14 +470,89 @@ object DedupOps extends OpFamily {
     * incrementalDedupSink builds them exactly once at stream start.
     */
   private[graft] def dedupIndexTables(index: DataFrame,
+      tau: Double): Seq[(String, DataFrame)] =
+    indexTablesFromShingles(blockShingles(index), tau)
+
+  /** The trio from an already-shingled frame: derive the per-block
+    * document frequency and prefix every doc under the (f asc, h asc)
+    * order that frequency defines. This is both the initial build
+    * ([[dedupIndexTables]]) and the COMPACTION step of the incremental
+    * index ([[compactDedupIndexTables]] re-derives the order from the
+    * accumulated shingles).
+    */
+  private[graft] def indexTablesFromShingles(shI: DataFrame,
       tau: Double): Seq[(String, DataFrame)] = {
-    val shI = blockShingles(index)
     val freq = shI
       .select(col("lang"), col("source"), explode(col("sh")).as("h"))
       .groupBy(col("lang"), col("source"), col("h"))
       .agg(count(lit(1)).as("f"))
     Seq("shingles" -> shI, "freq" -> freq,
       "prefix" -> prefixKeysBy(shI, freq, tau))
+  }
+
+  /** INDEX APPEND — the LSM merge that turns the write-once incremental
+    * index into a LIVING one: fold an accepted batch (day-N survivors)
+    * into the index tables so day-N+1 incoming is checked against every
+    * survivor to date, not just the initial build. Pure row merges, no
+    * rescan of the existing index:
+    *
+    *   - shingles: union with the batch's [[blockShingles]] rows;
+    *   - prefix: union with the batch's prefix keys computed under the
+    *     index's FROZEN frequency order (`freq` is carried over
+    *     unchanged — see below);
+    *   - buckets (when present, the LSH variant): union with the
+    *     batch's band rows — signatures are fixed-permutation, so
+    *     bucket rows are order-free and the merged table is IDENTICAL
+    *     to a rebuild's.
+    *
+    * Why the order freezes: the prefix-filter theorem needs both sides
+    * of a candidate pair prefixed under ONE shared total order, but it
+    * holds for ANY fixed order — frequency-ascending is purely the
+    * selectivity heuristic. Freezing the order at build time (appended
+    * docs' unseen shingles rank f = 0, the safe rare end, exactly the
+    * probe's own convention) therefore keeps every later probe EXACT,
+    * while what decays as the corpus drifts is only candidate
+    * selectivity. [[compactDedupIndexTables]] is the LSM compaction
+    * that restores it. Probes against an appended index use the same
+    * frozen `freq` for their own keys, so order agreement is automatic.
+    *
+    * Contract: batch doc ids must be disjoint from the index's (an
+    * ingest pipeline's survivors are new by construction). The caller
+    * persists the returned tables as a NEW content-addressed version
+    * ([[dedupIndexAppend]] shows the discipline); appending in place
+    * would corrupt the old version for concurrent probes.
+    *
+    * Equivalence: probe ∘ append ≡ probe ∘ rebuild (both are the exact
+    * ≥ τ pair set — property-pinned in AnalyticsOpsSpec).
+    */
+  private[graft] def appendDedupIndexTables(parts: Map[String, DataFrame],
+      batch: DataFrame, tau: Double): Seq[(String, DataFrame)] = {
+    val shB = blockShingles(batch)
+    val freq = parts("freq")
+    val base = Seq(
+      "shingles" -> parts("shingles").unionByName(shB),
+      "freq" -> freq,
+      "prefix" -> parts("prefix").unionByName(prefixKeysBy(shB, freq, tau)))
+    parts.get("buckets").fold(base)(b => base :+ ("buckets" ->
+      b.unionByName(bandBuckets(minhashSigs(shingleHashes(batch))))))
+  }
+
+  /** INDEX COMPACTION — re-derive the frequency order and every doc's
+    * prefix keys from the ACCUMULATED shingles table (which append
+    * keeps complete), restoring prefix selectivity after the corpus has
+    * drifted from the frozen build-time order. Output is bit-identical
+    * to a from-scratch [[dedupIndexTables]] build over the same docs —
+    * the shingles table carries everything the rebuild needs, so
+    * compaction never touches original text. Bucket rows are order-free
+    * and pass through untouched. When to run it: the LSM answer —
+    * amortized, e.g. when appended rows exceed a fraction of the base,
+    * or when a drift monitor ([[SimOps.driftReportOn]] on the embedding
+    * side, candidate-ratio growth here) crosses its threshold.
+    */
+  private[graft] def compactDedupIndexTables(parts: Map[String, DataFrame],
+      tau: Double): Seq[(String, DataFrame)] = {
+    val base = indexTablesFromShingles(parts("shingles"), tau)
+    parts.get("buckets").fold(base)(b => base :+ ("buckets" -> b))
   }
 
   /** Per-doc prefix keys of a [[blockShingles]] frame under the index
@@ -1192,6 +1310,7 @@ object DedupOps extends OpFamily {
     "dedup_keep_first" -> (keepFirst _),
     "dedup_near_jaccard" -> (nearJaccard _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_index_append" -> (dedupIndexAppend _),
     "dedup_incremental_lsh" -> (dedupIncrementalLsh _),
     "dedup_containment" -> (containmentPairs _),
     "dedup_clusters" -> (nearDupClusters _),
@@ -1315,6 +1434,38 @@ object DedupOps extends OpFamily {
            AND n.doc_id >= 200000 AND i.doc_id < 100000
          WHERE CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.5
+         ORDER BY new_id, matched_id""",
+    "dedup_index_append" ->
+      // survivorship replay: day-1 docs (originals % 7 == 0) survive iff
+      // no brute-force >= tau match in the day-0 index (originals
+      // % 7 <> 0, same block); the appended index is day 0 + survivors,
+      // and day 2 (the planted truncations) matches against that union —
+      // exact because the engine's probe is candidates-superset +
+      // exact-verify through the append
+      s"""WITH corpus AS ($planted),
+         sh AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM corpus)),
+         i0 AS (SELECT * FROM sh
+           WHERE doc_id < 100000 AND doc_id % 7 <> 0),
+         b1 AS (SELECT * FROM sh
+           WHERE doc_id < 100000 AND doc_id % 7 = 0),
+         caught1 AS (SELECT DISTINCT b1.doc_id FROM b1 JOIN i0
+             ON b1.lang = i0.lang AND b1.source = i0.source
+           WHERE CAST(len(list_intersect(b1.sh, i0.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(b1.sh, i0.sh))) >= 0.3),
+         idx AS (SELECT * FROM i0 UNION ALL
+                 SELECT * FROM b1 WHERE doc_id NOT IN
+                   (SELECT doc_id FROM caught1)),
+         b2 AS (SELECT * FROM sh WHERE doc_id >= 200000)
+         SELECT n.doc_id AS new_id, i.doc_id AS matched_id,
+           CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.sh, i.sh))) AS jaccard
+         FROM b2 n JOIN idx i ON n.lang = i.lang AND n.source = i.source
+         WHERE CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.3
          ORDER BY new_id, matched_id""",
     "dedup_incremental" ->
       s"""WITH corpus AS ($planted),

@@ -1381,6 +1381,49 @@ class GraftApiSpec extends AnyFunSuite {
     assert(pub(10000000L) === ((0L, 2L)))
   }
 
+  test("dedup index lifecycle: build -> probe -> append survivors -> " +
+      "cross-batch dupe caught -> compact leaves the probe unchanged") {
+    // day 0: an index of two originals; day 1: one fresh doc (survives)
+    // and one near-dup of an indexed doc (dropped); day 2: a near-dup of
+    // the DAY-1 survivor — only an appended index can catch it
+    val day0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("my_id", "body")
+    val idx0 = Graft.buildDedupIndex(day0, "my_id", "body", 0.3)
+    val batch1 = Seq(
+      (10L, "red orange yellow green blue indigo violet ultraviolet"),
+      (11L, "alpha beta gamma delta epsilon zeta eta")
+    ).toDF("my_id", "body")
+    val m1 = Graft.probeDedupIndex(idx0, batch1, "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m1 === Set((11L, 1L)), "the near-dup of an indexed doc matches")
+    val survivors1 = batch1.filter(col("my_id") === 10L)
+    val idx1 = Graft.appendToDedupIndex(idx0, survivors1, "my_id", "body")
+    val batch2 = Seq(
+      (20L, "red orange yellow green blue indigo violet")
+    ).toDF("my_id", "body")
+    assert(Graft.probeDedupIndex(idx0, batch2, "my_id", "body").count() === 0,
+      "the frozen day-0 index is blind to the cross-batch dupe")
+    val m2 = Graft.probeDedupIndex(idx1, batch2, "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m2 === Set((20L, 10L)),
+      "the appended index catches the dupe of the day-1 survivor")
+    // compaction changes tables, never probe results
+    val m2c = Graft.probeDedupIndex(Graft.compactDedupIndex(idx1), batch2,
+        "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m2c === m2)
+    // the LSH-bucketed variant runs the same lifecycle
+    val lsh1 = Graft.appendToDedupIndex(
+      Graft.buildDedupIndex(day0, "my_id", "body", 0.3, withLsh = true),
+      survivors1, "my_id", "body")
+    assert(lsh1.buckets.nonEmpty)
+    val mL = Graft.probeDedupIndex(lsh1, batch2, "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mL === m2)
+  }
+
   test("snapshotDiff: every status classified; token sides NULL when absent") {
     val oldSnap = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
       .toDF("id", "txt")

@@ -273,6 +273,78 @@ class PrefixJoinSpec extends AnyFunSuite {
       "a verbatim copy shares all bands with its original")
   }
 
+  private def probeTriple(parts: Map[String, DataFrame], incoming: DataFrame,
+      tau: Double): Set[(Long, Long, Double)] =
+    DedupOps.incrementalNearDupsProbe(parts("shingles"), parts("freq"),
+        parts("prefix"), incoming, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("append o probe == rebuild o probe on the 0.3-boundary corpus, " +
+      "through two generations of appends") {
+    // the LSM-append exactness claim: probes through an appended index
+    // (batch prefixes under the FROZEN build-time order) return the
+    // same exact >= tau pair set as a from-scratch rebuild over the
+    // same docs — the frequency order is only a selectivity heuristic,
+    // so freezing it never changes the verified output
+    val corpus = mutationCorpus
+    val day0 = corpus.filter(col("doc_id") < 50)
+    val batch1 = corpus.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+    val batch2 = corpus.filter(col("doc_id") >= 100)
+    val appended1 =
+      DedupOps.appendDedupIndexTables(
+        DedupOps.dedupIndexTables(day0, 0.3).toMap, batch1, 0.3).toMap
+    val rebuilt1 =
+      DedupOps.dedupIndexTables(day0.unionByName(batch1), 0.3).toMap
+    val got1 = probeTriple(appended1, batch2, 0.3)
+    assert(got1 === probeTriple(rebuilt1, batch2, 0.3))
+    assert(got1.map(t => (t._1, t._2)) ===
+      bruteForceIncremental(day0.unionByName(batch1), batch2, 0.3))
+    assert(got1.nonEmpty, "the mutation families must cross the batches")
+    // second generation: append batch2 onto the ALREADY-appended index
+    // (order still the day-0 freeze) and probe a shifted re-crawl batch
+    val appended2 =
+      DedupOps.appendDedupIndexTables(appended1, batch2, 0.3).toMap
+    val recrawl = corpus.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("lang"),
+        col("source"), col("text"))
+    val got2 = probeTriple(appended2, recrawl, 0.3)
+    assert(got2 === probeTriple(
+      DedupOps.dedupIndexTables(corpus, 0.3).toMap, recrawl, 0.3))
+    assert(got2.map(t => (t._1, t._2)) ===
+      bruteForceIncremental(corpus, recrawl, 0.3))
+  }
+
+  test("compaction re-derives exactly the from-scratch tables and leaves " +
+      "probes unchanged; appended LSH buckets equal the rebuild's") {
+    val corpus = headerCorpus
+    val day0 = corpus.filter(col("doc_id") < 100)
+    val batch1 = corpus.filter(col("doc_id") >= 100 && col("doc_id") < 1000)
+    val probeBatch = corpus.filter(col("doc_id") >= 1000)
+    val appended = DedupOps.appendDedupIndexTables(
+      DedupOps.lshIndexTables(day0, 0.3).toMap, batch1, 0.3).toMap
+    val rebuilt = DedupOps.lshIndexTables(day0.unionByName(batch1), 0.3).toMap
+    // band rows are order-free: the appended bucket table IS the rebuild's
+    def buckets(m: Map[String, DataFrame]) = m("buckets")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(buckets(appended) === buckets(rebuilt))
+    // compaction: freq and prefix re-derived from accumulated shingles
+    // match the from-scratch build row-for-row
+    val compacted = DedupOps.compactDedupIndexTables(appended, 0.3).toMap
+    def freqRows(m: Map[String, DataFrame]) = m("freq")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def prefixRows(m: Map[String, DataFrame]) = m("prefix")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getLong(4))).toSet
+    assert(freqRows(compacted) === freqRows(rebuilt))
+    assert(prefixRows(compacted) === prefixRows(rebuilt))
+    // and the probe is invariant across all three index states
+    val pAppended = probeTriple(appended, probeBatch, 0.3)
+    assert(pAppended.nonEmpty, "planted truncations must match originals")
+    assert(pAppended === probeTriple(rebuilt, probeBatch, 0.3))
+    assert(pAppended === probeTriple(compacted, probeBatch, 0.3))
+  }
+
   test("pipeline probe equals inline build: full-corpus pairs semi-joined " +
       "to a survivor subset on both endpoints == blockedJaccardPairs(subset)") {
     // the PipelineOps near-dedup stage's reuse argument, as a property:
