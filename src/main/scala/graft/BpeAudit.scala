@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.TextOps.bpeLearnSnapshots]] learn on the sfDir
   * corpus and prints wall, applied merge count (exhaustion shows as
   * applied < k), per-round wall, and the token count after k merges.
-  * Usage: runMain graft.BpeAudit [sfDir] [k ...]   (default 8 64 256)
+  * Usage: runMain graft.BpeAudit [sfDir] [k ...]   (default 8 64 256);
+  * SPARK_GRAFT_BPE_BATCH overrides the per-round merge batch cap
+  * (1 = the classic one-merge-per-round loop, for before/after walls).
   */
 object BpeAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ks = if (args.length > 1) args.tail.map(_.toInt).toSeq
       else Seq(8, 64, 256)
+    val batchCap = sys.env.get("SPARK_GRAFT_BPE_BATCH").map(_.toInt)
+      .getOrElse(operators.TextOps.BpeBatchCap)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,14 +34,17 @@ object BpeAudit {
       .select(explode(col("w")).as("word"))
     ks.foreach { k =>
       val t0 = System.nanoTime()
+      val r0 = operators.TextOps.bpeRoundTrips.get()
       val (merges, snaps) =
-        operators.TextOps.bpeLearnSnapshots(spark, words, Seq(k))
+        operators.TextOps.bpeLearnSnapshots(spark, words, Seq(k), batchCap)
       val applied = merges.count()
+      val rounds = operators.TextOps.bpeRoundTrips.get() - r0
       val toks = snaps.head._2
         .agg(sum(col("cnt") * size(col("s")))).head().getLong(0)
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[bpe-audit] $sfDir k=$k%4d applied=$applied%4d " +
-        f"wall=$wall%7.2f s per_round=${wall / math.max(1L, applied)}%6.3f s " +
+        f"rounds=$rounds%4d wall=$wall%7.2f s " +
+        f"per_merge=${wall / math.max(1L, applied)}%6.3f s " +
         f"tokens_after=$toks%10d")
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

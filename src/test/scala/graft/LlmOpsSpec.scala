@@ -657,6 +657,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(tok3 === 62L)
   }
 
+  test("batched BPE learn is bit-identical to the one-merge-per-round " +
+      "loop: merges, counts, and every snapshot, on randomized corpora") {
+    import TestSpark.spark.implicits._
+    val spark = TestSpark.spark
+    def mseq(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    def vset(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Seq[String]]("s"), r.getAs[Long]("cnt"))).toSet
+    // adversarial shapes: skewed zipf-ish repeats force ties and dense
+    // symbol interactions (the createdSafe stop), repeated letters force
+    // self-pairs like (a,a), a tiny alphabet maximizes batch conflicts
+    val rnd = new scala.util.Random(13)
+    (0 until 3).foreach { trial =>
+      val alphabet = "abcde".take(3 + trial)
+      val vocabWords = Vector.fill(60) {
+        (0 until (2 + rnd.nextInt(7)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val words = vocabWords.flatMap(w =>
+        Seq.fill(1 + rnd.nextInt(20))(w)).toDF("word")
+      val ks = Seq(5, 24)
+      val (mBatched, sBatched) =
+        graft.operators.TextOps.bpeLearnSnapshots(spark, words, ks)
+      val (mClassic, sClassic) =
+        graft.operators.TextOps.bpeLearnSnapshots(spark, words, ks,
+          batchCap = 1)
+      assert(mseq(mBatched) === mseq(mClassic), s"merge list, trial $trial")
+      sBatched.zip(sClassic).foreach { case ((kb, vb), (kc, vc)) =>
+        assert(kb === kc)
+        assert(vset(vb) === vset(vc), s"snapshot k=$kb, trial $trial")
+      }
+    }
+  }
+
   test("BPE merges are partition-invariant: a reshuffled corpus learns " +
       "the identical merge list") {
     import TestSpark.spark.implicits._
