@@ -1422,6 +1422,63 @@ object Graft {
       nprobe, k)
   }
 
+  /** BUILD the persistent IVF index pair: Lloyd-cluster the corpus into
+    * `nlist` cells (0 → ⌈√n⌉) and return (cells, centroids) — the two
+    * frames a rollout persists (plain parquet) and every probe/monitor/
+    * repair entry reads: [[knnIvf]]-style search, [[embeddingDriftReport]]
+    * between snapshots, [[recenterIvf]] when the report says drift, a
+    * fresh build when [[ivfRebuildDecision]] says rebuild. Ids must be
+    * DENSE from 0 (the nlist lowest seed the clusters); remap sparse
+    * ids with [[withGlobalRank]] first. Cells carry (cid, vec_id, v,
+    * vn), centroids (cid, centroid, cn).
+    */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 0): (DataFrame, DataFrame) = {
+    val shaped = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    graft.operators.SimOps.lloydCellsOn(df.sparkSession, shaped,
+      resolveNlist(nlist, shaped))
+  }
+
+  /** IVF RE-CENTERING — one exact Lloyd step over index ∪ batch, the
+    * cheap repair arm of the drift loop: when
+    * [[embeddingDriftReport]] shows the population moved but
+    * [[ivfRebuildDecision]] says `recenter` (not `rebuild`), fold the
+    * batch in — assign it to the FROZEN centroids, take micro-unit
+    * exact per-cell means over the union, re-assign the union — and
+    * persist the returned (cells, centroids) as a NEW index version
+    * (never overwrite the old in place under concurrent probes; the
+    * registered sim_ivf_recenter shows the content-addressed
+    * discipline). Centroid identity is preserved — cells keep their
+    * cid meaning, only positions move — so drift reports stay
+    * comparable across versions. Cost: one batch×centroids broadcast
+    * assign + one index-linear mean + one re-assign; never quadratic,
+    * and far below a re-seeded full build.
+    */
+  def recenterIvf(baseCells: DataFrame, baseCentroids: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) =
+    graft.operators.SimOps.recenterIvfOn(baseCells.sparkSession, baseCells,
+      baseCentroids,
+      batch.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v")))
+
+  /** REBUILD DECISION — the rule closing the monitoring loop: from an
+    * [[embeddingDriftReport]] frame, total variation distance
+    * (Σ|Δ‰| DIV 2) and a three-way verdict — `keep` under
+    * `recenterTauPermille`, `recenter` (run [[recenterIvf]]) between,
+    * `rebuild` (full re-seeded build — the frozen cid geometry itself
+    * is stale) at or above `rebuildTauPermille`. One row:
+    * (tv_permille, n_cells_emptied, n_cells_new, decision); the
+    * emptied/new cell counts flag topics vanishing or appearing — a
+    * rollout may rebuild on emptied > 0 regardless of TV.
+    */
+  def ivfRebuildDecision(driftReport: DataFrame,
+      recenterTauPermille: Long = 50L,
+      rebuildTauPermille: Long = 400L): DataFrame =
+    graft.operators.SimOps.rebuildDecisionOn(driftReport,
+      recenterTauPermille, rebuildTauPermille)
+
   /** IVF RECALL SWEEP on YOUR corpus — the sizing instrument behind the
     * ⌈√n⌉ default: for each candidate `nlist`, Lloyd-build an index and
     * measure top-`k` recall vs the exact search for the `queryPred`

@@ -355,8 +355,6 @@ object SimOps extends OpFamily {
       nlist: Int): (DataFrame, DataFrame) = {
     val e = withNorm(s, e0, "v", "vn")
       .localCheckpoint() // consumed every Lloyd round + twice at search
-    def normedCentroids(c: DataFrame): DataFrame =
-      withNorm(s, c, "centroid", "cn").localCheckpoint()
     // assignment of every vector to its nearest centroid (ties → lowest id)
     def assign(centroids: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cid"))
@@ -366,20 +364,12 @@ object SimOps extends OpFamily {
         .filter(col("rn") === 1)
         .select(col("cid"), col("vec_id"), col("v"), col("vn"))
     }
-    var centroids = normedCentroids(e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid")))
+    var centroids = withNorm(s, e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("centroid")),
+      "centroid", "cn").localCheckpoint()
     (1 to 3).foreach { _ =>
-      centroids = normedCentroids(assign(centroids)
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        // order-independent mean: (Σ floor(x·1e6) as int64 / n) / 1e6 —
-        // bit-replayable by the DuckDB oracle, unlike a raw double avg
-        .agg((sum(floor(col("x") * 1e6).cast("long")).cast("double") /
-          count(lit(1)) / 1e6).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"),
-          transform(col("pm"), _.getField("m")).as("centroid")))
+      // update = micro-unit exact means (the [[microMeanCentroids]] step)
+      centroids = microMeanCentroids(s, assign(centroids)).localCheckpoint()
     }
     (assign(centroids).localCheckpoint(), centroids)
   }
@@ -496,6 +486,95 @@ object SimOps extends OpFamily {
       e.filter(col("vec_id") % 2 =!= 0))
   }
 
+  /** IVF RE-CENTER REPORT — the registered evidence for the drift
+    * loop's REPAIR arm ([[recenterIvfOn]]): the same base/batch split
+    * as [[driftReport]] (base = even vec_ids with the persisted
+    * 20-cell index, batch = the odd ids), one exact Lloyd step over
+    * the union, reported per cell as (n_old, n_new, shift_units) —
+    * base-only vs re-assigned-union membership and the summed
+    * micro-unit centroid displacement. Reading it: shift_units is how
+    * far the merged population pulled each centroid; n_new − n_old
+    * beyond the batch's own share means members REROUTED across cells
+    * (the re-assign doing real work). The new index version is itself
+    * a content-addressed artifact (cells4/c4 under `recenter_even@r1`)
+    * — a rollout persists exactly this pair and flips probes to it.
+    * Fully oracle-checked: DuckDB replays the base chain, the batch
+    * assign, the union micro-unit means, and the re-assign
+    * (one more [[assignCteIn]]/[[centroidCteIn]] link on the drift
+    * fixture's chain).
+    */
+  def recenterReport(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val base = ArtifactCache.readOrBuildAll(s,
+        ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+          "nlist_20_even@r1"), Seq("cells", "centroids")) {
+      val (cells, centroids) =
+        lloydCellsOn(s, e.filter(col("vec_id") % 2 === 0), nlist = 20)
+      Seq("cells" -> cells, "centroids" -> centroids)
+    }
+    val parts = ArtifactCache.readOrBuildAll(s,
+        ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+          "recenter_even@r1"), Seq("cells", "centroids")) {
+      val (cells, centroids) = recenterIvfOn(s, base("cells"),
+        base("centroids"), e.filter(col("vec_id") % 2 =!= 0))
+      Seq("cells" -> cells, "centroids" -> centroids)
+    }
+    val nOld = base("cells").groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_old"))
+    val nNew = parts("cells").groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_new"))
+    parts("centroids").select(col("cid"), col("centroid").as("cnew"))
+      .join(base("centroids").select(col("cid"), col("centroid").as("cold")),
+        Seq("cid"))
+      .select(col("cid"), posexplode(arrays_zip(col("cnew"), col("cold")))
+        .as(Seq("pos", "z")))
+      .groupBy(col("cid"))
+      .agg(sum(floor(abs(col("z.cnew") - col("z.cold")) * 1e6).cast("long"))
+        .as("shift_units"))
+      .join(nOld, Seq("cid"), "left").join(nNew, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"), col("shift_units"))
+      .orderBy(col("cid"))
+  }
+
+  /** REBUILD DECISION — the rule that closes the monitoring loop: from
+    * a [[driftReportOn]] frame, total variation distance =
+    * Σ|Δpermille| / 2, then a three-way verdict against the caller's
+    * thresholds — `keep` below recenterTau, `recenter` (one cheap
+    * Lloyd step, [[recenterIvfOn]]) between, `rebuild` (full re-seeded
+    * build — population moved so far the frozen cid geometry itself is
+    * stale) above rebuildTau. One row: (tv_permille, n_cells_emptied,
+    * n_cells_new, decision); emptied/new cells (share collapsing to or
+    * appearing from 0) are reported alongside because a topic VANISHING
+    * is qualitatively different from mass shifting — a rollout may
+    * rebuild on emptied > 0 regardless of TV.
+    */
+  private[graft] def rebuildDecisionOn(drift: DataFrame,
+      recenterTauPermille: Long, rebuildTauPermille: Long): DataFrame = {
+    require(0 <= recenterTauPermille
+      && recenterTauPermille <= rebuildTauPermille,
+      s"need 0 <= recenterTau <= rebuildTau, got " +
+        s"$recenterTauPermille/$rebuildTauPermille")
+    drift.agg(
+        // integer DIV, not /2-then-cast: Spark truncates a double cast
+        // while DuckDB rounds it — DIV floors in both engines
+        expr("sum(drift_permille) DIV 2").as("tv_permille"),
+        coalesce(sum(when(col("n_base") > 0 && col("n_new") === 0, 1L)),
+          lit(0L)).as("n_cells_emptied"),
+        coalesce(sum(when(col("n_base") === 0 && col("n_new") > 0, 1L)),
+          lit(0L)).as("n_cells_new"))
+      .select(col("tv_permille"), col("n_cells_emptied"), col("n_cells_new"),
+        when(col("tv_permille") < recenterTauPermille, lit("keep"))
+          .when(col("tv_permille") < rebuildTauPermille, lit("recenter"))
+          .otherwise(lit("rebuild")).as("decision"))
+  }
+
+  /** The registered decision on the drift fixture (recenterTau = 50‰,
+    * rebuildTau = 400‰ — dashboard-typical bands). */
+  def rebuildDecision(s: SparkSession, d: String): DataFrame =
+    rebuildDecisionOn(driftReport(s, d), 50L, 400L)
+
   /** The report core over a prebuilt (cells, centroids) base index and
     * any new-snapshot (vec_id, v) frame — also the
     * [[graft.api.Graft.embeddingDriftReport]] core. The cid spine is the
@@ -527,7 +606,10 @@ object SimOps extends OpFamily {
 
   /** Nearest-frozen-centroid assignment of any (vec_id, v) frame — the
     * assign step of [[lloydCellsOn]] factored over a prebuilt centroid
-    * table (ties → lowest cid, the same order the oracle replays). */
+    * table (ties → lowest cid, the same order the oracle replays).
+    * Returns full cell rows (cid, vec_id, v, vn) so a consumer can
+    * union the result straight into an index's cells table
+    * ([[recenterIvfOn]]); count-only consumers just project. */
   private[graft] def assignCellsOn(s: SparkSession, centroids: DataFrame,
       e0: DataFrame): DataFrame = {
     val e = withNorm(s, e0, "v", "vn")
@@ -536,7 +618,68 @@ object SimOps extends OpFamily {
       .withColumn("sim", cosPair(s, "v", "vn", "centroid", "cn"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("cid"), col("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"), col("vn"))
+  }
+
+  /** Micro-unit exact per-cell means of an assigned (cid, v) frame —
+    * the UPDATE half of a Lloyd step, factored from [[lloydCellsOn]]:
+    * (Σ floor(x·1e6) as int64 / n) / 1e6 per dimension, so the mean is
+    * order-independent and bit-replayable by the DuckDB oracle (a raw
+    * double avg is neither). Returns (cid, centroid, cn). */
+  private[graft] def microMeanCentroids(s: SparkSession,
+      assigned: DataFrame): DataFrame =
+    withNorm(s, assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(floor(col("x") * 1e6).cast("long")).cast("double") /
+        count(lit(1)) / 1e6).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"),
+        transform(col("pm"), _.getField("m")).as("centroid")),
+      "centroid", "cn")
+
+  /** IVF RE-CENTERING — one exact Lloyd step over index ∪ batch,
+    * closing the drift loop [[driftReport]] opens: when the monitor
+    * says the new snapshot's population has moved (but not so far that
+    * cells stopped meaning anything — the rebuild decision below), the
+    * cheap repair is to fold the batch in and let every centroid take
+    * one step toward the merged population, rather than re-run the
+    * full seeded Lloyd build. Steps, all batch-bounded or
+    * index-linear, never quadratic:
+    *
+    *   1. assign the batch to the FROZEN centroids (one
+    *      batch×centroids broadcast pass — [[assignCellsOn]]);
+    *   2. union with the existing cells (their stored assignments —
+    *      the index side is never re-scored against old centroids);
+    *   3. UPDATE: micro-unit exact means per cell over the union
+    *      ([[microMeanCentroids]], bit-replayable);
+    *   4. RE-ASSIGN the union to the new centroids → the new cells.
+    *
+    * Returns (cells, centroids) — a NEW index version the caller
+    * persists content-addressed (the registered sim_ivf_recenter
+    * shows the discipline); the old version stays valid for
+    * concurrent probes. Centroid IDENTITY is preserved (cells keep
+    * their cid meaning, only positions move), which is what makes
+    * drift reports comparable across versions.
+    */
+  private[graft] def recenterIvfOn(s: SparkSession, cells: DataFrame,
+      centroids: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    val union = cells.select(col("cid"), col("vec_id"), col("v"), col("vn"))
+      .unionByName(assignCellsOn(s, centroids, batch))
+      .localCheckpoint() // read by the update AND the re-assign
+    val newCentroids =
+      microMeanCentroids(s, union).localCheckpoint()
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cid"))
+    // drop the stale assignment before the re-assign: the centroid side
+    // carries the only cid from here on
+    val newCells = union.drop("cid")
+      .crossJoin(broadcast(newCentroids))
+      .withColumn("sim", cosPair(s, "v", "vn", "centroid", "cn"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("v"), col("vn"))
+    (newCells, newCentroids)
   }
 
   /** NLIST SWEEP REPORT — the measured tuning instrument the √n default
@@ -1989,6 +2132,8 @@ object SimOps extends OpFamily {
     "sim_lof_ivf_scaled" -> (lofIvfScaled _),
     "sim_incremental_assign" -> (incrementalAssign _),
     "sim_drift_report" -> (driftReport _),
+    "sim_ivf_recenter" -> (recenterReport _),
+    "sim_rebuild_decision" -> (rebuildDecision _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_classify" -> (centroidClassify _),
@@ -2174,6 +2319,34 @@ object SimOps extends OpFamily {
           FROM score)
         WHERE rank <= 5 ORDER BY qid, rank"""
   }
+
+  /** DuckDB replay of [[driftReportOn]] on the even/odd fixture — also
+    * the inner query of the sim_rebuild_decision oracle. */
+  private def driftOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 0),
+       ${lloydChainSfx("", "20")},
+       vnew AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 <> 0),
+       ${assignCteIn("newcells", "c3", "vnew")},
+       b AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base
+         FROM cells GROUP BY cid),
+       nn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new
+         FROM newcells GROUP BY cid),
+       spine AS (SELECT DISTINCT cid FROM c3),
+       tot AS (SELECT
+           (SELECT greatest(CAST(count(*) AS BIGINT), 1) FROM cells)
+             AS tb,
+           (SELECT greatest(CAST(count(*) AS BIGINT), 1) FROM newcells)
+             AS tn)
+       SELECT spine.cid, coalesce(n_base, 0) AS n_base,
+         coalesce(n_new, 0) AS n_new,
+         coalesce(n_base, 0) * 1000 // tb AS base_permille,
+         coalesce(n_new, 0) * 1000 // tn AS new_permille,
+         abs(coalesce(n_base, 0) * 1000 // tb
+           - coalesce(n_new, 0) * 1000 // tn) AS drift_permille
+       FROM spine LEFT JOIN b USING (cid) LEFT JOIN nn USING (cid)
+       CROSS JOIN tot ORDER BY cid"""
 
   /** One suffixed 3-round Lloyd chain over the shared `v` table:
     * c0$sfx (seeded by `vec_id < seed`) → a1/c1 → a2/c2 → a3/c3 →
@@ -2919,31 +3092,48 @@ object SimOps extends OpFamily {
     "sim_knn_pq_rerank" -> materializeCtes(pqRerankOracleSql),
     "sim_recall_report" -> materializeCtes(recallOracleSql),
     "sim_incremental_assign" -> incrementalAssignOracleSql,
-    "sim_drift_report" ->
+    "sim_drift_report" -> driftOracleSql,
+    "sim_ivf_recenter" -> materializeCtes(
+      // the drift fixture's chain, extended by one Lloyd step over the
+      // union: batch assign (newcells) -> union u -> micro-unit means
+      // c4 -> re-assign cells4; shift = per-dim floor(|Δ|·1e6) summed
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings WHERE vec_id % 2 = 0),
          ${lloydChainSfx("", "20")},
          vnew AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings WHERE vec_id % 2 <> 0),
          ${assignCteIn("newcells", "c3", "vnew")},
-         b AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base
+         u AS (SELECT cid, vec_id, v FROM cells
+               UNION ALL SELECT cid, vec_id, v FROM newcells),
+         ${centroidCteIn("c4", "u", 64)},
+         ${assignCteIn("cells4", "c4", "u")},
+         nold AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_old
            FROM cells GROUP BY cid),
-         nn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new
-           FROM newcells GROUP BY cid),
-         spine AS (SELECT DISTINCT cid FROM c3),
-         tot AS (SELECT
-             (SELECT greatest(CAST(count(*) AS BIGINT), 1) FROM cells)
-               AS tb,
-             (SELECT greatest(CAST(count(*) AS BIGINT), 1) FROM newcells)
-               AS tn)
-         SELECT spine.cid, coalesce(n_base, 0) AS n_base,
-           coalesce(n_new, 0) AS n_new,
-           coalesce(n_base, 0) * 1000 // tb AS base_permille,
-           coalesce(n_new, 0) * 1000 // tn AS new_permille,
-           abs(coalesce(n_base, 0) * 1000 // tb
-             - coalesce(n_new, 0) * 1000 // tn) AS drift_permille
-         FROM spine LEFT JOIN b USING (cid) LEFT JOIN nn USING (cid)
-         CROSS JOIN tot ORDER BY cid""",
+         nnew AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new
+           FROM cells4 GROUP BY cid),
+         shift AS (SELECT a.cid,
+             CAST(sum(CAST(floor(abs(a.centroid[i] - b.centroid[i]) * 1e6)
+               AS BIGINT)) AS BIGINT) AS shift_units
+           FROM c4 a JOIN c3 b ON a.cid = b.cid,
+             unnest(range(1, 65)) AS t(i)
+           GROUP BY a.cid)
+         SELECT shift.cid, coalesce(n_old, 0) AS n_old,
+           coalesce(n_new, 0) AS n_new, shift_units
+         FROM shift LEFT JOIN nold ON shift.cid = nold.cid
+           LEFT JOIN nnew ON shift.cid = nnew.cid
+         ORDER BY shift.cid"""),
+    "sim_rebuild_decision" ->
+      s"""SELECT tv_permille, n_cells_emptied, n_cells_new,
+           CASE WHEN tv_permille < 50 THEN 'keep'
+                WHEN tv_permille < 400 THEN 'recenter'
+                ELSE 'rebuild' END AS decision
+         FROM (SELECT
+             CAST(sum(drift_permille) AS BIGINT) // 2 AS tv_permille,
+             CAST(coalesce(sum(CASE WHEN n_base > 0 AND n_new = 0
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cells_emptied,
+             CAST(coalesce(sum(CASE WHEN n_base = 0 AND n_new > 0
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cells_new
+           FROM ($driftOracleSql))""",
     "sim_knn_ivf_lloyd" -> ivfLloydOracleSql,
     "sim_kmeans" ->
       s"""WITH $lloydCtes

@@ -1170,6 +1170,74 @@ class GraftApiSpec extends AnyFunSuite {
     assert(firstRun(1) === ((0L, 0L, 500L)))
   }
 
+  test("recenterIvf: recall recovers on a drifted batch that the stale " +
+      "index splits across cells; rebuild decision routes the repair") {
+    import scala.math.{cos => mcos, sin => msin, Pi}
+    def vec(deg: Double) = Seq(mcos(deg * Pi / 180), msin(deg * Pi / 180))
+    // asymmetric base: a heavy anchor cluster at ~0deg (seed id 0) and a
+    // light one at ~90deg (seed id 1); the batch drifts to 35-55deg,
+    // straddling the stale 45deg bisector
+    val base = (Seq((0L, vec(0)), (1L, vec(90)), (19L, vec(86))) ++
+      (2L to 18L).map(i => (i, vec((i - 2) * 0.5)))).toDF("vid", "emb")
+    // uneven (strictly convex) spacing: every pairwise angular distance
+    // is unique, so top-3 sets are tie-free in both engines
+    val batch = (0 until 20).map(j =>
+      (100L + j, vec(35.0 + j + 0.015 * j * j))).toDF("vid", "emb")
+    val (cells0, cents0) = Graft.buildIvfIndex(base, "vid", "emb", nlist = 2)
+    // ingest the batch into the STALE index (frozen-centroid assign)
+    val staleCells = cells0.unionByName(
+      graft.operators.SimOps.assignCellsOn(spark, cents0,
+        batch.select(col("vid").as("vec_id"),
+          expr("transform(emb, x -> cast(x as double))").as("v"))))
+    assert(staleCells.filter(col("vec_id") >= 100)
+      .select(col("cid")).distinct().count() === 2,
+      "fixture must split the drifted batch across both stale cells")
+    // queries straddle the stale ~46deg cell boundary (ids 100-109 land
+    // in the anchor cell, 110-119 in the light cell), so their nearest
+    // neighbors sit on both sides of it
+    val queries = col("vec_id").isin(107L, 109L, 110L, 111L, 112L)
+    // exact top-3 over the full union, by cosine (unit vectors: by angle)
+    val all = (base.collect() ++ batch.collect()).map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toVector))
+    def exactTop3(q: Long) = {
+      val qv = all.find(_._1 == q).get._2
+      all.filter(_._1 != q)
+        .sortBy { case (nid, v) =>
+          (-(qv(0) * v(0) + qv(1) * v(1)), nid) }
+        .take(3).map(_._1).toSet
+    }
+    def recall(cells: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame) = {
+      val got = graft.operators.SimOps
+        .knnIvfOn(spark, cells, cents, queries, nprobe = 1, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      Seq(107L, 109L, 110L, 111L, 112L)
+        .map(q => (got.getOrElse(q, Set.empty) & exactTop3(q)).size).sum
+    }
+    val staleRecall = recall(staleCells, cents0)
+    val (cells1, cents1) = Graft.recenterIvf(cells0, cents0, batch,
+      "vid", "emb")
+    val freshRecall = recall(cells1, cents1)
+    assert(staleRecall < 15,
+      s"stale index must lose cross-cell neighbors, got $staleRecall/15")
+    assert(freshRecall > staleRecall,
+      s"recenter must recover recall: $freshRecall <= $staleRecall")
+    assert(freshRecall === 15, "one Lloyd step reunifies the batch here")
+    // the decision rule on the same geometry: the batch is heavily
+    // drifted vs the base shares, so the report says repair, not keep
+    val drift = Graft.embeddingDriftReport(base, batch, "vid", "emb",
+      nlist = 2)
+    val dec = Graft.ivfRebuildDecision(drift).head()
+    assert(dec.getAs[String]("decision") !== "keep")
+    // and a no-drift batch (the base itself) keeps the index
+    val selfDec = Graft.ivfRebuildDecision(
+      Graft.embeddingDriftReport(base, base, "vid", "emb", nlist = 2))
+      .head()
+    assert(selfDec.getAs[String]("decision") === "keep")
+    assert(selfDec.getAs[Long]("tv_permille") === 0L)
+  }
+
   test("epochShuffle: hand-replay of the hash, ranks, and shard balance") {
     val ids = (0L until 64L).toDF("rid")
     val got = Graft.epochShuffle(ids, "rid", epoch = 0, nShards = 4)
