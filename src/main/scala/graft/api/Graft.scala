@@ -1479,6 +1479,27 @@ object Graft {
     graft.operators.SimOps.rebuildDecisionOn(driftReport,
       recenterTauPermille, rebuildTauPermille)
 
+  /** PER-ITEM OOD (NOVELTY) REPORT — the admission-control complement
+    * to [[embeddingDriftReport]]: drift says the batch's MASS moved;
+    * this says which cells receive items outside the base population's
+    * local geometry. Each incoming vector is assigned to its home cell
+    * (frozen centroids from [[buildIvfIndex]]) and its micro-unit
+    * centroid distance is compared to the cell's base 95th-percentile
+    * radius (exact discrete quantile). Per cell: (cid, n_base,
+    * p95_units, n_incoming, n_flagged, flagged_permille) — ~50‰
+    * flagged is the base rate; far above it means content the index
+    * has no precedent for. Route flagged items to review, or feed the
+    * signal into [[ivfRebuildDecision]]'s thresholds. Cost: one
+    * batch×centroids broadcast assign + index-linear distances +
+    * per-cell windows — no pair joins.
+    */
+  def oodReport(baseCells: DataFrame, baseCentroids: DataFrame,
+      incoming: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.operators.SimOps.oodReportOn(baseCells.sparkSession, baseCells,
+      baseCentroids,
+      incoming.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v")))
+
   /** IVF RECALL SWEEP on YOUR corpus — the sizing instrument behind the
     * ⌈√n⌉ default: for each candidate `nlist`, Lloyd-build an index and
     * measure top-`k` recall vs the exact search for the `queryPred`

@@ -583,7 +583,59 @@ object IoOps extends OpFamily {
         col("tok_old"), col("tok_new"))
   }
 
+  /** ZONE-MAP (MANIFEST) PRUNING REPORT — the data-skipping layer
+    * every lake-format reader (Iceberg/Delta/parquet row groups) puts
+    * between a predicate and the scan, as a measured operator: fragment
+    * the fact table deterministically (l_orderkey DIV 4096, the
+    * [[compact]] sizing), collect a per-fragment min/max stats
+    * manifest for two columns, then evaluate two range predicates
+    * AGAINST THE MANIFEST ONLY — a fragment is scanned iff its
+    * [min, max] intersects the range. Per predicate: (n_fragments,
+    * n_candidates, rows_scanned, rows_matched, pruned_permille).
+    *
+    * The report IS the layout lesson: the orderkey predicate prunes
+    * almost everything (fragmentation correlates with it — the
+    * clustered/Z-ordered case) while the partkey predicate prunes
+    * ~nothing (its min/max straddle every fragment) — the measured
+    * reason data layout, not just stats, decides scan cost at 100 TB,
+    * and the manifest the engine would consult instead of listing
+    * files. One scan builds the manifest (fragment-bounded rows);
+    * every candidate decision reads ONLY the manifest.
+    */
+  def manifestPrune(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val manifest = li
+      .groupBy(expr("l_orderkey DIV 4096").as("frag"))
+      .agg(min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"),
+        min(col("l_partkey")).as("min_pk"),
+        max(col("l_partkey")).as("max_pk"),
+        count(lit(1)).as("n_rows"))
+      .localCheckpoint() // fragment-bounded; read once per predicate
+    val nFrag = manifest.agg(count(lit(1)).as("n_fragments"))
+    def arm(name: String, cand: Column, rows: Column): DataFrame =
+      manifest.filter(cand)
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("n_rows")), lit(0L)).as("rows_scanned"))
+        .crossJoin(broadcast(nFrag))
+        .crossJoin(broadcast(li.filter(rows)
+          .agg(count(lit(1)).as("rows_matched"))))
+        .select(lit(name).as("predicate"), col("n_fragments"),
+          col("n_candidates"), col("rows_scanned"), col("rows_matched"),
+          expr("(n_fragments - n_candidates) * 1000 DIV n_fragments")
+            .as("pruned_permille"))
+    arm("orderkey_1000_2000",
+        col("max_ok") >= 1000 && col("min_ok") <= 2000,
+        col("l_orderkey").between(1000, 2000))
+      .unionByName(arm("partkey_10_30",
+        col("max_pk") >= 10 && col("min_pk") <= 30,
+        col("l_partkey").between(10, 30)))
+      .orderBy(col("predicate"))
+  }
+
   val queries = Map(
+    "io_manifest_prune" -> (manifestPrune _),
     "io_epoch_shuffle" -> (epochShuffle _),
     "io_snapshot_diff" -> (snapshotDiff _),
     "io_shard_rebalance" -> (shardRebalance _),
@@ -601,6 +653,33 @@ object IoOps extends OpFamily {
     "io_bucketed_join" -> (bucketedJoin _))
 
   val oracle = Map(
+    "io_manifest_prune" ->
+      """WITH m AS (SELECT l_orderkey // 4096 AS frag,
+             min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+             min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+             CAST(count(*) AS BIGINT) AS n_rows
+           FROM lineitem GROUP BY frag),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_fragments FROM m),
+         r1 AS (SELECT 'orderkey_1000_2000' AS predicate,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_scanned
+           FROM m WHERE max_ok >= 1000 AND min_ok <= 2000),
+         m1 AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched
+           FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000),
+         r2 AS (SELECT 'partkey_10_30' AS predicate,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_scanned
+           FROM m WHERE max_pk >= 10 AND min_pk <= 30),
+         m2 AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched
+           FROM lineitem WHERE l_partkey BETWEEN 10 AND 30)
+         SELECT predicate, n_fragments, n_candidates, rows_scanned,
+           rows_matched,
+           (n_fragments - n_candidates) * 1000 // n_fragments
+             AS pruned_permille
+         FROM (SELECT r1.*, m1.rows_matched FROM r1, m1
+               UNION ALL
+               SELECT r2.*, m2.rows_matched FROM r2, m2), tot
+         ORDER BY predicate""",
     "io_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS fp,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok

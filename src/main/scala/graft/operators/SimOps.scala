@@ -575,6 +575,76 @@ object SimOps extends OpFamily {
   def rebuildDecision(s: SparkSession, d: String): DataFrame =
     rebuildDecisionOn(driftReport(s, d), 50L, 400L)
 
+  /** PER-ITEM OOD (NOVELTY) REPORT — the admission-control complement
+    * to the population-level [[driftReport]]: drift says "the batch's
+    * MASS moved"; this says which cells are receiving items that sit
+    * OUTSIDE the base population's local geometry. Each incoming
+    * vector is assigned to its home cell (frozen centroids) and its
+    * centroid distance, in micro-units (floor((1−cos)·1e6)), is
+    * compared against the cell's base-population 95th-percentile
+    * radius (exact: the ⌈0.95·n⌉-th smallest base distance — the
+    * discrete quantile both engines replay bit-identically on
+    * integers). Per cell: (cid, n_base, p95_units, n_incoming,
+    * n_flagged, flagged_permille). Reading it: ~5% flagged is the
+    * base rate by construction; a cell far above it is receiving
+    * content the index has no precedent for — route those items to
+    * human review / a rebuild trigger, the per-item actuator beside
+    * [[rebuildDecisionOn]]'s per-index one. Spine = base-populated
+    * cells (a cell with no base members has no radius; incoming can
+    * only route to centroids, which exist for exactly those cells).
+    *
+    * Scale shape: one batch×centroids broadcast assign, one
+    * index-linear distance pass, per-cell windows partitioned by cid
+    * — no pair joins anywhere.
+    */
+  def oodReport(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val base = ArtifactCache.readOrBuildAll(s,
+        ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+          "nlist_20_even@r1"), Seq("cells", "centroids")) {
+      val (cells, centroids) =
+        lloydCellsOn(s, e.filter(col("vec_id") % 2 === 0), nlist = 20)
+      Seq("cells" -> cells, "centroids" -> centroids)
+    }
+    oodReportOn(s, base("cells"), base("centroids"),
+      e.filter(col("vec_id") % 2 =!= 0))
+  }
+
+  /** The report core over a prebuilt (cells, centroids) index and any
+    * incoming (vec_id, v) frame — also the
+    * [[graft.api.Graft.oodReport]] core. */
+  private[graft] def oodReportOn(s: SparkSession, baseCells: DataFrame,
+      centroids: DataFrame, incoming: DataFrame): DataFrame = {
+    def distUnits(df: DataFrame): DataFrame = df
+      .join(broadcast(centroids), Seq("cid"))
+      .withColumn("du",
+        floor((lit(1.0) - cosPair(s, "v", "vn", "centroid", "cn")) * 1e6)
+          .cast("long"))
+      .select(col("cid"), col("vec_id"), col("du"))
+    val wCell = Window.partitionBy(col("cid"))
+    val p95 = distUnits(baseCells)
+      .withColumn("rn", row_number().over(
+        wCell.orderBy(col("du"), col("vec_id"))))
+      .withColumn("n_base", count(lit(1)).over(
+        wCell.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("rn") === expr("CAST(ceil(n_base * 0.95) AS BIGINT)"))
+      .select(col("cid"), col("n_base"), col("du").as("p95_units"))
+    val inc = distUnits(assignCellsOn(s, centroids, incoming))
+    p95
+      .join(inc.select(col("cid"), col("du")), Seq("cid"), "left")
+      .groupBy(col("cid"), col("n_base"), col("p95_units"))
+      .agg(count(col("du")).as("n_incoming"),
+        coalesce(sum(when(col("du") > col("p95_units"), 1L)), lit(0L))
+          .as("n_flagged"))
+      .select(col("cid"), col("n_base"), col("p95_units"),
+        col("n_incoming"), col("n_flagged"),
+        expr("n_flagged * 1000 DIV greatest(n_incoming, 1)")
+          .as("flagged_permille"))
+      .orderBy(col("cid"))
+  }
+
   /** The report core over a prebuilt (cells, centroids) base index and
     * any new-snapshot (vec_id, v) frame — also the
     * [[graft.api.Graft.embeddingDriftReport]] core. The cid spine is the
@@ -2134,6 +2204,7 @@ object SimOps extends OpFamily {
     "sim_drift_report" -> (driftReport _),
     "sim_ivf_recenter" -> (recenterReport _),
     "sim_rebuild_decision" -> (rebuildDecision _),
+    "sim_ood_report" -> (oodReport _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_classify" -> (centroidClassify _),
@@ -3122,6 +3193,39 @@ object SimOps extends OpFamily {
          FROM shift LEFT JOIN nold ON shift.cid = nold.cid
            LEFT JOIN nnew ON shift.cid = nnew.cid
          ORDER BY shift.cid"""),
+    "sim_ood_report" -> materializeCtes(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 = 0),
+         ${lloydChainSfx("", "20")},
+         vnew AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 <> 0),
+         ${assignCteIn("newcells", "c3", "vnew")},
+         bd AS (SELECT cells.cid, cells.vec_id,
+             CAST(floor((1 - list_cosine_similarity(cells.v, c3.centroid))
+               * 1e6) AS BIGINT) AS du
+           FROM cells JOIN c3 ON cells.cid = c3.cid),
+         p95 AS (SELECT cid, n_base, du AS p95_units FROM (
+             SELECT cid, du,
+               row_number() OVER (PARTITION BY cid ORDER BY du, vec_id)
+                 AS rn,
+               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_base
+             FROM bd)
+           WHERE rn = CAST(ceil(n_base * 0.95) AS BIGINT)),
+         nd AS (SELECT newcells.cid,
+             CAST(floor((1 - list_cosine_similarity(newcells.v,
+               c3.centroid)) * 1e6) AS BIGINT) AS du
+           FROM newcells JOIN c3 ON newcells.cid = c3.cid)
+         SELECT p95.cid, n_base, p95_units,
+           CAST(count(nd.du) AS BIGINT) AS n_incoming,
+           CAST(coalesce(sum(CASE WHEN nd.du > p95_units
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged,
+           CAST(coalesce(sum(CASE WHEN nd.du > p95_units
+             THEN 1 ELSE 0 END), 0) AS BIGINT) * 1000
+             // greatest(CAST(count(nd.du) AS BIGINT), 1)
+             AS flagged_permille
+         FROM p95 LEFT JOIN nd ON p95.cid = nd.cid
+         GROUP BY p95.cid, n_base, p95_units
+         ORDER BY p95.cid"""),
     "sim_rebuild_decision" ->
       s"""SELECT tv_permille, n_cells_emptied, n_cells_new,
            CASE WHEN tv_permille < 50 THEN 'keep'

@@ -1238,6 +1238,76 @@ class GraftApiSpec extends AnyFunSuite {
     assert(selfDec.getAs[Long]("tv_permille") === 0L)
   }
 
+  test("manifestPrune: zone-map soundness — no matching row is ever " +
+      "pruned, and candidate stats replay from the raw table") {
+    val got = graft.operators.IoOps.manifestPrune(TestSpark.spark,
+        TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val li = TestSpark.spark.read
+      .parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("l_orderkey DIV 4096").as("frag"))
+    // safety: every row matching the predicate lives in a fragment the
+    // manifest kept (rows_matched of the pruned scan == true count)
+    val okTrue = li.filter(col("l_orderkey").between(1000, 2000)).count()
+    val pkTrue = li.filter(col("l_partkey").between(10, 30)).count()
+    assert(got("orderkey_1000_2000")._4 === okTrue)
+    assert(got("partkey_10_30")._4 === pkTrue)
+    // candidate fragment set replays brute-force: a fragment survives
+    // iff it CONTAINS a row whose stats range intersects the predicate
+    val okCand = li.groupBy(col("frag"))
+      .agg(min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
+      .filter(col("mx") >= 1000 && col("mn") <= 2000).count()
+    assert(got("orderkey_1000_2000")._2 === okCand)
+    // scanned is a superset of matched, and both arms see every fragment
+    got.values.foreach { case (nf, nc, scanned, matched) =>
+      assert(nc <= nf && matched <= scanned)
+    }
+    // the layout lesson (clustered column prunes, uncorrelated doesn't)
+    // needs multiple fragments — sf0.001 fits one; pinned at sf0.01 by
+    // the registered oracle (750permille vs 0)
+    if (got("orderkey_1000_2000")._1 > 1) {
+      assert(got("orderkey_1000_2000")._2 < got("orderkey_1000_2000")._1)
+      assert(got("partkey_10_30")._2 === got("partkey_10_30")._1)
+    }
+  }
+
+  test("oodReport: exact p95 radius, self-batch base rate, and a planted " +
+      "novel batch flagging far above it") {
+    import scala.math.{cos => mcos, sin => msin, Pi}
+    def vec(deg: Double) = Seq(mcos(deg * Pi / 180), msin(deg * Pi / 180))
+    // one effective cell around 0deg (seed id 0; id 1 seeds a second cell
+    // at 90deg with a lone far member so p95 stays defined): 40 base
+    // members spread 0..19.5deg with unique distances
+    val base = (Seq((1L, vec(90)), (41L, vec(85))) ++
+      (0L to 39L).map(i => (if (i == 0) 0L else i + 1,
+        vec(i * 0.5)))).toDF("vid", "emb")
+    val (cells, cents) = Graft.buildIvfIndex(base, "vid", "emb", nlist = 2)
+    // self-probe: flagged count per cell is EXACTLY n - ceil(0.95 n) when
+    // distances are distinct (strictly-greater-than-p95 definition)
+    val self = Graft.oodReport(cells, cents, base, "vid", "emb")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    self.foreach { case (cid, (nBase, nInc, nFlag)) =>
+      assert(nInc === nBase, s"self-probe repopulates cell $cid")
+      assert(nFlag === nBase - math.ceil(nBase * 0.95).toLong,
+        s"cell $cid: distinct distances make the tail count exact")
+    }
+    // a novel batch at 40-45deg routes to the 0deg cell (closer than
+    // 90deg) but sits far outside its ~19.5deg p95 radius: all flagged
+    val novel = (0 until 10).map(j => (200L + j, vec(40.0 + j * 0.5)))
+      .toDF("vid", "emb")
+    val got = Graft.oodReport(cells, cents, novel, "vid", "emb")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val homeCell = got.filter(_._2._1 > 0)
+    assert(homeCell.size === 1, "the novel batch routes to one cell")
+    val (_, (nInc, nFlag, permille)) = homeCell.head
+    assert(nInc === 10L && nFlag === 10L && permille === 1000L,
+      s"every novel item must exceed the base radius, got $nFlag/$nInc")
+  }
+
   test("epochShuffle: hand-replay of the hash, ranks, and shard balance") {
     val ids = (0L until 64L).toDF("rid")
     val got = Graft.epochShuffle(ids, "rid", epoch = 0, nShards = 4)
