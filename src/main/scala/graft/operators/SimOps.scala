@@ -2826,7 +2826,16 @@ object SimOps extends OpFamily {
     * casualties, IVF-PQ both — the report prices each on the corpus'
     * own geometry instead of trusting paper numbers.
     */
-  def recallReport(s: SparkSession, d: String): DataFrame = {
+  def recallReport(s: SparkSession, d: String): DataFrame =
+    // 4-row build-once artifact (the nlist/nprobe-report discipline):
+    // pure function of the embeddings version, contains the knnExact
+    // instrument bound
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+        "recall_report@r1"))(recallReportBuild(s, d))
+      .orderBy(col("method"))
+
+  private def recallReportBuild(s: SparkSession, d: String): DataFrame = {
     val exact = knnExact(s, d).select(col("qid"), col("nid"))
       .localCheckpoint() // joined by all three legs + the total
     val tot = exact.agg(count(lit(1)).as("n_exact"))
