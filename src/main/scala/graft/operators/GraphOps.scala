@@ -179,7 +179,16 @@ object GraphOps extends OpFamily {
     * 100 TB node-count design point. Same composed-rounds single-job
     * shape; the weight-sum table is the degree table's twin.
     */
-  def pageRankWeighted(s: SparkSession, d: String): DataFrame = {
+  def pageRankWeighted(s: SparkSession, d: String): DataFrame =
+    // build-once artifact (the pagerank_converged discipline): five
+    // integral rounds, pure function of the two edge-source tables
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dirMulti(s, d, Seq("orders", "lineitem"),
+        "graft_graph", "pagerank_weighted@r1")) {
+      pageRankWeightedBuild(s, d)
+    }.orderBy(desc("rank_units"), col("kind"), col("entity_key"))
+
+  private def pageRankWeightedBuild(s: SparkSession, d: String): DataFrame = {
     val edges = custSuppWeightedEdges(s, d).localCheckpoint()
     val tw = edges.groupBy(col("src")).agg(sum(col("w")).as("tw"))
     val withW = edges.join(tw, Seq("src")).persist()

@@ -117,7 +117,14 @@ object SimOps extends OpFamily {
     * correctness gate for that algebra.
     */
   def lofOutliers(s: SparkSession, d: String): DataFrame =
-    lofOn(s, Tables.embeddings(s, d), k = 10, topN = 20)
+    // 20-row build-once artifact (the recall-report discipline): the
+    // exact n² measurement twin is a pure function of the embeddings
+    // version; its production sibling sim_lof_ivf_scaled stays live
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+        "lof_exact_k10@r1")) {
+      lofOn(s, Tables.embeddings(s, d), k = 10, topN = 20)
+    }.orderBy(desc_nulls_last("lof"), col("vec_id"))
 
   private[graft] def lofOn(s: SparkSession, emb: DataFrame, k: Int,
       topN: Int): DataFrame = {
