@@ -197,6 +197,25 @@ object Graft {
       prefix = m("prefix"), buckets = m.get("buckets"))
   }
 
+  /** EXPIRE a tombstone set from the index — the delete half of the
+    * LSM loop ([[appendToDedupIndex]] is the insert half): drop the
+    * given ids (the `removed` arm of [[snapshotDiff]], a takedown
+    * list, a retention cutoff) from every per-doc table with one
+    * anti-join each, so later probes can never match expired content.
+    * The frozen frequency order stays (dropping rows under a fixed
+    * order cannot break probe exactness — it only leaves selectivity
+    * slightly stale, append's same trade); [[compactDedupIndex]]
+    * re-derives it from the survivors. Persist as a new version, as
+    * with append.
+    */
+  def expireFromDedupIndex(index: DedupIndex, tombstones: DataFrame,
+      idCol: String): DedupIndex = {
+    val m = graft.operators.DedupOps.expireDedupIndexTables(
+      index.tables, tombstones.select(col(idCol).as("doc_id"))).toMap
+    index.copy(shingles = m("shingles"), freq = m("freq"),
+      prefix = m("prefix"), buckets = m.get("buckets"))
+  }
+
   /** COMPACT a grown index: re-derive the frequency order and all
     * prefix keys from the accumulated shingles table (append keeps it
     * complete — compaction never needs original text), restoring the

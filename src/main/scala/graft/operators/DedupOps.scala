@@ -434,6 +434,33 @@ object DedupOps extends OpFamily {
       parts1("prefix"), corpus.filter(col("doc_id") >= 2 * PlantBase), tau)
   }
 
+  /** INGEST THROUGH AN EXPIRED INDEX — the registered evidence for the
+    * delete half ([[expireDedupIndexTables]]): build the day-0 index
+    * from all originals, expire every doc_id % 3 == 0 (a takedown /
+    * retention tombstone set — the [[IoOps.snapshotDiffOn]] `removed`
+    * arm's shape), then ingest the planted truncations. A truncation
+    * whose source was expired reports NO match (the takedown contract:
+    * expired content can never resurface through the index), while
+    * every surviving source still matches exactly. The expired index
+    * version is content-addressed like the appended one; the DuckDB
+    * replay probes brute-force against exactly the surviving docs.
+    */
+  def dedupIndexExpire(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNearDupes(s, d)
+    val parts = ArtifactCache.readOrBuildAll(s,
+      ArtifactCache.dir(s, d, "documents", "graft_pairs",
+        "incr_index_expired_tau30@r1"),
+      Seq("shingles", "freq", "prefix")) {
+      val parts0 =
+        dedupIndexTables(corpus.filter(col("doc_id") < PlantBase), 0.3).toMap
+      expireDedupIndexTables(parts0,
+        corpus.filter(col("doc_id") < PlantBase
+          && col("doc_id") % 3 === 0))
+    }
+    incrementalNearDupsProbe(parts("shingles"), parts("freq"),
+      parts("prefix"), corpus.filter(col("doc_id") >= 2 * PlantBase), 0.3)
+  }
+
   /** The incremental core: (new_id, matched_id, jaccard) for every
     * incoming×index pair with J ≥ tau — NEVER any incoming×incoming or
     * index×index pair. Same prefix-filter theorem as
@@ -535,6 +562,32 @@ object DedupOps extends OpFamily {
       "prefix" -> parts("prefix").unionByName(prefixKeysBy(shB, freq, tau)))
     parts.get("buckets").fold(base)(b => base :+ ("buckets" ->
       b.unionByName(bandBuckets(minhashSigs(shingleHashes(batch))))))
+  }
+
+  /** INDEX EXPIRY — the delete half of the LSM loop ([[
+    * appendDedupIndexTables]] is the insert half): drop a tombstone
+    * set of doc ids (the `removed` arm of [[IoOps.snapshotDiffOn]], a
+    * takedown list, a retention cutoff) from every per-doc table with
+    * one anti-join each. The FROZEN frequency order is deliberately
+    * kept — dropping rows under a fixed order can never break the
+    * prefix theorem (both sides of any surviving pair still share the
+    * same total order), it only leaves the order's selectivity
+    * slightly stale, exactly append's trade; the next
+    * [[compactDedupIndexTables]] re-derives it from the surviving
+    * shingles. Probes after expiry can no longer match the expired
+    * docs — the correctness contract a takedown actually needs —
+    * pinned against a from-scratch rebuild in AnalyticsOpsSpec.
+    */
+  private[graft] def expireDedupIndexTables(parts: Map[String, DataFrame],
+      tombstones: DataFrame): Seq[(String, DataFrame)] = {
+    val ids = tombstones.select(col("doc_id"))
+    def drop(df: DataFrame): DataFrame =
+      df.join(ids, Seq("doc_id"), "left_anti")
+    val base = Seq(
+      "shingles" -> drop(parts("shingles")),
+      "freq" -> parts("freq"),
+      "prefix" -> drop(parts("prefix")))
+    parts.get("buckets").fold(base)(b => base :+ ("buckets" -> drop(b)))
   }
 
   /** INDEX COMPACTION — re-derive the frequency order and every doc's
@@ -1311,6 +1364,7 @@ object DedupOps extends OpFamily {
     "dedup_near_jaccard" -> (nearJaccard _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_index_append" -> (dedupIndexAppend _),
+    "dedup_index_expire" -> (dedupIndexExpire _),
     "dedup_incremental_lsh" -> (dedupIncrementalLsh _),
     "dedup_containment" -> (containmentPairs _),
     "dedup_clusters" -> (nearDupClusters _),
@@ -1464,6 +1518,25 @@ object DedupOps extends OpFamily {
            CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(n.sh, i.sh))) AS jaccard
          FROM b2 n JOIN idx i ON n.lang = i.lang AND n.source = i.source
+         WHERE CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.3
+         ORDER BY new_id, matched_id""",
+    "dedup_index_expire" ->
+      // surviving index docs = originals with doc_id % 3 <> 0; the
+      // truncations (>= 200000) probe brute-force against exactly them
+      s"""WITH corpus AS ($planted),
+         sh AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM corpus))
+         SELECT n.doc_id AS new_id, i.doc_id AS matched_id,
+           CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.sh, i.sh))) AS jaccard
+         FROM sh n JOIN sh i
+           ON n.lang = i.lang AND n.source = i.source
+           AND n.doc_id >= 200000
+           AND i.doc_id < 100000 AND i.doc_id % 3 <> 0
          WHERE CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.3
          ORDER BY new_id, matched_id""",

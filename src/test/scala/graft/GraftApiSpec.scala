@@ -1560,6 +1560,17 @@ class GraftApiSpec extends AnyFunSuite {
     val mL = Graft.probeDedupIndex(lsh1, batch2, "my_id", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mL === m2)
+    // takedown: expire the day-1 survivor -> its dupe stops matching,
+    // while a dupe of a still-indexed doc is unaffected
+    val idx2 = Graft.expireFromDedupIndex(idx1,
+      survivors1.select(col("my_id")), "my_id")
+    assert(Graft.probeDedupIndex(idx2, batch2, "my_id", "body").count() === 0,
+      "expired content must never resurface through the index")
+    val batch3 = Seq((30L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("my_id", "body")
+    assert(Graft.probeDedupIndex(idx2, batch3, "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((30L, 1L)), "surviving docs still match after expiry")
   }
 
   test("snapshotDiff: every status classified; token sides NULL when absent") {

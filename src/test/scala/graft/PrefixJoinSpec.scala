@@ -314,6 +314,25 @@ class PrefixJoinSpec extends AnyFunSuite {
       bruteForceIncremental(corpus, recrawl, 0.3))
   }
 
+  test("expire o probe == rebuild-on-survivors o probe; expired docs can " +
+      "never resurface, survivors keep exact jaccards") {
+    import TestSpark.spark.implicits._
+    val corpus = mutationCorpus
+    val index = corpus.filter(col("doc_id") < 100)
+    val batch = corpus.filter(col("doc_id") >= 100)
+    val tombstones = (0L until 100L).filter(_ % 3 == 0).toDF("doc_id")
+    val expired = DedupOps.expireDedupIndexTables(
+      DedupOps.dedupIndexTables(index, 0.3).toMap, tombstones).toMap
+    val got = probeTriple(expired, batch, 0.3)
+    assert(got.forall(_._2 % 3 != 0), "no expired id may ever match")
+    val survivors = index.filter(col("doc_id") % 3 =!= 0)
+    assert(got === probeTriple(
+      DedupOps.dedupIndexTables(survivors, 0.3).toMap, batch, 0.3))
+    assert(got.map(t => (t._1, t._2)) ===
+      bruteForceIncremental(survivors, batch, 0.3))
+    assert(got.nonEmpty, "surviving mutation families must still match")
+  }
+
   test("compaction re-derives exactly the from-scratch tables and leaves " +
       "probes unchanged; appended LSH buckets equal the rebuild's") {
     val corpus = headerCorpus
