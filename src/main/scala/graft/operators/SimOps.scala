@@ -638,13 +638,22 @@ object SimOps extends OpFamily {
           Window.unboundedFollowing)))
       .filter(col("rn") === expr("CAST(ceil(n_base * 0.95) AS BIGINT)"))
       .select(col("cid"), col("n_base"), col("du").as("p95_units"))
+    // batch-side plan shape: the (≤ nlist)-row p95 table BROADCASTS
+    // into the incoming stream (inner join + aggregate — one pass over
+    // the batch, map-side combinable on the low-cardinality cid), and
+    // only the tiny aggregates left-join back onto the spine so cells
+    // with zero incoming still report. A p95-left-outer against the
+    // batch would force a sort-merge of the batch instead.
     val inc = distUnits(assignCellsOn(s, centroids, incoming))
-    p95
-      .join(inc.select(col("cid"), col("du")), Seq("cid"), "left")
-      .groupBy(col("cid"), col("n_base"), col("p95_units"))
-      .agg(count(col("du")).as("n_incoming"),
+    val perCell = inc.select(col("cid"), col("du"))
+      .join(broadcast(p95.select(col("cid"), col("p95_units"))), Seq("cid"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_incoming"),
         coalesce(sum(when(col("du") > col("p95_units"), 1L)), lit(0L))
           .as("n_flagged"))
+    p95
+      .join(perCell, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_incoming", "n_flagged"))
       .select(col("cid"), col("n_base"), col("p95_units"),
         col("n_incoming"), col("n_flagged"),
         expr("n_flagged * 1000 DIV greatest(n_incoming, 1)")
