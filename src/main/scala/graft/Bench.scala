@@ -29,6 +29,7 @@ object Bench {
     */
   private val instruments = Seq(
     "sim_ivf_nlist_report", "sim_ivf_nprobe_report",
+    "sim_matryoshka_report",
     "graph_betw_landmark_report", "graph_harmonic_landmark_report",
     "dedup_threshold_report", "dedup_recall_report", "text_bpe_k_report")
 

@@ -1498,6 +1498,69 @@ object Graft {
     graft.operators.SimOps.rebuildDecisionOn(driftReport,
       recenterTauPermille, rebuildTauPermille)
 
+  /** MATRYOSHKA DIMENSION SWEEP on YOUR corpus — the embedding
+    * STORAGE-budget instrument (MRL, Kusupati et al. NeurIPS'22):
+    * recall@`k` of brute-force cosine over only the first m dims vs
+    * the full-dim exact top-`k` for the `queryPred` batch, one row per
+    * m ∈ `dims`. Pick the smallest m on the flat part of the curve and
+    * every downstream consumer (storage, shuffle width, dot cost, the
+    * IVF/PQ paths) shrinks by fullDim/m. Returns (m_dims, knn_hits,
+    * n_exact, recall_permille). Contains an exact-search instrument
+    * bound — measurement twin, not the production search.
+    */
+  def matryoshkaRecallSweep(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, dims: Seq[Int], k: Int = 5): DataFrame = {
+    require(dims.nonEmpty && dims == dims.sorted && dims.head >= 1,
+      s"dims must be ascending, >= 1: $dims")
+    val s = df.sparkSession
+    val shaped = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+      .localCheckpoint() // one exact pass + one ranking per swept m
+    def top(m: Option[Int]): DataFrame = {
+      val e = m.fold(shaped)(mm => shaped.select(col("vec_id"),
+          slice(col("v"), 1, mm).as("v")))
+        .withColumn("vn", sqrt(NativeExprs.dot(s, col("v"), col("v"))))
+      val q = e.filter(queryPred).select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("vn").as("qn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("cos"), col("nid"))
+      e.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("vn").as("nn"))
+        .crossJoin(broadcast(q))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cos",
+          NativeExprs.dot(s, col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("nid"))
+    }
+    val exact = top(None).localCheckpoint()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    dims.map { m =>
+      top(Some(m)).join(exact, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("knn_hits"))
+        .crossJoin(broadcast(nExact))
+        .select(lit(m).cast("long").as("m_dims"), col("knn_hits"),
+          col("n_exact"),
+          expr("knn_hits * 1000 div n_exact").as("recall_permille"))
+    }.reduce(_ unionByName _).orderBy(col("m_dims"))
+  }
+
+  /** EXACT WEIGHTED QUANTILES per group: the smallest value whose
+    * running weight (ordered by (value, id)) reaches q‰ of the group's
+    * total weight — the curation cut a TOKEN budget needs where plain
+    * quantiles weight a stub and a book equally. All integral; one
+    * window cumsum per group, one filter-min per q over the same
+    * cumulated frame. Weights non-negative; ids unique. Returns
+    * (grp, q_permille, weighted_q, total_w).
+    */
+  def weightedQuantiles(df: DataFrame, grpCol: String, idCol: String,
+      valueCol: String, weightCol: String, qs: Seq[Int]): DataFrame =
+    graft.operators.AggOps.weightedQuantilesOn(
+      df.select(col(grpCol).as("grp"), col(idCol).as("id"),
+        col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w")), qs)
+
   /** PER-ITEM OOD (NOVELTY) REPORT — the admission-control complement
     * to [[embeddingDriftReport]]: drift says the batch's MASS moved;
     * this says which cells receive items outside the base population's

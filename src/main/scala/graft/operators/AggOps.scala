@@ -76,6 +76,53 @@ object AggOps extends OpFamily {
       Tables.lineitem(s, d),
       "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
 
+  /** EXACT WEIGHTED QUANTILES per group — the curation cut that plain
+    * quantiles get wrong: "the median DOCUMENT length" weights a
+    * 10-token stub equally with a 100k-token book, but a token budget
+    * cares where the TOKENS sit, so the cut must be weighted by token
+    * mass. Definition (all integral, both engines floor the same):
+    * wq(q‰) = the smallest value v whose running weight (ordered by
+    * (value, id) — unique, so window frames can't disagree) satisfies
+    * cum_w · 1000 ≥ q · total_w. One window cumsum per group + one
+    * filter-min per requested q over the SAME cumulated frame — no
+    * per-q rescan. Registered fixture: per-lang token-weighted
+    * quartiles + p90 of document char-length over `documents`.
+    */
+  def weightedQuantiles(s: SparkSession, d: String): DataFrame =
+    weightedQuantilesOn(
+      Tables.documents(s, d).select(col("lang").as("grp"),
+        col("doc_id").as("id"), col("n_chars").cast("long").as("v"),
+        size(split(col("text"), " ")).cast("long").as("w")),
+      Seq(250, 500, 750, 900))
+      .withColumnRenamed("grp", "lang")
+      .orderBy(col("lang"), col("q_permille"))
+
+  /** The core over any (grp, id, v, w) frame — also the
+    * [[graft.api.Graft.weightedQuantiles]] core. Weights must be
+    * non-negative; ids unique per row (the deterministic tie-break).
+    */
+  private[graft] def weightedQuantilesOn(df: DataFrame,
+      qs: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be 1..1000 permille: $qs")
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    val wAll = Window.partitionBy(col("grp"))
+    val cum = df
+      .withColumn("cw", sum(col("w")).over(wCum))
+      .withColumn("tw", sum(col("w")).over(
+        wAll.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .localCheckpoint() // re-filtered once per requested q
+    qs.map { q =>
+      cum.filter(col("cw") * 1000 >= col("tw") * q)
+        .groupBy(col("grp"))
+        .agg(min(col("v")).as("weighted_q"), min(col("tw")).as("total_w"))
+        .select(col("grp"), lit(q).cast("long").as("q_permille"),
+          col("weighted_q"), col("total_w"))
+    }.reduce(_ unionByName _).orderBy(col("grp"), col("q_permille"))
+  }
+
   /** Exact count-distinct (the classic two-MR-job idiom, one plan here). */
   def countDistinctUsers(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -1837,6 +1884,7 @@ object AggOps extends OpFamily {
     "agg_numeric_summary" -> (numericSummary _),
     "agg_count_distinct" -> (countDistinctUsers _),
     "agg_exact_quantiles" -> (exactQuantiles _),
+    "agg_weighted_quantiles" -> (weightedQuantiles _),
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_hll_union" -> (hllUnionDaily _),
     "agg_hll_intersection" -> (hllIntersection _),
@@ -2049,6 +2097,22 @@ object AggOps extends OpFamily {
              CAST(row_number() OVER (PARTITION BY event_type
                ORDER BY abs(dev) DESC, event_id) AS INT) AS rank
            FROM d) WHERE rank <= 5 ORDER BY event_type, rank""",
+    "agg_weighted_quantiles" ->
+      """WITH d AS (SELECT lang AS grp, doc_id AS id,
+             CAST(n_chars AS BIGINT) AS v,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+           FROM documents),
+         c AS (SELECT grp, v, w,
+             CAST(sum(w) OVER (PARTITION BY grp ORDER BY v, id)
+               AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+           FROM d)
+         SELECT grp AS lang, CAST(q_permille AS BIGINT) AS q_permille,
+           min(v) AS weighted_q, min(tw) AS total_w
+         FROM c JOIN (VALUES (250), (500), (750), (900)) t(q_permille)
+           ON c.cw * 1000 >= c.tw * t.q_permille
+         GROUP BY grp, q_permille
+         ORDER BY lang, q_permille""",
     "agg_exact_quantiles" ->
       """SELECT pct, r AS pos, v AS value FROM (
            SELECT l_extendedprice AS v,

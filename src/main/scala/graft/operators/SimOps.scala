@@ -61,6 +61,61 @@ object SimOps extends OpFamily {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** MATRYOSHKA DIMENSION SWEEP — the embedding STORAGE-budget
+    * instrument (Kusupati et al., "Matryoshka Representation
+    * Learning", NeurIPS'22, public): recall@5 of brute-force cosine
+    * over only the FIRST m dimensions vs the full-dim exact top-5,
+    * m ∈ [[MatryoshkaDims]]. Reading it: MRL-style embeddings front-
+    * load information, so recall vs m shows how many dims THIS corpus
+    * needs per use — a rollout picks the smallest m on the flat part
+    * and cuts vector storage, shuffle width and dot-product cost by
+    * 64/m everywhere downstream (the IVF/PQ paths compose: shorter
+    * vectors, same machinery). Fixture embeddings are not MRL-trained,
+    * so the curve here is the honest baseline a trained model is
+    * compared against. One exact pass + one prefix-dim ranking per m,
+    * all rank-pruned windows; the 4-row report is a build-once
+    * artifact (the nlist/nprobe-sweep discipline), and contains
+    * [[knnExact]]'s documented instrument bound.
+    */
+  private[graft] val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  def matryoshkaReport(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+        "matryoshka_report@r1"))(matryoshkaReportBuild(s, d))
+      .orderBy(col("m_dims"))
+
+  private def matryoshkaReportBuild(s: SparkSession, d: String): DataFrame = {
+    val exactK = knnExact(s, d).select(col("qid"), col("nid"))
+      .localCheckpoint() // joined per swept m + counted once
+    val nExact = exactK.agg(count(lit(1)).as("n_exact"))
+    val e = Tables.embeddings(s, d)
+    MatryoshkaDims.map { m =>
+      val em = e.select(col("vec_id"),
+          slice(col("embedding"), 1, m).as("ve"))
+        .withColumn("nrm", sqrt(NativeExprs.dot(s, col("ve"), col("ve"))))
+      val q = em.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("ve").as("qe"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
+      val hits = em.select(col("vec_id").as("nid"), col("ve").as("ne"),
+          col("nrm"))
+        .crossJoin(broadcast(q))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cos",
+          NativeExprs.dot(s, col("qe"), col("ne")) / (col("qn") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("nid"))
+        .join(exactK, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("knn_hits"))
+      hits.crossJoin(broadcast(nExact))
+        .select(lit(m).cast("long").as("m_dims"), col("knn_hits"),
+          col("n_exact"),
+          expr("knn_hits * 1000 div n_exact").as("recall_permille"))
+    }.reduce(_ unionByName _)
+  }
+
   /** RANGE SEARCH (the faiss `range_search` analogue): every corpus
     * vector within cosine ≥ 0.35 of each query — the radius variant a
     * retrieval stack uses when "how many are this close" matters more
@@ -2198,6 +2253,7 @@ object SimOps extends OpFamily {
     "sim_hybrid_rrf_ivf" -> (hybridRrfIvf _),
     "dedup_semantic" -> (semanticDedup _),
     "sim_knn_exact" -> (knnExact _),
+    "sim_matryoshka_report" -> (matryoshkaReport _),
     "sim_range_search" -> (rangeSearch _),
     "sim_kmeans" -> (kmeansProfile _),
     "sim_knn_ivf_quantized" -> (knnIvfQuantized _),
@@ -3370,6 +3426,33 @@ object SimOps extends OpFamily {
            pos_cos - neg_cos AS gap
          FROM p LEFT JOIN ng ON p.qid = ng.qid
          ORDER BY p.qid""",
+    "sim_matryoshka_report" -> materializeCtes(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         exact AS (SELECT qid, nid FROM (
+             SELECT q.vec_id AS qid, n.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id)
+                 AS rank
+             FROM v q JOIN v n ON q.vec_id <> n.vec_id
+             WHERE q.vec_id < 10) WHERE rank <= 5),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+         ${MatryoshkaDims.map(m =>
+          s"""h$m AS (SELECT CAST($m AS BIGINT) AS m_dims,
+               CAST(count(*) AS BIGINT) AS knn_hits FROM (
+               SELECT qid, nid FROM (
+                 SELECT q.vec_id AS qid, n.vec_id AS nid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.v[1:$m], n.v[1:$m])
+                       DESC, n.vec_id) AS rank
+                 FROM v q JOIN v n ON q.vec_id <> n.vec_id
+                 WHERE q.vec_id < 10) WHERE rank <= 5)
+             JOIN exact USING (qid, nid))""").mkString(",\n         ")}
+         SELECT m_dims, knn_hits, n_exact,
+           knn_hits * 1000 // n_exact AS recall_permille
+         FROM (${MatryoshkaDims.map(m => s"SELECT * FROM h$m")
+          .mkString(" UNION ALL ")}), tot
+         ORDER BY m_dims"""),
     "sim_knn_exact" ->
       """SELECT qid, rank, nid, cos FROM (
            SELECT q.vec_id AS qid, n.vec_id AS nid,

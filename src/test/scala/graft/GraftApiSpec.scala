@@ -1273,6 +1273,53 @@ class GraftApiSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshkaRecallSweep: signal-bearing prefix dims recover exact " +
+      "recall; noise-only prefixes don't; full dim is always 1000") {
+    // 2 signal dims up front, 2 permuted-signal dims behind: ranking by
+    // the first 2 dims equals full-dim ranking only when the tail agrees
+    // — here the tail REVERSES the order for half the points, so m=2
+    // recall is partial, m=4 recall is exact by identity
+    val vecs = (0 until 30).map { i =>
+      val a = 1.0 + i * 0.1
+      (i.toLong, Seq(a, 2.0, if (i % 2 == 0) a else 3.0 - a, 1.0))
+    }.toDF("vid", "emb")
+    val got = Graft.matryoshkaRecallSweep(vecs, "vid", "emb",
+        col("vec_id") < 5, dims = Seq(2, 4), k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got(4L) === ((15L, 1000L)), "full-dim sweep row is exact")
+    assert(got(2L)._2 < 1000L, "the reversing tail must cost m=2 recall")
+    assert(got(2L)._2 > 0L, "the shared signal dims keep some recall")
+  }
+
+  test("weightedQuantiles: hand-computed cuts; unit weights reduce to " +
+      "plain rank quantiles") {
+    // weights concentrate the mass on the largest value: w = (1,1,1,7)
+    // over v = (10,20,30,40) -> total 10; q250 needs cw>=2.5 -> v=20 at
+    // cw=2? 2*1000 >= 250*10 -> 2000 >= 2500 false; v=30 (cw=3) -> 3000
+    // >= 2500 -> 30; q500 needs cw>=5 -> v=40; q900 -> v=40
+    val df = Seq((1L, 10L, 1L), (2L, 20L, 1L), (3L, 30L, 1L),
+      (4L, 40L, 7L)).map { case (i, v, w) => ("g", i, v, w) }
+      .toDF("grp", "id", "v", "w")
+    val got = Graft.weightedQuantiles(df, "grp", "id", "v", "w",
+        Seq(250, 500, 900))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(250L -> 30L, 500L -> 40L, 900L -> 40L))
+    // unit weights: wq(q) = value at rank ceil(q*n/1000) in (v, id) order
+    val rnd = new scala.util.Random(5)
+    val vals = Vector.fill(97)(rnd.nextInt(1000).toLong)
+    val unit = vals.zipWithIndex
+      .map { case (v, i) => ("u", i.toLong, v, 1L) }
+      .toDF("grp", "id", "v", "w")
+    val qs = Seq(100, 250, 500, 750, 999)
+    val gotU = Graft.weightedQuantiles(unit, "grp", "id", "v", "w", qs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val want = sorted(math.ceil(q * 97 / 1000.0).toInt - 1)
+      assert(gotU(q.toLong) === want, s"q=$q")
+    }
+  }
+
   test("oodReport: exact p95 radius, self-batch base rate, and a planted " +
       "novel batch flagging far above it") {
     import scala.math.{cos => mcos, sin => msin, Pi}
