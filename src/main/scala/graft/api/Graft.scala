@@ -184,13 +184,30 @@ object Graft {
     * handle's tables as a NEW index version (content-addressed, the
     * registered dedup_index_append discipline) — never overwrite the
     * old version in place under concurrent probes. Batch ids must be
-    * new (survivors are, by construction). Selectivity — not
-    * correctness — decays as the corpus drifts from the frozen order;
-    * [[compactDedupIndex]] restores it.
+    * new (survivors are, by construction) — ENFORCED by a
+    * short-circuit semi-join check that fails loudly on the first
+    * re-appended id. Selectivity — not correctness — decays as the
+    * corpus drifts from the frozen order; [[compactDedupIndex]]
+    * restores it ([[dedupCompactionDecision]] measures when).
     */
   def appendToDedupIndex(index: DedupIndex, batchSurvivors: DataFrame,
       id: String, text: String): DedupIndex = {
     val shaped = shapedCorpus(batchSurvivors, id, text, index.blockCols)
+    // ENFORCED contract (r17 verdict #4): a re-appended id would
+    // silently duplicate its shingle/prefix rows and inflate every
+    // later probe's Jaccard-verify denominators — fail loudly instead.
+    // One semi-join, short-circuited at the first hit: batch ids are
+    // the build side, the index's per-doc table streams, so the check
+    // is one bounded pass and finds a violation without draining it.
+    val clash = shaped.select(col("doc_id"))
+      .join(index.shingles.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"appendToDedupIndex: batch doc id ${clash.head.get(0)} already " +
+        "exists in the index — batch ids must be disjoint (probe first " +
+        "and append only the survivors; re-embedding/replacing a doc " +
+        "means expireFromDedupIndex then append)")
     val m = graft.operators.DedupOps.appendDedupIndexTables(
       index.tables, shaped, index.threshold).toMap
     index.copy(shingles = m("shingles"), freq = m("freq"),
@@ -1473,6 +1490,13 @@ object Graft {
     * comparable across versions. Cost: one batch×centroids broadcast
     * assign + one index-linear mean + one re-assign; never quadratic,
     * and far below a re-seeded full build.
+    *
+    * Shared-id contract: a vec_id present in BOTH the base cells and
+    * the batch (the natural case — a re-embedded snapshot of the same
+    * corpus) is counted ONCE, with the BATCH vector winning (newest
+    * embedding); the base twin is anti-joined out before the union,
+    * so duplicates can neither double-count the means nor silently
+    * lose a row in the re-assign window (r17 advice).
     */
   def recenterIvf(baseCells: DataFrame, baseCentroids: DataFrame,
       batch: DataFrame, idCol: String, vecCol: String)
@@ -1551,15 +1575,34 @@ object Graft {
     * total weight — the curation cut a TOKEN budget needs where plain
     * quantiles weight a stub and a book equally. All integral; one
     * window cumsum per group, one filter-min per q over the same
-    * cumulated frame. Weights non-negative; ids unique. Returns
+    * cumulated frame. Weights non-negative; ids unique; value and
+    * weight columns must already be INTEGRAL types (byte/short/int/
+    * long) — a fractional column is rejected here rather than
+    * silently truncated toward zero (r17 advice: a double weight
+    * column cast to long would quietly zero out sub-1 weights); scale
+    * fractional inputs to integer units (e.g. micro-units) first.
+    * Groups with total weight 0 are dropped (they have no weighted
+    * quantile — see the operator note). Returns
     * (grp, q_permille, weighted_q, total_w).
     */
   def weightedQuantiles(df: DataFrame, grpCol: String, idCol: String,
-      valueCol: String, weightCol: String, qs: Seq[Int]): DataFrame =
+      valueCol: String, weightCol: String, qs: Seq[Int]): DataFrame = {
+    def integral(c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(dt),
+        s"weightedQuantiles: column '$c' must be an integral type, " +
+          s"got ${dt.simpleString} — scale to integer units explicitly " +
+          "instead of relying on a silent truncating cast")
+    }
+    integral(valueCol); integral(weightCol)
     graft.operators.AggOps.weightedQuantilesOn(
       df.select(col(grpCol).as("grp"), col(idCol).as("id"),
         col(valueCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w")), qs)
+  }
 
   /** PER-ITEM OOD (NOVELTY) REPORT — the admission-control complement
     * to [[embeddingDriftReport]]: drift says the batch's MASS moved;

@@ -100,6 +100,11 @@ object AggOps extends OpFamily {
   /** The core over any (grp, id, v, w) frame — also the
     * [[graft.api.Graft.weightedQuantiles]] core. Weights must be
     * non-negative; ids unique per row (the deterministic tie-break).
+    * Groups whose TOTAL weight is 0 are dropped, not answered: every
+    * row satisfies cw·1000 ≥ tw·q vacuously there, so the "quantile"
+    * would be the group's minimum — an arbitrary cut that silently
+    * admits a group the weighting says carries nothing (r17 advice);
+    * a caller who wants those groups decides their cut explicitly.
     */
   private[graft] def weightedQuantilesOn(df: DataFrame,
       qs: Seq[Int]): DataFrame = {
@@ -113,6 +118,7 @@ object AggOps extends OpFamily {
       .withColumn("tw", sum(col("w")).over(
         wAll.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
+      .filter(col("tw") > 0) // zero-mass groups have no weighted quantile
       .localCheckpoint() // re-filtered once per requested q
     qs.map { q =>
       cum.filter(col("cw") * 1000 >= col("tw") * q)
@@ -2102,11 +2108,12 @@ object AggOps extends OpFamily {
              CAST(n_chars AS BIGINT) AS v,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS w
            FROM documents),
-         c AS (SELECT grp, v, w,
-             CAST(sum(w) OVER (PARTITION BY grp ORDER BY v, id)
-               AS BIGINT) AS cw,
-             CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
-           FROM d)
+         c AS (SELECT grp, v, w, cw, tw FROM (
+             SELECT grp, v, w,
+               CAST(sum(w) OVER (PARTITION BY grp ORDER BY v, id)
+                 AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+             FROM d) WHERE tw > 0)
          SELECT grp AS lang, CAST(q_permille AS BIGINT) AS q_permille,
            min(v) AS weighted_q, min(tw) AS total_w
          FROM c JOIN (VALUES (250), (500), (750), (900)) t(q_permille)

@@ -681,19 +681,23 @@ object IoOps extends OpFamily {
                SELECT r2.*, m2.rows_matched FROM r2, m2), tot
          ORDER BY predicate""",
     "io_snapshot_diff" ->
-      """WITH o AS (SELECT doc_id, md5(text) AS fp,
+      """WITH o AS (SELECT doc_id, TRUE AS in_old, md5(text) AS fp,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
            FROM documents WHERE doc_id % 13 <> 0),
-         n AS (SELECT doc_id, md5(t) AS fp,
+         n AS (SELECT doc_id, TRUE AS in_new, md5(t) AS fp,
              CAST(len(string_split(t, ' ')) AS BIGINT) AS tok
            FROM (SELECT doc_id,
                CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
                     ELSE text END AS t
              FROM documents WHERE doc_id % 11 <> 0)),
+         -- presence from the per-side flags, content equality via the
+         -- null-safe comparator — the engine's exact semantics (a doc
+         -- present on both sides with NULL text on one is CHANGED, not
+         -- added/removed); fp nullness no longer stands in for presence
          c AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-             CASE WHEN o.fp IS NULL THEN 'added'
-                  WHEN n.fp IS NULL THEN 'removed'
-                  WHEN o.fp <> n.fp THEN 'changed'
+             CASE WHEN o.in_old IS NULL THEN 'added'
+                  WHEN n.in_new IS NULL THEN 'removed'
+                  WHEN NOT (o.fp IS NOT DISTINCT FROM n.fp) THEN 'changed'
                   ELSE 'unchanged' END AS status,
              o.tok AS tok_old, n.tok AS tok_new
            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)

@@ -691,7 +691,13 @@ object SimOps extends OpFamily {
       .withColumn("n_base", count(lit(1)).over(
         wCell.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-      .filter(col("rn") === expr("CAST(ceil(n_base * 0.95) AS BIGINT)"))
+      // ⌈0.95·n⌉ in INTEGER arithmetic: double ceil(n·0.95) overshoots
+      // by one rank when 0.95·n is mathematically integral (n a
+      // multiple of 20 — IEEE rounds 0.95·40 up to 38.000…004), so the
+      // radius would be one rank looser than the documented exact
+      // discrete quantile (r17 advice); (n·95 + 99) DIV 100 is exact
+      // and replays identically in DuckDB
+      .filter(col("rn") === expr("(n_base * 95 + 99) DIV 100"))
       .select(col("cid"), col("n_base"), col("du").as("p95_units"))
     // batch-side plan shape: the (≤ nlist)-row p95 table BROADCASTS
     // into the incoming stream (inner join + aggregate — one pass over
@@ -806,7 +812,19 @@ object SimOps extends OpFamily {
     */
   private[graft] def recenterIvfOn(s: SparkSession, cells: DataFrame,
       centroids: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
-    val union = cells.select(col("cid"), col("vec_id"), col("v"), col("vn"))
+    // BATCH ROWS WIN on shared vec_ids: the drift loop's natural input
+    // is a re-embedded snapshot of the same corpus, so ids overlapping
+    // the base are expected, and without this anti-join a shared id
+    // would double-count in the micro-unit means while the re-assign
+    // window silently dropped one of its two vectors (r17 advice). One
+    // index-linear anti-join against the batch's id set — a no-op on
+    // disjoint inputs (the registered fixture), the newest-embedding-
+    // wins contract on overlapping ones.
+    val base = cells.select(col("cid"), col("vec_id"), col("v"), col("vn"))
+      .join(batch.select(col("vec_id")).distinct(), Seq("vec_id"),
+        "left_anti")
+      .select(col("cid"), col("vec_id"), col("v"), col("vn"))
+    val union = base
       .unionByName(assignCellsOn(s, centroids, batch))
       .localCheckpoint() // read by the update AND the re-assign
     val newCentroids =
@@ -3291,7 +3309,7 @@ object SimOps extends OpFamily {
                  AS rn,
                CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_base
              FROM bd)
-           WHERE rn = CAST(ceil(n_base * 0.95) AS BIGINT)),
+           WHERE rn = (n_base * 95 + 99) // 100),
          nd AS (SELECT newcells.cid,
              CAST(floor((1 - list_cosine_similarity(newcells.v,
                c3.centroid)) * 1e6) AS BIGINT) AS du

@@ -140,6 +140,20 @@ object TextOps extends OpFamily {
     (m, snaps.head._2)
   }
 
+  /** Escape a corpus-derived token for interpolation into a Spark SQL
+    * string literal (the merge folds build their CASE chains via
+    * expr()): backslash FIRST, then quote — Spark's default lexer
+    * treats backslash as the escape character, so a raw `\` in a
+    * token would swallow the following character (possibly the
+    * closing quote) and silently alter the merge fold (r17 advice),
+    * and a raw `'` would close the literal early. Newlines and other
+    * control characters are legal inside a Spark string literal and
+    * pass through unescaped. Adversarial round-trip property (tokens
+    * containing `\`, `'`, `''`, newlines) in LlmOpsSpec.
+    */
+  private[graft] def sqlLit(x: String): String =
+    x.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Per driver round-trip the learner collects the top [[BpeBatchM]]
     * pair counts and applies up to [[BpeBatchCap]] merges from them
     * (the batch-acceptance proof at [[bpeAcceptBatch]]); `batchCap = 1`
@@ -229,7 +243,7 @@ object TextOps extends OpFamily {
       && ks.head >= 1, s"snapshot grid must be ascending, >= 1: $ks")
     require(batchCap >= 1, s"batchCap must be >= 1: $batchCap")
     import s.implicits._
-    def sq(x: String) = x.replace("'", "''")
+    def sq(x: String) = sqlLit(x)
     // the one corpus-sized pass: everything after runs on the vocab table.
     // Empty words (consecutive/trailing spaces under a plain-space split)
     // would decompose via sequence(1, 0) — which DESCENDS — to ["", ""],
@@ -299,7 +313,7 @@ object TextOps extends OpFamily {
     */
   private[graft] def bpeApplyOn(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    def sq(x: String) = x.replace("'", "''")
+    def sq(x: String) = sqlLit(x)
     // filter(length >= 1): an empty word (repeated/trailing spaces) would
     // decompose via descending sequence(1, 0) to ["", ""] and inflate
     // n_bpe_tokens by two phantom tokens — mirror of the vocab-side guard

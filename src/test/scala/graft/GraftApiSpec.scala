@@ -1238,6 +1238,33 @@ class GraftApiSpec extends AnyFunSuite {
     assert(selfDec.getAs[Long]("tv_permille") === 0L)
   }
 
+  test("recenterIvf: shared vec_ids count once and the BATCH vector " +
+      "wins — the re-embedded-snapshot contract") {
+    import scala.math.{cos => mcos, sin => msin, Pi}
+    def vec(deg: Double) = Seq(mcos(deg * Pi / 180), msin(deg * Pi / 180))
+    val base = (Seq((0L, vec(0)), (1L, vec(90))) ++
+      (2L to 9L).map(i => (i, vec(i * 2.0)))).toDF("vid", "emb")
+    val (cells0, cents0) = Graft.buildIvfIndex(base, "vid", "emb", nlist = 2)
+    // the batch RE-EMBEDS ids 2..9 (moved toward 90deg) and adds two new
+    // ids — exactly the drift loop's natural input (r17 advice: shared
+    // ids used to double-count the means and drop a row in the window)
+    val batch = ((2L to 9L).map(i => (i, vec(80.0 + i))) ++
+      Seq((100L, vec(88)), (101L, vec(89)))).toDF("vid", "emb")
+    val (cells1, _) = Graft.recenterIvf(cells0, cents0, batch, "vid", "emb")
+    val rows = cells1.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
+    assert(rows.length === 12, s"2 base-only + 8 shared + 2 new: $rows")
+    assert(rows.map(_._1).distinct.length === 12, "exactly one row per id")
+    // every shared id carries the BATCH embedding, not the stale base one
+    val byId = rows.toMap
+    (2L to 9L).foreach { i =>
+      val want = vec(80.0 + i)
+      assert(math.abs(byId(i)(0) - want(0)) < 1e-12 &&
+        math.abs(byId(i)(1) - want(1)) < 1e-12,
+        s"id $i must carry the re-embedded vector")
+    }
+  }
+
   test("manifestPrune: zone-map soundness — no matching row is ever " +
       "pruned, and candidate stats replay from the raw table") {
     val got = graft.operators.IoOps.manifestPrune(TestSpark.spark,
@@ -1318,6 +1345,26 @@ class GraftApiSpec extends AnyFunSuite {
       val want = sorted(math.ceil(q * 97 / 1000.0).toInt - 1)
       assert(gotU(q.toLong) === want, s"q=$q")
     }
+  }
+
+  test("weightedQuantiles: zero-total-weight groups are dropped, and " +
+      "fractional value/weight columns are rejected, not truncated") {
+    // group z carries no mass: every row would satisfy the cut
+    // vacuously and return min(v) — it must not appear at all
+    val df = Seq(("g", 1L, 10L, 2L), ("g", 2L, 20L, 2L),
+      ("z", 3L, 5L, 0L), ("z", 4L, 7L, 0L))
+      .toDF("grp", "id", "v", "w")
+    val got = Graft.weightedQuantiles(df, "grp", "id", "v", "w", Seq(500))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq === Seq(("g", 10L)))
+    // a double weight column would silently zero out sub-1 weights
+    // under cast("long") — refused with a pointer to integer units
+    val frac = Seq(("g", 1L, 10L, 0.4), ("g", 2L, 20L, 0.6))
+      .toDF("grp", "id", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      Graft.weightedQuantiles(frac, "grp", "id", "v", "w", Seq(500))
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("oodReport: exact p95 radius, self-batch base rate, and a planted " +
@@ -1618,6 +1665,28 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.probeDedupIndex(idx2, batch3, "my_id", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       === Set((30L, 1L)), "surviving docs still match after expiry")
+  }
+
+  test("appendToDedupIndex refuses a re-appended id: the disjointness " +
+      "contract fails loudly instead of inflating index rows") {
+    val day0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("my_id", "body")
+    val idx0 = Graft.buildDedupIndex(day0, "my_id", "body", 0.3)
+    val clash = Seq(
+      (1L, "completely different words that reuse an indexed id"),
+      (10L, "red orange yellow green blue indigo violet")
+    ).toDF("my_id", "body")
+    val e = intercept[IllegalArgumentException] {
+      Graft.appendToDedupIndex(idx0, clash, "my_id", "body")
+    }
+    assert(e.getMessage.contains("already"),
+      s"refusal must name the clash: ${e.getMessage}")
+    // the disjoint remainder of the same batch appends fine
+    val ok = Graft.appendToDedupIndex(idx0,
+      clash.filter(col("my_id") === 10L), "my_id", "body")
+    assert(ok.shingles.count() === 3)
   }
 
   test("snapshotDiff: every status classified; token sides NULL when absent") {

@@ -736,6 +736,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(enc.getAs[Int]("n_bpe_tokens") === 3)
   }
 
+  test("BPE survives adversarial tokens: backslashes, quotes, doubled " +
+      "quotes and newlines round-trip the SQL-literal interpolation") {
+    import TestSpark.spark.implicits._
+    val spark = TestSpark.spark
+    // every one of these words, raw in a corpus, reaches expr() inside
+    // the merge fold as a string literal (r17 advice: '\' used to pass
+    // through unescaped and could swallow the closing quote / mis-parse)
+    val nasty = Seq("\\a", "'b", "c''d", "e\nf", "\\'g", "\\\\h")
+    val words = nasty.flatMap(w => Seq.fill(3)(w)).toDF("word")
+    val (merges, snaps) = graft.operators.TextOps
+      .bpeLearnSnapshots(spark, words, Seq(16))
+    val mseq = merges.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // every pair of every word merges (each word is its own closed
+    // pair universe; counts are per-word multiplicity x3)
+    assert(mseq.forall(_._3 % 3 == 0), s"counts must be x3: $mseq")
+    val fix = snaps.head._2.collect()
+      .map(r => r.getAs[scala.collection.Seq[String]]("s").toVector)
+    assert(fix.map(_.mkString).toSet === nasty.toSet,
+      "vocab fixpoint must reproduce every original word exactly")
+    assert(fix.forall(_.size == 1),
+      "each nasty word must fully merge back into one token")
+    // encode side: the same literals ride bpeApplyOn's fold
+    val docs = Seq((1L, nasty.mkString(" "))).toDF("id", "body")
+    val enc = graft.operators.TextOps.bpeApplyOn(docs, "body",
+        mseq.map(m => (m._1, m._2))).collect().head
+    assert(enc.getAs[scala.collection.Seq[String]]("bpe_tokens").toSet
+      === nasty.toSet)
+  }
+
   test("bpeApplyStats vocab-join tokenization equals the row-local fold") {
     import graft.operators.TextOps
     // the registered query tokenizes via vocab-join; bpeApplyOn folds
