@@ -24,14 +24,11 @@ object Bench {
     * production paths): their subtotal rides along as `instruments_s`
     * so "net of instruments" is machine-readable instead of re-derived
     * from BASELINE.md prose every round (r16 verdict #5). Membership
-    * rule: a query whose Scaladoc declares a documented instrument
-    * bound (exact n²/all-sources baseline) swept over a knob grid.
+    * is declared AT REGISTRATION (OpFamily.instruments, r17 verdict
+    * #6) — each family tags its own sweeps, so a new instrument can
+    * never silently miss this subtotal.
     */
-  private val instruments = Seq(
-    "sim_ivf_nlist_report", "sim_ivf_nprobe_report",
-    "sim_matryoshka_report",
-    "graph_betw_landmark_report", "graph_harmonic_landmark_report",
-    "dedup_threshold_report", "dedup_recall_report", "text_bpe_k_report")
+  private val instruments = SparkEntry.instruments
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

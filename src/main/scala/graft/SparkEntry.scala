@@ -27,4 +27,16 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     families.flatMap(_.oracle).toMap
+
+  /** The registry-declared sweep instruments (see OpFamily.instruments)
+    * — Bench's `instruments_s` membership, validated against the query
+    * registry so a renamed query can't silently drop out of the
+    * subtotal. */
+  def instruments: Set[String] = {
+    val tagged = families.flatMap(_.instruments).toSet
+    val unknown = tagged -- queries.keySet
+    require(unknown.isEmpty,
+      s"instrument tags without a registered query: $unknown")
+    tagged
+  }
 }

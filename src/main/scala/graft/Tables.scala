@@ -110,4 +110,15 @@ object Tables {
 trait OpFamily {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
+
+  /** Registry names of this family's SWEEP-INSTRUMENT queries —
+    * tuning-knob measurement twins whose Scaladoc declares a documented
+    * instrument bound (an exact n²/all-sources/compacted-twin baseline)
+    * swept or compared over a knob grid, as opposed to production
+    * paths. Declared AT REGISTRATION so graft.Bench derives its
+    * `instruments_s` subtotal structurally instead of from a parallel
+    * hand-maintained list a new sweep could silently miss (r17 verdict
+    * #6). Every name must also be a `queries` key — SparkEntry checks.
+    */
+  def instruments: Set[String] = Set.empty
 }

@@ -249,6 +249,35 @@ object Graft {
       prefix = m("prefix"), buckets = m.get("buckets"))
   }
 
+  /** COMPACTION DECISION — the measured answer to "when do I run
+    * [[compactDedupIndex]]?", closing the dedup-LSM monitoring loop
+    * the way [[ivfRebuildDecision]] closes the IVF one. Appends keep
+    * probes EXACT; what decays under the frozen build-time order is
+    * candidate SELECTIVITY — the per-batch probe cost. This probes
+    * `probe` against the index AS IS and against its compacted twin
+    * (order re-derived) and returns one row: (n_candidates_appended,
+    * n_candidates_compacted, n_verified, sel_appended_permille,
+    * sel_compacted_permille, excess_permille, decision) — `compact`
+    * when the appended order generates more than
+    * `excessTauPermille`‰ of the compacted candidates (default 1250 =
+    * 25% excess), else `keep`. n_verified is arm-independent (both
+    * candidate sets are supersets of the true ≥ threshold pairs), so
+    * selectivity is directly comparable across arms. Cost: two
+    * probe-bounded candidate joins + one verify + the twin's
+    * index-linear order re-derivation — run it on the LSM cadence
+    * (every Nth batch), not per batch; the registered
+    * dedup_index_decision fixture shows a drifted index tripping the
+    * threshold. Property-pinned: the verdict flips from keep to
+    * compact as appended volume grows.
+    */
+  def dedupCompactionDecision(index: DedupIndex, probe: DataFrame,
+      id: String, text: String,
+      excessTauPermille: Long = 1250L): DataFrame =
+    graft.operators.DedupOps.compactionDecisionOn(index.tables,
+      graft.operators.DedupOps.blockShingles(
+        shapedCorpus(probe, id, text, index.blockCols)),
+      index.threshold, excessTauPermille)
+
   /** Asymmetric CONTAINMENT pairs: every ordered pair (a, b) where at
     * least `threshold` of a's shingles appear in b — the quote/subset/
     * snippet detector symmetric Jaccard misses. Exact and complete via
@@ -1458,6 +1487,31 @@ object Graft {
       nprobe, k)
   }
 
+  /** PREFIX-DIM (MATRYOSHKA) IVF SEARCH — [[knnIvf]] under an m-dim
+    * storage budget: slice every vector (and so every query) to its
+    * first `mDims` dimensions BEFORE the index build, then run the
+    * identical Lloyd-build + probe path. Pick `mDims` off the flat
+    * part of [[matryoshkaRecallSweep]]'s curve (the registered
+    * sim_matryoshka_ivf shows the same decision measured through this
+    * real search path) and vectors, centroids, shuffle width and every
+    * dot product shrink fullDim/mDims everywhere downstream. Ids must
+    * be DENSE from 0, as in [[knnIvf]]. Returns (qid, rank, nid, cos)
+    * — cosines are in the SLICED space; rerank against full vectors
+    * downstream if exact full-dim scores matter.
+    */
+  def knnIvfPrefix(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, mDims: Int, nlist: Int = 0, nprobe: Int = 2,
+      k: Int = 5): DataFrame = {
+    require(mDims >= 1, s"mDims must be >= 1: $mDims")
+    val s = df.sparkSession
+    val shaped = df.select(col(idCol).as("vec_id"),
+      transform(slice(col(vecCol), 1, mDims), _.cast("double")).as("v"))
+    val (cells, centroids) = graft.operators.SimOps.lloydCellsOn(s,
+      shaped, resolveNlist(nlist, shaped))
+    graft.operators.SimOps.knnIvfOn(s, cells, centroids, queryPred,
+      nprobe, k)
+  }
+
   /** BUILD the persistent IVF index pair: Lloyd-cluster the corpus into
     * `nlist` cells (0 → ⌈√n⌉) and return (cells, centroids) — the two
     * frames a rollout persists (plain parquet) and every probe/monitor/
@@ -1621,6 +1675,28 @@ object Graft {
   def oodReport(baseCells: DataFrame, baseCentroids: DataFrame,
       incoming: DataFrame, idCol: String, vecCol: String): DataFrame =
     graft.operators.SimOps.oodReportOn(baseCells.sparkSession, baseCells,
+      baseCentroids,
+      incoming.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v")))
+
+  /** PER-ITEM OOD ADMISSION FILTER — the actuator beside [[oodReport]]
+    * (which only aggregates per cell): every incoming item with its
+    * home cell, micro-unit centroid distance `du`, the cell's exact
+    * p95 base radius `p95_units`, and a `flagged` verdict — true when
+    * the distance exceeds the radius, or when the home cell has no
+    * base population at all (no precedent; `p95_units` is NULL there).
+    * Compose it directly into an ingest pipeline:
+    * `.filter(col("flagged"))` is the quarantine/review route,
+    * `.filter(!col("flagged"))` the admission gate feeding
+    * [[appendToDedupIndex]]/[[recenterIvf]]. ~50‰ flagged is the base
+    * rate by construction; a spike is the per-item novelty alarm. Cost:
+    * one batch×centroids broadcast assign + two broadcast joins — the
+    * batch is never sort-merged, no pair joins. Returns
+    * (vec_id, cid, du, p95_units, flagged), one row per incoming item.
+    */
+  def oodFilter(baseCells: DataFrame, baseCentroids: DataFrame,
+      incoming: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.operators.SimOps.oodFlagsOn(baseCells.sparkSession, baseCells,
       baseCentroids,
       incoming.select(col(idCol).as("vec_id"),
         transform(col(vecCol), _.cast("double")).as("v")))

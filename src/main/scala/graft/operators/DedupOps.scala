@@ -461,6 +461,58 @@ object DedupOps extends OpFamily {
       parts("prefix"), corpus.filter(col("doc_id") >= 2 * PlantBase), 0.3)
   }
 
+  /** [[blockShingles]] with the CROSS-ENGINE md5-prefix hash
+    * (conv(substr(md5(g), 1, 10), 16, 10) — the 40-bit winnowing
+    * fingerprint idiom, TextOps.winnowSelectOn) instead of xxhash64 —
+    * only for the registered decision instrument: its candidate counts
+    * depend on the (f, h) tie-break ORDER inside the f = 0 ties, and
+    * xxhash64 has no DuckDB twin to replay that order. The physics
+    * measured — frozen vs re-derived frequency order — is
+    * hash-independent; the production entry
+    * ([[graft.api.Graft.dedupCompactionDecision]]) runs on the real
+    * xxhash index tables.
+    */
+  private def mdBlockShingles(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), col("lang"), col("source"),
+      array_sort(array_distinct(transform(TextOps.shingles3(TextOps.toks),
+        g => conv(substring(md5(g), 1, 10), 16, 10).cast("long"))))
+        .as("sh"))
+      .localCheckpoint()
+
+  /** The decision threshold of the registered fixture: compact once
+    * the appended order generates > 25% more candidates than the
+    * re-derived one would. */
+  private[graft] val DecisionExcessTau = 1250L
+
+  /** DEDUP-INDEX COMPACTION DECISION — the registered monitor evidence
+    * for [[compactionDecisionOn]]: day 0 indexes every 10th original
+    * (a deliberately small base, so the frozen frequency order covers
+    * only ~10% of the corpus), the other 90% of originals APPEND
+    * (every shingle unseen at build time ranks f = 0 — the maximally
+    * drifted LSM state), and the planted truncations probe the
+    * appended index and its compacted twin. The one-row report is the
+    * dashboard a rollout reads on the LSM cadence; its `decision`
+    * column is what [[graft.api.Graft.compactDedupIndex]]'s scaladoc
+    * used to leave as prose. Content-addressed build-once artifact
+    * (pure function of the corpus version). Fully oracle-checked:
+    * DuckDB replays the md5-prefix shingle hashes, BOTH frequency
+    * orders, both prefix-candidate joins, and the exact verify.
+    */
+  def dedupIndexDecision(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(s, d, "documents", "graft_pairs",
+        "index_decision_tau30@r1")) {
+      val corpus = withNearDupes(s, d)
+      val orig = corpus.filter(col("doc_id") < PlantBase)
+      val shBase = mdBlockShingles(orig.filter(col("doc_id") % 10 === 0))
+      val shApp = mdBlockShingles(orig.filter(col("doc_id") % 10 =!= 0))
+      val shProbe =
+        mdBlockShingles(corpus.filter(col("doc_id") >= 2 * PlantBase))
+      val partsApp = appendIndexFromShingles(
+        indexTablesFromShingles(shBase, 0.3).toMap, shApp, 0.3).toMap
+      compactionDecisionOn(partsApp, shProbe, 0.3, DecisionExcessTau)
+    }
+
   /** The incremental core: (new_id, matched_id, jaccard) for every
     * incoming×index pair with J ≥ tau — NEVER any incoming×incoming or
     * index×index pair. Same prefix-filter theorem as
@@ -509,13 +561,17 @@ object DedupOps extends OpFamily {
     */
   private[graft] def indexTablesFromShingles(shI: DataFrame,
       tau: Double): Seq[(String, DataFrame)] = {
-    val freq = shI
-      .select(col("lang"), col("source"), explode(col("sh")).as("h"))
-      .groupBy(col("lang"), col("source"), col("h"))
-      .agg(count(lit(1)).as("f"))
+    val freq = shingleFreq(shI)
     Seq("shingles" -> shI, "freq" -> freq,
       "prefix" -> prefixKeysBy(shI, freq, tau))
   }
+
+  /** Per-(lang, source) shingle document frequency of a shingled frame
+    * — the order-defining table of every index build/compaction. */
+  private def shingleFreq(shI: DataFrame): DataFrame = shI
+    .select(col("lang"), col("source"), explode(col("sh")).as("h"))
+    .groupBy(col("lang"), col("source"), col("h"))
+    .agg(count(lit(1)).as("f"))
 
   /** INDEX APPEND — the LSM merge that turns the write-once incremental
     * index into a LIVING one: fold an accepted batch (day-N survivors)
@@ -554,14 +610,22 @@ object DedupOps extends OpFamily {
     */
   private[graft] def appendDedupIndexTables(parts: Map[String, DataFrame],
       batch: DataFrame, tau: Double): Seq[(String, DataFrame)] = {
-    val shB = blockShingles(batch)
+    val base = appendIndexFromShingles(parts, blockShingles(batch), tau)
+    parts.get("buckets").fold(base)(b => base :+ ("buckets" ->
+      b.unionByName(bandBuckets(minhashSigs(shingleHashes(batch))))))
+  }
+
+  /** The append trio from an already-shingled batch — the hash-agnostic
+    * half of [[appendDedupIndexTables]], shared with the compaction-
+    * decision instrument (whose registered twin runs on md5-hashed
+    * shingles so DuckDB can replay the order-dependent candidates). */
+  private[graft] def appendIndexFromShingles(parts: Map[String, DataFrame],
+      shB: DataFrame, tau: Double): Seq[(String, DataFrame)] = {
     val freq = parts("freq")
-    val base = Seq(
+    Seq(
       "shingles" -> parts("shingles").unionByName(shB),
       "freq" -> freq,
       "prefix" -> parts("prefix").unionByName(prefixKeysBy(shB, freq, tau)))
-    parts.get("buckets").fold(base)(b => base :+ ("buckets" ->
-      b.unionByName(bandBuckets(minhashSigs(shingleHashes(batch))))))
   }
 
   /** INDEX EXPIRY — the delete half of the LSM loop ([[
@@ -588,6 +652,56 @@ object DedupOps extends OpFamily {
       "freq" -> parts("freq"),
       "prefix" -> drop(parts("prefix")))
     parts.get("buckets").fold(base)(b => base :+ ("buckets" -> drop(b)))
+  }
+
+  /** COMPACTION DECISION — the monitor that closes the dedup-LSM loop
+    * (the [[SimOps.rebuildDecisionOn]] shape applied to this index):
+    * appends keep probes EXACT but compute batch prefixes under the
+    * FROZEN build-time frequency order, so what decays as the corpus
+    * drifts is candidate SELECTIVITY — probes generate ever more
+    * candidate pairs per verified match, and candidate generation is
+    * the per-batch cost. This instrument measures that decay directly:
+    * probe one batch against (a) the index AS APPENDED and (b) its
+    * COMPACTED twin ([[compactDedupIndexTables]] — order re-derived,
+    * the candidate count a fresh build would pay), and compare. One
+    * row: candidate counts per arm, the verified ≥ τ pair count (arm-
+    * independent — both candidate sets are supersets of the true
+    * pairs), per-arm selectivity ‰, the appended/compacted candidate
+    * EXCESS ‰, and the verdict — `compact` when excess crosses the
+    * caller's threshold (the appended order is costing more than the
+    * one-off compaction would save), else `keep`. Cost: two
+    * probe-bounded candidate joins + one verify + the compacted twin's
+    * order re-derivation (index-linear, the price of measuring against
+    * it — run on the LSM cadence, not per batch).
+    */
+  private[graft] def compactionDecisionOn(parts: Map[String, DataFrame],
+      shProbe: DataFrame, tau: Double,
+      excessTauPermille: Long): DataFrame = {
+    require(excessTauPermille >= 1000,
+      s"excess is appended/compacted candidates in permille — a " +
+        s"threshold below 1000 would always compact: $excessTauPermille")
+    val com = compactDedupIndexTables(parts, tau).toMap
+    val cApp = incrPrefixCandidates(shProbe, parts("freq"), parts("prefix"),
+        tau)
+      .agg(count(lit(1)).as("n_candidates_appended"))
+    val cCom = incrPrefixCandidates(shProbe, com("freq"), com("prefix"),
+        tau)
+      .agg(count(lit(1)).as("n_candidates_compacted"))
+    val ver = probeShingled(com("shingles"), com("freq"), com("prefix"),
+        shProbe, tau)
+      .agg(count(lit(1)).as("n_verified"))
+    cApp.crossJoin(broadcast(cCom)).crossJoin(broadcast(ver))
+      .select(col("n_candidates_appended"), col("n_candidates_compacted"),
+        col("n_verified"),
+        expr("n_verified * 1000 DIV greatest(n_candidates_appended, 1)")
+          .as("sel_appended_permille"),
+        expr("n_verified * 1000 DIV greatest(n_candidates_compacted, 1)")
+          .as("sel_compacted_permille"),
+        expr("n_candidates_appended * 1000 " +
+          "DIV greatest(n_candidates_compacted, 1)").as("excess_permille"))
+      .select(col("*"),
+        when(col("excess_permille") > excessTauPermille, lit("compact"))
+          .otherwise(lit("keep")).as("decision"))
   }
 
   /** INDEX COMPACTION — re-derive the frequency order and every doc's
@@ -636,10 +750,15 @@ object DedupOps extends OpFamily {
     */
   private[graft] def incrementalNearDupsProbe(shI: DataFrame,
       freq: DataFrame, prefixI: DataFrame, incoming: DataFrame,
-      tau: Double): DataFrame = {
-    val shN = blockShingles(incoming)
+      tau: Double): DataFrame =
+    probeShingled(shI, freq, prefixI, blockShingles(incoming), tau)
+
+  /** The probe over an ALREADY-SHINGLED batch — the hash-agnostic core
+    * of [[incrementalNearDupsProbe]], shared with the compaction-
+    * decision instrument's verified-pair arm. */
+  private def probeShingled(shI: DataFrame, freq: DataFrame,
+      prefixI: DataFrame, shN: DataFrame, tau: Double): DataFrame =
     incrVerify(incrPrefixCandidates(shN, freq, prefixI, tau), shN, shI, tau)
-  }
 
   /** Candidate half of the incremental probe: batch prefix keys joined
     * to index prefix keys within (lang, source) blocks, size-filtered —
@@ -1365,6 +1484,7 @@ object DedupOps extends OpFamily {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_index_append" -> (dedupIndexAppend _),
     "dedup_index_expire" -> (dedupIndexExpire _),
+    "dedup_index_decision" -> (dedupIndexDecision _),
     "dedup_incremental_lsh" -> (dedupIncrementalLsh _),
     "dedup_containment" -> (containmentPairs _),
     "dedup_clusters" -> (nearDupClusters _),
@@ -1376,6 +1496,11 @@ object DedupOps extends OpFamily {
     "dedup_simhash_sorted" -> (simhashSorted _),
     "dedup_recall_report" -> (recallReport _),
     "dedup_embedding" -> (embeddingNearDup _))
+
+  // threshold/recall sweep the τ / detector grids against exact-pair
+  // baselines; the decision probes the compacted-twin baseline
+  override val instruments: Set[String] = Set("dedup_threshold_report",
+    "dedup_recall_report", "dedup_index_decision")
 
   // private[operators]: PipelineOps' incremental admission oracle reads
   // the same corpus CTE
@@ -1521,6 +1646,89 @@ object DedupOps extends OpFamily {
          WHERE CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.3
          ORDER BY new_id, matched_id""",
+    "dedup_index_decision" ->
+      // full replay of the order-dependent candidate counts: md5-prefix
+      // shingle hashes, per-block frequency under BOTH orders (fb =
+      // frozen day-0 base, fc = compacted full corpus), per-doc prefix
+      // keys under each (rank by (f, h), keep n - ceil(0.3n - 1e-6) + 1),
+      // probe-side prefix joins per arm, brute-force exact verify, and
+      // the engine's integer permille/verdict arithmetic
+      graft.operators.SimOps.materializeCtes(s"""
+         WITH corpus AS ($planted),
+         shm AS (SELECT doc_id, lang, source,
+             list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+               i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' '
+                 || w[i+2]), 1, 10))::BIGINT))) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM corpus)),
+         base AS (SELECT * FROM shm
+           WHERE doc_id < 100000 AND doc_id % 10 = 0),
+         app AS (SELECT * FROM shm
+           WHERE doc_id < 100000 AND doc_id % 10 <> 0),
+         idx AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+         probe AS (SELECT * FROM shm WHERE doc_id >= 200000),
+         fb AS (SELECT lang, source, h, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT lang, source, unnest(sh) AS h FROM base)
+           GROUP BY lang, source, h),
+         fc AS (SELECT lang, source, h, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT lang, source, unnest(sh) AS h FROM idx)
+           GROUP BY lang, source, h),
+         ei AS (SELECT doc_id, lang, source, len(sh) AS n, unnest(sh) AS h
+           FROM idx),
+         ep AS (SELECT doc_id, lang, source, len(sh) AS n, unnest(sh) AS h
+           FROM probe),
+         pia AS (SELECT doc_id, lang, source, n, h AS pk FROM (
+             SELECT e.*, row_number() OVER (PARTITION BY e.doc_id
+               ORDER BY coalesce(fb.f, 0), e.h) AS rn
+             FROM ei e LEFT JOIN fb ON e.lang = fb.lang
+               AND e.source = fb.source AND e.h = fb.h)
+           WHERE rn <= n - CAST(ceil(n * 0.3 - 1e-6) AS BIGINT) + 1),
+         pic AS (SELECT doc_id, lang, source, n, h AS pk FROM (
+             SELECT e.*, row_number() OVER (PARTITION BY e.doc_id
+               ORDER BY coalesce(fc.f, 0), e.h) AS rn
+             FROM ei e LEFT JOIN fc ON e.lang = fc.lang
+               AND e.source = fc.source AND e.h = fc.h)
+           WHERE rn <= n - CAST(ceil(n * 0.3 - 1e-6) AS BIGINT) + 1),
+         ppa AS (SELECT doc_id, lang, source, n, h AS pk FROM (
+             SELECT e.*, row_number() OVER (PARTITION BY e.doc_id
+               ORDER BY coalesce(fb.f, 0), e.h) AS rn
+             FROM ep e LEFT JOIN fb ON e.lang = fb.lang
+               AND e.source = fb.source AND e.h = fb.h)
+           WHERE rn <= n - CAST(ceil(n * 0.3 - 1e-6) AS BIGINT) + 1),
+         ppc AS (SELECT doc_id, lang, source, n, h AS pk FROM (
+             SELECT e.*, row_number() OVER (PARTITION BY e.doc_id
+               ORDER BY coalesce(fc.f, 0), e.h) AS rn
+             FROM ep e LEFT JOIN fc ON e.lang = fc.lang
+               AND e.source = fc.source AND e.h = fc.h)
+           WHERE rn <= n - CAST(ceil(n * 0.3 - 1e-6) AS BIGINT) + 1),
+         ca AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates_appended
+           FROM (SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
+             FROM ppa p JOIN pia i ON p.lang = i.lang
+               AND p.source = i.source AND p.pk = i.pk
+             WHERE CAST(least(p.n, i.n) AS DOUBLE)
+               >= greatest(p.n, i.n) * 0.3 - 1e-6)),
+         cc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates_compacted
+           FROM (SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
+             FROM ppc p JOIN pic i ON p.lang = i.lang
+               AND p.source = i.source AND p.pk = i.pk
+             WHERE CAST(least(p.n, i.n) AS DOUBLE)
+               >= greatest(p.n, i.n) * 0.3 - 1e-6)),
+         vv AS (SELECT CAST(count(*) AS BIGINT) AS n_verified
+           FROM probe n JOIN idx i
+             ON n.lang = i.lang AND n.source = i.source
+           WHERE CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.3)
+         SELECT n_candidates_appended, n_candidates_compacted, n_verified,
+           n_verified * 1000 // greatest(n_candidates_appended, 1)
+             AS sel_appended_permille,
+           n_verified * 1000 // greatest(n_candidates_compacted, 1)
+             AS sel_compacted_permille,
+           n_candidates_appended * 1000
+             // greatest(n_candidates_compacted, 1) AS excess_permille,
+           CASE WHEN n_candidates_appended * 1000
+               // greatest(n_candidates_compacted, 1) > $DecisionExcessTau
+             THEN 'compact' ELSE 'keep' END AS decision
+         FROM ca, cc, vv"""),
     "dedup_index_expire" ->
       // surviving index docs = originals with doc_id % 3 <> 0; the
       // truncations (>= 200000) probe brute-force against exactly them

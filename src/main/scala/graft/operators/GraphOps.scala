@@ -1704,6 +1704,10 @@ object GraphOps extends OpFamily {
            AS units
        FROM wd JOIN r${k - 1} r ON wd.src = r.node GROUP BY wd.dst)"""
 
+  // both landmark sweeps compare against the exact all-sources pass
+  override val instruments: Set[String] = Set("graph_betw_landmark_report",
+    "graph_harmonic_landmark_report")
+
   private def pprIter(k: Int): String =
     s"""p$k AS (SELECT wd.dst AS node,
          (CASE WHEN wd.dst IN (2, 4, 6, 8) THEN 150000 ELSE 0 END)

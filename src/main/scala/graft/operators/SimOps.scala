@@ -116,6 +116,63 @@ object SimOps extends OpFamily {
     }.reduce(_ unionByName _)
   }
 
+  /** MATRYOSHKA × IVF COMPOSITION — the production-path twin of
+    * [[matryoshkaReport]] (the way mmrRerankIvf is MMR's): the report
+    * measures what an m-dim prefix COSTS in brute-force recall; this
+    * measures the same storage budget through the REAL search path —
+    * build the IVF index ON the m-dim prefix slices (the same Lloyd
+    * loop over sliced vectors, nlist = 10, the fixture index sizing),
+    * probe with sliced queries (nprobe = 2, k = 5), and score
+    * recall@5 against the FULL-dim exact top-5. m = 64 is the sanity
+    * arm — it IS sim_knn_ivf's index (the persisted nlist_10 artifact
+    * is shared, not rebuilt); m = 16 is the budget candidate: vectors,
+    * centroids, shuffle width and every dot product shrink 4×, and
+    * the row shows what that buys and costs on THIS corpus geometry
+    * (untrained embeddings — the honest baseline, like the report's).
+    * Per-m indexes and the 2-row report are content-addressed
+    * build-once artifacts. Contains [[knnExact]]'s documented
+    * instrument bound (the exact scoring arm). Fully oracle-checked:
+    * DuckDB replays the sliced Lloyd chains, probe routing and ranks.
+    */
+  private[graft] val MatryoshkaIvfDims = Seq(16, 64)
+
+  def matryoshkaIvf(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+        "matryoshka_ivf_report@r1"))(matryoshkaIvfBuild(s, d))
+      .orderBy(col("m_dims"))
+
+  private def matryoshkaIvfBuild(s: SparkSession, d: String): DataFrame = {
+    val exactK = knnExact(s, d).select(col("qid"), col("nid"))
+      .localCheckpoint() // joined per swept m + counted once
+    val nExact = exactK.agg(count(lit(1)).as("n_exact"))
+    MatryoshkaIvfDims.map { m =>
+      val (cells, cents) =
+        if (m == 64) lloydCells(s, d, 10) // the shared full-dim index
+        else {
+          val parts = ArtifactCache.readOrBuildAll(s,
+              ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+                s"matryoshka_m${m}_nlist10@r1"), Seq("cells", "centroids")) {
+            val (c, ct) = lloydCellsOn(s, Tables.embeddings(s, d)
+              .select(col("vec_id"),
+                transform(slice(col("embedding"), 1, m), _.cast("double"))
+                  .as("v")),
+              nlist = 10)
+            Seq("cells" -> c, "centroids" -> ct)
+          }
+          (parts("cells"), parts("centroids"))
+        }
+      knnIvfOn(s, cells, cents, col("vec_id") < 10, nprobe = 2, k = 5)
+        .select(col("qid"), col("nid"))
+        .join(exactK, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("knn_hits"))
+        .crossJoin(broadcast(nExact))
+        .select(lit(m).cast("long").as("m_dims"), col("knn_hits"),
+          col("n_exact"),
+          expr("knn_hits * 1000 div n_exact").as("recall_permille"))
+    }.reduce(_ unionByName _)
+  }
+
   /** RANGE SEARCH (the faiss `range_search` analogue): every corpus
     * vector within cosine ≥ 0.35 of each query — the radius variant a
     * retrieval stack uses when "how many are this close" matters more
@@ -678,34 +735,15 @@ object SimOps extends OpFamily {
     * [[graft.api.Graft.oodReport]] core. */
   private[graft] def oodReportOn(s: SparkSession, baseCells: DataFrame,
       centroids: DataFrame, incoming: DataFrame): DataFrame = {
-    def distUnits(df: DataFrame): DataFrame = df
-      .join(broadcast(centroids), Seq("cid"))
-      .withColumn("du",
-        floor((lit(1.0) - cosPair(s, "v", "vn", "centroid", "cn")) * 1e6)
-          .cast("long"))
-      .select(col("cid"), col("vec_id"), col("du"))
-    val wCell = Window.partitionBy(col("cid"))
-    val p95 = distUnits(baseCells)
-      .withColumn("rn", row_number().over(
-        wCell.orderBy(col("du"), col("vec_id"))))
-      .withColumn("n_base", count(lit(1)).over(
-        wCell.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      // ⌈0.95·n⌉ in INTEGER arithmetic: double ceil(n·0.95) overshoots
-      // by one rank when 0.95·n is mathematically integral (n a
-      // multiple of 20 — IEEE rounds 0.95·40 up to 38.000…004), so the
-      // radius would be one rank looser than the documented exact
-      // discrete quantile (r17 advice); (n·95 + 99) DIV 100 is exact
-      // and replays identically in DuckDB
-      .filter(col("rn") === expr("(n_base * 95 + 99) DIV 100"))
-      .select(col("cid"), col("n_base"), col("du").as("p95_units"))
+    val p95 = oodBaseP95(s, baseCells, centroids)
     // batch-side plan shape: the (≤ nlist)-row p95 table BROADCASTS
     // into the incoming stream (inner join + aggregate — one pass over
     // the batch, map-side combinable on the low-cardinality cid), and
     // only the tiny aggregates left-join back onto the spine so cells
     // with zero incoming still report. A p95-left-outer against the
     // batch would force a sort-merge of the batch instead.
-    val inc = distUnits(assignCellsOn(s, centroids, incoming))
+    val inc = centroidDistUnits(s, centroids,
+      assignCellsOn(s, centroids, incoming))
     val perCell = inc.select(col("cid"), col("du"))
       .join(broadcast(p95.select(col("cid"), col("p95_units"))), Seq("cid"))
       .groupBy(col("cid"))
@@ -720,6 +758,88 @@ object SimOps extends OpFamily {
         expr("n_flagged * 1000 DIV greatest(n_incoming, 1)")
           .as("flagged_permille"))
       .orderBy(col("cid"))
+  }
+
+  /** Micro-unit centroid distance of an ASSIGNED (cid, vec_id, v, vn)
+    * frame: floor((1 − cos)·1e6) against the row's own cell centroid —
+    * one broadcast join, shared by the OOD report and filter. */
+  private def centroidDistUnits(s: SparkSession, centroids: DataFrame,
+      assigned: DataFrame): DataFrame = assigned
+    .join(broadcast(centroids), Seq("cid"))
+    .withColumn("du",
+      floor((lit(1.0) - cosPair(s, "v", "vn", "centroid", "cn")) * 1e6)
+        .cast("long"))
+    .select(col("cid"), col("vec_id"), col("du"))
+
+  /** Per-cell exact p95 base radius: the ⌈0.95·n⌉-th smallest micro-unit
+    * centroid distance among the cell's base members — the precedent
+    * boundary both OOD surfaces compare against. The rank is computed
+    * in INTEGER arithmetic: double ceil(n·0.95) overshoots by one rank
+    * when 0.95·n is mathematically integral (n a multiple of 20 — IEEE
+    * rounds 0.95·40 up to 38.000…004), so the radius would be one rank
+    * looser than the documented exact discrete quantile (r17 advice);
+    * (n·95 + 99) DIV 100 is exact and replays identically in DuckDB.
+    * Returns (cid, n_base, p95_units) — one row per base-populated cell.
+    */
+  private[graft] def oodBaseP95(s: SparkSession, baseCells: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val wCell = Window.partitionBy(col("cid"))
+    centroidDistUnits(s, centroids, baseCells)
+      .withColumn("rn", row_number().over(
+        wCell.orderBy(col("du"), col("vec_id"))))
+      .withColumn("n_base", count(lit(1)).over(
+        wCell.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("rn") === expr("(n_base * 95 + 99) DIV 100"))
+      .select(col("cid"), col("n_base"), col("du").as("p95_units"))
+  }
+
+  /** PER-ITEM OOD FLAGS — the admission-control ACTUATOR behind
+    * [[oodReportOn]]'s per-cell aggregates (r17 verdict #3): every
+    * incoming vector with its home cell (frozen centroids), micro-unit
+    * centroid distance, the cell's exact p95 base radius, and the
+    * verdict — `flagged` when the distance exceeds the radius, or when
+    * the home cell has NO base population at all (no precedent is the
+    * strongest novelty signal; p95_units is NULL there). The frame is
+    * composable by construction: `.filter(col("flagged"))` is the
+    * quarantine/review route, `.filter(!col("flagged"))` the admission
+    * gate — also the [[graft.api.Graft.oodFilter]] core. Plan shape:
+    * one batch×centroids broadcast assign, one broadcast distance
+    * join, one broadcast LEFT join against the ≤ nlist-row p95 table —
+    * the batch is never sort-merged, no pair joins anywhere.
+    */
+  private[graft] def oodFlagsOn(s: SparkSession, baseCells: DataFrame,
+      centroids: DataFrame, incoming: DataFrame): DataFrame =
+    centroidDistUnits(s, centroids, assignCellsOn(s, centroids, incoming))
+      .join(broadcast(oodBaseP95(s, baseCells, centroids)
+        .select(col("cid"), col("p95_units"))), Seq("cid"), "left")
+      .select(col("vec_id"), col("cid"), col("du"), col("p95_units"),
+        (col("p95_units").isNull || col("du") > col("p95_units"))
+          .as("flagged"))
+
+  /** The registered per-item evidence on the even/odd drift fixture:
+    * the QUARANTINE LIST — flagged incoming items with their distance
+    * and the radius they exceeded, the per-item actuator twin of
+    * [[oodReport]]'s per-cell monitor (bounded output: ~5% of the
+    * batch by the p95 construction). Fully oracle-checked — DuckDB
+    * replays the Lloyd chain, the assign, the integer-rank p95 and the
+    * strictly-greater flag per item.
+    */
+  def oodFilter(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val base = ArtifactCache.readOrBuildAll(s,
+        ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+          "nlist_20_even@r1"), Seq("cells", "centroids")) {
+      val (cells, centroids) =
+        lloydCellsOn(s, e.filter(col("vec_id") % 2 === 0), nlist = 20)
+      Seq("cells" -> cells, "centroids" -> centroids)
+    }
+    oodFlagsOn(s, base("cells"), base("centroids"),
+        e.filter(col("vec_id") % 2 =!= 0))
+      .filter(col("flagged"))
+      .select(col("vec_id"), col("cid"), col("du"), col("p95_units"))
+      .orderBy(col("vec_id"))
   }
 
   /** The report core over a prebuilt (cells, centroids) base index and
@@ -2272,6 +2392,7 @@ object SimOps extends OpFamily {
     "dedup_semantic" -> (semanticDedup _),
     "sim_knn_exact" -> (knnExact _),
     "sim_matryoshka_report" -> (matryoshkaReport _),
+    "sim_matryoshka_ivf" -> (matryoshkaIvf _),
     "sim_range_search" -> (rangeSearch _),
     "sim_kmeans" -> (kmeansProfile _),
     "sim_knn_ivf_quantized" -> (knnIvfQuantized _),
@@ -2295,6 +2416,7 @@ object SimOps extends OpFamily {
     "sim_ivf_recenter" -> (recenterReport _),
     "sim_rebuild_decision" -> (rebuildDecision _),
     "sim_ood_report" -> (oodReport _),
+    "sim_ood_filter" -> (oodFilter _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_classify" -> (centroidClassify _),
@@ -2308,6 +2430,11 @@ object SimOps extends OpFamily {
     "sim_pca2" -> (pca2 _),
     "sim_spectral_profile" -> (spectralProfile _),
     "sim_top_pairs" -> (topPairsIntraLabel _))
+
+  // the nlist/nprobe/matryoshka sweeps and the matryoshka×IVF twin all
+  // contain knnExact's / the exact-LOF's documented instrument bound
+  override val instruments: Set[String] = Set("sim_ivf_nlist_report",
+    "sim_ivf_nprobe_report", "sim_matryoshka_report", "sim_matryoshka_ivf")
 
   /** One unrolled MMR greedy step as a DuckDB CTE triple: m$t (max sim
     * to the picked set), c$t (penalized scores of the unpicked), s$t
@@ -2481,6 +2608,34 @@ object SimOps extends OpFamily {
         WHERE rank <= 5 ORDER BY qid, rank"""
   }
 
+  /** One m's replay block for the [[matryoshkaIvf]] oracle: the sliced
+    * vector table, its own Lloyd chain (dim = m), the nprobe=2 probe
+    * routing, the in-cell top-5, and the one-row hit count vs the
+    * shared full-dim `exact` CTE — the engine's per-m loop body. */
+  private def matryoshkaIvfBlock(m: Int): String = {
+    val x = s"m$m"
+    s"""v$x AS (SELECT vec_id, v[1:$m] AS v FROM v),
+       ${lloydChainIn(x, "10", s"v$x", m)},
+       probes$x AS (SELECT qid, qv, cid FROM (
+           SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cid)
+               AS rn
+           FROM (SELECT vec_id, v FROM cells$x WHERE vec_id < 10) q
+           CROSS JOIN c3$x c) WHERE rn <= 2),
+       h$x AS (SELECT CAST($m AS BIGINT) AS m_dims,
+           CAST(count(*) AS BIGINT) AS knn_hits FROM (
+           SELECT qid, nid FROM (
+             SELECT p.qid, n.vec_id AS nid,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY list_cosine_similarity(p.qv, n.v) DESC, n.vec_id)
+                 AS rank
+             FROM probes$x p JOIN cells$x n ON n.cid = p.cid
+             WHERE n.vec_id <> p.qid)
+           WHERE rank <= 5)
+         JOIN exact USING (qid, nid))"""
+  }
+
   /** DuckDB replay of [[driftReportOn]] on the even/odd fixture — also
     * the inner query of the sim_rebuild_decision oracle. */
   private def driftOracleSql: String =
@@ -2515,15 +2670,22 @@ object SimOps extends OpFamily {
     * √n scalar subquery [[sqrtSeedSql]].
     */
   private def lloydChainSfx(sfx: String, seed: String): String =
+    lloydChainIn(sfx, seed, "v", 64)
+
+  /** [[lloydChainSfx]] generalized over the vector-table name and the
+    * dimensionality — the m-dim-prefix replay chains of the
+    * matryoshka×IVF oracle run one per sliced table. */
+  private def lloydChainIn(sfx: String, seed: String, vT: String,
+      dim: Int): String =
     s"""c0$sfx AS (SELECT CAST(vec_id AS INT) AS cid, v AS centroid
-            FROM v WHERE vec_id < $seed),
-          ${assignCteIn(s"a1$sfx", s"c0$sfx", "v")},
-          ${centroidCteIn(s"c1$sfx", s"a1$sfx", 64)},
-          ${assignCteIn(s"a2$sfx", s"c1$sfx", "v")},
-          ${centroidCteIn(s"c2$sfx", s"a2$sfx", 64)},
-          ${assignCteIn(s"a3$sfx", s"c2$sfx", "v")},
-          ${centroidCteIn(s"c3$sfx", s"a3$sfx", 64)},
-          ${assignCteIn(s"cells$sfx", s"c3$sfx", "v")}"""
+            FROM $vT WHERE vec_id < $seed),
+          ${assignCteIn(s"a1$sfx", s"c0$sfx", vT)},
+          ${centroidCteIn(s"c1$sfx", s"a1$sfx", dim)},
+          ${assignCteIn(s"a2$sfx", s"c1$sfx", vT)},
+          ${centroidCteIn(s"c2$sfx", s"a2$sfx", dim)},
+          ${assignCteIn(s"a3$sfx", s"c2$sfx", vT)},
+          ${centroidCteIn(s"c3$sfx", s"a3$sfx", dim)},
+          ${assignCteIn(s"cells$sfx", s"c3$sfx", vT)}"""
 
   /** The √n seed expression of [[scaledNlist]]: ceil(sqrt(count)) of
     * the same exact integer both engines count — the same
@@ -3325,6 +3487,32 @@ object SimOps extends OpFamily {
          FROM p95 LEFT JOIN nd ON p95.cid = nd.cid
          GROUP BY p95.cid, n_base, p95_units
          ORDER BY p95.cid"""),
+    "sim_ood_filter" -> materializeCtes(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 = 0),
+         ${lloydChainSfx("", "20")},
+         vnew AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 <> 0),
+         ${assignCteIn("newcells", "c3", "vnew")},
+         bd AS (SELECT cells.cid, cells.vec_id,
+             CAST(floor((1 - list_cosine_similarity(cells.v, c3.centroid))
+               * 1e6) AS BIGINT) AS du
+           FROM cells JOIN c3 ON cells.cid = c3.cid),
+         p95 AS (SELECT cid, du AS p95_units FROM (
+             SELECT cid, du,
+               row_number() OVER (PARTITION BY cid ORDER BY du, vec_id)
+                 AS rn,
+               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_base
+             FROM bd)
+           WHERE rn = (n_base * 95 + 99) // 100),
+         nd AS (SELECT newcells.cid, newcells.vec_id,
+             CAST(floor((1 - list_cosine_similarity(newcells.v,
+               c3.centroid)) * 1e6) AS BIGINT) AS du
+           FROM newcells JOIN c3 ON newcells.cid = c3.cid)
+         SELECT nd.vec_id, nd.cid, nd.du, p95.p95_units
+         FROM nd LEFT JOIN p95 ON nd.cid = p95.cid
+         WHERE p95.p95_units IS NULL OR nd.du > p95.p95_units
+         ORDER BY nd.vec_id"""),
     "sim_rebuild_decision" ->
       s"""SELECT tv_permille, n_cells_emptied, n_cells_new,
            CASE WHEN tv_permille < 50 THEN 'keep'
@@ -3444,6 +3632,24 @@ object SimOps extends OpFamily {
            pos_cos - neg_cos AS gap
          FROM p LEFT JOIN ng ON p.qid = ng.qid
          ORDER BY p.qid""",
+    "sim_matryoshka_ivf" -> materializeCtes(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         exact AS (SELECT qid, nid FROM (
+             SELECT q.vec_id AS qid, n.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id)
+                 AS rank
+             FROM v q JOIN v n ON q.vec_id <> n.vec_id
+             WHERE q.vec_id < 10) WHERE rank <= 5),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+         ${MatryoshkaIvfDims.map(matryoshkaIvfBlock)
+          .mkString(",\n         ")}
+         SELECT m_dims, knn_hits, n_exact,
+           knn_hits * 1000 // n_exact AS recall_permille
+         FROM (${MatryoshkaIvfDims.map(m => s"SELECT * FROM hm$m")
+          .mkString(" UNION ALL ")}), tot
+         ORDER BY m_dims"""),
     "sim_matryoshka_report" -> materializeCtes(
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),

@@ -1801,6 +1801,10 @@ object TextOps extends OpFamily {
                ORDER BY hits DESC, marker_lang) AS rn FROM scores)
            WHERE rn = 1)"""
 
+  // the k-sweep reads one 64-merge learn at every snapshot prefix —
+  // the tokenizer-sizing grid against the full-learn bound
+  override val instruments: Set[String] = Set("text_bpe_k_report")
+
   val oracle = Map(
     "text_bpe_apply" -> bpeApplyOracleSql,
     "text_bpe_holdout" -> bpeHoldoutOracleSql,

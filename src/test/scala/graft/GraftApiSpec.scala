@@ -1318,6 +1318,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got(2L)._2 > 0L, "the shared signal dims keep some recall")
   }
 
+  test("knnIvfPrefix: the full-dim slice is exactly knnIvf, and a " +
+      "truncating slice searches in the sliced space") {
+    val vecs = (0 until 30).map { i =>
+      val a = 1.0 + i * 0.1
+      (i.toLong, Seq(a, 2.0, if (i % 2 == 0) a else 3.0 - a, 1.0))
+    }.toDF("vid", "emb")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val full = rows(Graft.knnIvf(vecs, "vid", "emb",
+      col("vec_id") < 5, nlist = 3, nprobe = 2, k = 3))
+    val sliced4 = rows(Graft.knnIvfPrefix(vecs, "vid", "emb",
+      col("vec_id") < 5, mDims = 4, nlist = 3, nprobe = 2, k = 3))
+    assert(sliced4 === full, "mDims = fullDim must be the identity budget")
+    // m = 2 drops the sign-flipping dim: the search runs, returns k
+    // rows per query, and its cosines live in the sliced space
+    val sliced2 = Graft.knnIvfPrefix(vecs, "vid", "emb",
+        col("vec_id") < 5, mDims = 2, nlist = 3, nprobe = 2, k = 3)
+      .collect()
+    assert(sliced2.length === 15, "3 neighbors per each of 5 queries")
+    assert(sliced2.forall(r => r.getDouble(3) <= 1.0 + 1e-12))
+  }
+
   test("weightedQuantiles: hand-computed cuts; unit weights reduce to " +
       "plain rank quantiles") {
     // weights concentrate the mass on the largest value: w = (1,1,1,7)
@@ -1378,14 +1401,17 @@ class GraftApiSpec extends AnyFunSuite {
       (0L to 39L).map(i => (if (i == 0) 0L else i + 1,
         vec(i * 0.5)))).toDF("vid", "emb")
     val (cells, cents) = Graft.buildIvfIndex(base, "vid", "emb", nlist = 2)
-    // self-probe: flagged count per cell is EXACTLY n - ceil(0.95 n) when
-    // distances are distinct (strictly-greater-than-p95 definition)
+    // self-probe: flagged count per cell is EXACTLY n - ⌈0.95n⌉ when
+    // distances are distinct (strictly-greater-than-p95 definition).
+    // The rank is the INTEGER (n·95 + 99) DIV 100 — the 40-member cell
+    // here is precisely the n % 20 == 0 case where double ceil(n·0.95)
+    // used to overshoot to 39 and under-flag by one (r17 advice)
     val self = Graft.oodReport(cells, cents, base, "vid", "emb")
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
     self.foreach { case (cid, (nBase, nInc, nFlag)) =>
       assert(nInc === nBase, s"self-probe repopulates cell $cid")
-      assert(nFlag === nBase - math.ceil(nBase * 0.95).toLong,
+      assert(nFlag === nBase - (nBase * 95 + 99) / 100,
         s"cell $cid: distinct distances make the tail count exact")
     }
     // a novel batch at 40-45deg routes to the 0deg cell (closer than
@@ -1400,6 +1426,43 @@ class GraftApiSpec extends AnyFunSuite {
     val (_, (nInc, nFlag, permille)) = homeCell.head
     assert(nInc === 10L && nFlag === 10L && permille === 1000L,
       s"every novel item must exceed the base radius, got $nFlag/$nInc")
+  }
+
+  test("oodFilter: per-item flags sum to the report's per-cell counts, " +
+      "the verdict is exactly du > p95, and base-rate holds") {
+    import scala.math.{cos => mcos, sin => msin, Pi}
+    def vec(deg: Double) = Seq(mcos(deg * Pi / 180), msin(deg * Pi / 180))
+    val base = (Seq((1L, vec(90)), (41L, vec(85))) ++
+      (0L to 39L).map(i => (if (i == 0) 0L else i + 1,
+        vec(i * 0.5)))).toDF("vid", "emb")
+    val (cells, cents) = Graft.buildIvfIndex(base, "vid", "emb", nlist = 2)
+    // self-probe: the actuator's flagged rows per cell must equal the
+    // monitor's n_flagged (they share the p95 machinery but this pins
+    // the per-item projection against the aggregate)
+    val items = Graft.oodFilter(cells, cents, base, "vid", "emb").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    val report = Graft.oodReport(cells, cents, base, "vid", "emb")
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(items.length === 42, "one verdict row per incoming item")
+    items.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.count(_._5) === report(cid)._2,
+        s"cell $cid: per-item flags must sum to the report's n_flagged")
+      rows.foreach { case (vid, _, du, p95, flagged) =>
+        assert(p95 === report(cid)._1, s"item $vid carries its cell radius")
+        assert(flagged === (du > p95), s"item $vid: verdict is du > p95")
+      }
+    }
+    // base rate: ~5% flagged by the strictly-greater-than-p95 definition
+    val flaggedN = items.count(_._5)
+    assert(flaggedN >= 1 && flaggedN <= 42 * 8 / 100,
+      s"self-probe flag rate must sit near 50 permille, got $flaggedN/42")
+    // the novel batch is flagged wholesale, each row naming its radius
+    val novel = (0 until 10).map(j => (200L + j, vec(40.0 + j * 0.5)))
+      .toDF("vid", "emb")
+    val nf = Graft.oodFilter(cells, cents, novel, "vid", "emb")
+      .filter(col("flagged")).collect()
+    assert(nf.length === 10, "every novel item lands in quarantine")
   }
 
   test("epochShuffle: hand-replay of the hash, ranks, and shard balance") {
@@ -1665,6 +1728,57 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.probeDedupIndex(idx2, batch3, "my_id", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       === Set((30L, 1L)), "surviving docs still match after expiry")
+  }
+
+  test("dedupCompactionDecision: a fresh index reads exactly keep at " +
+      "excess 1000, and the verdict flips to compact as appended " +
+      "volume grows") {
+    // base: 8 docs with fully disjoint vocabularies (the frozen order
+    // knows only these); appended docs share 4 'cz' tokens (2 identical
+    // shingles) plus 4 unique ones — under the FROZEN order all their
+    // shingles tie at f = 0, so prefixes routinely include the shared
+    // shingles and every probe×appended pair collides; the COMPACTED
+    // order knows the cz shingles are common and fills prefixes with
+    // the genuinely-rare unique ones instead
+    def doc(id: Long, toks: Seq[String]) = (id, toks.mkString(" "))
+    val base = (1L to 8L).map(i =>
+      doc(i, (1 to 8).map(t => s"a$i$t"))).toDF("my_id", "body")
+    val app16 = (0 until 16).map(j =>
+      doc(100L + j, Seq("cz1", "cz2", "cz3", "cz4")
+        ++ (1 to 4).map(t => s"bz$j$t"))).toDF("my_id", "body")
+    val probe = ((0 until 10).map(j =>
+      doc(200L + j, Seq("cz1", "cz2", "cz3", "cz4")
+        ++ (1 to 4).map(t => s"pz$j$t")))
+      :+ doc(300L, (1 to 7).map(t => s"a1$t") :+ "zz")) // true near-dup
+      .toDF("my_id", "body")
+    val idx0 = Graft.buildDedupIndex(base, "my_id", "body", 0.5)
+    def decide(idx: graft.api.DedupIndex) =
+      Graft.dedupCompactionDecision(idx, probe, "my_id", "body")
+        .collect().head
+    // endpoint 0: un-appended index — both arms share the order, so
+    // candidates are IDENTICAL and excess is exactly 1000: keep
+    val d0 = decide(idx0)
+    assert(d0.getAs[Long]("excess_permille") === 1000L)
+    assert(d0.getAs[String]("decision") === "keep")
+    assert(d0.getAs[Long]("n_verified") === 1L, "the planted true pair")
+    // volume 2 then 16: excess grows monotonically, verified is
+    // arm-independent throughout, and the verdict flips
+    val d2 = decide(Graft.appendToDedupIndex(idx0,
+      app16.filter(col("my_id") < 102L), "my_id", "body"))
+    val d16 = decide(Graft.appendToDedupIndex(idx0, app16,
+      "my_id", "body"))
+    assert(d2.getAs[Long]("n_verified") === 1L)
+    assert(d16.getAs[Long]("n_verified") === 1L)
+    assert(d2.getAs[Long]("excess_permille")
+      < d16.getAs[Long]("excess_permille"),
+      s"excess must grow with appended volume: $d2 vs $d16")
+    assert(d16.getAs[String]("decision") === "compact",
+      s"the drifted index must trip the default threshold: $d16")
+    // compacting resets the monitor to the keep state
+    val dc = decide(Graft.compactDedupIndex(
+      Graft.appendToDedupIndex(idx0, app16, "my_id", "body")))
+    assert(dc.getAs[Long]("excess_permille") === 1000L)
+    assert(dc.getAs[String]("decision") === "keep")
   }
 
   test("appendToDedupIndex refuses a re-appended id: the disjointness " +

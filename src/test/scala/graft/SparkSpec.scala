@@ -44,4 +44,20 @@ class SparkSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
+
+  test("registry-declared instruments resolve to registered queries") {
+    // membership is declared per-family at registration (r17 verdict
+    // #6): Bench derives instruments_s from here, so a tag naming a
+    // nonexistent query must fail loudly, and the known sweeps must be
+    // present — a family dropping its override would silently shrink
+    // the subtotal otherwise
+    val inst = SparkEntry.instruments
+    assert(inst.subsetOf(SparkEntry.queries.keySet))
+    Seq("sim_ivf_nlist_report", "sim_ivf_nprobe_report",
+      "sim_matryoshka_report", "sim_matryoshka_ivf",
+      "graph_betw_landmark_report", "graph_harmonic_landmark_report",
+      "dedup_threshold_report", "dedup_recall_report",
+      "dedup_index_decision", "text_bpe_k_report")
+      .foreach(q => assert(inst.contains(q), s"missing instrument tag: $q"))
+  }
 }
