@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.TextOps.bpeLearnSnapshots]] learn on the sfDir
   * corpus and prints wall, applied merge count (exhaustion shows as
   * applied < k), per-round wall, and the token count after k merges.
-  * Usage: runMain graft.BpeAudit [sfDir] [k ...]   (default 8 64 256);
-  * SPARK_GRAFT_BPE_BATCH overrides the per-round merge batch cap
-  * (1 = the classic one-merge-per-round loop, for before/after walls).
+  * Usage: runMain graft.BpeAudit [sfDir|open[:N]] [k ...]
+  * (default 8 64 256); a first arg of `open` (optionally `open:50000`)
+  * swaps the corpus for the deterministic open-vocabulary generator
+  * (TextOps.openVocabWords, default 50k word ids) whose merges do NOT
+  * exhaust — the k >= 256 rows in BASELINE.md come from this mode
+  * with applied = k for real (r17 verdict #2). SPARK_GRAFT_BPE_BATCH
+  * overrides the per-round merge batch cap (1 = the classic
+  * one-merge-per-round loop, for before/after walls).
   */
 object BpeAudit {
   def main(args: Array[String]): Unit = {
@@ -29,9 +34,13 @@ object BpeAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val words = Tables.documents(spark, sfDir)
-      .select(split(col("text"), " ").as("w"))
-      .select(explode(col("w")).as("word"))
+    val words =
+      if (sfDir.startsWith("open")) {
+        val n = sfDir.split(":").lift(1).map(_.toInt).getOrElse(50000)
+        operators.TextOps.openVocabWords(spark, n)
+      } else Tables.documents(spark, sfDir)
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(col("w")).as("word"))
     ks.foreach { k =>
       val t0 = System.nanoTime()
       val r0 = operators.TextOps.bpeRoundTrips.get()

@@ -438,6 +438,50 @@ object TextOps extends OpFamily {
     */
   private[graft] val BpeSweepKs = Seq(8, 16, 32, 64)
 
+  /** Distinct word ids of the registered open-vocabulary corpus
+    * ([[openVocabWords]]) — sized so the 64-round DuckDB replay stays
+    * cheap; graft.BpeAudit runs the SAME generator at 50k+ words for
+    * the k ∈ {256, 1024} BASELINE rows. */
+  private[graft] val OpenVocabWordsN = 4000
+
+  /** The generator's hash: the epoch-shuffle split-multiply chain
+    * (IoOps.epochShuffle) PLUS a squaring round — the affine chain
+    * alone makes h(j,p) − h(j',p) constant in p (f(x) = x·48271 mod M
+    * is linear), so syllable sequences of different ids would be
+    * mod-40 shifts of each other and 4000 ids collapsed to 220 words;
+    * squaring x first breaks the linearity (measured: 3540/4000 and
+    * 19579/50000 distinct — birthday-level only). Wrap-safe: x < 2³¹
+    * so x² < 2⁶², and every intermediate is spelled IDENTICALLY in
+    * the Spark expression and the DuckDB oracle so each word and
+    * count replays bit-for-bit. */
+  private def ovHash(p: String): String = {
+    val x = s"(j * 2654435761 + $p * 40503) % 2147483647"
+    s"(($x) * ($x) % 2147483647) * 48271 % 2147483647"
+  }
+
+  /** OPEN-VOCABULARY SYNTHETIC CORPUS — the fixture the closed
+    * documents vocabulary cannot be (r17 verdict #2: its pairs exhaust
+    * at 89 merges at every SF, so large-k BPE runs were ceilings, not
+    * measurements): `n` deterministic consonant-vowel syllable words —
+    * word j has 3..6 syllables drawn from an 8×5 = 40-syllable
+    * inventory by the hash chain above, occurring 1..8 times — so
+    * adjacent-symbol diversity (chars → CV units → syllable n-grams)
+    * sustains THOUSANDS of productive merges. One row per occurrence
+    * (the [[bpeLearnSnapshots]] input shape); pure function of `n`,
+    * no randomness, no fixture dependence.
+    */
+  private[graft] def openVocabWords(s: SparkSession, n: Int): DataFrame =
+    s.range(n).toDF("j").selectExpr(
+      s"""explode(array_repeat(
+           concat_ws('', transform(
+             sequence(1, 3 + CAST(${ovHash("0")} % 4 AS INT)),
+             p -> concat(
+               substring('bdfgklmn',
+                 CAST((${ovHash("p")}) % 40 DIV 5 AS INT) + 1, 1),
+               substring('aeiou',
+                 CAST((${ovHash("p")}) % 40 % 5 AS INT) + 1, 1)))),
+           1 + CAST(${ovHash("7")} % 8 AS INT))) AS word""")
+
   /** BPE k-SWEEP REPORT — the tokenizer-sizing instrument: one
     * 64-merge learn ([[bpeLearnSnapshots]]), read back at every
     * k ∈ [[BpeSweepKs]] prefix: (k, vocab_words, n_tokens, n_chars,
@@ -461,18 +505,80 @@ object TextOps extends OpFamily {
       ArtifactCache.dir(s, d, "documents", "graft_lex", "bpe_k_sweep@r1")) {
       val words = Tables.documents(s, d).select(toks.as("w"))
         .select(explode(col("w")).as("word"))
-      val (_, snaps) = bpeLearnSnapshots(s, words, BpeSweepKs)
-      snaps.map { case (k, v) =>
-        v.agg(count(lit(1)).as("vocab_words"),
-          sum(col("cnt") * size(col("s"))).as("n_tokens"),
-          sum(col("cnt") * length(concat_ws("", col("s"))))
-            .as("n_chars"))
-          .select(lit(k).cast("long").as("k"), col("vocab_words"),
-            col("n_tokens"), col("n_chars"),
-            expr("n_tokens * 1000 DIV n_chars")
-              .as("compression_permille"))
-      }.reduce(_ unionByName _)
+      sweepRows(bpeLearnSnapshots(s, words, BpeSweepKs)._2)
     }.orderBy(col("k"))
+
+  /** The per-snapshot integer aggregates of a k-sweep — shared by the
+    * closed-corpus [[bpeKReport]] and the open-vocabulary
+    * [[bpeOpenReport]]. */
+  private def sweepRows(snaps: Seq[(Int, DataFrame)]): DataFrame =
+    snaps.map { case (k, v) =>
+      v.agg(count(lit(1)).as("vocab_words"),
+        sum(col("cnt") * size(col("s"))).as("n_tokens"),
+        sum(col("cnt") * length(concat_ws("", col("s"))))
+          .as("n_chars"))
+        .select(lit(k).cast("long").as("k"), col("vocab_words"),
+          col("n_tokens"), col("n_chars"),
+          expr("n_tokens * 1000 DIV n_chars")
+            .as("compression_permille"))
+    }.reduce(_ unionByName _)
+
+  /** OPEN-VOCABULARY BPE k-SWEEP — [[bpeKReport]]'s machinery on the
+    * [[openVocabWords]] corpus, where merges do NOT exhaust: the
+    * closed fixture vocabulary runs dry at 89 merges at every SF, so
+    * only this corpus exercises the batched learner through a full
+    * sweep with real merges at every k (the k ∈ {256, 1024} economics
+    * ride in BASELINE.md via graft.BpeAudit over the same generator at
+    * 50k words; non-exhaustion at k = 64 is spec-pinned — every
+    * snapshot row here keeps strictly compressing). Build-once
+    * artifact; fully oracle-checked — DuckDB re-generates the corpus
+    * from the same hash chain and replays all 64 learning rounds.
+    */
+  def bpeOpenReport(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(s, d, "documents", "graft_lex",
+        "bpe_open_sweep@r2")) {
+      sweepRows(bpeLearnSnapshots(s,
+        openVocabWords(s, OpenVocabWordsN), BpeSweepKs)._2)
+    }.orderBy(col("k"))
+
+  /** DuckDB replay of [[bpeOpenReport]]: the generator's hash chain
+    * re-spelled in DuckDB dialect (`//` for DIV, range's exclusive end
+    * for sequence's inclusive one — any drift between the two spellings
+    * hash-fails the differential immediately), grouped to the v0 vocab
+    * (colliding words sum their counts, mirroring the engine's
+    * groupBy), then the same 64 learning rounds as the closed sweep.
+    */
+  private[graft] def bpeOpenReportOracleSql: String = {
+    def h(p: String) = {
+      val x = s"(j * 2654435761 + $p * 40503) % 2147483647"
+      s"(($x) * ($x) % 2147483647) * 48271 % 2147483647"
+    }
+    SimOps.materializeCtes(
+      s"""WITH gen AS (SELECT
+             array_to_string(list_transform(
+               range(1, 4 + (${h("0")}) % 4),
+               p -> substring('bdfgklmn',
+                   CAST((${h("p")}) % 40 // 5 AS INT) + 1, 1)
+                 || substring('aeiou',
+                   CAST((${h("p")}) % 40 % 5 AS INT) + 1, 1)), '')
+               AS word,
+             1 + (${h("7")}) % 8 AS cnt
+           FROM range($OpenVocabWordsN) AS t(j)),
+         v0 AS (SELECT word AS w, CAST(sum(cnt) AS BIGINT) AS cnt,
+             list_transform(range(1, length(word) + 1), i -> word[i]) AS s
+           FROM gen GROUP BY word),
+         ${(1 to BpeSweepKs.max).map(bpeRoundCte).mkString(",\n       ")},
+         snaps AS (${BpeSweepKs.map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS vocab_words,
+             CAST(sum(cnt * len(s)) AS BIGINT) AS n_tokens,
+             CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars FROM v$k""")
+        .mkString("\n           UNION ALL ")})
+         SELECT k, vocab_words, n_tokens, n_chars,
+           n_tokens * 1000 // n_chars AS compression_permille
+         FROM snaps ORDER BY k""")
+  }
 
   private[graft] def bpeKReportOracleSql: String = SimOps.materializeCtes(
     s"""WITH v0 AS (SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt,
@@ -1768,6 +1874,7 @@ object TextOps extends OpFamily {
     "text_bpe_apply" -> (bpeApplyStats _),
     "text_bpe_holdout" -> (bpeHoldout _),
     "text_bpe_k_report" -> (bpeKReport _),
+    "text_bpe_open_report" -> (bpeOpenReport _),
     "text_doc_perplexity" -> (docPerplexity _),
     "text_quality_funnel" -> (qualityFunnel _),
     "text_quality" -> (qualityScore _),
@@ -1801,14 +1908,16 @@ object TextOps extends OpFamily {
                ORDER BY hits DESC, marker_lang) AS rn FROM scores)
            WHERE rn = 1)"""
 
-  // the k-sweep reads one 64-merge learn at every snapshot prefix —
+  // both k-sweeps read one 64-merge learn at every snapshot prefix —
   // the tokenizer-sizing grid against the full-learn bound
-  override val instruments: Set[String] = Set("text_bpe_k_report")
+  override val instruments: Set[String] =
+    Set("text_bpe_k_report", "text_bpe_open_report")
 
   val oracle = Map(
     "text_bpe_apply" -> bpeApplyOracleSql,
     "text_bpe_holdout" -> bpeHoldoutOracleSql,
     "text_bpe_k_report" -> bpeKReportOracleSql,
+    "text_bpe_open_report" -> bpeOpenReportOracleSql,
     "text_quality_funnel" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
              FROM documents),

@@ -766,6 +766,46 @@ class LlmOpsSpec extends AnyFunSuite {
       === nasty.toSet)
   }
 
+  test("open-vocab generator: deterministic, syllable-shaped, genuinely " +
+      "open, and the learn does NOT exhaust at k = 64") {
+    import graft.operators.TextOps
+    val spark = TestSpark.spark
+    val w1 = TextOps.openVocabWords(spark, 300).collect()
+      .map(_.getString(0))
+    val w2 = TextOps.openVocabWords(spark, 300).collect()
+      .map(_.getString(0))
+    assert(w1.sorted.toSeq === w2.sorted.toSeq, "pure function of n")
+    assert(w1.forall(_.matches("([bdfgklmn][aeiou]){3,6}")),
+      "every word is 3..6 CV syllables from the fixed inventory")
+    assert(w1.distinct.length > 200,
+      s"open vocabulary, not a closed handful: ${w1.distinct.length}")
+    // the whole point vs the documents fixture (exhausts at 89): a
+    // 64-merge learn applies all 64 merges even on a 300-id slice
+    val (merges, _) = TextOps.bpeLearnSnapshots(spark,
+      TextOps.openVocabWords(spark, 300), Seq(64))
+    assert(merges.count() === 64L, "no pair exhaustion on the open corpus")
+  }
+
+  test("batched BPE learn stays bit-identical to the classic loop on " +
+      "the open-vocab corpus") {
+    import graft.operators.TextOps
+    val spark = TestSpark.spark
+    def mseq(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    def vset(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[scala.collection.Seq[String]]("s").toVector,
+        r.getAs[Long]("cnt"))).toSet
+    val words = TextOps.openVocabWords(spark, 150)
+    val ks = Seq(6, 24)
+    val (mB, sB) = TextOps.bpeLearnSnapshots(spark, words, ks)
+    val (mC, sC) = TextOps.bpeLearnSnapshots(spark, words, ks, batchCap = 1)
+    assert(mseq(mB) === mseq(mC))
+    sB.zip(sC).foreach { case ((kb, vb), (kc, vc)) =>
+      assert(kb === kc)
+      assert(vset(vb) === vset(vc), s"snapshot k=$kb")
+    }
+  }
+
   test("bpeApplyStats vocab-join tokenization equals the row-local fold") {
     import graft.operators.TextOps
     // the registered query tokenizes via vocab-join; bpeApplyOn folds
