@@ -1487,6 +1487,30 @@ object Graft {
       nprobe, k)
   }
 
+  /** RANK-METRIC EVALUATION of any retriever against any graded
+    * relevance set — MRR, NDCG@k and recall@5 as PURE INTEGER
+    * arithmetic (micro-unit discount weights precomputed once in
+    * Scala), so the numbers are bit-reproducible across runs and
+    * engines: the IR eval a retrieval stack tunes against. `ranked`
+    * is the system's output (query id, item id, 1-based rank);
+    * `relevant` the graded truth (rel ≥ 1) — e.g. exact search
+    * results, click labels, editorial judgments. Queries come from
+    * the RELEVANT side, so a system returning nothing for a query
+    * scores 0 for it rather than vanishing. Returns one row:
+    * (n_queries, mrr_units ×1e6, ndcg_permille, recall_at5_permille).
+    * Rank-sensitive on purpose: a retriever can hold recall@5 at
+    * 1000‰ while burying the best hit — MRR/NDCG catch that (the
+    * registered sim_rank_eval shows ivf_nprobe1 vs 2 separating).
+    */
+  def rankEval(ranked: DataFrame, qidCol: String, nidCol: String,
+      rankCol: String, relevant: DataFrame, relQidCol: String,
+      relNidCol: String, relCol: String, k: Int = 10): DataFrame =
+    graft.operators.SimOps.rankEvalOn(
+      ranked.select(col(qidCol).as("qid"), col(nidCol).as("nid"),
+        col(rankCol).as("rank")),
+      relevant.select(col(relQidCol).as("qid"), col(relNidCol).as("nid"),
+        col(relCol).cast("long").as("rel")), k)
+
   /** PREFIX-DIM (MATRYOSHKA) IVF SEARCH — [[knnIvf]] under an m-dim
     * storage budget: slice every vector (and so every query) to its
     * first `mDims` dimensions BEFORE the index build, then run the

@@ -173,6 +173,97 @@ object SimOps extends OpFamily {
     }.reduce(_ unionByName _)
   }
 
+  /** NDCG position-discount weights in micro-units, PRECOMPUTED in
+    * Scala and interpolated as LITERALS into both engines' expressions
+    * (the MmrLam idiom): w(r) = ⌊1e6 / log2(r + 1)⌋. Computing log2
+    * inside either engine would risk a cross-engine libm ulp flipping
+    * the floor; a shared literal table cannot diverge.
+    */
+  private[graft] val RankEvalK = 10
+  private[graft] val NdcgWeights: Seq[Long] = (1 to RankEvalK).map(r =>
+    math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** RANK-METRIC EVALUATION of any retriever against any relevance set
+    * — the IR-eval operator a retrieval stack tunes against (MRR,
+    * graded NDCG@k, recall@5), as pure integer arithmetic so both
+    * engines replay it exactly. `ranked` = (qid, nid, rank) from the
+    * system under test; `relevant` = (qid, nid, rel) graded ground
+    * truth (rel ≥ 1). Per query: rr_units = 1e6 DIV first relevant
+    * rank (0 if none ranked); dcg = Σ rel·w(rank) over ranked hits
+    * (w = [[NdcgWeights]]); idcg = the same sum over the IDEAL order
+    * (rel desc, nid — deterministic); ndcg_permille = dcg·1000 DIV
+    * idcg; recall@5 = hits in the top 5 ×1000 DIV min(|relevant|, 5).
+    * Returned row = per-query integer metrics AVERAGED with DIV:
+    * (n_queries, mrr_units, ndcg_permille, recall_at5_permille). The
+    * query spine is `relevant`'s qid set, so a system that returns
+    * nothing for a query scores 0 for it instead of dropping it.
+    * Also the [[graft.api.Graft.rankEval]] core.
+    */
+  private[graft] def rankEvalOn(ranked: DataFrame, relevant: DataFrame,
+      k: Int = RankEvalK): DataFrame = {
+    require(k >= 5 && k <= RankEvalK,
+      s"rank cutoff must be in [5, $RankEvalK] (weight table): $k")
+    val wArr = array(NdcgWeights.take(k).map(lit): _*)
+    val wIdeal = Window.partitionBy(col("qid"))
+      .orderBy(desc("rel"), col("nid"))
+    val idcg = relevant
+      .withColumn("irank", row_number().over(wIdeal))
+      .filter(col("irank") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(col("rel") * element_at(wArr, col("irank"))).as("idcg"),
+        count(lit(1)).as("n_rel"))
+    // the relevance set and the per-query aggregates are bounded by
+    // the query batch (the caller's contract — judgments are per
+    // query), so both joins broadcast: the system's ranking, which MAY
+    // be corpus-sized, streams through map-side joins and is never
+    // sort-merged
+    val hits = ranked.filter(col("rank") <= k)
+      .join(broadcast(relevant), Seq("qid", "nid"))
+      .groupBy(col("qid"))
+      .agg(min(col("rank")).as("first_rel"),
+        sum(col("rel") * element_at(wArr, col("rank"))).as("dcg"),
+        coalesce(sum(when(col("rank") <= 5, 1L)), lit(0L)).as("hits5"))
+    idcg.join(broadcast(hits), Seq("qid"), "left")
+      .na.fill(0L, Seq("dcg", "hits5"))
+      .select(
+        expr("CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT) " +
+          "ELSE 1000000 DIV first_rel END").as("rr_units"),
+        expr("dcg * 1000 DIV idcg").as("ndcg_permille"),
+        expr("hits5 * 1000 DIV least(n_rel, 5)").as("r5_permille"))
+      .agg(count(lit(1)).as("n_queries"),
+        expr("sum(rr_units) DIV count(1)").as("mrr_units"),
+        expr("sum(ndcg_permille) DIV count(1)").as("ndcg_permille"),
+        expr("sum(r5_permille) DIV count(1)").as("recall_at5_permille"))
+  }
+
+  /** REGISTERED RANK-EVAL REPORT — the IVF search graded as a
+    * RANKING, not just a hit set: [[ivfNprobeReport]] measures
+    * recall@5 (set overlap); this scores nprobe ∈ {1, 2} top-10
+    * rankings against graded exact ground truth (rel = 6 − exact
+    * rank for the exact top-5) with MRR / NDCG@10 / recall@5 — the
+    * rank-sensitive metrics an ANN rollout actually quotes, and the
+    * difference matters: a probe that finds all 5 neighbors but
+    * ranks the best one fifth keeps recall = 1000‰ while MRR and
+    * NDCG drop. One row per system over the shared nlist-10 index.
+    * Fully oracle-checked: DuckDB replays the Lloyd chain, probe
+    * routing, both rankings, and every integer metric (the weight
+    * table interpolates from the same Scala literals).
+    */
+  def rankEvalReport(s: SparkSession, d: String): DataFrame = {
+    val relevant = knnExact(s, d)
+      .select(col("qid"), col("nid"), (lit(6L) - col("rank")).as("rel"))
+      .localCheckpoint() // consumed once per evaluated system
+    val index = lloydCells(s, d, 10)
+    Seq(1, 2).map { np =>
+      rankEvalOn(
+        knnIvfOn(s, index._1, index._2, col("vec_id") < 10,
+          nprobe = np, k = RankEvalK)
+          .select(col("qid"), col("nid"), col("rank")),
+        relevant)
+        .select(concat(lit("ivf_nprobe"), lit(np)).as("system"), col("*"))
+    }.reduce(_ unionByName _).orderBy(col("system"))
+  }
+
   /** RANGE SEARCH (the faiss `range_search` analogue): every corpus
     * vector within cosine ≥ 0.35 of each query — the radius variant a
     * retrieval stack uses when "how many are this close" matters more
@@ -810,9 +901,19 @@ object SimOps extends OpFamily {
     */
   private[graft] def oodFlagsOn(s: SparkSession, baseCells: DataFrame,
       centroids: DataFrame, incoming: DataFrame): DataFrame =
+    oodFlagsWithP95(s,
+      oodBaseP95(s, baseCells, centroids).select(col("cid"),
+        col("p95_units")),
+      centroids, incoming)
+
+  /** The per-batch half of [[oodFlagsOn]] over a PREBUILT p95 radius
+    * table — what the streaming admission sink pins once at stream
+    * start so each micro-batch pays only its own assign + two
+    * broadcast joins, not an index-linear radius recomputation. */
+  private[graft] def oodFlagsWithP95(s: SparkSession, p95: DataFrame,
+      centroids: DataFrame, incoming: DataFrame): DataFrame =
     centroidDistUnits(s, centroids, assignCellsOn(s, centroids, incoming))
-      .join(broadcast(oodBaseP95(s, baseCells, centroids)
-        .select(col("cid"), col("p95_units"))), Seq("cid"), "left")
+      .join(broadcast(p95), Seq("cid"), "left")
       .select(col("vec_id"), col("cid"), col("du"), col("p95_units"),
         (col("p95_units").isNull || col("du") > col("p95_units"))
           .as("flagged"))
@@ -2393,6 +2494,7 @@ object SimOps extends OpFamily {
     "sim_knn_exact" -> (knnExact _),
     "sim_matryoshka_report" -> (matryoshkaReport _),
     "sim_matryoshka_ivf" -> (matryoshkaIvf _),
+    "sim_rank_eval" -> (rankEvalReport _),
     "sim_range_search" -> (rangeSearch _),
     "sim_kmeans" -> (kmeansProfile _),
     "sim_knn_ivf_quantized" -> (knnIvfQuantized _),
@@ -2634,6 +2736,51 @@ object SimOps extends OpFamily {
              WHERE n.vec_id <> p.qid)
            WHERE rank <= 5)
          JOIN exact USING (qid, nid))"""
+  }
+
+  /** One system's replay block for the [[rankEvalReport]] oracle:
+    * probe routing at its nprobe, the top-10 in-cell ranking, per-query
+    * hit aggregates against the shared `relv`/`idcg` CTEs, and the
+    * one-row integer metric means — the weight literals interpolate
+    * from the SAME [[NdcgWeights]] Scala values the engine uses. */
+  private def rankEvalBlock(np: Int): String = {
+    val x = s"np$np"
+    val wlist = NdcgWeights.mkString("[", ", ", "]")
+    s"""probes$x AS (SELECT qid, qv, cid FROM (
+         SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cid)
+             AS rn
+         FROM (SELECT vec_id, v FROM cells WHERE vec_id < 10) q
+         CROSS JOIN c3 c) WHERE rn <= $np),
+       rk$x AS (SELECT qid, nid, rank FROM (
+         SELECT p.qid, n.vec_id AS nid,
+           row_number() OVER (PARTITION BY p.qid
+             ORDER BY list_cosine_similarity(p.qv, n.v) DESC, n.vec_id)
+             AS rank
+         FROM probes$x p JOIN cells n ON n.cid = p.cid
+         WHERE n.vec_id <> p.qid) WHERE rank <= $RankEvalK),
+       h$x AS (SELECT r.qid, min(r.rank) AS first_rel,
+           CAST(sum(v.rel * ($wlist)[r.rank]) AS BIGINT) AS dcg,
+           CAST(coalesce(sum(CASE WHEN r.rank <= 5 THEN 1 END), 0)
+             AS BIGINT) AS hits5
+         FROM rk$x r JOIN relv v ON r.qid = v.qid AND r.nid = v.nid
+         GROUP BY r.qid),
+       pq$x AS (SELECT i.qid,
+           CASE WHEN h.first_rel IS NULL THEN CAST(0 AS BIGINT)
+                ELSE 1000000 // h.first_rel END AS rr_units,
+           coalesce(h.dcg, 0) * 1000 // i.idcg AS ndcg_permille,
+           coalesce(h.hits5, 0) * 1000 // least(i.n_rel, 5)
+             AS r5_permille
+         FROM idcg i LEFT JOIN h$x h ON i.qid = h.qid),
+       row$x AS (SELECT 'ivf_nprobe$np' AS system,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(rr_units) AS BIGINT) // count(*) AS mrr_units,
+           CAST(sum(ndcg_permille) AS BIGINT) // count(*)
+             AS ndcg_permille,
+           CAST(sum(r5_permille) AS BIGINT) // count(*)
+             AS recall_at5_permille
+         FROM pq$x)"""
   }
 
   /** DuckDB replay of [[driftReportOn]] on the even/odd fixture — also
@@ -3632,6 +3779,26 @@ object SimOps extends OpFamily {
            pos_cos - neg_cos AS gap
          FROM p LEFT JOIN ng ON p.qid = ng.qid
          ORDER BY p.qid""",
+    "sim_rank_eval" -> materializeCtes(
+      s"""WITH $lloydCtes,
+         relv AS (SELECT qid, nid, CAST(6 - rank AS BIGINT) AS rel FROM (
+             SELECT q.vec_id AS qid, n.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id)
+                 AS rank
+             FROM v q JOIN v n ON q.vec_id <> n.vec_id
+             WHERE q.vec_id < 10) WHERE rank <= 5),
+         idcg AS (SELECT qid,
+             CAST(sum(rel * (${NdcgWeights.mkString("[", ", ", "]")})
+               [irank]) AS BIGINT) AS idcg,
+             CAST(count(*) AS BIGINT) AS n_rel
+           FROM (SELECT qid, nid, rel,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY rel DESC, nid) AS irank FROM relv)
+           WHERE irank <= $RankEvalK GROUP BY qid),
+         ${Seq(1, 2).map(rankEvalBlock).mkString(",\n         ")}
+         SELECT * FROM rownp1 UNION ALL SELECT * FROM rownp2
+         ORDER BY system"""),
     "sim_matryoshka_ivf" -> materializeCtes(
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),

@@ -190,6 +190,52 @@ object StreamPipelines {
       .start()
   }
 
+  /** Streaming OOD ADMISSION GATE — the streaming twin of
+    * [[graft.api.Graft.oodFilter]], the third member of the
+    * ingest-sink family ([[incrementalDedupSink]] checks content
+    * novelty, [[incrementalAnnSink]] links neighbors, this gates on
+    * GEOMETRIC novelty): the IVF base index (Lloyd cells + centroids
+    * over the static `index` (vec_id, v) frame) AND its per-cell
+    * exact p95 radii are built ONCE at stream start and
+    * localCheckpoint-pinned; each micro-batch of incoming (vec_id, v)
+    * embeddings is assigned to its home cell, distance-scored, and
+    * flagged against the pinned radius, appending a (vec_id, cid, du,
+    * p95_units, flagged, batch_id) verdict ledger to parquet.
+    * Downstream, flagged = false is the admission path (feed
+    * [[graft.api.Graft.appendToDedupIndex]]/[[graft.api.Graft.recenterIvf]]);
+    * flagged = true routes to quarantine/review. Per-batch cost is
+    * the batch×centroids broadcast assign + two broadcast joins —
+    * never batch×batch, never index-linear. Batch-id makes replays
+    * detectable (at-least-once contract).
+    */
+  def oodAdmissionSink(vecs: DataFrame, index: DataFrame, nlist: Int,
+      outDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = index.sparkSession
+    // lloydCellsOn localCheckpoints both outputs eagerly; the radius
+    // table is the third write-once artifact of this stream's lifetime
+    val (cells, centroids) = graft.operators.SimOps
+      .lloydCellsOn(s, index, nlist)
+    val p95 = graft.operators.SimOps.oodBaseP95(s, cells, centroids)
+      .select(org.apache.spark.sql.functions.col("cid"),
+        org.apache.spark.sql.functions.col("p95_units"))
+      .localCheckpoint()
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.NativeExprs.ensureRegistered(batch.sparkSession)
+        graft.operators.SimOps
+          .oodFlagsWithP95(batch.sparkSession, p95, centroids, batch)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming funnel state machine — the incremental twin of the batch
     * ev_funnel, on the Spark 4 transformWithState API: one ValueState
     * per user holds the furthest step reached; an event advances the

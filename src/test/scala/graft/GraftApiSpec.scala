@@ -1318,6 +1318,37 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got(2L)._2 > 0L, "the shared signal dims keep some recall")
   }
 
+  test("rankEval: hand-computed MRR/NDCG/recall, zero-row systems " +
+      "score zero, and a perfect ranking reads all-1000") {
+    val w = graft.operators.SimOps.NdcgWeights
+    // q1: graded truth a=3, b=2, c=1; the system ranks [b, x, a, c, y].
+    // q2 has truth d=1 but the system returns nothing -> all-zero row.
+    val relevant = Seq((1L, "a", 3L), (1L, "b", 2L), (1L, "c", 1L),
+      (2L, "d", 1L)).toDF("q", "item", "grade")
+    val ranked = Seq((1L, "b", 1), (1L, "x", 2), (1L, "a", 3),
+      (1L, "c", 4), (1L, "y", 5)).toDF("q", "item", "pos")
+    val got = Graft.rankEval(ranked, "q", "item", "pos",
+      relevant, "q", "item", "grade").collect().head
+    val dcg = 2 * w(0) + 3 * w(2) + 1 * w(3)
+    val idcg = 3 * w(0) + 2 * w(1) + 1 * w(2)
+    assert(got.getAs[Long]("n_queries") === 2L)
+    // q1 rr = 1e6 (first hit at rank 1), q2 rr = 0 -> mean 500000
+    assert(got.getAs[Long]("mrr_units") === 500000L)
+    assert(got.getAs[Long]("ndcg_permille") === (dcg * 1000 / idcg) / 2,
+      s"q1 ndcg ${dcg * 1000 / idcg} averaged with q2's 0")
+    // q1: all 3 relevant in the top 5 -> 1000; q2: 0 -> mean 500
+    assert(got.getAs[Long]("recall_at5_permille") === 500L)
+    // the ideal ranking scores perfect across the board
+    val ideal = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3))
+      .toDF("q", "item", "pos")
+    val p = Graft.rankEval(ideal, "q", "item", "pos",
+      relevant.filter(col("q") === 1L), "q", "item", "grade")
+      .collect().head
+    assert(p.getAs[Long]("mrr_units") === 1000000L)
+    assert(p.getAs[Long]("ndcg_permille") === 1000L)
+    assert(p.getAs[Long]("recall_at5_permille") === 1000L)
+  }
+
   test("knnIvfPrefix: the full-dim slice is exactly knnIvf, and a " +
       "truncating slice searches in the sliced space") {
     val vecs = (0 until 30).map { i =>

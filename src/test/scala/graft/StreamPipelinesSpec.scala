@@ -199,6 +199,51 @@ class StreamPipelinesSpec extends AnyFunSuite {
     assert(got.forall(_._4 < 8L), "neighbors must be index-side only")
   }
 
+  test("streaming OOD admission gate: per-batch verdict ledgers union " +
+      "to the batch oodFilter of the same pinned index + radii") {
+    import spark.implicits._
+    import graft.operators.SimOps
+    import scala.math.{cos => mcos, sin => msin, Pi}
+    def vec(deg: Double) = Seq(mcos(deg * Pi / 180), msin(deg * Pi / 180))
+    // two angular clusters; distinct distances so radii are tie-free
+    val index = (Seq(0L -> vec(0), 1L -> vec(90)) ++
+      (2L to 21L).map(i => i -> vec((i - 2) * 0.7)) ++
+      (22L to 25L).map(i => i -> vec(90 - (i - 22) * 0.9))).toDF("vec_id", "v")
+    // batch 1: in-distribution re-arrivals; batch 2: a novel 45deg burst
+    val b1 = Seq(100L -> vec(3.1), 101L -> vec(88.7))
+    val b2 = Seq(102L -> vec(44.0), 103L -> vec(46.0))
+    val dir = Files.createTempDirectory("graft_stream_ood").toFile
+    dir.deleteOnExit()
+    b1.toDF("vec_id", "v").coalesce(1).write.parquet(s"$dir/f1")
+    b2.toDF("vec_id", "v").coalesce(1).write.parquet(s"$dir/f2")
+    val outDir = Files.createTempDirectory("graft_stream_ood_out").toFile
+    outDir.deleteOnExit()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, v ARRAY<DOUBLE>")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+    val q = StreamPipelines.oodAdmissionSink(stream, index, nlist = 2,
+      outDir.toString)
+    q.awaitTermination(120000)
+    val ledger = spark.read.parquet(outDir.toString)
+    assert(ledger.select("batch_id").distinct().count() === 2)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getBoolean(4))
+    val got = ledger
+      .select("vec_id", "cid", "du", "p95_units", "flagged")
+      .collect().map(key).toSet
+    val (cells, centroids) = SimOps.lloydCellsOn(spark, index, 2)
+    val want = SimOps.oodFlagsOn(spark, cells, centroids,
+        (b1 ++ b2).toDF("vec_id", "v"))
+      .collect().map(key).toSet
+    assert(got === want, "ledger must equal the batch actuator verdicts")
+    val flagged = got.filter(_._5).map(_._1)
+    assert(flagged === Set(102L, 103L),
+      s"the 45deg burst is quarantined, re-arrivals admitted: $flagged")
+  }
+
   test("transformWithState state survives a stop-and-restart from " +
       "checkpoint: the resumed query continues the EWMA trajectory") {
     import spark.implicits._
