@@ -241,10 +241,75 @@ object PipelineOps extends OpFamily {
       .orderBy(col("verdict"))
   }
 
+  /** VECTOR-INGEST ADMISSION FUNNEL — the embedding twin of
+    * [[pipelineIngest]]: every incoming vector (the odd vec_ids) runs
+    * the production admission chain against the shared even-ids
+    * nlist-20 index —
+    *
+    *   1. OOD GATE ([[SimOps.oodFlagsOn]]): distance vs the home
+    *      cell's exact p95 base radius; geometric novelty routes to
+    *      `ood_quarantine` (no precedent — review before it can skew
+    *      the index);
+    *   2. SEMDEDUP CHECK for the gate's survivors: any index vector
+    *      in the HOME cell at cosine ≥ 0.35 marks the arrival
+    *      `semantic_dup` (cell-bucketed candidates, never all-pairs —
+    *      the [[SimOps.semanticDedup]] shape);
+    *   3. the rest are `admitted` — exactly the rows an index
+    *      append/recenter batch would take.
+    *
+    * Per-verdict rollup (n_vecs + integral micro-unit distance mass,
+    * so the report is engine-exact). Registering the COMPOSITION
+    * catches the integration bugs the per-stage oracles cannot —
+    * stage order (the semantic probe must not see quarantined rows),
+    * column threading through the gate, verdict precedence. This is
+    * the batch twin of the streaming
+    * [[graft.streaming.StreamPipelines.oodAdmissionSink]] + dedup
+    * chain a vector pipeline ships.
+    */
+  def vectorIngest(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // split into index + incoming, re-joined below
+    val base = ArtifactCache.readOrBuildAll(s,
+        ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+          "nlist_20_even@r1"), Seq("cells", "centroids")) {
+      val (cells, centroids) = SimOps.lloydCellsOn(s,
+        e.filter(col("vec_id") % 2 === 0), nlist = 20)
+      Seq("cells" -> cells, "centroids" -> centroids)
+    }
+    val flags = SimOps.oodFlagsOn(s, base("cells"), base("centroids"),
+        e.filter(col("vec_id") % 2 =!= 0))
+      .localCheckpoint() // consumed by the probe AND the verdict rollup
+    // the semantic probe sees ONLY the gate's survivors, inside their
+    // home cells: candidates are (survivor × same-cell index vectors)
+    val cand = flags.filter(!col("flagged"))
+      .select(col("vec_id"), col("cid"))
+      .join(e, Seq("vec_id"))
+      .withColumn("nn",
+        sqrt(graft.functions.NativeExprs.dot(s, col("v"), col("v"))))
+    val dupIds = cand
+      .join(base("cells").select(col("cid"), col("v").as("vb"),
+        col("vn").as("nb")), Seq("cid"))
+      .filter(graft.functions.NativeExprs.dot(s, col("v"), col("vb"))
+        / (col("nn") * col("nb")) >= 0.35)
+      .select(col("vec_id")).distinct()
+      .withColumn("sem_hit", lit(1))
+    flags
+      .join(dupIds, Seq("vec_id"), "left")
+      .select(col("du"),
+        when(col("flagged"), lit("ood_quarantine"))
+          .when(col("sem_hit") === 1, lit("semantic_dup"))
+          .otherwise(lit("admitted")).as("verdict"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("du")).as("du_units"))
+      .orderBy(col("verdict"))
+  }
+
   val queries = Map(
     "pipeline_corpus" -> (corpusPipeline _),
     "pipeline_linkage" -> (linkageEntities _),
     "pipeline_ingest" -> (pipelineIngest _),
+    "pipeline_vector_ingest" -> (vectorIngest _),
     "pipeline_funnel" -> (pipelineFunnel _))
 
   // the shared five-stage CTE chain, mirroring [[stages]]: the planted
@@ -283,6 +348,44 @@ object PipelineOps extends OpFamily {
          WHERE ((s.doc_id % 1000) * 503) % 1000 < r.rate)"""
 
   val oracle = Map(
+    "pipeline_vector_ingest" -> SimOps.materializeCtes(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 = 0),
+         ${SimOps.lloydChainSfx("", "20")},
+         vnew AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 <> 0),
+         ${SimOps.assignCteIn("newcells", "c3", "vnew")},
+         bd AS (SELECT cells.cid, cells.vec_id,
+             CAST(floor((1 - list_cosine_similarity(cells.v, c3.centroid))
+               * 1e6) AS BIGINT) AS du
+           FROM cells JOIN c3 ON cells.cid = c3.cid),
+         p95 AS (SELECT cid, du AS p95_units FROM (
+             SELECT cid, du,
+               row_number() OVER (PARTITION BY cid ORDER BY du, vec_id)
+                 AS rn,
+               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_base
+             FROM bd)
+           WHERE rn = (n_base * 95 + 99) // 100),
+         nd AS (SELECT newcells.cid, newcells.vec_id, newcells.v,
+             CAST(floor((1 - list_cosine_similarity(newcells.v,
+               c3.centroid)) * 1e6) AS BIGINT) AS du
+           FROM newcells JOIN c3 ON newcells.cid = c3.cid),
+         fl AS (SELECT nd.*, (p.p95_units IS NULL OR nd.du > p.p95_units)
+             AS flagged
+           FROM nd LEFT JOIN p95 p ON nd.cid = p.cid),
+         sem AS (SELECT DISTINCT f.vec_id
+           FROM fl f JOIN cells c ON c.cid = f.cid
+           WHERE NOT f.flagged
+             AND list_cosine_similarity(f.v, c.v) >= 0.35)
+         SELECT verdict, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(du) AS BIGINT) AS du_units
+         FROM (SELECT du,
+             CASE WHEN flagged THEN 'ood_quarantine'
+                  WHEN vec_id IN (SELECT vec_id FROM sem)
+                    THEN 'semantic_dup'
+                  ELSE 'admitted' END AS verdict
+           FROM fl)
+         GROUP BY verdict ORDER BY verdict"""),
     "pipeline_ingest" ->
       s"""WITH inc AS (
            SELECT doc_id + 200000 AS doc_id, lang, source,

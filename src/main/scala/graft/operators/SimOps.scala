@@ -2599,8 +2599,10 @@ object SimOps extends OpFamily {
     centroidCteIn(name, aFrom, 64)
 
   /** [[assignCte]] generalized over the vector-table name (the PQ
-    * oracle runs one chain per subspace table). */
-  private def assignCteIn(name: String, cFrom: String, vFrom: String) =
+    * oracle runs one chain per subspace table; private[operators] —
+    * PipelineOps' vector-ingest oracle reuses the same chain). */
+  private[operators] def assignCteIn(name: String, cFrom: String,
+      vFrom: String) =
     s"""$name AS (SELECT cid, vec_id, v FROM (
           SELECT c.cid, x.vec_id, x.v,
             row_number() OVER (PARTITION BY x.vec_id
@@ -2816,7 +2818,7 @@ object SimOps extends OpFamily {
     * cells$sfx. `seed` is any SQL expression — a literal nlist or the
     * √n scalar subquery [[sqrtSeedSql]].
     */
-  private def lloydChainSfx(sfx: String, seed: String): String =
+  private[operators] def lloydChainSfx(sfx: String, seed: String): String =
     lloydChainIn(sfx, seed, "v", 64)
 
   /** [[lloydChainSfx]] generalized over the vector-table name and the

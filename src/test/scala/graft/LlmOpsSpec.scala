@@ -766,6 +766,26 @@ class LlmOpsSpec extends AnyFunSuite {
       === nasty.toSet)
   }
 
+  test("pipeline_vector_ingest: verdicts partition the incoming batch, " +
+      "and the quarantine arm equals the OOD monitor's flag count") {
+    import graft.operators.{PipelineOps, SimOps}
+    val got = PipelineOps.vectorIngest(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nOdd = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 1).count()
+    assert(got.values.sum === nOdd,
+      s"every incoming vector gets exactly one verdict: $got vs $nOdd")
+    assert(got.keySet.subsetOf(
+      Set("admitted", "ood_quarantine", "semantic_dup")))
+    assert(got.getOrElse("admitted", 0L) > 0, "fixture admits some rows")
+    // the funnel's quarantine arm IS the monitor's per-cell flag total
+    // (same gate, per-item vs per-cell projection)
+    val flagged = SimOps.oodReport(spark, sf).collect()
+      .map(_.getAs[Long]("n_flagged")).sum
+    assert(got.getOrElse("ood_quarantine", 0L) === flagged,
+      "funnel quarantine must equal the monitor's flag count")
+  }
+
   test("open-vocab generator: deterministic, syllable-shaped, genuinely " +
       "open, and the learn does NOT exhaust at k = 64") {
     import graft.operators.TextOps
