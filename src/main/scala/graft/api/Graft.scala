@@ -1840,6 +1840,23 @@ object Graft {
       textCol: String): DataFrame =
     graft.operators.IoOps.snapshotDiffOn(oldSnap, newSnap, idCol, textCol)
 
+  /** CDC MERGE-APPLY (the lakehouse MERGE INTO as one operator —
+    * [[snapshotDiff]]'s actuator): fold a changelog into a base
+    * snapshot and return the NEW snapshot. `changelog` must carry the
+    * base's columns plus `opCol` ∈ {"I", "U", "D"}: D drops the id, U
+    * replaces its row with the payload, I inserts — and an I whose id
+    * still exists upserts (payload wins), keeping the apply IDEMPOTENT
+    * on replayed changelogs (at-least-once ingestion). Unknown ops
+    * raise through the projection instead of silently keeping or
+    * dropping rows. Contract: one changelog row per id per apply —
+    * collapse multi-op streams by sequence number upstream. Cost: one
+    * anti-join + one union; the base is scanned once, the changelog
+    * never self-joins — the nightly snapshot-advance job at any scale.
+    */
+  def applyCdc(base: DataFrame, changelog: DataFrame, idCol: String,
+      opCol: String = "op"): DataFrame =
+    graft.operators.IoOps.applyCdcOn(base, changelog, idCol, opCol)
+
   /** DETERMINISTIC EPOCH SHUFFLE — assign every row a pseudorandom
     * training-order position for one epoch: returns the input columns
     * plus (h, shard, pos), where h is a wrap-safe multiplicative hash

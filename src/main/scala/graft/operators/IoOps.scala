@@ -583,6 +583,73 @@ object IoOps extends OpFamily {
         col("tok_old"), col("tok_new"))
   }
 
+  /** CDC MERGE-APPLY core — the lakehouse MERGE INTO semantics as one
+    * operator (also [[graft.api.Graft.applyCdc]]): fold a changelog of
+    * (op ∈ {I, U, D}, full row payload) into a base snapshot. D drops
+    * the id; U replaces its row with the changelog payload; I inserts
+    * a new id. One anti-join (base survivors) + one union (the U/I
+    * payloads) — the changelog is never joined against itself and the
+    * base is touched once; at 100 TB this is the nightly
+    * snapshot-advance job, downstream of the [[snapshotDiffOn]] report
+    * that sized it. Contract: changelog ids unique (one op per id per
+    * apply — collapse upstream by sequence number first), ops only
+    * I/U/D — ENFORCED inside the op column: an unknown op raises
+    * through the projection rather than silently dropping or keeping
+    * the row; an I on an id that still exists in the base is an
+    * UPSERT (the payload wins), which keeps the apply idempotent on
+    * replayed changelogs (at-least-once ingestion).
+    */
+  private[graft] def applyCdcOn(base: DataFrame, changelog: DataFrame,
+      idCol: String, opCol: String): DataFrame = {
+    val ops = changelog.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(lit("applyCdc: unknown op '"),
+          col(opCol), lit(s"' for id "), col(idCol).cast("string"),
+          lit(" — expected I/U/D")))))
+    base.join(ops.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(ops.filter(col(opCol) =!= "D").drop(opCol))
+  }
+
+  /** The registered CDC-apply evidence: a deterministic changelog over
+    * the documents snapshot (deletes = ids % 11 = 0; updates = the
+    * remaining ids % 7 = 0, text amended; inserts = ids % 13 = 0
+    * re-keyed to id + 500000 with fresh text), applied, then rolled up
+    * per status with token accounting — kept / updated / inserted are
+    * the new snapshot's composition, deleted counts the tokens
+    * REMOVED. The identity a pipeline audits: applied size = base −
+    * deletes + inserts, spec-pinned; the oracle replays changelog
+    * construction, the merge, and the rollup.
+    */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val changelog =
+      docs.filter(col("doc_id") % 11 === 0)
+        .select(lit("D").as("op"), col("doc_id"),
+          lit(null).cast("string").as("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 =!= 0
+          && col("doc_id") % 7 === 0)
+        .select(lit("U").as("op"), col("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select(lit("I").as("op"), (col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text")))
+    val applied = applyCdcOn(docs, changelog, "doc_id", "op")
+      .localCheckpoint() // consumed by three status arms
+    def tok(c: Column) = size(split(c, " ")).cast("long")
+    val arms = Seq(
+      ("deleted", docs.filter(col("doc_id") % 11 === 0)),
+      ("updated", applied.filter(col("doc_id") < 500000L
+        && col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)),
+      ("inserted", applied.filter(col("doc_id") >= 500000L)),
+      ("kept", applied.filter(col("doc_id") < 500000L
+        && !(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0))))
+    arms.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tok(col("text"))), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("status"), col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionByName _).orderBy(col("status"))
+  }
+
   /** ZONE-MAP (MANIFEST) PRUNING REPORT — the data-skipping layer
     * every lake-format reader (Iceberg/Delta/parquet row groups) puts
     * between a predicate and the scan, as a measured operator: fragment
@@ -635,6 +702,7 @@ object IoOps extends OpFamily {
   }
 
   val queries = Map(
+    "io_cdc_apply" -> (cdcApply _),
     "io_manifest_prune" -> (manifestPrune _),
     "io_epoch_shuffle" -> (epochShuffle _),
     "io_snapshot_diff" -> (snapshotDiff _),
@@ -653,6 +721,40 @@ object IoOps extends OpFamily {
     "io_bucketed_join" -> (bucketedJoin _))
 
   val oracle = Map(
+    "io_cdc_apply" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         cl AS (SELECT 'D' AS op, doc_id, CAST(NULL AS VARCHAR) AS text
+             FROM base WHERE doc_id % 11 = 0
+           UNION ALL
+           SELECT 'U', doc_id, text || ' v2' FROM base
+           WHERE doc_id % 11 <> 0 AND doc_id % 7 = 0
+           UNION ALL
+           SELECT 'I', doc_id + 500000, text || ' fresh' FROM base
+           WHERE doc_id % 13 = 0),
+         applied AS (SELECT b.doc_id, b.text FROM base b
+             WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.doc_id = b.doc_id)
+           UNION ALL
+           SELECT doc_id, text FROM cl WHERE op <> 'D'),
+         st AS (
+           SELECT 'deleted' AS status, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+               AS n_tokens
+           FROM base WHERE doc_id % 11 = 0
+           UNION ALL
+           SELECT 'updated', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+           FROM applied WHERE doc_id < 500000
+             AND doc_id % 7 = 0 AND doc_id % 11 <> 0
+           UNION ALL
+           SELECT 'inserted', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+           FROM applied WHERE doc_id >= 500000
+           UNION ALL
+           SELECT 'kept', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+           FROM applied WHERE doc_id < 500000
+             AND NOT (doc_id % 7 = 0 AND doc_id % 11 <> 0))
+         SELECT status, n_docs, n_tokens FROM st ORDER BY status""",
     "io_manifest_prune" ->
       """WITH m AS (SELECT l_orderkey // 4096 AS frag,
              min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,

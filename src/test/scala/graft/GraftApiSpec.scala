@@ -1834,6 +1834,33 @@ class GraftApiSpec extends AnyFunSuite {
     assert(ok.shingles.count() === 3)
   }
 
+  test("applyCdc: delete/update/insert land, upsert is idempotent on a " +
+      "replayed changelog, unknown ops fail loudly") {
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("id", "body")
+    val cl = Seq(("D", 2L, null.asInstanceOf[String]),
+      ("U", 3L, "three-v2"), ("I", 9L, "nine"))
+      .toDF("op", "id", "body")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val applied = Graft.applyCdc(base, cl, "id")
+    assert(snap(applied) ===
+      Map(1L -> "one", 3L -> "three-v2", 9L -> "nine"))
+    // idempotence: replaying the same changelog over the applied
+    // snapshot is a no-op (D of a gone id, U/I payloads win again)
+    assert(snap(Graft.applyCdc(applied, cl, "id")) === snap(applied))
+    // unknown op raises through the projection — never a silent keep
+    val bad = Seq(("X", 1L, "boom")).toDF("op", "id", "body")
+    val e = intercept[Exception] {
+      Graft.applyCdc(base, bad, "id").collect()
+    }
+    assert(e.getMessage.contains("unknown op"),
+      s"expected the loud refusal: ${e.getMessage}")
+    // the audited identity the registered fixture pins: |applied| =
+    // |base| - deletes + inserts
+    assert(applied.count() === base.count() - 1 + 1)
+  }
+
   test("snapshotDiff: every status classified; token sides NULL when absent") {
     val oldSnap = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
       .toDF("id", "txt")
