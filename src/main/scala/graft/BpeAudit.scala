@@ -35,7 +35,10 @@ object BpeAudit {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     val words =
-      if (sfDir.startsWith("open")) {
+      // exact-match the sentinel (r18 advice): a real corpus directory
+      // whose PATH merely begins with "open" (./openwebtext) must read
+      // the corpus, not silently swap in the synthetic generator
+      if (sfDir == "open" || sfDir.startsWith("open:")) {
         val n = sfDir.split(":").lift(1).map(_.toInt).getOrElse(50000)
         operators.TextOps.openVocabWords(spark, n)
       } else Tables.documents(spark, sfDir)

@@ -1312,8 +1312,34 @@ object AggOps extends OpFamily {
         col("l_orderkey") * 10 + col("l_linenumber")),
       "l_quantity", "l_extendedprice", "rowkey")
 
+  /** ENFORCED exactness bound for the BIGINT rank-moment sums (r18
+    * verdict #5): doubled average ranks are ≤ 2n, so Σrx·ry ≤ 4n³ —
+    * exact in int64 only to n ≈ 1.3·10⁶ rows. Past that the sums
+    * would wrap SILENTLY (Spark sum(BIGINT) overflows without error
+    * under default ANSI-off arithmetic), so [[spearmanOn]] and
+    * [[kruskalWallisOn]] refuse LOUDLY instead: the guard rides
+    * inside the final projection (zero extra jobs — n is already
+    * aggregated) and fires on materialization. The lift past the
+    * bound is mechanical — cast rx/ry to decimal(38,0) before the
+    * moment sums (the covariance arithmetic downstream already runs
+    * in decimal(38,0)) — left out because it taxes the hot path for
+    * every caller below the bound; this refusal is the pointer.
+    */
+  private[graft] val MaxExactRankRows = 1300000L
+
+  private def rankMomentGuard(op: String, maxRows: Long)
+      : org.apache.spark.sql.Column =
+    when(col("n") > lit(maxRows), raise_error(concat(
+      lit(s"$op: n = "), col("n").cast("string"),
+      lit(s" rows exceeds the BIGINT rank-moment exactness bound " +
+        s"$maxRows (sum(rank_x * rank_y) <= 4n^3 must stay under 2^63)" +
+        " — lift the moment sums to decimal(38,0), see " +
+        "AggOps.MaxExactRankRows"))))
+      .otherwise(col("n")).as("n")
+
   private[graft] def spearmanOn(df: DataFrame, xCol: String,
-      yCol: String, idCol: String): DataFrame = {
+      yCol: String, idCol: String,
+      maxRows: Long = MaxExactRankRows): DataFrame = {
     // doubled average ranks of one column: (rowkey, r2) — rank blocks
     // come from min/max row_number per distinct milli-unit value
     def r2Of(vCol: String, out: String): DataFrame = {
@@ -1333,6 +1359,8 @@ object AggOps extends OpFamily {
         sum(col("rx") * col("rx")).as("sum_rxx"),
         sum(col("ry") * col("ry")).as("sum_ryy"),
         sum(col("rx") * col("ry")).as("sum_rxy"))
+      .select(rankMomentGuard("spearman", maxRows), col("sum_rx"),
+        col("sum_ry"), col("sum_rxx"), col("sum_ryy"), col("sum_rxy"))
       .selectExpr("n", "sum_rx", "sum_ry", "sum_rxx", "sum_ryy",
         "sum_rxy",
         """CAST(CAST(n AS DECIMAL(38,0)) * CAST(sum_rxy AS DECIMAL(38,0))
@@ -1365,7 +1393,8 @@ object AggOps extends OpFamily {
     kruskalWallisOn(Tables.events(s, d), "event_type", "value", "event_id")
 
   private[graft] def kruskalWallisOn(df: DataFrame, grpCol: String,
-      valCol: String, idCol: String): DataFrame = {
+      valCol: String, idCol: String,
+      maxRows: Long = MaxExactRankRows): DataFrame = {
     val f = df.select(col(grpCol).as("g"),
       floor(col(valCol) * 1000).cast("long").as("vu"),
       col(idCol).as("tie"))
@@ -1391,6 +1420,11 @@ object AggOps extends OpFamily {
         collect_list(struct(col("g"), col("n_g"), col("r2_g"))).as("gs"),
         sum(col("n_g")).as("n"), count(lit(1)).as("k"))
       .crossJoin(broadcast(ties)) // 1-row tie frame
+      // same refusal as spearman (the binding kruskal hazard is
+      // tie_sum = Σ(t³−t) ≤ n³ and the doubled rank sums r2_g ≤ 2n²·g;
+      // MaxExactRankRows is conservative for both)
+      .select(rankMomentGuard("kruskal_wallis", maxRows), col("k"),
+        col("tie_sum"), col("gs"))
       .selectExpr("n", "k", "tie_sum",
         """aggregate(array_sort(gs), CAST(0 AS DOUBLE),
              (acc, x) -> acc

@@ -150,6 +150,13 @@ object TextOps extends OpFamily {
     * control characters are legal inside a Spark string literal and
     * pass through unescaped. Adversarial round-trip property (tokens
     * containing `\`, `'`, `''`, newlines) in LlmOpsSpec.
+    *
+    * CONFIG DEPENDENCY (r18 advice): this escaping is correct only
+    * under the DEFAULT lexer (`spark.sql.parser.escapedStringLiterals
+    * = false`). Under the legacy config backslash is a literal
+    * character, so the doubled `\\` here would itself mis-parse. No
+    * graft session sets the legacy flag; a deployment that does must
+    * swap this for the legacy spelling (quote-doubling only).
     */
   private[graft] def sqlLit(x: String): String =
     x.replace("\\", "\\\\").replace("'", "\\'")

@@ -1016,6 +1016,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 2.0)
   }
 
+  test("rank moments: spearman and kruskal refuse loudly past the exactness bound") {
+    import spark.implicits._
+    // the real bound (4n³ ≤ 2⁶³ ⇒ n ≈ 1.3e6) is enforced by the same
+    // guard column; drive the code path with a tiny maxRows so the
+    // refusal is observed without ranking a megarow frame
+    assert(graft.operators.AggOps.MaxExactRankRows === 1300000L)
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble, (i * 3 % 7).toDouble))
+      .toDF("id", "x", "y")
+    val eS = intercept[Exception] {
+      graft.operators.AggOps.spearmanOn(df, "x", "y", "id", maxRows = 5L)
+        .collect()
+    }
+    assert(eS.getMessage.contains("rank-moment exactness bound"))
+    val gdf = (1 to 8).map(i => (if (i % 2 == 0) "A" else "B",
+      i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val eK = intercept[Exception] {
+      graft.operators.AggOps.kruskalWallisOn(gdf, "g", "v", "id",
+        maxRows = 5L).collect()
+    }
+    assert(eK.getMessage.contains("rank-moment exactness bound"))
+    // below the bound the same frames compute (guard is transparent)
+    assert(graft.operators.AggOps.spearmanOn(df, "x", "y", "id", maxRows = 8L)
+      .collect().head.getLong(0) === 8L)
+    assert(graft.operators.AggOps.kruskalWallisOn(gdf, "g", "v", "id",
+      maxRows = 8L).collect().head.getLong(0) === 8L)
+  }
+
   test("autocorr: alternating hourly counts give acf(1) = -0.75, acf(2) = 0.5") {
     import spark.implicits._
     // hourly counts [2,1,2,1]: c = 4x−6 = [2,−2,2,−2], den = 16;
