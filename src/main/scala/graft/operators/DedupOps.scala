@@ -485,33 +485,112 @@ object DedupOps extends OpFamily {
   private[graft] val DecisionExcessTau = 1250L
 
   /** DEDUP-INDEX COMPACTION DECISION — the registered monitor evidence
-    * for [[compactionDecisionOn]]: day 0 indexes every 10th original
-    * (a deliberately small base, so the frozen frequency order covers
-    * only ~10% of the corpus), the other 90% of originals APPEND
-    * (every shingle unseen at build time ranks f = 0 — the maximally
-    * drifted LSM state), and the planted truncations probe the
-    * appended index and its compacted twin. The one-row report is the
-    * dashboard a rollout reads on the LSM cadence; its `decision`
-    * column is what [[graft.api.Graft.compactDedupIndex]]'s scaladoc
-    * used to leave as prose. Content-addressed build-once artifact
-    * (pure function of the corpus version). Fully oracle-checked:
-    * DuckDB replays the md5-prefix shingle hashes, BOTH frequency
-    * orders, both prefix-candidate joins, and the exact verify.
+    * for [[compactionDecisionOn]], graded against TWO fixture shapes so
+    * the keep→compact threshold is evidenced by a fixture on EACH side
+    * of it (r18 verdict #6):
+    *
+    *   - `drift90` (heavy): day 0 indexes every 10th original — the
+    *     frozen frequency order covers only ~10% of the corpus — and
+    *     the other 90% APPEND (every shingle unseen at build time
+    *     ranks f = 0, the maximally drifted LSM state) → excess far
+    *     above [[DecisionExcessTau]] → `compact`;
+    *   - `drift30` (moderate): day 0 indexes originals with
+    *     doc_id % 10 < 7 (~70% of the corpus — the frozen order is
+    *     mostly representative) and only ~30% append → excess under
+    *     the threshold → `keep` at the gate SFs (1208‰ at sf0.001,
+    *     1041‰ at sf0.01).
+    *
+    * The excess is NOT scale-invariant — each appended doc contributes
+    * its own novel vocabulary, all ranking f = 0 under the frozen
+    * order, so candidate excess ACCUMULATES with corpus size (drift90:
+    * 1375‰ → 3997‰ from sf0.001 to sf0.1; drift30 crosses the
+    * threshold at sf0.1 with 1907‰). That is the measured reason the
+    * monitor runs on a cadence instead of being tuned once: the same
+    * appended FRACTION costs more as the corpus grows.
+    *
+    * Both arms share the probe batch (the planted truncations), the
+    * accumulated index contents (ALL originals — only the ORDER the
+    * prefixes were computed under differs), and therefore the compacted
+    * twin's candidate count and the verified pair count; what separates
+    * the rows is exactly the physics the monitor measures — how much
+    * candidate selectivity the frozen order lost. Two-row report
+    * (arm, counts, permilles, decision), the dashboard a rollout reads
+    * on the LSM cadence. Content-addressed build-once artifact (pure
+    * function of the corpus version). Fully oracle-checked: DuckDB
+    * replays the md5-prefix shingle hashes, all three frequency orders
+    * (two frozen arms + compacted), every prefix-candidate join, and
+    * the exact verify.
     */
   def dedupIndexDecision(s: SparkSession, d: String): DataFrame =
     ArtifactCache.readOrBuild(s,
       ArtifactCache.dir(s, d, "documents", "graft_pairs",
-        "index_decision_tau30@r1")) {
+        "index_decision_tau30@r2")) {
       val corpus = withNearDupes(s, d)
-      val orig = corpus.filter(col("doc_id") < PlantBase)
-      val shBase = mdBlockShingles(orig.filter(col("doc_id") % 10 === 0))
-      val shApp = mdBlockShingles(orig.filter(col("doc_id") % 10 =!= 0))
+      // shingle the originals ONCE (mdBlockShingles pins); each arm only
+      // re-splits the pinned frame by its base predicate
+      val shOrig = mdBlockShingles(corpus.filter(col("doc_id") < PlantBase))
       val shProbe =
         mdBlockShingles(corpus.filter(col("doc_id") >= 2 * PlantBase))
-      val partsApp = appendIndexFromShingles(
-        indexTablesFromShingles(shBase, 0.3).toMap, shApp, 0.3).toMap
-      compactionDecisionOn(partsApp, shProbe, 0.3, DecisionExcessTau)
-    }
+      DecisionArms.map { case (arm, basePred) =>
+        val partsApp = appendIndexFromShingles(
+          indexTablesFromShingles(shOrig.filter(expr(basePred)), 0.3).toMap,
+          shOrig.filter(!expr(basePred)), 0.3).toMap
+        compactionDecisionOn(partsApp, shProbe, 0.3, DecisionExcessTau)
+          .select(lit(arm).as("arm"), col("*"))
+      }.reduce(_ unionByName _)
+    }.orderBy(col("arm"))
+
+  /** The two decision-fixture arms: (name, day-0 base predicate over
+    * the originals) as SQL text — interpolated verbatim into BOTH
+    * engines (Spark via expr(), DuckDB via the oracle generator), so
+    * the split definition cannot diverge between them. */
+  private[graft] val DecisionArms: Seq[(String, String)] = Seq(
+    ("drift30", "doc_id % 10 < 7"),
+    ("drift90", "doc_id % 10 = 0"))
+
+  /** One arm's oracle CTE block: the frozen day-0 frequency order
+    * (fb_arm over the arm's base split), index and probe prefix keys
+    * under it, and the appended-arm candidate count. Shared upstream
+    * CTEs (idx/probe/ei/ep) come from the main oracle body. */
+  private def decisionArmSql(arm: String, pred: String): String =
+    s"""fb_$arm AS (SELECT lang, source, h, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT lang, source, unnest(sh) AS h
+                 FROM idx WHERE $pred)
+           GROUP BY lang, source, h),
+         pia_$arm AS (SELECT doc_id, lang, source, n, h AS pk FROM (
+             SELECT e.*, row_number() OVER (PARTITION BY e.doc_id
+               ORDER BY coalesce(fb.f, 0), e.h) AS rn
+             FROM ei e LEFT JOIN fb_$arm fb ON e.lang = fb.lang
+               AND e.source = fb.source AND e.h = fb.h)
+           WHERE rn <= n - CAST(ceil(n * 0.3 - 1e-6) AS BIGINT) + 1),
+         ppa_$arm AS (SELECT doc_id, lang, source, n, h AS pk FROM (
+             SELECT e.*, row_number() OVER (PARTITION BY e.doc_id
+               ORDER BY coalesce(fb.f, 0), e.h) AS rn
+             FROM ep e LEFT JOIN fb_$arm fb ON e.lang = fb.lang
+               AND e.source = fb.source AND e.h = fb.h)
+           WHERE rn <= n - CAST(ceil(n * 0.3 - 1e-6) AS BIGINT) + 1),
+         ca_$arm AS (SELECT CAST(count(*) AS BIGINT)
+             AS n_candidates_appended
+           FROM (SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
+             FROM ppa_$arm p JOIN pia_$arm i ON p.lang = i.lang
+               AND p.source = i.source AND p.pk = i.pk
+             WHERE CAST(least(p.n, i.n) AS DOUBLE)
+               >= greatest(p.n, i.n) * 0.3 - 1e-6))"""
+
+  /** One arm's final report row over its ca_arm and the shared cc/vv. */
+  private def decisionRowSql(arm: String): String =
+    s"""SELECT '$arm' AS arm, n_candidates_appended,
+             n_candidates_compacted, n_verified,
+             n_verified * 1000 // greatest(n_candidates_appended, 1)
+               AS sel_appended_permille,
+             n_verified * 1000 // greatest(n_candidates_compacted, 1)
+               AS sel_compacted_permille,
+             n_candidates_appended * 1000
+               // greatest(n_candidates_compacted, 1) AS excess_permille,
+             CASE WHEN n_candidates_appended * 1000
+                 // greatest(n_candidates_compacted, 1) > $DecisionExcessTau
+               THEN 'compact' ELSE 'keep' END AS decision
+           FROM ca_$arm, cc, vv"""
 
   /** The incremental core: (new_id, matched_id, jaccard) for every
     * incoming×index pair with J ≥ tau — NEVER any incoming×incoming or
@@ -652,6 +731,82 @@ object DedupOps extends OpFamily {
       "freq" -> parts("freq"),
       "prefix" -> drop(parts("prefix")))
     parts.get("buckets").fold(base)(b => base :+ ("buckets" -> drop(b)))
+  }
+
+  /** SNAPSHOT ADVANCE — the daily corpus job as ONE composition (r18
+    * verdict #1), because the composition is where contract bugs hide,
+    * not the pieces: diff the snapshots, advance the snapshot store,
+    * and advance the dedup index through expire-BEFORE-probe-BEFORE-
+    * append (a changed doc needs its OLD version expired before its
+    * new version probes, or it would match itself; append must come
+    * LAST or the batch would match its own survivors):
+    *
+    *   1. [[IoOps.snapshotDiffOn]](old, new) — per-id status;
+    *   2. CDC changelog (D = removed, U = changed, I = added, payload
+    *      = the NEW snapshot's rows) folded by [[IoOps.applyCdcOn]]
+    *      into the old snapshot — `applied` is row-for-row the new
+    *      snapshot (property-pinned), the store's advance;
+    *   3. EXPIRE removed ∪ changed from the index (changed docs need
+    *      expire + re-append, not update-in-place — there is no
+    *      in-place under content-addressed index versions);
+    *   4. PROBE the ingest batch (added ∪ changed, NEW text) against
+    *      the post-expire index — exact ≥ τ matches, batch-bounded;
+    *   5. APPEND the survivors (batch docs with no match).
+    *
+    * Returns the stage frames under their names (diff / applied /
+    * tombstones / matches / survivors) PLUS the advanced index tables
+    * under the standard keys (shingles / freq / prefix / [buckets]),
+    * so the result drops into every probe/compact consumer unchanged.
+    * Probes of the advanced index are EXACTLY a fresh rebuild's over
+    * (unchanged ∪ survivors) — the prefix theorem under the frozen
+    * shared order, property-pinned in PrefixJoinSpec. Batch-internal
+    * near-dups are out of scope by design (probe is batch×index; the
+    * pipeline_corpus greedy rule is the batch-internal pass).
+    *
+    * Scale shape: one full-outer id join (diff), one anti-join + union
+    * (apply), one anti-join per index table (expire), a batch-bounded
+    * prefix probe, and row-merge appends — no stage rescans the index
+    * beyond its single anti-join, no pair join anywhere outside the
+    * probe's candidate-verify.
+    */
+  private[graft] def advanceSnapshotTables(parts: Map[String, DataFrame],
+      oldSnap: DataFrame, newSnap: DataFrame, tau: Double)
+      : Map[String, DataFrame] = {
+    val diff = IoOps.snapshotDiffOn(oldSnap, newSnap, "doc_id", "text")
+      .localCheckpoint() // consumers: changelog, tombstones, batch, report
+    val st = diff.select(col("doc_id"), col("status"))
+    // payload rows come from the NEW snapshot (U/I carry new text); D
+    // rows carry the old row only for schema alignment — applyCdc drops
+    // them before the union
+    val changelog = newSnap
+      .join(st.filter(col("status").isin("added", "changed")), Seq("doc_id"))
+      .select(when(col("status") === "added", lit("I")).otherwise(lit("U"))
+          .as("op"),
+        col("doc_id"), col("lang"), col("source"), col("text"))
+      .unionByName(oldSnap
+        .join(st.filter(col("status") === "removed"), Seq("doc_id"),
+          "left_semi")
+        .select(lit("D").as("op"), col("doc_id"), col("lang"),
+          col("source"), col("text")))
+    val applied = IoOps.applyCdcOn(oldSnap, changelog, "doc_id", "op")
+    val tombstones = st.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val partsExp = expireDedupIndexTables(parts, tombstones).toMap
+    val batch = newSnap
+      .join(st.filter(col("status").isin("added", "changed")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .localCheckpoint() // consumers: probe, survivor split, append
+    val matches = incrementalNearDupsProbe(partsExp("shingles"),
+        partsExp("freq"), partsExp("prefix"), batch, tau)
+      .localCheckpoint() // consumers: survivor split, report
+    val survivors = batch
+      .join(matches.select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint() // consumers: append, report
+    val partsAdv = appendDedupIndexTables(partsExp, survivors, tau).toMap
+    partsAdv ++ Map("diff" -> diff, "applied" -> applied,
+      "tombstones" -> tombstones, "matches" -> matches,
+      "survivors" -> survivors)
   }
 
   /** COMPACTION DECISION — the monitor that closes the dedup-LSM loop
@@ -1648,11 +1803,16 @@ object DedupOps extends OpFamily {
          ORDER BY new_id, matched_id""",
     "dedup_index_decision" ->
       // full replay of the order-dependent candidate counts: md5-prefix
-      // shingle hashes, per-block frequency under BOTH orders (fb =
-      // frozen day-0 base, fc = compacted full corpus), per-doc prefix
-      // keys under each (rank by (f, h), keep n - ceil(0.3n - 1e-6) + 1),
-      // probe-side prefix joins per arm, brute-force exact verify, and
-      // the engine's integer permille/verdict arithmetic
+      // shingle hashes, per-block frequency under all THREE orders (one
+      // frozen day-0 base per arm + fc = compacted full corpus), per-doc
+      // prefix keys under each (rank by (f, h), keep
+      // n - ceil(0.3n - 1e-6) + 1), probe-side prefix joins per arm,
+      // brute-force exact verify, and the engine's integer
+      // permille/verdict arithmetic. Arm base predicates interpolate
+      // from the SAME DecisionArms list the engine reads. The compacted
+      // side (fc/pic/ppc/cc) and the verify (vv) are shared: both arms
+      // accumulate the identical index CONTENTS — only the order the
+      // prefixes were computed under differs.
       graft.operators.SimOps.materializeCtes(s"""
          WITH corpus AS ($planted),
          shm AS (SELECT doc_id, lang, source,
@@ -1661,15 +1821,8 @@ object DedupOps extends OpFamily {
                  || w[i+2]), 1, 10))::BIGINT))) AS sh
            FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
                  FROM corpus)),
-         base AS (SELECT * FROM shm
-           WHERE doc_id < 100000 AND doc_id % 10 = 0),
-         app AS (SELECT * FROM shm
-           WHERE doc_id < 100000 AND doc_id % 10 <> 0),
-         idx AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+         idx AS (SELECT * FROM shm WHERE doc_id < 100000),
          probe AS (SELECT * FROM shm WHERE doc_id >= 200000),
-         fb AS (SELECT lang, source, h, CAST(count(*) AS BIGINT) AS f
-           FROM (SELECT lang, source, unnest(sh) AS h FROM base)
-           GROUP BY lang, source, h),
          fc AS (SELECT lang, source, h, CAST(count(*) AS BIGINT) AS f
            FROM (SELECT lang, source, unnest(sh) AS h FROM idx)
            GROUP BY lang, source, h),
@@ -1677,23 +1830,11 @@ object DedupOps extends OpFamily {
            FROM idx),
          ep AS (SELECT doc_id, lang, source, len(sh) AS n, unnest(sh) AS h
            FROM probe),
-         pia AS (SELECT doc_id, lang, source, n, h AS pk FROM (
-             SELECT e.*, row_number() OVER (PARTITION BY e.doc_id
-               ORDER BY coalesce(fb.f, 0), e.h) AS rn
-             FROM ei e LEFT JOIN fb ON e.lang = fb.lang
-               AND e.source = fb.source AND e.h = fb.h)
-           WHERE rn <= n - CAST(ceil(n * 0.3 - 1e-6) AS BIGINT) + 1),
          pic AS (SELECT doc_id, lang, source, n, h AS pk FROM (
              SELECT e.*, row_number() OVER (PARTITION BY e.doc_id
                ORDER BY coalesce(fc.f, 0), e.h) AS rn
              FROM ei e LEFT JOIN fc ON e.lang = fc.lang
                AND e.source = fc.source AND e.h = fc.h)
-           WHERE rn <= n - CAST(ceil(n * 0.3 - 1e-6) AS BIGINT) + 1),
-         ppa AS (SELECT doc_id, lang, source, n, h AS pk FROM (
-             SELECT e.*, row_number() OVER (PARTITION BY e.doc_id
-               ORDER BY coalesce(fb.f, 0), e.h) AS rn
-             FROM ep e LEFT JOIN fb ON e.lang = fb.lang
-               AND e.source = fb.source AND e.h = fb.h)
            WHERE rn <= n - CAST(ceil(n * 0.3 - 1e-6) AS BIGINT) + 1),
          ppc AS (SELECT doc_id, lang, source, n, h AS pk FROM (
              SELECT e.*, row_number() OVER (PARTITION BY e.doc_id
@@ -1701,12 +1842,6 @@ object DedupOps extends OpFamily {
              FROM ep e LEFT JOIN fc ON e.lang = fc.lang
                AND e.source = fc.source AND e.h = fc.h)
            WHERE rn <= n - CAST(ceil(n * 0.3 - 1e-6) AS BIGINT) + 1),
-         ca AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates_appended
-           FROM (SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
-             FROM ppa p JOIN pia i ON p.lang = i.lang
-               AND p.source = i.source AND p.pk = i.pk
-             WHERE CAST(least(p.n, i.n) AS DOUBLE)
-               >= greatest(p.n, i.n) * 0.3 - 1e-6)),
          cc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates_compacted
            FROM (SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
              FROM ppc p JOIN pic i ON p.lang = i.lang
@@ -1717,18 +1852,13 @@ object DedupOps extends OpFamily {
            FROM probe n JOIN idx i
              ON n.lang = i.lang AND n.source = i.source
            WHERE CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.3)
-         SELECT n_candidates_appended, n_candidates_compacted, n_verified,
-           n_verified * 1000 // greatest(n_candidates_appended, 1)
-             AS sel_appended_permille,
-           n_verified * 1000 // greatest(n_candidates_compacted, 1)
-             AS sel_compacted_permille,
-           n_candidates_appended * 1000
-             // greatest(n_candidates_compacted, 1) AS excess_permille,
-           CASE WHEN n_candidates_appended * 1000
-               // greatest(n_candidates_compacted, 1) > $DecisionExcessTau
-             THEN 'compact' ELSE 'keep' END AS decision
-         FROM ca, cc, vv"""),
+               / len(list_distinct(list_concat(n.sh, i.sh))) >= 0.3),
+         ${DecisionArms.map { case (a, p) => decisionArmSql(a, p) }
+          .mkString(",\n         ")}
+         SELECT * FROM (
+           ${DecisionArms.map { case (a, _) => decisionRowSql(a) }
+            .mkString("\n           UNION ALL\n           ")})
+         ORDER BY arm"""),
     "dedup_index_expire" ->
       // surviving index docs = originals with doc_id % 3 <> 0; the
       // truncations (>= 200000) probe brute-force against exactly them

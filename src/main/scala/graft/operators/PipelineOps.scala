@@ -305,11 +305,99 @@ object PipelineOps extends OpFamily {
       .orderBy(col("verdict"))
   }
 
+  /** SNAPSHOT-ADVANCE PIPELINE — the daily corpus job, registered as
+    * ONE composition (r18 verdict #1):
+    * [[graft.operators.IoOps.snapshotDiffOn]] → CDC apply →
+    * index expire(removed ∪ changed) → probe(added ∪ changed) →
+    * append(survivors), via
+    * [[graft.operators.DedupOps.advanceSnapshotTables]] (also the
+    * [[graft.api.Graft.advanceSnapshot]] core — ordering rationale and
+    * scale shape documented there). The report is the per-stage
+    * doc/token funnel an operator audits after every advance:
+    *
+    *   1_old / 2_new — the snapshots; 3_diff_* — the classification
+    *   (tokens counted on the side the status is ABOUT: old for
+    *   removed, new otherwise); 4_applied — the advanced store
+    *   (row-identical to 2_new, the applyCdc invariant, visible right
+    *   in the report); 5_expired — tombstoned index docs (old text);
+    *   6_rejected — batch docs with a ≥ τ match in the post-expire
+    *   index (the planted truncations finding their stable originals);
+    *   7_appended — the survivors; 8_index — the advanced index's
+    *   holdings (= old − expired + appended, the LSM balance a
+    *   monitor asserts).
+    *
+    * Fixture: old = ids % 13 ≠ 0; new = ids % 11 ≠ 0 with % 7 = 0
+    * re-crawled (" v2") — the io_snapshot_diff membership/content
+    * splits — PLUS planted truncations (+200000) of stable originals
+    * (% 5 = 0, untouched by the other splits), so the probe stage has
+    * true near-dup work to reject. Content-addressed build-once
+    * artifact; fully oracle-checked (statuses, the applied set, the
+    * brute-force ≥ 0.3 probe against exactly the surviving index docs,
+    * and every rollup).
+    */
+  def snapshotAdvance(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(s, d, "documents", "graft_pairs",
+        "snapshot_advance_tau30@r1")) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val toks = split(col("text"), " ")
+      val oldSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .localCheckpoint() // index build + diff + expired/index stages
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0
+            && col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0
+            && col("doc_id") % 13 =!= 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("lang"),
+            col("source"),
+            concat_ws(" ", slice(toks, lit(1),
+              greatest(size(toks) - 5, lit(1)))).as("text")))
+        .localCheckpoint() // diff + batch + new stage
+      val adv = DedupOps.advanceSnapshotTables(
+        DedupOps.dedupIndexTables(oldSnap, 0.3).toMap,
+        oldSnap, newSnap, 0.3)
+      def tok(c: Column) = size(split(c, " ")).cast("long")
+      def stageOf(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(tok(col("text"))), lit(0L)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      val diffStages = adv("diff").groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("status") === "removed", col("tok_old"))
+            .otherwise(col("tok_new"))), lit(0L)).as("n_tokens"))
+        .select(concat(lit("3_diff_"), col("status")).as("stage"),
+          col("n_docs"), col("n_tokens"))
+      val batch = newSnap.join(adv("diff")
+          .filter(col("status").isin("added", "changed"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val rejected = batch.join(adv("matches")
+        .select(col("new_id").as("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+      val expired = oldSnap.join(adv("tombstones"), Seq("doc_id"),
+        "left_semi")
+      val indexDocs = oldSnap.join(adv("tombstones"), Seq("doc_id"),
+          "left_anti")
+        .unionByName(adv("survivors"))
+      Seq(stageOf("1_old", oldSnap), stageOf("2_new", newSnap))
+        .reduce(_ unionByName _)
+        .unionByName(diffStages)
+        .unionByName(Seq(
+          stageOf("4_applied", adv("applied")),
+          stageOf("5_expired", expired),
+          stageOf("6_rejected", rejected),
+          stageOf("7_appended", adv("survivors")),
+          stageOf("8_index", indexDocs)).reduce(_ unionByName _))
+    }.orderBy(col("stage"))
+
   val queries = Map(
     "pipeline_corpus" -> (corpusPipeline _),
     "pipeline_linkage" -> (linkageEntities _),
     "pipeline_ingest" -> (pipelineIngest _),
     "pipeline_vector_ingest" -> (vectorIngest _),
+    "pipeline_snapshot_advance" -> (snapshotAdvance _),
     "pipeline_funnel" -> (pipelineFunnel _))
 
   // the shared five-stage CTE chain, mirroring [[stages]]: the planted
@@ -348,6 +436,99 @@ object PipelineOps extends OpFamily {
          WHERE ((s.doc_id % 1000) * 503) % 1000 < r.rate)"""
 
   val oracle = Map(
+    "pipeline_snapshot_advance" ->
+      // full replay: membership/content diff (io_snapshot_diff's
+      // comparator), CDC apply (anti changelog ids ∪ U/I payloads),
+      // post-expire index = the status-unchanged olds, brute-force
+      // exact ≥ 0.3 probe of the batch against exactly them, survivor
+      // split, and every per-stage rollup
+      """WITH docs AS (SELECT doc_id, lang, source, text FROM documents),
+         olds AS (SELECT * FROM docs WHERE doc_id % 13 <> 0),
+         news AS (
+           SELECT doc_id, lang, source,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                    ELSE text END AS text
+             FROM docs WHERE doc_id % 11 <> 0
+           UNION ALL
+           SELECT doc_id + 200000, lang, source,
+               array_to_string(w[1:greatest(len(w) - 5, 1)], ' ')
+             FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                   FROM docs)
+             WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 AND doc_id % 11 <> 0
+               AND doc_id % 13 <> 0),
+         dif AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN NOT (md5(o.text) IS NOT DISTINCT FROM md5(n.text))
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             CAST(len(string_split(o.text, ' ')) AS BIGINT) AS tok_old,
+             CAST(len(string_split(n.text, ' ')) AS BIGINT) AS tok_new
+           FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id),
+         applied AS (SELECT b.* FROM olds b JOIN dif d
+             ON b.doc_id = d.doc_id AND d.status = 'unchanged'
+           UNION ALL
+           SELECT n.* FROM news n JOIN dif d ON n.doc_id = d.doc_id
+           WHERE d.status IN ('added', 'changed')),
+         sidx AS (SELECT o.* FROM olds o JOIN dif d
+           ON o.doc_id = d.doc_id AND d.status = 'unchanged'),
+         batch AS (SELECT n.* FROM news n JOIN dif d
+           ON n.doc_id = d.doc_id
+           WHERE d.status IN ('added', 'changed')),
+         shi AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM sidx)),
+         shb AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                 FROM batch)),
+         mt AS (SELECT DISTINCT b.doc_id FROM shb b JOIN shi i
+             ON b.lang = i.lang AND b.source = i.source
+           WHERE CAST(len(list_intersect(b.sh, i.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(b.sh, i.sh))) >= 0.3),
+         surv AS (SELECT * FROM batch
+           WHERE doc_id NOT IN (SELECT doc_id FROM mt)),
+         idxf AS (SELECT * FROM sidx UNION ALL SELECT * FROM surv),
+         st AS (
+           SELECT '1_old' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+               AS n_tokens
+           FROM olds
+           UNION ALL
+           SELECT '2_new', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+           FROM news
+           UNION ALL
+           SELECT '3_diff_' || status, CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(CASE WHEN status = 'removed' THEN tok_old
+               ELSE tok_new END), 0) AS BIGINT)
+           FROM dif GROUP BY status
+           UNION ALL
+           SELECT '4_applied', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+           FROM applied
+           UNION ALL
+           SELECT '5_expired', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(string_split(o.text, ' '))), 0)
+               AS BIGINT)
+           FROM olds o JOIN dif d ON o.doc_id = d.doc_id
+           WHERE d.status IN ('removed', 'changed')
+           UNION ALL
+           SELECT '6_rejected', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+           FROM batch WHERE doc_id IN (SELECT doc_id FROM mt)
+           UNION ALL
+           SELECT '7_appended', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+           FROM surv
+           UNION ALL
+           SELECT '8_index', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+           FROM idxf)
+         SELECT stage, n_docs, n_tokens FROM st ORDER BY stage""",
     "pipeline_vector_ingest" -> SimOps.materializeCtes(
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings WHERE vec_id % 2 = 0),

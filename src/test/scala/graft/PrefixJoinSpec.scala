@@ -389,6 +389,82 @@ class PrefixJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot advance: applied == new snapshot; advanced index probes " +
+      "exactly like a fresh rebuild on (unchanged + survivors)") {
+    val corpus = mutationCorpus
+    val old = corpus.filter(col("doc_id") < 120)
+    // new snapshot: % 9 = 0 removed, % 5 = 0 re-crawled with new text,
+    // ids >= 120 added, plus planted truncations of stable docs so the
+    // probe stage has true near-dup work
+    val toks = split(col("text"), " ")
+    val newSnap = old.filter(col("doc_id") % 9 =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(corpus.filter(col("doc_id") >= 120))
+      .unionByName(old.filter(col("doc_id") % 4 === 1
+          && col("doc_id") % 5 =!= 0 && col("doc_id") % 9 =!= 0)
+        .select((col("doc_id") + 5000L).as("doc_id"), col("lang"),
+          col("source"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 3)).as("text")))
+    val adv = DedupOps.advanceSnapshotTables(
+      DedupOps.dedupIndexTables(old, 0.3).toMap, old, newSnap, 0.3)
+    // the applyCdc invariant: the advanced store IS the new snapshot
+    def rowsOf(df: DataFrame) = df.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowsOf(adv("applied")) === rowsOf(newSnap))
+    // probe-equivalence to a fresh rebuild over (unchanged ∪ survivors)
+    val unchanged = old.filter(col("doc_id") % 9 =!= 0
+      && col("doc_id") % 5 =!= 0)
+    val rebuilt = DedupOps.dedupIndexTables(
+      unchanged.unionByName(adv("survivors")), 0.3).toMap
+    val recrawl = corpus.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("lang"),
+        col("source"), col("text"))
+    val got = probeTriple(adv, recrawl, 0.3)
+    assert(got === probeTriple(rebuilt, recrawl, 0.3))
+    assert(got.nonEmpty, "recrawl must find matches in the advanced index")
+    // the stage contracts: matches exist (planted truncations caught),
+    // no survivor appears in the match ledger, and the tombstones are
+    // exactly the removed ∪ changed ids
+    val matchedIds = adv("matches").select(col("new_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(matchedIds.nonEmpty, "planted truncations must be rejected")
+    val survivorIds = adv("survivors").select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(matchedIds.intersect(survivorIds).isEmpty)
+    val tombIds = adv("tombstones").collect().map(_.getLong(0)).toSet
+    val wantTombs = (0L until 120L)
+      .filter(i => i % 9 == 0 || i % 5 == 0).toSet
+    assert(tombIds === wantTombs)
+  }
+
+  test("decision fixture arms straddle the keep-to-compact threshold") {
+    val rows = DedupOps.dedupIndexDecision(TestSpark.spark, TestSpark.sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("drift30", "drift90"))
+    val byArm = rows.map(r => r.getString(0) -> r).toMap
+    // one fixture on EACH side of DecisionExcessTau (r18 verdict #6)
+    assert(byArm("drift90").getAs[String]("decision") === "compact")
+    assert(byArm("drift30").getAs[String]("decision") === "keep")
+    // shared physics: both arms accumulate identical index CONTENTS, so
+    // the compacted twin's candidates and the verified pairs agree —
+    // only the frozen-order candidate EXCESS separates the rows
+    assert(byArm("drift30").getAs[Long]("n_candidates_compacted") ===
+      byArm("drift90").getAs[Long]("n_candidates_compacted"))
+    assert(byArm("drift30").getAs[Long]("n_verified") ===
+      byArm("drift90").getAs[Long]("n_verified"))
+    assert(byArm("drift90").getAs[Long]("excess_permille") >
+      byArm("drift30").getAs[Long]("excess_permille"))
+    // candidates are always a superset of the verified pairs, per arm
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_candidates_appended") >=
+        r.getAs[Long]("n_verified"))
+      assert(r.getAs[Long]("n_candidates_compacted") >=
+        r.getAs[Long]("n_verified"))
+    }
+  }
+
   test("candidate count is far below n(n-1)/2 on a single hot block") {
     val corpus = headerCorpus
     val n = corpus.count()
