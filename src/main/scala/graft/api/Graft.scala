@@ -191,7 +191,7 @@ object Graft {
     * restores it ([[dedupCompactionDecision]] measures when).
     */
   def appendToDedupIndex(index: DedupIndex, batchSurvivors: DataFrame,
-      id: String, text: String): DedupIndex = {
+      id: String, text: String, checkDisjoint: Boolean = true): DedupIndex = {
     val shaped = shapedCorpus(batchSurvivors, id, text, index.blockCols)
     // ENFORCED contract (r17 verdict #4): a re-appended id would
     // silently duplicate its shingle/prefix rows and inflate every
@@ -199,15 +199,23 @@ object Graft {
     // One semi-join, short-circuited at the first hit: batch ids are
     // the build side, the index's per-doc table streams, so the check
     // is one bounded pass and finds a violation without draining it.
-    val clash = shaped.select(col("doc_id"))
-      .join(index.shingles.select(col("doc_id")), Seq("doc_id"),
-        "left_semi")
-      .limit(1).collect()
-    require(clash.isEmpty,
-      s"appendToDedupIndex: batch doc id ${clash.head.get(0)} already " +
-        "exists in the index — batch ids must be disjoint (probe first " +
-        "and append only the survivors; re-embedding/replacing a doc " +
-        "means expireFromDedupIndex then append)")
+    // `checkDisjoint = false` (r18 advice) is the opt-out for hot
+    // ingest paths whose ids are disjoint BY CONSTRUCTION (fresh
+    // monotonic ids, a probe-then-append loop) — the check is an eager
+    // blocking scan of the per-doc table, a real per-append latency on
+    // a large index, and pure insurance when the caller already
+    // guarantees the contract.
+    if (checkDisjoint) {
+      val clash = shaped.select(col("doc_id"))
+        .join(index.shingles.select(col("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendToDedupIndex: batch doc id ${clash.head.get(0)} already " +
+          "exists in the index — batch ids must be disjoint (probe first " +
+          "and append only the survivors; re-embedding/replacing a doc " +
+          "means expireFromDedupIndex then append)")
+    }
     val m = graft.operators.DedupOps.appendDedupIndexTables(
       index.tables, shaped, index.threshold).toMap
     index.copy(shingles = m("shingles"), freq = m("freq"),
@@ -277,6 +285,42 @@ object Graft {
       graft.operators.DedupOps.blockShingles(
         shapedCorpus(probe, id, text, index.blockCols)),
       index.threshold, excessTauPermille)
+
+  /** SNAPSHOT ADVANCE — the daily job as one call: diff the corpus
+    * snapshots, advance the snapshot store by CDC merge, and advance
+    * this index through expire(removed ∪ changed) → probe(added ∪
+    * changed, new text) → append(survivors) — the stage ORDER is the
+    * contract (a changed doc's old version must expire before its new
+    * version probes; append must come last), which is exactly why the
+    * composition ships as one operator instead of five calls every
+    * pipeline re-derives. Returns the advanced index (persist as a new
+    * content-addressed version, as with every index mutation) plus the
+    * stage frames: `diff` (per-id status), `applied` (the advanced
+    * snapshot — row-for-row the new snapshot, the applyCdc invariant),
+    * `matches` (the probe ledger: batch docs rejected as near-dups of
+    * surviving index content), `appended` (the survivors folded in).
+    * Frames are in the index's shaped space (doc_id / lang / source /
+    * text per the index's blockCols). The advanced index probes
+    * EXACTLY like a fresh [[buildDedupIndex]] over (unchanged ∪
+    * appended) — property-pinned in PrefixJoinSpec; the registered
+    * pipeline_snapshot_advance query is the oracle-checked per-stage
+    * funnel over this core. Scale shape documented at the operator
+    * layer (DedupOps.advanceSnapshotTables): one full-outer id join,
+    * one anti-join per table, a batch-bounded probe — no stage rescans
+    * the index.
+    */
+  def advanceSnapshot(index: DedupIndex, oldSnap: DataFrame,
+      newSnap: DataFrame, id: String, text: String): SnapshotAdvance = {
+    val adv = graft.operators.DedupOps.advanceSnapshotTables(
+      index.tables,
+      shapedCorpus(oldSnap, id, text, index.blockCols),
+      shapedCorpus(newSnap, id, text, index.blockCols),
+      index.threshold)
+    SnapshotAdvance(
+      index.copy(shingles = adv("shingles"), freq = adv("freq"),
+        prefix = adv("prefix"), buckets = adv.get("buckets")),
+      adv("diff"), adv("applied"), adv("matches"), adv("survivors"))
+  }
 
   /** Asymmetric CONTAINMENT pairs: every ordered pair (a, b) where at
     * least `threshold` of a's shingles appear in b — the quote/subset/
@@ -1528,6 +1572,19 @@ object Graft {
       k: Int = 5): DataFrame = {
     require(mDims >= 1, s"mDims must be >= 1: $mDims")
     val s = df.sparkSession
+    // upper bound too (r18 advice): slice(vec, 1, m) with m beyond the
+    // vector length silently returns the full vector, so a typo'd budget
+    // (160 on a 64-dim corpus) would report full-dim results as if the
+    // budget applied. One sampled row bounds the check (the
+    // appendToDedupIndex limit(1) idiom) — per-row enforcement would tax
+    // the whole build for a knob mistake visible on any row.
+    val sampledDim = df.select(size(col(vecCol)).as("n")).limit(1).collect()
+    sampledDim.headOption.foreach { r =>
+      require(mDims <= r.getInt(0),
+        s"knnIvfPrefix: mDims = $mDims exceeds the vectors' " +
+          s"dimensionality ${r.getInt(0)} — the slice would silently be " +
+          "a full-dim no-op; pass mDims <= dim (or omit the prefix path)")
+    }
     val shaped = df.select(col(idCol).as("vec_id"),
       transform(slice(col(vecCol), 1, mDims), _.cast("double")).as("v"))
     val (cells, centroids) = graft.operators.SimOps.lloydCellsOn(s,
@@ -1721,6 +1778,31 @@ object Graft {
   def oodFilter(baseCells: DataFrame, baseCentroids: DataFrame,
       incoming: DataFrame, idCol: String, vecCol: String): DataFrame =
     graft.operators.SimOps.oodFlagsOn(baseCells.sparkSession, baseCells,
+      baseCentroids,
+      incoming.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v")))
+
+  /** QUARANTINE RE-ADMISSION — closes the admission loop the way
+    * [[recenterIvf]] closes the drift loop: gate `incoming` with the
+    * OLD radii ([[oodFilter]]'s rule), recenter the index with ONLY
+    * the admitted mass (quarantine never contaminates the index), then
+    * re-probe the quarantined items against the repaired centroids and
+    * freshly-derived p95 radii. Items that re-admit were flagged only
+    * because the centroids were stale — the population had moved out
+    * from under the frozen geometry; items still out are genuinely
+    * unprecedented and stay in review. Returns (repaired (cells,
+    * centroids) — persist as a new version — and the re-flag frame
+    * (vec_id, cid, du, p95_units, flagged) over the quarantine:
+    * `!flagged` IS the re-admission list). The registered
+    * sim_ood_readmit query is the oracle-checked rollup of this loop
+    * on the drift fixture. Cost: one batch-bounded gate, one
+    * index-linear recenter + radius pass, one quarantine-bounded
+    * re-probe — nothing quadratic.
+    */
+  def oodReadmit(baseCells: DataFrame, baseCentroids: DataFrame,
+      incoming: DataFrame, idCol: String, vecCol: String)
+      : ((DataFrame, DataFrame), DataFrame) =
+    graft.operators.SimOps.oodReadmitOn(baseCells.sparkSession, baseCells,
       baseCentroids,
       incoming.select(col(idCol).as("vec_id"),
         transform(col(vecCol), _.cast("double")).as("v")))
@@ -2747,3 +2829,9 @@ final case class DedupIndex(shingles: DataFrame, freq: DataFrame,
     Map("shingles" -> shingles, "freq" -> freq, "prefix" -> prefix) ++
       buckets.map("buckets" -> _)
 }
+
+/** The result bundle of [[Graft.advanceSnapshot]]: the advanced index
+  * plus the stage frames (diff / applied / matches / appended), all in
+  * the index's shaped space (doc_id, lang, source, text). */
+final case class SnapshotAdvance(index: DedupIndex, diff: DataFrame,
+    applied: DataFrame, matches: DataFrame, appended: DataFrame)

@@ -147,21 +147,7 @@ object SimOps extends OpFamily {
       .localCheckpoint() // joined per swept m + counted once
     val nExact = exactK.agg(count(lit(1)).as("n_exact"))
     MatryoshkaIvfDims.map { m =>
-      val (cells, cents) =
-        if (m == 64) lloydCells(s, d, 10) // the shared full-dim index
-        else {
-          val parts = ArtifactCache.readOrBuildAll(s,
-              ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
-                s"matryoshka_m${m}_nlist10@r1"), Seq("cells", "centroids")) {
-            val (c, ct) = lloydCellsOn(s, Tables.embeddings(s, d)
-              .select(col("vec_id"),
-                transform(slice(col("embedding"), 1, m), _.cast("double"))
-                  .as("v")),
-              nlist = 10)
-            Seq("cells" -> c, "centroids" -> ct)
-          }
-          (parts("cells"), parts("centroids"))
-        }
+      val (cells, cents) = matryoshkaIndex(s, d, m)
       knnIvfOn(s, cells, cents, col("vec_id") < 10, nprobe = 2, k = 5)
         .select(col("qid"), col("nid"))
         .join(exactK, Seq("qid", "nid"))
@@ -172,6 +158,28 @@ object SimOps extends OpFamily {
           expr("knn_hits * 1000 div n_exact").as("recall_permille"))
     }.reduce(_ unionByName _)
   }
+
+  /** The per-m matryoshka IVF index: m = 64 IS the shared full-dim
+    * nlist-10 artifact; every other m is its own content-addressed
+    * build over the m-dim prefix slices — shared by the matryoshka
+    * report and the rank-eval scoreboard so the budgeted index is
+    * built once. */
+  private[graft] def matryoshkaIndex(s: SparkSession, d: String,
+      m: Int): (DataFrame, DataFrame) =
+    if (m == 64) lloydCells(s, d, 10)
+    else {
+      val parts = ArtifactCache.readOrBuildAll(s,
+          ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+            s"matryoshka_m${m}_nlist10@r1"), Seq("cells", "centroids")) {
+        val (c, ct) = lloydCellsOn(s, Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(slice(col("embedding"), 1, m), _.cast("double"))
+              .as("v")),
+          nlist = 10)
+        Seq("cells" -> c, "centroids" -> ct)
+      }
+      (parts("cells"), parts("centroids"))
+    }
 
   /** NDCG position-discount weights in micro-units, PRECOMPUTED in
     * Scala and interpolated as LITERALS into both engines' expressions
@@ -236,31 +244,60 @@ object SimOps extends OpFamily {
         expr("sum(r5_permille) DIV count(1)").as("recall_at5_permille"))
   }
 
-  /** REGISTERED RANK-EVAL REPORT — the IVF search graded as a
-    * RANKING, not just a hit set: [[ivfNprobeReport]] measures
-    * recall@5 (set overlap); this scores nprobe ∈ {1, 2} top-10
-    * rankings against graded exact ground truth (rel = 6 − exact
-    * rank for the exact top-5) with MRR / NDCG@10 / recall@5 — the
-    * rank-sensitive metrics an ANN rollout actually quotes, and the
-    * difference matters: a probe that finds all 5 neighbors but
-    * ranks the best one fifth keeps recall = 1000‰ while MRR and
-    * NDCG drop. One row per system over the shared nlist-10 index.
-    * Fully oracle-checked: DuckDB replays the Lloyd chain, probe
-    * routing, both rankings, and every integer metric (the weight
-    * table interpolates from the same Scala literals).
+  /** REGISTERED RANK-EVAL SCOREBOARD — every ANN family graded as a
+    * RANKING over the SAME exact ground truth (r18 verdict #2):
+    * [[recallReport]] measures recall@5 (set overlap); this scores
+    * each system's top-10 ranking against graded exact relevance
+    * (rel = 6 − exact rank for the exact top-5) with MRR / NDCG@10 /
+    * recall@5 — the rank-sensitive metrics an ANN rollout actually
+    * quotes, and the difference matters: a probe that finds all 5
+    * neighbors but ranks the best one fifth keeps recall = 1000‰
+    * while MRR and NDCG drop. One row per system:
+    *
+    *   - ivf_nprobe1 / ivf_nprobe2 — the shared nlist-10 index at
+    *     both probe widths (routing loss vs probe cost);
+    *   - matryoshka_m16 — the SAME search path under the 4× storage
+    *     budget ([[matryoshkaIndex]], sliced queries, nprobe = 2);
+    *   - pq_rerank — the two-stage PQ read path ([[pqRerankRanked]],
+    *     50-deep ADC shortlist, exact re-rank to 10);
+    *   - rplsh — the bucketed hyperplane probe
+    *     ([[knnRpLshRanked]], 7 probed buckets).
+    *
+    * The existing integer metric machinery ([[rankEvalOn]]) is reused
+    * unchanged per arm. 5-row content-addressed build-once artifact
+    * (pure function of the embeddings version; contains [[knnExact]]'s
+    * documented instrument bound as the ground-truth arm — tagged a
+    * sweep instrument accordingly). Fully oracle-checked: DuckDB
+    * replays every chain (Lloyd, 16 PQ subspace chains + LUTs, the
+    * hyperplane buckets, the sliced m16 chain), all five top-10
+    * rankings, and every integer metric (the NDCG weight table
+    * interpolates from the same Scala literals).
     */
-  def rankEvalReport(s: SparkSession, d: String): DataFrame = {
+  def rankEvalReport(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+        "rank_eval_scoreboard@r1"))(rankEvalReportBuild(s, d))
+      .orderBy(col("system"))
+
+  private def rankEvalReportBuild(s: SparkSession, d: String): DataFrame = {
     val relevant = knnExact(s, d)
       .select(col("qid"), col("nid"), (lit(6L) - col("rank")).as("rel"))
       .localCheckpoint() // consumed once per evaluated system
     val index = lloydCells(s, d, 10)
-    Seq(1, 2).map { np =>
-      rankEvalOn(
-        knnIvfOn(s, index._1, index._2, col("vec_id") < 10,
-          nprobe = np, k = RankEvalK)
-          .select(col("qid"), col("nid"), col("rank")),
+    val m16 = matryoshkaIndex(s, d, 16)
+    val arms: Seq[(String, DataFrame)] = Seq(
+      "ivf_nprobe1" -> knnIvfOn(s, index._1, index._2,
+        col("vec_id") < 10, nprobe = 1, k = RankEvalK),
+      "ivf_nprobe2" -> knnIvfOn(s, index._1, index._2,
+        col("vec_id") < 10, nprobe = 2, k = RankEvalK),
+      "matryoshka_m16" -> knnIvfOn(s, m16._1, m16._2,
+        col("vec_id") < 10, nprobe = 2, k = RankEvalK),
+      "pq_rerank" -> pqRerankRanked(s, d, k = RankEvalK),
+      "rplsh" -> knnRpLshRanked(s, d, k = RankEvalK))
+    arms.map { case (sys, ranked) =>
+      rankEvalOn(ranked.select(col("qid"), col("nid"), col("rank")),
         relevant)
-        .select(concat(lit("ivf_nprobe"), lit(np)).as("system"), col("*"))
+        .select(lit(sys).as("system"), col("*"))
     }.reduce(_ unionByName _).orderBy(col("system"))
   }
 
@@ -942,6 +979,79 @@ object SimOps extends OpFamily {
       .select(col("vec_id"), col("cid"), col("du"), col("p95_units"))
       .orderBy(col("vec_id"))
   }
+
+  /** QUARANTINE RE-ADMISSION core (r18 verdict #4) — the loop-closing
+    * step after [[oodFlagsOn]] gated a batch and [[recenterIvfOn]]
+    * repaired the index: split the batch by the OLD gate, fold ONLY
+    * the admitted items into the recenter (quarantine never
+    * contaminates the index — that is the point of the gate), then
+    * re-probe the quarantined items against the REPAIRED index's
+    * centroids and freshly-derived p95 radii. Items that re-admit
+    * were quarantined only because the centroids were stale (the
+    * population had moved out from under the frozen geometry);
+    * items still out are genuinely unprecedented and stay routed to
+    * review. Returns (repaired (cells, centroids), re-flag frame) —
+    * the re-flag frame is [[oodFlagsWithP95]]'s shape over the
+    * repaired radii, so `!flagged` IS the re-admission list.
+    *
+    * Scale shape: the old gate is one batch-bounded pass; the
+    * recenter is index-linear ([[recenterIvfOn]]); the new radii are
+    * one index-linear window pass; the re-probe is
+    * quarantine-bounded. Nothing quadratic anywhere.
+    */
+  private[graft] def oodReadmitOn(s: SparkSession, baseCells: DataFrame,
+      centroids: DataFrame, incoming0: DataFrame)
+      : ((DataFrame, DataFrame), DataFrame) = {
+    val incoming = incoming0.localCheckpoint() // split by the old gate
+    val flags = oodFlagsOn(s, baseCells, centroids, incoming)
+      .select(col("vec_id"), col("flagged"))
+      .localCheckpoint() // consumed by both splits
+    val admitted = incoming.join(flags.filter(!col("flagged"))
+      .select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val quarantined = incoming.join(flags.filter(col("flagged"))
+      .select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val (cells2, cents2) = recenterIvfOn(s, baseCells, centroids, admitted)
+    val reFlags = oodFlagsWithP95(s,
+      oodBaseP95(s, cells2, cents2).select(col("cid"), col("p95_units")),
+      cents2, quarantined)
+    ((cells2, cents2), reFlags)
+  }
+
+  /** The registered re-admission evidence on the even/odd drift
+    * fixture: quarantine the odd-id batch's OOD tail against the
+    * even-base index, recenter with the admitted mass (persisted as
+    * the `recenter_admitted` artifact version), re-probe the
+    * quarantine, and report one row — (n_quarantined, n_readmitted,
+    * n_still_out, readmitted_permille). Fully oracle-checked: DuckDB
+    * replays the base Lloyd chain, both discrete-quantile radius
+    * tables, the admitted-only recenter step, and the integer rollup.
+    */
+  def oodReadmit(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+        "ood_readmit@r1")) {
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val base = ArtifactCache.readOrBuildAll(s,
+          ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+            "nlist_20_even@r1"), Seq("cells", "centroids")) {
+        val (cells, centroids) =
+          lloydCellsOn(s, e.filter(col("vec_id") % 2 === 0), nlist = 20)
+        Seq("cells" -> cells, "centroids" -> centroids)
+      }
+      val (_, reFlags) = oodReadmitOn(s, base("cells"), base("centroids"),
+        e.filter(col("vec_id") % 2 =!= 0))
+      reFlags
+        .agg(count(lit(1)).as("n_quarantined"),
+          coalesce(sum(when(!col("flagged"), 1L)), lit(0L))
+            .as("n_readmitted"),
+          coalesce(sum(when(col("flagged"), 1L)), lit(0L))
+            .as("n_still_out"))
+        .select(col("n_quarantined"), col("n_readmitted"),
+          col("n_still_out"),
+          expr("n_readmitted * 1000 DIV greatest(n_quarantined, 1)")
+            .as("readmitted_permille"))
+    }
 
   /** The report core over a prebuilt (cells, centroids) base index and
     * any new-snapshot (vec_id, v) frame — also the
@@ -1817,7 +1927,14 @@ object SimOps extends OpFamily {
     * to the identical bits), so bucketing, probing and ranking replay
     * exactly; recall vs [[knnExact]] is additionally property-tested.
     */
-  def knnRpLsh(s: SparkSession, d: String): DataFrame = {
+  def knnRpLsh(s: SparkSession, d: String): DataFrame =
+    knnRpLshRanked(s, d, k = 5)
+
+  /** The RP-LSH search with a parameterized cut — the registered query
+    * keeps k = 5; the rank-eval scoreboard grades the top-10 ranking
+    * of the same bucketed probe path. */
+  private[graft] def knnRpLshRanked(s: SparkSession, d: String,
+      k: Int): DataFrame = {
     val planeCols = hyperplanes.map(p => typedLit(p))
     def bucketOf(v: org.apache.spark.sql.Column) =
       planeCols.zipWithIndex.map { case (p, j) =>
@@ -1843,7 +1960,7 @@ object SimOps extends OpFamily {
       .withColumn("cos",
         NativeExprs.dot(s, col("qe"), col("ne")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rank"))
   }
@@ -2153,7 +2270,16 @@ object SimOps extends OpFamily {
     * toy codebooks at 420‰; the r13 tuning — [[PqShort]] = 50 over the
     * PQ16×256 codebooks — measures 960‰ at sf0.1).
     */
-  def knnPqRerank(s: SparkSession, d: String): DataFrame = {
+  def knnPqRerank(s: SparkSession, d: String): DataFrame =
+    pqRerankRanked(s, d, k = 5)
+
+  /** The rerank core with a parameterized cut — the registered query
+    * keeps k = 5; the rank-eval scoreboard grades the top-10 ranking
+    * of the SAME two-stage read path. */
+  private[graft] def pqRerankRanked(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    require(k <= PqShort, s"rerank cut $k cannot exceed the $PqShort-deep" +
+      " shortlist")
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
@@ -2172,7 +2298,7 @@ object SimOps extends OpFamily {
           col("vn").as("qn"))), Seq("qid"))
       .withColumn("cos", cosPair(s, "qv", "qn", "nv", "nn"))
       .withColumn("rank", row_number().over(wR))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rank"))
   }
@@ -2519,6 +2645,7 @@ object SimOps extends OpFamily {
     "sim_rebuild_decision" -> (rebuildDecision _),
     "sim_ood_report" -> (oodReport _),
     "sim_ood_filter" -> (oodFilter _),
+    "sim_ood_readmit" -> (oodReadmit _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_classify" -> (centroidClassify _),
@@ -2536,7 +2663,8 @@ object SimOps extends OpFamily {
   // the nlist/nprobe/matryoshka sweeps and the matryoshka×IVF twin all
   // contain knnExact's / the exact-LOF's documented instrument bound
   override val instruments: Set[String] = Set("sim_ivf_nlist_report",
-    "sim_ivf_nprobe_report", "sim_matryoshka_report", "sim_matryoshka_ivf")
+    "sim_ivf_nprobe_report", "sim_matryoshka_report", "sim_matryoshka_ivf",
+    "sim_rank_eval")
 
   /** One unrolled MMR greedy step as a DuckDB CTE triple: m$t (max sim
     * to the picked set), c$t (penalized scores of the unpicked), s$t
@@ -2740,29 +2868,35 @@ object SimOps extends OpFamily {
          JOIN exact USING (qid, nid))"""
   }
 
-  /** One system's replay block for the [[rankEvalReport]] oracle:
-    * probe routing at its nprobe, the top-10 in-cell ranking, per-query
-    * hit aggregates against the shared `relv`/`idcg` CTEs, and the
-    * one-row integer metric means — the weight literals interpolate
-    * from the SAME [[NdcgWeights]] Scala values the engine uses. */
-  private def rankEvalBlock(np: Int): String = {
-    val x = s"np$np"
-    val wlist = NdcgWeights.mkString("[", ", ", "]")
+  /** One IVF-family ranked-list CTE pair for the [[rankEvalReport]]
+    * oracle: probe routing at `np` over any (cells, centroids) chain,
+    * then the top-[[RankEvalK]] in-cell ranking as rk$x(qid, nid,
+    * rank). The m16 arm passes its sliced chain's table names. */
+  private def rankEvalIvfRankedCte(x: String, cellsT: String,
+      centT: String, np: Int): String =
     s"""probes$x AS (SELECT qid, qv, cid FROM (
          SELECT q.vec_id AS qid, q.v AS qv, c.cid,
            row_number() OVER (PARTITION BY q.vec_id
              ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cid)
              AS rn
-         FROM (SELECT vec_id, v FROM cells WHERE vec_id < 10) q
-         CROSS JOIN c3 c) WHERE rn <= $np),
+         FROM (SELECT vec_id, v FROM $cellsT WHERE vec_id < 10) q
+         CROSS JOIN $centT c) WHERE rn <= $np),
        rk$x AS (SELECT qid, nid, rank FROM (
          SELECT p.qid, n.vec_id AS nid,
            row_number() OVER (PARTITION BY p.qid
              ORDER BY list_cosine_similarity(p.qv, n.v) DESC, n.vec_id)
              AS rank
-         FROM probes$x p JOIN cells n ON n.cid = p.cid
-         WHERE n.vec_id <> p.qid) WHERE rank <= $RankEvalK),
-       h$x AS (SELECT r.qid, min(r.rank) AS first_rel,
+         FROM probes$x p JOIN $cellsT n ON n.cid = p.cid
+         WHERE n.vec_id <> p.qid) WHERE rank <= $RankEvalK)"""
+
+  /** One system's metric replay block over its rk$x(qid, nid, rank)
+    * CTE: per-query hit aggregates against the shared `relv`/`idcg`
+    * CTEs and the one-row integer metric means — the weight literals
+    * interpolate from the SAME [[NdcgWeights]] Scala values the
+    * engine uses. */
+  private def rankEvalMetricBlock(sys: String, x: String): String = {
+    val wlist = NdcgWeights.mkString("[", ", ", "]")
+    s"""h$x AS (SELECT r.qid, min(r.rank) AS first_rel,
            CAST(sum(v.rel * ($wlist)[r.rank]) AS BIGINT) AS dcg,
            CAST(coalesce(sum(CASE WHEN r.rank <= 5 THEN 1 END), 0)
              AS BIGINT) AS hits5
@@ -2775,7 +2909,7 @@ object SimOps extends OpFamily {
            coalesce(h.hits5, 0) * 1000 // least(i.n_rel, 5)
              AS r5_permille
          FROM idcg i LEFT JOIN h$x h ON i.qid = h.qid),
-       row$x AS (SELECT 'ivf_nprobe$np' AS system,
+       row$x AS (SELECT '$sys' AS system,
            CAST(count(*) AS BIGINT) AS n_queries,
            CAST(sum(rr_units) AS BIGINT) // count(*) AS mrr_units,
            CAST(sum(ndcg_permille) AS BIGINT) // count(*)
@@ -3339,11 +3473,18 @@ object SimOps extends OpFamily {
     * literals; sign-pattern bucketing, 1-bit-flip multi-probe, exact search
     * within probed buckets — mirror of [[knnRpLsh]] term for term.
     */
-  private val rplshOracleSql: String = {
-    val bucketExpr = hyperplanes.zipWithIndex.map { case (p, j) =>
+  /** The hyperplane signature over a column named `v`, as SQL —
+    * generated from the SAME [[hyperplanes]] literals the engine's
+    * codegen'd dots read; shared by the rplsh oracle and the rank-eval
+    * scoreboard's rplsh arm. */
+  private def rplshBucketExprSql: String =
+    hyperplanes.zipWithIndex.map { case (p, j) =>
       val lst = p.mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product(v, $lst) > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString("(", "\n + ", ")")
+
+  private val rplshOracleSql: String = {
+    val bucketExpr = rplshBucketExprSql
     s"""WITH b AS (SELECT vec_id, v, $bucketExpr AS bucket
           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                 FROM embeddings)),
@@ -3636,6 +3777,73 @@ object SimOps extends OpFamily {
          FROM p95 LEFT JOIN nd ON p95.cid = nd.cid
          GROUP BY p95.cid, n_base, p95_units
          ORDER BY p95.cid"""),
+    "sim_ood_readmit" -> materializeCtes(
+      // the ood-filter chain, then: admitted/quarantined split by the
+      // OLD radii, one recenter Lloyd step over base ∪ admitted (the
+      // sim_ivf_recenter algebra), fresh discrete-quantile radii over
+      // the repaired index, re-probe of the quarantine, integer rollup
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 = 0),
+         ${lloydChainSfx("", "20")},
+         vnew AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 <> 0),
+         ${assignCteIn("newcells", "c3", "vnew")},
+         bd AS (SELECT cells.cid, cells.vec_id,
+             CAST(floor((1 - list_cosine_similarity(cells.v, c3.centroid))
+               * 1e6) AS BIGINT) AS du
+           FROM cells JOIN c3 ON cells.cid = c3.cid),
+         p95 AS (SELECT cid, du AS p95_units FROM (
+             SELECT cid, du,
+               row_number() OVER (PARTITION BY cid ORDER BY du, vec_id)
+                 AS rn,
+               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_base
+             FROM bd)
+           WHERE rn = (n_base * 95 + 99) // 100),
+         nd AS (SELECT newcells.cid, newcells.vec_id,
+             CAST(floor((1 - list_cosine_similarity(newcells.v,
+               c3.centroid)) * 1e6) AS BIGINT) AS du
+           FROM newcells JOIN c3 ON newcells.cid = c3.cid),
+         flg AS (SELECT nd.vec_id FROM nd LEFT JOIN p95
+             ON nd.cid = p95.cid
+           WHERE p95.p95_units IS NULL OR nd.du > p95.p95_units),
+         adm AS (SELECT vec_id, v FROM vnew
+           WHERE vec_id NOT IN (SELECT vec_id FROM flg)),
+         qua AS (SELECT vec_id, v FROM vnew
+           WHERE vec_id IN (SELECT vec_id FROM flg)),
+         ${assignCteIn("admcells", "c3", "adm")},
+         u AS (SELECT cid, vec_id, v FROM cells
+               UNION ALL SELECT cid, vec_id, v FROM admcells),
+         ${centroidCteIn("c4", "u", 64)},
+         ${assignCteIn("cells4", "c4", "u")},
+         bd4 AS (SELECT cells4.cid, cells4.vec_id,
+             CAST(floor((1 - list_cosine_similarity(cells4.v, c4.centroid))
+               * 1e6) AS BIGINT) AS du
+           FROM cells4 JOIN c4 ON cells4.cid = c4.cid),
+         p954 AS (SELECT cid, du AS p95_units FROM (
+             SELECT cid, du,
+               row_number() OVER (PARTITION BY cid ORDER BY du, vec_id)
+                 AS rn,
+               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_base
+             FROM bd4)
+           WHERE rn = (n_base * 95 + 99) // 100),
+         ${assignCteIn("qcells", "c4", "qua")},
+         qd AS (SELECT qcells.cid, qcells.vec_id,
+             CAST(floor((1 - list_cosine_similarity(qcells.v, c4.centroid))
+               * 1e6) AS BIGINT) AS du
+           FROM qcells JOIN c4 ON qcells.cid = c4.cid),
+         qf AS (SELECT qd.vec_id,
+             CASE WHEN p954.p95_units IS NULL OR qd.du > p954.p95_units
+               THEN 1 ELSE 0 END AS f
+           FROM qd LEFT JOIN p954 ON qd.cid = p954.cid)
+         SELECT CAST(count(*) AS BIGINT) AS n_quarantined,
+           CAST(coalesce(sum(CASE WHEN f = 0 THEN 1 END), 0) AS BIGINT)
+             AS n_readmitted,
+           CAST(coalesce(sum(CASE WHEN f = 1 THEN 1 END), 0) AS BIGINT)
+             AS n_still_out,
+           CAST(coalesce(sum(CASE WHEN f = 0 THEN 1 END), 0) AS BIGINT)
+             * 1000 // greatest(CAST(count(*) AS BIGINT), 1)
+             AS readmitted_permille
+         FROM qf"""),
     "sim_ood_filter" -> materializeCtes(
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings WHERE vec_id % 2 = 0),
@@ -3798,8 +4006,55 @@ object SimOps extends OpFamily {
                row_number() OVER (PARTITION BY qid
                  ORDER BY rel DESC, nid) AS irank FROM relv)
            WHERE irank <= $RankEvalK GROUP BY qid),
-         ${Seq(1, 2).map(rankEvalBlock).mkString(",\n         ")}
-         SELECT * FROM rownp1 UNION ALL SELECT * FROM rownp2
+         $pqChainsCte,
+         ${pqCodesCte("pqcodes")},
+         $pqLutsCte,
+         q AS (SELECT vec_id AS qid, v AS qv,
+             sqrt(list_dot_product(v, v)) AS qn
+           FROM v WHERE vec_id < 10),
+         ${rankEvalIvfRankedCte("np1", "cells", "c3", 1)},
+         ${rankEvalMetricBlock("ivf_nprobe1", "np1")},
+         ${rankEvalIvfRankedCte("np2", "cells", "c3", 2)},
+         ${rankEvalMetricBlock("ivf_nprobe2", "np2")},
+         vm16 AS (SELECT vec_id, v[1:16] AS v FROM v),
+         ${lloydChainIn("m16", "10", "vm16", 16)},
+         ${rankEvalIvfRankedCte("m16", "cellsm16", "c3m16", 2)},
+         ${rankEvalMetricBlock("matryoshka_m16", "m16")},
+         pqall AS (SELECT q.qid, x.vec_id AS nid,
+             ${(0 until PqM).map(j => s"x.c$j").mkString(", ")}
+           FROM pqcodes x CROSS JOIN q WHERE x.vec_id <> q.qid),
+         short AS (SELECT qid, nid FROM (
+             SELECT b.qid, b.nid,
+               row_number() OVER (PARTITION BY b.qid ORDER BY
+                 $pqAdcExpr DESC, b.nid) AS rank
+             FROM pqall b
+             JOIN q ON q.qid = b.qid
+            ${pqLutJoins("b", "b")}) WHERE rank <= $PqShort),
+         rkpqr AS (SELECT qid, nid, rank FROM (
+             SELECT s.qid, s.nid,
+               row_number() OVER (PARTITION BY s.qid
+                 ORDER BY list_cosine_similarity(q.qv, n.v) DESC, s.nid)
+                 AS rank
+             FROM short s JOIN v n ON n.vec_id = s.nid
+             JOIN q ON q.qid = s.qid) WHERE rank <= $RankEvalK),
+         ${rankEvalMetricBlock("pq_rerank", "pqr")},
+         rpb AS (SELECT vec_id, v, $rplshBucketExprSql AS bucket FROM v),
+         rpq AS (SELECT b.vec_id AS qid, b.v AS qv,
+             xor(b.bucket, t.p) AS bucket
+           FROM rpb b, unnest([0, 1, 2, 4, 8, 16, 32]) AS t(p)
+           WHERE b.vec_id < 10),
+         rkrp AS (SELECT qid, nid, rank FROM (
+             SELECT q.qid, n.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qv, n.v) DESC, n.vec_id)
+                 AS rank
+             FROM rpq q JOIN rpb n USING (bucket)
+             WHERE n.vec_id <> q.qid) WHERE rank <= $RankEvalK),
+         ${rankEvalMetricBlock("rplsh", "rp")}
+         SELECT * FROM (
+           SELECT * FROM rownp1 UNION ALL SELECT * FROM rownp2
+           UNION ALL SELECT * FROM rowm16 UNION ALL SELECT * FROM rowpqr
+           UNION ALL SELECT * FROM rowrp)
          ORDER BY system"""),
     "sim_matryoshka_ivf" -> materializeCtes(
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

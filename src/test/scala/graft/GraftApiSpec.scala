@@ -1238,6 +1238,42 @@ class GraftApiSpec extends AnyFunSuite {
     assert(selfDec.getAs[Long]("tv_permille") === 0L)
   }
 
+  test("oodReadmit: recentering re-admits items quarantined only by " +
+      "stale centroids and keeps true outliers out") {
+    import scala.math.{cos => mcos, sin => msin}
+    def vec(theta: Double) = Seq(mcos(theta), msin(theta))
+    // one-cell geometry on the unit circle: base spread over
+    // [0, 0.18] rad -> old p95 radius = the max base distance
+    // (1 - cos(0.09) = 4049 micro-units around the ~0.09 rad centroid)
+    val base = (0 until 10).map(i => (i.toLong, vec(0.02 * i)))
+      .toDF("vid", "emb")
+    val (cells0, cents0) = Graft.buildIvfIndex(base, "vid", "emb",
+      nlist = 1)
+    // batch: 50 admitted at 0.17 rad (inside the old ball, at its far
+    // edge), one drifted-but-coherent item at 0.25 rad (just outside),
+    // one true outlier at 0.5 rad
+    val batch = ((0 until 50).map(j => (100L + j, vec(0.17))) ++
+      Seq((200L, vec(0.25)), (201L, vec(0.5)))).toDF("vid", "emb")
+    val old = Graft.oodFilter(cells0, cents0, batch, "vid", "emb")
+      .collect().map(r => (r.getLong(0), r.getAs[Boolean]("flagged")))
+      .toMap
+    assert(old(200L) && old(201L), "both far items flag under OLD radii")
+    assert((0 until 50).forall(j => !old(100L + j)))
+    val (_, reFlags) = Graft.oodReadmit(cells0, cents0, batch,
+      "vid", "emb")
+    val re = reFlags.collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("flagged"))).toMap
+    assert(re.keySet === Set(200L, 201L),
+      "only the quarantined items are re-probed")
+    // the admitted mass at 0.17 pulls the centroid to ~0.157 rad and
+    // the fresh p95 to ~4674 micro-units; 200's distance drops to
+    // ~4352 -> re-admitted. It was quarantined ONLY because the
+    // centroid was stale. 201 stays out under any repair.
+    assert(!re(200L),
+      "the drift-adjacent item must re-admit after the recenter")
+    assert(re(201L), "the true outlier stays quarantined")
+  }
+
   test("recenterIvf: shared vec_ids count once and the BATCH vector " +
       "wins — the re-embedded-snapshot contract") {
     import scala.math.{cos => mcos, sin => msin, Pi}
@@ -1759,6 +1795,48 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.probeDedupIndex(idx2, batch3, "my_id", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       === Set((30L, 1L)), "surviving docs still match after expiry")
+  }
+
+  test("advanceSnapshot: one call runs diff -> apply -> expire -> probe " +
+      "-> append with the documented stage semantics") {
+    val oldSnap = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet ultraviolet")
+    ).toDF("my_id", "body")
+    val newSnap = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "cold warm hot boiling freezing tepid lukewarm scalding"),
+      (4L, "monday tuesday wednesday thursday friday saturday sunday"),
+      (5L, "alpha beta gamma delta epsilon zeta eta")
+    ).toDF("my_id", "body")
+    val adv = Graft.advanceSnapshot(
+      Graft.buildDedupIndex(oldSnap, "my_id", "body", 0.3),
+      oldSnap, newSnap, "my_id", "body")
+    // the applyCdc invariant: the advanced store IS the new snapshot
+    assert(adv.applied.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === newSnap.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // per-id classification
+    assert(adv.diff.select(col("doc_id"), col("status")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "unchanged"), (2L, "removed"), (3L, "changed"),
+        (4L, "added"), (5L, "added")))
+    // the batch near-dup of surviving doc 1 is rejected; the changed doc
+    // 3 (novel new text) and the fresh doc 4 append
+    assert(adv.matches.select(col("new_id"), col("matched_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 1L)))
+    assert(adv.appended.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet === Set(3L, 4L))
+    // the advanced index: expired doc 2's content can never match again,
+    // while appended doc 4's content does
+    val probe = Seq(
+      (40L, "one two three four five six seven eight nine"),
+      (41L, "monday tuesday wednesday thursday friday saturday")
+    ).toDF("my_id", "body")
+    assert(Graft.probeDedupIndex(adv.index, probe, "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((41L, 4L)))
   }
 
   test("dedupCompactionDecision: a fresh index reads exactly keep at " +

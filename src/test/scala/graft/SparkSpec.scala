@@ -57,7 +57,8 @@ class SparkSpec extends AnyFunSuite {
       "sim_matryoshka_report", "sim_matryoshka_ivf",
       "graph_betw_landmark_report", "graph_harmonic_landmark_report",
       "dedup_threshold_report", "dedup_recall_report",
-      "dedup_index_decision", "text_bpe_k_report", "text_bpe_open_report")
+      "dedup_index_decision", "text_bpe_k_report", "text_bpe_open_report",
+      "sim_rank_eval")
       .foreach(q => assert(inst.contains(q), s"missing instrument tag: $q"))
   }
 }
