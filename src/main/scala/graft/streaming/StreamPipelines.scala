@@ -236,6 +236,68 @@ object StreamPipelines {
       .start()
   }
 
+  /** Streaming CDC APPLY sink — the streaming twin of the batch
+    * io_cdc_apply (r18 verdict #3): each micro-batch of changelog rows
+    * (op ∈ I/U/D + full payload) folds into the CURRENT persisted
+    * snapshot via [[graft.operators.IoOps.applyCdcOn]] and writes the
+    * result as the NEXT content-complete snapshot version
+    * (`<root>/v<batchId+1>` — versioned, never in place, so concurrent
+    * readers keep a consistent view and [[latestCdcSnapshot]] is the
+    * pointer). Seed `<root>/v0` with the base snapshot before starting.
+    *
+    * Versions are IMMUTABLE once written: each batch writes to
+    * max(latest, batchId) + 1, strictly above whatever it read, so a
+    * batch can never overwrite the files it is lazily scanning and a
+    * concurrent reader's pinned version never changes under it.
+    * At-least-once safety then comes from applyCdc's UPSERT semantics,
+    * not offset bookkeeping: a replayed batch re-applies onto a
+    * snapshot already at-or-past its effects — D on an absent id is a
+    * no-op, U/I re-apply the same payload — so the appended version
+    * carries the identical converged content (the replayed-changelog
+    * convergence property in StreamPipelinesSpec; the batch twin's
+    * idempotence is pinned by the io_cdc_apply oracle). Contract per
+    * micro-batch: one op per id (collapse upstream by sequence number
+    * first — the applyCdc contract). Per-batch cost is one anti-join +
+    * union over the snapshot — the lakehouse MERGE cadence; a
+    * production deployment swaps the parquet-dir version pointer for a
+    * table format's commit protocol (and its version GC), nothing else
+    * changes.
+    */
+  def cdcApplySink(changes: DataFrame, snapshotRoot: String,
+      idCol: String, opCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val (cur, curPath) = latestCdcVersion(snapshotRoot)
+        graft.operators.IoOps
+          .applyCdcOn(s.read.parquet(curPath), batch, idCol, opCol)
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$snapshotRoot/v${math.max(cur, batchId) + 1}")
+      }
+      .trigger(trigger)
+      .start()
+
+  /** The committed snapshot a reader (or the next micro-batch) sees:
+    * the highest-versioned `v<N>` subdirectory under the root. */
+  def latestCdcSnapshot(s: SparkSession, snapshotRoot: String): DataFrame =
+    s.read.parquet(latestCdcVersion(snapshotRoot)._2)
+
+  private def latestCdcVersion(snapshotRoot: String): (Long, String) = {
+    val versions = Option(new java.io.File(snapshotRoot).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    require(versions.nonEmpty,
+      s"no snapshot versions under $snapshotRoot — seed v0 with the " +
+        "base snapshot before starting the sink")
+    val latest = versions.maxBy(_.getName.drop(1).toLong)
+    (latest.getName.drop(1).toLong, latest.getAbsolutePath)
+  }
+
   /** Streaming funnel state machine — the incremental twin of the batch
     * ev_funnel, on the Spark 4 transformWithState API: one ValueState
     * per user holds the furthest step reached; an event advances the

@@ -244,6 +244,46 @@ class StreamPipelinesSpec extends AnyFunSuite {
       s"the 45deg burst is quarantined, re-arrivals admitted: $flagged")
   }
 
+  test("streaming CDC apply: versioned snapshots advance per batch and " +
+      "an at-least-once replay converges to the same snapshot") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdc_root").toFile
+    root.deleteOnExit()
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root/v0")
+    val clDir = Files.createTempDirectory("graft_cdc_cl").toFile
+    clDir.deleteOnExit()
+    Seq(("U", 2L, "beta v2"), ("I", 4L, "delta"))
+      .toDF("op", "doc_id", "text").coalesce(1).write.parquet(s"$clDir/f1")
+    Seq(("D", 1L, null: String), ("I", 5L, "epsilon"))
+      .toDF("op", "doc_id", "text").coalesce(1).write.parquet(s"$clDir/f2")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "op STRING, doc_id BIGINT, text STRING")
+    def changes = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(clDir.toString)
+    StreamPipelines.cdcApplySink(changes, root.toString, "doc_id", "op")
+      .awaitTermination(120000)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Set((2L, "beta v2"), (3L, "gamma"), (4L, "delta"),
+      (5L, "epsilon"))
+    assert(rowsOf(
+      StreamPipelines.latestCdcSnapshot(spark, root.toString)) === want)
+    // at-least-once: a FRESH query (new checkpoint) replays the same
+    // changelog files against the already-advanced root; the upsert
+    // semantics converge to the identical snapshot instead of
+    // double-applying or corrupting it
+    StreamPipelines.cdcApplySink(changes, root.toString, "doc_id", "op")
+      .awaitTermination(120000)
+    assert(rowsOf(
+      StreamPipelines.latestCdcSnapshot(spark, root.toString)) === want)
+    // the seeded base version is untouched (versioned, never in place)
+    assert(rowsOf(spark.read.parquet(s"$root/v0"))
+      === Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+  }
+
   test("transformWithState state survives a stop-and-restart from " +
       "checkpoint: the resumed query continues the EWMA trajectory") {
     import spark.implicits._
