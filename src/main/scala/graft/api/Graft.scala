@@ -1782,6 +1782,23 @@ object Graft {
       incoming.select(col(idCol).as("vec_id"),
         transform(col(vecCol), _.cast("double")).as("v")))
 
+  /** IVF INDEX EXPIRY — the takedown half of the vector-index
+    * lifecycle ([[expireFromDedupIndex]]'s twin): drop the tombstoned
+    * ids from the cells table with one anti-join and return the
+    * surviving cells (same shape — persist as a new version). No probe
+    * of the returned index can ever return the expired vectors — the
+    * compliance contract a deletion request needs. Centroids are
+    * deliberately NOT touched: expiry is membership, not drift; the
+    * population shift it causes is what the next
+    * [[embeddingDriftReport]]/[[ivfRebuildDecision]] cadence reads,
+    * and [[recenterIvf]] is the repair if mass takedowns moved it.
+    * The registered sim_ivf_expire query is the per-cell evidence.
+    */
+  def expireFromIvfIndex(cells: DataFrame, tombstones: DataFrame,
+      idCol: String): DataFrame =
+    graft.operators.SimOps.expireIvfCells(cells,
+      tombstones.select(col(idCol).as("vec_id")))
+
   /** QUARANTINE RE-ADMISSION — closes the admission loop the way
     * [[recenterIvf]] closes the drift loop: gate `incoming` with the
     * OLD radii ([[oodFilter]]'s rule), recenter the index with ONLY

@@ -980,6 +980,56 @@ object SimOps extends OpFamily {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF INDEX EXPIRY — the takedown half of the vector-index
+    * lifecycle, completing the symmetry with the dedup index's
+    * [[graft.api.Graft.expireFromDedupIndex]]: drop a tombstone set of
+    * vec_ids (a deletion request, a retention cutoff, the `removed`
+    * arm of a snapshot diff) from the cells table with ONE anti-join,
+    * so no probe can ever return the expired vectors again — the
+    * compliance contract a takedown actually needs. Centroids stay:
+    * expiry is MEMBERSHIP, not drift — the cell geometry is unchanged
+    * and every surviving assignment is still nearest-centroid-correct;
+    * the population shift expiry causes is exactly what the next
+    * [[driftReportOn]]/[[rebuildDecisionOn]] cadence reads (mass
+    * takedowns surface there as emptied cells → recenter/rebuild).
+    * Persist as a new index version, as with every index mutation.
+    */
+  private[graft] def expireIvfCells(cells: DataFrame,
+      tombstones: DataFrame): DataFrame =
+    cells.join(tombstones.select(col("vec_id")), Seq("vec_id"),
+        "left_anti")
+      .select(col("cid"), col("vec_id"), col("v"), col("vn"))
+
+  /** The registered expiry evidence on the even-base index: tombstone
+    * every 5th base vector (a takedown list) and report per cell —
+    * (cid, n_before, n_expired, n_after), the spine being the centroid
+    * table so a fully-emptied cell still reports. Fully oracle-checked
+    * (the Lloyd chain and the per-cell arithmetic); the searcher-level
+    * contract (expired ids never in any probe's results, survivors'
+    * ranks re-close over the gap) is spec-pinned in GraftApiSpec.
+    */
+  def ivfExpire(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val base = ArtifactCache.readOrBuildAll(s,
+        ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+          "nlist_20_even@r1"), Seq("cells", "centroids")) {
+      val (cells, centroids) =
+        lloydCellsOn(s, e.filter(col("vec_id") % 2 === 0), nlist = 20)
+      Seq("cells" -> cells, "centroids" -> centroids)
+    }
+    val per = base("cells").groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_before"),
+        coalesce(sum(when(col("vec_id") % 5 === 0, 1L)), lit(0L))
+          .as("n_expired"))
+    base("centroids").select(col("cid"))
+      .join(per, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_before", "n_expired"))
+      .select(col("cid"), col("n_before"), col("n_expired"),
+        (col("n_before") - col("n_expired")).as("n_after"))
+      .orderBy(col("cid"))
+  }
+
   /** QUARANTINE RE-ADMISSION core (r18 verdict #4) — the loop-closing
     * step after [[oodFlagsOn]] gated a batch and [[recenterIvfOn]]
     * repaired the index: split the batch by the OLD gate, fold ONLY
@@ -2646,6 +2696,7 @@ object SimOps extends OpFamily {
     "sim_ood_report" -> (oodReport _),
     "sim_ood_filter" -> (oodFilter _),
     "sim_ood_readmit" -> (oodReadmit _),
+    "sim_ivf_expire" -> (ivfExpire _),
     "sim_knn_rplsh" -> (knnRpLsh _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_classify" -> (centroidClassify _),
@@ -3777,6 +3828,21 @@ object SimOps extends OpFamily {
          FROM p95 LEFT JOIN nd ON p95.cid = nd.cid
          GROUP BY p95.cid, n_base, p95_units
          ORDER BY p95.cid"""),
+    "sim_ivf_expire" -> materializeCtes(
+      // the even-base Lloyd chain + the per-cell takedown arithmetic;
+      // the centroid table is the spine so emptied cells still report
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 = 0),
+         ${lloydChainSfx("", "20")},
+         per AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_before,
+             CAST(coalesce(sum(CASE WHEN vec_id % 5 = 0 THEN 1 END), 0)
+               AS BIGINT) AS n_expired
+           FROM cells GROUP BY cid)
+         SELECT c3.cid, coalesce(n_before, 0) AS n_before,
+           coalesce(n_expired, 0) AS n_expired,
+           coalesce(n_before, 0) - coalesce(n_expired, 0) AS n_after
+         FROM c3 LEFT JOIN per ON c3.cid = per.cid
+         ORDER BY c3.cid"""),
     "sim_ood_readmit" -> materializeCtes(
       // the ood-filter chain, then: admitted/quarantined split by the
       // OLD radii, one recenter Lloyd step over base ∪ admitted (the

@@ -1274,6 +1274,33 @@ class GraftApiSpec extends AnyFunSuite {
     assert(re(201L), "the true outlier stays quarantined")
   }
 
+  test("expireFromIvfIndex: tombstoned vectors never surface in probes, " +
+      "survivors' results re-close over the gap") {
+    import scala.math.{cos => mcos, sin => msin, Pi}
+    def vec(deg: Double) = Seq(mcos(deg * Pi / 180), msin(deg * Pi / 180))
+    // uneven angles (tie-free): ids 0..11 around two anchor clusters
+    val base = (Seq((0L, vec(0)), (1L, vec(90))) ++
+      (2L to 11L).map(i => (i, vec((i - 2) * 1.3)))).toDF("vid", "emb")
+    val (cells0, cents0) = Graft.buildIvfIndex(base, "vid", "emb",
+      nlist = 2)
+    val queries = col("vec_id") === 0L
+    def top3(cells: org.apache.spark.sql.DataFrame) =
+      graft.operators.SimOps.knnIvfOn(spark, cells, cents0, queries,
+          nprobe = 2, k = 3)
+        .collect().map(_.getLong(2)).toSeq
+    val before = top3(cells0)
+    val tombstones = before.take(1).toDF("vid") // expire the top hit
+    val cells1 = Graft.expireFromIvfIndex(cells0, tombstones, "vid")
+    val after = top3(cells1)
+    assert(!after.contains(before.head),
+      "an expired vector must never surface in a probe again")
+    // survivors re-close over the gap: the new top-3 is the old ranking
+    // with the tombstoned id removed and the next survivor promoted
+    val expectAfter = top3(cells0.filter(col("vec_id") =!= before.head))
+    assert(after === expectAfter)
+    assert(after.take(2) === before.drop(1).take(2))
+  }
+
   test("recenterIvf: shared vec_ids count once and the BATCH vector " +
       "wins — the re-embedded-snapshot contract") {
     import scala.math.{cos => mcos, sin => msin, Pi}
