@@ -392,12 +392,71 @@ object PipelineOps extends OpFamily {
           stageOf("8_index", indexDocs)).reduce(_ unionByName _))
     }.orderBy(col("stage"))
 
+  /** VECTOR SNAPSHOT ADVANCE — the embedding-side daily job, mirroring
+    * [[snapshotAdvance]]'s composition contract on the IVF index:
+    * EXPIRE the takedown list first ([[SimOps.expireIvfCells]]), gate
+    * the incoming batch against radii derived from the SURVIVING
+    * population (the ordering is the contract — radii computed before
+    * the expire would admit against precedent that no longer exists),
+    * then RECENTER with only the admitted mass. Report = the per-stage
+    * vector funnel: 1_base / 2_expired / 3_incoming / 4_admitted /
+    * 5_quarantined / 6_index (= base − expired + admitted, the index
+    * balance an operator asserts after every advance). Fixture: the
+    * even-base index, every 5th base vector tombstoned (the
+    * sim_ivf_expire takedown list), the odd ids incoming (the drift
+    * fixture batch). Content-addressed build-once artifact; fully
+    * oracle-checked (the Lloyd chain, the post-expiry discrete-quantile
+    * radii, the flags, and the recenter's re-assign counts).
+    *
+    * Scale shape: one anti-join (expire), one index-linear radius
+    * pass, one batch-bounded gate, one index-linear recenter — the
+    * [[SimOps.oodReadmitOn]] cost envelope with the expire prepended.
+    */
+  def vectorAdvance(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.readOrBuild(s,
+      ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+        "vector_advance@r1")) {
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val base = ArtifactCache.readOrBuildAll(s,
+          ArtifactCache.dir(s, d, "embeddings", "graft_ivf",
+            "nlist_20_even@r1"), Seq("cells", "centroids")) {
+        val (cells, centroids) = SimOps.lloydCellsOn(s,
+          e.filter(col("vec_id") % 2 === 0), nlist = 20)
+        Seq("cells" -> cells, "centroids" -> centroids)
+      }
+      val tomb = e.filter(col("vec_id") % 2 === 0
+        && col("vec_id") % 5 === 0).select(col("vec_id"))
+      val survived = SimOps.expireIvfCells(base("cells"), tomb)
+        .localCheckpoint() // consumers: radii + recenter union + count
+      val incoming = e.filter(col("vec_id") % 2 =!= 0)
+      val flags = SimOps.oodFlagsOn(s, survived, base("centroids"),
+          incoming)
+        .localCheckpoint() // consumers: admitted split + two stage rows
+      val admitted = incoming.join(flags.filter(!col("flagged"))
+        .select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val (cells2, _) = SimOps.recenterIvfOn(s, survived,
+        base("centroids"), admitted)
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_vecs"))
+          .select(lit(name).as("stage"), col("n_vecs"))
+      Seq(
+        stage("1_base", base("cells")),
+        stage("2_expired", base("cells").join(tomb, Seq("vec_id"),
+          "left_semi")),
+        stage("3_incoming", incoming),
+        stage("4_admitted", flags.filter(!col("flagged"))),
+        stage("5_quarantined", flags.filter(col("flagged"))),
+        stage("6_index", cells2)).reduce(_ unionByName _)
+    }.orderBy(col("stage"))
+
   val queries = Map(
     "pipeline_corpus" -> (corpusPipeline _),
     "pipeline_linkage" -> (linkageEntities _),
     "pipeline_ingest" -> (pipelineIngest _),
     "pipeline_vector_ingest" -> (vectorIngest _),
     "pipeline_snapshot_advance" -> (snapshotAdvance _),
+    "pipeline_vector_advance" -> (vectorAdvance _),
     "pipeline_funnel" -> (pipelineFunnel _))
 
   // the shared five-stage CTE chain, mirroring [[stages]]: the planted
@@ -436,6 +495,56 @@ object PipelineOps extends OpFamily {
          WHERE ((s.doc_id % 1000) * 503) % 1000 < r.rate)"""
 
   val oracle = Map(
+    "pipeline_vector_advance" -> SimOps.materializeCtes(
+      // even Lloyd chain; radii derived from the POST-EXPIRY population
+      // (the composition's ordering contract); 6_index counts the
+      // recenter union (re-assignment is row-preserving — the
+      // row-for-row recenter replay is sim_ood_readmit's oracle)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 = 0),
+         ${SimOps.lloydChainSfx("", "20")},
+         cellse AS (SELECT * FROM cells WHERE vec_id % 5 <> 0),
+         vnew AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 2 <> 0),
+         ${SimOps.assignCteIn("newcells", "c3", "vnew")},
+         bd AS (SELECT cellse.cid, cellse.vec_id,
+             CAST(floor((1 - list_cosine_similarity(cellse.v, c3.centroid))
+               * 1e6) AS BIGINT) AS du
+           FROM cellse JOIN c3 ON cellse.cid = c3.cid),
+         p95 AS (SELECT cid, du AS p95_units FROM (
+             SELECT cid, du,
+               row_number() OVER (PARTITION BY cid ORDER BY du, vec_id)
+                 AS rn,
+               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_base
+             FROM bd)
+           WHERE rn = (n_base * 95 + 99) // 100),
+         nd AS (SELECT newcells.cid, newcells.vec_id,
+             CAST(floor((1 - list_cosine_similarity(newcells.v,
+               c3.centroid)) * 1e6) AS BIGINT) AS du
+           FROM newcells JOIN c3 ON newcells.cid = c3.cid),
+         flg AS (SELECT nd.vec_id FROM nd LEFT JOIN p95
+             ON nd.cid = p95.cid
+           WHERE p95.p95_units IS NULL OR nd.du > p95.p95_units),
+         st AS (
+           SELECT '1_base' AS stage, CAST(count(*) AS BIGINT) AS n_vecs
+           FROM cells
+           UNION ALL
+           SELECT '2_expired', CAST(count(*) AS BIGINT) FROM cells
+           WHERE vec_id % 5 = 0
+           UNION ALL
+           SELECT '3_incoming', CAST(count(*) AS BIGINT) FROM vnew
+           UNION ALL
+           SELECT '4_admitted', CAST(count(*) AS BIGINT) FROM vnew
+           WHERE vec_id NOT IN (SELECT vec_id FROM flg)
+           UNION ALL
+           SELECT '5_quarantined', CAST(count(*) AS BIGINT) FROM flg
+           UNION ALL
+           SELECT '6_index', CAST(count(*) AS BIGINT) FROM (
+             SELECT vec_id FROM cellse
+             UNION ALL
+             SELECT vec_id FROM vnew
+             WHERE vec_id NOT IN (SELECT vec_id FROM flg)))
+         SELECT stage, n_vecs FROM st ORDER BY stage"""),
     "pipeline_snapshot_advance" ->
       // full replay: membership/content diff (io_snapshot_diff's
       // comparator), CDC apply (anti changelog ids ∪ U/I payloads),

@@ -786,6 +786,33 @@ class LlmOpsSpec extends AnyFunSuite {
       "funnel quarantine must equal the monitor's flag count")
   }
 
+  test("vector snapshot advance: the funnel balances and the gate uses " +
+      "post-expiry radii") {
+    import graft.operators.{PipelineOps, SimOps}
+    val got = PipelineOps.vectorAdvance(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // index balance: 6_index = 1_base - 2_expired + 4_admitted, and
+    // every incoming vector gets exactly one verdict
+    assert(got("6_index") ===
+      got("1_base") - got("2_expired") + got("4_admitted"))
+    assert(got("4_admitted") + got("5_quarantined") === got("3_incoming"))
+    assert(got("2_expired") > 0 && got("4_admitted") > 0
+      && got("5_quarantined") > 0, s"all funnel arms live: $got")
+    // ordering contract: the gate's radii come from the SURVIVING
+    // population — gating against the full (pre-expiry) base flags a
+    // DIFFERENT set on this fixture, which is exactly the bug the
+    // composition prevents
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val (cells, cents) = SimOps.lloydCellsOn(spark,
+      e.filter(col("vec_id") % 2 === 0), nlist = 20)
+    val preExpiry = SimOps.oodFlagsOn(spark, cells, cents,
+        e.filter(col("vec_id") % 2 =!= 0))
+      .filter(col("flagged")).count()
+    assert(preExpiry !== got("5_quarantined"),
+      "pre-expiry radii must flag a different set than the composition")
+  }
+
   test("open-vocab generator: deterministic, syllable-shaped, genuinely " +
       "open, and the learn does NOT exhaust at k = 64") {
     import graft.operators.TextOps
