@@ -2721,6 +2721,21 @@ object Graft {
       idCol: String): DataFrame =
     graft.operators.AggOps.spearmanOn(df, xCol, yCol, idCol)
 
+  /** [[spearman]] past the BIGINT exactness bound: the same rank
+    * pipeline with the moment sums LIFTED to decimal(38,0) — exact to
+    * n ≈ 2.9·10¹² rows (4n³ ≤ 10³⁸), where [[spearman]] refuses loudly
+    * past ~1.3·10⁶. The ρ chain is the identical expression; the cost
+    * is decimal-vs-long summation on the rank join, dwarfed by the two
+    * global ranks both paths pay. Sum columns come back as
+    * DECIMAL(38,0). Below the bound the two paths agree bit-for-bit
+    * (spec-pinned); use this one when your frame can exceed the bound,
+    * the BIGINT path when you want the cheaper buffers and the
+    * overflow refusal as a data-size tripwire.
+    */
+  def spearmanLifted(df: DataFrame, xCol: String, yCol: String,
+      idCol: String): DataFrame =
+    graft.operators.AggOps.spearmanDecimalOn(df, xCol, yCol, idCol)
+
   /** Lag-k autocorrelation of the hourly event-count series of any
     * timestamped frame (`tsCol` is read as `ts`): gap-filled dense
     * spine, exact integer moments, one row per lag with (lag, n_hours,

@@ -1043,6 +1043,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       maxRows = 8L).collect().head.getLong(0) === 8L)
   }
 
+  test("spearman decimal lift: agrees with the BIGINT path below the " +
+      "bound and runs exactly past it where that path refuses") {
+    import spark.implicits._
+    // bit-for-bit agreement on the tie fixture (same ranks, same rho
+    // expression — only the aggregation buffer differs)
+    val df = Seq((1L, 1.0, 1.0), (2L, 1.0, 2.0), (3L, 2.0, 3.0))
+      .toDF("id", "x", "y")
+    val a = graft.api.Graft.spearman(df, "x", "y", "id").collect().head
+    val b = graft.api.Graft.spearmanLifted(df, "x", "y", "id")
+      .collect().head
+    assert(b.getLong(0) === a.getLong(0))
+    (1 to 5).foreach(i =>
+      assert(b.getDecimal(i).longValueExact === a.getLong(i)))
+    assert(b.getDouble(6) === a.getDouble(6))
+    // past the bound: 1.4M perfectly monotone rows — the BIGINT path
+    // refuses, the lifted path computes rho = 1 (num and both variance
+    // factors are the same decimal, so rho = d/sqrt(d*d) up to one ulp)
+    val big = spark.range(1400000L).selectExpr("id",
+      "cast(id as double) as x", "cast(id * 2 as double) as y")
+    val eS = intercept[Exception] {
+      graft.operators.AggOps.spearmanOn(big, "x", "y", "id").collect()
+    }
+    assert(eS.getMessage.contains("rank-moment exactness bound"))
+    val r = graft.api.Graft.spearmanLifted(big, "x", "y", "id")
+      .collect().head
+    assert(r.getLong(0) === 1400000L)
+    assert(r.getLong(0) > graft.operators.AggOps.MaxExactRankRows)
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-12)
+  }
+
   test("autocorr: alternating hourly counts give acf(1) = -0.75, acf(2) = 0.5") {
     import spark.implicits._
     // hourly counts [2,1,2,1]: c = 4x−6 = [2,−2,2,−2], den = 16;
