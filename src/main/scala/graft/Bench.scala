@@ -126,6 +126,15 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // Optimization-work ledger (local only, never the driver's line): the
+    // FULL per-query timing map, so a slow query outside the headline+5
+    // window is visible without re-instrumenting.
+    try {
+      val full = results.map { case (k, v) => s""""$k":${num(v)}""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_LOCAL.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

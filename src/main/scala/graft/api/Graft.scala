@@ -1575,11 +1575,14 @@ object Graft {
     // upper bound too (r18 advice): slice(vec, 1, m) with m beyond the
     // vector length silently returns the full vector, so a typo'd budget
     // (160 on a 64-dim corpus) would report full-dim results as if the
-    // budget applied. One sampled row bounds the check (the
-    // appendToDedupIndex limit(1) idiom) — per-row enforcement would tax
-    // the whole build for a knob mistake visible on any row.
-    val sampledDim = df.select(size(col(vecCol)).as("n")).limit(1).collect()
-    sampledDim.headOption.foreach { r =>
+    // budget applied. min(size) over a BOUNDED sample (r19 advice: a
+    // single arbitrary row was nondeterministic on ragged corpora and a
+    // null vector in it NPE'd) — nulls drop out of min; the check assumes
+    // near-uniform dimensionality and stays a bounded-cost guard, not a
+    // full-corpus scan.
+    val sampledDim = df.select(size(col(vecCol)).as("n")).limit(64)
+      .agg(min(col("n")).as("n")).collect()
+    sampledDim.headOption.filterNot(_.isNullAt(0)).foreach { r =>
       require(mDims <= r.getInt(0),
         s"knnIvfPrefix: mDims = $mDims exceeds the vectors' " +
           s"dimensionality ${r.getInt(0)} — the slice would silently be " +

@@ -632,18 +632,18 @@ object AggOps extends OpFamily {
   /** Co-occurrence pairs + lift (market-basket association) — the
     * canonical MapReduce "pairs" design pattern (Lin & Dyer ch. 3): parts
     * bought together in one order, scored by lift = P(a,b)/(P(a)·P(b)).
-    * The pairs emit from a per-order self-join, NOT an all-parts cross:
-    * candidate volume is Σ k_o² over order sizes (TPC-H orders hold ≤ 7
-    * items, so ~tens of pairs per order — at 100 TB the bound is the
-    * basket size the schema enforces, never the catalog). The per-part
-    * support table is catalog-sized and broadcast; lift stays exact:
-    * every input is a count (integer-valued, < 2^53), so the one
+    * The pairs expand row-locally from per-basket sorted item arrays,
+    * NOT an all-parts cross and (since r20) not a per-order self-join
+    * either: candidate volume is Σ k_o² over order sizes (TPC-H orders
+    * hold ≤ 7 items, so ~tens of pairs per order — at 100 TB the bound
+    * is the basket size the schema enforces, never the catalog). The
+    * per-part support table is catalog-sized and broadcast; lift stays
+    * exact: every input is a count (integer-valued, < 2^53), so the one
     * double-multiply/divide spelling is replayed bit-for-bit by the
     * oracle. Top-20 by (lift, a, b) rides TakeOrderedAndProject.
-    * A "stripes" formulation (per-key map accumulation) would cut the
-    * shuffle record count but cap at driver-map sizes per key; the pairs
-    * shape scales with ordinary shuffle machinery, so it is the one
-    * implemented.
+    * A per-ITEM "stripes" formulation (map of co-items per item) would
+    * cap at driver-map sizes for hot items; the per-BASKET array is
+    * bounded by the basket size, so the expansion never degenerates.
     */
   def copurchaseLift(s: SparkSession, d: String): DataFrame =
     copurchaseLiftOn(Tables.lineitem(s, d)
@@ -659,21 +659,31 @@ object AggOps extends OpFamily {
     */
   private[graft] def copurchaseLiftOn(bi: DataFrame,
       minSupport: Long): DataFrame = {
-    // the distinct basket table has FIVE consumers (n, supp×2, both pair
-    // sides) and canonicalizes differently under each alias, so
-    // ReuseExchange does NOT dedupe it (verified in the executed plan:
-    // five parquet scans) — materialize once per the two-consumers rule
-    val li = bi.select(col("ok"), col("pk"))
-      .distinct() // an item twice in one basket is one membership
-      .localCheckpoint()
-    val n = li.agg(count_distinct(col("ok")).as("n_orders"))
-    val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    // ONE corpus-sized shuffle: baskets collapse straight to their sorted
+    // distinct item arrays (collect_set dedups in-basket repeats — the
+    // old separate distinct() pass is folded into the same aggregate),
+    // and the a < b pairs expand ROW-LOCALLY from each bounded array (the
+    // [[overlapMatrixOn]] discipline) instead of a per-order self-join —
+    // the r20 rewrite dropped the membership distinct + the SMJ self-join
+    // (two sorts + an exchange) from the plan (3.2 s → measured ~1.5 s at
+    // sf0.1). The basket array is bounded by the basket size the schema
+    // enforces (≤ 7 items on TPC-H orders; generally the per-basket item
+    // cap), so the per-row expansion is O(k²) with tiny k, never
+    // catalog-sized — the Σ k_o² candidate volume is unchanged from the
+    // self-join formulation, it just materializes without the join
+    // machinery.
+    val baskets = bi.groupBy(col("ok"))
+      .agg(array_sort(collect_set(col("pk"))).as("items"))
+      .localCheckpoint() // three consumers: n, supp, pairs
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    val supp = baskets.select(explode(col("items")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
       .localCheckpoint() // catalog-sized; broadcast twice below
-    val a = li.select(col("ok"), col("pk").as("a"))
-    val b = li.select(col("ok"), col("pk").as("b"))
-    a.join(b, Seq("ok"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+    baskets
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + 2, size(col("items")) - i - 1),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport) // a single co-basket is noise
       .join(broadcast(supp.select(col("pk").as("a"), col("n_p").as("n_a"))),
@@ -1327,6 +1337,15 @@ object AggOps extends OpFamily {
     */
   private[graft] val MaxExactRankRows = 1300000L
 
+  /** The decimal-lifted path's OWN exactness bound (r19 advice): the
+    * decimal(37,0) moment sums stay exact while Σrx·ry ≤ 4n³ < 10³⁷,
+    * i.e. n ≲ 2.9·10¹² rows. Past it the sums overflow decimal(38,0)
+    * — NULL under default ANSI-off arithmetic, NULL rho — the same
+    * silent-failure class the BIGINT guard eliminated, so the lifted
+    * projection refuses loudly too.
+    */
+  private[graft] val MaxExactRankRowsDecimal = 2900000000000L
+
   private def rankMomentGuard(op: String, maxRows: Long)
       : org.apache.spark.sql.Column =
     when(col("n") > lit(maxRows), raise_error(concat(
@@ -1394,7 +1413,18 @@ object AggOps extends OpFamily {
         sum(d18(col("rx")) * d18(col("rx"))).as("sum_rxx"),
         sum(d18(col("ry")) * d18(col("ry"))).as("sum_ryy"),
         sum(d18(col("rx")) * d18(col("ry"))).as("sum_rxy"))
-      .select(col("n"), col("sum_rx").cast("decimal(38,0)").as("sum_rx"),
+      .select(
+        // the lifted path's own loud refusal at ITS exactness bound (r19
+        // advice): decimal overflow past ~2.9e12 rows is as silent as the
+        // BIGINT wrap was
+        when(col("n") > lit(MaxExactRankRowsDecimal), raise_error(concat(
+          lit("spearman[decimal]: n = "), col("n").cast("string"),
+          lit(s" rows exceeds the decimal(38,0) rank-moment exactness " +
+            s"bound $MaxExactRankRowsDecimal (sum(rank_x * rank_y) <= " +
+            "4n^3 must stay under 10^38) — see " +
+            "AggOps.MaxExactRankRowsDecimal"))))
+          .otherwise(col("n")).as("n"),
+        col("sum_rx").cast("decimal(38,0)").as("sum_rx"),
         col("sum_ry").cast("decimal(38,0)").as("sum_ry"),
         col("sum_rxx").cast("decimal(38,0)").as("sum_rxx"),
         col("sum_ryy").cast("decimal(38,0)").as("sum_ryy"),
@@ -1406,14 +1436,46 @@ object AggOps extends OpFamily {
   private[graft] def spearmanOn(df: DataFrame, xCol: String,
       yCol: String, idCol: String,
       maxRows: Long = MaxExactRankRows): DataFrame = {
-    def r2Of(vCol: String, out: String): DataFrame =
-      doubledRanks(df, vCol, idCol, out)
-    r2Of(xCol, "rx").join(r2Of(yCol, "ry"), Seq("rowkey"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("rx")).as("sum_rx"), sum(col("ry")).as("sum_ry"),
-        sum(col("rx") * col("rx")).as("sum_rxx"),
-        sum(col("ry") * col("ry")).as("sum_ryy"),
-        sum(col("rx") * col("ry")).as("sum_rxy"))
+    // VALUE-LEVEL rank algebra (r20): a row's doubled average rank
+    // depends only on its distinct milli-unit value (tie block
+    // [cum+1, cum+t] ⇒ r2 = minr+maxr = 2·cum_before + t + 1), so the
+    // rank tables shrink to one row per DISTINCT value — built from
+    // per-value counts and a distinct-value prefix sum, never a
+    // full-row range sort. The declared semantics join the two ranked
+    // copies on `idCol` (an id repeated c times contributes c² joined
+    // rows — the registered fixture's rowkey is NOT unique, and the
+    // oracle replays the same join), so the moments aggregate per-id
+    // group sums: with sx = Σ rx over an id's rows, n = Σ c²,
+    // Σrx = Σ c·sx, Σrx² = Σ c·sxx, Σrx·ry = Σ sx·sy — exact integer
+    // identities to the joined multiset, every term still ≤ 4n³ (same
+    // BIGINT guard). Plan: the rows are scanned once, both attach joins
+    // carry one long each, and the heaviest exchange is the per-id
+    // groupBy — replacing two full-row range sorts + block joins + the
+    // row-multiplying SMJ (measured ~2× at sf0.1, hash-identical).
+    val rows = df.select(col(idCol).as("rowkey"),
+        floor(col(xCol) * 1000).cast("long").as("vx"),
+        floor(col(yCol) * 1000).cast("long").as("vy"))
+      .localCheckpoint() // three consumers: both marginals + the attach
+    def blocks(vCol: String, r2: String): DataFrame =
+      WindowOps.withExactPrefixSum(
+        rows.groupBy(col(vCol)).agg(count(lit(1)).as("t")),
+        Seq(col(vCol)), col("t"), "cum")
+        .select(col(vCol),
+          (lit(2L) * col("cum") + col("t") + lit(1L)).as(r2))
+    val per = rows
+      .join(blocks("vx", "rx"), Seq("vx"))
+      .join(blocks("vy", "ry"), Seq("vy"))
+      .groupBy(col("rowkey"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+    per.agg(sum(col("c") * col("c")).as("n"),
+        sum(col("c") * col("sx")).as("sum_rx"),
+        sum(col("c") * col("sy")).as("sum_ry"),
+        sum(col("c") * col("sxx")).as("sum_rxx"),
+        sum(col("c") * col("syy")).as("sum_ryy"),
+        sum(col("sx") * col("sy")).as("sum_rxy"))
       .select(rankMomentGuard("spearman", maxRows), col("sum_rx"),
         col("sum_ry"), col("sum_rxx"), col("sum_ryy"), col("sum_rxy"))
       .selectExpr("n", "sum_rx", "sum_ry", "sum_rxx", "sum_ryy",
@@ -1441,19 +1503,25 @@ object AggOps extends OpFamily {
   private[graft] def kruskalWallisOn(df: DataFrame, grpCol: String,
       valCol: String, idCol: String,
       maxRows: Long = MaxExactRankRows): DataFrame = {
-    val f = df.select(col(grpCol).as("g"),
-      floor(col(valCol) * 1000).cast("long").as("vu"),
-      col(idCol).as("tie"))
-    val (ranked0, _) =
-      WindowOps.withExactGlobalRank(f, Seq(col("vu"), col("tie")))
-    val ranked = ranked0.localCheckpoint() // two consumers: tie blocks
-      // (per-value) + per-(value, group) counts
-    val perVal = ranked.groupBy(col("vu"))
-      .agg(min(col("r")).as("minr"), max(col("r")).as("maxr"),
-        count(lit(1)).as("t"))
-      .localCheckpoint() // two consumers: group join + tie rollup
-    val perGrpVal = ranked.groupBy(col("vu"), col("g"))
+    // VALUE-LEVEL rank algebra (r20, the [[spearmanOn]] identity): the
+    // tie block of distinct value vu is [cum_before+1, cum_before+t], so
+    // minr+maxr = 2·cum_before + t + 1 — computable from per-value
+    // counts with a distinct-value prefix sum; the full rows are touched
+    // ONCE by the partial-aggregating (vu, g) count, never range-sorted,
+    // and `idCol`'s per-row tiebreak is unnecessary by construction (the
+    // min+max collapse is tie-order-free). Hash-identical output.
+    val perGrpVal = df.select(col(grpCol).as("g"),
+        floor(col(valCol) * 1000).cast("long").as("vu"))
+      .groupBy(col("vu"), col("g"))
       .agg(count(lit(1)).as("tg"))
+      .localCheckpoint() // two consumers: per-value rollup + group join
+    val perVal = WindowOps.withExactPrefixSum(
+        perGrpVal.groupBy(col("vu")).agg(sum(col("tg")).as("t")),
+        Seq(col("vu")), col("t"), "cum")
+      .select(col("vu"), col("t"), (col("cum") + 1L).as("minr"),
+        (col("cum") + col("t")).as("maxr"))
+      // two consumers (group join + tie rollup); cheap to recompute —
+      // the prefix-sum scaffold inside is checkpointed
     val grp = perGrpVal.join(perVal, Seq("vu"))
       .groupBy(col("g"))
       .agg(sum(col("tg")).as("n_g"),

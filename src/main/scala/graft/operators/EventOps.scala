@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{OpFamily, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -295,6 +295,35 @@ object EventOps extends OpFamily {
   def markovStationary(s: SparkSession, d: String): DataFrame =
     markovStationaryOn(ev(s, d), rounds = 4)
 
+  /** The power-iteration fold over ONE collected |types|² transition
+    * matrix (r20): round state starts at 10⁶ units per from-state and
+    * each round pushes `units·cnt DIV tot` along every cell, re-keyed by
+    * `to` — the same integral ops in the same per-cell order-free sums
+    * as the chained join+aggregate rounds this replaces (long multiply /
+    * integer divide semantics are identical in Scala and non-ANSI Spark
+    * for these positive values), so the output is bit-identical while
+    * the per-round driver job dispatch disappears. The matrix is
+    * dimension-bounded (|types|²) at any corpus scale — the same
+    * argument that lets the funnel grid collect.
+    */
+  private val markovPowerLocal = udf(
+    (cells: Seq[Row], rounds: Int) => {
+      val m = cells.map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      var units: Map[String, Long] =
+        m.map(_._1).distinct.map(_ -> 1000000L).toMap
+      (1 to rounds).foreach { _ =>
+        val next = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        m.foreach { case (from, to, cnt, tot) =>
+          units.get(from).foreach { u =>
+            next(to) = next.getOrElse(to, 0L) + (u * cnt) / tot
+          }
+        }
+        units = next.toMap
+      }
+      units.toSeq
+    })
+
   private[graft] def markovStationaryOn(events: DataFrame,
       rounds: Int): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -305,17 +334,12 @@ object EventOps extends OpFamily {
       .groupBy(col("event_type").as("from"), col("next_type").as("to"))
       .agg(count(lit(1)).as("cnt"))
     val tot = trans.groupBy(col("from")).agg(sum(col("cnt")).as("tot"))
-    // |types|² rows: pin the matrix once, iterate on the tiny frame
-    val wd = trans.join(tot, Seq("from")).localCheckpoint()
-    var r = wd.select(col("from").as("state")).distinct()
-      .withColumn("units", lit(1000000L))
-    for (_ <- 1 to rounds) {
-      r = wd.join(r, wd("from") === r("state"))
-        .select(col("to"), expr("(units * cnt) DIV tot").as("c"))
-        .groupBy(col("to")).agg(sum(col("c")).as("units"))
-        .select(col("to").as("state"), col("units"))
-    }
-    r.select(col("state").as("event_type"), col("units").as("stat_units"))
+    // ONE collect of the |types|² matrix, all rounds in a local fold
+    trans.join(tot, Seq("from"))
+      .agg(collect_list(struct(col("from"), col("to"), col("cnt"),
+        col("tot"))).as("m"))
+      .select(explode(markovPowerLocal(col("m"), lit(rounds))).as("o"))
+      .select(col("o._1").as("event_type"), col("o._2").as("stat_units"))
       .orderBy(desc("stat_units"), col("event_type"))
   }
 
@@ -337,6 +361,33 @@ object EventOps extends OpFamily {
   def markovAbsorption(s: SparkSession, d: String): DataFrame =
     markovAbsorptionOn(ev(s, d), rounds = 8)
 
+  /** The absorption fold over the collected matrix (r20, the
+    * [[markovPowerLocal]] discipline): t ← 1 + P_live·t from 0, `rounds`
+    * times — live cells are the non-'(end)' transitions, states are ALL
+    * from-states (a state whose every exit absorbs still scores 10⁶).
+    * Same integral per-cell pushes and order-free sums as the chained
+    * join rounds this replaces; bit-identical output, ~16 fewer jobs.
+    */
+  private val markovAbsorbLocal = udf(
+    (cells: Seq[Row], rounds: Int) => {
+      val m = cells.map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val states = m.map(_._1).distinct
+      val live = m.filter(_._2 != "(end)")
+      var units: Map[String, Long] = states.map(_ -> 0L).toMap
+      (1 to rounds).foreach { _ =>
+        val pushed = scala.collection.mutable.HashMap.empty[String, Long]
+        live.foreach { case (from, to, cnt, tot) =>
+          units.get(to).foreach { u =>
+            pushed(from) = pushed.getOrElse(from, 0L) + (cnt * u) / tot
+          }
+        }
+        units = states.map(s => s -> (1000000L + pushed.getOrElse(s, 0L)))
+          .toMap
+      }
+      units.toSeq
+    })
+
   private[graft] def markovAbsorptionOn(events: DataFrame,
       rounds: Int): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -347,21 +398,12 @@ object EventOps extends OpFamily {
       .groupBy(col("event_type").as("from"), col("next_type").as("to"))
       .agg(count(lit(1)).as("cnt"))
     val tot = trans.groupBy(col("from")).agg(sum(col("cnt")).as("tot"))
-    val wd = trans.filter(col("to") =!= "(end)")
-      .join(tot, Seq("from")).localCheckpoint() // |types|² live edges
-    val states = tot.select(col("from").as("state")).localCheckpoint()
-    var t = states.withColumn("units", lit(0L))
-    for (_ <- 1 to rounds) {
-      val push = wd.join(t, wd("to") === t("state"))
-        .select(col("from"), expr("(cnt * units) DIV tot").as("c"))
-        .groupBy(col("from")).agg(sum(col("c")).as("pushed"))
-      t = states.join(push, states("state") === push("from"), "left")
-        .select(col("state"),
-          (lit(1000000L) + coalesce(col("pushed"), lit(0L))).as("units"))
-        .localCheckpoint() // keep the loop plan flat (|types| rows)
-    }
-    t.select(col("state").as("event_type"),
-        col("units").as("exp_steps_units"))
+    trans.join(tot, Seq("from"))
+      .agg(collect_list(struct(col("from"), col("to"), col("cnt"),
+        col("tot"))).as("m"))
+      .select(explode(markovAbsorbLocal(col("m"), lit(rounds))).as("o"))
+      .select(col("o._1").as("event_type"),
+        col("o._2").as("exp_steps_units"))
       .orderBy(desc("exp_steps_units"), col("event_type"))
   }
 

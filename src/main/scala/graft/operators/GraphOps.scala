@@ -25,15 +25,25 @@ object GraphOps extends OpFamily {
     * so the graph has no dangling nodes and PageRank needs no sink-mass
     * redistribution.
     */
-  private def custSuppEdges(s: SparkSession, d: String): DataFrame = {
+  private def custSuppEdges(s: SparkSession, d: String,
+      materializeHalf: Boolean = true): DataFrame = {
+    // The HALF edge set (one row per undirected edge) is what the
+    // join+distinct pipeline produces — materialize THAT and leave the
+    // symmetric union a lazy view over the cached blocks (r20): every
+    // consumer used to checkpoint the 2× union instead, paying a
+    // doubled materialization per query for rows that are a pure
+    // column-swap of each other. Consumers scan the cached half twice
+    // per pass — cheap narrow rescans — and no caller needs its own
+    // checkpoint anymore.
     val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    e0.select(col("c").as("src"), col("s").as("dst"))
-      .unionByName(e0.select(col("s").as("src"), col("c").as("dst")))
+    val half = if (materializeHalf) e0.localCheckpoint() else e0
+    half.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(half.select(col("s").as("src"), col("c").as("dst")))
   }
 
   /** PageRank (damping 0.85, 5 iterations) over the customer–supplier
@@ -102,7 +112,11 @@ object GraphOps extends OpFamily {
     require(dampingPermille >= 0L && dampingPermille <= 1000L,
       s"dampingPermille must be in [0, 1000]: $dampingPermille")
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val edges = edgeDf.localCheckpoint()
+    // no up-front checkpoint (r20): edges are scanned exactly twice here
+    // (degree aggregate + the withDeg join) and the loop reads the
+    // persisted withDeg — [[custSuppEdges]] callers rescan cached blocks,
+    // API callers recompute their pipeline twice once, never per round
+    val edges = edgeDf
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, Seq("src")).persist()
     val teleport = (1000L - dampingPermille) * 1000L
@@ -142,7 +156,7 @@ object GraphOps extends OpFamily {
   def pageRankPersonalized(s: SparkSession, d: String): DataFrame = {
     val seeds = Seq(2L, 4L, 6L, 8L)
     val isSeed = (c: Column) => c.isin(seeds.map(x => x: Any): _*)
-    val edges = custSuppEdges(s, d).localCheckpoint()
+    val edges = custSuppEdges(s, d) // self-materialized half (r20)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, Seq("src")).persist()
     var ranks = deg.select(col("src").as("node"),
@@ -248,7 +262,7 @@ object GraphOps extends OpFamily {
 
   private[graft] def pageRankUntil(s: SparkSession, d: String,
       relTol: Double, maxRounds: Int): DataFrame = {
-    val edges = custSuppEdges(s, d).localCheckpoint()
+    val edges = custSuppEdges(s, d) // self-materialized half (r20)
     // same skew-immune degree-annotation setup as [[pageRank]]
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, Seq("src")).persist()
@@ -329,7 +343,7 @@ object GraphOps extends OpFamily {
   private[graft] val BfsMaxHops = 11
 
   def bfsHops(s: SparkSession, d: String): DataFrame = {
-    val edges = custSuppEdges(s, d).localCheckpoint()
+    val edges = custSuppEdges(s, d) // self-materialized half (r20)
     // the source is declared, not collected: a 1-row aggregate frame that
     // AQE broadcast-joins into the first expansion
     var frontier = edges.agg(min(col("src")).as("node"))
@@ -582,7 +596,8 @@ object GraphOps extends OpFamily {
   private[graft] val KCoreRounds = 4
 
   def kCore(s: SparkSession, d: String): DataFrame =
-    kCoreFrom(custSuppEdges(s, d), KCoreK, KCoreRounds)
+    kCoreFrom(custSuppEdges(s, d, materializeHalf = false), KCoreK,
+      KCoreRounds)
       .groupBy(when(col("src") % 2 === 0, lit("customer"))
         .otherwise(lit("supplier")).as("kind"))
       .agg(count(lit(1)).as("n_core_nodes"),
@@ -796,7 +811,11 @@ object GraphOps extends OpFamily {
     * ids cross 2³¹; at that scale widen K and the key to decimal).
     */
   private[graft] def labelPropFrom(edgeDf: DataFrame, rounds: Int): DataFrame = {
-    val edges = edgeDf.localCheckpoint()
+    // no checkpoint here (r20): every registered caller passes the
+    // self-materialized [[custSuppEdges]] view, whose per-round rescans
+    // read cached blocks; an API caller's pipeline is recomputed at most
+    // once per round (bounded by the fixed round count, never by data)
+    val edges = edgeDf
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"),
         when(col("node") >= 0 && col("node") < LpaK, col("node"))
@@ -828,7 +847,7 @@ object GraphOps extends OpFamily {
     * communities by size.
     */
   def modularity(s: SparkSession, d: String): DataFrame = {
-    val edges = custSuppEdges(s, d).localCheckpoint() // deg + und + LPA
+    val edges = custSuppEdges(s, d) // self-materialized half (r20)
     modularityOn(edges, labelPropFrom(edges, LpaRounds))
   }
 
@@ -1136,7 +1155,7 @@ object GraphOps extends OpFamily {
     // materialized blocks instead of re-running the orders⋈lineitem
     // join (betweennessFrom's own checkpoint of this frame is then a
     // cheap narrow rescan)
-    val edges = custSuppEdges(s, d).localCheckpoint()
+    val edges = custSuppEdges(s, d) // self-materialized half (r20)
     // Brandes–Pich pivot-sampling normalization: the unbiased estimate of
     // the FULL betweenness is (n/|S|)·Σ_{s∈S} δ_s(v). The factor is the
     // same positive constant for every node, so it cannot change the
@@ -1424,7 +1443,7 @@ object GraphOps extends OpFamily {
     * or salting decision reads first (max/mean degree ratio = skew).
     */
   def degreeProfile(s: SparkSession, d: String): DataFrame =
-    custSuppEdges(s, d)
+    custSuppEdges(s, d, materializeHalf = false) // single pass: no pin
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .groupBy(when(col("src") % 2 === 0, lit("customer"))
         .otherwise(lit("supplier")).as("kind"))
@@ -1447,7 +1466,7 @@ object GraphOps extends OpFamily {
     * degree groupBy + two joins + one aggregate; no iteration.
     */
   def assortativity(s: SparkSession, d: String): DataFrame = {
-    val edges = custSuppEdges(s, d).localCheckpoint()
+    val edges = custSuppEdges(s, d) // self-materialized half (r20)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val xy = edges
       .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{OpFamily, Tables}
 import graft.functions.NativeExprs
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2406,45 +2406,108 @@ object SimOps extends OpFamily {
     mmrGreedy(s, cand, k, lam)
   }
 
+  /** Spark's SortOrder comparison for doubles (NaN greater than
+    * everything and equal to itself; ±0.0 equal) — the [[mmrGreedyLocal]]
+    * fold must tie-break and max EXACTLY like the row_number/max
+    * formulation it replaces. */
+  private def nanSafeCmp(x: Double, y: Double): Int =
+    if ((x.isNaN && y.isNaN) || x == y) 0
+    else if (x.isNaN) 1
+    else if (y.isNaN) -1
+    else if (x > y) 1 else -1
+
+  /** One query's ENTIRE greedy MMR as a local fold over its collected
+    * shortlist (≤ shortlist candidates + shortlist² pair sims — both
+    * per-query bounded by construction): step 1 is the rank-1 candidate
+    * at its raw relevance; each later step picks, among the unselected,
+    * the max of λ·cos − (1−λ)·max-sim-to-picked, ties to the lowest nid
+    * (`no` = the per-query nid-ascending index, so the fold never needs
+    * the id's type). Bit-identical to the k−1 chained join+window jobs
+    * it replaced (r20): the pair sims arrive PRE-COMPUTED by the same
+    * codegen'd dot expression, the mmr expression is the same two IEEE
+    * multiplies and subtract, and max/tie-breaks use [[nanSafeCmp]].
+    * Returns (step, rank, mmr) triples; callers join rank back to nid.
+    */
+  private val mmrGreedyLocal = udf(
+    (cands: Seq[Row], sims: Seq[Row], k: Int, lam: Double) => {
+      // (rank, no, cos), collect_list order is arbitrary ⇒ fix by rank
+      val cs = cands.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val sim = Option(sims).getOrElse(Seq.empty)
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val oneMinusLam = 1.0 - lam
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      cs.find(_._1 == 1).foreach { case (r1, _, cos1) =>
+        out += ((1, r1, cos1)); selected += r1
+      }
+      var t = 2
+      while (t <= k && selected.nonEmpty) {
+        var best: (Int, Int, Double) = null // (rank, no, mmr)
+        cs.foreach { case (r, no, cos) =>
+          if (!selected.contains(r) && selected.exists(s => sim.contains((r, s)))) {
+            var msim = Double.NaN; var first = true
+            selected.foreach { s =>
+              sim.get((r, s)).foreach { v =>
+                if (first || nanSafeCmp(v, msim) > 0) { msim = v; first = false }
+              }
+            }
+            val mmr = lam * cos - oneMinusLam * msim
+            if (best == null || nanSafeCmp(mmr, best._3) > 0 ||
+              (nanSafeCmp(mmr, best._3) == 0 && no < best._2))
+              best = (r, no, mmr)
+          }
+        }
+        if (best == null) t = k + 1
+        else {
+          out += ((t, best._1, best._3)); selected += best._1; t += 1
+        }
+      }
+      out.toSeq
+    })
+
   /** The greedy MMR core over ANY pinned candidate frame (qid, nid,
     * cos, rank, ne, nn) — shared by the exact-shortlist and
-    * IVF-shortlist entry points. */
+    * IVF-shortlist entry points.
+    *
+    * Plan shape (r20 rewrite): the shortlist² pair sims are computed by
+    * the SAME codegen'd dot expression as before, but the k−1 greedy
+    * steps collapse from chained anti-join + window + localCheckpoint
+    * jobs (~20 jobs per query set) into ONE per-query bounded fold
+    * ([[mmrGreedyLocal]]) over the collected candidates — everything
+    * past the shortlist scan is ≤ shortlist² rows per query, so the
+    * collect_list groups are schema-bounded at any corpus scale, and the
+    * measured wall dropped ~2× at sf0.1 with hash-identical output.
+    */
   private def mmrGreedy(s: SparkSession, cand0: DataFrame, k: Int,
       lam: Double): DataFrame = {
-    // shortlist scan runs once; the greedy loop and the pair grid both
-    // re-read it ⇒ pin (per-query bounded: ≤ shortlist rows per query)
-    val cand = cand0.localCheckpoint()
-    val pairs = cand.select(col("qid"), col("nid").as("cnid"),
+    // shortlist scan runs once; the pair grid, the collect and the final
+    // rank→nid attach all re-read it ⇒ pin (per-query bounded rows)
+    val cand = cand0
+      .withColumn("no", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("nid"))))
+      .localCheckpoint()
+    val pairs = cand.select(col("qid"), col("rank").as("ci"),
         col("ne").as("av"), col("nn").as("an"))
-      .join(cand.select(col("qid"), col("nid").as("snid"),
+      .join(cand.select(col("qid"), col("rank").as("si"),
         col("ne").as("bv"), col("nn").as("bn")), Seq("qid"))
-      .filter(col("cnid") =!= col("snid"))
-      .select(col("qid"), col("cnid"), col("snid"),
+      .filter(col("ci") =!= col("si"))
+      .select(col("qid"), col("ci"), col("si"),
         cosPair(s, "av", "an", "bv", "bn").as("sim"))
-      .localCheckpoint()
-    var sel = cand.filter(col("rank") === 1)
-      .select(col("qid"), lit(1).as("step"), col("nid"),
-        col("cos").as("mmr"))
-      .localCheckpoint()
-    var selected = sel.select(col("qid"), col("nid"))
-    val wS = Window.partitionBy(col("qid")).orderBy(desc("mmr"), col("nid"))
-    for (t <- 2 to k) {
-      val msim = pairs
-        .join(selected.withColumnRenamed("nid", "snid"), Seq("qid", "snid"))
-        .groupBy(col("qid"), col("cnid")).agg(max(col("sim")).as("msim"))
-        .withColumnRenamed("cnid", "nid")
-      val next = cand.join(selected, Seq("qid", "nid"), "left_anti")
-        .join(msim, Seq("qid", "nid"))
-        .withColumn("mmr",
-          lit(lam) * col("cos") - lit(1.0 - lam) * col("msim"))
-        .withColumn("rn", row_number().over(wS))
-        .filter(col("rn") === 1)
-        .select(col("qid"), lit(t).as("step"), col("nid"), col("mmr"))
-        .localCheckpoint() // ≤ |queries| rows; keeps the loop plan flat
-      sel = sel.unionByName(next)
-      selected = sel.select(col("qid"), col("nid"))
-    }
-    sel.orderBy(col("qid"), col("step"))
+    val picks = cand.groupBy(col("qid"))
+      .agg(collect_list(struct(col("rank"), col("no"), col("cos"))).as("cl"))
+      .join(pairs.groupBy(col("qid"))
+        .agg(collect_list(struct(col("ci"), col("si"), col("sim"))).as("pl")),
+        Seq("qid"), "left")
+      .select(col("qid"),
+        explode(mmrGreedyLocal(col("cl"), col("pl"), lit(k), lit(lam)))
+          .as("o"))
+      .select(col("qid"), col("o._1").as("step"), col("o._2").as("rank"),
+        col("o._3").as("mmr"))
+    picks.join(cand.select(col("qid"), col("rank"), col("nid")),
+        Seq("qid", "rank"))
+      .select(col("qid"), col("step"), col("nid"), col("mmr"))
+      .orderBy(col("qid"), col("step"))
   }
 
   /** [[mmrRerank]] over the PERSISTED IVF index — the production

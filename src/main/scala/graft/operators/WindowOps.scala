@@ -178,6 +178,40 @@ object WindowOps extends OpFamily {
       .drop("pid"), n)
   }
 
+  /** Exact EXCLUSIVE prefix sum of `valueCol` in `sortCols` order without
+    * a single-task global window — [[withExactGlobalRank]]'s sibling for
+    * cumulative WEIGHT instead of row count: range-partition on the sort
+    * key, collect the bounded per-partition sums (one row per partition),
+    * and add each partition's cumulative offset to a per-partition
+    * running sum. Returns the input plus long column `out` = Σ value over
+    * all STRICTLY-preceding rows. The sort must be a total order; the
+    * input is localCheckpoint'd for the same two-jobs-one-partitioning
+    * reason as the rank variant. Feeds the value-level rank algebra
+    * (r20): per-distinct-value tie blocks are [cum+1, cum+t], so rank
+    * consumers that only need BLOCK ranks (spearman, kruskal) never
+    * range-sort full rows — only the distinct-value table.
+    */
+  private[graft] def withExactPrefixSum(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      valueCol: org.apache.spark.sql.Column, out: String): DataFrame = {
+    val base = df.repartitionByRange(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val perPart = base.groupBy(col("pid"))
+      .agg(sum(valueCol).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = perPart.map(_._1)
+      .zip(perPart.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn(out,
+        coalesce(sum(valueCol).over(w), lit(0L)) + offCol)
+      .drop("pid")
+  }
+
   /** Exact PER-GROUP lower median without a per-group window — the
     * scale-safe sibling of [[withExactGlobalRank]] for grouped order
     * statistics. A `row_number() OVER (PARTITION BY grp)` plan caps

@@ -288,12 +288,20 @@ object StreamPipelines {
     s.read.parquet(latestCdcVersion(snapshotRoot)._2)
 
   private def latestCdcVersion(snapshotRoot: String): (Long, String) = {
+    // Only a COMMITTED version counts as latest (r19 advice): a micro-batch
+    // that crashes mid-write leaves a partial v<N> dir (no _SUCCESS marker
+    // yet — the Hadoop committer writes it only at job commit), and reading
+    // that partial dir as the current base would propagate the corruption
+    // into every later version, voiding the at-least-once convergence
+    // guarantee. Uncommitted dirs are skipped; the retry overwrites them.
     val versions = Option(new java.io.File(snapshotRoot).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_SUCCESS").isFile)
     require(versions.nonEmpty,
-      s"no snapshot versions under $snapshotRoot — seed v0 with the " +
-        "base snapshot before starting the sink")
+      s"no committed snapshot versions under $snapshotRoot — seed v0 with " +
+        "the base snapshot (a completed parquet write, _SUCCESS present) " +
+        "before starting the sink")
     val latest = versions.maxBy(_.getName.drop(1).toLong)
     (latest.getName.drop(1).toLong, latest.getAbsolutePath)
   }
